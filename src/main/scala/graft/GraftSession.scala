@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session factory for the graft engine.
+  *
+  * The reference (entangleDB) boots a server exposing a SQL surface over
+  * its storage engine (/root/reference/src/server.rs); on Spark the
+  * equivalent "server" is a configured SparkSession with the graft
+  * function library registered so the full surface is reachable from
+  * both the DataFrame API and `spark.sql`.
+  *
+  * Scale defaults: AQE on (runtime re-plan, skew-join splitting),
+  * shuffle partitions sized for the local harness (a real cluster would
+  * set this to ~2-3x total cores or rely on AQE coalescing).
+  */
+object GraftSession {
+
+  def builder(master: String = "local[32]", shufflePartitions: Int = 32): SparkSession.Builder =
+    SparkSession
+      .builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+
+  def create(master: String = "local[32]"): SparkSession = {
+    val spark = builder(master).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    prepare(spark)
+    spark
+  }
+
+  /** Idempotent per-session setup: registers the graft SQL functions.
+    * Safe to call on an externally-created session (the driver's
+    * Verify/Bench mains own their session). */
+  def prepare(spark: SparkSession): SparkSession = {
+    functions.Registry.registerAll(spark)
+    spark
+  }
+
+  /** EXPLAIN analog (reference: ast.rs:17 `Explain`). Returns the
+    * formatted physical plan, the artifact a user would inspect for
+    * pushdown / join strategy / codegen spans. */
+  def explainPlan(df: DataFrame): String =
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+}

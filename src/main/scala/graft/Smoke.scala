@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Runtime smoke probe: drives the SQL front (registered graft
+  * functions through spark.sql, exercising the codegen path of the
+  * custom Expressions) and the EXPLAIN surface. Run:
+  *   sbt "runMain graft.Smoke /root/testdata/sf0.001"
+  */
+object Smoke {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val spark = GraftSession.create(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+    sources.Tables.registerAll(spark, dir)
+
+    println("== custom functions through SQL (codegen path) ==")
+    spark.sql(
+      """SELECT doc_id, simhash64(text) AS sh,
+        |       size(minhash_sig(text, 5, 16, 42)) AS mh_k,
+        |       size(fingerprint64(text, 8, 16)) AS fp_n
+        |FROM documents ORDER BY doc_id LIMIT 5""".stripMargin).show(false)
+
+    println("== cosine_sim self-join on embeddings (SQL) ==")
+    spark.sql(
+      """SELECT a.vec_id, b.vec_id AS other, cosine_sim(a.embedding, b.embedding) AS cos
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |ORDER BY cos DESC LIMIT 5""".stripMargin).show(false)
+
+    println("== edge: empty / null text ==")
+    spark.sql(
+      """SELECT simhash64('') AS sh_empty,
+        |       simhash64(CAST(NULL AS STRING)) AS sh_null,
+        |       jaccard64(shingles64('abcdef', 3), shingles64('abcdef', 3)) AS j_same,
+        |       jaccard64(shingles64('abcdef', 3), shingles64('uvwxyz', 3)) AS j_diff,
+        |       hamming64(simhash64('a b c'), simhash64('a b c')) AS ham0
+        |""".stripMargin).show(false)
+
+    println("== EXPLAIN surface: pushdown + broadcast check (q11) ==")
+    val plan = GraftSession.explainPlan(operators.Relational.q11JoinMultiway(spark, dir))
+    println(plan.linesIterator.filter(l =>
+      l.contains("PushedFilters") || l.contains("Join") || l.contains("ReadSchema"))
+      .mkString("\n"))
+
+    spark.stop()
+  }
+}

@@ -1,0 +1,199 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{UnsafeArrayData, XXH64}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Per-row compute kernels behind the graft custom Catalyst Expressions.
+  *
+  * Single-pass, allocation-light loops over Tungsten-native data
+  * (`UTF8String` bytes, `ArrayData` primitives). Called directly from
+  * generated code (Scala object static forwarders), so the expressions
+  * stay inside whole-stage codegen — no boxing, no interpreted fallback
+  * in the hot path. This is the Spark-native replacement for what the
+  * reference would run as a native-code scalar function.
+  */
+object Kernels {
+
+  /** splitmix64 finalizer — public-domain avalanche mix. */
+  @inline private def mix64(z0: Long): Long = {
+    var z = z0
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  private def hashRange(s: UTF8String, start: Int, len: Int, seed: Long): Long =
+    XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset + start, len, seed)
+
+  /** Cosine similarity of two float vectors (embedding columns). */
+  def cosine(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+  }
+
+  /** Dot product of two float vectors. */
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    acc
+  }
+
+  /** Random-hyperplane LSH signature of a float vector: `bits`
+    * sign-bits packed into a Long. Hyperplane j component i is a
+    * deterministic pseudo-random gaussian-ish value derived from
+    * (seed, j, i) — same family on every row, so equal buckets imply
+    * nearby vectors. bits <= 64. */
+  def hyperplaneSig(a: ArrayData, bits: Int, seed: Long): Long = {
+    val n = a.numElements()
+    var sig = 0L
+    var j = 0
+    while (j < bits) {
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        // map mix64 output to [-1, 1): cheap symmetric weight
+        val w = mix64(seed ^ (j.toLong << 32) ^ i.toLong).toDouble / 9.223372036854776e18
+        acc += w * a.getFloat(i).toDouble
+        i += 1
+      }
+      if (acc >= 0) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
+
+  /** 64-bit SimHash over whitespace tokens of `text`. Single pass over
+    * the UTF-8 bytes; each token hashed with XXH64; bit-wise vote
+    * counters folded to the final signature. */
+  def simhash64(text: UTF8String): Long = {
+    val counts = new Array[Int](64)
+    val nb = text.numBytes
+    var start = 0
+    var i = 0
+    while (i <= nb) {
+      val isDelim = i == nb || {
+        val c = text.getByte(i)
+        c == ' ' || c == '\n' || c == '\t' || c == '\r'
+      }
+      if (isDelim) {
+        if (i > start) {
+          val h = hashRange(text, start, i - start, 0x5171f057L)
+          var b = 0
+          while (b < 64) {
+            if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+            b += 1
+          }
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  /** Sorted distinct XXH64 hashes of all byte `n`-grams (shingles) of
+    * `text`. The per-document set representation used for exact
+    * n-gram Jaccard similarity. */
+  def shingles64(text: UTF8String, n: Int): UnsafeArrayData = {
+    val nb = text.numBytes
+    val cnt = math.max(0, nb - n + 1)
+    val hs = new Array[Long](cnt)
+    var i = 0
+    while (i < cnt) { hs(i) = hashRange(text, i, n, 0x9e3779b9L); i += 1 }
+    UnsafeArrayData.fromPrimitiveArray(sortedDistinct(hs))
+  }
+
+  /** MinHash signature of `text`'s byte `n`-gram shingle set: `k`
+    * independent permutations (seed-mixed), each the min over all
+    * shingles. O(len * k), no shingle set materialized. */
+  def minhashSig(text: UTF8String, n: Int, k: Int, seed: Long): UnsafeArrayData = {
+    val sig = new Array[Long](k)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    val nb = text.numBytes
+    val cnt = math.max(0, nb - n + 1)
+    var i = 0
+    while (i < cnt) {
+      val h = hashRange(text, i, n, 0x9e3779b9L)
+      var j = 0
+      while (j < k) {
+        val v = mix64(h ^ (seed + 0x9e3779b97f4a7c15L * (j + 1)))
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(sig)
+  }
+
+  /** Winnowing document fingerprint (Schleimer/Wilkerson/Aiken,
+    * SIGMOD 2003): hash all byte `n`-grams, slide a window of `w`
+    * hashes, keep each window's rightmost minimum → sorted distinct
+    * fingerprint set. Guarantees any shared substring of length
+    * >= w + n - 1 produces a shared fingerprint. */
+  def fingerprint64(text: UTF8String, n: Int, w: Int): UnsafeArrayData = {
+    val nb = text.numBytes
+    val cnt = math.max(0, nb - n + 1)
+    if (cnt == 0) return UnsafeArrayData.fromPrimitiveArray(new Array[Long](0))
+    val hs = new Array[Long](cnt)
+    var i = 0
+    while (i < cnt) { hs(i) = hashRange(text, i, n, 0x51a1e5L); i += 1 }
+    val picks = new Array[Long](cnt)
+    var np = 0
+    var last = -1 // index of previously picked minimum
+    i = 0
+    val windows = math.max(1, cnt - w + 1)
+    while (i < windows) {
+      var minIdx = i
+      var j = i + 1
+      val end = math.min(i + w, cnt)
+      while (j < end) { if (hs(j) <= hs(minIdx)) minIdx = j; j += 1 }
+      if (minIdx != last) { picks(np) = hs(minIdx); np += 1; last = minIdx }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(sortedDistinct(java.util.Arrays.copyOf(picks, np)))
+  }
+
+  /** Jaccard similarity of two sorted-distinct long arrays (as
+    * produced by shingles64/fingerprint64). Linear merge. */
+  def jaccard64(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements(); val nb = b.numElements()
+    if (na == 0 && nb == 0) return 1.0
+    var i = 0; var j = 0; var inter = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter.toDouble / (na + nb - inter).toDouble
+  }
+
+  private def sortedDistinct(xs: Array[Long]): Array[Long] = {
+    if (xs.length == 0) return xs
+    java.util.Arrays.sort(xs)
+    var np = 1
+    var i = 1
+    while (i < xs.length) {
+      if (xs(i) != xs(np - 1)) { xs(np) = xs(i); np += 1 }
+      i += 1
+    }
+    java.util.Arrays.copyOf(xs, np)
+  }
+}

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+import org.apache.spark.sql.{Column, SparkSession}
+
+/** Column-API surface for the graft custom expressions, mirroring
+  * `org.apache.spark.sql.functions`. */
+package object functions {
+
+  def cosine_sim(a: Column, b: Column): Column =
+    column(CosineSim(expression(a), expression(b)))
+
+  def dot_product(a: Column, b: Column): Column =
+    column(DotProduct(expression(a), expression(b)))
+
+  def hyperplane_sig(v: Column, bits: Int, seed: Long): Column =
+    column(HyperplaneSig(expression(v), bits, seed))
+
+  def simhash64(text: Column): Column =
+    column(SimHash64(expression(text)))
+
+  def hamming64(a: Column, b: Column): Column =
+    column(Hamming64(expression(a), expression(b)))
+
+  def shingles64(text: Column, n: Int): Column =
+    column(Shingles64(expression(text), n))
+
+  def minhash_sig(text: Column, n: Int, k: Int, seed: Long): Column =
+    column(MinHashSig(expression(text), n, k, seed))
+
+  def fingerprint64(text: Column, n: Int, w: Int): Column =
+    column(Fingerprint64(expression(text), n, w))
+
+  def jaccard64(a: Column, b: Column): Column =
+    column(Jaccard64(expression(a), expression(b)))
+}
+
+package functions {
+
+  import org.apache.spark.sql.catalyst.expressions.Expression
+
+  /** SQL registration so the functions are reachable from `spark.sql`
+    * — the analog of the reference exposing functions through its SQL
+    * front (/root/reference/src/sql/plan/planner.rs:378). */
+  object Registry {
+    private def intArg(e: Expression): Int =
+      e.eval(null) match {
+        case i: Int  => i
+        case l: Long => l.toInt
+        case other   => throw new IllegalArgumentException(s"expected integer literal, got $other")
+      }
+    private def longArg(e: Expression): Long =
+      e.eval(null) match {
+        case i: Int  => i.toLong
+        case l: Long => l
+        case other   => throw new IllegalArgumentException(s"expected integer literal, got $other")
+      }
+
+    def registerAll(spark: SparkSession): Unit = {
+      val reg = spark.sessionState.functionRegistry
+      reg.createOrReplaceTempFunction("cosine_sim", es => CosineSim(es(0), es(1)), "scala_udf")
+      reg.createOrReplaceTempFunction("dot_product", es => DotProduct(es(0), es(1)), "scala_udf")
+      reg.createOrReplaceTempFunction("hyperplane_sig",
+        es => HyperplaneSig(es(0), intArg(es(1)), longArg(es(2))), "scala_udf")
+      reg.createOrReplaceTempFunction("simhash64", es => SimHash64(es(0)), "scala_udf")
+      reg.createOrReplaceTempFunction("hamming64", es => Hamming64(es(0), es(1)), "scala_udf")
+      reg.createOrReplaceTempFunction("shingles64",
+        es => Shingles64(es(0), intArg(es(1))), "scala_udf")
+      reg.createOrReplaceTempFunction("minhash_sig",
+        es => MinHashSig(es(0), intArg(es(1)), intArg(es(2)), longArg(es(3))), "scala_udf")
+      reg.createOrReplaceTempFunction("fingerprint64",
+        es => Fingerprint64(es(0), intArg(es(1)), intArg(es(2))), "scala_udf")
+      reg.createOrReplaceTempFunction("jaccard64", es => Jaccard64(es(0), es(1)), "scala_udf")
+    }
+  }
+}

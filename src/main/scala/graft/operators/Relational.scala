@@ -1,0 +1,429 @@
+package graft.operators
+
+import graft.GraftSession
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's relational query surface re-expressed Spark-first.
+  *
+  * Covers entangleDB's SELECT pipeline (scan, filter, project,
+  * aggregate, having, order, limit, offset — /root/reference/src/sql/
+  * parser/ast.rs:40-49), its join types (ast.rs:69-74), its aggregate
+  * set (execution/aggregation.rs:77-81), its expression operators
+  * (ast.rs:130-158) and its EXPLAIN (ast.rs:17).
+  *
+  * Everything is declared through the DataFrame API so Catalyst runs
+  * the same optimizations the reference hand-rolls (constant folding,
+  * filter pushdown, NLJ→hash join upgrade — plan/optimizer.rs) plus
+  * the ones it lacks (column pruning into the scan, partial map-side
+  * aggregation, broadcast joins, AQE).
+  *
+  * Determinism: money aggregates go through DECIMAL so sums are exact
+  * (order-independent bit-stable under any partitioning — required for
+  * distributed correctness at 100 TB, where partial-agg order is
+  * arbitrary); every oracle-checked query ends in a total ORDER BY.
+  */
+object Relational {
+
+  /** Exact money arithmetic: DOUBLE column → DECIMAL(18,2). */
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+  private val oneDec: Column = lit(1).cast("decimal(18,2)")
+
+  /** DECIMAL-exact sum surfaced as DOUBLE (bit-identical to DuckDB's
+    * CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE)). */
+  private def dsum(c: Column): Column = sum(dec(c)).cast("double")
+
+  // ---------------------------------------------------------------- q01
+  def q01ScanProject(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  // ---------------------------------------------------------------- q02
+  def q02Filter(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    li.filter(
+        (col("l_quantity") >= 30 && col("l_discount") <= 0.05
+          && !(col("l_returnflag") === "A")) || col("l_tax").isNull)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_returnflag")
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  // ---------------------------------------------------------------- q03
+  def q03ExprMath(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    li.select(
+        col("l_orderkey"), col("l_linenumber"),
+        (col("l_quantity") + col("l_tax")).as("qty_plus_tax"),
+        (col("l_extendedprice") * col("l_discount")).as("discount_amt"),
+        (col("l_extendedprice") / col("l_quantity")).as("unit_price"),
+        (-col("l_tax")).as("neg_tax"),
+        pow(lit(2.0), col("l_linenumber")).as("pow2"),
+        factorial(col("l_linenumber")).as("fact"),
+        (col("l_quantity").cast("int") % 7).as("qty_mod7"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  // ---------------------------------------------------------------- q04
+  /** TPC-H Q1 shape: the flagship aggregation (all five reference
+    * aggregates over grouped data, partial-agg map-side combine). */
+  def q04AggGroup(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    li.filter(col("l_shipdate") <= to_timestamp(lit("2001-09-01")))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        sum(dec(col("l_extendedprice")) * (oneDec - dec(col("l_discount"))))
+          .cast("double").as("sum_disc_price"),
+        (sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  // ---------------------------------------------------------------- q05
+  def q05Having(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    o.groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_spent"))
+      .filter(col("n_orders") >= 3 && col("total_spent") > 100000.0)
+      .orderBy("o_custkey")
+  }
+
+  // ---------------------------------------------------------------- q06
+  def q06OrderLimitOffset(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .offset(10)
+      .limit(50)
+
+  // ---------------------------------------------------------------- q07
+  def q07JoinInner(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val o  = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+    li.join(o, li("l_orderkey") === o("o_orderkey"), "inner")
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(dec(col("l_extendedprice")) * (oneDec - dec(col("l_discount"))))
+          .cast("double").as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
+  // ---------------------------------------------------------------- q08
+  def q08JoinLeft(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .groupBy("c_custkey", "c_name")
+      .agg(
+        count(col("o_orderkey")).as("n_orders"),
+        coalesce(dsum(col("o_totalprice")), lit(0.0)).as("total_spent"))
+      .orderBy("c_custkey")
+  }
+
+  // ---------------------------------------------------------------- q09
+  def q09JoinRight(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+    o.join(c, o("o_custkey") === c("c_custkey"), "right")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .orderBy("c_custkey")
+  }
+
+  // ---------------------------------------------------------------- q10
+  def q10JoinCross(s: SparkSession, d: String): DataFrame =
+    Tables.region(s, d).crossJoin(Tables.nation(s, d))
+      .select("r_name", "n_name")
+      .orderBy("r_name", "n_name")
+
+  // ---------------------------------------------------------------- q11
+  /** TPC-H Q5 shape: 6-table join tree. Dimension tables are
+    * broadcast (region/nation/supplier are tiny at any SF), so the
+    * only shuffles are the two fact-fact joins and the final agg. */
+  def q11JoinMultiway(s: SparkSession, d: String): DataFrame = {
+    val c  = Tables.customer(s, d)
+    val o  = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01"))
+        && col("o_orderdate") < to_timestamp(lit("1998-01-01")))
+    val li = Tables.lineitem(s, d)
+    val su = Tables.supplier(s, d)
+    val n  = Tables.nation(s, d)
+    val r  = Tables.region(s, d).filter(col("r_name") === "ASIA")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(su),
+        li("l_suppkey") === su("s_suppkey") && c("c_nationkey") === su("s_nationkey"))
+      .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy("n_name")
+      .agg(sum(dec(col("l_extendedprice")) * (oneDec - dec(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .orderBy("n_name")
+  }
+
+  // ---------------------------------------------------------------- q12
+  def q12Like(s: SparkSession, d: String): DataFrame = {
+    val p = Tables.part(s, d)
+    p.filter(col("p_name").like("%gear%")
+        || (col("p_type").like("SMALL%") && !col("p_brand").like("%#1%")))
+      .select("p_partkey", "p_name", "p_brand", "p_type")
+      .orderBy("p_partkey")
+  }
+
+  // ---------------------------------------------------------------- q13
+  def q13ExprCaseNull(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    o.select(
+        col("o_orderkey"),
+        when(col("o_orderstatus") === "F", "finished")
+          .when(col("o_orderstatus") === "O", "open")
+          .otherwise("other").as("status_word"),
+        coalesce(nullif(col("o_orderpriority"), lit("1-URGENT")), lit("URGENT!"))
+          .as("prio"),
+        nullif(col("o_orderstatus"), lit("P")).isNull.as("is_pending"))
+      .orderBy("o_orderkey")
+  }
+
+  // ---------------------------------------------------------------- q14
+  def q14Distinct(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .select("c_mktsegment", "c_nationkey")
+      .distinct()
+      .orderBy("c_mktsegment", "c_nationkey")
+
+  // ---------------------------------------------------------------- q15
+  /** The SQL front: full SQL text through spark.sql over the
+    * registered catalog — TPC-H Q3 shape. Identical ANSI text runs on
+    * DuckDB as the oracle. */
+  val q15Sql: String =
+    """SELECT o_orderkey,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+      |         AS revenue,
+      |       o_orderdate, o_orderpriority
+      |FROM customer, orders, lineitem
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, o_orderkey
+      |LIMIT 10""".stripMargin
+
+  def q15SqlInterface(s: SparkSession, d: String): DataFrame = {
+    Tables.registerAll(s, d)
+    s.sql(q15Sql)
+  }
+
+  // ---------------------------------------------------------------- q16
+  /** EXPLAIN surface (reference ast.rs:17): formatted physical plans
+    * of representative queries, the user-facing plan-inspection API. */
+  def q16ExplainPlans(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Seq(
+      ("q04_agg_group", GraftSession.explainPlan(q04AggGroup(s, d))),
+      ("q07_join_inner", GraftSession.explainPlan(q07JoinInner(s, d))),
+      ("q11_join_multiway", GraftSession.explainPlan(q11JoinMultiway(s, d))))
+      .toDF("query", "plan")
+  }
+
+  // ---------------------------------------------------------------- q17
+  def q17AggGlobal(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    li.agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        min(col("l_shipdate")).as("min_ship"),
+        max(col("l_shipdate")).as("max_ship"),
+        dsum(col("l_quantity")).as("sum_qty"))
+  }
+
+  // ---------------------------------------------------------------- q18
+  /** Window functions (reference README §5 goal). Total order inside
+    * each partition window ⇒ deterministic ranks and running sums. */
+  def q18WindowFuncs(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(s, d)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    o.select(
+        col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).as("rn"),
+        rank().over(w).as("rnk"),
+        sum(dec(col("o_totalprice")))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double").as("running_spent"))
+      .filter(col("rn") <= 3)
+      .orderBy("o_custkey", "rn")
+  }
+
+  // ---------------------------------------------------------------- q19
+  /** Batch twin of the streaming tumbling-window aggregation
+    * (streaming/Streams.scala) — hour buckets over the events table. */
+  def q19WindowAgg(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    e.groupBy(
+        date_trunc("hour", col("ts")).as("hour_start"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(28,10)")).cast("double").as("sum_value"))
+      .orderBy("hour_start", "event_type")
+  }
+
+  // ------------------------------------------------------------ registry
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_scan_project"      -> (q01ScanProject _),
+    "q02_filter"            -> (q02Filter _),
+    "q03_expr_math"         -> (q03ExprMath _),
+    "q04_agg_group"         -> (q04AggGroup _),
+    "q05_having"            -> (q05Having _),
+    "q06_order_limit_offset" -> (q06OrderLimitOffset _),
+    "q07_join_inner"        -> (q07JoinInner _),
+    "q08_join_left"         -> (q08JoinLeft _),
+    "q09_join_right"        -> (q09JoinRight _),
+    "q10_join_cross"        -> (q10JoinCross _),
+    "q11_join_multiway"     -> (q11JoinMultiway _),
+    "q12_like"              -> (q12Like _),
+    "q13_expr_case_null"    -> (q13ExprCaseNull _),
+    "q14_distinct"          -> (q14Distinct _),
+    "q15_sql_interface"     -> (q15SqlInterface _),
+    "q16_explain_plans"     -> (q16ExplainPlans _),
+    "q17_agg_global"        -> (q17AggGlobal _),
+    "q18_window_funcs"      -> (q18WindowFuncs _),
+    "q19_window_agg"        -> (q19WindowAgg _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q01_scan_project" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q02_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_returnflag
+        |FROM lineitem
+        |WHERE (l_quantity >= 30 AND l_discount <= 0.05 AND NOT (l_returnflag = 'A'))
+        |   OR l_tax IS NULL
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q03_expr_math" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       l_quantity + l_tax AS qty_plus_tax,
+        |       l_extendedprice * l_discount AS discount_amt,
+        |       l_extendedprice / l_quantity AS unit_price,
+        |       -l_tax AS neg_tax,
+        |       POWER(2.0, l_linenumber) AS pow2,
+        |       CAST(factorial(l_linenumber) AS BIGINT) AS fact,
+        |       CAST(l_quantity AS INT) % 7 AS qty_mod7
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q04_agg_group" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |         AS sum_disc_price,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |       MIN(l_quantity) AS min_qty,
+        |       MAX(l_quantity) AS max_qty,
+        |       COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q05_having" ->
+      """SELECT o_custkey, COUNT(*) AS n_orders,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent
+        |FROM orders GROUP BY o_custkey
+        |HAVING COUNT(*) >= 3
+        |   AND CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) > 100000.0
+        |ORDER BY o_custkey""".stripMargin,
+    "q06_order_limit_offset" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC
+        |LIMIT 50 OFFSET 10""".stripMargin,
+    "q07_join_inner" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_lines,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |         AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderstatus = 'F'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q08_join_left" ->
+      """SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders,
+        |       COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0.0)
+        |         AS total_spent
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey, c_name ORDER BY c_custkey""".stripMargin,
+    "q09_join_right" ->
+      """SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+        |FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "q10_join_cross" ->
+      """SELECT r_name, n_name FROM region CROSS JOIN nation
+        |ORDER BY r_name, n_name""".stripMargin,
+    "q11_join_multiway" ->
+      """SELECT n_name,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |         AS revenue
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation   ON s_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q12_like" ->
+      """SELECT p_partkey, p_name, p_brand, p_type FROM part
+        |WHERE p_name LIKE '%gear%'
+        |   OR (p_type LIKE 'SMALL%' AND p_brand NOT LIKE '%#1%')
+        |ORDER BY p_partkey""".stripMargin,
+    "q13_expr_case_null" ->
+      """SELECT o_orderkey,
+        |       CASE WHEN o_orderstatus = 'F' THEN 'finished'
+        |            WHEN o_orderstatus = 'O' THEN 'open'
+        |            ELSE 'other' END AS status_word,
+        |       COALESCE(NULLIF(o_orderpriority, '1-URGENT'), 'URGENT!') AS prio,
+        |       NULLIF(o_orderstatus, 'P') IS NULL AS is_pending
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q14_distinct" ->
+      """SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
+        |ORDER BY c_mktsegment, c_nationkey""".stripMargin,
+    "q15_sql_interface" -> q15Sql,
+    "q17_agg_global" ->
+      """SELECT COUNT(*) AS n_rows,
+        |       COUNT(DISTINCT l_suppkey) AS n_supp,
+        |       MIN(l_shipdate) AS min_ship,
+        |       MAX(l_shipdate) AS max_ship,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem""".stripMargin,
+    "q18_window_funcs" ->
+      """SELECT * FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         CAST(ROW_NUMBER() OVER w AS INT) AS rn,
+        |         CAST(RANK() OVER w AS INT) AS rnk,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |              OVER (PARTITION BY o_custkey
+        |                    ORDER BY o_totalprice DESC, o_orderkey ASC
+        |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |           AS running_spent
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
+        |) WHERE rn <= 3
+        |ORDER BY o_custkey, rn""".stripMargin,
+    "q19_window_agg" ->
+      """SELECT date_trunc('hour', ts) AS hour_start, event_type,
+        |       COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin)
+}

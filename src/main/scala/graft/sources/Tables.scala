@@ -1,0 +1,49 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the benchmark tables (TPC-H-ish star schema + events /
+  * documents / embeddings). Reference analog: entangleDB's `Scan` plan
+  * node (/root/reference/src/sql/plan/mod.rs:117) — here a parquet scan
+  * that Catalyst prunes (ReadSchema) and filters (PushedFilters), which
+  * is what makes the same query shape survive 100 TB: the scan only
+  * reads the columns/row-groups the query needs.
+  */
+object Tables {
+
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") events(spark, dir)
+    else spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame   = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame   = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
+  /** The events table carries TIMESTAMP(NANOS) parquet timestamps,
+    * which Spark only reads as raw longs (legacy nanosAsLong conf).
+    * Surface them as microsecond TimestampType — the same truncation
+    * DuckDB applies on its ns→µs cast, so oracles stay comparable. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = s.read.parquet(s"$d/events.parquet")
+    // integer `div`, not `/`: double division loses precision at
+    // nanosecond-epoch magnitude (~1.7e18 > 2^53)
+    raw.withColumn("ts",
+      org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+  }
+  def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Registers every table as a temp view so the SQL front
+    * (`spark.sql`) sees the same catalog DuckDB does. */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+}
