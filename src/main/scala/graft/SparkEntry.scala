@@ -13,7 +13,11 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = {
-    val all = operators.Relational.queries
+    val all = operators.Relational.queries ++
+      operators.Dedup.queries ++
+      operators.Similarity.queries ++
+      operators.TextAnalysis.queries ++
+      operators.Multimodal.queries
     all.map { case (name, fn) =>
       name -> { (s: SparkSession, d: String) =>
         GraftSession.prepare(s)
@@ -25,5 +29,9 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    operators.Relational.oracleSql
+    operators.Relational.oracleSql ++
+      operators.Dedup.oracleSql ++
+      operators.Similarity.oracleSql ++
+      operators.TextAnalysis.oracleSql ++
+      operators.Multimodal.oracleSql
 }

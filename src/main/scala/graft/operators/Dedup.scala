@@ -1,0 +1,160 @@
+package graft.operators
+
+import graft.functions._
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication operators — the training-data-pipeline side
+  * of the engine (SURVEY.md §2, scale ops).
+  *
+  * Scale design: every near-dup operator is *blocked* — candidate
+  * pairs come from an LSH bucket self-join (minhash bands, simhash
+  * bands, hyperplane buckets), never from an O(n²) cross join. The
+  * self-join shuffles on the bucket key, bucket sizes are bounded by
+  * the band width, so candidate volume stays ~linear in corpus size —
+  * the property that survives 100 TB. Signatures are computed by the
+  * codegen'd graft Expressions in a single scan pass.
+  */
+object Dedup {
+
+  private val ShingleN = 5   // byte n-gram width for shingles/minhash
+  private val MinhashK = 32  // minhash signature length
+  private val Bands    = 8   // LSH bands (r = MinhashK / Bands = 4)
+  private val Seed     = 42L
+
+  /** doc_id + minhash signature + shingle set, computed in one scan. */
+  private def signed(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      minhash_sig(col("text"), ShingleN, MinhashK, Seed).as("sig"),
+      shingles64(col("text"), ShingleN).as("sh"))
+
+  /** LSH banding: one (band, bandhash) row per band per doc; equal
+    * bandhash within a band ⇒ candidate pair. */
+  private def minhashBands(sigDf: DataFrame): DataFrame = {
+    val r = MinhashK / Bands
+    val bandCols = (0 until Bands).map { b =>
+      struct(
+        lit(b).as("band"),
+        xxhash64((0 until r).map(i => col("sig").getItem(b * r + i)): _*).as("bh"))
+    }
+    sigDf
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+  }
+
+  /** Candidate pairs from any shared minhash band (distinct). */
+  private def minhashCandidates(sigDf: DataFrame): DataFrame = {
+    val bands = minhashBands(sigDf)
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  // ---------------------------------------------------------------- d01
+  /** Exact dedup. Spark side groups on a 64-bit content hash (the
+    * shuffle key a 100 TB run needs — bytes, not document text);
+    * the oracle groups on the text itself. Identical partitions
+    * barring a 2^-64 collision. */
+  def d01Exact(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(xxhash64(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+      .select("keeper", "n_copies")
+      .orderBy("keeper")
+
+  val d01OracleSql: String =
+    """SELECT MIN(doc_id) AS keeper, COUNT(*) AS n_copies
+      |FROM documents GROUP BY text ORDER BY keeper""".stripMargin
+
+  // ---------------------------------------------------------------- d02
+  /** MinHash LSH near-dup pairs, scored by the *signature estimate*
+    * (fraction of agreeing minhash positions ≈ Jaccard). */
+  def d02Minhash(s: SparkSession, d: String): DataFrame = {
+    val sig = signed(s, d).select("doc_id", "sig")
+    val cand = minhashCandidates(sig)
+    cand
+      .join(sig.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sig.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        expr(s"""aggregate(zip_with(sa.sig, sb.sig,
+                 (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)
+                 / CAST($MinhashK AS DOUBLE)""").as("est_jaccard"))
+      .filter(col("est_jaccard") >= 0.5)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // ---------------------------------------------------------------- d03
+  /** SimHash near-dup pairs: 4×16-bit band blocking (a pair within
+    * hamming distance 3 shares at least one exact band), verified by
+    * full 64-bit hamming distance. */
+  def d03Simhash(s: SparkSession, d: String): DataFrame = {
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"), simhash64(col("text")).as("sh"))
+    val bandCols = (0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        shiftrightunsigned(col("sh"), 16 * b).bitwiseAND(lit(0xFFFFL)).as("bh"))
+    }
+    val bands = sh
+      .select(col("doc_id"), col("sh"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("sh"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        hamming64(col("a.sh"), col("b.sh")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 6)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // ---------------------------------------------------------------- d04
+  /** n-gram Jaccard dedup: minhash-LSH candidates verified with the
+    * *exact* shingle-set Jaccard (merge of sorted hash sets). */
+  def d04NgramJaccard(s: SparkSession, d: String): DataFrame = {
+    val sg = signed(s, d)
+    val cand = minhashCandidates(sg.select("doc_id", "sig"))
+    val sh = sg.select("doc_id", "sh")
+    cand
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        jaccard64(col("sa.sh"), col("sb.sh")).as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // ---------------------------------------------------------------- d05
+  /** Embedding near-dup: random-hyperplane LSH buckets (8 bits) as
+    * the blocking stage, exact cosine within buckets, strongest pairs
+    * first. At production thresholds (cos >= ~0.95) the filter
+    * replaces the limit; the synthetic vectors are near-orthogonal so
+    * the operator surfaces the ranked candidates instead. */
+  def d05Embedding(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+        hyperplane_sig(col("embedding"), 8, 7L).as("bucket"))
+    e.as("a")
+      .join(e.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        cosine_sim(col("a.embedding"), col("b.embedding")).as("cos"))
+      .orderBy(col("cos").desc, col("vec_a"), col("vec_b"))
+      .limit(200)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d01_dedup_exact"     -> (d01Exact _),
+    "d02_dedup_minhash"   -> (d02Minhash _),
+    "d03_dedup_simhash"   -> (d03Simhash _),
+    "d04_dedup_ngram"     -> (d04NgramJaccard _),
+    "d05_dedup_embedding" -> (d05Embedding _))
+
+  val oracleSql: Map[String, String] = Map(
+    "d01_dedup_exact" -> d01OracleSql)
+}

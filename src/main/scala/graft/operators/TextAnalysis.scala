@@ -1,0 +1,154 @@
+package graft.operators
+
+import graft.functions.fingerprint64
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the documents table (SURVEY.md §2
+  * scale ops): language ID, quality scoring, token counting, document
+  * fingerprinting. All single-scan column pipelines — no shuffle, no
+  * UDFs; everything stays inside whole-stage codegen, so throughput is
+  * scan-bound at any corpus size.
+  */
+object TextAnalysis {
+
+  // ---------------------------------------------------------------- t01
+  private val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "it", "that", "for",
+      "on", "with", "as", "was", "at", "by", "a"),
+    "fr" -> Seq("le", "la", "les", "de", "des", "du", "et", "en", "un",
+      "une", "est", "que", "pour", "dans", "au"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "den",
+      "im", "für", "auf", "ein", "eine", "zu", "nicht"),
+    "es" -> Seq("el", "los", "las", "y", "una", "es", "por", "para",
+      "con", "del", "se", "no", "como", "más", "pero"))
+
+  /** Occurrences of any `lang` stopword among `tokens` (higher-order
+    * filter over the token array — codegen'd, no UDF). */
+  private def stopHits(tokens: Column, lang: String): Column =
+    size(filter(tokens, t => array_contains(typedLit(stopwords(lang)), t)))
+
+  /** n-gram/stopword-heuristic language ID. CJK codepoints short-
+    * circuit to zh; otherwise the language with the most stopword
+    * hits wins (fixed tie order en > fr > de > es, 'und' when no
+    * evidence). */
+  def t01LangId(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val toks = split(lower(col("text")), "\\s+")
+    val scored = docs.select(
+      col("doc_id"), col("lang").as("labeled_lang"),
+      regexp_count(col("text"), lit("[\\x{4e00}-\\x{9fff}]")).as("cjk"),
+      stopHits(toks, "en").as("s_en"), stopHits(toks, "fr").as("s_fr"),
+      stopHits(toks, "de").as("s_de"), stopHits(toks, "es").as("s_es"))
+    val best = greatest(col("s_en"), col("s_fr"), col("s_de"), col("s_es"))
+    scored.select(
+        col("doc_id"), col("labeled_lang"),
+        when(col("cjk") > 0, "zh")
+          .when(best === 0, "und")
+          .when(col("s_en") === best, "en")
+          .when(col("s_fr") === best, "fr")
+          .when(col("s_de") === best, "de")
+          .otherwise("es").as("pred_lang"),
+        col("s_en"), col("s_fr"), col("s_de"), col("s_es"))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------- t02
+  /** Quality scoring: structural ratios a pretraining filter keys on.
+    * Character-class counts via length deltas (dialect-portable, so
+    * the DuckDB oracle reproduces them bit-for-bit). */
+  def t02Quality(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val nChars  = length(col("text"))
+    val nSpaces = nChars - length(regexp_replace(col("text"), " ", ""))
+    val nTokens = nSpaces + 1
+    val nPunct  = nChars - length(regexp_replace(col("text"), "[.,!?;:]", ""))
+    val nDigit  = nChars - length(regexp_replace(col("text"), "[0-9]", ""))
+    val nAlpha  = nChars - length(regexp_replace(col("text"), "[A-Za-z]", ""))
+    docs.select(
+        col("doc_id"),
+        nChars.as("n_chars"),
+        nTokens.as("n_tokens"),
+        (nPunct.cast("double") / nChars).as("punct_ratio"),
+        (nDigit.cast("double") / nChars).as("digit_ratio"),
+        (nAlpha.cast("double") / nChars).as("alpha_ratio"),
+        ((nChars - nSpaces).cast("double") / nTokens).as("avg_word_len"),
+        (least(lit(1.0), nTokens.cast("double") / 50.0)
+          * (lit(1.0) - least(lit(0.5),
+              nPunct.cast("double") / nChars + nDigit.cast("double") / nChars))
+          * least(lit(1.0), ((nChars - nSpaces).cast("double") / nTokens) / 8.0))
+          .as("quality_score"))
+      .orderBy("doc_id")
+  }
+
+  val t02OracleSql: String =
+    """SELECT doc_id,
+      |  CAST(LENGTH(text) AS INT) AS n_chars,
+      |  CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, ' ', '', 'g')) + 1 AS INT) AS n_tokens,
+      |  CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+      |    / LENGTH(text) AS punct_ratio,
+      |  CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[0-9]', '', 'g')) AS DOUBLE)
+      |    / LENGTH(text) AS digit_ratio,
+      |  CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[A-Za-z]', '', 'g')) AS DOUBLE)
+      |    / LENGTH(text) AS alpha_ratio,
+      |  CAST(LENGTH(REGEXP_REPLACE(text, ' ', '', 'g')) AS DOUBLE)
+      |    / (LENGTH(text) - LENGTH(REGEXP_REPLACE(text, ' ', '', 'g')) + 1) AS avg_word_len,
+      |  LEAST(1.0, CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, ' ', '', 'g')) + 1 AS DOUBLE) / 50.0)
+      |  * (1.0 - LEAST(0.5,
+      |       CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / LENGTH(text)
+      |     + CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[0-9]', '', 'g')) AS DOUBLE) / LENGTH(text)))
+      |  * LEAST(1.0, (CAST(LENGTH(REGEXP_REPLACE(text, ' ', '', 'g')) AS DOUBLE)
+      |      / (LENGTH(text) - LENGTH(REGEXP_REPLACE(text, ' ', '', 'g')) + 1)) / 8.0)
+      |    AS quality_score
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- t03
+  /** Token counting: whitespace tokens plus a BPE-ish segmentation
+    * (letter runs / digit runs / single other symbols). */
+  def t03Tokens(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    docs.select(
+        col("doc_id"),
+        size(split(col("text"), " ")).as("ws_tokens"),
+        size(regexp_extract_all(col("text"), lit("[A-Za-z]+"), lit(0))).as("alpha_runs"),
+        size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0))).as("digit_runs"),
+        size(regexp_extract_all(col("text"),
+          lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).as("bpe_ish_tokens"))
+      .orderBy("doc_id")
+  }
+
+  val t03OracleSql: String =
+    """SELECT doc_id,
+      |  CAST(LEN(STRING_SPLIT(text, ' ')) AS INT) AS ws_tokens,
+      |  CAST(LEN(REGEXP_EXTRACT_ALL(text, '[A-Za-z]+')) AS INT) AS alpha_runs,
+      |  CAST(LEN(REGEXP_EXTRACT_ALL(text, '[0-9]+')) AS INT) AS digit_runs,
+      |  CAST(LEN(REGEXP_EXTRACT_ALL(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT)
+      |    AS bpe_ish_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- t04
+  /** Winnowing fingerprints (8-gram hashes, window 16): the compact
+    * per-document signature used for containment / plagiarism-style
+    * matching. Emits set size and extremes; the full set lives in the
+    * array column for downstream joins. */
+  def t04Fingerprint(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), fingerprint64(col("text"), 8, 16).as("fp"))
+      .select(
+        col("doc_id"),
+        size(col("fp")).as("n_fingerprints"),
+        array_min(col("fp")).as("fp_min"),
+        array_max(col("fp")).as("fp_max"))
+      .orderBy("doc_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t01_langid"      -> (t01LangId _),
+    "t02_quality"     -> (t02Quality _),
+    "t03_tokens"      -> (t03Tokens _),
+    "t04_fingerprint" -> (t04Fingerprint _))
+
+  val oracleSql: Map[String, String] = Map(
+    "t02_quality" -> t02OracleSql,
+    "t03_tokens"  -> t03OracleSql)
+}

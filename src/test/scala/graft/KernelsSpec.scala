@@ -1,0 +1,87 @@
+package graft
+
+import graft.functions.Kernels
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pure kernel unit tests — no Spark session needed. */
+class KernelsSpec extends AnyFunSuite {
+
+  private def fa(xs: Float*) = UnsafeArrayData.fromPrimitiveArray(xs.toArray)
+  private def s(t: String) = UTF8String.fromString(t)
+
+  test("cosine: identical vectors → 1, orthogonal → 0, opposite → -1") {
+    assert(math.abs(Kernels.cosine(fa(1f, 2f, 3f), fa(1f, 2f, 3f)) - 1.0) < 1e-12)
+    assert(math.abs(Kernels.cosine(fa(1f, 0f), fa(0f, 1f))) < 1e-12)
+    assert(math.abs(Kernels.cosine(fa(1f, 1f), fa(-1f, -1f)) + 1.0) < 1e-12)
+    assert(Kernels.cosine(fa(0f, 0f), fa(1f, 1f)) == 0.0) // zero vector guard
+  }
+
+  test("dot product") {
+    assert(Kernels.dot(fa(1f, 2f, 3f), fa(4f, 5f, 6f)) == 32.0)
+  }
+
+  test("simhash: equal text → equal sig; near text → small hamming; unrelated → large") {
+    val a = "the quick brown fox jumps over the lazy dog and runs far away home"
+    val b = "the quick brown fox jumps over the lazy cat and runs far away home"
+    val ha = Kernels.simhash64(s(a))
+    assert(ha == Kernels.simhash64(s(a)))
+    val near = Kernels.hamming64(ha, Kernels.simhash64(s(b)))
+    val far = Kernels.hamming64(ha, Kernels.simhash64(
+      s("completely different words about spacecraft engines orbit thrust vector control")))
+    assert(near < far, s"near=$near far=$far")
+    assert(near <= 16)
+  }
+
+  test("shingles + jaccard: identity 1.0, disjoint 0.0, near-dup high") {
+    val a = Kernels.shingles64(s("abcdefghijklmnop"), 4)
+    val b = Kernels.shingles64(s("abcdefghijklmnoq"), 4)
+    val c = Kernels.shingles64(s("zzzzyyyyxxxxwwww"), 4)
+    assert(Kernels.jaccard64(a, a) == 1.0)
+    assert(Kernels.jaccard64(a, c) == 0.0)
+    val j = Kernels.jaccard64(a, b)
+    assert(j > 0.5 && j < 1.0, s"j=$j")
+  }
+
+  test("shingle sets are sorted distinct") {
+    val arr = Kernels.shingles64(s("abababababab"), 2).toLongArray
+    assert(arr.toSeq == arr.toSeq.sorted)
+    assert(arr.toSeq.distinct == arr.toSeq)
+    assert(arr.length == 2) // only "ab" and "ba"
+  }
+
+  test("minhash estimates jaccard") {
+    val t1 = "spark catalyst optimizer pushes filters down to the parquet scan layer"
+    val t2 = "spark catalyst optimizer pushes filters down to the parquet scan level"
+    val k = 128
+    val s1 = Kernels.minhashSig(s(t1), 5, k, 42L).toLongArray
+    val s2 = Kernels.minhashSig(s(t2), 5, k, 42L).toLongArray
+    val est = s1.zip(s2).count { case (x, y) => x == y }.toDouble / k
+    val exact = Kernels.jaccard64(Kernels.shingles64(s(t1), 5), Kernels.shingles64(s(t2), 5))
+    assert(math.abs(est - exact) < 0.2, s"est=$est exact=$exact")
+  }
+
+  test("winnowing fingerprint: shared long substring → shared fingerprint") {
+    val common = "x" * 5 + "the exact shared span of considerable length goes right here" + "y" * 5
+    val a = Kernels.fingerprint64(s("prefix one " + common), 8, 16)
+    val b = Kernels.fingerprint64(s("another start " + common + " tail"), 8, 16)
+    assert(Kernels.jaccard64(a, b) > 0.0)
+    // empty text → empty fingerprint
+    assert(Kernels.fingerprint64(s(""), 8, 16).numElements() == 0)
+  }
+
+  test("hamming64") {
+    assert(Kernels.hamming64(0L, 0L) == 0)
+    assert(Kernels.hamming64(0L, -1L) == 64)
+    assert(Kernels.hamming64(5L, 4L) == 1)
+  }
+
+  test("hyperplane sig: deterministic, equal vectors equal sig") {
+    val v = fa(0.5f, -1f, 2f, 0.25f)
+    assert(Kernels.hyperplaneSig(v, 16, 7L) == Kernels.hyperplaneSig(fa(0.5f, -1f, 2f, 0.25f), 16, 7L))
+    // 8-bit sig stays in [0, 256)
+    val sig = Kernels.hyperplaneSig(v, 8, 7L)
+    assert(sig >= 0 && sig < 256)
+  }
+}

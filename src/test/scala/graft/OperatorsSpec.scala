@@ -1,0 +1,127 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Operator-level behavior at sf0.001 + plan-shape assertions (the
+  * optimizer-parity rows of SURVEY.md §2). */
+class OperatorsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  test("every registered query runs and the oracle keys are a subset") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+    assert(SparkEntry.queries.size >= 27)
+  }
+
+  test("entry flagship returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("q10 cross join = |region| x |nation|") {
+    assert(Relational.q10JoinCross(spark, sf).count() == 125)
+  }
+
+  test("q06 returns exactly limit rows, ordered desc") {
+    val rows = Relational.q06OrderLimitOffset(spark, sf).collect()
+    assert(rows.length == 50)
+    val prices = rows.map(_.getDouble(2))
+    assert(prices.zip(prices.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("opt_column_prune: q01 scan reads only the three projected columns") {
+    val plan = GraftSession.explainPlan(Relational.q01ScanProject(spark, sf))
+    val read = plan.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(read.contains("l_orderkey") && read.contains("l_extendedprice"))
+    assert(!read.contains("l_shipdate") && !read.contains("l_quantity"))
+  }
+
+  test("opt_filter_pushdown: q04 date filter reaches the parquet scan") {
+    val plan = GraftSession.explainPlan(Relational.q04AggGroup(spark, sf))
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+  }
+
+  test("opt_join_hash: equi-joins never fall back to nested-loop") {
+    for (q <- Seq(Relational.q07JoinInner(spark, sf), Relational.q11JoinMultiway(spark, sf))) {
+      val plan = GraftSession.explainPlan(q)
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan.linesIterator.take(5).mkString("\n"))
+    }
+  }
+
+  test("opt_constant_fold: literal arithmetic folds before execution") {
+    import org.apache.spark.sql.functions.lit
+    val df = sources.Tables.region(spark, sf).select((lit(2) * 21).as("y"))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("42") && !optimized.contains("(2 * 21)"), optimized)
+  }
+
+  test("d01 exact dedup partitions all docs") {
+    val out = Dedup.d01Exact(spark, sf).collect()
+    val total = out.map(_.getLong(1)).sum
+    assert(total == sources.Tables.documents(spark, sf).count())
+  }
+
+  test("d04 ngram jaccard: pairs are ordered, above threshold, and verified") {
+    val rows = Dedup.d04NgramJaccard(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(2) >= 0.8)
+    }
+  }
+
+  test("d03 simhash pairs respect the hamming bound") {
+    Dedup.d03Simhash(spark, sf).collect().foreach(r => assert(r.getInt(2) <= 6))
+  }
+
+  test("s01 brute-force ANN: k results, cosine descending, probe excluded") {
+    val rows = Similarity.s01BruteForce(spark, sf).collect()
+    assert(rows.length == 10)
+    assert(rows.forall(_.getLong(0) != 0L))
+    val cos = rows.map(_.getDouble(1))
+    assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+    assert(cos.forall(c => c >= -1.0001 && c <= 1.0001))
+  }
+
+  test("s02 LSH ANN results are a subset of the corpus with valid cosines") {
+    val rows = Similarity.s02LshAnn(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+  }
+
+  test("t01 langid: CJK-free corpus never predicts zh; scores are consistent") {
+    val rows = TextAnalysis.t01LangId(spark, sf).collect()
+    assert(rows.length == sources.Tables.documents(spark, sf).count())
+    assert(rows.forall(_.getString(2) != "zh"))
+  }
+
+  test("t02 quality: ratios in [0,1], score in [0,1]") {
+    TextAnalysis.t02Quality(spark, sf).collect().foreach { r =>
+      val punct = r.getDouble(3); val score = r.getDouble(7)
+      assert(punct >= 0 && punct <= 1)
+      assert(score >= 0 && score <= 1)
+    }
+  }
+
+  test("t03 tokens: ws_tokens matches independent count for first doc") {
+    val doc0 = sources.Tables.documents(spark, sf)
+      .filter(col("doc_id") === 0).select("text").collect()(0).getString(0)
+    val got = TextAnalysis.t03Tokens(spark, sf)
+      .filter(col("doc_id") === 0).collect()(0)
+    assert(got.getInt(1) == doc0.split(" ", -1).length)
+  }
+
+  test("m01 multimodal: deterministic checksums across two runs") {
+    val a = Multimodal.m01Multimodal(spark, sf).collect().map(r => (r.getLong(0), r.getLong(5)))
+    val b = Multimodal.m01Multimodal(spark, sf).collect().map(r => (r.getLong(0), r.getLong(5)))
+    assert(a.sameElements(b))
+    assert(a.nonEmpty)
+  }
+
+  test("custom functions reachable from the SQL front") {
+    sources.Tables.registerAll(spark, sf)
+    val n = spark.sql(
+      "SELECT simhash64(text) AS sh FROM documents WHERE simhash64(text) IS NOT NULL").count()
+    assert(n == sources.Tables.documents(spark, sf).count())
+  }
+}
