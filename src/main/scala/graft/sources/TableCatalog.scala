@@ -1,0 +1,283 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import scala.jdk.CollectionConverters._
+
+/** Versioned managed tables: the Spark-native analog of the
+  * reference's DDL/DML + MVCC layer.
+  *
+  * entangleDB couples a Raft-replicated MVCC key-value store to its SQL
+  * executors (/root/reference/src/sql/engine/kv.rs, storage/) — every
+  * transaction sees a versioned snapshot, and `BEGIN ... AS OF` reads
+  * an old one (parser/ast.rs:11-14). On Spark the durable substrate is
+  * a distributed filesystem, so the same semantics are re-expressed as
+  * manifest-versioned parquet (the Iceberg/Delta design, minimal form):
+  *
+  *  - a table = a directory of immutable parquet data dirs + one JSON
+  *    manifest per version listing the dirs that version comprises
+  *  - INSERT appends a new data dir and a manifest that extends the
+  *    previous one (no rewrite of existing data — at 100 TB an insert
+  *    moves only the new bytes)
+  *  - UPDATE / DELETE are copy-on-write: rewrite the affected rows
+  *    into a fresh snapshot dir (what Delta/Iceberg CoW does)
+  *  - the version pointer is bumped last, atomically — readers never
+  *    see a half-written version
+  *  - time travel = reading an old manifest ([[TableCatalog.asOf]])
+  *  - transactions stage versions without bumping pointers; COMMIT
+  *    publishes all staged pointers, ROLLBACK deletes the staging
+  *    (snapshot-isolation analog of kv.rs begin/commit/rollback)
+  *
+  * Schema metadata carries the reference's column constraints
+  * (ast.rs:77-87): primary key, not-null, unique, defaults — enforced
+  * distributed (a groupBy-count over the key, not a per-row probe).
+  */
+class TableCatalog(spark: SparkSession, root: String) {
+
+  Files.createDirectories(Paths.get(root))
+
+  case class TableMeta(
+    schema: StructType,
+    primaryKey: Option[String],
+    notNull: Seq[String],
+    unique: Seq[String],
+    defaults: Map[String, Any],
+    version: Int)
+
+  private def tableDir(name: String): Path = Paths.get(root, name)
+  private def metaPath(name: String): Path = tableDir(name).resolve("meta.json")
+  private def manifestPath(name: String, v: Int): Path =
+    tableDir(name).resolve(s"versions/v$v.json")
+
+  // -------------------------------------------------------------- JSON
+  private def esc(s: String): String = "\"" + s.flatMap {
+    case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+  } + "\""
+
+  private def writeMeta(name: String, m: TableMeta): Unit = {
+    val defaults = m.defaults.map { case (k, v) =>
+      s"${esc(k)}: ${v match {
+        case s: String => esc(s)
+        case other     => other.toString
+      }}"
+    }.mkString("{", ",", "}")
+    val json =
+      s"""{"schema": ${esc(m.schema.json)},
+         |"primaryKey": ${m.primaryKey.map(esc).getOrElse("null")},
+         |"notNull": [${m.notNull.map(esc).mkString(",")}],
+         |"unique": [${m.unique.map(esc).mkString(",")}],
+         |"defaults": $defaults,
+         |"version": ${m.version}}""".stripMargin
+    val tmp = tableDir(name).resolve("meta.json.tmp")
+    Files.writeString(tmp, json)
+    Files.move(tmp, metaPath(name), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  // minimal JSON field readers (schema string, string arrays, int)
+  private def jsonStr(json: String, key: String): Option[String] = {
+    val m = ("\"" + key + "\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"").r.findFirstMatchIn(json)
+    m.map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\").replace("\\n", "\n"))
+  }
+  private def jsonStrArr(json: String, key: String): Seq[String] = {
+    val m = ("\"" + key + "\"\\s*:\\s*\\[([^\\]]*)\\]").r.findFirstMatchIn(json)
+    m.map(_.group(1)).filter(_.trim.nonEmpty).toSeq
+      .flatMap(_.split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")))
+  }
+  private def jsonInt(json: String, key: String): Int =
+    ("\"" + key + "\"\\s*:\\s*(\\d+)").r.findFirstMatchIn(json).map(_.group(1).toInt)
+      .getOrElse(sys.error(s"missing $key"))
+
+  def meta(name: String): TableMeta = {
+    require(exists(name), s"no such table: $name")
+    val json = Files.readString(metaPath(name))
+    TableMeta(
+      schema = DataTypeBridge.structFromJson(jsonStr(json, "schema").get),
+      primaryKey = jsonStr(json, "primaryKey"),
+      notNull = jsonStrArr(json, "notNull"),
+      unique = jsonStrArr(json, "unique"),
+      defaults = Map.empty, // defaults round-trip via applyDefaults at insert time
+      version = jsonInt(json, "version"))
+  }
+
+  // --------------------------------------------------------------- DDL
+  def exists(name: String): Boolean = Files.exists(metaPath(name))
+
+  def createTable(
+      name: String,
+      schema: StructType,
+      primaryKey: Option[String] = None,
+      notNull: Seq[String] = Nil,
+      unique: Seq[String] = Nil,
+      defaults: Map[String, Any] = Map.empty): Unit = {
+    require(!exists(name), s"table already exists: $name")
+    Files.createDirectories(tableDir(name).resolve("versions"))
+    Files.createDirectories(tableDir(name).resolve("data"))
+    defaultsStore(name) = defaults
+    writeManifest(name, 0, Nil)
+    writeMeta(name, TableMeta(schema, primaryKey, notNull, unique, defaults, 0))
+  }
+
+  def dropTable(name: String): Unit = {
+    require(exists(name), s"no such table: $name")
+    def rm(p: Path): Unit = {
+      if (Files.isDirectory(p)) Files.list(p).iterator().asScala.foreach(rm)
+      Files.delete(p)
+    }
+    rm(tableDir(name))
+    defaultsStore.remove(name)
+  }
+
+  // defaults hold Column-applicable literals; kept in-memory per catalog
+  // instance (the durable part of the contract is schema + data).
+  private val defaultsStore = scala.collection.mutable.Map[String, Map[String, Any]]()
+
+  // ---------------------------------------------------------- manifests
+  private def writeManifest(name: String, v: Int, dirs: Seq[String]): Unit =
+    Files.writeString(manifestPath(name, v),
+      s"""{"dirs": [${dirs.map(esc).mkString(",")}]}""")
+
+  private def readManifest(name: String, v: Int): Seq[String] = {
+    require(Files.exists(manifestPath(name, v)), s"no version $v of $name")
+    jsonStrArr(Files.readString(manifestPath(name, v)), "dirs")
+  }
+
+  // --------------------------------------------------------------- read
+  def currentVersion(name: String): Int = meta(name).version
+
+  /** Scan the current snapshot. */
+  def scan(name: String): DataFrame = asOf(name, currentVersion(name))
+
+  /** MVCC time travel: scan the table as of `version`. */
+  def asOf(name: String, version: Int): DataFrame = {
+    val m = meta(name)
+    val dirs = readManifest(name, version)
+    if (dirs.isEmpty) spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
+    else spark.read.schema(m.schema).parquet(dirs: _*)
+  }
+
+  // --------------------------------------------------------------- DML
+  private def validate(m: TableMeta, name: String, df: DataFrame): Unit = {
+    val keys = m.primaryKey.toSeq ++ m.unique
+    for (k <- m.primaryKey.toSeq ++ m.notNull)
+      require(df.filter(col(k).isNull).isEmpty, s"$name.$k: NOT NULL violated")
+    for (k <- keys) {
+      val dups = df.groupBy(col(k)).count().filter(col("count") > 1)
+      require(dups.isEmpty, s"$name.$k: UNIQUE/PRIMARY KEY violated")
+    }
+  }
+
+  private def applyDefaults(name: String, m: TableMeta, df: DataFrame): DataFrame = {
+    val defaults = defaultsStore.getOrElse(name, Map.empty)
+    val out = m.schema.fields.foldLeft(df) { (acc, f) =>
+      if (acc.columns.contains(f.name)) acc
+      else acc.withColumn(f.name,
+        defaults.get(f.name).map(lit(_).cast(f.dataType))
+          .getOrElse(lit(null).cast(f.dataType)))
+    }
+    out.select(m.schema.fieldNames.map(col): _*)
+  }
+
+  /** Append-only INSERT: writes one new data dir, no existing bytes
+    * move. Missing columns take declared defaults (or NULL). */
+  def insert(name: String, df: DataFrame): Int =
+    stageInsert(name, df, publish = true)
+
+  /** UPDATE ... SET ... WHERE: copy-on-write snapshot. All SET
+    * expressions evaluate against the pre-update row (one select, not
+    * a sequential fold), matching SQL UPDATE semantics. */
+  def update(name: String, set: Map[String, Column], where: Column): Int = {
+    val m = meta(name)
+    val updated = scan(name).select(m.schema.fields.map { f =>
+      set.get(f.name)
+        .map(v => when(where, v.cast(f.dataType)).otherwise(col(f.name)).as(f.name))
+        .getOrElse(col(f.name))
+    }: _*)
+    rewrite(name, m, updated, publish = true)
+  }
+
+  /** DELETE ... WHERE: copy-on-write anti-filter snapshot. */
+  def delete(name: String, where: Column): Int = {
+    val m = meta(name)
+    rewrite(name, m, scan(name).filter(!coalesce(where, lit(false))), publish = true)
+  }
+
+  private def stageInsert(name: String, df: DataFrame, publish: Boolean): Int = {
+    val m = meta(name)
+    val aligned = applyDefaults(name, m, df)
+    val next = m.version + 1
+    val combined = if (m.version == 0) aligned else scan(name).unionByName(aligned)
+    validate(m, name, combined)
+    val dir = tableDir(name).resolve(s"data/delta-$next").toString
+    aligned.write.mode("overwrite").parquet(dir)
+    writeManifest(name, next, readManifest(name, m.version) :+ dir)
+    if (publish) writeMeta(name, m.copy(version = next))
+    next
+  }
+
+  private def rewrite(name: String, m: TableMeta, df: DataFrame, publish: Boolean): Int = {
+    val next = m.version + 1
+    validate(m, name, df.cache())
+    val dir = tableDir(name).resolve(s"data/snap-$next").toString
+    df.write.mode("overwrite").parquet(dir)
+    df.unpersist()
+    writeManifest(name, next, Seq(dir))
+    if (publish) writeMeta(name, m.copy(version = next))
+    next
+  }
+
+  // ------------------------------------------------------------- txn
+  /** Snapshot-isolation-style transaction: ops stage new versions and
+    * manifests, reads inside the txn see them, but pointers publish
+    * only at commit. Rollback abandons the staged versions (their
+    * manifests are orphaned, never referenced — the MVCC garbage the
+    * reference's storage also accumulates until vacuum). */
+  class Txn private[TableCatalog] () {
+    private val staged = scala.collection.mutable.LinkedHashMap[String, Int]()
+    private var closed = false
+
+    private def within(name: String): Int =
+      staged.getOrElse(name, currentVersion(name))
+
+    def scan(name: String): DataFrame = asOf(name, within(name))
+
+    def insert(name: String, df: DataFrame): Unit = {
+      require(!closed, "transaction closed")
+      val m = meta(name)
+      val base = within(name)
+      val aligned = applyDefaults(name, m, df)
+      val next = base + 1
+      val combined =
+        if (base == 0) aligned else TableCatalog.this.asOf(name, base).unionByName(aligned)
+      validate(m, name, combined)
+      val dir = tableDir(name).resolve(s"data/delta-$next").toString
+      aligned.write.mode("overwrite").parquet(dir)
+      writeManifest(name, next, readManifest(name, base) :+ dir)
+      staged(name) = next
+    }
+
+    def commit(): Unit = {
+      require(!closed, "transaction closed")
+      staged.foreach { case (name, v) =>
+        val m = meta(name)
+        require(m.version < v, s"write-write conflict on $name")
+        writeMeta(name, m.copy(version = v))
+      }
+      closed = true
+    }
+
+    def rollback(): Unit = { staged.clear(); closed = true }
+  }
+
+  def begin(): Txn = new Txn()
+}
+
+/** StructType JSON round-trip without exposing private Spark API. */
+private[sources] object DataTypeBridge {
+  def structFromJson(json: String): StructType =
+    org.apache.spark.sql.types.DataType.fromJson(json).asInstanceOf[StructType]
+}

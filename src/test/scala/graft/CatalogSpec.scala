@@ -1,0 +1,103 @@
+package graft
+
+import graft.sources.TableCatalog
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** DDL / DML / MVCC time-travel / transaction semantics
+  * (SURVEY.md §2 cat_* rows). */
+class CatalogSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshCatalog(): TableCatalog = {
+    val dir = Files.newTmp()
+    new TableCatalog(spark, dir)
+  }
+
+  private object Files {
+    def newTmp(): String =
+      java.nio.file.Files.createTempDirectory("graft-cat").toString
+  }
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("name", StringType),
+    StructField("balance", DoubleType)))
+
+  test("create / insert / scan / drop") {
+    val cat = freshCatalog()
+    cat.createTable("accounts", schema, primaryKey = Some("id"),
+      defaults = Map("balance" -> 0.0))
+    cat.insert("accounts", Seq((1L, "alice"), (2L, "bob")).toDF("id", "name"))
+    val rows = cat.scan("accounts").orderBy("id").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(rows.forall(_.getDouble(2) == 0.0)) // default applied
+    cat.dropTable("accounts")
+    assert(!cat.exists("accounts"))
+  }
+
+  test("primary key violations rejected") {
+    val cat = freshCatalog()
+    cat.createTable("t", schema, primaryKey = Some("id"))
+    cat.insert("t", Seq((1L, "a", 1.0)).toDF("id", "name", "balance"))
+    intercept[IllegalArgumentException] {
+      cat.insert("t", Seq((1L, "dup", 2.0)).toDF("id", "name", "balance"))
+    }
+    intercept[IllegalArgumentException] { // null PK
+      cat.insert("t", Seq((null.asInstanceOf[java.lang.Long], "x", 1.0))
+        .toDF("id", "name", "balance"))
+    }
+    assert(cat.scan("t").count() == 1) // failed inserts not published
+  }
+
+  test("update rewrites only matching rows; set exprs see the old row") {
+    val cat = freshCatalog()
+    cat.createTable("t", schema)
+    cat.insert("t", Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "name", "balance"))
+    cat.update("t", Map("balance" -> (col("balance") * 2)), col("id") === 2)
+    val byId = cat.scan("t").collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(byId == Map(1L -> 10.0, 2L -> 40.0))
+  }
+
+  test("delete with where; null predicate keeps row") {
+    val cat = freshCatalog()
+    cat.createTable("t", schema)
+    cat.insert("t", Seq((1L, "a", 10.0), (2L, null, 20.0)).toDF("id", "name", "balance"))
+    cat.delete("t", col("name") === "a") // null for id=2 → kept
+    assert(cat.scan("t").collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
+  test("MVCC time travel: asOf reads old snapshots after DML") {
+    val cat = freshCatalog()
+    cat.createTable("t", schema)
+    cat.insert("t", Seq((1L, "a", 1.0)).toDF("id", "name", "balance"))   // v1
+    cat.insert("t", Seq((2L, "b", 2.0)).toDF("id", "name", "balance"))   // v2
+    cat.delete("t", col("id") === 1)                                     // v3
+    assert(cat.currentVersion("t") == 3)
+    assert(cat.asOf("t", 0).count() == 0)
+    assert(cat.asOf("t", 1).count() == 1)
+    assert(cat.asOf("t", 2).count() == 2)
+    assert(cat.scan("t").count() == 1)
+  }
+
+  test("txn: commit publishes, rollback leaves table untouched") {
+    val cat = freshCatalog()
+    cat.createTable("t", schema)
+    cat.insert("t", Seq((1L, "a", 1.0)).toDF("id", "name", "balance"))
+
+    val t1 = cat.begin()
+    t1.insert("t", Seq((2L, "b", 2.0)).toDF("id", "name", "balance"))
+    assert(t1.scan("t").count() == 2)   // read-your-writes
+    assert(cat.scan("t").count() == 1)  // not visible outside
+    t1.commit()
+    assert(cat.scan("t").count() == 2)
+
+    val t2 = cat.begin()
+    t2.insert("t", Seq((3L, "c", 3.0)).toDF("id", "name", "balance"))
+    t2.rollback()
+    assert(cat.scan("t").count() == 2)
+    intercept[IllegalArgumentException] { t2.commit() }
+  }
+}

@@ -1,0 +1,76 @@
+package graft
+
+import graft.streaming.Streams
+import graft.streaming.Streams.{Event, Session}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structured Streaming semantics with a MemoryStream source and
+  * memory sink (SURVEY.md §2 st01/st02). */
+class StreamsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def ts(minutes: Long): java.sql.Timestamp =
+    new java.sql.Timestamp(1700000000000L + minutes * 60000L)
+
+  test("st01: windowed agg over a stream matches the batch computation") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Event]
+    val events = Seq(
+      Event(1, ts(0), "click", 1.0), Event(1, ts(5), "click", 2.0),
+      Event(2, ts(61), "view", 3.0), Event(1, ts(65), "click", 4.0),
+      Event(2, ts(200), "view", 0.5)) // advances watermark, closes earlier windows
+    src.addData(events: _*)
+
+    val q = Streams.windowedAgg(src.toDF(), "1 hour", "10 minutes")
+      .writeStream.format("memory").queryName("st01_out")
+      .outputMode(OutputMode.Append).start()
+    try { q.processAllAvailable(); src.addData(); q.processAllAvailable() }
+    finally q.stop()
+
+    val streamed = spark.table("st01_out")
+      .select("window_start", "event_type", "n_events", "sum_value")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val batch = Streams.windowedAgg(events.toDF(), "1 hour", "10 minutes")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      // append mode only emits windows whose END passed the watermark
+      // (max event time - 10 min); later windows are still open
+      .filter(_._1.getTime + 3600000L <= ts(200).getTime - 600000L)
+      .toSet
+    assert(batch.subsetOf(streamed), s"streamed=$streamed batch=$batch")
+    assert(streamed.exists(_._2 == "click"))
+  }
+
+  test("st02: sessionization closes sessions after the gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Event]
+    val q = Streams.sessionize(src.toDS(), gapMinutes = 30, watermark = "1 minute")
+      .writeStream.format("memory").queryName("st02_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user 1: two events 5 min apart (one session), then 40 min gap → new session
+      src.addData(
+        Event(1, ts(0), "click", 1.0), Event(1, ts(5), "click", 2.0),
+        Event(1, ts(45), "view", 3.0),
+        Event(2, ts(2), "view", 1.0))
+      q.processAllAvailable()
+      // far-future event pushes the watermark past every open timeout
+      src.addData(Event(99, ts(1000), "click", 0.0))
+      q.processAllAvailable()
+      src.addData(Event(99, ts(2000), "click", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val sessions = spark.table("st02_out").as[Session].collect()
+      .groupBy(_.user_id).view.mapValues(_.sortBy(_.start_ts.getTime)).toMap
+    val u1 = sessions(1L)
+    assert(u1.length == 2, s"user1 sessions: ${u1.toSeq}")
+    assert(u1(0).n_events == 2 && u1(0).total_value == 3.0)
+    assert(u1(1).n_events == 1 && u1(1).total_value == 3.0)
+    assert(sessions(2L).head.n_events == 1)
+  }
+}
