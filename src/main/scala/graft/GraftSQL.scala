@@ -1,0 +1,191 @@
+package graft
+
+import graft.sources.TableCatalog
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{expr, lit}
+import org.apache.spark.sql.types._
+
+/** SQL-text front over the graft catalog: the full entangleDB
+  * statement surface (/root/reference/src/sql/parser/ast.rs:10-50)
+  * executed Spark-first.
+  *
+  * Design split: *statement* routing (BEGIN/COMMIT/ROLLBACK, CREATE/
+  * DROP TABLE, INSERT/UPDATE/DELETE, EXPLAIN, SELECT) is handled here,
+  * while every *expression* — WHERE predicates, SET values, SELECT
+  * bodies, VALUES tuples — is delegated to Spark's own SQL parser
+  * (`expr(...)` / `spark.sql`), so the expression grammar is Catalyst's
+  * superset of the reference's (ast.rs:130-158) and everything runs
+  * through the same optimizer and codegen as the DataFrame API.
+  *
+  * MVCC: `BEGIN READ ONLY AS OF SYSTEM TIME v` pins reads to catalog
+  * version v (ast.rs:11-14); `BEGIN` starts a staged-write transaction
+  * (TableCatalog.Txn) with read-your-writes and rollback.
+  */
+class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
+
+  GraftSession.prepare(spark)
+
+  private var txn: Option[catalog.Txn] = None
+  private var asOf: Option[Int] = None
+
+  private val typeMap: Map[String, DataType] = Map(
+    "BOOLEAN" -> BooleanType, "BOOL" -> BooleanType,
+    "INTEGER" -> LongType, "INT" -> LongType, "BIGINT" -> LongType,
+    "FLOAT" -> DoubleType, "DOUBLE" -> DoubleType,
+    "STRING" -> StringType, "TEXT" -> StringType, "VARCHAR" -> StringType)
+
+  /** Tables known to the catalog (directory listing = catalog scan). */
+  private def tableNames: Seq[String] = {
+    val rootDir = new java.io.File(catalogRoot)
+    Option(rootDir.listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && new java.io.File(f, "meta.json").exists())
+      .map(_.getName).sorted
+  }
+  private def catalogRoot: String = catalog.root
+
+  private def currentScan(name: String): DataFrame =
+    txn.map(_.scan(name))
+      .orElse(asOf.map(v => catalog.asOf(name, v)))
+      .getOrElse(catalog.scan(name))
+
+  /** Execute one SQL statement; returns a (possibly empty) DataFrame —
+    * DML returns a single-row status frame, like the reference's
+    * ResultSet::Create/Insert/... variants. */
+  def execute(sql: String): DataFrame = {
+    import spark.implicits._
+    val s = sql.trim.stripSuffix(";").trim
+    val up = s.toUpperCase
+
+    if (up.startsWith("EXPLAIN ")) {
+      val inner = execute(s.drop("EXPLAIN ".length))
+      return Seq(GraftSession.explainPlan(inner)).toDF("plan")
+    }
+
+    if (up.startsWith("BEGIN")) {
+      require(txn.isEmpty && asOf.isEmpty, "already in a transaction")
+      val asOfRe = raw"(?i)AS\s+OF\s+SYSTEM\s+TIME\s+(\d+)".r
+      asOfRe.findFirstMatchIn(s) match {
+        case Some(m) => asOf = Some(m.group(1).toInt)
+        case None    => txn = Some(catalog.begin())
+      }
+      return Seq("BEGIN").toDF("status")
+    }
+    if (up == "COMMIT") {
+      txn.foreach(_.commit()); txn = None; asOf = None
+      return Seq("COMMIT").toDF("status")
+    }
+    if (up == "ROLLBACK") {
+      txn.foreach(_.rollback()); txn = None; asOf = None
+      return Seq("ROLLBACK").toDF("status")
+    }
+
+    val createRe = raw"(?is)CREATE\s+TABLE\s+(\w+)\s*\((.*)\)\s*".r
+    val dropRe   = raw"(?is)DROP\s+TABLE\s+(\w+)\s*".r
+    val insertRe = raw"(?is)INSERT\s+INTO\s+(\w+)\s*(?:\(([^)]*)\)\s*)?VALUES\s*(.*)".r
+    val updateRe = raw"(?is)UPDATE\s+(\w+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?".r
+    val deleteRe = raw"(?is)DELETE\s+FROM\s+(\w+)(?:\s+WHERE\s+(.*))?\s*".r
+
+    s match {
+      case createRe(name, colsBody) =>
+        createTable(name, colsBody)
+        Seq(s"CREATE TABLE $name").toDF("status")
+
+      case dropRe(name) =>
+        catalog.dropTable(name)
+        Seq(s"DROP TABLE $name").toDF("status")
+
+      case insertRe(name, colList, valuesBody) =>
+        require(asOf.isEmpty, "read-only transaction")
+        // Catalyst parses the tuples: VALUES (...),(...) is a valid
+        // Spark relation; columns come back as col1, col2, ...
+        val raw = spark.sql(s"SELECT * FROM VALUES $valuesBody")
+        val targetCols: Seq[String] = Option(colList) match {
+          case Some(cl) => cl.split(",").map(_.trim).toSeq
+          case None     => catalog.meta(name).schema.fieldNames.toSeq
+        }
+        require(raw.columns.length == targetCols.length,
+          s"INSERT arity: ${raw.columns.length} values vs ${targetCols.length} columns")
+        val df = raw.toDF(targetCols: _*)
+        txn match {
+          case Some(t) => t.insert(name, df)
+          case None    => catalog.insert(name, df)
+        }
+        Seq(s"INSERT ${df.count()}").toDF("status")
+
+      case updateRe(name, setBody, whereBody) =>
+        require(txn.isEmpty, "UPDATE inside staged transactions not supported; commit first")
+        val sets = splitTopLevel(setBody, ',').map { a =>
+          val Array(k, v) = a.split("=", 2)
+          k.trim -> expr(v.trim)
+        }.toMap
+        val where = Option(whereBody).map(w => expr(w.trim)).getOrElse(lit(true))
+        catalog.update(name, sets, where)
+        Seq(s"UPDATE $name").toDF("status")
+
+      case deleteRe(name, whereBody) =>
+        require(txn.isEmpty, "DELETE inside staged transactions not supported; commit first")
+        val where = Option(whereBody).map(w => expr(w.trim)).getOrElse(lit(true))
+        catalog.delete(name, where)
+        Seq(s"DELETE $name").toDF("status")
+
+      case _ if up.startsWith("SELECT") || up.startsWith("WITH") =>
+        // register snapshot views at the txn/as-of version, then let
+        // Spark SQL run the whole query
+        tableNames.foreach(n => currentScan(n).createOrReplaceTempView(n))
+        spark.sql(s)
+
+      case other =>
+        throw new IllegalArgumentException(s"unsupported statement: $other")
+    }
+  }
+
+  // ---------------------------------------------------------- CREATE
+  private def createTable(name: String, colsBody: String): Unit = {
+    var pk: Option[String] = None
+    val notNull = Seq.newBuilder[String]
+    val unique = Seq.newBuilder[String]
+    val defaults = Map.newBuilder[String, Any]
+    val fields = splitTopLevel(colsBody, ',').map { colDef =>
+      val toks = colDef.trim.split("\\s+").toList
+      require(toks.size >= 2, s"bad column def: $colDef")
+      val cname = toks.head
+      val dtype = typeMap.getOrElse(toks(1).toUpperCase,
+        throw new IllegalArgumentException(s"unknown type ${toks(1)}"))
+      val restUp = toks.drop(2).map(_.toUpperCase)
+      val rest = restUp.mkString(" ")
+      if (rest.contains("PRIMARY KEY")) pk = Some(cname)
+      if (rest.contains("NOT NULL") || rest.contains("PRIMARY KEY")) notNull += cname
+      if (rest.contains("UNIQUE")) unique += cname
+      val defRe = raw"(?i)DEFAULT\s+(\S+)".r
+      defRe.findFirstMatchIn(colDef).foreach { m =>
+        val lit = m.group(1).stripSuffix(",")
+        defaults += cname -> (
+          if (lit.startsWith("'")) lit.stripPrefix("'").stripSuffix("'")
+          else if (lit.equalsIgnoreCase("TRUE")) true
+          else if (lit.equalsIgnoreCase("FALSE")) false
+          else if (lit.contains('.')) lit.toDouble
+          else lit.toLong)
+      }
+      val nullable = !(rest.contains("NOT NULL") || rest.contains("PRIMARY KEY"))
+      StructField(cname, dtype, nullable)
+    }
+    catalog.createTable(name, StructType(fields), pk,
+      notNull.result().distinct, unique.result(), defaults.result())
+  }
+
+  /** Split on `sep` ignoring separators inside parens and strings. */
+  private def splitTopLevel(body: String, sep: Char): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0; var inStr = false
+    for (c <- body) c match {
+      case '\'' => inStr = !inStr; cur += c
+      case '(' if !inStr => depth += 1; cur += c
+      case ')' if !inStr => depth -= 1; cur += c
+      case `sep` if depth == 0 && !inStr => out += cur.toString; cur.clear()
+      case _ => cur += c
+    }
+    if (cur.nonEmpty) out += cur.toString
+    out.result().filter(_.trim.nonEmpty)
+  }
+}

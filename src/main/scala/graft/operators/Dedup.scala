@@ -23,12 +23,31 @@ object Dedup {
   private val Bands    = 8   // LSH bands (r = MinhashK / Bands = 4)
   private val Seed     = 42L
 
-  /** doc_id + minhash signature + shingle set, computed in one scan. */
+  /** doc_id + minhash signature, computed in one scan. Persisted: the
+    * LSH pipeline references this frame from three join branches (both
+    * band sides + the estimate join); without persist Spark recomputes
+    * the signature kernel per branch — the dominant cost at corpus
+    * scale, where signatures are materialized once and reused (a
+    * production pipeline would write them to a table). */
+  private def sigs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(
+      col("doc_id"),
+      minhash_sig(col("text"), ShingleN, MinhashK, Seed).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** sigs + the exact shingle set (only d04's verify stage needs the
+    * full sets — kept out of d02's frame so the estimate path never
+    * computes or stores them). */
   private def signed(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d).select(
+    Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(
       col("doc_id"),
       minhash_sig(col("text"), ShingleN, MinhashK, Seed).as("sig"),
       shingles64(col("text"), ShingleN).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** LSH banding: one (band, bandhash) row per band per doc; equal
     * bandhash within a band ⇒ candidate pair. */
@@ -75,7 +94,7 @@ object Dedup {
   /** MinHash LSH near-dup pairs, scored by the *signature estimate*
     * (fraction of agreeing minhash positions ≈ Jaccard). */
   def d02Minhash(s: SparkSession, d: String): DataFrame = {
-    val sig = signed(s, d).select("doc_id", "sig")
+    val sig = sigs(s, d)
     val cand = minhashCandidates(sig)
     cand
       .join(sig.as("sa"), col("doc_a") === col("sa.doc_id"))

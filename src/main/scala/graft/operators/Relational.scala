@@ -277,6 +277,18 @@ object Relational {
       .orderBy("hour_start", "event_type")
   }
 
+  // ---------------------------------------------------------------- q20
+  /** Point lookup by key (reference: KeyLookup / IndexLookup plan
+    * nodes, plan/mod.rs:77-92). On Spark the "index" is the pushed
+    * EqualTo predicate: parquet row-group stats + dictionary/page
+    * filtering skip everything but the matching blocks, the columnar
+    * analog of an index probe. */
+  def q20PointLookup(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    o.filter(col("o_orderkey") === 1000L)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -298,7 +310,8 @@ object Relational {
     "q16_explain_plans"     -> (q16ExplainPlans _),
     "q17_agg_global"        -> (q17AggGlobal _),
     "q18_window_funcs"      -> (q18WindowFuncs _),
-    "q19_window_agg"        -> (q19WindowAgg _))
+    "q19_window_agg"        -> (q19WindowAgg _),
+    "q20_point_lookup"      -> (q20PointLookup _))
 
   val oracleSql: Map[String, String] = Map(
     "q01_scan_project" ->
@@ -425,5 +438,8 @@ object Relational {
         |       COUNT(*) AS n_events,
         |       CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS sum_value
         |FROM events
-        |GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin)
+        |GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
+    "q20_point_lookup" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM orders WHERE o_orderkey = 1000""".stripMargin)
 }

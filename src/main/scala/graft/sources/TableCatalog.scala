@@ -34,7 +34,7 @@ import scala.jdk.CollectionConverters._
   * (ast.rs:77-87): primary key, not-null, unique, defaults — enforced
   * distributed (a groupBy-count over the key, not a per-row probe).
   */
-class TableCatalog(spark: SparkSession, root: String) {
+class TableCatalog(spark: SparkSession, val root: String) {
 
   Files.createDirectories(Paths.get(root))
 
@@ -176,10 +176,13 @@ class TableCatalog(spark: SparkSession, root: String) {
     val out = m.schema.fields.foldLeft(df) { (acc, f) =>
       if (acc.columns.contains(f.name)) acc
       else acc.withColumn(f.name,
-        defaults.get(f.name).map(lit(_).cast(f.dataType))
-          .getOrElse(lit(null).cast(f.dataType)))
+        defaults.get(f.name).map(lit(_)).getOrElse(lit(null)))
     }
-    out.select(m.schema.fieldNames.map(col): _*)
+    // cast everything to the declared schema: inserted frames may carry
+    // narrower parser types (e.g. a VALUES 8.1 arrives as DECIMAL(2,1));
+    // writing those uncast would corrupt the read-back under the
+    // declared schema
+    out.select(m.schema.fields.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
   }
 
   /** Append-only INSERT: writes one new data dir, no existing bytes

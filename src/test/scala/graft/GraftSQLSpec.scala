@@ -1,0 +1,85 @@
+package graft
+
+import graft.sources.TableCatalog
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The reference's SQL statement surface end-to-end through text
+  * (SURVEY.md §2: every ast.rs:10-50 statement form). */
+class GraftSQLSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def session(): GraftSQL = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sql").toString
+    new GraftSQL(spark, new TableCatalog(spark, dir))
+  }
+
+  test("full DDL/DML/SELECT lifecycle through SQL text") {
+    val g = session()
+    g.execute("""CREATE TABLE movies (
+      id INTEGER PRIMARY KEY,
+      title STRING NOT NULL,
+      rating FLOAT DEFAULT 0.0,
+      seen BOOLEAN DEFAULT FALSE)""")
+    g.execute("INSERT INTO movies (id, title) VALUES (1, 'Heat'), (2, 'Ronin')")
+    g.execute("INSERT INTO movies VALUES (3, 'Sicario', 8.1, TRUE)")
+
+    val all = g.execute("SELECT id, title, rating, seen FROM movies ORDER BY id").collect()
+    assert(all.length == 3)
+    assert(all(0).getString(1) == "Heat" && all(0).getDouble(2) == 0.0 && !all(0).getBoolean(3))
+    assert(all(2).getDouble(2) == 8.1 && all(2).getBoolean(3))
+
+    g.execute("UPDATE movies SET rating = rating + 1.0, seen = TRUE WHERE id < 3")
+    val updated = g.execute(
+      "SELECT count(*) AS n FROM movies WHERE seen = TRUE AND rating = 1.0").collect()
+    assert(updated(0).getLong(0) == 2)
+
+    g.execute("DELETE FROM movies WHERE id = 2")
+    assert(g.execute("SELECT * FROM movies").count() == 2)
+
+    // aggregates + expression grammar (Catalyst superset of ast.rs ops)
+    val agg = g.execute(
+      "SELECT sum(rating) AS s, min(id) AS mn FROM movies WHERE NOT (id = 999)").collect()
+    assert(agg(0).getDouble(0) == 9.1 && agg(0).getLong(1) == 1)
+
+    val plan = g.execute("EXPLAIN SELECT * FROM movies WHERE id = 1").collect()(0).getString(0)
+    assert(plan.contains("Physical Plan"))
+
+    g.execute("DROP TABLE movies")
+    intercept[Exception] { g.execute("SELECT * FROM movies").collect() }
+  }
+
+  test("PK violation through SQL is rejected and not published") {
+    val g = session()
+    g.execute("CREATE TABLE t (id INTEGER PRIMARY KEY, v STRING)")
+    g.execute("INSERT INTO t VALUES (1, 'a')")
+    intercept[IllegalArgumentException] { g.execute("INSERT INTO t VALUES (1, 'b')") }
+    assert(g.execute("SELECT * FROM t").count() == 1)
+  }
+
+  test("BEGIN/COMMIT/ROLLBACK and AS OF time travel") {
+    val g = session()
+    g.execute("CREATE TABLE t (id INTEGER PRIMARY KEY, v STRING)")
+    g.execute("INSERT INTO t VALUES (1, 'v1')")   // version 1
+    g.execute("INSERT INTO t VALUES (2, 'v2')")   // version 2
+
+    // staged txn: read-your-writes, invisible before commit
+    g.execute("BEGIN")
+    g.execute("INSERT INTO t VALUES (3, 'v3')")
+    assert(g.execute("SELECT * FROM t").count() == 3)
+    g.execute("COMMIT")
+    assert(g.execute("SELECT * FROM t").count() == 3)
+
+    g.execute("BEGIN")
+    g.execute("INSERT INTO t VALUES (4, 'v4')")
+    g.execute("ROLLBACK")
+    assert(g.execute("SELECT * FROM t").count() == 3)
+
+    // MVCC: read the world as of version 1
+    g.execute("BEGIN READ ONLY AS OF SYSTEM TIME 1")
+    val old = g.execute("SELECT v FROM t").collect()
+    assert(old.length == 1 && old(0).getString(0) == "v1")
+    intercept[IllegalArgumentException] { g.execute("INSERT INTO t VALUES (9, 'x')") }
+    g.execute("COMMIT")
+    assert(g.execute("SELECT * FROM t").count() == 3)
+  }
+}
