@@ -289,6 +289,72 @@ object Relational {
       .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
   }
 
+  // ---------------------------------------------------------------- q21
+  /** Semi/anti joins (EXISTS / NOT EXISTS): one pass each, no
+    * duplication of the probe side, build side broadcast when small. */
+  def q21SemiAnti(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d).select("o_custkey")
+    val withO = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey"), lit(true).as("has_orders"))
+    val withoutO = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), lit(false).as("has_orders"))
+    withO.unionByName(withoutO).orderBy("c_custkey")
+  }
+
+  // ---------------------------------------------------------------- q22
+  /** Set operations: UNION / INTERSECT / EXCEPT (symmetric difference
+    * of customer-nations vs supplier-nations). */
+  def q22SetOps(s: SparkSession, d: String): DataFrame = {
+    val a = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_nationkey").as("nk")).distinct()
+    val b = Tables.supplier(s, d).filter(col("s_acctbal") > 0)
+      .select(col("s_nationkey").as("nk")).distinct()
+    a.union(b).distinct().except(a.intersect(b)).orderBy("nk")
+  }
+
+  // ---------------------------------------------------------------- q23
+  /** Sketch aggregate: HyperLogLog++ distinct counts per group — the
+    * constant-memory distinct the exact countDistinct can't give at
+    * 100 TB. rows-only (sketch estimates are engine-specific). */
+  def q23ApproxDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
+        approx_count_distinct(col("l_suppkey"), 0.01).as("approx_supps"))
+      .orderBy("l_returnflag")
+
+  // ---------------------------------------------------------------- q24
+  /** ROLLUP grouping sets: per-(flag,status) + per-flag + grand total
+    * in one pass. */
+  def q24Rollup(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  // ---------------------------------------------------------------- q25
+  /** As-of join (time-series): for every error event, the most recent
+    * click by the same user at-or-before it. Spark-first realization:
+    * a single window pass over the *unioned* stream — one shuffle on
+    * user_id, running max of the click timestamp — instead of a
+    * user×user range join (which explodes on heavy users). This is
+    * the form that survives skew at scale. */
+  def q25AsofJoin(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(s, d).filter(col("event_type").isin("error", "click"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.withColumn("last_click_ts",
+        max(when(col("event_type") === "click", col("ts"))).over(w))
+      .filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts").as("err_ts"),
+        col("last_click_ts"))
+      .orderBy("event_id")
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -311,7 +377,12 @@ object Relational {
     "q17_agg_global"        -> (q17AggGlobal _),
     "q18_window_funcs"      -> (q18WindowFuncs _),
     "q19_window_agg"        -> (q19WindowAgg _),
-    "q20_point_lookup"      -> (q20PointLookup _))
+    "q20_point_lookup"      -> (q20PointLookup _),
+    "q21_semi_anti"         -> (q21SemiAnti _),
+    "q22_setops"            -> (q22SetOps _),
+    "q23_approx_distinct"   -> (q23ApproxDistinct _),
+    "q24_rollup"            -> (q24Rollup _),
+    "q25_asof_join"         -> (q25AsofJoin _))
 
   val oracleSql: Map[String, String] = Map(
     "q01_scan_project" ->
@@ -441,5 +512,36 @@ object Relational {
         |GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
     "q20_point_lookup" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
-        |FROM orders WHERE o_orderkey = 1000""".stripMargin)
+        |FROM orders WHERE o_orderkey = 1000""".stripMargin,
+    "q21_semi_anti" ->
+      """SELECT c_custkey, TRUE AS has_orders FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |UNION ALL
+        |SELECT c_custkey, FALSE AS has_orders FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q22_setops" ->
+      """WITH a AS (SELECT DISTINCT c_nationkey AS nk FROM customer
+        |           WHERE c_mktsegment = 'BUILDING'),
+        |     b AS (SELECT DISTINCT s_nationkey AS nk FROM supplier
+        |           WHERE s_acctbal > 0)
+        |(SELECT nk FROM a UNION SELECT nk FROM b)
+        |EXCEPT
+        |(SELECT nk FROM a INTERSECT SELECT nk FROM b)
+        |ORDER BY nk""".stripMargin,
+    "q24_rollup" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q25_asof_join" ->
+      """WITH errors AS (SELECT * FROM events WHERE event_type = 'error'),
+        |     clicks AS (SELECT * FROM events WHERE event_type = 'click')
+        |SELECT e.event_id, e.user_id,
+        |       CAST(e.ts AS TIMESTAMP) AS err_ts,
+        |       CAST(c.ts AS TIMESTAMP) AS last_click_ts
+        |FROM errors e ASOF LEFT JOIN clicks c
+        |  ON e.user_id = c.user_id AND e.ts >= c.ts
+        |ORDER BY e.event_id""".stripMargin)
 }

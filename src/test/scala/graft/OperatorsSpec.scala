@@ -118,6 +118,34 @@ class OperatorsSpec extends AnyFunSuite {
     assert(a.nonEmpty)
   }
 
+  test("q23 approx distinct within 5% of exact") {
+    val approx = Relational.q23ApproxDistinct(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = sources.Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag")
+      .agg(org.apache.spark.sql.functions.countDistinct(col("l_partkey")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((k, e) <- exact) {
+      val a = approx(k)
+      assert(math.abs(a - e).toDouble / e < 0.05, s"$k: approx=$a exact=$e")
+    }
+  }
+
+  test("q21 semi+anti partition the customer table") {
+    val rows = Relational.q21SemiAnti(spark, sf).collect()
+    assert(rows.length == sources.Tables.customer(spark, sf).count())
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length)
+  }
+
+  test("q25 as-of join: last_click_ts never exceeds the error ts") {
+    val rows = Relational.q25AsofJoin(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      if (!r.isNullAt(3))
+        assert(!r.getTimestamp(3).after(r.getTimestamp(2)))
+    }
+  }
+
   test("custom functions reachable from the SQL front") {
     sources.Tables.registerAll(spark, sf)
     val n = spark.sql(
