@@ -355,6 +355,31 @@ object Relational {
       .orderBy("event_id")
   }
 
+  // ---------------------------------------------------------------- q26
+  /** Batch sessionization (the batch twin of streaming/Streams
+    * .sessionize): gap > 30 min starts a new session; session index =
+    * running sum of gap flags; one shuffle on user_id. All time math
+    * in epoch microseconds so the DuckDB oracle is bit-identical. */
+  def q26Sessionize(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("new_session",
+        when(col("us") - lag(col("us"), 1).over(byUser) > 1800000000L, 1)
+          .when(lag(col("us"), 1).over(byUser).isNull, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(run))
+      .groupBy("user_id", "session_id")
+      .agg(
+        min(col("ts")).as("start_ts"),
+        max(col("ts")).as("end_ts"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(28,10)")).cast("double").as("total_value"))
+      .orderBy("user_id", "session_id")
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -382,7 +407,8 @@ object Relational {
     "q22_setops"            -> (q22SetOps _),
     "q23_approx_distinct"   -> (q23ApproxDistinct _),
     "q24_rollup"            -> (q24Rollup _),
-    "q25_asof_join"         -> (q25AsofJoin _))
+    "q25_asof_join"         -> (q25AsofJoin _),
+    "q26_sessionize"        -> (q26Sessionize _))
 
   val oracleSql: Map[String, String] = Map(
     "q01_scan_project" ->
@@ -543,5 +569,27 @@ object Relational {
         |       CAST(c.ts AS TIMESTAMP) AS last_click_ts
         |FROM errors e ASOF LEFT JOIN clicks c
         |  ON e.user_id = c.user_id AND e.ts >= c.ts
-        |ORDER BY e.event_id""".stripMargin)
+        |ORDER BY e.event_id""".stripMargin,
+    "q26_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, ts, value, epoch_us(ts) AS us,
+        |         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+        |              THEN 1
+        |              WHEN LAG(epoch_us(ts)) OVER w IS NULL THEN 1
+        |              ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), numbered AS (
+        |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flagged
+        |)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |       CAST(MIN(ts) AS TIMESTAMP) AS start_ts,
+        |       CAST(MAX(ts) AS TIMESTAMP) AS end_ts,
+        |       COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS total_value
+        |FROM numbered
+        |GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin)
 }

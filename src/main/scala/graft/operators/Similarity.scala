@@ -52,9 +52,26 @@ object Similarity {
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(K)
 
+  // ---------------------------------------------------------------- s03
+  /** Per-label embedding centroids via the one-pass [[graft.functions
+    * .VectorAgg]] aggregator (custom typed Aggregator — constant
+    * shuffle bytes per group). The coarse quantizer step of an IVF
+    * index build. */
+  def s03Centroids(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .groupBy("label")
+      .agg(
+        count(lit(1)).as("n"),
+        graft.functions.VectorAgg.centroid_agg(col("embedding")).as("centroid"))
+      .select(col("label"), col("n"),
+        size(col("centroid")).as("dim"),
+        round(element_at(col("centroid"), 1).cast("double"), 5).as("c0"))
+      .orderBy("label")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_ann_brute" -> (s01BruteForce _),
-    "s02_ann_lsh"   -> (s02LshAnn _))
+    "s02_ann_lsh"   -> (s02LshAnn _),
+    "s03_centroids" -> (s03Centroids _))
 
   val oracleSql: Map[String, String] = Map.empty
 }

@@ -142,13 +142,32 @@ object TextAnalysis {
         array_max(col("fp")).as("fp_max"))
       .orderBy("doc_id")
 
+  // ---------------------------------------------------------------- t05
+  /** Corpus-level top-k terms: explode tokens → count → TakeOrdered.
+    * The shuffle moves (term, partial count) pairs only — map-side
+    * partial aggregation keeps it bounded by vocabulary, not corpus. */
+  def t05TopTerms(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("term"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term"))
+      .limit(20)
+
+  val t05OracleSql: String =
+    """SELECT term, COUNT(*) AS n
+      |FROM documents, UNNEST(STRING_SPLIT(text, ' ')) AS u(term)
+      |GROUP BY term ORDER BY n DESC, term LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_langid"      -> (t01LangId _),
     "t02_quality"     -> (t02Quality _),
     "t03_tokens"      -> (t03Tokens _),
-    "t04_fingerprint" -> (t04Fingerprint _))
+    "t04_fingerprint" -> (t04Fingerprint _),
+    "t05_top_terms"   -> (t05TopTerms _))
 
   val oracleSql: Map[String, String] = Map(
-    "t02_quality" -> t02OracleSql,
-    "t03_tokens"  -> t03OracleSql)
+    "t02_quality"   -> t02OracleSql,
+    "t03_tokens"    -> t03OracleSql,
+    "t05_top_terms" -> t05OracleSql)
 }

@@ -146,6 +146,32 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("q26 sessionize: gaps within sessions never exceed 30 min") {
+    val sessions = Relational.q26Sessionize(spark, sf).collect()
+    assert(sessions.nonEmpty)
+    // session spans are non-overlapping per user and ordered
+    sessions.groupBy(_.getLong(0)).foreach { case (_, ss) =>
+      val sorted = ss.sortBy(_.getLong(1))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          // next session starts > 30 min after previous ended
+          assert(b.getTimestamp(2).getTime - a.getTimestamp(3).getTime > 1800000L)
+        case _ =>
+      }
+    }
+  }
+
+  test("s03 centroid matches a hand-folded mean for one label") {
+    val rows = sources.Tables.embeddings(spark, sf)
+      .filter(col("label") === 0).select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray)
+    val expected = rows.transpose.map(xs => (xs.map(_.toDouble).sum / rows.length).toFloat)
+    val got = Similarity.s03Centroids(spark, sf)
+      .filter(col("label") === 0).collect()(0)
+    assert(got.getLong(1) == rows.length)
+    assert(math.abs(got.getDouble(3) - math.rint(expected(0) * 1e5) / 1e5) < 1e-4)
+  }
+
   test("custom functions reachable from the SQL front") {
     sources.Tables.registerAll(spark, sf)
     val n = spark.sql(
