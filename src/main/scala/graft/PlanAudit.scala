@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan auditor: prints a one-line physical-plan summary per query and
+  * flags scale smells (cartesian products, nested-loop joins on
+  * equi-conditions, un-pruned scans). Run:
+  *   sbt "runMain graft.PlanAudit /root/testdata/sf0.1"
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val spark = GraftSession.create(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+
+    val interesting = Seq("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
+      "BroadcastNestedLoopJoin", "CartesianProduct", "HashAggregate", "SortAggregate",
+      "ObjectHashAggregate", "Window", "Exchange", "WholeStageCodegen")
+
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val plan = GraftSession.explainPlan(fn(spark, dir))
+        val ops = interesting.flatMap { op =>
+          val c = plan.sliding(op.length).count(_ == op)
+          if (c > 0) Some(s"$op×$c") else None
+        }
+        val flags = Seq(
+          if (plan.contains("CartesianProduct") && !name.contains("cross")) "⚠CARTESIAN" else "",
+          if (plan.contains("BroadcastNestedLoopJoin") && !name.contains("cross")
+            && !name.contains("brute") && !name.contains("lsh")) "⚠BNLJ" else "")
+          .filter(_.nonEmpty)
+        println(f"$name%-24s ${ops.mkString(" ")} ${flags.mkString(" ")}")
+      } catch {
+        case e: Throwable => println(f"$name%-24s ERROR ${e.getMessage.take(80)}")
+      }
+    }
+    spark.stop()
+  }
+}

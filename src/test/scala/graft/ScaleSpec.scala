@@ -1,0 +1,45 @@
+package graft
+
+import graft.operators.Scale
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The scale utilities actually change the plan the way they claim. */
+class ScaleSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  test("salted join returns exactly the plain-join result") {
+    val li = sources.Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+    val o = sources.Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
+    val plain = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy("l_orderkey").count()
+    val salted = Scale.saltedJoin(
+        li, o.withColumnRenamed("o_orderkey", "l_orderkey"), "l_orderkey", 8)
+      .groupBy("l_orderkey").count()
+    val a = plain.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val b = salted.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(a.sameElements(b))
+  }
+
+  test("bucketed tables equi-join without a shuffle exchange") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val li = sources.Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+      val o = sources.Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
+        .withColumnRenamed("o_orderkey", "l_orderkey")
+      Scale.writeBucketed(li, "li_bucketed", "l_orderkey", 8)
+      Scale.writeBucketed(o, "o_bucketed", "l_orderkey", 8)
+      val joined = Scale.readBucketed(spark, "li_bucketed")
+        .join(Scale.readBucketed(spark, "o_bucketed"), "l_orderkey")
+      val plan = GraftSession.explainPlan(joined)
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"), plan.take(400))
+      assert(!plan.contains("Exchange"), "bucketed join should not shuffle:\n" + plan.take(800))
+      assert(joined.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS li_bucketed")
+      spark.sql("DROP TABLE IF EXISTS o_bucketed")
+    }
+  }
+}
