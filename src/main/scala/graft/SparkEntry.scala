@@ -17,7 +17,8 @@ object SparkEntry {
       operators.Dedup.queries ++
       operators.Similarity.queries ++
       operators.TextAnalysis.queries ++
-      operators.Multimodal.queries
+      operators.Multimodal.queries ++
+      streaming.StreamQueries.queries
     all.map { case (name, fn) =>
       name -> { (s: SparkSession, d: String) =>
         GraftSession.prepare(s)
@@ -33,5 +34,6 @@ object SparkEntry {
       operators.Dedup.oracleSql ++
       operators.Similarity.oracleSql ++
       operators.TextAnalysis.oracleSql ++
-      operators.Multimodal.oracleSql
+      operators.Multimodal.oracleSql ++
+      streaming.StreamQueries.oracleSql
 }

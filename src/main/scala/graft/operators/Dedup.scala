@@ -167,12 +167,49 @@ object Dedup {
       .limit(200)
   }
 
+  // ---------------------------------------------------------------- d06
+  /** Dedup cluster assignment: connected components over the verified
+    * near-dup pair graph (d04), by iterative min-label propagation —
+    * each doc ends up labeled with the smallest doc_id in its
+    * component (the keeper). The iteration count is bounded by the
+    * graph diameter; near-dup graphs are unions of small cliques, so
+    * it converges in 2-3 rounds. Each round is one shuffle
+    * (join + groupBy min) — the large-graph-safe formulation. */
+  def d06Clusters(s: SparkSession, d: String): DataFrame = {
+    val pairs = d04NgramJaccard(s, d).select("doc_a", "doc_b")
+    // symmetric edge list + self-loops for isolated members of pairs
+    val edges = pairs
+      .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    var labels = edges.select(col("doc_a").as("doc_id"))
+      .distinct()
+      .withColumn("label", col("doc_id"))
+    var changed = true
+    var rounds = 0
+    while (changed && rounds < 10) {
+      // each round: label <- min(own label, neighbors' labels)
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+        .select(col("doc_a").as("doc_id"), col("label"))
+      val next = labels.unionByName(viaNeighbors)
+        .groupBy("doc_id").agg(min("label").as("label"))
+      val diff = next.as("n")
+        .join(labels.as("o"), col("n.doc_id") === col("o.doc_id"))
+        .filter(col("n.label") =!= col("o.label")).limit(1).count()
+      changed = diff > 0
+      labels = next.localCheckpoint() // truncate the iterative lineage
+      rounds += 1
+    }
+    labels.select(col("doc_id"), col("label").as("cluster_rep"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_dedup_exact"     -> (d01Exact _),
     "d02_dedup_minhash"   -> (d02Minhash _),
     "d03_dedup_simhash"   -> (d03Simhash _),
     "d04_dedup_ngram"     -> (d04NgramJaccard _),
-    "d05_dedup_embedding" -> (d05Embedding _))
+    "d05_dedup_embedding" -> (d05Embedding _),
+    "d06_dedup_clusters"  -> (d06Clusters _))
 
   val oracleSql: Map[String, String] = Map(
     "d01_dedup_exact" -> d01OracleSql)

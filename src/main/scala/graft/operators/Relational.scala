@@ -380,6 +380,24 @@ object Relational {
       .orderBy("user_id", "session_id")
   }
 
+  // ---------------------------------------------------------------- q27
+  /** PIVOT: orders-per-status matrix by customer nation. Explicit
+    * value list keeps the output schema static (required both for the
+    * oracle and for any production consumer at scale — dynamic pivot
+    * values force an extra distinct pass over the data). */
+  def q27Pivot(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+    val o = Tables.orders(s, d).select("o_custkey", "o_orderstatus")
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy("c_nationkey")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .select(col("c_nationkey"), col("F").as("n_f"), col("O").as("n_o"),
+        col("P").as("n_p"))
+      .orderBy("c_nationkey")
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -408,7 +426,8 @@ object Relational {
     "q23_approx_distinct"   -> (q23ApproxDistinct _),
     "q24_rollup"            -> (q24Rollup _),
     "q25_asof_join"         -> (q25AsofJoin _),
-    "q26_sessionize"        -> (q26Sessionize _))
+    "q26_sessionize"        -> (q26Sessionize _),
+    "q27_pivot"             -> (q27Pivot _))
 
   val oracleSql: Map[String, String] = Map(
     "q01_scan_project" ->
@@ -591,5 +610,12 @@ object Relational {
         |       CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS total_value
         |FROM numbered
         |GROUP BY user_id, session_id
-        |ORDER BY user_id, session_id""".stripMargin)
+        |ORDER BY user_id, session_id""".stripMargin,
+    "q27_pivot" ->
+      """SELECT c_nationkey,
+        |       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+        |       COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+        |       COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)
 }

@@ -1,0 +1,47 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** File sources/sinks beyond the catalog: parquet, CSV, JSON(L), with
+  * the options a pipeline needs set explicitly (schemas always
+  * declared on read — schema inference is a full extra pass over the
+  * data and is never acceptable at 100 TB).
+  *
+  * Partitioned writes (`writeParquetPartitioned`) lay data out for
+  * partition pruning: a filter on the partition column prunes whole
+  * directories before any file is opened.
+  */
+object IO {
+
+  def readParquet(s: SparkSession, path: String): DataFrame =
+    s.read.parquet(path)
+
+  def writeParquet(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** Hive-style partitioned layout: `path/col=value/...`. */
+  def writeParquetPartitioned(df: DataFrame, path: String, partitionCol: String): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(path)
+
+  def readCsv(s: SparkSession, path: String, schema: StructType,
+      header: Boolean = true, delimiter: String = ","): DataFrame =
+    s.read
+      .option("header", header.toString)
+      .option("delimiter", delimiter)
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+      .schema(schema)
+      .csv(path)
+
+  def writeCsv(df: DataFrame, path: String, header: Boolean = true): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("header", header.toString)
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+      .csv(path)
+
+  def readJsonl(s: SparkSession, path: String, schema: StructType): DataFrame =
+    s.read.schema(schema).json(path)
+
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+}

@@ -1,0 +1,40 @@
+package graft
+
+import graft.sources.IO
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+class IOSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft-io").toString
+
+  test("csv and jsonl round-trip the nation table exactly") {
+    val nation = sources.Tables.nation(spark, sf)
+    val csvPath = tmp() + "/nation_csv"
+    val jsonPath = tmp() + "/nation_json"
+    IO.writeCsv(nation, csvPath)
+    IO.writeJsonl(nation, jsonPath)
+    val fromCsv = IO.readCsv(spark, csvPath, nation.schema)
+    val fromJson = IO.readJsonl(spark, jsonPath, nation.schema)
+    val base = nation.orderBy("n_nationkey").collect().toSeq
+    assert(fromCsv.orderBy("n_nationkey").collect().toSeq == base)
+    assert(fromJson.orderBy("n_nationkey").collect().toSeq == base)
+  }
+
+  test("partitioned parquet write enables partition pruning") {
+    val path = tmp() + "/orders_part"
+    IO.writeParquetPartitioned(
+      sources.Tables.orders(spark, sf), path, "o_orderstatus")
+    val scan = IO.readParquet(spark, path).filter(col("o_orderstatus") === "F")
+    val plan = GraftSession.explainPlan(scan)
+    assert(plan.contains("PartitionFilters") &&
+      plan.replaceAll("\\s", "").contains("PartitionFilters:[isnotnull(o_orderstatus"),
+      plan.take(600))
+    val expected = sources.Tables.orders(spark, sf)
+      .filter(col("o_orderstatus") === "F").count()
+    assert(scan.count() == expected)
+  }
+}

@@ -172,6 +172,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(got.getDouble(3) - math.rint(expected(0) * 1e5) / 1e5) < 1e-4)
   }
 
+  test("d06 clusters: rep is the component minimum and closed under the pair graph") {
+    val pairs = Dedup.d04NgramJaccard(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val labels = Dedup.d06Clusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.nonEmpty)
+    labels.foreach { case (doc, rep) => assert(rep <= doc) }
+    // both ends of every verified pair share a representative
+    pairs.foreach { case (a, b) => assert(labels(a) == labels(b), s"pair ($a,$b)") }
+  }
+
+  test("st01 streaming result equals the batch q19 result") {
+    val streamed = streaming.StreamQueries.st01StreamWindow(spark, sf).collect()
+    val batch = Relational.q19WindowAgg(spark, sf).collect()
+    assert(streamed.length == batch.length)
+    assert(streamed.map(_.toString).sorted.sameElements(batch.map(_.toString).sorted))
+  }
+
   test("custom functions reachable from the SQL front") {
     sources.Tables.registerAll(spark, sf)
     val n = spark.sql(
