@@ -18,6 +18,7 @@ object SparkEntry {
       operators.Similarity.queries ++
       operators.TextAnalysis.queries ++
       operators.Multimodal.queries ++
+      operators.Sampling.queries ++
       streaming.StreamQueries.queries
     all.map { case (name, fn) =>
       name -> { (s: SparkSession, d: String) =>

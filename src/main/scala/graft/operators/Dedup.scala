@@ -177,9 +177,12 @@ object Dedup {
     * (join + groupBy min) — the large-graph-safe formulation. */
   def d06Clusters(s: SparkSession, d: String): DataFrame = {
     val pairs = d04NgramJaccard(s, d).select("doc_a", "doc_b")
-    // symmetric edge list + self-loops for isolated members of pairs
+    // symmetric edge list, materialized once: every propagation round
+    // joins against it — without the checkpoint each round would
+    // re-run the whole upstream LSH pipeline
     val edges = pairs
       .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .localCheckpoint()
     var labels = edges.select(col("doc_a").as("doc_id"))
       .distinct()
       .withColumn("label", col("doc_id"))

@@ -1,0 +1,43 @@
+package graft.operators
+
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dataset splitting / sampling for training pipelines (SURVEY.md §2
+  * scale ops). Both are single-scan, shuffle-free column operations —
+  * assignment is a function of the row, so it is stable under
+  * re-partitioning, retries, and incremental reprocessing (the
+  * property `randomSplit` does NOT have: its assignment depends on
+  * partition layout). */
+object Sampling {
+
+  /** p01: deterministic train/val/test assignment by key hash:
+    * pmod(xxhash64(doc_id), 100) → <90 train, <95 val, else test.
+    * Re-running over a grown corpus never reassigns an existing row. */
+  def p01HashSplit(s: SparkSession, d: String): DataFrame = {
+    val bucket = pmod(xxhash64(col("doc_id")), lit(100))
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+          .as("split"))
+      .orderBy("doc_id")
+  }
+
+  /** p02: stratified sample — equal fractions per language stratum,
+    * seed-deterministic (`sampleBy` Bernoulli per stratum). */
+  def p02StratifiedSample(s: SparkSession, d: String): DataFrame = {
+    val langs = Seq("en", "fr", "de", "es", "zh")
+    Tables.documents(s, d)
+      .stat.sampleBy("lang", langs.map(_ -> 0.5).toMap, seed = 42L)
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p01_hash_split"        -> (p01HashSplit _),
+    "p02_stratified_sample" -> (p02StratifiedSample _))
+
+  val oracleSql: Map[String, String] = Map.empty // engine-specific RNG/hash
+}

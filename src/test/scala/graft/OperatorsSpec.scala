@@ -190,6 +190,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(streamed.map(_.toString).sorted.sameElements(batch.map(_.toString).sorted))
   }
 
+  test("p01 hash split: deterministic, exhaustive, ~90/5/5") {
+    val a = Sampling.p01HashSplit(spark, sf).collect().map(r => (r.getLong(0), r.getString(1)))
+    val b = Sampling.p01HashSplit(spark, sf).collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(a.sameElements(b))
+    assert(a.length == sources.Tables.documents(spark, sf).count())
+    val frac = a.count(_._2 == "train").toDouble / a.length
+    assert(frac > 0.8 && frac < 0.98, s"train fraction $frac")
+  }
+
+  test("p02 stratified sample: seed-deterministic, strata all present") {
+    val a = Sampling.p02StratifiedSample(spark, sf).collect().map(_.getLong(0))
+    val b = Sampling.p02StratifiedSample(spark, sf).collect().map(_.getLong(0))
+    assert(a.sameElements(b))
+    assert(a.nonEmpty && a.length < sources.Tables.documents(spark, sf).count())
+  }
+
   test("custom functions reachable from the SQL front") {
     sources.Tables.registerAll(spark, sf)
     val n = spark.sql(
