@@ -145,6 +145,7 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
     val notNull = Seq.newBuilder[String]
     val unique = Seq.newBuilder[String]
     val defaults = Map.newBuilder[String, Any]
+    val references = Map.newBuilder[String, String]
     val fields = splitTopLevel(colsBody, ',').map { colDef =>
       val toks = colDef.trim.split("\\s+").toList
       require(toks.size >= 2, s"bad column def: $colDef")
@@ -156,6 +157,8 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
       if (rest.contains("PRIMARY KEY")) pk = Some(cname)
       if (rest.contains("NOT NULL") || rest.contains("PRIMARY KEY")) notNull += cname
       if (rest.contains("UNIQUE")) unique += cname
+      val refRe = raw"(?i)REFERENCES\s+(\w+)".r
+      refRe.findFirstMatchIn(colDef).foreach(m => references += cname -> m.group(1))
       val defRe = raw"(?i)DEFAULT\s+(\S+)".r
       defRe.findFirstMatchIn(colDef).foreach { m =>
         val lit = m.group(1).stripSuffix(",")
@@ -170,7 +173,8 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
       StructField(cname, dtype, nullable)
     }
     catalog.createTable(name, StructType(fields), pk,
-      notNull.result().distinct, unique.result(), defaults.result())
+      notNull.result().distinct, unique.result(), defaults.result(),
+      references.result())
   }
 
   /** Split on `sep` ignoring separators inside parens and strings. */

@@ -44,6 +44,7 @@ class TableCatalog(spark: SparkSession, val root: String) {
     notNull: Seq[String],
     unique: Seq[String],
     defaults: Map[String, Any],
+    references: Map[String, String], // column -> referenced table (FK to its PK)
     version: Int)
 
   private def tableDir(name: String): Path = Paths.get(root, name)
@@ -64,12 +65,15 @@ class TableCatalog(spark: SparkSession, val root: String) {
         case other     => other.toString
       }}"
     }.mkString("{", ",", "}")
+    val refs = m.references
+      .map { case (k, v) => s"${esc(k)}: ${esc(v)}" }.mkString("{", ",", "}")
     val json =
       s"""{"schema": ${esc(m.schema.json)},
          |"primaryKey": ${m.primaryKey.map(esc).getOrElse("null")},
          |"notNull": [${m.notNull.map(esc).mkString(",")}],
          |"unique": [${m.unique.map(esc).mkString(",")}],
          |"defaults": $defaults,
+         |"references": $refs,
          |"version": ${m.version}}""".stripMargin
     val tmp = tableDir(name).resolve("meta.json.tmp")
     Files.writeString(tmp, json)
@@ -94,12 +98,17 @@ class TableCatalog(spark: SparkSession, val root: String) {
   def meta(name: String): TableMeta = {
     require(exists(name), s"no such table: $name")
     val json = Files.readString(metaPath(name))
+    val refsBody = ("\"references\"\\s*:\\s*\\{([^}]*)\\}").r
+      .findFirstMatchIn(json).map(_.group(1)).getOrElse("")
+    val refs = "\"([^\"]+)\"\\s*:\\s*\"([^\"]+)\"".r.findAllMatchIn(refsBody)
+      .map(m => m.group(1) -> m.group(2)).toMap
     TableMeta(
       schema = DataTypeBridge.structFromJson(jsonStr(json, "schema").get),
       primaryKey = jsonStr(json, "primaryKey"),
       notNull = jsonStrArr(json, "notNull"),
       unique = jsonStrArr(json, "unique"),
       defaults = Map.empty, // defaults round-trip via applyDefaults at insert time
+      references = refs,
       version = jsonInt(json, "version"))
   }
 
@@ -112,13 +121,18 @@ class TableCatalog(spark: SparkSession, val root: String) {
       primaryKey: Option[String] = None,
       notNull: Seq[String] = Nil,
       unique: Seq[String] = Nil,
-      defaults: Map[String, Any] = Map.empty): Unit = {
+      defaults: Map[String, Any] = Map.empty,
+      references: Map[String, String] = Map.empty): Unit = {
     require(!exists(name), s"table already exists: $name")
+    references.foreach { case (c, t) =>
+      require(exists(t), s"FK $name.$c references unknown table $t")
+      require(meta(t).primaryKey.isDefined, s"FK $name.$c: $t has no primary key")
+    }
     Files.createDirectories(tableDir(name).resolve("versions"))
     Files.createDirectories(tableDir(name).resolve("data"))
     defaultsStore(name) = defaults
     writeManifest(name, 0, Nil)
-    writeMeta(name, TableMeta(schema, primaryKey, notNull, unique, defaults, 0))
+    writeMeta(name, TableMeta(schema, primaryKey, notNull, unique, defaults, references, 0))
   }
 
   def dropTable(name: String): Unit = {
@@ -169,6 +183,24 @@ class TableCatalog(spark: SparkSession, val root: String) {
       val dups = df.groupBy(col(k)).count().filter(col("count") > 1)
       require(dups.isEmpty, s"$name.$k: UNIQUE/PRIMARY KEY violated")
     }
+    // referential integrity: every non-null FK value must exist in the
+    // referenced table's PK — one distinct + anti-join per FK, the
+    // distributed form of the reference's per-row FK probe
+    for ((c, parent) <- m.references) {
+      val pk = meta(parent).primaryKey.get
+      val orphans = df.select(col(c)).na.drop().distinct()
+        .join(scan(parent).select(col(pk).as(c)), Seq(c), "left_anti")
+      require(orphans.isEmpty, s"$name.$c: FK into $parent.$pk violated")
+    }
+  }
+
+  /** Tables whose FKs reference `name` (reverse FK index). */
+  private def referencingTables(name: String): Seq[(String, String)] = {
+    val rootDir = new java.io.File(root)
+    Option(rootDir.listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && new java.io.File(f, "meta.json").exists())
+      .map(_.getName).filter(_ != name)
+      .flatMap(t => meta(t).references.collect { case (c, `name`) => (t, c) })
   }
 
   private def applyDefaults(name: String, m: TableMeta, df: DataFrame): DataFrame = {
@@ -203,9 +235,19 @@ class TableCatalog(spark: SparkSession, val root: String) {
     rewrite(name, m, updated, publish = true)
   }
 
-  /** DELETE ... WHERE: copy-on-write anti-filter snapshot. */
+  /** DELETE ... WHERE: copy-on-write anti-filter snapshot. RESTRICT
+    * semantics: rows whose PK is still referenced by another table's
+    * FK cannot be deleted. */
   def delete(name: String, where: Column): Int = {
     val m = meta(name)
+    for (pk <- m.primaryKey; (refTable, refCol) <- referencingTables(name)) {
+      val removedKeys = scan(name).filter(coalesce(where, lit(false)))
+        .select(col(pk).as(refCol)).distinct()
+      val stillRef = scan(refTable).select(refCol).na.drop()
+        .join(removedKeys, Seq(refCol), "left_semi")
+      require(stillRef.isEmpty,
+        s"DELETE from $name restricted: rows referenced by $refTable.$refCol")
+    }
     rewrite(name, m, scan(name).filter(!coalesce(where, lit(false))), publish = true)
   }
 

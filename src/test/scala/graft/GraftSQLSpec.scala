@@ -56,6 +56,29 @@ class GraftSQLSpec extends AnyFunSuite {
     assert(g.execute("SELECT * FROM t").count() == 1)
   }
 
+  test("FOREIGN KEY REFERENCES: orphan inserts rejected, delete restricted") {
+    val g = session()
+    g.execute("CREATE TABLE genres (id INTEGER PRIMARY KEY, name STRING)")
+    g.execute("INSERT INTO genres VALUES (1, 'noir'), (2, 'heist')")
+    g.execute("""CREATE TABLE films (
+      id INTEGER PRIMARY KEY,
+      genre_id INTEGER REFERENCES genres,
+      title STRING)""")
+    g.execute("INSERT INTO films VALUES (10, 2, 'Rififi')")
+    // orphan FK rejected
+    intercept[IllegalArgumentException] {
+      g.execute("INSERT INTO films VALUES (11, 99, 'Nope')")
+    }
+    assert(g.execute("SELECT * FROM films").count() == 1)
+    // RESTRICT: referenced parent row cannot be deleted
+    intercept[IllegalArgumentException] {
+      g.execute("DELETE FROM genres WHERE id = 2")
+    }
+    // unreferenced parent row can
+    g.execute("DELETE FROM genres WHERE id = 1")
+    assert(g.execute("SELECT * FROM genres").count() == 1)
+  }
+
   test("BEGIN/COMMIT/ROLLBACK and AS OF time travel") {
     val g = session()
     g.execute("CREATE TABLE t (id INTEGER PRIMARY KEY, v STRING)")
