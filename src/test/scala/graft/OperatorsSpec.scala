@@ -206,6 +206,19 @@ class OperatorsSpec extends AnyFunSuite {
     assert(a.nonEmpty && a.length < sources.Tables.documents(spark, sf).count())
   }
 
+  test("FoldSelfCosine rule folds cosine_sim(x, x) to a literal") {
+    import graft.plans.FoldSelfCosine
+    import graft.functions.cosine_sim
+    import org.apache.spark.sql.functions.{array, lit}
+    val v = array(lit(1.0f), lit(2.0f), lit(3.0f)) // non-nullable vector expr
+    val df = sources.Tables.embeddings(spark, sf)
+      .select(cosine_sim(v, v).as("c"))
+    val before = df.queryExecution.analyzed
+    val after = FoldSelfCosine(before)
+    assert(before.toString.contains("cosine_sim"))
+    assert(!after.toString.contains("cosine_sim"), after.toString.take(300))
+  }
+
   test("custom functions reachable from the SQL front") {
     sources.Tables.registerAll(spark, sf)
     val n = spark.sql(
