@@ -72,8 +72,63 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Typed row after a "resize": new dims + transformed payload size. */
+  case class ResizedMedia(doc_id: Long, width: Int, height: Int,
+    out_width: Int, out_height: Int, n_bytes_out: Int)
+
+  /** m02: batch resize plumbing — fixed target box, aspect preserved.
+    * The arithmetic (real) runs per-row in a partition batch; the
+    * pixel resample itself is the stubbed step (payload size scales by
+    * area ratio as a stand-in). */
+  def m02Resize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (tw, th) = (32, 32)
+    Tables.documents(s, d).select(
+        col("doc_id"),
+        encode(col("text"), "UTF-8").as("payload"),
+        (pmod(col("doc_id"), lit(64)) + 16).cast("int").as("width"),
+        (pmod(col("doc_id"), lit(48)) + 16).cast("int").as("height"))
+      .as[(Long, Array[Byte], Int, Int)]
+      .mapPartitions { it =>
+        it.map { case (id, bytes, w, h) =>
+          val scale = math.min(tw.toDouble / w, th.toDouble / h)
+          val (ow, oh) = (math.max(1, (w * scale).toInt), math.max(1, (h * scale).toInt))
+          // STUB: real implementation resamples pixels; size scales by area
+          val outBytes = math.max(1, (bytes.length * (ow.toLong * oh) / (w.toLong * h)).toInt)
+          ResizedMedia(id, w, h, ow, oh, outBytes)
+        }
+      }.toDF().orderBy("doc_id")
+  }
+
+  /** m03: frame sampling — every `stride`-th fixed-size block of the
+    * payload treated as a frame, per-frame checksum emitted (one row
+    * per sampled frame: the explode shape a video pipeline produces). */
+  def m03FrameSample(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val frameLen = 64
+    val stride = 4
+    Tables.documents(s, d).select(
+        col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        val nFrames = bytes.length / frameLen
+        (0 until nFrames by stride).map { f =>
+          var h = 0xcbf29ce484222325L
+          var i = f * frameLen
+          while (i < (f + 1) * frameLen) {
+            h = (h ^ (bytes(i) & 0xffL)) * 0x100000001b3L
+            i += 1
+          }
+          (id, f, h)
+        }
+      }.toDF("doc_id", "frame_idx", "frame_checksum")
+      .orderBy("doc_id", "frame_idx")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "m01_multimodal" -> (m01Multimodal _))
+    "m01_multimodal"   -> (m01Multimodal _),
+    "m02_resize"       -> (m02Resize _),
+    "m03_frame_sample" -> (m03FrameSample _))
 
   val oracleSql: Map[String, String] = Map.empty
 }

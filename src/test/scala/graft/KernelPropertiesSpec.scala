@@ -1,0 +1,73 @@
+package graft
+
+import graft.functions.Kernels
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-based kernel invariants over seeded random inputs
+  * (raw ScalaCheck generators; deterministic seeds). */
+class KernelPropertiesSpec extends AnyFunSuite {
+
+  private def s(t: String) = UTF8String.fromString(t)
+  private def fa(xs: Seq[Float]) = UnsafeArrayData.fromPrimitiveArray(xs.toArray)
+
+  private val text: Gen[String] =
+    Gen.listOf(Gen.oneOf(Gen.alphaNumChar, Gen.const(' '))).map(_.mkString)
+  private val vec: Gen[Seq[Float]] =
+    Gen.nonEmptyListOf(Gen.chooseNum(-10f, 10f)).map(_.take(64))
+
+  /** 100 seeded samples of `g`. */
+  private def samples[A](g: Gen[A]): Seq[A] =
+    (0 until 100).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  test("jaccard is symmetric, bounded, and 1 on self") {
+    for ((a, b) <- samples(text).zip(samples(text).reverse)) {
+      val (sa, sb) = (Kernels.shingles64(s(a), 3), Kernels.shingles64(s(b), 3))
+      val j = Kernels.jaccard64(sa, sb)
+      assert(j >= 0.0 && j <= 1.0)
+      assert(j == Kernels.jaccard64(sb, sa))
+      assert(Kernels.jaccard64(sa, sa) == 1.0 || sa.numElements() == 0)
+    }
+  }
+
+  test("cosine is symmetric and bounded") {
+    for ((a, b) <- samples(vec).zip(samples(vec).reverse)) {
+      val n = math.min(a.length, b.length)
+      val (va, vb) = (fa(a.take(n)), fa(b.take(n)))
+      val c = Kernels.cosine(va, vb)
+      assert(c >= -1.0000001 && c <= 1.0000001)
+      assert(math.abs(c - Kernels.cosine(vb, va)) < 1e-12)
+    }
+  }
+
+  test("hamming is a metric on signatures: identity, symmetry, triangle") {
+    val ts = samples(text)
+    for (((a, b), c) <- ts.zip(ts.reverse).zip(ts.drop(1) :+ ts.head)) {
+      val (ha, hb, hc) = (Kernels.simhash64(s(a)), Kernels.simhash64(s(b)), Kernels.simhash64(s(c)))
+      assert(Kernels.hamming64(ha, ha) == 0)
+      assert(Kernels.hamming64(ha, hb) == Kernels.hamming64(hb, ha))
+      assert(Kernels.hamming64(ha, hc) <=
+        Kernels.hamming64(ha, hb) + Kernels.hamming64(hb, hc))
+    }
+  }
+
+  test("minhash recomputation is bit-identical and correctly sized") {
+    for (t <- samples(text)) {
+      val sig = Kernels.minhashSig(s(t), 4, 16, 42L).toLongArray
+      assert(sig.length == 16)
+      assert(sig.sameElements(Kernels.minhashSig(s(t), 4, 16, 42L).toLongArray))
+    }
+  }
+
+  test("fingerprint sets are sorted distinct and shrink with window size") {
+    for (t <- samples(text).filter(_.length > 30)) {
+      val small = Kernels.fingerprint64(s(t), 5, 4).toLongArray
+      val large = Kernels.fingerprint64(s(t), 5, 16).toLongArray
+      assert(small.toSeq == small.toSeq.sorted && small.toSeq.distinct == small.toSeq)
+      assert(large.length <= small.length) // bigger window → fewer picks
+    }
+  }
+}
