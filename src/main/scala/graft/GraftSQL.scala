@@ -27,12 +27,14 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
 
   private var txn: Option[catalog.Txn] = None
   private var asOf: Option[Int] = None
+  private var readOnly: Boolean = false
 
   private val typeMap: Map[String, DataType] = Map(
     "BOOLEAN" -> BooleanType, "BOOL" -> BooleanType,
     "INTEGER" -> LongType, "INT" -> LongType, "BIGINT" -> LongType,
     "FLOAT" -> DoubleType, "DOUBLE" -> DoubleType,
-    "STRING" -> StringType, "TEXT" -> StringType, "VARCHAR" -> StringType)
+    "STRING" -> StringType, "TEXT" -> StringType, "VARCHAR" -> StringType,
+    "CHAR" -> StringType)
 
   /** Tables known to the catalog (directory listing = catalog scan). */
   private def tableNames: Seq[String] = {
@@ -62,20 +64,22 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
     }
 
     if (up.startsWith("BEGIN")) {
-      require(txn.isEmpty && asOf.isEmpty, "already in a transaction")
+      require(txn.isEmpty && asOf.isEmpty && !readOnly, "already in a transaction")
       val asOfRe = raw"(?i)AS\s+OF\s+SYSTEM\s+TIME\s+(\d+)".r
+      val isReadOnly = raw"(?i)READ\s+ONLY".r.findFirstIn(s).isDefined
       asOfRe.findFirstMatchIn(s) match {
         case Some(m) => asOf = Some(m.group(1).toInt)
-        case None    => txn = Some(catalog.begin())
+        case None if isReadOnly => readOnly = true // snapshot-at-now, no writes
+        case None => txn = Some(catalog.begin())
       }
       return Seq("BEGIN").toDF("status")
     }
     if (up == "COMMIT") {
-      txn.foreach(_.commit()); txn = None; asOf = None
+      txn.foreach(_.commit()); txn = None; asOf = None; readOnly = false
       return Seq("COMMIT").toDF("status")
     }
     if (up == "ROLLBACK") {
-      txn.foreach(_.rollback()); txn = None; asOf = None
+      txn.foreach(_.rollback()); txn = None; asOf = None; readOnly = false
       return Seq("ROLLBACK").toDF("status")
     }
 
@@ -95,7 +99,7 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
         Seq(s"DROP TABLE $name").toDF("status")
 
       case insertRe(name, colList, valuesBody) =>
-        require(asOf.isEmpty, "read-only transaction")
+        require(asOf.isEmpty && !readOnly, "read-only transaction")
         // Catalyst parses the tuples: VALUES (...),(...) is a valid
         // Spark relation; columns come back as col1, col2, ...
         val raw = spark.sql(s"SELECT * FROM VALUES $valuesBody")
@@ -113,6 +117,7 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
         Seq(s"INSERT ${df.count()}").toDF("status")
 
       case updateRe(name, setBody, whereBody) =>
+        require(asOf.isEmpty && !readOnly, "read-only transaction")
         require(txn.isEmpty, "UPDATE inside staged transactions not supported; commit first")
         val sets = splitTopLevel(setBody, ',').map { a =>
           val Array(k, v) = a.split("=", 2)
@@ -123,6 +128,7 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
         Seq(s"UPDATE $name").toDF("status")
 
       case deleteRe(name, whereBody) =>
+        require(asOf.isEmpty && !readOnly, "read-only transaction")
         require(txn.isEmpty, "DELETE inside staged transactions not supported; commit first")
         val where = Option(whereBody).map(w => expr(w.trim)).getOrElse(lit(true))
         catalog.delete(name, where)

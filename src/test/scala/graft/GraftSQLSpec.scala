@@ -97,6 +97,13 @@ class GraftSQLSpec extends AnyFunSuite {
     g.execute("ROLLBACK")
     assert(g.execute("SELECT * FROM t").count() == 3)
 
+    // plain READ ONLY txn: snapshot-at-now, writes rejected
+    g.execute("BEGIN READ ONLY")
+    assert(g.execute("SELECT * FROM t").count() == 3)
+    intercept[IllegalArgumentException] { g.execute("INSERT INTO t VALUES (8, 'x')") }
+    intercept[IllegalArgumentException] { g.execute("DELETE FROM t WHERE id = 1") }
+    g.execute("ROLLBACK")
+
     // MVCC: read the world as of version 1
     g.execute("BEGIN READ ONLY AS OF SYSTEM TIME 1")
     val old = g.execute("SELECT v FROM t").collect()
