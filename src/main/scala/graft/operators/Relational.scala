@@ -402,6 +402,52 @@ object Relational {
       .orderBy("c_nationkey")
   }
 
+  // ---------------------------------------------------------------- q28
+  /** Scalar subquery: parts priced above the global average. Catalyst
+    * plans the subquery as a one-row broadcast — no per-row
+    * re-evaluation. */
+  def q28ScalarSubquery(s: SparkSession, d: String): DataFrame = {
+    val p = Tables.part(s, d)
+    val avgPrice = p.agg(
+      (sum(dec(col("p_retailprice"))).cast("double") / count(lit(1))).as("a"))
+    p.crossJoin(broadcast(avgPrice))
+      .filter(col("p_retailprice") > col("a"))
+      .select("p_partkey", "p_name", "p_retailprice")
+      .orderBy("p_partkey")
+  }
+
+  // ---------------------------------------------------------------- q29
+  /** Correlated EXISTS (TPC-H Q4 shape): order priorities with a
+    * late-shipping lineitem. Decorrelated by Catalyst to a semi-join
+    * — the scalable plan (no per-order probe). */
+  def q29CorrelatedExists(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01"))
+        && col("o_orderdate") < to_timestamp(lit("1997-01-01")))
+    val lateLi = Tables.lineitem(s, d).filter(col("l_shipdate") > to_timestamp(lit("1997-06-01")))
+      .select("l_orderkey")
+    o.join(lateLi, o("o_orderkey") === lateLi("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  // ---------------------------------------------------------------- q30
+  /** NOT IN over a subquery (TPC-H Q16 flavor): suppliers' nations
+    * that never placed a 'P' order via their customers — anti-join
+    * form (the NOT IN null trap avoided by construction: keys are
+    * non-null). */
+  def q30NotIn(s: SparkSession, d: String): DataFrame = {
+    val su = Tables.supplier(s, d)
+    val pNations = Tables.orders(s, d).filter(col("o_orderstatus") === "P")
+      .join(Tables.customer(s, d),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_nationkey").as("s_nationkey")).distinct()
+    su.join(pNations, Seq("s_nationkey"), "left_anti")
+      .select("s_suppkey", "s_name", "s_nationkey")
+      .orderBy("s_suppkey")
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -431,7 +477,10 @@ object Relational {
     "q24_rollup"            -> (q24Rollup _),
     "q25_asof_join"         -> (q25AsofJoin _),
     "q26_sessionize"        -> (q26Sessionize _),
-    "q27_pivot"             -> (q27Pivot _))
+    "q27_pivot"             -> (q27Pivot _),
+    "q28_scalar_subquery"   -> (q28ScalarSubquery _),
+    "q29_correlated_exists" -> (q29CorrelatedExists _),
+    "q30_not_in"            -> (q30NotIn _))
 
   val oracleSql: Map[String, String] = Map(
     "q01_scan_project" ->
@@ -621,5 +670,26 @@ object Relational {
         |       COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
         |       COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
         |FROM orders JOIN customer ON o_custkey = c_custkey
-        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "q28_scalar_subquery" ->
+      """SELECT p_partkey, p_name, p_retailprice FROM part
+        |WHERE p_retailprice > (
+        |  SELECT CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+        |  FROM part)
+        |ORDER BY p_partkey""".stripMargin,
+    "q29_correlated_exists" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > TIMESTAMP '1997-06-01 00:00:00')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q30_not_in" ->
+      """SELECT s_suppkey, s_name, s_nationkey FROM supplier
+        |WHERE s_nationkey NOT IN (
+        |  SELECT c_nationkey FROM orders JOIN customer ON o_custkey = c_custkey
+        |  WHERE o_orderstatus = 'P')
+        |ORDER BY s_suppkey""".stripMargin)
 }
