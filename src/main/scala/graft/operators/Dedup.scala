@@ -155,9 +155,17 @@ object Dedup {
     * replaces the limit; the synthetic vectors are near-orthogonal so
     * the operator surfaces the ranked candidates instead. */
   def d05Embedding(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.embeddings(s, d)
+    val base = Tables.embeddings(s, d)
+    // bucket width scales with corpus size (target ~16 vectors/bucket):
+    // fixed bits would make candidate volume quadratic in corpus growth;
+    // adaptive bits keep it ~linear at any SF. One cheap count() of the
+    // key column is the only extra scan.
+    val n = base.count()
+    val bits = math.max(8, math.min(24,
+      math.ceil(math.log(math.max(1.0, n / 16.0)) / math.log(2)).toInt))
+    val e = base
       .select(col("vec_id"), col("embedding"),
-        hyperplane_sig(col("embedding"), 8, 7L).as("bucket"))
+        hyperplane_sig(col("embedding"), bits, 7L).as("bucket"))
     e.as("a")
       .join(e.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
