@@ -448,6 +448,35 @@ object Relational {
       .orderBy("s_suppkey")
   }
 
+  // ---------------------------------------------------------------- q31
+  /** String function surface: case, trim, substring, concat, replace,
+    * padding — all codegen'd builtins, dialect-portable. */
+  def q31StringFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d).select(
+        col("p_partkey"),
+        upper(col("p_name")).as("up"),
+        lower(col("p_brand")).as("lo"),
+        trim(concat(lit("  "), col("p_type"), lit(" "))).as("trimmed"),
+        substring(col("p_name"), 1, 4).as("sub4"),
+        concat_ws("-", col("p_brand"), col("p_type")).as("joined"),
+        regexp_replace(col("p_name"), " ", "_").as("snake"),
+        lpad(col("p_partkey").cast("string"), 8, "0").as("padded"),
+        length(col("p_name")).as("len"))
+      .orderBy("p_partkey")
+
+  // ---------------------------------------------------------------- q32
+  /** Datetime function surface: extraction + truncation (the portable
+    * subset — identical semantics in Spark and DuckDB). */
+  def q32Datetime(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        quarter(col("o_orderdate")).as("q"),
+        date_trunc("month", col("o_orderdate")).as("month_start"))
+      .orderBy("o_orderkey")
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -480,7 +509,9 @@ object Relational {
     "q27_pivot"             -> (q27Pivot _),
     "q28_scalar_subquery"   -> (q28ScalarSubquery _),
     "q29_correlated_exists" -> (q29CorrelatedExists _),
-    "q30_not_in"            -> (q30NotIn _))
+    "q30_not_in"            -> (q30NotIn _),
+    "q31_string_funcs"      -> (q31StringFuncs _),
+    "q32_datetime"          -> (q32Datetime _))
 
   val oracleSql: Map[String, String] = Map(
     "q01_scan_project" ->
@@ -691,5 +722,24 @@ object Relational {
         |WHERE s_nationkey NOT IN (
         |  SELECT c_nationkey FROM orders JOIN customer ON o_custkey = c_custkey
         |  WHERE o_orderstatus = 'P')
-        |ORDER BY s_suppkey""".stripMargin)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q31_string_funcs" ->
+      """SELECT p_partkey,
+        |  UPPER(p_name) AS up,
+        |  LOWER(p_brand) AS lo,
+        |  TRIM('  ' || p_type || ' ') AS trimmed,
+        |  SUBSTRING(p_name, 1, 4) AS sub4,
+        |  CONCAT_WS('-', p_brand, p_type) AS joined,
+        |  REGEXP_REPLACE(p_name, ' ', '_', 'g') AS snake,
+        |  LPAD(CAST(p_partkey AS VARCHAR), 8, '0') AS padded,
+        |  CAST(LENGTH(p_name) AS INT) AS len
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q32_datetime" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS INT) AS y,
+        |  CAST(month(o_orderdate) AS INT) AS m,
+        |  CAST(dayofmonth(o_orderdate) AS INT) AS dom,
+        |  CAST(quarter(o_orderdate) AS INT) AS q,
+        |  date_trunc('month', o_orderdate) AS month_start
+        |FROM orders ORDER BY o_orderkey""".stripMargin)
 }
