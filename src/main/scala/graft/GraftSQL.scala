@@ -55,7 +55,7 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
     * ResultSet::Create/Insert/... variants. */
   def execute(sql: String): DataFrame = {
     import spark.implicits._
-    val s = sql.trim.stripSuffix(";").trim
+    val s = GraftSQL.rewriteOps(sql.trim.stripSuffix(";").trim)
     val up = s.toUpperCase
 
     if (up.startsWith("EXPLAIN ")) {
@@ -135,9 +135,14 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
         Seq(s"DELETE $name").toDF("status")
 
       case _ if up.startsWith("SELECT") || up.startsWith("WITH") =>
-        // register snapshot views at the txn/as-of version, then let
-        // Spark SQL run the whole query
-        tableNames.foreach(n => currentScan(n).createOrReplaceTempView(n))
+        // register snapshot views at the txn/as-of version for only the
+        // tables the query references (each registration costs a footer
+        // read — the full catalog would be O(tables) per statement),
+        // then let Spark SQL run the whole query
+        tableNames
+          .filter(n => ("(?i)\\b" + java.util.regex.Pattern.quote(n) + "\\b")
+            .r.findFirstIn(s).isDefined)
+          .foreach(n => currentScan(n).createOrReplaceTempView(n))
         spark.sql(s)
 
       case other =>
@@ -184,7 +189,170 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
   }
 
   /** Split on `sep` ignoring separators inside parens and strings. */
-  private def splitTopLevel(body: String, sep: Char): Seq[String] = {
+  private def splitTopLevel(body: String, sep: Char): Seq[String] = GraftSQL.splitTopLevel(body, sep)
+}
+
+/** Dialect shims shared by every [[GraftSQL]] instance. */
+object GraftSQL {
+
+  // SQL keywords that can directly precede a prefix `!` (NOT) — a `!`
+  // after one of these is never the reference's postfix factorial
+  private val NonPrimaryWords = Set(
+    "AND", "OR", "NOT", "IN", "LIKE", "WHERE", "SELECT", "FROM", "WHEN",
+    "THEN", "ELSE", "CASE", "END", "BETWEEN", "IS", "BY", "ON", "HAVING",
+    "VALUES", "SET", "AS", "JOIN", "DISTINCT", "ALL", "LIMIT", "OFFSET")
+
+  /** Rewrite the reference's `^` (exponentiation, right-associative,
+    * ast.rs:149) and postfix `!` (factorial, ast.rs:150) into Spark's
+    * `power()` / `factorial()` before delegating to Catalyst's parser.
+    * Without this, Spark silently parses `^` as bitwise XOR
+    * (`2 ^ 3 = 1`, not 8) and rejects postfix `!` — wrong answers with
+    * no error, the worst failure mode. String-literal- and paren-safe;
+    * `!=` is left untouched. */
+  private[graft] def rewriteOps(sql: String): String =
+    rewriteExponents(rewriteFactorials(sql))
+
+  /** Index just past the closing quote of a literal starting at `i`
+    * (s(i) is the opening quote). Handles '' doubling. */
+  private def skipString(s: String, i: Int): Int = {
+    val q = s(i)
+    var j = i + 1
+    while (j < s.length) {
+      if (s(j) == q) {
+        if (j + 1 < s.length && s(j + 1) == q) j += 2 // escaped quote
+        else return j + 1
+      } else j += 1
+    }
+    j
+  }
+
+  /** Start index of the primary expression that ends right before
+    * `end`: an identifier / number / qualified name, or a balanced
+    * `(...)` group optionally preceded by a function name. */
+  private def primaryStart(s: String, end: Int): Int = {
+    var i = end - 1
+    while (i >= 0 && s(i).isWhitespace) i -= 1
+    if (i < 0) return 0
+    if (s(i) == ')') {
+      var depth = 0
+      while (i >= 0) {
+        if (s(i) == ')') depth += 1
+        else if (s(i) == '(') {
+          depth -= 1
+          if (depth == 0) {
+            i -= 1
+            while (i >= 0 && (s(i).isLetterOrDigit || s(i) == '_')) i -= 1
+            return i + 1
+          }
+        }
+        i -= 1
+      }
+      0
+    } else {
+      while (i >= 0 && (s(i).isLetterOrDigit || s(i) == '_' || s(i) == '.')) i -= 1
+      i + 1
+    }
+  }
+
+  /** End index (exclusive) of the primary expression starting at or
+    * after `start`: optional unary sign, then identifier / number /
+    * function call / balanced group. Understands 1e-3 exponents. */
+  private def primaryEnd(s: String, start: Int): Int = {
+    var i = start
+    while (i < s.length && s(i).isWhitespace) i += 1
+    if (i < s.length && (s(i) == '-' || s(i) == '+')) i += 1
+    while (i < s.length && s(i).isWhitespace) i += 1
+    if (i >= s.length) return i
+    if (s(i) == '(') return skipBalanced(s, i)
+    val idStart = i
+    while (i < s.length && (s(i).isLetterOrDigit || s(i) == '_' || s(i) == '.')) i += 1
+    // scientific-notation sign: 1e-3 / 2E+5
+    if (i < s.length && i > idStart && (s(i) == '-' || s(i) == '+')
+        && (s(i - 1) == 'e' || s(i - 1) == 'E') && s(idStart).isDigit
+        && i + 1 < s.length && s(i + 1).isDigit) {
+      i += 1
+      while (i < s.length && s(i).isDigit) i += 1
+    }
+    // function call: identifier immediately (modulo spaces) before '('
+    var j = i
+    while (j < s.length && s(j).isWhitespace) j += 1
+    if (j < s.length && s(j) == '(' && i > idStart && !s(idStart).isDigit)
+      skipBalanced(s, j)
+    else i
+  }
+
+  /** Index just past the ')' matching the '(' at `i`, quote-aware. */
+  private def skipBalanced(s: String, i0: Int): Int = {
+    var i = i0
+    var depth = 0
+    while (i < s.length) {
+      s(i) match {
+        case '\'' | '"' => i = skipString(s, i)
+        case '(' => depth += 1; i += 1
+        case ')' => depth -= 1; i += 1; if (depth == 0) return i
+        case _ => i += 1
+      }
+    }
+    i
+  }
+
+  private def rewriteFactorials(sql: String): String = {
+    var s = sql
+    var changed = true
+    while (changed) {
+      changed = false
+      var i = 0
+      while (i < s.length && !changed) {
+        s(i) match {
+          case '\'' | '"' => i = skipString(s, i)
+          case '!' if i + 1 >= s.length || s(i + 1) != '=' =>
+            var j = i - 1
+            while (j >= 0 && s(j).isWhitespace) j -= 1
+            if (j >= 0 && (s(j).isLetterOrDigit || s(j) == '_' || s(j) == ')')) {
+              val st = primaryStart(s, i)
+              val prim = s.substring(st, i).trim
+              if (prim.nonEmpty && !NonPrimaryWords.contains(prim.toUpperCase)) {
+                s = s.substring(0, st) + s"factorial($prim)" + s.substring(i + 1)
+                changed = true
+              }
+            }
+            if (!changed) i += 1
+          case _ => i += 1
+        }
+      }
+    }
+    s
+  }
+
+  private def rewriteExponents(sql: String): String = {
+    var s = sql
+    var more = true
+    while (more) {
+      // rewrite the RIGHTMOST '^' first → right-associativity, the
+      // reference's Exponentiate precedence (2 ^ 3 ^ 2 = 2 ^ 9 = 512)
+      var idx = -1
+      var i = 0
+      while (i < s.length) {
+        s(i) match {
+          case '\'' | '"' => i = skipString(s, i)
+          case '^' => idx = i; i += 1
+          case _ => i += 1
+        }
+      }
+      if (idx < 0) more = false
+      else {
+        val ls = primaryStart(s, idx)
+        val re = primaryEnd(s, idx + 1)
+        val l = s.substring(ls, idx).trim
+        val r = s.substring(idx + 1, re).trim
+        s = s.substring(0, ls) + s"power($l,$r)" + s.substring(re)
+      }
+    }
+    s
+  }
+
+  /** Split on `sep` ignoring separators inside parens and strings. */
+  private[graft] def splitTopLevel(body: String, sep: Char): Seq[String] = {
     val out = Seq.newBuilder[String]
     val cur = new StringBuilder
     var depth = 0; var inStr = false

@@ -112,4 +112,38 @@ class GraftSQLSpec extends AnyFunSuite {
     g.execute("COMMIT")
     assert(g.execute("SELECT * FROM t").count() == 3)
   }
+
+  test("reference `^` is exponentiation and postfix `!` is factorial (ast.rs:149-150)") {
+    val g = session()
+    def one(sql: String): Any = g.execute(sql).collect()(0).get(0)
+    // Spark alone would answer 2 ^ 3 = 1 (XOR) — the silent-wrong-answer trap
+    assert(one("SELECT 2 ^ 3 AS x") == 8.0)
+    assert(one("SELECT 5! AS x") == 120L)
+    // right-associative like the reference: 2 ^ 3 ^ 2 = 2 ^ 9
+    assert(one("SELECT 2 ^ 3 ^ 2 AS x") == 512.0)
+    // binds tighter than '*': 2 * 3 ^ 2 = 18, not 36
+    assert(one("SELECT 2 * 3 ^ 2 AS x") == 18.0)
+    assert(one("SELECT (1 + 2)! AS x") == 6L)
+    assert(one("SELECT 3! ^ 2 AS x") == 36.0)
+    // untouched inside string literals; != stays not-equals
+    assert(one("SELECT 'a^b!' AS x") == "a^b!")
+    assert(one("SELECT CASE WHEN 1 != 2 THEN 'ok' ELSE 'no' END AS x") == "ok")
+    // expressions over table columns
+    g.execute("CREATE TABLE pw (id INTEGER PRIMARY KEY, n INTEGER)")
+    g.execute("INSERT INTO pw VALUES (1, 4)")
+    assert(one("SELECT n ^ 2 AS x FROM pw") == 16.0)
+    assert(one("SELECT n! AS x FROM pw WHERE id != 2") == 24L)
+  }
+
+  test("SELECT registers only the temp views it references") {
+    val g = session()
+    g.execute("CREATE TABLE vh_used (id INTEGER PRIMARY KEY)")
+    g.execute("CREATE TABLE vh_unused (id INTEGER PRIMARY KEY)")
+    spark.catalog.dropTempView("vh_used")
+    spark.catalog.dropTempView("vh_unused")
+    g.execute("SELECT * FROM vh_used")
+    val views = spark.catalog.listTables().collect().map(_.name).toSet
+    assert(views.contains("vh_used"))
+    assert(!views.contains("vh_unused"))
+  }
 }
