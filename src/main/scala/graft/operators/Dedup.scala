@@ -23,31 +23,29 @@ object Dedup {
   private val Bands    = 8   // LSH bands (r = MinhashK / Bands = 4)
   private val Seed     = 42L
 
-  /** doc_id + minhash signature, computed in one scan. Persisted: the
-    * LSH pipeline references this frame from three join branches (both
-    * band sides + the estimate join); without persist Spark recomputes
-    * the signature kernel per branch — the dominant cost at corpus
-    * scale, where signatures are materialized once and reused (a
-    * production pipeline would write them to a table). */
-  private def sigs(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-      .select(
-      col("doc_id"),
-      minhash_sig(col("text"), ShingleN, MinhashK, Seed).as("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-
-  /** sigs + the exact shingle set (only d04's verify stage needs the
-    * full sets — kept out of d02's frame so the estimate path never
-    * computes or stores them). */
+  /** doc_id + minhash signature + exact shingle set, computed in ONE
+    * scan and cached per (session, dataset) via [[FrameCache]]. d02,
+    * d04 and d06 all consume this frame — the signature kernel (the
+    * dominant scan cost at corpus scale) runs exactly once per session
+    * instead of once per query, and the frame is persisted once, not
+    * leaked per call. A production 100 TB pipeline materializes these
+    * columns at ingest; the cache is the in-session analog. */
   private def signed(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-      .select(
-      col("doc_id"),
-      minhash_sig(col("text"), ShingleN, MinhashK, Seed).as("sig"),
-      shingles64(col("text"), ShingleN).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    FrameCache.getOrBuild(s, s"dedup/signed|$d") {
+      Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(
+          col("doc_id"),
+          minhash_sig(col("text"), ShingleN, MinhashK, Seed).as("sig"),
+          shingles64(col("text"), ShingleN).as("sh"))
+    }
+
+  /** Minhash-LSH candidate pairs, cached: d02 (estimate), d04 (exact
+    * verify) and d06 (clusters) all block on the same band self-join. */
+  private def candidates(s: SparkSession, d: String): DataFrame =
+    FrameCache.getOrBuild(s, s"dedup/cand|$d") {
+      minhashCandidates(signed(s, d).select("doc_id", "sig"))
+    }
 
   /** LSH banding: one (band, bandhash) row per band per doc; equal
     * bandhash within a band ⇒ candidate pair. */
@@ -94,8 +92,8 @@ object Dedup {
   /** MinHash LSH near-dup pairs, scored by the *signature estimate*
     * (fraction of agreeing minhash positions ≈ Jaccard). */
   def d02Minhash(s: SparkSession, d: String): DataFrame = {
-    val sig = sigs(s, d)
-    val cand = minhashCandidates(sig)
+    val sig = signed(s, d).select("doc_id", "sig")
+    val cand = candidates(s, d)
     cand
       .join(sig.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sig.as("sb"), col("doc_b") === col("sb.doc_id"))
@@ -136,9 +134,8 @@ object Dedup {
   /** n-gram Jaccard dedup: minhash-LSH candidates verified with the
     * *exact* shingle-set Jaccard (merge of sorted hash sets). */
   def d04NgramJaccard(s: SparkSession, d: String): DataFrame = {
-    val sg = signed(s, d)
-    val cand = minhashCandidates(sg.select("doc_id", "sig"))
-    val sh = sg.select("doc_id", "sh")
+    val cand = candidates(s, d)
+    val sh = signed(s, d).select("doc_id", "sh")
     cand
       .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sh.as("sb"), col("doc_b") === col("sb.doc_id"))
@@ -149,23 +146,28 @@ object Dedup {
   }
 
   // ---------------------------------------------------------------- d05
-  /** Embedding near-dup: random-hyperplane LSH buckets (8 bits) as
-    * the blocking stage, exact cosine within buckets, strongest pairs
-    * first. At production thresholds (cos >= ~0.95) the filter
-    * replaces the limit; the synthetic vectors are near-orthogonal so
-    * the operator surfaces the ranked candidates instead. */
+  /** Embedding near-dup: random-hyperplane LSH buckets as the blocking
+    * stage, exact cosine within buckets, strongest pairs first. The
+    * bucket is a PREFIX of the stored 256-bit ANN signature
+    * ([[Similarity.sigFrame]] — hyperplane bit j depends only on
+    * (seed, j), so the low `bits` bits of sig0 ARE the bits-wide
+    * signature): dedup blocking and ANN pruning share one signature
+    * materialization. At production thresholds (cos >= ~0.95) the
+    * filter replaces the limit; the synthetic vectors are
+    * near-orthogonal so the operator surfaces ranked candidates
+    * instead. */
   def d05Embedding(s: SparkSession, d: String): DataFrame = {
-    val base = Tables.embeddings(s, d)
+    val base = Similarity.sigFrame(s, d)
     // bucket width scales with corpus size (target ~16 vectors/bucket):
     // fixed bits would make candidate volume quadratic in corpus growth;
     // adaptive bits keep it ~linear at any SF. One cheap count() of the
-    // key column is the only extra scan.
+    // cached frame is the only extra pass.
     val n = base.count()
     val bits = math.max(8, math.min(24,
       math.ceil(math.log(math.max(1.0, n / 16.0)) / math.log(2)).toInt))
     val e = base
       .select(col("vec_id"), col("embedding"),
-        hyperplane_sig(col("embedding"), bits, 7L).as("bucket"))
+        col("sig0").bitwiseAND(lit((1L << bits) - 1)).as("bucket"))
     e.as("a")
       .join(e.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
@@ -194,20 +196,26 @@ object Dedup {
     var labels = edges.select(col("doc_a").as("doc_id"))
       .distinct()
       .withColumn("label", col("doc_id"))
+      .localCheckpoint()
     var changed = true
     var rounds = 0
     while (changed && rounds < 10) {
-      // each round: label <- min(own label, neighbors' labels)
+      // each round: label <- min(own label, neighbors' labels).
+      // Checkpoint FIRST (eager — the one job that does the round's
+      // work), then diff-count against the materialized result: the
+      // convergence check reads two checkpointed frames instead of
+      // re-executing the round's join+agg a second time.
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("doc_id", "doc_b"), "doc_b")
         .select(col("doc_a").as("doc_id"), col("label"))
       val next = labels.unionByName(viaNeighbors)
         .groupBy("doc_id").agg(min("label").as("label"))
+        .localCheckpoint() // eager: truncates the iterative lineage too
       val diff = next.as("n")
         .join(labels.as("o"), col("n.doc_id") === col("o.doc_id"))
         .filter(col("n.label") =!= col("o.label")).limit(1).count()
       changed = diff > 0
-      labels = next.localCheckpoint() // truncate the iterative lineage
+      labels = next
       rounds += 1
     }
     labels.select(col("doc_id"), col("label").as("cluster_rep"))

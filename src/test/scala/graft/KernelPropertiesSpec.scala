@@ -70,4 +70,17 @@ class KernelPropertiesSpec extends AnyFunSuite {
       assert(large.length <= small.length) // bigger window → fewer picks
     }
   }
+
+  test("narrow hyperplane signature is a prefix of the wide one (d05/s02 sharing)") {
+    // hyperplane bit j depends only on (seed, j), so the low `bits`
+    // bits of a 64-bit signature ARE the bits-wide signature — the
+    // identity that lets d05's buckets reuse s02's stored signatures
+    for (v <- samples(vec).filter(_.nonEmpty)) {
+      val va = fa(v)
+      for (bits <- Seq(8, 12, 24)) {
+        assert(Kernels.hyperplaneSig(va, bits, 7L) ==
+          (Kernels.hyperplaneSig(va, 64, 7L) & ((1L << bits) - 1)))
+      }
+    }
+  }
 }

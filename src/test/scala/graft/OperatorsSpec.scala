@@ -87,6 +87,14 @@ class OperatorsSpec extends AnyFunSuite {
   test("s02 LSH ANN results are a subset of the corpus with valid cosines") {
     val rows = Similarity.s02LshAnn(spark, sf).collect()
     assert(rows.nonEmpty && rows.length <= 10)
+    assert(rows.forall(_.getLong(0) != 0L))
+  }
+
+  test("s02 LSH ANN recall >= 0.8 of s01's exact top-10") {
+    val exact  = Similarity.s01BruteForce(spark, sf).collect().map(_.getLong(0)).toSet
+    val approx = Similarity.s02LshAnn(spark, sf).collect().map(_.getLong(0)).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall $recall; exact=$exact approx=$approx")
   }
 
   test("t01 langid: CJK-free corpus never predicts zh; scores are consistent") {
