@@ -348,9 +348,12 @@ object Relational {
   def q25AsofJoin(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = Tables.events(s, d).filter(col("event_type").isin("error", "click"))
+    // RANGE frame on ts, not ROWS: ASOF `err.ts >= click.ts` includes a
+    // click sharing the error's exact timestamp, and a range frame
+    // includes all current-row peers regardless of their sort position
     val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts"), col("event_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      .orderBy(col("ts"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
     e.withColumn("last_click_ts",
         max(when(col("event_type") === "click", col("ts"))).over(w))
       .filter(col("event_type") === "error")

@@ -2,10 +2,11 @@ package graft.plans
 
 import graft.functions.{CosineSim, Registry}
 import org.apache.spark.sql.SparkSessionExtensions
-import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.catalyst.expressions.{
+  ArrayExists, EqualTo, If, LambdaFunction, Literal, NamedLambdaVariable, Not}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{DoubleType, FloatType}
 
 /** Extension entry point: `SparkSession.builder()
   * .withExtensions(new GraftExtensions)` wires the graft function
@@ -29,12 +30,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 /** Domain constant-folding (analog of the reference's ConstantFolder,
   * optimizer.rs:17): cosine similarity of a column with itself is 1.0
-  * for any non-null vector — fold the O(dim) kernel away. Null
-  * semantics preserved: only folds when the child can't be null. */
+  * for any non-zero vector — replace the O(dim) three-accumulator
+  * kernel with a short-circuiting any-element-nonzero probe.
+  *
+  * Semantics preserved exactly: [[graft.functions.Kernels.cosine]]
+  * returns 0.0 for an all-zero or empty vector (undefined direction),
+  * so the fold must NOT produce a flat 1.0 — it rewrites to
+  * `IF(EXISTS(v, x -> x != 0), 1.0, 0.0)`, which agrees with the
+  * kernel on every input and costs O(1) on any vector with an early
+  * non-zero element. Null semantics preserved: only fires when the
+  * child can't be null. */
 object FoldSelfCosine extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
       case CosineSim(a, b) if a.semanticEquals(b) && !a.nullable && a.deterministic =>
-        Literal(1.0, DoubleType)
+        val x = NamedLambdaVariable("x", FloatType, nullable = true)
+        val nonZero = LambdaFunction(Not(EqualTo(x, Literal(0.0f, FloatType))), Seq(x))
+        If(ArrayExists(a, nonZero),
+          Literal(1.0, DoubleType), Literal(0.0, DoubleType))
     }
 }

@@ -95,6 +95,59 @@ class TableCatalog(spark: SparkSession, val root: String) {
     ("\"" + key + "\"\\s*:\\s*(\\d+)").r.findFirstMatchIn(json).map(_.group(1).toInt)
       .getOrElse(sys.error(s"missing $key"))
 
+  private def unesc(s: String): String =
+    s.replace("\\n", "\n").replace("\\\"", "\"").replace("\\\\", "\\")
+
+  /** The brace-balanced, quote-aware body of the JSON object under
+    * `key` (the regex-only readers above can't see past a '}' inside a
+    * string default). */
+  private def jsonObjBody(json: String, key: String): Option[String] = {
+    val keyIdx = json.indexOf("\"" + key + "\"")
+    if (keyIdx < 0) return None
+    var i = json.indexOf('{', keyIdx)
+    if (i < 0) return None
+    val start = i + 1
+    var depth = 0
+    while (i < json.length) {
+      json(i) match {
+        case '"' =>
+          i += 1
+          while (i < json.length && json(i) != '"') {
+            if (json(i) == '\\') i += 1
+            i += 1
+          }
+          i += 1
+        case '{' => depth += 1; i += 1
+        case '}' =>
+          depth -= 1
+          if (depth == 0) return Some(json.substring(start, i))
+          i += 1
+        case _ => i += 1
+      }
+    }
+    None
+  }
+
+  /** Inverse of [[writeMeta]]'s defaults serialization: string, long,
+    * double, and boolean literals round-trip. Declared defaults are
+    * durable DDL state — a catalog reopened over an existing root must
+    * apply them, not silently insert NULL. */
+  private def parseDefaults(body: String): Map[String, Any] = {
+    val entry = ("\"((?:[^\"\\\\]|\\\\.)*)\"\\s*:\\s*" +
+      "(\"(?:[^\"\\\\]|\\\\.)*\"|[-+0-9.eE]+|true|false)").r
+    entry.findAllMatchIn(body).map { m =>
+      val k = unesc(m.group(1))
+      val raw = m.group(2)
+      val v: Any =
+        if (raw.startsWith("\"")) unesc(raw.substring(1, raw.length - 1))
+        else if (raw == "true") true
+        else if (raw == "false") false
+        else if (raw.exists(c => c == '.' || c == 'e' || c == 'E')) raw.toDouble
+        else raw.toLong
+      k -> v
+    }.toMap
+  }
+
   def meta(name: String): TableMeta = {
     require(exists(name), s"no such table: $name")
     val json = Files.readString(metaPath(name))
@@ -107,7 +160,7 @@ class TableCatalog(spark: SparkSession, val root: String) {
       primaryKey = jsonStr(json, "primaryKey"),
       notNull = jsonStrArr(json, "notNull"),
       unique = jsonStrArr(json, "unique"),
-      defaults = Map.empty, // defaults round-trip via applyDefaults at insert time
+      defaults = jsonObjBody(json, "defaults").map(parseDefaults).getOrElse(Map.empty),
       references = refs,
       version = jsonInt(json, "version"))
   }
@@ -130,7 +183,6 @@ class TableCatalog(spark: SparkSession, val root: String) {
     }
     Files.createDirectories(tableDir(name).resolve("versions"))
     Files.createDirectories(tableDir(name).resolve("data"))
-    defaultsStore(name) = defaults
     writeManifest(name, 0, Nil)
     writeMeta(name, TableMeta(schema, primaryKey, notNull, unique, defaults, references, 0))
   }
@@ -142,12 +194,7 @@ class TableCatalog(spark: SparkSession, val root: String) {
       Files.delete(p)
     }
     rm(tableDir(name))
-    defaultsStore.remove(name)
   }
-
-  // defaults hold Column-applicable literals; kept in-memory per catalog
-  // instance (the durable part of the contract is schema + data).
-  private val defaultsStore = scala.collection.mutable.Map[String, Map[String, Any]]()
 
   // ---------------------------------------------------------- manifests
   private def writeManifest(name: String, v: Int, dirs: Seq[String]): Unit =
@@ -204,11 +251,10 @@ class TableCatalog(spark: SparkSession, val root: String) {
   }
 
   private def applyDefaults(name: String, m: TableMeta, df: DataFrame): DataFrame = {
-    val defaults = defaultsStore.getOrElse(name, Map.empty)
     val out = m.schema.fields.foldLeft(df) { (acc, f) =>
       if (acc.columns.contains(f.name)) acc
       else acc.withColumn(f.name,
-        defaults.get(f.name).map(lit(_)).getOrElse(lit(null)))
+        m.defaults.get(f.name).map(lit(_)).getOrElse(lit(null)))
     }
     // cast everything to the declared schema: inserted frames may carry
     // narrower parser types (e.g. a VALUES 8.1 arrives as DECIMAL(2,1));

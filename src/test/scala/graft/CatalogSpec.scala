@@ -100,4 +100,18 @@ class CatalogSpec extends AnyFunSuite {
     assert(cat.scan("t").count() == 2)
     intercept[IllegalArgumentException] { t2.commit() }
   }
+
+  test("column defaults are durable: a reopened catalog still applies them") {
+    val dir = Files.newTmp()
+    val cat = new TableCatalog(spark, dir)
+    cat.createTable("d", schema, primaryKey = Some("id"),
+      defaults = Map("balance" -> 7.5, "name" -> "un\"known"))
+    // a different catalog instance over the same root (fresh process
+    // analog) must read defaults back from meta.json, not a field
+    val reopened = new TableCatalog(spark, dir)
+    assert(reopened.meta("d").defaults == Map("balance" -> 7.5, "name" -> "un\"known"))
+    reopened.insert("d", Seq(Tuple1(1L)).toDF("id"))
+    val row = reopened.scan("d").collect()(0)
+    assert(row.getString(1) == "un\"known" && row.getDouble(2) == 7.5)
+  }
 }

@@ -214,7 +214,7 @@ class OperatorsSpec extends AnyFunSuite {
     assert(a.nonEmpty && a.length < sources.Tables.documents(spark, sf).count())
   }
 
-  test("FoldSelfCosine rule folds cosine_sim(x, x) to a literal") {
+  test("FoldSelfCosine rule folds cosine_sim(x, x) away, preserving zero-vector semantics") {
     import graft.plans.FoldSelfCosine
     import graft.functions.cosine_sim
     import org.apache.spark.sql.functions.{array, lit}
@@ -225,6 +225,13 @@ class OperatorsSpec extends AnyFunSuite {
     val after = FoldSelfCosine(before)
     assert(before.toString.contains("cosine_sim"))
     assert(!after.toString.contains("cosine_sim"), after.toString.take(300))
+    // the optimizer must not change results: kernel says cosine of an
+    // all-zero or empty vector with itself is 0.0, not 1.0
+    val zero = array(lit(0.0f), lit(0.0f))
+    val one = sources.Tables.region(spark, sf).limit(1)
+      .select(cosine_sim(v, v).as("nz"), cosine_sim(zero, zero).as("z"))
+      .collect()(0)
+    assert(one.getDouble(0) == 1.0 && one.getDouble(1) == 0.0)
   }
 
   test("custom functions reachable from the SQL front") {
