@@ -75,7 +75,15 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
       return Seq("BEGIN").toDF("status")
     }
     if (up == "COMMIT") {
-      txn.foreach(_.commit()); txn = None; asOf = None; readOnly = false
+      // a failed commit (write-write conflict) aborts the txn — the
+      // session must not stay wedged inside a dead transaction
+      try txn.foreach(_.commit())
+      catch {
+        case e: Throwable =>
+          txn.foreach(_.rollback()); txn = None; asOf = None; readOnly = false
+          throw e
+      }
+      txn = None; asOf = None; readOnly = false
       return Seq("COMMIT").toDF("status")
     }
     if (up == "ROLLBACK") {
@@ -118,20 +126,24 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
 
       case updateRe(name, setBody, whereBody) =>
         require(asOf.isEmpty && !readOnly, "read-only transaction")
-        require(txn.isEmpty, "UPDATE inside staged transactions not supported; commit first")
         val sets = splitTopLevel(setBody, ',').map { a =>
           val Array(k, v) = a.split("=", 2)
           k.trim -> expr(v.trim)
         }.toMap
         val where = Option(whereBody).map(w => expr(w.trim)).getOrElse(lit(true))
-        catalog.update(name, sets, where)
+        txn match {
+          case Some(t) => t.update(name, sets, where)
+          case None    => catalog.update(name, sets, where)
+        }
         Seq(s"UPDATE $name").toDF("status")
 
       case deleteRe(name, whereBody) =>
         require(asOf.isEmpty && !readOnly, "read-only transaction")
-        require(txn.isEmpty, "DELETE inside staged transactions not supported; commit first")
         val where = Option(whereBody).map(w => expr(w.trim)).getOrElse(lit(true))
-        catalog.delete(name, where)
+        txn match {
+          case Some(t) => t.delete(name, where)
+          case None    => catalog.delete(name, where)
+        }
         Seq(s"DELETE $name").toDF("status")
 
       case _ if up.startsWith("SELECT") || up.startsWith("WITH") =>

@@ -21,10 +21,24 @@ object FrameCache {
   private val frames = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
   /** The frame cached under (session, tag), building and persisting it
-    * on first use. `build` runs at most once per key. */
-  def getOrBuild(s: SparkSession, tag: String)(build: => DataFrame): DataFrame =
-    frames.computeIfAbsent(System.identityHashCode(s) + "|" + tag,
-      _ => build.persist(StorageLevel.MEMORY_AND_DISK))
+    * on first use. NOT computeIfAbsent: builds nest (the candidate
+    * frame's build reads the signature frame), and ConcurrentHashMap
+    * forbids recursive mapping functions. The lock is reentrant, so a
+    * nested getOrBuild from inside `build` is safe. */
+  def getOrBuild(s: SparkSession, tag: String)(build: => DataFrame): DataFrame = {
+    val key = System.identityHashCode(s) + "|" + tag
+    val hit = frames.get(key)
+    if (hit != null) hit
+    else synchronized {
+      val again = frames.get(key)
+      if (again != null) again
+      else {
+        val df = build.persist(StorageLevel.MEMORY_AND_DISK)
+        frames.put(key, df)
+        df
+      }
+    }
+  }
 
   /** Unpersist and forget every cached frame (end of pipeline). */
   def clear(): Unit = {

@@ -213,16 +213,17 @@ class TableCatalog(spark: SparkSession, val root: String) {
   def scan(name: String): DataFrame = asOf(name, currentVersion(name))
 
   /** MVCC time travel: scan the table as of `version`. */
-  def asOf(name: String, version: Int): DataFrame = {
-    val m = meta(name)
-    val dirs = readManifest(name, version)
+  def asOf(name: String, version: Int): DataFrame =
+    frameOf(meta(name).schema, readManifest(name, version))
+
+  private def frameOf(schema: StructType, dirs: Seq[String]): DataFrame =
     if (dirs.isEmpty) spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
-    else spark.read.schema(m.schema).parquet(dirs: _*)
-  }
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(dirs: _*)
 
   // --------------------------------------------------------------- DML
-  private def validate(m: TableMeta, name: String, df: DataFrame): Unit = {
+  private def validate(m: TableMeta, name: String, df: DataFrame,
+      resolve: String => DataFrame = scan): Unit = {
     val keys = m.primaryKey.toSeq ++ m.unique
     for (k <- m.primaryKey.toSeq ++ m.notNull)
       require(df.filter(col(k).isNull).isEmpty, s"$name.$k: NOT NULL violated")
@@ -232,11 +233,12 @@ class TableCatalog(spark: SparkSession, val root: String) {
     }
     // referential integrity: every non-null FK value must exist in the
     // referenced table's PK — one distinct + anti-join per FK, the
-    // distributed form of the reference's per-row FK probe
+    // distributed form of the reference's per-row FK probe. `resolve`
+    // supplies the parent's view (a txn passes its own snapshot).
     for ((c, parent) <- m.references) {
       val pk = meta(parent).primaryKey.get
       val orphans = df.select(col(c)).na.drop().distinct()
-        .join(scan(parent).select(col(pk).as(c)), Seq(c), "left_anti")
+        .join(resolve(parent).select(col(pk).as(c)), Seq(c), "left_anti")
       require(orphans.isEmpty, s"$name.$c: FK into $parent.$pk violated")
     }
   }
@@ -322,46 +324,140 @@ class TableCatalog(spark: SparkSession, val root: String) {
   }
 
   // ------------------------------------------------------------- txn
-  /** Snapshot-isolation-style transaction: ops stage new versions and
-    * manifests, reads inside the txn see them, but pointers publish
-    * only at commit. Rollback abandons the staged versions (their
-    * manifests are orphaned, never referenced — the MVCC garbage the
-    * reference's storage also accumulates until vacuum). */
+  /** Snapshot-isolation-style transaction (analog of the reference's
+    * engine txn API, engine/mod.rs:49-61: scan/insert/update/delete
+    * all mutate freely inside the txn).
+    *
+    * Staged writes land in data dirs unique to this txn
+    * (`data/txn-<id>-<n>`), so two concurrent txns on the same table
+    * never write the same path — and NO manifest or version pointer is
+    * touched before commit, so staged state is invisible to readers
+    * and to `asOf` time travel. COMMIT re-checks each table's version
+    * against the txn's base (first-committer-wins write-write
+    * conflict), then writes the canonical manifest + pointer; ROLLBACK
+    * deletes the staged dirs outright. Reads inside the txn see its
+    * own writes (the staged dir list IS the txn's view). */
   class Txn private[TableCatalog] () {
-    private val staged = scala.collection.mutable.LinkedHashMap[String, Int]()
+    private val txnId = java.util.UUID.randomUUID().toString.take(8)
+    // table -> (base version at first write, dir list composing the txn view)
+    private val staged = scala.collection.mutable.LinkedHashMap[String, (Int, Seq[String])]()
+    private val createdDirs = scala.collection.mutable.ArrayBuffer[Path]()
+    private var seq = 0
     private var closed = false
 
-    private def within(name: String): Int =
-      staged.getOrElse(name, currentVersion(name))
+    /** The txn's view of `name`: staged dirs if written, else the
+      * committed snapshot. */
+    def scan(name: String): DataFrame = staged.get(name) match {
+      case Some((_, dirs)) => frameOf(meta(name).schema, dirs)
+      case None            => TableCatalog.this.scan(name)
+    }
 
-    def scan(name: String): DataFrame = asOf(name, within(name))
+    private def baseOf(name: String): Int =
+      staged.get(name).map(_._1).getOrElse(currentVersion(name))
 
+    private def viewDirs(name: String): Seq[String] =
+      staged.get(name).map(_._2)
+        .getOrElse(readManifest(name, currentVersion(name)))
+
+    private def freshDir(name: String): String = {
+      seq += 1
+      val p = tableDir(name).resolve(s"data/txn-$txnId-$seq")
+      createdDirs += p
+      p.toString
+    }
+
+    /** Staged append: validated against the txn view (read-your-writes,
+      * txn-view FK resolution), written to a txn-unique dir. */
     def insert(name: String, df: DataFrame): Unit = {
       require(!closed, "transaction closed")
       val m = meta(name)
-      val base = within(name)
+      val base = baseOf(name)
+      val dirs = viewDirs(name)
       val aligned = applyDefaults(name, m, df)
-      val next = base + 1
       val combined =
-        if (base == 0) aligned else TableCatalog.this.asOf(name, base).unionByName(aligned)
-      validate(m, name, combined)
-      val dir = tableDir(name).resolve(s"data/delta-$next").toString
+        if (dirs.isEmpty) aligned else scan(name).unionByName(aligned)
+      validate(m, name, combined, scan)
+      val dir = freshDir(name)
       aligned.write.mode("overwrite").parquet(dir)
-      writeManifest(name, next, readManifest(name, base) :+ dir)
-      staged(name) = next
+      staged(name) = (base, dirs :+ dir)
     }
 
+    /** Staged copy-on-write UPDATE: the txn view is rewritten into one
+      * txn-unique snapshot dir; SET expressions see the pre-update row. */
+    def update(name: String, set: Map[String, Column], where: Column): Unit = {
+      require(!closed, "transaction closed")
+      val m = meta(name)
+      val base = baseOf(name)
+      val updated = scan(name).select(m.schema.fields.map { f =>
+        set.get(f.name)
+          .map(v => when(where, v.cast(f.dataType)).otherwise(col(f.name)).as(f.name))
+          .getOrElse(col(f.name))
+      }: _*)
+      validate(m, name, updated.cache(), scan)
+      val dir = freshDir(name)
+      updated.write.mode("overwrite").parquet(dir)
+      updated.unpersist()
+      staged(name) = (base, Seq(dir))
+    }
+
+    /** Staged copy-on-write DELETE with FK RESTRICT against the txn
+      * view of every referencing table. */
+    def delete(name: String, where: Column): Unit = {
+      require(!closed, "transaction closed")
+      val m = meta(name)
+      val base = baseOf(name)
+      for (pk <- m.primaryKey; (refTable, refCol) <- referencingTables(name)) {
+        val removedKeys = scan(name).filter(coalesce(where, lit(false)))
+          .select(col(pk).as(refCol)).distinct()
+        val stillRef = scan(refTable).select(refCol).na.drop()
+          .join(removedKeys, Seq(refCol), "left_semi")
+        require(stillRef.isEmpty,
+          s"DELETE from $name restricted: rows referenced by $refTable.$refCol")
+      }
+      val remaining = scan(name).filter(!coalesce(where, lit(false)))
+      val dir = freshDir(name)
+      remaining.write.mode("overwrite").parquet(dir)
+      staged(name) = (base, Seq(dir))
+    }
+
+    /** First-committer-wins publish: conflict-check every table, then
+      * write canonical manifests + version pointers. (The reference
+      * gets multi-table atomicity from its Raft log; on a filesystem
+      * the pointer writes are per-table atomic renames.) */
     def commit(): Unit = {
       require(!closed, "transaction closed")
-      staged.foreach { case (name, v) =>
-        val m = meta(name)
-        require(m.version < v, s"write-write conflict on $name")
-        writeMeta(name, m.copy(version = v))
+      staged.foreach { case (name, (base, _)) =>
+        require(currentVersion(name) == base, s"write-write conflict on $name")
       }
+      staged.foreach { case (name, (_, dirs)) =>
+        val m = meta(name)
+        val next = m.version + 1
+        writeManifest(name, next, dirs)
+        writeMeta(name, m.copy(version = next))
+      }
+      closed = true
+      // staged dirs replaced mid-txn (e.g. insert then update) are
+      // unreferenced by the committed manifests — MVCC garbage; drop
+      val live = staged.values.flatMap(_._2).toSet
+      createdDirs.filterNot(p => live.contains(p.toString)).foreach(deleteDir)
+    }
+
+    /** Abandon all staged state: the staged dirs are deleted, nothing
+      * was ever visible outside the txn. */
+    def rollback(): Unit = {
+      staged.clear()
+      createdDirs.foreach(deleteDir)
+      createdDirs.clear()
       closed = true
     }
 
-    def rollback(): Unit = { staged.clear(); closed = true }
+    private def deleteDir(p: Path): Unit = if (Files.exists(p)) {
+      def rm(q: Path): Unit = {
+        if (Files.isDirectory(q)) Files.list(q).iterator().asScala.foreach(rm)
+        Files.delete(q)
+      }
+      rm(p)
+    }
   }
 
   def begin(): Txn = new Txn()

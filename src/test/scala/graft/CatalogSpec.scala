@@ -101,6 +101,62 @@ class CatalogSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { t2.commit() }
   }
 
+  test("txn UPDATE/DELETE: staged copy-on-write, invisible until commit") {
+    val cat = freshCatalog()
+    cat.createTable("t", schema, primaryKey = Some("id"))
+    cat.insert("t",
+      Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)).toDF("id", "name", "balance"))
+
+    val t1 = cat.begin()
+    t1.update("t", Map("balance" -> (col("balance") + 5.0)), col("id") <= 2)
+    t1.delete("t", col("id") === 3)
+    // read-your-writes inside the txn
+    assert(t1.scan("t").count() == 2)
+    assert(t1.scan("t").filter(col("id") === 1).collect()(0).getDouble(2) == 15.0)
+    // invisible outside before commit
+    assert(cat.scan("t").count() == 3)
+    assert(cat.scan("t").filter(col("id") === 1).collect()(0).getDouble(2) == 10.0)
+    t1.commit()
+    assert(cat.scan("t").count() == 2)
+    assert(cat.scan("t").filter(col("id") === 1).collect()(0).getDouble(2) == 15.0)
+
+    val t2 = cat.begin()
+    t2.delete("t", lit(true))
+    assert(t2.scan("t").count() == 0)
+    t2.rollback()
+    assert(cat.scan("t").count() == 2)
+    intercept[IllegalArgumentException] { t2.delete("t", lit(true)) } // closed
+  }
+
+  test("concurrent txns never clobber each other's staging; first committer wins") {
+    val cat = freshCatalog()
+    cat.createTable("t", schema, primaryKey = Some("id"))
+    cat.insert("t", Seq((1L, "a", 1.0)).toDF("id", "name", "balance"))
+    val t1 = cat.begin()
+    val t2 = cat.begin()
+    t1.insert("t", Seq((2L, "from-t1", 0.0)).toDF("id", "name", "balance"))
+    t2.insert("t", Seq((3L, "from-t2", 0.0)).toDF("id", "name", "balance"))
+    t1.commit()
+    // t1 published exactly ITS rows — t2's staging never bled in
+    assert(cat.scan("t").orderBy("id").collect().map(_.getString(1)).toSeq
+      == Seq("a", "from-t1"))
+    intercept[IllegalArgumentException] { t2.commit() } // write-write conflict
+    assert(cat.scan("t").count() == 2)
+  }
+
+  test("rolled-back staging is unreachable via asOf and leaves no data files") {
+    val cat = freshCatalog()
+    cat.createTable("t", schema, primaryKey = Some("id"))
+    cat.insert("t", Seq((1L, "a", 1.0)).toDF("id", "name", "balance")) // v1
+    val t = cat.begin()
+    t.insert("t", Seq((2L, "b", 2.0)).toDF("id", "name", "balance"))
+    t.rollback()
+    assert(cat.currentVersion("t") == 1)
+    intercept[Exception] { cat.asOf("t", 2) } // no staged manifest was ever written
+    val dataDirs = new java.io.File(cat.root, "t/data").listFiles().map(_.getName)
+    assert(!dataDirs.exists(_.startsWith("txn-"))) // staged dirs deleted
+  }
+
   test("column defaults are durable: a reopened catalog still applies them") {
     val dir = Files.newTmp()
     val cat = new TableCatalog(spark, dir)

@@ -113,6 +113,46 @@ class GraftSQLSpec extends AnyFunSuite {
     assert(g.execute("SELECT * FROM t").count() == 3)
   }
 
+  test("UPDATE/DELETE inside BEGIN: staged, invisible before COMMIT, undone by ROLLBACK") {
+    val g = session()
+    g.execute("CREATE TABLE acc (id INTEGER PRIMARY KEY, v INTEGER)")
+    g.execute("INSERT INTO acc VALUES (1, 10), (2, 20), (3, 30)")
+
+    val g2 = new GraftSQL(spark, g.catalog) // independent session, same catalog
+    g.execute("BEGIN")
+    g.execute("UPDATE acc SET v = v + 1 WHERE id < 3")
+    g.execute("DELETE FROM acc WHERE id = 3")
+    // read-your-writes in the txn session...
+    assert(g.execute("SELECT v FROM acc WHERE id = 1").collect()(0).getLong(0) == 11)
+    assert(g.execute("SELECT count(*) AS n FROM acc").collect()(0).getLong(0) == 2)
+    // ...invisible to the other session before COMMIT
+    assert(g2.execute("SELECT v FROM acc WHERE id = 1").collect()(0).getLong(0) == 10)
+    assert(g2.execute("SELECT count(*) AS n FROM acc").collect()(0).getLong(0) == 3)
+    g.execute("COMMIT")
+    assert(g2.execute("SELECT v FROM acc WHERE id = 1").collect()(0).getLong(0) == 11)
+    assert(g2.execute("SELECT count(*) AS n FROM acc").collect()(0).getLong(0) == 2)
+
+    g.execute("BEGIN")
+    g.execute("DELETE FROM acc")
+    assert(g.execute("SELECT count(*) AS n FROM acc").collect()(0).getLong(0) == 0)
+    g.execute("ROLLBACK")
+    assert(g.execute("SELECT count(*) AS n FROM acc").collect()(0).getLong(0) == 2)
+  }
+
+  test("write-write conflict through SQL: second committer fails") {
+    val g1 = session()
+    val g2 = new GraftSQL(spark, g1.catalog)
+    g1.execute("CREATE TABLE w (id INTEGER PRIMARY KEY, v INTEGER)")
+    g1.execute("INSERT INTO w VALUES (1, 1)")
+    g1.execute("BEGIN")
+    g2.execute("BEGIN")
+    g1.execute("UPDATE w SET v = 100 WHERE id = 1")
+    g2.execute("UPDATE w SET v = 200 WHERE id = 1")
+    g1.execute("COMMIT")
+    intercept[IllegalArgumentException] { g2.execute("COMMIT") }
+    assert(g1.execute("SELECT v FROM w").collect()(0).getLong(0) == 100)
+  }
+
   test("reference `^` is exponentiation and postfix `!` is factorial (ast.rs:149-150)") {
     val g = session()
     def one(sql: String): Any = g.execute(sql).collect()(0).get(0)
