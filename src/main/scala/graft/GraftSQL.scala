@@ -169,6 +169,7 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
     val unique = Seq.newBuilder[String]
     val defaults = Map.newBuilder[String, Any]
     val references = Map.newBuilder[String, String]
+    val indexes = Seq.newBuilder[String]
     val fields = splitTopLevel(colsBody, ',').map { colDef =>
       val toks = colDef.trim.split("\\s+").toList
       require(toks.size >= 2, s"bad column def: $colDef")
@@ -180,6 +181,7 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
       if (rest.contains("PRIMARY KEY")) pk = Some(cname)
       if (rest.contains("NOT NULL") || rest.contains("PRIMARY KEY")) notNull += cname
       if (rest.contains("UNIQUE")) unique += cname
+      if (restUp.contains("INDEX")) indexes += cname // schema.rs:154-155
       val refRe = raw"(?i)REFERENCES\s+(\w+)".r
       refRe.findFirstMatchIn(colDef).foreach(m => references += cname -> m.group(1))
       val defRe = raw"(?i)DEFAULT\s+(\S+)".r
@@ -197,7 +199,7 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
     }
     catalog.createTable(name, StructType(fields), pk,
       notNull.result().distinct, unique.result(), defaults.result(),
-      references.result())
+      references.result(), indexes.result())
   }
 
   /** Split on `sep` ignoring separators inside parens and strings. */

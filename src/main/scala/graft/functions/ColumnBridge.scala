@@ -9,4 +9,42 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftColumnBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** `(column, comparator, literal-as-string)` for every top-level AND
+    * conjunct of an UNANALYZED Column that has the shape
+    * `col <op> literal` (either side), with the comparator normalized
+    * to the column-on-the-left direction. A freshly built Column holds
+    * sql-api ColumnNodes (operators are UnresolvedFunction nodes), and
+    * those node classes are private[sql] — hence this bridge. Used by
+    * the catalog's manifest-stats index pruning. */
+  def rangeConjuncts(c: Column): Seq[(String, String, String)] = {
+    import org.apache.spark.sql.internal.{ColumnNode, UnresolvedAttribute, UnresolvedFunction, Literal => LitNode}
+    def conjuncts(n: ColumnNode): Seq[ColumnNode] = n match {
+      case f: UnresolvedFunction if f.functionName.equalsIgnoreCase("and") =>
+        f.arguments.flatMap(conjuncts)
+      case other => Seq(other)
+    }
+    def attr(n: ColumnNode): Option[String] = n match {
+      case a: UnresolvedAttribute => Some(a.nameParts.mkString("."))
+      case _ => None
+    }
+    def litStr(n: ColumnNode): Option[String] = n match {
+      case l: LitNode if l.value != null => Some(l.value.toString)
+      case _ => None
+    }
+    def flip(op: String): String = op match {
+      case ">" => "<"; case ">=" => "<="; case "<" => ">"; case "<=" => ">="
+      case other => other
+    }
+    conjuncts(c.node).flatMap {
+      case f: UnresolvedFunction if f.arguments.length == 2 =>
+        val Seq(x, y) = f.arguments
+        (attr(x), litStr(y), attr(y), litStr(x)) match {
+          case (Some(cn), Some(v), _, _) => Some((cn, f.functionName, v))
+          case (_, _, Some(cn), Some(v)) => Some((cn, flip(f.functionName), v))
+          case _ => None
+        }
+      case _ => None
+    }
+  }
 }

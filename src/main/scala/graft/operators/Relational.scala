@@ -480,6 +480,26 @@ object Relational {
         date_trunc("month", col("o_orderdate")).as("month_start"))
       .orderBy("o_orderkey")
 
+  // ---------------------------------------------------------------- q33
+  /** Secondary-index range lookup (reference schema.rs:154-155 per-
+    * column INDEX, plan/mod.rs:77-92 IndexLookup): loads customer into
+    * a catalog table indexed on c_acctbal — range-partitioned sorted
+    * layout + per-file min/max in the manifest — then scans through
+    * the index-pruning path, which hands Spark only the files whose
+    * stats overlap the predicate. Result is identical to the full
+    * filter (the DuckDB oracle proves it); the pruning itself is
+    * spec-asserted (fewer files read than the manifest holds). */
+  def q33IndexLookup(s: SparkSession, d: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-q33").toString
+    val cat = new graft.sources.TableCatalog(s, root)
+    val cust = Tables.customer(s, d)
+    cat.createTable("customer_idx", cust.schema, indexes = Seq("c_acctbal"))
+    cat.insert("customer_idx", cust)
+    cat.scan("customer_idx", col("c_acctbal") >= 9000.0 && col("c_acctbal") <= 9500.0)
+      .select("c_custkey", "c_name", "c_acctbal")
+      .orderBy("c_custkey")
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -514,7 +534,8 @@ object Relational {
     "q29_correlated_exists" -> (q29CorrelatedExists _),
     "q30_not_in"            -> (q30NotIn _),
     "q31_string_funcs"      -> (q31StringFuncs _),
-    "q32_datetime"          -> (q32Datetime _))
+    "q32_datetime"          -> (q32Datetime _),
+    "q33_index_lookup"      -> (q33IndexLookup _))
 
   val oracleSql: Map[String, String] = Map(
     "q01_scan_project" ->
@@ -744,5 +765,9 @@ object Relational {
         |  CAST(dayofmonth(o_orderdate) AS INT) AS dom,
         |  CAST(quarter(o_orderdate) AS INT) AS q,
         |  date_trunc('month', o_orderdate) AS month_start
-        |FROM orders ORDER BY o_orderkey""".stripMargin)
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q33_index_lookup" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE c_acctbal >= 9000 AND c_acctbal <= 9500
+        |ORDER BY c_custkey""".stripMargin)
 }

@@ -45,7 +45,14 @@ class TableCatalog(spark: SparkSession, val root: String) {
     unique: Seq[String],
     defaults: Map[String, Any],
     references: Map[String, String], // column -> referenced table (FK to its PK)
-    version: Int)
+    version: Int,
+    indexes: Seq[String] = Nil) // secondary-indexed columns (schema.rs:154-155)
+
+  /** Per-file column statistics recorded in the manifest for indexed
+    * columns — the pruning metadata a secondary index reduces to on
+    * immutable parquet (values stored as strings, compared under the
+    * column's declared type). */
+  case class FileStat(path: String, column: String, min: String, max: String)
 
   private def tableDir(name: String): Path = Paths.get(root, name)
   private def metaPath(name: String): Path = tableDir(name).resolve("meta.json")
@@ -74,6 +81,7 @@ class TableCatalog(spark: SparkSession, val root: String) {
          |"unique": [${m.unique.map(esc).mkString(",")}],
          |"defaults": $defaults,
          |"references": $refs,
+         |"indexes": [${m.indexes.map(esc).mkString(",")}],
          |"version": ${m.version}}""".stripMargin
     val tmp = tableDir(name).resolve("meta.json.tmp")
     Files.writeString(tmp, json)
@@ -162,7 +170,8 @@ class TableCatalog(spark: SparkSession, val root: String) {
       unique = jsonStrArr(json, "unique"),
       defaults = jsonObjBody(json, "defaults").map(parseDefaults).getOrElse(Map.empty),
       references = refs,
-      version = jsonInt(json, "version"))
+      version = jsonInt(json, "version"),
+      indexes = jsonStrArr(json, "indexes"))
   }
 
   // --------------------------------------------------------------- DDL
@@ -175,16 +184,30 @@ class TableCatalog(spark: SparkSession, val root: String) {
       notNull: Seq[String] = Nil,
       unique: Seq[String] = Nil,
       defaults: Map[String, Any] = Map.empty,
-      references: Map[String, String] = Map.empty): Unit = {
+      references: Map[String, String] = Map.empty,
+      indexes: Seq[String] = Nil): Unit = {
     require(!exists(name), s"table already exists: $name")
     references.foreach { case (c, t) =>
       require(exists(t), s"FK $name.$c references unknown table $t")
       require(meta(t).primaryKey.isDefined, s"FK $name.$c: $t has no primary key")
     }
+    indexes.foreach { c =>
+      val f = schema.fields.find(_.name == c)
+      require(f.isDefined, s"INDEX $name.$c: no such column")
+      require(indexable(f.get.dataType), s"INDEX $name.$c: unorderable type ${f.get.dataType}")
+    }
     Files.createDirectories(tableDir(name).resolve("versions"))
     Files.createDirectories(tableDir(name).resolve("data"))
     writeManifest(name, 0, Nil)
-    writeMeta(name, TableMeta(schema, primaryKey, notNull, unique, defaults, references, 0))
+    writeMeta(name,
+      TableMeta(schema, primaryKey, notNull, unique, defaults, references, 0, indexes))
+  }
+
+  private def indexable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case _: org.apache.spark.sql.types.NumericType => true
+    case org.apache.spark.sql.types.StringType => true
+    case org.apache.spark.sql.types.TimestampType | org.apache.spark.sql.types.DateType => true
+    case _ => false
   }
 
   def dropTable(name: String): Unit = {
@@ -197,13 +220,28 @@ class TableCatalog(spark: SparkSession, val root: String) {
   }
 
   // ---------------------------------------------------------- manifests
-  private def writeManifest(name: String, v: Int, dirs: Seq[String]): Unit =
+  private def writeManifest(name: String, v: Int, dirs: Seq[String],
+      stats: Seq[FileStat] = Nil): Unit = {
+    val statJson = stats.map(f =>
+      s"""{"path": ${esc(f.path)}, "column": ${esc(f.column)}, """ +
+        s""""mn": ${esc(f.min)}, "mx": ${esc(f.max)}}""").mkString("[", ",", "]")
     Files.writeString(manifestPath(name, v),
-      s"""{"dirs": [${dirs.map(esc).mkString(",")}]}""")
+      s"""{"dirs": [${dirs.map(esc).mkString(",")}], "stats": $statJson}""")
+  }
 
   private def readManifest(name: String, v: Int): Seq[String] = {
     require(Files.exists(manifestPath(name, v)), s"no version $v of $name")
     jsonStrArr(Files.readString(manifestPath(name, v)), "dirs")
+  }
+
+  private def readStats(name: String, v: Int): Seq[FileStat] = {
+    if (!Files.exists(manifestPath(name, v))) return Nil
+    val json = Files.readString(manifestPath(name, v))
+    val entry = ("""\{"path": "((?:[^"\\]|\\.)*)", "column": "((?:[^"\\]|\\.)*)", """ +
+      """"mn": "((?:[^"\\]|\\.)*)", "mx": "((?:[^"\\]|\\.)*)"\}""").r
+    entry.findAllMatchIn(json).map(m =>
+      FileStat(unesc(m.group(1)), unesc(m.group(2)), unesc(m.group(3)), unesc(m.group(4))))
+      .toSeq
   }
 
   // --------------------------------------------------------------- read
@@ -215,6 +253,94 @@ class TableCatalog(spark: SparkSession, val root: String) {
   /** MVCC time travel: scan the table as of `version`. */
   def asOf(name: String, version: Int): DataFrame =
     frameOf(meta(name).schema, readManifest(name, version))
+
+  /** Index-pruned scan: the Spark-native analog of the reference's
+    * `IndexLookup` / `KeyLookup` plan nodes (plan/mod.rs:77-92) and its
+    * IndexLookup optimizer pass (plan/mod.rs:42). Simple range/equality
+    * conjuncts over indexed columns are extracted from `filter`
+    * driver-side and evaluated against the manifest's per-file min/max,
+    * so files that cannot contain matches are never handed to Spark —
+    * the scan is O(matching files), not O(table), before row-group
+    * pruning even starts. The full filter is still applied on top, so
+    * the result is exactly `scan(name).filter(filter)` for any
+    * predicate, prunable or not. */
+  def scan(name: String, filter: Column): DataFrame = {
+    val (kept, _) = planFiles(name, filter)
+    frameOf(meta(name).schema, kept).filter(filter)
+  }
+
+  /** (files the pruned scan reads, all files in the current manifest).
+    * Exposed for plan inspection/specs. */
+  def planFiles(name: String, filter: Column): (Seq[String], Seq[String]) = {
+    val m = meta(name)
+    val dirs = readManifest(name, m.version)
+    val stats = readStats(name, m.version)
+    if (m.indexes.isEmpty || stats.isEmpty) return (dirs, dirs)
+    val allFiles = stats.map(_.path).distinct
+    // prune only on numeric/string indexed columns: their literal and
+    // stat encodings compare consistently (timestamp literals arrive
+    // as epoch micros, stats as formatted strings — those columns
+    // still get the sorted layout + parquet row-group stats, just no
+    // manifest pruning)
+    val ranges = extractRanges(filter)
+      .filter { case (c: String, _) =>
+        m.indexes.contains(c) && (m.schema(c).dataType match {
+          case _: org.apache.spark.sql.types.NumericType => true
+          case org.apache.spark.sql.types.StringType => true
+          case _ => false
+        })
+      }
+    if (ranges.isEmpty) return (allFiles, allFiles)
+    val byFile = stats.groupBy(_.path)
+    val kept = allFiles.filter { f =>
+      byFile(f).forall { st =>
+        ranges.get(st.column).forall { case (lo, hi) =>
+          val dt = m.schema(st.column).dataType
+          lo.forall(b => cmpTyped(dt, st.max, b.value) >= (if (b.inclusive) 0 else 1)) &&
+          hi.forall(b => cmpTyped(dt, st.min, b.value) <= (if (b.inclusive) 0 else -1))
+        }
+      }
+    }
+    (kept, allFiles)
+  }
+
+  private case class Bound(value: String, inclusive: Boolean)
+
+  /** Range constraints per column from the top-level AND conjuncts of
+    * an (unanalyzed) filter Column — `col <op> literal` shapes only.
+    * Anything non-extractable is simply not used for pruning (never
+    * unsound — the full filter re-applies after the read). */
+  private def extractRanges(filter: Column): Map[String, (Option[Bound], Option[Bound])] = {
+    val perCol = scala.collection.mutable.Map[String, (Option[Bound], Option[Bound])]()
+    def add(c: String, lo: Option[Bound], hi: Option[Bound]): Unit = {
+      val (l0, h0) = perCol.getOrElse(c, (None, None))
+      // overlapping constraints on one column: later bound wins —
+      // sound, because pruning with a subset of constraints can only
+      // keep extra files, never drop matching ones
+      perCol(c) = (lo.orElse(l0), hi.orElse(h0))
+    }
+    org.apache.spark.sql.GraftColumnBridge.rangeConjuncts(filter).foreach {
+      case (c, "=" | "==", v) =>
+        add(c, Some(Bound(v, inclusive = true)), Some(Bound(v, inclusive = true)))
+      case (c, ">", v)  => add(c, Some(Bound(v, inclusive = false)), None)
+      case (c, ">=", v) => add(c, Some(Bound(v, inclusive = true)), None)
+      case (c, "<", v)  => add(c, None, Some(Bound(v, inclusive = false)))
+      case (c, "<=", v) => add(c, None, Some(Bound(v, inclusive = true)))
+      case _ => // unsupported comparator — no pruning contribution
+    }
+    perCol.toMap
+  }
+
+  /** Compare two stat/literal strings under the column's declared
+    * type: numerics numerically, everything else lexicographically
+    * (ISO-formatted timestamps/dates order correctly as strings). */
+  private def cmpTyped(dt: org.apache.spark.sql.types.DataType, a: String, b: String): Int = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case _: NumericType => BigDecimal(a).compare(BigDecimal(b))
+      case _ => a.compareTo(b)
+    }
+  }
 
   private def frameOf(schema: StructType, dirs: Seq[String]): DataFrame =
     if (dirs.isEmpty) spark.createDataFrame(
@@ -306,8 +432,9 @@ class TableCatalog(spark: SparkSession, val root: String) {
     val combined = if (m.version == 0) aligned else scan(name).unionByName(aligned)
     validate(m, name, combined)
     val dir = tableDir(name).resolve(s"data/delta-$next").toString
-    aligned.write.mode("overwrite").parquet(dir)
-    writeManifest(name, next, readManifest(name, m.version) :+ dir)
+    writeData(m, aligned, dir)
+    writeManifest(name, next, readManifest(name, m.version) :+ dir,
+      readStats(name, m.version) ++ collectStats(m, dir))
     if (publish) writeMeta(name, m.copy(version = next))
     next
   }
@@ -316,11 +443,49 @@ class TableCatalog(spark: SparkSession, val root: String) {
     val next = m.version + 1
     validate(m, name, df.cache())
     val dir = tableDir(name).resolve(s"data/snap-$next").toString
-    df.write.mode("overwrite").parquet(dir)
+    writeData(m, df, dir)
     df.unpersist()
-    writeManifest(name, next, Seq(dir))
+    writeManifest(name, next, Seq(dir), collectStats(m, dir))
     if (publish) writeMeta(name, m.copy(version = next))
     next
+  }
+
+  /** Physical layout: an indexed table is range-partitioned and sorted
+    * on its indexed columns before writing, so each parquet file covers
+    * a narrow, mostly-disjoint value range — what makes the per-file
+    * min/max stats selective. (The clustered-storage analog of the
+    * reference's B-tree secondary index: on immutable columnar files,
+    * an index IS sort order + zone metadata.) */
+  private def writeData(m: TableMeta, df: DataFrame, dir: String): Unit = {
+    val out =
+      if (m.indexes.isEmpty) df
+      else {
+        val cols = m.indexes.map(col)
+        df.repartitionByRange(spark.sparkContext.defaultParallelism, cols: _*)
+          .sortWithinPartitions(cols: _*)
+      }
+    out.write.mode("overwrite").parquet(dir)
+  }
+
+  /** Per-file min/max of every indexed column, one small aggregate job
+    * over the freshly written dir. */
+  private def collectStats(m: TableMeta, dir: String): Seq[FileStat] = {
+    if (m.indexes.isEmpty) return Nil
+    val aggs = m.indexes.flatMap(c =>
+      Seq(min(col(c)).cast("string").as(s"mn_$c"), max(col(c)).cast("string").as(s"mx_$c")))
+    spark.read.schema(m.schema).parquet(dir)
+      .groupBy(input_file_name().as("path"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .toSeq
+      .flatMap { r =>
+        val path = r.getAs[String]("path")
+        m.indexes.flatMap { c =>
+          val mn = r.getAs[String](s"mn_$c")
+          val mx = r.getAs[String](s"mx_$c")
+          if (mn == null || mx == null) None else Some(FileStat(path, c, mn, mx))
+        }
+      }
   }
 
   // ------------------------------------------------------------- txn

@@ -157,6 +157,36 @@ class CatalogSpec extends AnyFunSuite {
     assert(!dataDirs.exists(_.startsWith("txn-"))) // staged dirs deleted
   }
 
+  test("secondary index: sorted layout + manifest min/max pruning reads fewer files") {
+    val cat = freshCatalog()
+    val sc = StructType(Seq(
+      StructField("id", LongType), StructField("v", DoubleType)))
+    cat.createTable("ix", sc, indexes = Seq("id"))
+    cat.insert("ix",
+      spark.range(0, 10000).select(col("id"), (col("id") * 1.5).as("v")))
+    val filter = col("id") >= 100 && col("id") < 200
+    val (kept, all) = cat.planFiles("ix", filter)
+    assert(all.size > 1, s"expected a multi-file layout, got ${all.size}")
+    assert(kept.size < all.size, s"no pruning: ${kept.size}/${all.size}")
+    // pruned scan returns exactly the full-scan result
+    val got = cat.scan("ix", filter).orderBy("id").collect().map(_.getLong(0)).toSeq
+    assert(got == (100L until 200L))
+    // point lookup prunes to a single file's range
+    val (kept1, _) = cat.planFiles("ix", col("id") === 5000L)
+    assert(kept1.size <= math.max(1, all.size / 2))
+    assert(cat.scan("ix", col("id") === 5000L).count() == 1)
+    // non-prunable predicate stays correct (falls back to all files)
+    assert(cat.scan("ix", col("v") < 15.0).count() == 10)
+    // the index survives a catalog reopen
+    assert(new TableCatalog(spark, cat.root).meta("ix").indexes == Seq("id"))
+  }
+
+  test("SQL INDEX keyword routes into the catalog index") {
+    val g = new GraftSQL(spark, freshCatalog())
+    g.execute("CREATE TABLE ixt (id INTEGER PRIMARY KEY, score DOUBLE INDEX)")
+    assert(g.catalog.meta("ixt").indexes == Seq("score"))
+  }
+
   test("column defaults are durable: a reopened catalog still applies them") {
     val dir = Files.newTmp()
     val cat = new TableCatalog(spark, dir)
