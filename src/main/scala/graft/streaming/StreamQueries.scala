@@ -46,8 +46,68 @@ object StreamQueries {
     s.table("graft_st01_sink").orderBy("hour_start", "event_type")
   }
 
+  /** st02: the q26 sessionization executed by the streaming engine
+    * through [[Streams.sessionize]] (flatMapGroupsWithState custom
+    * state). Bounded input is staged as three stream files — the real
+    * events, then two far-future sentinel rows — because event-time
+    * timeouts fire against the PREVIOUS batch's watermark: sentinel 1
+    * advances the watermark past every real session's gap, sentinel 2
+    * triggers the batch in which those timeouts flush. The sentinel
+    * user's own (still-open) session is filtered out. Result must
+    * equal the batch/DuckDB sessionization exactly. */
+  def st02StreamState(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import java.nio.file.{Files => JFiles}
+    val batch = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_type"),
+        col("value").cast("double").as("value"))
+
+    val tmp = JFiles.createTempDirectory("graft-st02")
+    val streamDir = tmp.resolve("stream")
+    JFiles.createDirectories(streamDir)
+    def writeChunk(df: DataFrame, n: Int): Unit = {
+      val staging = tmp.resolve(s"chunk$n")
+      df.coalesce(1).write.parquet(staging.toString)
+      val part = JFiles.list(staging).iterator()
+      val dest = streamDir.resolve(f"chunk-$n%04d.parquet")
+      while (part.hasNext) {
+        val p = part.next()
+        if (p.getFileName.toString.endsWith(".parquet")) JFiles.move(p, dest)
+      }
+      dest.toFile.setLastModified(1700000000000L + n * 60000L) // source order
+    }
+    val maxTs = batch.agg(max(col("ts"))).head().getTimestamp(0)
+    def sentinel(offMs: Long): DataFrame = Seq(
+      (-1L, new java.sql.Timestamp(maxTs.getTime + offMs), "sentinel", 0.0))
+      .toDF("user_id", "ts", "event_type", "value")
+    writeChunk(batch, 0)
+    writeChunk(sentinel(86400000L), 1)  // + 1 day
+    writeChunk(sentinel(172800000L), 2) // + 2 days
+
+    val stream = s.readStream.schema(batch.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(streamDir.toString)
+      .as[Streams.Event]
+    val q = Streams.sessionize(stream, gapMinutes = 30, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("graft_st02_sink")
+      .outputMode(OutputMode.Append)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+
+    s.table("graft_st02_sink")
+      .filter(col("user_id") >= 0)
+      .select(col("user_id"), col("start_ts"), col("end_ts"), col("n_events"),
+        // values are money-like 2-decimal doubles; rounding removes the
+        // fp accumulation-order noise so the result is bit-stable
+        // against the oracle's exact DECIMAL sum
+        round(col("total_value"), 2).as("total_value"))
+      .orderBy("user_id", "start_ts")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "st01_stream_window" -> (st01StreamWindow _))
+    "st01_stream_window" -> (st01StreamWindow _),
+    "st02_stream_state"  -> (st02StreamState _))
 
   /** Same oracle as the batch twin: tumbling 1h windows aligned to the
     * epoch are exactly date_trunc('hour'). */
@@ -57,5 +117,27 @@ object StreamQueries {
         |       COUNT(*) AS n_events,
         |       CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS sum_value
         |FROM events
-        |GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin)
+        |GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
+    "st02_stream_state" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, ts, value,
+        |         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+        |              THEN 1
+        |              WHEN LAG(epoch_us(ts)) OVER w IS NULL THEN 1
+        |              ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), numbered AS (
+        |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flagged
+        |)
+        |SELECT user_id,
+        |       CAST(MIN(ts) AS TIMESTAMP) AS start_ts,
+        |       CAST(MAX(ts) AS TIMESTAMP) AS end_ts,
+        |       CAST(COUNT(*) AS INT) AS n_events,
+        |       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
+        |FROM numbered
+        |GROUP BY user_id, session_id
+        |ORDER BY user_id, start_ts""".stripMargin)
 }

@@ -27,8 +27,11 @@ object Streams {
     total_value: Double)
 
   // public, not private: the state encoder's generated code must be
-  // able to call the accessors from Janino-compiled classes
-  case class SessionBuf(startMs: Long, lastMs: Long, n: Int, total: Double)
+  // able to call the accessors from Janino-compiled classes.
+  // Times in epoch MICROSECONDS: the event timestamps carry µs
+  // precision, and Timestamp.getTime alone (ms) would truncate
+  // session boundaries away from the batch/oracle computation.
+  case class SessionBuf(startUs: Long, lastUs: Long, n: Int, total: Double)
 
   /** st01: watermarked tumbling-window aggregation. State is bounded
     * by the watermark: windows older than `watermark` behind the max
@@ -55,11 +58,19 @@ object Streams {
       watermark: String = "10 minutes"): Dataset[Session] = {
     val spark = events.sparkSession
     import spark.implicits._
-    val gapMs = gapMinutes * 60000L
+    val gapUs = gapMinutes * 60000000L
 
+    // local defs (not object members): the state function must not
+    // capture the non-serializable enclosing object
+    def micros(t: java.sql.Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    def fromMicros(us: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+      t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+      t
+    }
     def flush(userId: Long, b: SessionBuf): Session =
-      Session(userId, new java.sql.Timestamp(b.startMs), new java.sql.Timestamp(b.lastMs),
-        b.n, b.total)
+      Session(userId, fromMicros(b.startUs), fromMicros(b.lastUs), b.n, b.total)
 
     events
       .withWatermark("ts", watermark)
@@ -73,14 +84,22 @@ object Streams {
             state.remove()
             out.iterator
           } else {
-            val sorted = it.toSeq.sortBy(_.ts.getTime)
+            // batch execution never fires event-time timeouts (there is
+            // no watermark), so the trailing open session must be
+            // emitted at end-of-iterator instead of parked in state
+            // that batch execution discards — this is what makes the
+            // operator give the same answer on a bounded frame
+            val isStreaming =
+              try { state.getCurrentWatermarkMs(); true }
+              catch { case _: UnsupportedOperationException => false }
+            val sorted = it.toSeq.sortBy(e => micros(e.ts))
             var buf = state.getOption
             val closed = List.newBuilder[Session]
             for (e <- sorted) {
-              val t = e.ts.getTime
+              val t = micros(e.ts)
               buf match {
-                case Some(b) if t - b.lastMs <= gapMs =>
-                  buf = Some(b.copy(lastMs = math.max(b.lastMs, t), n = b.n + 1,
+                case Some(b) if t - b.lastUs <= gapUs =>
+                  buf = Some(b.copy(lastUs = math.max(b.lastUs, t), n = b.n + 1,
                     total = b.total + e.value))
                 case Some(b) =>
                   closed += flush(userId, b)
@@ -89,9 +108,13 @@ object Streams {
                   buf = Some(SessionBuf(t, t, 1, e.value))
               }
             }
-            buf.foreach { b =>
-              state.update(b)
-              state.setTimeoutTimestamp(b.lastMs + gapMs)
+            if (isStreaming) {
+              buf.foreach { b =>
+                state.update(b)
+                state.setTimeoutTimestamp(b.lastUs / 1000L + gapUs / 1000L)
+              }
+            } else {
+              buf.foreach(b => closed += flush(userId, b))
             }
             closed.result().iterator
           }

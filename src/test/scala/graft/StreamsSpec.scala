@@ -73,4 +73,29 @@ class StreamsSpec extends AnyFunSuite {
     assert(u1(1).n_events == 1 && u1(1).total_value == 3.0)
     assert(sessions(2L).head.n_events == 1)
   }
+
+  test("st02 batch parity: a bounded frame emits the trailing open session too") {
+    import spark.implicits._
+    val events = Seq(
+      Event(1, ts(0), "click", 1.0), Event(1, ts(5), "click", 2.0),
+      Event(1, ts(45), "view", 3.0),
+      Event(2, ts(2), "view", 1.0)).toDS()
+    // batch execution never fires event-time timeouts — without the
+    // end-of-iterator flush every user's last session would vanish
+    val sessions = Streams.sessionize(events, gapMinutes = 30, watermark = "1 minute")
+      .collect().groupBy(_.user_id).view.mapValues(_.sortBy(_.start_ts.getTime)).toMap
+    assert(sessions(1L).length == 2, s"user1: ${sessions.get(1L)}")
+    assert(sessions(1L)(1).n_events == 1 && sessions(1L)(1).total_value == 3.0)
+    assert(sessions(2L).length == 1) // user2's only session is open-ended
+  }
+
+  test("sessionize preserves microsecond timestamps end-to-end") {
+    import spark.implicits._
+    val t0 = new java.sql.Timestamp(1700000000000L)
+    t0.setNanos(123456000) // .123456 s
+    val out = Streams.sessionize(Seq(Event(7, t0, "click", 1.0)).toDS(),
+      gapMinutes = 30, watermark = "1 minute").collect()
+    assert(out.length == 1)
+    assert(out(0).start_ts.getNanos == 123456000, s"got ${out(0).start_ts.getNanos}")
+  }
 }
