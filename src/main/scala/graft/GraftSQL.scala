@@ -28,6 +28,8 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
   private var txn: Option[catalog.Txn] = None
   private var asOf: Option[Int] = None
   private var readOnly: Boolean = false
+  // views the last SELECT registered (observable registration scope)
+  private[graft] var lastRegistered: Seq[String] = Nil
 
   private val typeMap: Map[String, DataType] = Map(
     "BOOLEAN" -> BooleanType, "BOOL" -> BooleanType,
@@ -36,12 +38,18 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
     "STRING" -> StringType, "TEXT" -> StringType, "VARCHAR" -> StringType,
     "CHAR" -> StringType)
 
-  /** Tables known to the catalog (directory listing = catalog scan). */
+  /** Tables known to the catalog (directory listing = catalog scan),
+    * adjusted for the active txn's staged DDL: its created tables are
+    * visible, its dropped tables are not. */
   private def tableNames: Seq[String] = {
     val rootDir = new java.io.File(catalogRoot)
-    Option(rootDir.listFiles()).toSeq.flatten
+    val base = Option(rootDir.listFiles()).toSeq.flatten
       .filter(f => f.isDirectory && new java.io.File(f, "meta.json").exists())
-      .map(_.getName).sorted
+      .map(_.getName)
+    (txn match {
+      case Some(t) => base.filterNot(t.droppedTableNames.contains) ++ t.createdTableNames
+      case None    => base
+    }).sorted
   }
   private def catalogRoot: String = catalog.root
 
@@ -99,11 +107,16 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
 
     s match {
       case createRe(name, colsBody) =>
+        require(asOf.isEmpty && !readOnly, "read-only transaction")
         createTable(name, colsBody)
         Seq(s"CREATE TABLE $name").toDF("status")
 
       case dropRe(name) =>
-        catalog.dropTable(name)
+        require(asOf.isEmpty && !readOnly, "read-only transaction")
+        txn match {
+          case Some(t) => t.dropTable(name)
+          case None    => catalog.dropTable(name)
+        }
         Seq(s"DROP TABLE $name").toDF("status")
 
       case insertRe(name, colList, valuesBody) =>
@@ -113,7 +126,8 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
         val raw = spark.sql(s"SELECT * FROM VALUES $valuesBody")
         val targetCols: Seq[String] = Option(colList) match {
           case Some(cl) => cl.split(",").map(_.trim).toSeq
-          case None     => catalog.meta(name).schema.fieldNames.toSeq
+          case None =>
+            txn.map(_.metaOf(name)).getOrElse(catalog.meta(name)).schema.fieldNames.toSeq
         }
         require(raw.columns.length == targetCols.length,
           s"INSERT arity: ${raw.columns.length} values vs ${targetCols.length} columns")
@@ -150,12 +164,16 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
         // register snapshot views at the txn/as-of version for only the
         // tables the query references (each registration costs a footer
         // read — the full catalog would be O(tables) per statement),
-        // then let Spark SQL run the whole query
-        tableNames
+        // let Spark SQL run the whole query, then drop the views:
+        // spark.sql analyzes eagerly, so the returned frame stays
+        // valid, and no txn-private snapshot lingers in the session's
+        // shared temp-view namespace for another GraftSQL to resolve
+        lastRegistered = tableNames
           .filter(n => ("(?i)\\b" + java.util.regex.Pattern.quote(n) + "\\b")
             .r.findFirstIn(s).isDefined)
-          .foreach(n => currentScan(n).createOrReplaceTempView(n))
-        spark.sql(s)
+        lastRegistered.foreach(n => currentScan(n).createOrReplaceTempView(n))
+        try spark.sql(s)
+        finally lastRegistered.foreach(spark.catalog.dropTempView)
 
       case other =>
         throw new IllegalArgumentException(s"unsupported statement: $other")
@@ -197,9 +215,16 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
       val nullable = !(rest.contains("NOT NULL") || rest.contains("PRIMARY KEY"))
       StructField(cname, dtype, nullable)
     }
-    catalog.createTable(name, StructType(fields), pk,
-      notNull.result().distinct, unique.result(), defaults.result(),
-      references.result(), indexes.result())
+    txn match {
+      case Some(t) =>
+        t.createTable(name, StructType(fields), pk,
+          notNull.result().distinct, unique.result(), defaults.result(),
+          references.result(), indexes.result())
+      case None =>
+        catalog.createTable(name, StructType(fields), pk,
+          notNull.result().distinct, unique.result(), defaults.result(),
+          references.result(), indexes.result())
+    }
   }
 
   /** Split on `sep` ignoring separators inside parens and strings. */

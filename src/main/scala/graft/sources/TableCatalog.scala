@@ -36,23 +36,9 @@ import scala.jdk.CollectionConverters._
   */
 class TableCatalog(spark: SparkSession, val root: String) {
 
+  import TableCatalog.{FileStat, TableMeta}
+
   Files.createDirectories(Paths.get(root))
-
-  case class TableMeta(
-    schema: StructType,
-    primaryKey: Option[String],
-    notNull: Seq[String],
-    unique: Seq[String],
-    defaults: Map[String, Any],
-    references: Map[String, String], // column -> referenced table (FK to its PK)
-    version: Int,
-    indexes: Seq[String] = Nil) // secondary-indexed columns (schema.rs:154-155)
-
-  /** Per-file column statistics recorded in the manifest for indexed
-    * columns — the pruning metadata a secondary index reduces to on
-    * immutable parquet (values stored as strings, compared under the
-    * column's declared type). */
-  case class FileStat(path: String, column: String, min: String, max: String)
 
   private def tableDir(name: String): Path = Paths.get(root, name)
   private def metaPath(name: String): Path = tableDir(name).resolve("meta.json")
@@ -250,9 +236,22 @@ class TableCatalog(spark: SparkSession, val root: String) {
   /** Scan the current snapshot. */
   def scan(name: String): DataFrame = asOf(name, currentVersion(name))
 
+  // Manifests store dirs and stat file paths RELATIVE to the table
+  // dir, so a table (or a whole catalog) is relocatable — a staged
+  // CREATE TABLE publishes by atomically moving its directory into the
+  // catalog root, and every manifest it carries stays valid.
+  private def absTableDir(name: String): Path =
+    tableDir(name).toAbsolutePath.normalize
+  private def resolveDirs(name: String, rels: Seq[String]): Seq[String] =
+    rels.map(r => absTableDir(name).resolve(r).toString)
+  private def relativizeFile(name: String, fileUri: String): String = {
+    val p = Paths.get(new java.net.URI(fileUri).getPath).toAbsolutePath.normalize
+    absTableDir(name).relativize(p).toString
+  }
+
   /** MVCC time travel: scan the table as of `version`. */
   def asOf(name: String, version: Int): DataFrame =
-    frameOf(meta(name).schema, readManifest(name, version))
+    frameOf(meta(name).schema, resolveDirs(name, readManifest(name, version)))
 
   /** Index-pruned scan: the Spark-native analog of the reference's
     * `IndexLookup` / `KeyLookup` plan nodes (plan/mod.rs:77-92) and its
@@ -266,7 +265,7 @@ class TableCatalog(spark: SparkSession, val root: String) {
     * predicate, prunable or not. */
   def scan(name: String, filter: Column): DataFrame = {
     val (kept, _) = planFiles(name, filter)
-    frameOf(meta(name).schema, kept).filter(filter)
+    frameOf(meta(name).schema, resolveDirs(name, kept)).filter(filter)
   }
 
   /** (files the pruned scan reads, all files in the current manifest).
@@ -431,10 +430,10 @@ class TableCatalog(spark: SparkSession, val root: String) {
     val next = m.version + 1
     val combined = if (m.version == 0) aligned else scan(name).unionByName(aligned)
     validate(m, name, combined)
-    val dir = tableDir(name).resolve(s"data/delta-$next").toString
-    writeData(m, aligned, dir)
-    writeManifest(name, next, readManifest(name, m.version) :+ dir,
-      readStats(name, m.version) ++ collectStats(m, dir))
+    val rel = s"data/delta-$next"
+    writeData(m, aligned, absTableDir(name).resolve(rel).toString)
+    writeManifest(name, next, readManifest(name, m.version) :+ rel,
+      readStats(name, m.version) ++ collectStats(m, name, rel))
     if (publish) writeMeta(name, m.copy(version = next))
     next
   }
@@ -442,10 +441,10 @@ class TableCatalog(spark: SparkSession, val root: String) {
   private def rewrite(name: String, m: TableMeta, df: DataFrame, publish: Boolean): Int = {
     val next = m.version + 1
     validate(m, name, df.cache())
-    val dir = tableDir(name).resolve(s"data/snap-$next").toString
-    writeData(m, df, dir)
+    val rel = s"data/snap-$next"
+    writeData(m, df, absTableDir(name).resolve(rel).toString)
     df.unpersist()
-    writeManifest(name, next, Seq(dir), collectStats(m, dir))
+    writeManifest(name, next, Seq(rel), collectStats(m, name, rel))
     if (publish) writeMeta(name, m.copy(version = next))
     next
   }
@@ -468,18 +467,18 @@ class TableCatalog(spark: SparkSession, val root: String) {
   }
 
   /** Per-file min/max of every indexed column, one small aggregate job
-    * over the freshly written dir. */
-  private def collectStats(m: TableMeta, dir: String): Seq[FileStat] = {
+    * over the freshly written dir. Paths stored table-relative. */
+  private def collectStats(m: TableMeta, name: String, relDir: String): Seq[FileStat] = {
     if (m.indexes.isEmpty) return Nil
     val aggs = m.indexes.flatMap(c =>
       Seq(min(col(c)).cast("string").as(s"mn_$c"), max(col(c)).cast("string").as(s"mx_$c")))
-    spark.read.schema(m.schema).parquet(dir)
+    spark.read.schema(m.schema).parquet(absTableDir(name).resolve(relDir).toString)
       .groupBy(input_file_name().as("path"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
       .toSeq
       .flatMap { r =>
-        val path = r.getAs[String]("path")
+        val path = relativizeFile(name, r.getAs[String]("path"))
         m.indexes.flatMap { c =>
           val mn = r.getAs[String](s"mn_$c")
           val mx = r.getAs[String](s"mx_$c")
@@ -491,30 +490,95 @@ class TableCatalog(spark: SparkSession, val root: String) {
   // ------------------------------------------------------------- txn
   /** Snapshot-isolation-style transaction (analog of the reference's
     * engine txn API, engine/mod.rs:49-61: scan/insert/update/delete
-    * all mutate freely inside the txn).
+    * all mutate freely inside the txn, and DDL runs through the same
+    * txn machinery as in engine/kv.rs).
     *
     * Staged writes land in data dirs unique to this txn
     * (`data/txn-<id>-<n>`), so two concurrent txns on the same table
     * never write the same path — and NO manifest or version pointer is
     * touched before commit, so staged state is invisible to readers
-    * and to `asOf` time travel. COMMIT re-checks each table's version
-    * against the txn's base (first-committer-wins write-write
-    * conflict), then writes the canonical manifest + pointer; ROLLBACK
-    * deletes the staged dirs outright. Reads inside the txn see its
-    * own writes (the staged dir list IS the txn's view). */
+    * and to `asOf` time travel. A staged CREATE TABLE builds the whole
+    * table inside a txn-private nested catalog (`.txn-<id>/`) and
+    * publishes by atomically MOVING the table directory into the root
+    * (manifests are table-relative, so they survive the move); a
+    * staged DROP defers until commit. COMMIT conflict-checks
+    * everything first (first-committer-wins), then publishes; ROLLBACK
+    * deletes all staging outright. Reads inside the txn see its own
+    * writes and its own DDL. */
   class Txn private[TableCatalog] () {
     private val txnId = java.util.UUID.randomUUID().toString.take(8)
-    // table -> (base version at first write, dir list composing the txn view)
+    // table -> (base version at first write, rel-dir list composing the txn view)
     private val staged = scala.collection.mutable.LinkedHashMap[String, (Int, Seq[String])]()
     private val createdDirs = scala.collection.mutable.ArrayBuffer[Path]()
+    private val droppedTables = scala.collection.mutable.LinkedHashSet[String]()
     private var seq = 0
     private var closed = false
 
-    /** The txn's view of `name`: staged dirs if written, else the
-      * committed snapshot. */
-    def scan(name: String): DataFrame = staged.get(name) match {
-      case Some((_, dirs)) => frameOf(meta(name).schema, dirs)
-      case None            => TableCatalog.this.scan(name)
+    // txn-private catalog holding tables CREATEd inside this txn
+    private lazy val stagedCat =
+      new TableCatalog(spark, Paths.get(root, s".txn-$txnId").toString)
+    private val createdTables = scala.collection.mutable.LinkedHashSet[String]()
+
+    private def open(): Unit = require(!closed, "transaction closed")
+    private def visible(name: String): Unit =
+      require(!droppedTables.contains(name), s"no such table: $name (dropped in txn)")
+
+    /** Tables this txn created (visible only inside it until commit). */
+    def createdTableNames: Seq[String] = createdTables.toSeq
+    /** Tables this txn dropped (still visible to everyone else). */
+    def droppedTableNames: Seq[String] = droppedTables.toSeq
+
+    /** Schema metadata under the txn's view of the catalog. */
+    def metaOf(name: String): TableMeta = {
+      visible(name)
+      if (createdTables.contains(name)) stagedCat.meta(name)
+      else TableCatalog.this.meta(name)
+    }
+
+    /** Staged CREATE TABLE: fully usable inside the txn, invisible
+      * outside until commit. */
+    def createTable(
+        name: String,
+        schema: StructType,
+        primaryKey: Option[String] = None,
+        notNull: Seq[String] = Nil,
+        unique: Seq[String] = Nil,
+        defaults: Map[String, Any] = Map.empty,
+        references: Map[String, String] = Map.empty,
+        indexes: Seq[String] = Nil): Unit = {
+      open()
+      require(!TableCatalog.this.exists(name) || droppedTables.contains(name),
+        s"table already exists: $name")
+      require(!createdTables.contains(name), s"table already exists: $name")
+      stagedCat.createTable(name, schema, primaryKey, notNull, unique,
+        defaults, references, indexes)
+      createdTables += name
+    }
+
+    /** Staged DROP TABLE: gone inside the txn, untouched outside until
+      * commit. Dropping a table created in this txn just unstages it. */
+    def dropTable(name: String): Unit = {
+      open()
+      if (createdTables.contains(name)) {
+        stagedCat.dropTable(name)
+        createdTables -= name
+      } else {
+        visible(name)
+        require(TableCatalog.this.exists(name), s"no such table: $name")
+        droppedTables += name
+        staged.remove(name) // staged writes to a table we then drop die with it
+      }
+    }
+
+    /** The txn's view of `name`: txn-created table, staged dirs if
+      * written, else the committed snapshot. */
+    def scan(name: String): DataFrame = {
+      visible(name)
+      if (createdTables.contains(name)) stagedCat.scan(name)
+      else staged.get(name) match {
+        case Some((_, dirs)) => frameOf(meta(name).schema, resolveDirs(name, dirs))
+        case None            => TableCatalog.this.scan(name)
+      }
     }
 
     private def baseOf(name: String): Int =
@@ -526,15 +590,16 @@ class TableCatalog(spark: SparkSession, val root: String) {
 
     private def freshDir(name: String): String = {
       seq += 1
-      val p = tableDir(name).resolve(s"data/txn-$txnId-$seq")
-      createdDirs += p
-      p.toString
+      val rel = s"data/txn-$txnId-$seq"
+      createdDirs += absTableDir(name).resolve(rel)
+      rel
     }
 
     /** Staged append: validated against the txn view (read-your-writes,
       * txn-view FK resolution), written to a txn-unique dir. */
     def insert(name: String, df: DataFrame): Unit = {
-      require(!closed, "transaction closed")
+      open(); visible(name)
+      if (createdTables.contains(name)) { stagedCat.insert(name, df); return }
       val m = meta(name)
       val base = baseOf(name)
       val dirs = viewDirs(name)
@@ -542,15 +607,16 @@ class TableCatalog(spark: SparkSession, val root: String) {
       val combined =
         if (dirs.isEmpty) aligned else scan(name).unionByName(aligned)
       validate(m, name, combined, scan)
-      val dir = freshDir(name)
-      aligned.write.mode("overwrite").parquet(dir)
-      staged(name) = (base, dirs :+ dir)
+      val rel = freshDir(name)
+      aligned.write.mode("overwrite").parquet(absTableDir(name).resolve(rel).toString)
+      staged(name) = (base, dirs :+ rel)
     }
 
     /** Staged copy-on-write UPDATE: the txn view is rewritten into one
       * txn-unique snapshot dir; SET expressions see the pre-update row. */
     def update(name: String, set: Map[String, Column], where: Column): Unit = {
-      require(!closed, "transaction closed")
+      open(); visible(name)
+      if (createdTables.contains(name)) { stagedCat.update(name, set, where); return }
       val m = meta(name)
       val base = baseOf(name)
       val updated = scan(name).select(m.schema.fields.map { f =>
@@ -559,16 +625,17 @@ class TableCatalog(spark: SparkSession, val root: String) {
           .getOrElse(col(f.name))
       }: _*)
       validate(m, name, updated.cache(), scan)
-      val dir = freshDir(name)
-      updated.write.mode("overwrite").parquet(dir)
+      val rel = freshDir(name)
+      updated.write.mode("overwrite").parquet(absTableDir(name).resolve(rel).toString)
       updated.unpersist()
-      staged(name) = (base, Seq(dir))
+      staged(name) = (base, Seq(rel))
     }
 
     /** Staged copy-on-write DELETE with FK RESTRICT against the txn
       * view of every referencing table. */
     def delete(name: String, where: Column): Unit = {
-      require(!closed, "transaction closed")
+      open(); visible(name)
+      if (createdTables.contains(name)) { stagedCat.delete(name, where); return }
       val m = meta(name)
       val base = baseOf(name)
       for (pk <- m.primaryKey; (refTable, refCol) <- referencingTables(name)) {
@@ -580,19 +647,28 @@ class TableCatalog(spark: SparkSession, val root: String) {
           s"DELETE from $name restricted: rows referenced by $refTable.$refCol")
       }
       val remaining = scan(name).filter(!coalesce(where, lit(false)))
-      val dir = freshDir(name)
-      remaining.write.mode("overwrite").parquet(dir)
-      staged(name) = (base, Seq(dir))
+      val rel = freshDir(name)
+      remaining.write.mode("overwrite").parquet(absTableDir(name).resolve(rel).toString)
+      staged(name) = (base, Seq(rel))
     }
 
-    /** First-committer-wins publish: conflict-check every table, then
-      * write canonical manifests + version pointers. (The reference
-      * gets multi-table atomicity from its Raft log; on a filesystem
-      * the pointer writes are per-table atomic renames.) */
+    /** First-committer-wins publish: conflict-check every table (writes
+      * AND DDL), then publish — manifests + version pointers for
+      * writes, an atomic directory move for created tables, directory
+      * deletion for drops. (The reference gets multi-table atomicity
+      * from its Raft log; on a filesystem each individual publish is an
+      * atomic rename.) */
     def commit(): Unit = {
-      require(!closed, "transaction closed")
+      open()
       staged.foreach { case (name, (base, _)) =>
         require(currentVersion(name) == base, s"write-write conflict on $name")
+      }
+      createdTables.foreach { name =>
+        require(!TableCatalog.this.exists(name) || droppedTables.contains(name),
+          s"write-write conflict on $name: created concurrently")
+      }
+      droppedTables.foreach { name =>
+        require(TableCatalog.this.exists(name), s"no such table: $name")
       }
       staged.foreach { case (name, (_, dirs)) =>
         val m = meta(name)
@@ -600,19 +676,30 @@ class TableCatalog(spark: SparkSession, val root: String) {
         writeManifest(name, next, dirs)
         writeMeta(name, m.copy(version = next))
       }
+      droppedTables.foreach(TableCatalog.this.dropTable)
+      createdTables.foreach { name =>
+        Files.move(Paths.get(root, s".txn-$txnId", name), tableDir(name),
+          StandardCopyOption.ATOMIC_MOVE)
+      }
       closed = true
       // staged dirs replaced mid-txn (e.g. insert then update) are
       // unreferenced by the committed manifests — MVCC garbage; drop
-      val live = staged.values.flatMap(_._2).toSet
-      createdDirs.filterNot(p => live.contains(p.toString)).foreach(deleteDir)
+      val live = staged.flatMap { case (name, (_, dirs)) =>
+        dirs.map(absTableDir(name).resolve(_))
+      }.toSet
+      createdDirs.filterNot(live.contains).foreach(deleteDir)
+      deleteDir(Paths.get(root, s".txn-$txnId"))
     }
 
-    /** Abandon all staged state: the staged dirs are deleted, nothing
-      * was ever visible outside the txn. */
+    /** Abandon all staged state: staged dirs and the txn-private
+      * catalog are deleted, nothing was ever visible outside. */
     def rollback(): Unit = {
       staged.clear()
+      createdTables.clear()
+      droppedTables.clear()
       createdDirs.foreach(deleteDir)
       createdDirs.clear()
+      deleteDir(Paths.get(root, s".txn-$txnId"))
       closed = true
     }
 
@@ -626,6 +713,26 @@ class TableCatalog(spark: SparkSession, val root: String) {
   }
 
   def begin(): Txn = new Txn()
+}
+
+object TableCatalog {
+
+  /** Durable schema metadata of one managed table. */
+  case class TableMeta(
+    schema: StructType,
+    primaryKey: Option[String],
+    notNull: Seq[String],
+    unique: Seq[String],
+    defaults: Map[String, Any],
+    references: Map[String, String], // column -> referenced table (FK to its PK)
+    version: Int,
+    indexes: Seq[String] = Nil) // secondary-indexed columns (schema.rs:154-155)
+
+  /** Per-file column statistics recorded in the manifest for indexed
+    * columns — the pruning metadata a secondary index reduces to on
+    * immutable parquet (values stored as strings, compared under the
+    * column's declared type). */
+  case class FileStat(path: String, column: String, min: String, max: String)
 }
 
 /** StructType JSON round-trip without exposing private Spark API. */

@@ -187,6 +187,46 @@ class CatalogSpec extends AnyFunSuite {
     assert(g.catalog.meta("ixt").indexes == Seq("score"))
   }
 
+  test("transactional DDL: staged CREATE/DROP, atomic publish, rollback leaves no trace") {
+    val cat = freshCatalog()
+    cat.createTable("keep", schema, primaryKey = Some("id"))
+    cat.insert("keep", Seq((1L, "a", 1.0)).toDF("id", "name", "balance"))
+
+    val t = cat.begin()
+    t.createTable("brand_new", schema, primaryKey = Some("id"))
+    t.insert("brand_new", Seq((7L, "x", 7.0)).toDF("id", "name", "balance"))
+    assert(t.scan("brand_new").count() == 1) // usable inside the txn
+    assert(!cat.exists("brand_new"))         // invisible outside
+    t.dropTable("keep")
+    intercept[Exception] { t.scan("keep") }  // gone inside the txn
+    assert(cat.scan("keep").count() == 1)    // still there outside
+    t.commit()
+    assert(cat.exists("brand_new") && cat.scan("brand_new").count() == 1)
+    assert(cat.scan("brand_new").collect()(0).getString(1) == "x")
+    assert(!cat.exists("keep"))
+
+    val t2 = cat.begin()
+    t2.createTable("ghost", schema)
+    t2.insert("ghost", Seq((1L, "g", 0.0)).toDF("id", "name", "balance"))
+    t2.rollback()
+    assert(!cat.exists("ghost"))
+    val residue = Option(new java.io.File(cat.root).listFiles()).toSeq.flatten
+    assert(!residue.exists(_.getName.startsWith(".txn-")), residue.mkString(","))
+  }
+
+  test("catalog is relocatable: manifests and index stats are table-relative") {
+    val cat = freshCatalog()
+    cat.createTable("mv", schema, primaryKey = Some("id"), indexes = Seq("id"))
+    cat.insert("mv",
+      Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "name", "balance"))
+    val newRoot = cat.root + "-moved"
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(cat.root), java.nio.file.Paths.get(newRoot))
+    val moved = new TableCatalog(spark, newRoot)
+    assert(moved.scan("mv").count() == 2)
+    assert(moved.scan("mv", col("id") === 2L).collect()(0).getString(1) == "b")
+  }
+
   test("column defaults are durable: a reopened catalog still applies them") {
     val dir = Files.newTmp()
     val cat = new TableCatalog(spark, dir)

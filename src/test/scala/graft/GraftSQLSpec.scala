@@ -175,15 +175,43 @@ class GraftSQLSpec extends AnyFunSuite {
     assert(one("SELECT n! AS x FROM pw WHERE id != 2") == 24L)
   }
 
-  test("SELECT registers only the temp views it references") {
+  test("SELECT registers only the temp views it references, and cleans them up") {
     val g = session()
     g.execute("CREATE TABLE vh_used (id INTEGER PRIMARY KEY)")
     g.execute("CREATE TABLE vh_unused (id INTEGER PRIMARY KEY)")
     spark.catalog.dropTempView("vh_used")
     spark.catalog.dropTempView("vh_unused")
-    g.execute("SELECT * FROM vh_used")
+    val df = g.execute("SELECT * FROM vh_used")
+    assert(g.lastRegistered == Seq("vh_used")) // never the whole catalog
+    df.collect() // frame stays valid after the views are dropped
     val views = spark.catalog.listTables().collect().map(_.name).toSet
-    assert(views.contains("vh_used"))
-    assert(!views.contains("vh_unused"))
+    assert(!views.contains("vh_used") && !views.contains("vh_unused"))
+  }
+
+  test("CREATE/DROP TABLE inside BEGIN are staged until COMMIT") {
+    val g = session()
+    val g2 = new GraftSQL(spark, g.catalog) // other session, same catalog
+    g.execute("CREATE TABLE old_t (id INTEGER PRIMARY KEY)")
+    g.execute("INSERT INTO old_t VALUES (1)")
+
+    g.execute("BEGIN")
+    g.execute("CREATE TABLE new_t (id INTEGER PRIMARY KEY, v STRING DEFAULT 'd')")
+    g.execute("INSERT INTO new_t (id) VALUES (7)")
+    g.execute("DROP TABLE old_t")
+    // txn sees its DDL...
+    assert(g.execute("SELECT v FROM new_t").collect()(0).getString(0) == "d")
+    intercept[Exception] { g.execute("SELECT * FROM old_t").collect() }
+    // ...the other session does not
+    intercept[Exception] { g2.execute("SELECT * FROM new_t").collect() }
+    assert(g2.execute("SELECT count(*) AS n FROM old_t").collect()(0).getLong(0) == 1)
+    g.execute("COMMIT")
+    assert(g2.execute("SELECT count(*) AS n FROM new_t").collect()(0).getLong(0) == 1)
+    intercept[Exception] { g2.execute("SELECT * FROM old_t").collect() }
+
+    // ROLLBACK leaves no trace of staged DDL
+    g.execute("BEGIN")
+    g.execute("CREATE TABLE ghost (id INTEGER PRIMARY KEY)")
+    g.execute("ROLLBACK")
+    intercept[Exception] { g.execute("SELECT * FROM ghost").collect() }
   }
 }
