@@ -171,9 +171,13 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
         lastRegistered = tableNames
           .filter(n => ("(?i)\\b" + java.util.regex.Pattern.quote(n) + "\\b")
             .r.findFirstIn(s).isDefined)
+        // drop only views WE created: a user's own temp view sharing a
+        // table name gets replaced by the snapshot (long-standing
+        // clobber semantics) but must not vanish entirely
+        val preExisting = lastRegistered.filter(spark.catalog.tableExists).toSet
         lastRegistered.foreach(n => currentScan(n).createOrReplaceTempView(n))
         try spark.sql(s)
-        finally lastRegistered.foreach(spark.catalog.dropTempView)
+        finally lastRegistered.filterNot(preExisting).foreach(spark.catalog.dropTempView)
 
       case other =>
         throw new IllegalArgumentException(s"unsupported statement: $other")

@@ -10,6 +10,12 @@ object GraftColumnBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Collision-free session identity (sessionUUID is private[sql]). */
+  def sessionUUID(s: SparkSession): Option[String] = s match {
+    case c: classic.SparkSession => Some(c.sessionUUID)
+    case _ => None
+  }
+
   /** `(column, comparator, literal-as-string)` for every top-level AND
     * conjunct of an UNANALYZED Column that has the shape
     * `col <op> literal` (either side), with the comparator normalized

@@ -21,12 +21,14 @@ object FrameCache {
   private val frames = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
   /** The frame cached under (session, tag), building and persisting it
-    * on first use. NOT computeIfAbsent: builds nest (the candidate
-    * frame's build reads the signature frame), and ConcurrentHashMap
-    * forbids recursive mapping functions. The lock is reentrant, so a
-    * nested getOrBuild from inside `build` is safe. */
+    * on first use. Keyed by sessionUUID (collision-free; an identity
+    * hash could recur after GC and serve a frame bound to a dead
+    * session). NOT computeIfAbsent: builds nest (the candidate frame's
+    * build reads the signature frame), and ConcurrentHashMap forbids
+    * recursive mapping functions. The lock is reentrant, so a nested
+    * getOrBuild from inside `build` is safe. */
   def getOrBuild(s: SparkSession, tag: String)(build: => DataFrame): DataFrame = {
-    val key = System.identityHashCode(s) + "|" + tag
+    val key = sessionKey(s) + "|" + tag
     val hit = frames.get(key)
     if (hit != null) hit
     else synchronized {
@@ -39,6 +41,11 @@ object FrameCache {
       }
     }
   }
+
+  /** Collision-free session identity (sessionUUID on classic Spark). */
+  def sessionKey(s: SparkSession): String =
+    org.apache.spark.sql.GraftColumnBridge.sessionUUID(s)
+      .getOrElse(String.valueOf(System.identityHashCode(s)))
 
   /** Unpersist and forget every cached frame (end of pipeline). */
   def clear(): Unit = {

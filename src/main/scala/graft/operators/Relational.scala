@@ -489,13 +489,22 @@ object Relational {
     * stats overlap the predicate. Result is identical to the full
     * filter (the DuckDB oracle proves it); the pruning itself is
     * spec-asserted (fewer files read than the manifest holds). */
+  // one indexed-table fixture per (session, dataset): repeated calls
+  // (verify + bench + specs in one JVM) measure the LOOKUP, not a
+  // rebuild, and /tmp holds at most one copy per dataset
+  private val q33Fixtures = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   def q33IndexLookup(s: SparkSession, d: String): DataFrame = {
-    val root = java.nio.file.Files.createTempDirectory("graft-q33").toString
-    val cat = new graft.sources.TableCatalog(s, root)
-    val cust = Tables.customer(s, d)
-    cat.createTable("customer_idx", cust.schema, indexes = Seq("c_acctbal"))
-    cat.insert("customer_idx", cust)
-    cat.scan("customer_idx", col("c_acctbal") >= 9000.0 && col("c_acctbal") <= 9500.0)
+    val root = q33Fixtures.computeIfAbsent(FrameCache.sessionKey(s) + "|" + d, _ => {
+      val r = java.nio.file.Files.createTempDirectory("graft-q33").toString
+      val cat = new graft.sources.TableCatalog(s, r)
+      val cust = Tables.customer(s, d)
+      cat.createTable("customer_idx", cust.schema, indexes = Seq("c_acctbal"))
+      cat.insert("customer_idx", cust)
+      r
+    })
+    new graft.sources.TableCatalog(s, root)
+      .scan("customer_idx", col("c_acctbal") >= 9000.0 && col("c_acctbal") <= 9500.0)
       .select("c_custkey", "c_name", "c_acctbal")
       .orderBy("c_custkey")
   }

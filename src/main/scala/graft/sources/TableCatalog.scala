@@ -89,8 +89,28 @@ class TableCatalog(spark: SparkSession, val root: String) {
     ("\"" + key + "\"\\s*:\\s*(\\d+)").r.findFirstMatchIn(json).map(_.group(1).toInt)
       .getOrElse(sys.error(s"missing $key"))
 
-  private def unesc(s: String): String =
-    s.replace("\\n", "\n").replace("\\\"", "\"").replace("\\\\", "\\")
+  /** Inverse of [[esc]]: a left-to-right scanner, NOT chained
+    * String.replace calls — replace("\\n",…) first would misread the
+    * tail of an escaped backslash (`a\\nb` → corrupted), and the
+    * \\uXXXX forms esc emits need decoding too. */
+  private def unesc(s: String): String = {
+    val out = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s(i + 1) match {
+          case '"'  => out += '"'; i += 2
+          case '\\' => out += '\\'; i += 2
+          case 'n'  => out += '\n'; i += 2
+          case 'u' if i + 5 < s.length =>
+            out += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar; i += 6
+          case other => out += '\\'; out += other; i += 2
+        }
+      } else { out += c; i += 1 }
+    }
+    out.toString
+  }
 
   /** The brace-balanced, quote-aware body of the JSON object under
     * `key` (the regex-only readers above can't see past a '}' inside a
@@ -174,8 +194,9 @@ class TableCatalog(spark: SparkSession, val root: String) {
       indexes: Seq[String] = Nil): Unit = {
     require(!exists(name), s"table already exists: $name")
     references.foreach { case (c, t) =>
-      require(exists(t), s"FK $name.$c references unknown table $t")
-      require(meta(t).primaryKey.isDefined, s"FK $name.$c: $t has no primary key")
+      val parent = fkTargetMeta(t)
+      require(parent.isDefined, s"FK $name.$c references unknown table $t")
+      require(parent.get.primaryKey.isDefined, s"FK $name.$c: $t has no primary key")
     }
     indexes.foreach { c =>
       val f = schema.fields.find(_.name == c)
@@ -188,6 +209,12 @@ class TableCatalog(spark: SparkSession, val root: String) {
     writeMeta(name,
       TableMeta(schema, primaryKey, notNull, unique, defaults, references, 0, indexes))
   }
+
+  /** FK-target schema resolution for createTable and validate; a txn's
+    * staging catalog overrides this to see through to the outer
+    * catalog's tables. */
+  protected def fkTargetMeta(t: String): Option[TableMeta] =
+    if (exists(t)) Some(meta(t)) else None
 
   private def indexable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
     case _: org.apache.spark.sql.types.NumericType => true
@@ -268,14 +295,27 @@ class TableCatalog(spark: SparkSession, val root: String) {
     frameOf(meta(name).schema, resolveDirs(name, kept)).filter(filter)
   }
 
-  /** (files the pruned scan reads, all files in the current manifest).
-    * Exposed for plan inspection/specs. */
+  /** (paths the pruned scan reads, all paths in the current manifest).
+    * Exposed for plan inspection/specs.
+    *
+    * SOUNDNESS: the universe is the manifest's DIR list, never the
+    * stats list — a dir with no stats (written by an older layout or a
+    * path that skipped stats) contributes itself wholesale, and a file
+    * whose stats are null-markers (all-NULL indexed column) is always
+    * kept. Only a file with real stats that provably exclude the
+    * predicate is dropped. */
   def planFiles(name: String, filter: Column): (Seq[String], Seq[String]) = {
     val m = meta(name)
     val dirs = readManifest(name, m.version)
     val stats = readStats(name, m.version)
     if (m.indexes.isEmpty || stats.isEmpty) return (dirs, dirs)
-    val allFiles = stats.map(_.path).distinct
+    val statsByDir = dirs.map(d => d -> stats.filter(_.path.startsWith(d + "/"))).toMap
+    // universe: per-file where stats cover the dir, whole-dir otherwise
+    def expand(d: String): Seq[String] = {
+      val fs = statsByDir(d)
+      if (fs.isEmpty) Seq(d) else fs.map(_.path).distinct
+    }
+    val allPaths = dirs.flatMap(expand)
     // prune only on numeric/string indexed columns: their literal and
     // stat encodings compare consistently (timestamp literals arrive
     // as epoch micros, stats as formatted strings — those columns
@@ -289,18 +329,19 @@ class TableCatalog(spark: SparkSession, val root: String) {
           case _ => false
         })
       }
-    if (ranges.isEmpty) return (allFiles, allFiles)
+    if (ranges.isEmpty) return (allPaths, allPaths)
     val byFile = stats.groupBy(_.path)
-    val kept = allFiles.filter { f =>
-      byFile(f).forall { st =>
-        ranges.get(st.column).forall { case (lo, hi) =>
+    val kept = allPaths.filter { f =>
+      byFile.get(f).forall(_.forall { st =>
+        // empty min/max = null-marker (no non-null values seen): keep
+        st.min.isEmpty || st.max.isEmpty || ranges.get(st.column).forall { case (lo, hi) =>
           val dt = m.schema(st.column).dataType
           lo.forall(b => cmpTyped(dt, st.max, b.value) >= (if (b.inclusive) 0 else 1)) &&
           hi.forall(b => cmpTyped(dt, st.min, b.value) <= (if (b.inclusive) 0 else -1))
         }
-      }
+      })
     }
-    (kept, allFiles)
+    (kept, allPaths)
   }
 
   private case class Bound(value: String, inclusive: Boolean)
@@ -331,13 +372,24 @@ class TableCatalog(spark: SparkSession, val root: String) {
   }
 
   /** Compare two stat/literal strings under the column's declared
-    * type: numerics numerically, everything else lexicographically
-    * (ISO-formatted timestamps/dates order correctly as strings). */
+    * type: numerics numerically, strings in unsigned UTF-8 byte order —
+    * the order Spark's min/max used to produce the stats (Java's
+    * compareTo is UTF-16 code-unit order, which disagrees for
+    * supplementary characters and would prune wrongly). */
   private def cmpTyped(dt: org.apache.spark.sql.types.DataType, a: String, b: String): Int = {
     import org.apache.spark.sql.types._
     dt match {
       case _: NumericType => BigDecimal(a).compare(BigDecimal(b))
-      case _ => a.compareTo(b)
+      case _ =>
+        val (ba, bb) = (a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+        var i = 0
+        val n = math.min(ba.length, bb.length)
+        while (i < n) {
+          val d = (ba(i) & 0xFF) - (bb(i) & 0xFF)
+          if (d != 0) return d
+          i += 1
+        }
+        ba.length - bb.length
     }
   }
 
@@ -361,7 +413,8 @@ class TableCatalog(spark: SparkSession, val root: String) {
     // distributed form of the reference's per-row FK probe. `resolve`
     // supplies the parent's view (a txn passes its own snapshot).
     for ((c, parent) <- m.references) {
-      val pk = meta(parent).primaryKey.get
+      val pk = fkTargetMeta(parent)
+        .getOrElse(sys.error(s"FK $name.$c: unknown table $parent")).primaryKey.get
       val orphans = df.select(col(c)).na.drop().distinct()
         .join(resolve(parent).select(col(pk).as(c)), Seq(c), "left_anti")
       require(orphans.isEmpty, s"$name.$c: FK into $parent.$pk violated")
@@ -479,10 +532,13 @@ class TableCatalog(spark: SparkSession, val root: String) {
       .toSeq
       .flatMap { r =>
         val path = relativizeFile(name, r.getAs[String]("path"))
-        m.indexes.flatMap { c =>
-          val mn = r.getAs[String](s"mn_$c")
-          val mx = r.getAs[String](s"mx_$c")
-          if (mn == null || mx == null) None else Some(FileStat(path, c, mn, mx))
+        m.indexes.map { c =>
+          // null min/max (all-NULL column in this file) → empty-string
+          // marker: the file stays in the stats universe and is never
+          // pruned on this column
+          FileStat(path, c,
+            Option(r.getAs[String](s"mn_$c")).getOrElse(""),
+            Option(r.getAs[String](s"mx_$c")).getOrElse(""))
         }
       }
   }
@@ -514,10 +570,25 @@ class TableCatalog(spark: SparkSession, val root: String) {
     private var seq = 0
     private var closed = false
 
-    // txn-private catalog holding tables CREATEd inside this txn
-    private lazy val stagedCat =
-      new TableCatalog(spark, Paths.get(root, s".txn-$txnId").toString)
+    // txn-private catalog holding tables CREATEd inside this txn. Its
+    // FK targets and table scans resolve through the txn's FULL view
+    // (txn-created tables first, then the outer catalog), so a staged
+    // CREATE TABLE ... REFERENCES outer_table works exactly like the
+    // unstaged one — including orphan-insert validation.
+    private lazy val stagedCat: TableCatalog =
+      new TableCatalog(spark, Paths.get(root, s".txn-$txnId").toString) {
+        override def scan(n: String): DataFrame =
+          if (exists(n)) super.scan(n) else Txn.this.scan(n)
+        override protected def fkTargetMeta(t: String): Option[TableMeta] =
+          (if (exists(t)) Some(meta(t)) else None)
+            .orElse(
+              if (TableCatalog.this.exists(t) && !droppedTables.contains(t))
+                Some(TableCatalog.this.meta(t))
+              else None)
+      }
     private val createdTables = scala.collection.mutable.LinkedHashSet[String]()
+    // index stats collected for each staged dir at write time
+    private val dirStats = scala.collection.mutable.Map[String, Seq[FileStat]]()
 
     private def open(): Unit = require(!closed, "transaction closed")
     private def visible(name: String): Unit =
@@ -608,7 +679,8 @@ class TableCatalog(spark: SparkSession, val root: String) {
         if (dirs.isEmpty) aligned else scan(name).unionByName(aligned)
       validate(m, name, combined, scan)
       val rel = freshDir(name)
-      aligned.write.mode("overwrite").parquet(absTableDir(name).resolve(rel).toString)
+      writeData(m, aligned, absTableDir(name).resolve(rel).toString)
+      dirStats(rel) = collectStats(m, name, rel)
       staged(name) = (base, dirs :+ rel)
     }
 
@@ -626,8 +698,9 @@ class TableCatalog(spark: SparkSession, val root: String) {
       }: _*)
       validate(m, name, updated.cache(), scan)
       val rel = freshDir(name)
-      updated.write.mode("overwrite").parquet(absTableDir(name).resolve(rel).toString)
+      writeData(m, updated, absTableDir(name).resolve(rel).toString)
       updated.unpersist()
+      dirStats(rel) = collectStats(m, name, rel)
       staged(name) = (base, Seq(rel))
     }
 
@@ -648,7 +721,8 @@ class TableCatalog(spark: SparkSession, val root: String) {
       }
       val remaining = scan(name).filter(!coalesce(where, lit(false)))
       val rel = freshDir(name)
-      remaining.write.mode("overwrite").parquet(absTableDir(name).resolve(rel).toString)
+      writeData(m, remaining, absTableDir(name).resolve(rel).toString)
+      dirStats(rel) = collectStats(m, name, rel)
       staged(name) = (base, Seq(rel))
     }
 
@@ -670,10 +744,22 @@ class TableCatalog(spark: SparkSession, val root: String) {
       droppedTables.foreach { name =>
         require(TableCatalog.this.exists(name), s"no such table: $name")
       }
+      // point of no return: from here staged dirs may become referenced
+      // by published manifests, so a rollback() after a mid-publish
+      // failure must NOT delete them (that would corrupt the committed
+      // versions) — hand the cleanup list to this commit and empty the
+      // rollback's.
+      val cleanupCandidates = createdDirs.toList
+      createdDirs.clear()
       staged.foreach { case (name, (_, dirs)) =>
         val m = meta(name)
         val next = m.version + 1
-        writeManifest(name, next, dirs)
+        // index stats: inherit entries for dirs the new version keeps,
+        // add the stats collected for this txn's own dirs
+        val inherited = readStats(name, m.version)
+          .filter(st => dirs.exists(d => st.path.startsWith(d + "/")))
+        val fresh = dirs.flatMap(d => dirStats.getOrElse(d, Nil))
+        writeManifest(name, next, dirs, inherited ++ fresh)
         writeMeta(name, m.copy(version = next))
       }
       droppedTables.foreach(TableCatalog.this.dropTable)
@@ -687,7 +773,7 @@ class TableCatalog(spark: SparkSession, val root: String) {
       val live = staged.flatMap { case (name, (_, dirs)) =>
         dirs.map(absTableDir(name).resolve(_))
       }.toSet
-      createdDirs.filterNot(live.contains).foreach(deleteDir)
+      cleanupCandidates.filterNot(live.contains).foreach(deleteDir)
       deleteDir(Paths.get(root, s".txn-$txnId"))
     }
 

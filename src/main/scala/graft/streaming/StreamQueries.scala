@@ -4,6 +4,7 @@ import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
+import scala.jdk.CollectionConverters._
 
 /** Driver-visible streaming queries: real Structured Streaming
   * executions (readStream → stateful agg → memory sink) whose result
@@ -62,6 +63,12 @@ object StreamQueries {
       .select(col("user_id"), col("ts"), col("event_type"),
         col("value").cast("double").as("value"))
 
+    val maxRow = batch.agg(max(col("ts"))).head()
+    if (maxRow.isNullAt(0))
+      return Seq.empty[(Long, java.sql.Timestamp, java.sql.Timestamp, Int, Double)]
+        .toDF("user_id", "start_ts", "end_ts", "n_events", "total_value")
+    val maxTs = maxRow.getTimestamp(0)
+
     val tmp = JFiles.createTempDirectory("graft-st02")
     val streamDir = tmp.resolve("stream")
     JFiles.createDirectories(streamDir)
@@ -76,7 +83,6 @@ object StreamQueries {
       }
       dest.toFile.setLastModified(1700000000000L + n * 60000L) // source order
     }
-    val maxTs = batch.agg(max(col("ts"))).head().getTimestamp(0)
     def sentinel(offMs: Long): DataFrame = Seq(
       (-1L, new java.sql.Timestamp(maxTs.getTime + offMs), "sentinel", 0.0))
       .toDF("user_id", "ts", "event_type", "value")
@@ -93,7 +99,16 @@ object StreamQueries {
       .outputMode(OutputMode.Append)
       .start()
     try q.processAllAvailable()
-    finally q.stop()
+    finally {
+      q.stop()
+      // the memory sink holds the rows; the staged stream files are done
+      def rm(p: java.nio.file.Path): Unit = {
+        if (JFiles.isDirectory(p))
+          JFiles.list(p).iterator().asScala.foreach(rm)
+        JFiles.delete(p)
+      }
+      rm(tmp)
+    }
 
     s.table("graft_st02_sink")
       .filter(col("user_id") >= 0)

@@ -230,14 +230,51 @@ class CatalogSpec extends AnyFunSuite {
   test("column defaults are durable: a reopened catalog still applies them") {
     val dir = Files.newTmp()
     val cat = new TableCatalog(spark, dir)
+    // the name default exercises escape round-trips: quote, literal
+    // backslash before 'n' (the replace-chain corruption case)
     cat.createTable("d", schema, primaryKey = Some("id"),
-      defaults = Map("balance" -> 7.5, "name" -> "un\"known"))
+      defaults = Map("balance" -> 7.5, "name" -> "un\"k\\nown"))
     // a different catalog instance over the same root (fresh process
     // analog) must read defaults back from meta.json, not a field
     val reopened = new TableCatalog(spark, dir)
-    assert(reopened.meta("d").defaults == Map("balance" -> 7.5, "name" -> "un\"known"))
+    assert(reopened.meta("d").defaults == Map("balance" -> 7.5, "name" -> "un\"k\\nown"))
     reopened.insert("d", Seq(Tuple1(1L)).toDF("id"))
     val row = reopened.scan("d").collect()(0)
-    assert(row.getString(1) == "un\"known" && row.getDouble(2) == 7.5)
+    assert(row.getString(1) == "un\"k\\nown" && row.getDouble(2) == 7.5)
+  }
+
+  test("index stats survive txn commits and never shrink the scan universe") {
+    val cat = freshCatalog()
+    val sc = StructType(Seq(StructField("id", LongType), StructField("v", DoubleType)))
+    cat.createTable("ixt", sc, indexes = Seq("id"))
+    cat.insert("ixt", spark.range(0, 100).select(col("id"), lit(1.0).as("v")))
+    val t = cat.begin()
+    t.insert("ixt", spark.range(100, 200).select(col("id"), lit(2.0).as("v")))
+    t.commit()
+    cat.insert("ixt", spark.range(200, 300).select(col("id"), lit(3.0).as("v")))
+    // every row from all three write paths stays visible through the
+    // pruned scan — files without stats must widen, never vanish
+    assert(cat.scan("ixt", col("id") >= 0L).count() == 300)
+    assert(cat.scan("ixt", col("v") > 0.0).count() == 300) // non-indexed predicate
+    // and txn-written files carry stats, so pruning still prunes
+    val (kept, all) = cat.planFiles("ixt", col("id") === 250L)
+    assert(kept.size < all.size, s"${kept.size}/${all.size}")
+  }
+
+  test("staged CREATE TABLE resolves FK targets through the txn view") {
+    val cat = freshCatalog()
+    cat.createTable("parent", schema, primaryKey = Some("id"))
+    cat.insert("parent", Seq((1L, "p", 0.0)).toDF("id", "name", "balance"))
+    val t = cat.begin()
+    t.createTable("child",
+      StructType(Seq(StructField("cid", LongType), StructField("pid", LongType))),
+      primaryKey = Some("cid"), references = Map("pid" -> "parent"))
+    t.insert("child", Seq((10L, 1L)).toDF("cid", "pid")) // valid FK
+    intercept[IllegalArgumentException] {
+      t.insert("child", Seq((11L, 99L)).toDF("cid", "pid")) // orphan rejected
+    }
+    t.commit()
+    assert(cat.scan("child").count() == 1)
+    assert(cat.meta("child").references == Map("pid" -> "parent"))
   }
 }
