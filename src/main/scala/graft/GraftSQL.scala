@@ -171,13 +171,21 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
         lastRegistered = tableNames
           .filter(n => ("(?i)\\b" + java.util.regex.Pattern.quote(n) + "\\b")
             .r.findFirstIn(s).isDefined)
-        // drop only views WE created: a user's own temp view sharing a
-        // table name gets replaced by the snapshot (long-standing
-        // clobber semantics) but must not vanish entirely
-        val preExisting = lastRegistered.filter(spark.catalog.tableExists).toSet
+        // save any pre-existing same-named relation's plan, bind the
+        // snapshot views, run, then RESTORE the prior binding (or drop
+        // the view if none existed): no graft snapshot — least of all
+        // a txn-private one — may linger in the session's shared
+        // temp-view namespace after the statement
+        val saved = lastRegistered
+          .flatMap(n => scala.util.Try(n -> spark.table(n)).toOption).toMap
         lastRegistered.foreach(n => currentScan(n).createOrReplaceTempView(n))
         try spark.sql(s)
-        finally lastRegistered.filterNot(preExisting).foreach(spark.catalog.dropTempView)
+        finally lastRegistered.foreach { n =>
+          saved.get(n) match {
+            case Some(prior) => prior.createOrReplaceTempView(n)
+            case None        => spark.catalog.dropTempView(n)
+          }
+        }
 
       case other =>
         throw new IllegalArgumentException(s"unsupported statement: $other")

@@ -494,13 +494,14 @@ object Relational {
     * stats overlap the predicate. Result is identical to the full
     * filter (the DuckDB oracle proves it); the pruning itself is
     * spec-asserted (fewer files read than the manifest holds). */
-  // one indexed-table fixture per (session, dataset): repeated calls
-  // (verify + bench + specs in one JVM) measure the LOOKUP, not a
-  // rebuild, and /tmp holds at most one copy per dataset
+  // one indexed-table fixture per dataset (the parquet + manifests are
+  // session-independent): repeated calls (verify + bench + specs, even
+  // across sessions in one JVM) measure the LOOKUP, not a rebuild, and
+  // /tmp holds at most one copy per dataset
   private val q33Fixtures = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   def q33IndexLookup(s: SparkSession, d: String): DataFrame = {
-    val root = q33Fixtures.computeIfAbsent(FrameCache.sessionKey(s) + "|" + d, _ => {
+    val root = q33Fixtures.computeIfAbsent(d, _ => {
       val r = java.nio.file.Files.createTempDirectory("graft-q33").toString
       val cat = new graft.sources.TableCatalog(s, r)
       val cust = Tables.customer(s, d)

@@ -78,7 +78,7 @@ class TableCatalog(spark: SparkSession, val root: String) {
   // minimal JSON field readers (schema string, string arrays, int)
   private def jsonStr(json: String, key: String): Option[String] = {
     val m = ("\"" + key + "\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"").r.findFirstMatchIn(json)
-    m.map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\").replace("\\n", "\n"))
+    m.map(g => unesc(g.group(1))) // the scanner, not a replace chain
   }
   private def jsonStrArr(json: String, key: String): Seq[String] = {
     val m = ("\"" + key + "\"\\s*:\\s*\\[([^\\]]*)\\]").r.findFirstMatchIn(json)
@@ -225,11 +225,7 @@ class TableCatalog(spark: SparkSession, val root: String) {
 
   def dropTable(name: String): Unit = {
     require(exists(name), s"no such table: $name")
-    def rm(p: Path): Unit = {
-      if (Files.isDirectory(p)) Files.list(p).iterator().asScala.foreach(rm)
-      Files.delete(p)
-    }
-    rm(tableDir(name))
+    TableCatalog.deleteRecursively(tableDir(name))
   }
 
   // ---------------------------------------------------------- manifests
@@ -309,11 +305,18 @@ class TableCatalog(spark: SparkSession, val root: String) {
     val dirs = readManifest(name, m.version)
     val stats = readStats(name, m.version)
     if (m.indexes.isEmpty || stats.isEmpty) return (dirs, dirs)
-    val statsByDir = dirs.map(d => d -> stats.filter(_.path.startsWith(d + "/"))).toMap
-    // universe: per-file where stats cover the dir, whole-dir otherwise
+    // universe: the ACTUAL parquet files on disk per dir (a driver-side
+    // listing — what Spark's scan planning does anyway), never the
+    // stats list: a dir whose stats cover only some files (older
+    // layout, partial write) must still contribute every file
     def expand(d: String): Seq[String] = {
-      val fs = statsByDir(d)
-      if (fs.isEmpty) Seq(d) else fs.map(_.path).distinct
+      val abs = absTableDir(name).resolve(d)
+      if (!Files.isDirectory(abs)) return Seq(d)
+      val listing = Files.list(abs)
+      try listing.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(p => d + "/" + p.getFileName.toString).toSeq
+      finally listing.close()
     }
     val allPaths = dirs.flatMap(expand)
     // prune only on numeric/string indexed columns: their literal and
@@ -336,8 +339,11 @@ class TableCatalog(spark: SparkSession, val root: String) {
         // empty min/max = null-marker (no non-null values seen): keep
         st.min.isEmpty || st.max.isEmpty || ranges.get(st.column).forall { case (lo, hi) =>
           val dt = m.schema(st.column).dataType
-          lo.forall(b => cmpTyped(dt, st.max, b.value) >= (if (b.inclusive) 0 else 1)) &&
-          hi.forall(b => cmpTyped(dt, st.min, b.value) <= (if (b.inclusive) 0 else -1))
+          // an incomparable stat (NaN/Infinity text) yields None → keep
+          lo.forall(b =>
+            cmpTyped(dt, st.max, b.value).forall(_ >= (if (b.inclusive) 0 else 1))) &&
+          hi.forall(b =>
+            cmpTyped(dt, st.min, b.value).forall(_ <= (if (b.inclusive) 0 else -1)))
         }
       })
     }
@@ -372,24 +378,28 @@ class TableCatalog(spark: SparkSession, val root: String) {
   }
 
   /** Compare two stat/literal strings under the column's declared
-    * type: numerics numerically, strings in unsigned UTF-8 byte order —
-    * the order Spark's min/max used to produce the stats (Java's
-    * compareTo is UTF-16 code-unit order, which disagrees for
-    * supplementary characters and would prune wrongly). */
-  private def cmpTyped(dt: org.apache.spark.sql.types.DataType, a: String, b: String): Int = {
+    * type: numerics numerically (None if either side is NaN/Infinity
+    * text — incomparable, caller keeps the file), strings in unsigned
+    * UTF-8 byte order — the order Spark's min/max used to produce the
+    * stats (Java's compareTo is UTF-16 code-unit order, which
+    * disagrees for supplementary characters and would prune wrongly). */
+  private def cmpTyped(
+      dt: org.apache.spark.sql.types.DataType, a: String, b: String): Option[Int] = {
     import org.apache.spark.sql.types._
     dt match {
-      case _: NumericType => BigDecimal(a).compare(BigDecimal(b))
+      case _: NumericType =>
+        try Some(BigDecimal(a).compare(BigDecimal(b)))
+        catch { case _: NumberFormatException => None }
       case _ =>
         val (ba, bb) = (a.getBytes("UTF-8"), b.getBytes("UTF-8"))
         var i = 0
         val n = math.min(ba.length, bb.length)
         while (i < n) {
           val d = (ba(i) & 0xFF) - (bb(i) & 0xFF)
-          if (d != 0) return d
+          if (d != 0) return Some(d)
           i += 1
         }
-        ba.length - bb.length
+        Some(ba.length - bb.length)
     }
   }
 
@@ -789,19 +799,23 @@ class TableCatalog(spark: SparkSession, val root: String) {
       closed = true
     }
 
-    private def deleteDir(p: Path): Unit = if (Files.exists(p)) {
-      def rm(q: Path): Unit = {
-        if (Files.isDirectory(q)) Files.list(q).iterator().asScala.foreach(rm)
-        Files.delete(q)
-      }
-      rm(p)
-    }
+    private def deleteDir(p: Path): Unit = TableCatalog.deleteRecursively(p)
   }
 
   def begin(): Txn = new Txn()
 }
 
 object TableCatalog {
+
+  /** Recursive delete with the listing stream closed (a leaked
+    * Files.list holds a directory fd until GC). Shared by dropTable,
+    * txn staging cleanup, and the streaming fixtures. */
+  def deleteRecursively(p: Path): Unit = if (Files.exists(p)) {
+    val walk = Files.walk(p)
+    try walk.sorted(java.util.Comparator.reverseOrder[Path]())
+      .iterator().asScala.foreach(Files.delete)
+    finally walk.close()
+  }
 
   /** Durable schema metadata of one managed table. */
   case class TableMeta(

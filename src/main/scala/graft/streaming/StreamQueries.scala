@@ -4,7 +4,6 @@ import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
-import scala.jdk.CollectionConverters._
 
 /** Driver-visible streaming queries: real Structured Streaming
   * executions (readStream → stateful agg → memory sink) whose result
@@ -100,14 +99,9 @@ object StreamQueries {
       .start()
     try q.processAllAvailable()
     finally {
-      q.stop()
       // the memory sink holds the rows; the staged stream files are done
-      def rm(p: java.nio.file.Path): Unit = {
-        if (JFiles.isDirectory(p))
-          JFiles.list(p).iterator().asScala.foreach(rm)
-        JFiles.delete(p)
-      }
-      rm(tmp)
+      try q.stop()
+      finally graft.sources.TableCatalog.deleteRecursively(tmp)
     }
 
     s.table("graft_st02_sink")
