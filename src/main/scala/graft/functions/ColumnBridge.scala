@@ -6,6 +6,13 @@ import org.apache.spark.sql.catalyst.expressions.Expression
   * supported way since Spark 4 moved Column onto ColumnNode. Lives in
   * the org.apache.spark.sql package solely to access them; all graft
   * code goes through [[GraftColumnBridge]]. */
+/** Public alias to the private[sql] AbstractDataType, so graft's
+  * custom Expressions can declare `inputTypes` (ExpectsInputTypes)
+  * from outside the org.apache.spark.sql package. */
+object GraftTypes {
+  type AbstractType = org.apache.spark.sql.types.AbstractDataType
+}
+
 object GraftColumnBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)

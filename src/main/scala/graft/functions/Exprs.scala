@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -12,9 +12,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * so they participate in whole-stage codegen (no interpreted fallback,
   * no UDF serialization). All are deterministic and null-intolerant
   * (null in → null out), which lets Catalyst propagate IsNotNull
-  * constraints through them.
+  * constraints through them. All declare ImplicitCastInputTypes: the
+  * kernels read Tungsten arrays with a fixed element stride, so an
+  * unchecked array<double> argument (easy to produce from SQL literals)
+  * would be reinterpreted as garbage floats — declared input types make
+  * the analyzer insert the cast or fail loudly instead.
   */
-case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
+case class CosineSim(left: Expression, right: Expression) extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.GraftTypes.AbstractType] = Seq(ArrayType(FloatType), ArrayType(FloatType))
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "cosine_sim"
@@ -26,7 +31,8 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
     copy(left = l, right = r)
 }
 
-case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
+case class DotProduct(left: Expression, right: Expression) extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.GraftTypes.AbstractType] = Seq(ArrayType(FloatType), ArrayType(FloatType))
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "dot_product"
@@ -39,7 +45,9 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
 }
 
 /** Random-hyperplane LSH bucket signature for ANN blocking. */
-case class HyperplaneSig(child: Expression, bits: Int, seed: Long) extends UnaryExpression {
+case class HyperplaneSig(child: Expression, bits: Int, seed: Long) extends UnaryExpression with ImplicitCastInputTypes {
+  require(bits >= 1 && bits <= 64, s"hyperplane_sig: bits must be in [1,64], got $bits")
+  override def inputTypes: Seq[org.apache.spark.sql.GraftTypes.AbstractType] = Seq(ArrayType(FloatType))
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "hyperplane_sig"
@@ -50,7 +58,8 @@ case class HyperplaneSig(child: Expression, bits: Int, seed: Long) extends Unary
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
-case class SimHash64(child: Expression) extends UnaryExpression {
+case class SimHash64(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.GraftTypes.AbstractType] = Seq(StringType)
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "simhash64"
@@ -61,7 +70,8 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
-case class Hamming64(left: Expression, right: Expression) extends BinaryExpression {
+case class Hamming64(left: Expression, right: Expression) extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.GraftTypes.AbstractType] = Seq(LongType, LongType)
   override def dataType: DataType = IntegerType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "hamming64"
@@ -73,7 +83,8 @@ case class Hamming64(left: Expression, right: Expression) extends BinaryExpressi
     copy(left = l, right = r)
 }
 
-case class Shingles64(child: Expression, n: Int) extends UnaryExpression {
+case class Shingles64(child: Expression, n: Int) extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.GraftTypes.AbstractType] = Seq(StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "shingles64"
@@ -84,7 +95,8 @@ case class Shingles64(child: Expression, n: Int) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
-case class MinHashSig(child: Expression, n: Int, k: Int, seed: Long) extends UnaryExpression {
+case class MinHashSig(child: Expression, n: Int, k: Int, seed: Long) extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.GraftTypes.AbstractType] = Seq(StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "minhash_sig"
@@ -95,7 +107,8 @@ case class MinHashSig(child: Expression, n: Int, k: Int, seed: Long) extends Una
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
-case class Fingerprint64(child: Expression, n: Int, w: Int) extends UnaryExpression {
+case class Fingerprint64(child: Expression, n: Int, w: Int) extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.GraftTypes.AbstractType] = Seq(StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "fingerprint64"
@@ -106,7 +119,8 @@ case class Fingerprint64(child: Expression, n: Int, w: Int) extends UnaryExpress
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
-case class Jaccard64(left: Expression, right: Expression) extends BinaryExpression {
+case class Jaccard64(left: Expression, right: Expression) extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.GraftTypes.AbstractType] = Seq(ArrayType(LongType), ArrayType(LongType))
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "jaccard64"

@@ -154,20 +154,38 @@ object Kernels {
     val hs = new Array[Long](cnt)
     var i = 0
     while (i < cnt) { hs(i) = hashRange(text, i, n, 0x51a1e5L); i += 1 }
+    UnsafeArrayData.fromPrimitiveArray(winnow(hs, w))
+  }
+
+  /** Winnowing selection over a hash sequence: each window of `w`
+    * hashes contributes its RIGHTMOST minimum; consecutive windows
+    * picking the same position collapse → sorted distinct picks.
+    * Sliding-window minimum via a monotonic index deque — O(cnt)
+    * amortized, not O(cnt*w): each index enters and leaves the deque
+    * once (popping on `>=` preserves the rightmost-minimum tie rule of
+    * the definition's scan, which the spec cross-checks). */
+  private[graft] def winnow(hs: Array[Long], w: Int): Array[Long] = {
+    val cnt = hs.length
+    if (cnt == 0) return new Array[Long](0)
     val picks = new Array[Long](cnt)
     var np = 0
     var last = -1 // index of previously picked minimum
-    i = 0
-    val windows = math.max(1, cnt - w + 1)
-    while (i < windows) {
-      var minIdx = i
-      var j = i + 1
-      val end = math.min(i + w, cnt)
-      while (j < end) { if (hs(j) <= hs(minIdx)) minIdx = j; j += 1 }
-      if (minIdx != last) { picks(np) = hs(minIdx); np += 1; last = minIdx }
+    val deque = new Array[Int](cnt)
+    var head = 0; var tail = 0 // live indices are deque[head until tail]
+    var i = 0
+    while (i < cnt) {
+      while (tail > head && hs(deque(tail - 1)) >= hs(i)) tail -= 1
+      deque(tail) = i; tail += 1
+      while (deque(head) < i - w + 1) head += 1 // slide window [i-w+1, i]
+      // one window per i >= w-1; a short text (cnt < w) has exactly one
+      // truncated window, evaluated at the last position
+      if (i >= w - 1 || (cnt < w && i == cnt - 1)) {
+        val minIdx = deque(head)
+        if (minIdx != last) { picks(np) = hs(minIdx); np += 1; last = minIdx }
+      }
       i += 1
     }
-    UnsafeArrayData.fromPrimitiveArray(sortedDistinct(java.util.Arrays.copyOf(picks, np)))
+    sortedDistinct(java.util.Arrays.copyOf(picks, np))
   }
 
   /** Jaccard similarity of two sorted-distinct long arrays (as

@@ -217,12 +217,21 @@ object Relational {
       |LIMIT 10""".stripMargin
 
   def q15SqlInterface(s: SparkSession, d: String): DataFrame = {
-    // register just the referenced tables: each registration costs a
-    // parquet footer read, and the full-catalog form is already
-    // exercised by Tables.registerAll users
-    Seq("customer", "orders", "lineitem")
-      .foreach(n => Tables.load(s, d, n).createOrReplaceTempView(n))
-    s.sql(q15Sql)
+    // register just the referenced tables (each registration costs a
+    // parquet footer read), run, then RESTORE whatever those names
+    // were bound to before — this query must not permanently rebind a
+    // session's views to dataset `d` (spark.sql analyzes eagerly, so
+    // the returned frame stays valid after restore)
+    val names = Seq("customer", "orders", "lineitem")
+    val saved = names.flatMap(n => scala.util.Try(n -> s.table(n)).toOption).toMap
+    names.foreach(n => Tables.load(s, d, n).createOrReplaceTempView(n))
+    try s.sql(q15Sql)
+    finally names.foreach { n =>
+      saved.get(n) match {
+        case Some(prior) => prior.createOrReplaceTempView(n)
+        case None        => s.catalog.dropTempView(n)
+      }
+    }
   }
 
   // ---------------------------------------------------------------- q16
@@ -502,12 +511,15 @@ object Relational {
 
   def q33IndexLookup(s: SparkSession, d: String): DataFrame = {
     val root = q33Fixtures.computeIfAbsent(d, _ => {
-      val r = java.nio.file.Files.createTempDirectory("graft-q33").toString
-      val cat = new graft.sources.TableCatalog(s, r)
+      val r = java.nio.file.Files.createTempDirectory("graft-q33")
+      val cat = new graft.sources.TableCatalog(s, r.toString)
       val cust = Tables.customer(s, d)
       cat.createTable("customer_idx", cust.schema, indexes = Seq("c_acctbal"))
       cat.insert("customer_idx", cust)
-      r
+      // each JVM cleans up its own fixture — repeated bench/verify runs
+      // must not accumulate table copies in /tmp
+      sys.addShutdownHook(graft.sources.TableCatalog.deleteRecursively(r))
+      r.toString
     })
     new graft.sources.TableCatalog(s, root)
       .scan("customer_idx", col("c_acctbal") >= 9000.0 && col("c_acctbal") <= 9500.0)

@@ -25,12 +25,22 @@ object Sampling {
       .orderBy("doc_id")
   }
 
-  /** p02: stratified sample — equal fractions per language stratum,
-    * seed-deterministic (`sampleBy` Bernoulli per stratum). */
+  /** p02: stratified sample — per-stratum Bernoulli decided by a PURE
+    * row function (key hash vs per-stratum threshold), so membership
+    * is stable under re-partitioning, task retries, and corpus growth.
+    * `sampleBy` would not be: it draws from rand(seed), whose value
+    * depends on partition index and row position — the moment file
+    * splits shift, a different sample comes back. Strata absent from
+    * the fraction map are excluded (sampleBy semantics). */
   def p02StratifiedSample(s: SparkSession, d: String): DataFrame = {
-    val langs = Seq("en", "fr", "de", "es", "zh")
+    val fractions = Seq("en" -> 0.5, "fr" -> 0.5, "de" -> 0.5, "es" -> 0.5, "zh" -> 0.5)
+    val seed = 42L
+    val draw = pmod(xxhash64(col("doc_id"), col("lang"), lit(seed)), lit(10000))
+    val threshold = fractions.foldLeft(lit(-1)) { case (acc, (l, f)) =>
+      when(col("lang") === l, lit((f * 10000).toInt)).otherwise(acc)
+    }
     Tables.documents(s, d)
-      .stat.sampleBy("lang", langs.map(_ -> 0.5).toMap, seed = 42L)
+      .filter(draw < threshold)
       .select("doc_id", "lang")
       .orderBy("doc_id")
   }

@@ -61,6 +61,10 @@ object TextAnalysis {
   def t02Quality(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val nChars  = length(col("text"))
+    // ratio denominator floored at 1: an empty document must score 0,
+    // not null (Spark x/0 → null, DuckDB → inf — both wrong AND
+    // divergent from each other)
+    val charDen = greatest(nChars, lit(1))
     val nSpaces = nChars - length(regexp_replace(col("text"), " ", ""))
     val nTokens = nSpaces + 1
     val nPunct  = nChars - length(regexp_replace(col("text"), "[.,!?;:]", ""))
@@ -70,13 +74,13 @@ object TextAnalysis {
         col("doc_id"),
         nChars.as("n_chars"),
         nTokens.as("n_tokens"),
-        (nPunct.cast("double") / nChars).as("punct_ratio"),
-        (nDigit.cast("double") / nChars).as("digit_ratio"),
-        (nAlpha.cast("double") / nChars).as("alpha_ratio"),
+        (nPunct.cast("double") / charDen).as("punct_ratio"),
+        (nDigit.cast("double") / charDen).as("digit_ratio"),
+        (nAlpha.cast("double") / charDen).as("alpha_ratio"),
         ((nChars - nSpaces).cast("double") / nTokens).as("avg_word_len"),
         (least(lit(1.0), nTokens.cast("double") / 50.0)
           * (lit(1.0) - least(lit(0.5),
-              nPunct.cast("double") / nChars + nDigit.cast("double") / nChars))
+              nPunct.cast("double") / charDen + nDigit.cast("double") / charDen))
           * least(lit(1.0), ((nChars - nSpaces).cast("double") / nTokens) / 8.0))
           .as("quality_score"))
       .orderBy("doc_id")
@@ -87,17 +91,17 @@ object TextAnalysis {
       |  CAST(LENGTH(text) AS INT) AS n_chars,
       |  CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, ' ', '', 'g')) + 1 AS INT) AS n_tokens,
       |  CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
-      |    / LENGTH(text) AS punct_ratio,
+      |    / GREATEST(LENGTH(text), 1) AS punct_ratio,
       |  CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[0-9]', '', 'g')) AS DOUBLE)
-      |    / LENGTH(text) AS digit_ratio,
+      |    / GREATEST(LENGTH(text), 1) AS digit_ratio,
       |  CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[A-Za-z]', '', 'g')) AS DOUBLE)
-      |    / LENGTH(text) AS alpha_ratio,
+      |    / GREATEST(LENGTH(text), 1) AS alpha_ratio,
       |  CAST(LENGTH(REGEXP_REPLACE(text, ' ', '', 'g')) AS DOUBLE)
       |    / (LENGTH(text) - LENGTH(REGEXP_REPLACE(text, ' ', '', 'g')) + 1) AS avg_word_len,
       |  LEAST(1.0, CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, ' ', '', 'g')) + 1 AS DOUBLE) / 50.0)
       |  * (1.0 - LEAST(0.5,
-      |       CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / LENGTH(text)
-      |     + CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[0-9]', '', 'g')) AS DOUBLE) / LENGTH(text)))
+      |       CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / GREATEST(LENGTH(text), 1)
+      |     + CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[0-9]', '', 'g')) AS DOUBLE) / GREATEST(LENGTH(text), 1)))
       |  * LEAST(1.0, (CAST(LENGTH(REGEXP_REPLACE(text, ' ', '', 'g')) AS DOUBLE)
       |      / (LENGTH(text) - LENGTH(REGEXP_REPLACE(text, ' ', '', 'g')) + 1)) / 8.0)
       |    AS quality_score

@@ -71,6 +71,31 @@ class KernelPropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("winnow (deque) equals the naive per-window definition") {
+    // reference: scan every window, keep its rightmost minimum,
+    // collapse consecutive same-position picks, sort distinct
+    def naive(hs: Array[Long], w: Int): Seq[Long] = {
+      if (hs.isEmpty) return Nil
+      val picks = scala.collection.mutable.ArrayBuffer[Long]()
+      var last = -1
+      for (i <- 0 until math.max(1, hs.length - w + 1)) {
+        var minIdx = i
+        for (j <- i + 1 until math.min(i + w, hs.length))
+          if (hs(j) <= hs(minIdx)) minIdx = j
+        if (minIdx != last) { picks += hs(minIdx); last = minIdx }
+      }
+      picks.distinct.sorted.toSeq
+    }
+    val rng = new scala.util.Random(7)
+    for (len <- Seq(0, 1, 3, 7, 16, 64, 257); w <- Seq(1, 2, 4, 16)) {
+      // small value range forces many ties — the rightmost-min rule
+      // is exactly what ties exercise
+      val hs = Array.fill(len)(rng.nextInt(8).toLong)
+      assert(Kernels.winnow(hs, w).toSeq == naive(hs, w),
+        s"len=$len w=$w hs=${hs.toSeq}")
+    }
+  }
+
   test("narrow hyperplane signature is a prefix of the wide one (d05/s02 sharing)") {
     // hyperplane bit j depends only on (seed, j), so the low `bits`
     // bits of a 64-bit signature ARE the bits-wide signature — the

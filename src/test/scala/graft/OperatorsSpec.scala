@@ -214,6 +214,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(a.nonEmpty && a.length < sources.Tables.documents(spark, sf).count())
   }
 
+  test("p02 membership is stable under a different partition layout") {
+    // the file-header guarantee: assignment is a function of the row,
+    // not of partition index/position (what rand(seed)-based sampleBy
+    // cannot promise)
+    val a = Sampling.p02StratifiedSample(spark, sf).collect().map(_.getLong(0)).toSeq
+    val prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "16384")
+    try {
+      val b = Sampling.p02StratifiedSample(spark, sf).collect().map(_.getLong(0)).toSeq
+      assert(a == b)
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+  }
+
+  test("kernel expressions declare input types: double arrays are cast, not misread") {
+    // array<double> literals from SQL would otherwise be reinterpreted
+    // at a 4-byte stride as garbage floats
+    val r = spark.sql(
+      "SELECT cosine_sim(array(0.1D, 0.2D, 0.3D), array(0.1D, 0.2D, 0.3D)) AS c")
+      .collect()(0).getDouble(0)
+    assert(math.abs(r - 1.0) < 1e-6, s"got $r")
+  }
+
   test("FoldSelfCosine rule folds cosine_sim(x, x) away, preserving zero-vector semantics") {
     import graft.plans.FoldSelfCosine
     import graft.functions.cosine_sim
