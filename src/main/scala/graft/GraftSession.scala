@@ -35,10 +35,15 @@ object GraftSession {
     spark
   }
 
-  /** Idempotent per-session setup: registers the graft SQL functions.
+  /** Idempotent per-session setup: registers the graft SQL functions
+    * and declares the TIMESTAMP(NANOS) parquet handling session-wide
+    * (the events table needs it; without the conf Spark refuses such
+    * files outright, so setting it up front makes the behavior explicit
+    * instead of dependent on which loader happened to run first).
     * Safe to call on an externally-created session (the driver's
     * Verify/Bench mains own their session). */
   def prepare(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     functions.Registry.registerAll(spark)
     spark
   }

@@ -17,6 +17,13 @@ import org.apache.spark.sql.functions.udaf
   *
   * Sums accumulate in Double to keep merge-order error at the ulp
   * level before the final divide back to Float.
+  *
+  * Ragged input (vectors of unequal length, incl. empty) is defined as
+  * the ZERO-PADDED mean: the buffer grows to the longest vector seen
+  * and every row counts in `n` — a pure function of the group's rows,
+  * so the result cannot depend on partition layout (a first-seen-length
+  * buffer would truncate or crash depending on which partition merged
+  * first).
   */
 object VectorAgg {
 
@@ -28,18 +35,17 @@ object VectorAgg {
 
       def reduce(b: Buf, v: Array[Float]): Buf = {
         if (v == null) return b
-        if (b.sum.length == 0) b.sum = new Array[Double](v.length)
+        if (b.sum.length < v.length) b.sum = java.util.Arrays.copyOf(b.sum, v.length)
         var i = 0
-        while (i < v.length && i < b.sum.length) { b.sum(i) += v(i); i += 1 }
+        while (i < v.length) { b.sum(i) += v(i); i += 1 }
         b.n += 1
         b
       }
 
       def merge(a: Buf, b: Buf): Buf = {
-        if (a.sum.length == 0) return b
-        if (b.sum.length == 0) return a
+        if (b.sum.length > a.sum.length) return merge(b, a)
         var i = 0
-        while (i < a.sum.length) { a.sum(i) += b.sum(i); i += 1 }
+        while (i < b.sum.length) { a.sum(i) += b.sum(i); i += 1 }
         a.n += b.n
         a
       }

@@ -106,9 +106,14 @@ object Dedup {
   }
 
   // ---------------------------------------------------------------- d03
-  /** SimHash near-dup pairs: 4×16-bit band blocking (a pair within
-    * hamming distance 3 shares at least one exact band), verified by
-    * full 64-bit hamming distance. */
+  /** SimHash near-dup pairs, COMPLETE for its threshold: 4×16-bit band
+    * blocking — by pigeonhole, any pair within hamming distance 3 has
+    * at least one band with zero differing bits, so it always surfaces
+    * as a candidate — then verified by full 64-bit hamming ≤ 3. (A
+    * looser threshold than bands-1 would silently miss band-misaligned
+    * pairs; more/narrower bands buy a higher guaranteed radius at
+    * higher candidate volume.) Completeness is spec-checked against a
+    * brute-force pair scan. */
   def d03Simhash(s: SparkSession, d: String): DataFrame = {
     val sh = Tables.documents(s, d)
       .select(col("doc_id"), simhash64(col("text")).as("sh"))
@@ -126,7 +131,7 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         hamming64(col("a.sh"), col("b.sh")).as("hamming"))
       .distinct()
-      .filter(col("hamming") <= 6)
+      .filter(col("hamming") <= 3) // = bands - 1: the guaranteed radius
       .orderBy("doc_a", "doc_b")
   }
 
@@ -199,7 +204,7 @@ object Dedup {
       .localCheckpoint()
     var changed = true
     var rounds = 0
-    while (changed && rounds < 10) {
+    while (changed && rounds < 50) {
       // each round: label <- min(own label, neighbors' labels).
       // Checkpoint FIRST (eager — the one job that does the round's
       // work), then diff-count against the materialized result: the
@@ -218,6 +223,11 @@ object Dedup {
       labels = next
       rounds += 1
     }
+    // rounds scale with component diameter (near-dup graphs are unions
+    // of small cliques — 2-3 in practice); a pathological chain must
+    // fail loudly, never return partial labels as if they were final
+    if (changed) throw new IllegalStateException(
+      s"d06: min-label propagation did not converge in $rounds rounds")
     labels.select(col("doc_id"), col("label").as("cluster_rep"))
       .orderBy("doc_id")
   }

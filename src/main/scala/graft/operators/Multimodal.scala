@@ -67,8 +67,14 @@ object Multimodal {
         MediaFeature(id, fmt, w, h, bytes.length, feat, sum)
       }
     }.toDF()
+      // the extracted feature IS the point of the decode — emit it
+      // (mapPartitions is opaque to Catalyst, so a dropped column
+      // would still have been computed, as pure waste)
       .select(col("doc_id"), col("format"), col("width"), col("height"),
-        col("n_bytes"), col("checksum"))
+        col("n_bytes"),
+        round(element_at(col("feature"), 1).cast("double"), 5).as("f0"),
+        round(element_at(col("feature"), 8).cast("double"), 5).as("f7"),
+        col("checksum"))
       .orderBy("doc_id")
   }
 

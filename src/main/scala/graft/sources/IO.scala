@@ -24,19 +24,22 @@ object IO {
   def writeParquetPartitioned(df: DataFrame, path: String, partitionCol: String): Unit =
     df.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(path)
 
+  // second-only formats would silently truncate the microsecond
+  // precision the event tables carry; the optional [.SSSSSS] section
+  // also accepts external CSVs without a fractional part
   def readCsv(s: SparkSession, path: String, schema: StructType,
       header: Boolean = true, delimiter: String = ","): DataFrame =
     s.read
       .option("header", header.toString)
       .option("delimiter", delimiter)
-      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss[.SSSSSS]")
       .schema(schema)
       .csv(path)
 
   def writeCsv(df: DataFrame, path: String, header: Boolean = true): Unit =
     df.write.mode(SaveMode.Overwrite)
       .option("header", header.toString)
-      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
       .csv(path)
 
   def readJsonl(s: SparkSession, path: String, schema: StructType): DataFrame =

@@ -92,15 +92,28 @@ object Streams {
             val isStreaming =
               try { state.getCurrentWatermarkMs(); true }
               catch { case _: UnsupportedOperationException => false }
+            // NOTE: the group's batch iterator is buffered for the
+            // sort; per-user per-batch volume is bounded by session
+            // activity. A backfill over a pathologically hot user
+            // should use the window-based batch twin (q26Sessionize).
             val sorted = it.toSeq.sortBy(e => micros(e.ts))
             var buf = state.getOption
             val closed = List.newBuilder[Session]
             for (e <- sorted) {
               val t = micros(e.ts)
               buf match {
-                case Some(b) if t - b.lastUs <= gapUs =>
-                  buf = Some(b.copy(lastUs = math.max(b.lastUs, t), n = b.n + 1,
+                case Some(b) if t >= b.startUs - gapUs && t - b.lastUs <= gapUs =>
+                  // in-range (possibly a cross-batch late event just
+                  // before the open session — extend its start)
+                  buf = Some(b.copy(startUs = math.min(b.startUs, t),
+                    lastUs = math.max(b.lastUs, t), n = b.n + 1,
                     total = b.total + e.value))
+                case Some(b) if t < b.startUs =>
+                  // late event more than a gap before the open session:
+                  // whatever session it belonged to is already beyond
+                  // the watermark — emit it as its own closed session
+                  // rather than wrongly merging or silently dropping it
+                  closed += flush(userId, SessionBuf(t, t, 1, e.value))
                 case Some(b) =>
                   closed += flush(userId, b)
                   buf = Some(SessionBuf(t, t, 1, e.value))

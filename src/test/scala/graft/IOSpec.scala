@@ -24,6 +24,16 @@ class IOSpec extends AnyFunSuite {
     assert(fromJson.orderBy("n_nationkey").collect().toSeq == base)
   }
 
+  test("csv round-trips microsecond timestamps (events carry sub-second precision)") {
+    val events = sources.Tables.events(spark, sf).select("event_id", "ts").limit(200)
+    val path = tmp() + "/events_csv"
+    IO.writeCsv(events, path)
+    val back = IO.readCsv(spark, path, events.schema)
+    val a = events.orderBy("event_id").collect().map(r => (r.getLong(0), r.getTimestamp(1)))
+    val b = back.orderBy("event_id").collect().map(r => (r.getLong(0), r.getTimestamp(1)))
+    assert(a.sameElements(b)) // a second-only format would truncate silently
+  }
+
   test("partitioned parquet write enables partition pruning") {
     val path = tmp() + "/orders_part"
     IO.writeParquetPartitioned(

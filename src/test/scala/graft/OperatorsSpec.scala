@@ -75,6 +75,37 @@ class OperatorsSpec extends AnyFunSuite {
     Dedup.d03Simhash(spark, sf).collect().foreach(r => assert(r.getInt(2) <= 6))
   }
 
+  test("d03 simhash is COMPLETE for hamming <= 3: equals the brute-force pair scan") {
+    import graft.functions.Kernels
+    import org.apache.spark.unsafe.types.UTF8String
+    val sigs = sources.Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> Kernels.simhash64(UTF8String.fromString(r.getString(1))))
+    val expected = (for {
+      (ia, ha) <- sigs; (ib, hb) <- sigs
+      if ia < ib && Kernels.hamming64(ha, hb) <= 3
+    } yield (ia, ib)).toSet
+    val got = Dedup.d03Simhash(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected.nonEmpty) // the planted near-dups keep this non-vacuous
+    assert(got == expected, s"missing=${expected -- got} extra=${got -- expected}")
+  }
+
+  test("s03 centroid is ragged-safe and partition-independent (zero-padded mean)") {
+    import spark.implicits._
+    val rows = Seq(
+      ("a", Array(2.0f, 4.0f)),
+      ("a", Array(4.0f)),       // shorter vector: missing dims = 0
+      ("a", Array.empty[Float]) // empty: still counts in n
+    )
+    for (parts <- Seq(1, 3)) {
+      val got = rows.toDF("label", "embedding").repartition(parts)
+        .groupBy("label")
+        .agg(graft.functions.VectorAgg.centroid_agg(col("embedding")).as("c"))
+        .collect()(0).getSeq[Float](1)
+      assert(got == Seq(2.0f, 4.0f / 3), s"parts=$parts got=$got")
+    }
+  }
+
   test("s01 brute-force ANN: k results, cosine descending, probe excluded") {
     val rows = Similarity.s01BruteForce(spark, sf).collect()
     assert(rows.length == 10)
@@ -119,11 +150,12 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.getInt(1) == doc0.split(" ", -1).length)
   }
 
-  test("m01 multimodal: deterministic checksums across two runs") {
-    val a = Multimodal.m01Multimodal(spark, sf).collect().map(r => (r.getLong(0), r.getLong(5)))
-    val b = Multimodal.m01Multimodal(spark, sf).collect().map(r => (r.getLong(0), r.getLong(5)))
+  test("m01 multimodal: deterministic checksums and features across two runs") {
+    def run() = Multimodal.m01Multimodal(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("checksum"), r.getAs[Double]("f0")))
+    val a = run(); val b = run()
     assert(a.sameElements(b))
-    assert(a.nonEmpty)
+    assert(a.nonEmpty && a.exists(_._3 != 0.0)) // features really emitted
   }
 
   test("q23 approx distinct within 5% of exact") {

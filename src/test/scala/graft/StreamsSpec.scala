@@ -74,6 +74,32 @@ class StreamsSpec extends AnyFunSuite {
     assert(sessions(2L).head.n_events == 1)
   }
 
+  test("st02 handles cross-batch late events: in-gap ones extend the session start") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Event]
+    val q = Streams.sessionize(src.toDS(), gapMinutes = 30, watermark = "2 hours")
+      .writeStream.format("memory").queryName("st02_late_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      src.addData(Event(1, ts(60), "click", 1.0))
+      q.processAllAvailable()
+      // batch 2: late but within the 2h watermark, 10 min BEFORE the
+      // open session's start — must merge and extend start, not vanish
+      src.addData(Event(1, ts(50), "view", 2.0))
+      q.processAllAvailable()
+      // close everything via far-future sentinels
+      src.addData(Event(99, ts(5000), "x", 0.0))
+      q.processAllAvailable()
+      src.addData(Event(99, ts(9000), "x", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val u1 = spark.table("st02_late_out").as[Session].collect().filter(_.user_id == 1L)
+    assert(u1.length == 1, s"got ${u1.toSeq}")
+    assert(u1(0).start_ts == ts(50) && u1(0).end_ts == ts(60))
+    assert(u1(0).n_events == 2 && u1(0).total_value == 3.0)
+  }
+
   test("st02 batch parity: a bounded frame emits the trailing open session too") {
     import spark.implicits._
     val events = Seq(
