@@ -136,5 +136,31 @@ object Multimodal {
     "m02_resize"       -> (m02Resize _),
     "m03_frame_sample" -> (m03FrameSample _))
 
-  val oracleSql: Map[String, String] = Map.empty
+  /** m02's geometry is pure arithmetic over (doc_id, payload length) —
+    * double division, truncating casts, integer division — so DuckDB
+    * reproduces it bit-for-bit (FLOOR, not CAST-to-INT: DuckDB's int
+    * cast rounds, Scala's toInt truncates). m01/m03 stay rows-only
+    * (FNV checksums are engine-specific). */
+  val oracleSql: Map[String, String] = Map(
+    "m02_resize" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |         CAST(doc_id % 64 + 16 AS INT) AS width,
+        |         CAST(doc_id % 48 + 16 AS INT) AS height,
+        |         octet_length(encode(text)) AS nb
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, width, height, nb,
+        |         LEAST(32.0 / width, 32.0 / height) AS scale
+        |  FROM m
+        |), o AS (
+        |  SELECT doc_id, width, height, nb,
+        |         CAST(GREATEST(1, CAST(FLOOR(width * scale) AS INT)) AS INT) AS out_width,
+        |         CAST(GREATEST(1, CAST(FLOOR(height * scale) AS INT)) AS INT) AS out_height
+        |  FROM s
+        |)
+        |SELECT doc_id, width, height, out_width, out_height,
+        |       CAST(GREATEST(1, nb * (out_width::BIGINT * out_height)
+        |                        // (width::BIGINT * height)) AS INT) AS n_bytes_out
+        |FROM o ORDER BY doc_id""".stripMargin)
 }

@@ -88,16 +88,22 @@ object Similarity {
   /** Per-label embedding centroids via the one-pass [[graft.functions
     * .VectorAgg]] aggregator (custom typed Aggregator — constant
     * shuffle bytes per group). The coarse quantizer step of an IVF
-    * index build. */
+    * index build. The scalar `c0` column is computed through a
+    * DECIMAL-exact sum (order-independent) so the whole frame is
+    * DuckDB-hash-comparable; the float centroid itself is
+    * spec-verified against a hand-folded mean. */
   def s03Centroids(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
       .groupBy("label")
       .agg(
         count(lit(1)).as("n"),
-        graft.functions.VectorAgg.centroid_agg(col("embedding")).as("centroid"))
-      .select(col("label"), col("n"),
-        size(col("centroid")).as("dim"),
-        round(element_at(col("centroid"), 1).cast("double"), 5).as("c0"))
+        graft.functions.VectorAgg.centroid_agg(col("embedding")).as("centroid"),
+        // float → DOUBLE first, explicitly, on BOTH sides: the engines'
+        // direct float→decimal casts round differently, but float→double
+        // is exact everywhere and double→decimal(20,10) then agrees
+        (sum(element_at(col("embedding"), 1).cast("double").cast("decimal(20,10)"))
+          .cast("double") / count(lit(1))).as("c0"))
+      .select(col("label"), col("n"), size(col("centroid")).as("dim"), col("c0"))
       .orderBy("label")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -105,5 +111,11 @@ object Similarity {
     "s02_ann_lsh"   -> (s02LshAnn _),
     "s03_centroids" -> (s03Centroids _))
 
-  val oracleSql: Map[String, String] = Map.empty
+  val oracleSql: Map[String, String] = Map(
+    "s03_centroids" ->
+      """SELECT label, COUNT(*) AS n,
+        |       CAST(LEN(ANY_VALUE(embedding)) AS INT) AS dim,
+        |       CAST(SUM(CAST(CAST(embedding[1] AS DOUBLE) AS DECIMAL(20,10))) AS DOUBLE)
+        |         / COUNT(*) AS c0
+        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin)
 }
