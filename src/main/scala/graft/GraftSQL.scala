@@ -28,6 +28,10 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
   private var txn: Option[catalog.Txn] = None
   private var asOf: Option[Int] = None
   private var readOnly: Boolean = false
+  // READ ONLY pins per-table versions captured AT BEGIN — without this
+  // each SELECT would read the latest commit (non-repeatable reads,
+  // not the "snapshot-at-now" MVCC semantics the reference gives)
+  private var roVersions: Option[Map[String, Int]] = None
   // views the last SELECT registered (observable registration scope)
   private[graft] var lastRegistered: Seq[String] = Nil
 
@@ -48,7 +52,9 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
       .map(_.getName)
     (txn match {
       case Some(t) => base.filterNot(t.droppedTableNames.contains) ++ t.createdTableNames
-      case None    => base
+      case None    =>
+        // a READ ONLY snapshot sees only tables that existed at BEGIN
+        roVersions.map(vs => base.filter(vs.contains)).getOrElse(base)
     }).sorted
   }
   private def catalogRoot: String = catalog.root
@@ -56,6 +62,8 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
   private def currentScan(name: String): DataFrame =
     txn.map(_.scan(name))
       .orElse(asOf.map(v => catalog.asOf(name, v)))
+      .orElse(roVersions.map(vs => catalog.asOf(name,
+        vs.getOrElse(name, sys.error(s"no such table in snapshot: $name")))))
       .getOrElse(catalog.scan(name))
 
   /** Execute one SQL statement; returns a (possibly empty) DataFrame —
@@ -66,9 +74,20 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
     val s = GraftSQL.rewriteOps(sql.trim.stripSuffix(";").trim)
     val up = s.toUpperCase
 
-    if (up.startsWith("EXPLAIN ")) {
-      val inner = execute(s.drop("EXPLAIN ".length))
-      return Seq(GraftSession.explainPlan(inner)).toDF("plan")
+    if (up.startsWith("EXPLAIN")
+        && (up.length == 7 || up(7).isWhitespace)) { // EXPLAIN\nSELECT too
+      val inner = s.drop("EXPLAIN".length).trim
+      val innerUp = inner.toUpperCase
+      // EXPLAIN plans, it never executes (reference ast.rs:17). SELECTs
+      // are side-effect-free so building the frame is safe; DML/DDL is
+      // described by its routing WITHOUT running it — the old recursive
+      // execute() actually performed the INSERT/DELETE being explained.
+      if (innerUp.startsWith("SELECT") || innerUp.startsWith("WITH")) {
+        val df = execute(inner)
+        return Seq(GraftSession.explainPlan(df)).toDF("plan")
+      }
+      val verb = innerUp.split("\\s+").take(2).mkString(" ")
+      return Seq(s"GraftStatement($verb) -> TableCatalog (not executed)").toDF("plan")
     }
 
     if (up.startsWith("BEGIN")) {
@@ -77,7 +96,9 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
       val isReadOnly = raw"(?i)READ\s+ONLY".r.findFirstIn(s).isDefined
       asOfRe.findFirstMatchIn(s) match {
         case Some(m) => asOf = Some(m.group(1).toInt)
-        case None if isReadOnly => readOnly = true // snapshot-at-now, no writes
+        case None if isReadOnly =>
+          readOnly = true // snapshot-at-now, no writes
+          roVersions = Some(tableNames.map(n => n -> catalog.currentVersion(n)).toMap)
         case None => txn = Some(catalog.begin())
       }
       return Seq("BEGIN").toDF("status")
@@ -88,21 +109,26 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
       try txn.foreach(_.commit())
       catch {
         case e: Throwable =>
-          txn.foreach(_.rollback()); txn = None; asOf = None; readOnly = false
+          txn.foreach(_.rollback())
+          txn = None; asOf = None; readOnly = false; roVersions = None
           throw e
       }
-      txn = None; asOf = None; readOnly = false
+      txn = None; asOf = None; readOnly = false; roVersions = None
       return Seq("COMMIT").toDF("status")
     }
     if (up == "ROLLBACK") {
-      txn.foreach(_.rollback()); txn = None; asOf = None; readOnly = false
+      txn.foreach(_.rollback())
+      txn = None; asOf = None; readOnly = false; roVersions = None
       return Seq("ROLLBACK").toDF("status")
     }
 
     val createRe = raw"(?is)CREATE\s+TABLE\s+(\w+)\s*\((.*)\)\s*".r
     val dropRe   = raw"(?is)DROP\s+TABLE\s+(\w+)\s*".r
     val insertRe = raw"(?is)INSERT\s+INTO\s+(\w+)\s*(?:\(([^)]*)\)\s*)?VALUES\s*(.*)".r
-    val updateRe = raw"(?is)UPDATE\s+(\w+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?".r
+    // SET/WHERE split happens quote-aware below, NOT in the regex: a
+    // lazy (.*?)\s+WHERE would cut the SET body at a 'where' inside a
+    // string literal
+    val updateRe = raw"(?is)UPDATE\s+(\w+)\s+SET\s+(.*)".r
     val deleteRe = raw"(?is)DELETE\s+FROM\s+(\w+)(?:\s+WHERE\s+(.*))?\s*".r
 
     s match {
@@ -138,13 +164,14 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
         }
         Seq(s"INSERT ${df.count()}").toDF("status")
 
-      case updateRe(name, setBody, whereBody) =>
+      case updateRe(name, body) =>
         require(asOf.isEmpty && !readOnly, "read-only transaction")
+        val (setBody, whereBody) = GraftSQL.splitAtTopLevelWhere(body)
         val sets = splitTopLevel(setBody, ',').map { a =>
           val Array(k, v) = a.split("=", 2)
           k.trim -> expr(v.trim)
         }.toMap
-        val where = Option(whereBody).map(w => expr(w.trim)).getOrElse(lit(true))
+        val where = whereBody.map(w => expr(w.trim)).getOrElse(lit(true))
         txn match {
           case Some(t) => t.update(name, sets, where)
           case None    => catalog.update(name, sets, where)
@@ -171,13 +198,18 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
         lastRegistered = tableNames
           .filter(n => ("(?i)\\b" + java.util.regex.Pattern.quote(n) + "\\b")
             .r.findFirstIn(s).isDefined)
-        // save any pre-existing same-named relation's plan, bind the
+        // save any pre-existing same-named TEMP VIEW's plan, bind the
         // snapshot views, run, then RESTORE the prior binding (or drop
         // the view if none existed): no graft snapshot — least of all
         // a txn-private one — may linger in the session's shared
-        // temp-view namespace after the statement
-        val saved = lastRegistered
-          .flatMap(n => scala.util.Try(n -> spark.table(n)).toOption).toMap
+        // temp-view namespace after the statement. Only temp views are
+        // restored as temp views: re-materializing a permanent catalog
+        // table's plan as a view would pin stale data over it.
+        val saved = lastRegistered.flatMap { n =>
+          scala.util.Try(spark.catalog.getTable(n)).toOption
+            .filter(_.isTemporary)
+            .map(_ => n -> spark.table(n))
+        }.toMap
         lastRegistered.foreach(n => currentScan(n).createOrReplaceTempView(n))
         try spark.sql(s)
         finally lastRegistered.foreach { n =>
@@ -214,16 +246,7 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
       if (restUp.contains("INDEX")) indexes += cname // schema.rs:154-155
       val refRe = raw"(?i)REFERENCES\s+(\w+)".r
       refRe.findFirstMatchIn(colDef).foreach(m => references += cname -> m.group(1))
-      val defRe = raw"(?i)DEFAULT\s+(\S+)".r
-      defRe.findFirstMatchIn(colDef).foreach { m =>
-        val lit = m.group(1).stripSuffix(",")
-        defaults += cname -> (
-          if (lit.startsWith("'")) lit.stripPrefix("'").stripSuffix("'")
-          else if (lit.equalsIgnoreCase("TRUE")) true
-          else if (lit.equalsIgnoreCase("FALSE")) false
-          else if (lit.contains('.')) lit.toDouble
-          else lit.toLong)
-      }
+      GraftSQL.parseDefaultLiteral(colDef).foreach(v => defaults += cname -> v)
       val nullable = !(rest.contains("NOT NULL") || rest.contains("PRIMARY KEY"))
       StructField(cname, dtype, nullable)
     }
@@ -402,19 +425,68 @@ object GraftSQL {
     s
   }
 
-  /** Split on `sep` ignoring separators inside parens and strings. */
+  /** Split on `sep` ignoring separators inside parens and single- OR
+    * double-quoted strings (both are string literals in Spark's
+    * default dialect). */
   private[graft] def splitTopLevel(body: String, sep: Char): Seq[String] = {
     val out = Seq.newBuilder[String]
-    val cur = new StringBuilder
-    var depth = 0; var inStr = false
-    for (c <- body) c match {
-      case '\'' => inStr = !inStr; cur += c
-      case '(' if !inStr => depth += 1; cur += c
-      case ')' if !inStr => depth -= 1; cur += c
-      case `sep` if depth == 0 && !inStr => out += cur.toString; cur.clear()
-      case _ => cur += c
+    var depth = 0
+    var start = 0
+    var i = 0
+    while (i < body.length) {
+      body(i) match {
+        case '\'' | '"' => i = skipString(body, i)
+        case '(' => depth += 1; i += 1
+        case ')' => depth -= 1; i += 1
+        case c if c == sep && depth == 0 =>
+          out += body.substring(start, i); start = i + 1; i += 1
+        case _ => i += 1
+      }
     }
-    if (cur.nonEmpty) out += cur.toString
+    out += body.substring(start)
     out.result().filter(_.trim.nonEmpty)
+  }
+
+  /** (SET body, optional WHERE body): splits an UPDATE tail at the
+    * first top-level WHERE keyword — quote- and paren-aware, so a
+    * 'where' inside a string literal never truncates the SET list. */
+  private[graft] def splitAtTopLevelWhere(body: String): (String, Option[String]) = {
+    var i = 0
+    var depth = 0
+    while (i < body.length) {
+      body(i) match {
+        case '\'' | '"' => i = skipString(body, i)
+        case '(' => depth += 1; i += 1
+        case ')' => depth -= 1; i += 1
+        case c if depth == 0 && (c == 'w' || c == 'W')
+            && body.regionMatches(true, i, "WHERE", 0, 5)
+            && i > 0 && body(i - 1).isWhitespace
+            && (i + 5 >= body.length || body(i + 5).isWhitespace) =>
+          return (body.substring(0, i), Some(body.substring(i + 5)))
+        case _ => i += 1
+      }
+    }
+    (body, None)
+  }
+
+  /** The DEFAULT literal of one column definition, if any: a quoted
+    * string (with '' escapes), TRUE/FALSE, a number — or None for
+    * DEFAULT NULL (same as no default). A regex \\S+ would truncate
+    * 'john doe' at the space. */
+  private[graft] def parseDefaultLiteral(colDef: String): Option[Any] = {
+    val m = raw"(?i)\bDEFAULT\s+".r.findFirstMatchIn(colDef).getOrElse(return None)
+    val rest = colDef.substring(m.end).trim
+    if (rest.isEmpty) return None
+    if (rest.head == '\'') {
+      val end = skipString(rest, 0)
+      // '' doubling inside the literal unescapes to a single quote
+      return Some(rest.substring(1, end - 1).replace("''", "'"))
+    }
+    val tok = rest.takeWhile(c => !c.isWhitespace && c != ',')
+    if (tok.equalsIgnoreCase("NULL")) None
+    else if (tok.equalsIgnoreCase("TRUE")) Some(true)
+    else if (tok.equalsIgnoreCase("FALSE")) Some(false)
+    else if (tok.exists(c => c == '.' || c == 'e' || c == 'E')) Some(tok.toDouble)
+    else Some(tok.toLong)
   }
 }

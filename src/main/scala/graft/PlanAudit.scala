@@ -20,7 +20,10 @@ object PlanAudit {
       try {
         val plan = GraftSession.explainPlan(fn(spark, dir))
         val ops = interesting.flatMap { op =>
-          val c = plan.sliding(op.length).count(_ == op)
+          // word-start match: a bare substring count would report a
+          // phantom HashAggregate for every ObjectHashAggregate (and
+          // an Exchange for every BroadcastExchange)
+          val c = ("(?<![A-Za-z])" + op).r.findAllMatchIn(plan).size
           if (c > 0) Some(s"$op×$c") else None
         }
         val flags = Seq(
@@ -30,7 +33,9 @@ object PlanAudit {
           .filter(_.nonEmpty)
         println(f"$name%-24s ${ops.mkString(" ")} ${flags.mkString(" ")}")
       } catch {
-        case e: Throwable => println(f"$name%-24s ERROR ${e.getMessage.take(80)}")
+        case e: Throwable =>
+          val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+          println(f"$name%-24s ERROR ${msg.take(80)}")
       }
     }
     spark.stop()

@@ -223,7 +223,11 @@ object Relational {
     // session's views to dataset `d` (spark.sql analyzes eagerly, so
     // the returned frame stays valid after restore)
     val names = Seq("customer", "orders", "lineitem")
-    val saved = names.flatMap(n => scala.util.Try(n -> s.table(n)).toOption).toMap
+    val saved = names.flatMap { n =>
+      scala.util.Try(s.catalog.getTable(n)).toOption
+        .filter(_.isTemporary) // never pin a permanent table's plan as a view
+        .map(_ => n -> s.table(n))
+    }.toMap
     names.foreach(n => Tables.load(s, d, n).createOrReplaceTempView(n))
     try s.sql(q15Sql)
     finally names.foreach { n =>

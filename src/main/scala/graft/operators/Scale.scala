@@ -22,6 +22,7 @@ object Scale {
     * across `salt` tasks instead of one. Semantics identical to
     * `left.join(right, key)` for inner joins. */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String, salt: Int): DataFrame = {
+    require(salt >= 1, s"saltedJoin: salt must be >= 1, got $salt (0 would drop every row)")
     val saltCol = "__graft_salt"
     val l = left.withColumn(saltCol, (rand(seed = 7) * salt).cast("int"))
     val r = right.withColumn(saltCol, explode(array((0 until salt).map(lit): _*)))

@@ -153,6 +153,57 @@ class GraftSQLSpec extends AnyFunSuite {
     assert(g1.execute("SELECT v FROM w").collect()(0).getLong(0) == 100)
   }
 
+  test("EXPLAIN never executes: DML under EXPLAIN leaves the table untouched") {
+    val g = session()
+    g.execute("CREATE TABLE ex (id INTEGER PRIMARY KEY, v INTEGER)")
+    g.execute("INSERT INTO ex VALUES (1, 10)")
+    val p1 = g.execute("EXPLAIN INSERT INTO ex VALUES (2, 20)").collect()(0).getString(0)
+    val p2 = g.execute("EXPLAIN DELETE FROM ex").collect()(0).getString(0)
+    assert(p1.contains("INSERT INTO") && p2.contains("DELETE FROM"))
+    assert(g.execute("SELECT count(*) AS n FROM ex").collect()(0).getLong(0) == 1)
+    // multi-line EXPLAIN SELECT still plans
+    val p3 = g.execute("EXPLAIN\nSELECT * FROM ex").collect()(0).getString(0)
+    assert(p3.contains("Physical Plan"))
+  }
+
+  test("BEGIN READ ONLY pins a snapshot: repeatable reads across concurrent commits") {
+    val g = session()
+    val writer = new GraftSQL(spark, g.catalog)
+    g.execute("CREATE TABLE rr (id INTEGER PRIMARY KEY)")
+    g.execute("INSERT INTO rr VALUES (1)")
+    g.execute("BEGIN READ ONLY")
+    assert(g.execute("SELECT count(*) AS n FROM rr").collect()(0).getLong(0) == 1)
+    writer.execute("INSERT INTO rr VALUES (2)")
+    // the snapshot must NOT see the concurrent commit
+    assert(g.execute("SELECT count(*) AS n FROM rr").collect()(0).getLong(0) == 1)
+    g.execute("COMMIT")
+    assert(g.execute("SELECT count(*) AS n FROM rr").collect()(0).getLong(0) == 2)
+  }
+
+  test("string literals containing keywords/separators survive statement parsing") {
+    val g = session()
+    g.execute("CREATE TABLE sl (id INTEGER PRIMARY KEY, note STRING, tag STRING)")
+    g.execute("INSERT INTO sl VALUES (1, 'x', 'y')")
+    // 'where' inside a SET string must not truncate the SET list
+    g.execute("UPDATE sl SET note = 'a where b', tag = 'c, d' WHERE id = 1")
+    val r = g.execute("SELECT note, tag FROM sl").collect()(0)
+    assert(r.getString(0) == "a where b" && r.getString(1) == "c, d")
+  }
+
+  test("DEFAULT literals: multi-word strings, NULL, escaped quotes") {
+    val g = session()
+    g.execute("""CREATE TABLE dl (
+      id INTEGER PRIMARY KEY,
+      name STRING DEFAULT 'john doe',
+      nick STRING DEFAULT 'o''brien',
+      age INTEGER DEFAULT NULL)""")
+    g.execute("INSERT INTO dl (id) VALUES (1)")
+    val r = g.execute("SELECT name, nick, age FROM dl").collect()(0)
+    assert(r.getString(0) == "john doe")
+    assert(r.getString(1) == "o'brien")
+    assert(r.isNullAt(2))
+  }
+
   test("reference `^` is exponentiation and postfix `!` is factorial (ast.rs:149-150)") {
     val g = session()
     def one(sql: String): Any = g.execute(sql).collect()(0).get(0)
@@ -168,6 +219,15 @@ class GraftSQLSpec extends AnyFunSuite {
     // untouched inside string literals; != stays not-equals
     assert(one("SELECT 'a^b!' AS x") == "a^b!")
     assert(one("SELECT CASE WHEN 1 != 2 THEN 'ok' ELSE 'no' END AS x") == "ok")
+    // function-call operands and nesting
+    assert(one("SELECT abs(-3)! AS x") == 6L)
+    assert(one("SELECT 2 ^ (3!) AS x") == 64.0)
+    assert(one("SELECT greatest(2, 3) ^ 2 AS x") == 9.0)
+    // escaped quote inside a literal doesn't derail the scanner
+    assert(one("SELECT 'it''s^fine!' AS x") == "it's^fine!")
+    // a lone comparison after a factorial-looking token: 5!=120 lexes
+    // as 5 != 120 (greedy !=, same as the reference lexer)
+    assert(one("SELECT CASE WHEN 5!=120 THEN 'ne' ELSE 'eq' END AS x") == "ne")
     // expressions over table columns
     g.execute("CREATE TABLE pw (id INTEGER PRIMARY KEY, n INTEGER)")
     g.execute("INSERT INTO pw VALUES (1, 4)")
