@@ -283,8 +283,20 @@ object GraftSQL {
     * (`2 ^ 3 = 1`, not 8) and rejects postfix `!` — wrong answers with
     * no error, the worst failure mode. String-literal- and paren-safe;
     * `!=` is left untouched. */
-  private[graft] def rewriteOps(sql: String): String =
-    rewriteExponents(rewriteFactorials(sql))
+  private[graft] def rewriteOps(sql: String): String = {
+    // iterate to fixpoint: an exponent rewrite can expose a postfix `!`
+    // that only became attachable once its operand gained parentheses
+    // (e.g. malformed `^.!` → `power(,.)!`). Terminates: no pass ever
+    // introduces `^` or `!`, and every changing pass consumes at least
+    // one, so the operator count strictly decreases.
+    var prev = sql
+    var cur = rewriteExponents(rewriteFactorials(sql))
+    while (cur != prev) {
+      prev = cur
+      cur = rewriteExponents(rewriteFactorials(cur))
+    }
+    cur
+  }
 
   /** Index just past the closing quote of a literal starting at `i`
     * (s(i) is the opening quote). Handles '' doubling. */

@@ -235,6 +235,23 @@ class GraftSQLSpec extends AnyFunSuite {
     assert(one("SELECT n! AS x FROM pw WHERE id != 2") == 24L)
   }
 
+  test("rewriteOps is total and idempotent on adversarial input") {
+    // the rewrite must never crash on malformed text (the parser will
+    // reject it downstream with a proper error), and rewriting twice
+    // must equal rewriting once (power/factorial contain no ^/!)
+    val rng = new scala.util.Random(11)
+    val alphabet = "ab1 ^!()'\"=,.<>*+-".toCharArray
+    for (_ <- 1 to 500) {
+      val soup = Array.fill(rng.nextInt(40))(alphabet(rng.nextInt(alphabet.length))).mkString
+      val once = GraftSQL.rewriteOps(soup)
+      assert(GraftSQL.rewriteOps(once) == once, s"input=[$soup] once=[$once]")
+    }
+    for (wellFormed <- Seq("SELECT 2 ^ 3 ^ 2", "SELECT (1+2)! * 3!", "a != b ^ c!")) {
+      val once = GraftSQL.rewriteOps(wellFormed)
+      assert(GraftSQL.rewriteOps(once) == once)
+    }
+  }
+
   test("SELECT registers only the temp views it references, and cleans them up") {
     val g = session()
     g.execute("CREATE TABLE vh_used (id INTEGER PRIMARY KEY)")
