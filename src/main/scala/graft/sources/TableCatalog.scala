@@ -431,6 +431,49 @@ class TableCatalog(spark: SparkSession, val root: String) {
     }
   }
 
+  /** INSERT-specialized validation: checks only what an APPEND can
+    * break, against only the data that can conflict with it. Existing
+    * rows already satisfied their constraints, so NOT NULL and FK run
+    * on the new batch alone; key uniqueness = duplicates WITHIN the
+    * batch + a semi-join of the batch's keys against the existing
+    * table, where — for an INDEXED key — the existing side reads
+    * through the manifest's range pruning restricted to the batch's
+    * [min,max]. Appends with monotone keys (the common ingest shape)
+    * then validate against ~zero existing files instead of scanning
+    * the whole table — the reference's per-row index probe, in
+    * distributed form. `existing`/`pruned` supply the snapshot (a txn
+    * passes its own view and no pruning). */
+  private def validateInsert(
+      m: TableMeta, name: String, batch: DataFrame,
+      existing: () => DataFrame,
+      pruned: Option[Column => DataFrame],
+      fkResolve: String => DataFrame): Unit = {
+    for (k <- m.primaryKey.toSeq ++ m.notNull)
+      require(batch.filter(col(k).isNull).isEmpty, s"$name.$k: NOT NULL violated")
+    for (k <- m.primaryKey.toSeq ++ m.unique) {
+      val newKeys = batch.select(col(k)).na.drop()
+      require(newKeys.groupBy(col(k)).count().filter(col("count") > 1).isEmpty,
+        s"$name.$k: UNIQUE/PRIMARY KEY violated")
+      val bounds = newKeys.agg(min(col(k)).as("lo"), max(col(k)).as("hi")).head()
+      if (!bounds.isNullAt(0)) {
+        val existingSide =
+          if (m.indexes.contains(k) && pruned.isDefined)
+            pruned.get(col(k) >= lit(bounds.get(0)) && col(k) <= lit(bounds.get(1)))
+          else existing()
+        val clashes = existingSide.select(col(k))
+          .join(newKeys, Seq(k), "left_semi")
+        require(clashes.isEmpty, s"$name.$k: UNIQUE/PRIMARY KEY violated")
+      }
+    }
+    for ((c, parent) <- m.references) {
+      val pk = fkTargetMeta(parent)
+        .getOrElse(sys.error(s"FK $name.$c: unknown table $parent")).primaryKey.get
+      val orphans = batch.select(col(c)).na.drop().distinct()
+        .join(fkResolve(parent).select(col(pk).as(c)), Seq(c), "left_anti")
+      require(orphans.isEmpty, s"$name.$c: FK into $parent.$pk violated")
+    }
+  }
+
   /** Tables whose FKs reference `name` (reverse FK index). */
   private def referencingTables(name: String): Seq[(String, String)] = {
     val rootDir = new java.io.File(root)
@@ -491,8 +534,10 @@ class TableCatalog(spark: SparkSession, val root: String) {
     val m = meta(name)
     val aligned = applyDefaults(name, m, df)
     val next = m.version + 1
-    val combined = if (m.version == 0) aligned else scan(name).unionByName(aligned)
-    validate(m, name, combined)
+    validateInsert(m, name, aligned,
+      existing = () => scan(name),
+      pruned = Some(f => scan(name, f)),
+      fkResolve = scan)
     val rel = s"data/delta-$next"
     writeData(m, aligned, absTableDir(name).resolve(rel).toString)
     writeManifest(name, next, readManifest(name, m.version) :+ rel,
@@ -685,9 +730,9 @@ class TableCatalog(spark: SparkSession, val root: String) {
       val base = baseOf(name)
       val dirs = viewDirs(name)
       val aligned = applyDefaults(name, m, df)
-      val combined =
-        if (dirs.isEmpty) aligned else scan(name).unionByName(aligned)
-      validate(m, name, combined, scan)
+      // txn view has no manifest yet → no range pruning, full-view check
+      validateInsert(m, name, aligned,
+        existing = () => scan(name), pruned = None, fkResolve = scan)
       val rel = freshDir(name)
       writeData(m, aligned, absTableDir(name).resolve(rel).toString)
       dirStats(rel) = collectStats(m, name, rel)

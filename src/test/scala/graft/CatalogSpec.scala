@@ -187,6 +187,28 @@ class CatalogSpec extends AnyFunSuite {
     assert(g.catalog.meta("ixt").indexes == Seq("score"))
   }
 
+  test("insert validation: batch-scoped constraints, indexed-PK uniqueness still enforced") {
+    val cat = freshCatalog()
+    val sc = StructType(Seq(
+      StructField("id", LongType, nullable = false), StructField("v", DoubleType)))
+    cat.createTable("appendix", sc, primaryKey = Some("id"), indexes = Seq("id"))
+    cat.insert("appendix", spark.range(0, 1000).select(col("id"), lit(1.0).as("v")))
+    // disjoint monotone append (the common ingest shape): accepted,
+    // uniqueness checked against a RANGE-PRUNED existing side
+    cat.insert("appendix", spark.range(1000, 2000).select(col("id"), lit(2.0).as("v")))
+    assert(cat.scan("appendix").count() == 2000)
+    // an overlapping duplicate is still rejected through the pruned path
+    intercept[IllegalArgumentException] {
+      cat.insert("appendix", spark.range(1500, 1501).select(col("id"), lit(9.0).as("v")))
+    }
+    // duplicates within one batch are rejected before touching the table
+    intercept[IllegalArgumentException] {
+      cat.insert("appendix",
+        spark.range(0, 2).select((col("id") * 0 + 5000).as("id"), lit(0.0).as("v")))
+    }
+    assert(cat.scan("appendix").count() == 2000) // failed inserts unpublished
+  }
+
   test("transactional DDL: staged CREATE/DROP, atomic publish, rollback leaves no trace") {
     val cat = freshCatalog()
     cat.createTable("keep", schema, primaryKey = Some("id"))
