@@ -114,9 +114,36 @@ object StreamQueries {
       .orderBy("user_id", "start_ts")
   }
 
+  /** st03: streaming EXACT dedup at ingest — the streaming twin of the
+    * batch d01 operator: `dropDuplicates` over the content keeps state
+    * per distinct document and emits each exactly once, so a
+    * continuously-ingesting pipeline deduplicates as data lands
+    * instead of re-scanning the corpus per batch. Bounded run over the
+    * documents table; a production stream adds a watermark on an
+    * event-time column to bound the state (withWatermark +
+    * dropDuplicatesWithinWatermark). Output = the distinct document
+    * set, which the DuckDB DISTINCT oracle checks exactly. */
+  def st03StreamDedup(s: SparkSession, d: String): DataFrame = {
+    val schema = s.read.parquet(s"$d/documents.parquet").schema
+    val stream = s.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(d)
+    val q = stream
+      .dropDuplicates("text")
+      .select(col("text"))
+      .writeStream.format("memory").queryName("graft_st03_sink")
+      .outputMode(OutputMode.Append)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    s.table("graft_st03_sink").orderBy("text")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st01_stream_window" -> (st01StreamWindow _),
-    "st02_stream_state"  -> (st02StreamState _))
+    "st02_stream_state"  -> (st02StreamState _),
+    "st03_stream_dedup"  -> (st03StreamDedup _))
 
   /** Same oracle as the batch twin: tumbling 1h windows aligned to the
     * epoch are exactly date_trunc('hour'). */
@@ -148,5 +175,7 @@ object StreamQueries {
         |       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
         |FROM numbered
         |GROUP BY user_id, session_id
-        |ORDER BY user_id, start_ts""".stripMargin)
+        |ORDER BY user_id, start_ts""".stripMargin,
+    "st03_stream_dedup" ->
+      "SELECT DISTINCT text FROM documents ORDER BY text")
 }

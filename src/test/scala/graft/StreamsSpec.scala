@@ -74,6 +74,23 @@ class StreamsSpec extends AnyFunSuite {
     assert(sessions(2L).head.n_events == 1)
   }
 
+  test("st03: streaming dedup emits each distinct document exactly once, across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[String]
+    val q = src.toDF().dropDuplicates("value")
+      .writeStream.format("memory").queryName("st03_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      src.addData("a", "b", "a") // in-batch duplicate
+      q.processAllAvailable()
+      src.addData("b", "c") // cross-batch duplicate: state must remember b
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("st03_out").as[String].collect().sorted.toSeq
+    assert(out == Seq("a", "b", "c"), out)
+  }
+
   test("st02 handles cross-batch late events: in-gap ones extend the session start") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
