@@ -531,6 +531,27 @@ object Relational {
       .orderBy("c_custkey")
   }
 
+  // ---------------------------------------------------------------- q34
+  /** Sliding time-window analytics: 7-day moving average of daily
+    * revenue — a RANGE frame over epoch days, one shuffle (the window
+    * ordering), partial-agg'd daily rollup underneath. The frame sum
+    * runs in DECIMAL so the average is order-independent and
+    * bit-identical to the oracle. */
+  def q34MovingAvg(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(dsum(col("o_totalprice")).as("day_total"))
+      .withColumn("epoch_day", datediff(col("day"), lit("1970-01-01").cast("date")))
+    val w = Window.orderBy(col("epoch_day")).rangeBetween(-6, 0)
+    daily
+      .withColumn("ma7",
+        sum(dec(col("day_total"))).over(w).cast("double")
+          / count(lit(1)).over(w))
+      .select(col("day"), col("day_total"), col("ma7"))
+      .orderBy("day")
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -566,7 +587,8 @@ object Relational {
     "q30_not_in"            -> (q30NotIn _),
     "q31_string_funcs"      -> (q31StringFuncs _),
     "q32_datetime"          -> (q32Datetime _),
-    "q33_index_lookup"      -> (q33IndexLookup _))
+    "q33_index_lookup"      -> (q33IndexLookup _),
+    "q34_moving_avg"        -> (q34MovingAvg _))
 
   val oracleSql: Map[String, String] = Map(
     "q01_scan_project" ->
@@ -800,5 +822,18 @@ object Relational {
     "q33_index_lookup" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer
         |WHERE c_acctbal >= 9000 AND c_acctbal <= 9500
-        |ORDER BY c_custkey""".stripMargin)
+        |ORDER BY c_custkey""".stripMargin,
+    "q34_moving_avg" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS day_total
+        |  FROM orders GROUP BY 1
+        |)
+        |SELECT day, day_total,
+        |       CAST(SUM(CAST(day_total AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        |         / COUNT(*) OVER w AS ma7
+        |FROM daily
+        |WINDOW w AS (ORDER BY day
+        |             RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW)
+        |ORDER BY day""".stripMargin)
 }
