@@ -552,6 +552,15 @@ object Relational {
       .orderBy("day")
   }
 
+  // ---------------------------------------------------------------- q35
+  /** CUBE grouping sets: all 2^2 aggregation combinations in one pass
+    * (q24's ROLLUP covers the hierarchy; CUBE covers the lattice). */
+  def q35Cube(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -588,7 +597,8 @@ object Relational {
     "q31_string_funcs"      -> (q31StringFuncs _),
     "q32_datetime"          -> (q32Datetime _),
     "q33_index_lookup"      -> (q33IndexLookup _),
-    "q34_moving_avg"        -> (q34MovingAvg _))
+    "q34_moving_avg"        -> (q34MovingAvg _),
+    "q35_cube"              -> (q35Cube _))
 
   val oracleSql: Map[String, String] = Map(
     "q01_scan_project" ->
@@ -835,5 +845,11 @@ object Relational {
         |FROM daily
         |WINDOW w AS (ORDER BY day
         |             RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW)
-        |ORDER BY day""".stripMargin)
+        |ORDER BY day""".stripMargin,
+    "q35_cube" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
 }
