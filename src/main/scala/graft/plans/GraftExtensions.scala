@@ -3,7 +3,7 @@ package graft.plans
 import graft.functions.{CosineSim, Registry}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions.{
-  ArrayExists, EqualTo, If, LambdaFunction, Literal, NamedLambdaVariable, Not}
+  ArrayExists, EqualTo, If, IsNaN, LambdaFunction, Literal, NamedLambdaVariable, Not, Or}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{DoubleType, FloatType}
@@ -31,22 +31,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 /** Domain constant-folding (analog of the reference's ConstantFolder,
   * optimizer.rs:17): cosine similarity of a column with itself is 1.0
   * for any non-zero vector — replace the O(dim) three-accumulator
-  * kernel with a short-circuiting any-element-nonzero probe.
+  * kernel with short-circuiting element probes.
   *
-  * Semantics preserved exactly: [[graft.functions.Kernels.cosine]]
-  * returns 0.0 for an all-zero or empty vector (undefined direction),
-  * so the fold must NOT produce a flat 1.0 — it rewrites to
-  * `IF(EXISTS(v, x -> x != 0), 1.0, 0.0)`, which agrees with the
-  * kernel on every input and costs O(1) on any vector with an early
-  * non-zero element. Null semantics preserved: only fires when the
-  * child can't be null. */
+  * Semantics preserved exactly, matching [[graft.functions.Kernels
+  * .cosine]] on EVERY input: 0.0 for an all-zero or empty vector
+  * (undefined direction), NaN when any element is NaN or ±Infinity
+  * (the kernel's accumulators produce NaN/inf÷inf there), else 1.0.
+  * Null semantics preserved: only fires when the child can't be null.
+  * Injected into every GraftSession via [[GraftExtensions]] and
+  * spec-checked by executing the folded plan end-to-end. */
 object FoldSelfCosine extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
       case CosineSim(a, b) if a.semanticEquals(b) && !a.nullable && a.deterministic =>
-        val x = NamedLambdaVariable("x", FloatType, nullable = true)
-        val nonZero = LambdaFunction(Not(EqualTo(x, Literal(0.0f, FloatType))), Seq(x))
-        If(ArrayExists(a, nonZero),
-          Literal(1.0, DoubleType), Literal(0.0, DoubleType))
+        val x1 = NamedLambdaVariable("x", FloatType, nullable = true)
+        val nonFinite = LambdaFunction(
+          Or(IsNaN(x1),
+            Or(EqualTo(x1, Literal(Float.PositiveInfinity, FloatType)),
+              EqualTo(x1, Literal(Float.NegativeInfinity, FloatType)))), Seq(x1))
+        val x2 = NamedLambdaVariable("x", FloatType, nullable = true)
+        val nonZero = LambdaFunction(Not(EqualTo(x2, Literal(0.0f, FloatType))), Seq(x2))
+        If(ArrayExists(a, nonFinite), Literal(Double.NaN, DoubleType),
+          If(ArrayExists(a, nonZero),
+            Literal(1.0, DoubleType), Literal(0.0, DoubleType)))
     }
 }

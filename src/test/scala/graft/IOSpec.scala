@@ -25,7 +25,10 @@ class IOSpec extends AnyFunSuite {
   }
 
   test("csv round-trips microsecond timestamps (events carry sub-second precision)") {
-    val events = sources.Tables.events(spark, sf).select("event_id", "ts").limit(200)
+    // ordered before limit: LIMIT on an unordered frame may select
+    // different rows on each execution (write vs reference)
+    val events = sources.Tables.events(spark, sf).select("event_id", "ts")
+      .orderBy("event_id").limit(200)
     val path = tmp() + "/events_csv"
     IO.writeCsv(events, path)
     val back = IO.readCsv(spark, path, events.schema)

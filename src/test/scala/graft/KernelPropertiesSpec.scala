@@ -63,7 +63,9 @@ class KernelPropertiesSpec extends AnyFunSuite {
   }
 
   test("fingerprint sets are sorted distinct and shrink with window size") {
-    for (t <- samples(text).filter(_.length > 30)) {
+    val longTexts = samples(text).filter(_.length > 30)
+    assert(longTexts.nonEmpty) // guard against a vacuous pass
+    for (t <- longTexts) {
       val small = Kernels.fingerprint64(s(t), 5, 4).toLongArray
       val large = Kernels.fingerprint64(s(t), 5, 16).toLongArray
       assert(small.toSeq == small.toSeq.sorted && small.toSeq.distinct == small.toSeq)

@@ -71,8 +71,8 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
-  test("d03 simhash pairs respect the hamming bound") {
-    Dedup.d03Simhash(spark, sf).collect().foreach(r => assert(r.getInt(2) <= 6))
+  test("d03 simhash pairs respect the hamming <= 3 bound") {
+    Dedup.d03Simhash(spark, sf).collect().foreach(r => assert(r.getInt(2) <= 3))
   }
 
   test("d03 simhash is COMPLETE for hamming <= 3: equals the brute-force pair scan") {
@@ -128,10 +128,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"recall $recall; exact=$exact approx=$approx")
   }
 
-  test("t01 langid: CJK-free corpus never predicts zh; scores are consistent") {
+  test("t01 langid: CJK-free corpus never predicts zh; prediction is the score argmax") {
     val rows = TextAnalysis.t01LangId(spark, sf).collect()
     assert(rows.length == sources.Tables.documents(spark, sf).count())
-    assert(rows.forall(_.getString(2) != "zh"))
+    rows.foreach { r =>
+      val pred = r.getString(2)
+      assert(pred != "zh")
+      val scores = Map("en" -> r.getInt(3), "fr" -> r.getInt(4),
+        "de" -> r.getInt(5), "es" -> r.getInt(6))
+      val best = scores.values.max
+      if (best == 0) assert(pred == "und", r.toString)
+      else {
+        // prediction carries the max score, respecting the fixed
+        // en > fr > de > es tie order
+        assert(scores(pred) == best, r.toString)
+        val tieOrder = Seq("en", "fr", "de", "es")
+        assert(tieOrder.indexOf(pred) ==
+          tieOrder.indexWhere(l => scores(l) == best), r.toString)
+      }
+    }
   }
 
   test("t02 quality: ratios in [0,1], score in [0,1]") {
@@ -186,19 +201,35 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
-  test("q26 sessionize: gaps within sessions never exceed 30 min") {
+  test("q26 sessionize: inter-session gaps > 30 min; session COUNT matches raw event gaps") {
+    def micros(t: java.sql.Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
     val sessions = Relational.q26Sessionize(spark, sf).collect()
     assert(sessions.nonEmpty)
-    // session spans are non-overlapping per user and ordered
+    // session spans are non-overlapping per user and ordered; the
+    // boundary is defined in MICROSECONDS (ms truncation could fail a
+    // legitimate split at exactly 30 min + a few µs)
     sessions.groupBy(_.getLong(0)).foreach { case (_, ss) =>
       val sorted = ss.sortBy(_.getLong(1))
       sorted.sliding(2).foreach {
         case Array(a, b) =>
-          // next session starts > 30 min after previous ended
-          assert(b.getTimestamp(2).getTime - a.getTimestamp(3).getTime > 1800000L)
+          assert(micros(b.getTimestamp(2)) - micros(a.getTimestamp(3)) > 1800000000L)
         case _ =>
       }
     }
+    // COMPLETE characterization of session counts: per user, sessions
+    // = 1 + number of raw inter-event gaps > 30 min (catches an
+    // under-splitting sessionizer that the gap check alone cannot)
+    val expectedCounts = sources.Tables.events(spark, sf)
+      .select("user_id", "ts").collect()
+      .map(r => (r.getLong(0), micros(r.getTimestamp(1))))
+      .groupBy(_._1)
+      .map { case (u, evs) =>
+        val ts = evs.map(_._2).sorted
+        u -> (1 + ts.zip(ts.tail).count { case (a, b) => b - a > 1800000000L })
+      }
+    val gotCounts = sessions.groupBy(_.getLong(0)).map { case (u, ss) => u -> ss.length }
+    assert(gotCounts == expectedCounts)
   }
 
   test("s03 centroid matches a hand-folded mean for one label") {
@@ -268,24 +299,38 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(r - 1.0) < 1e-6, s"got $r")
   }
 
-  test("FoldSelfCosine rule folds cosine_sim(x, x) away, preserving zero-vector semantics") {
-    import graft.plans.FoldSelfCosine
-    import graft.functions.cosine_sim
+  test("FoldSelfCosine is INJECTED and folds cosine_sim(x, x), matching the kernel on every input") {
+    import graft.functions.{cosine_sim, Kernels}
     import org.apache.spark.sql.functions.{array, lit}
-    val v = array(lit(1.0f), lit(2.0f), lit(3.0f)) // non-nullable vector expr
-    val df = sources.Tables.embeddings(spark, sf)
-      .select(cosine_sim(v, v).as("c"))
-    val before = df.queryExecution.analyzed
-    val after = FoldSelfCosine(before)
-    assert(before.toString.contains("cosine_sim"))
-    assert(!after.toString.contains("cosine_sim"), after.toString.take(300))
-    // the optimizer must not change results: kernel says cosine of an
-    // all-zero or empty vector with itself is 0.0, not 1.0
-    val zero = array(lit(0.0f), lit(0.0f))
-    val one = sources.Tables.region(spark, sf).limit(1)
-      .select(cosine_sim(v, v).as("nz"), cosine_sim(zero, zero).as("z"))
-      .collect()(0)
-    assert(one.getDouble(0) == 1.0 && one.getDouble(1) == 0.0)
+    import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+    // non-foldable elements (column-dependent, value-fixed), so this
+    // exercises OUR rule — literal arrays would be constant-folded by
+    // Catalyst through the kernel before the rule ever ran
+    def elem(v: Float) =
+      col("r_regionkey").cast("float") * lit(0.0f) + lit(v)
+    val cases = Seq(
+      Array(1.0f, 2.0f, 3.0f), Array(0.0f, 0.0f),
+      Array(Float.NaN, 1.0f), Array(Float.PositiveInfinity))
+    val cols = cases.zipWithIndex.map { case (arr, i) =>
+      val v = array(arr.map(elem): _*)
+      cosine_sim(v, v).as(s"c$i")
+    }
+    val df = sources.Tables.region(spark, sf).limit(1).select(cols: _*)
+    // session built by GraftSession → extensions injected → the
+    // OPTIMIZED plan is already folded, with the exists() probes
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("cosine_sim"), optimized.take(400))
+    assert(optimized.contains("exists"), optimized.take(400))
+    // executing the FOLDED plan agrees with the raw kernel on every
+    // input class: non-zero, all-zero, NaN element, Inf element
+    val row = df.collect()(0)
+    cases.zipWithIndex.foreach { case (arr, i) =>
+      val ad = UnsafeArrayData.fromPrimitiveArray(arr)
+      val kernel = Kernels.cosine(ad, ad)
+      val folded = row.getDouble(i)
+      assert(folded == kernel || (folded.isNaN && kernel.isNaN),
+        s"case $i: folded=$folded kernel=$kernel")
+    }
   }
 
   test("custom functions reachable from the SQL front") {

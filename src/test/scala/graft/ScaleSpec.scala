@@ -23,6 +23,7 @@ class ScaleSpec extends AnyFunSuite {
   }
 
   test("bucketed tables equi-join without a shuffle exchange") {
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       val li = sources.Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
@@ -37,7 +38,7 @@ class ScaleSpec extends AnyFunSuite {
       assert(!plan.contains("Exchange"), "bucketed join should not shuffle:\n" + plan.take(800))
       assert(joined.count() > 0)
     } finally {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
       spark.sql("DROP TABLE IF EXISTS li_bucketed")
       spark.sql("DROP TABLE IF EXISTS o_bucketed")
     }

@@ -40,7 +40,9 @@ class StreamsSpec extends AnyFunSuite {
       // (max event time - 10 min); later windows are still open
       .filter(_._1.getTime + 3600000L <= ts(200).getTime - 600000L)
       .toSet
-    assert(batch.subsetOf(streamed), s"streamed=$streamed batch=$batch")
+    // set EQUALITY, not subset: a double-emitted or spurious window
+    // must fail, exactly-once emission is the append-mode contract
+    assert(streamed == batch, s"streamed=$streamed batch=$batch")
     assert(streamed.exists(_._2 == "click"))
   }
 
@@ -72,6 +74,32 @@ class StreamsSpec extends AnyFunSuite {
     assert(u1(0).n_events == 2 && u1(0).total_value == 3.0)
     assert(u1(1).n_events == 1 && u1(1).total_value == 3.0)
     assert(sessions(2L).head.n_events == 1)
+  }
+
+  test("st03 DRIVER QUERY equals batch DISTINCT over the documents table") {
+    val got = graft.streaming.StreamQueries.st03StreamDedup(spark, TestSpark.sf)
+      .collect().map(_.getString(0)).toSeq
+    val exp = sources.Tables.documents(spark, TestSpark.sf)
+      .select("text").distinct().orderBy("text")
+      .collect().map(_.getString(0)).toSeq
+    assert(got == exp)
+  }
+
+  test("st02 DRIVER QUERY equals the batch sessionization") {
+    val streamed = graft.streaming.StreamQueries.st02StreamState(spark, TestSpark.sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getInt(3), r.getDouble(4)))
+    val batch = operators.Relational.q26Sessionize(spark, TestSpark.sf)
+      .collect() // ordered (user_id, session_id) = (user_id, start_ts)
+      .map(r => (r.getLong(0), r.getTimestamp(2), r.getTimestamp(3),
+        r.getLong(4).toInt, r.getDouble(5)))
+    assert(streamed.length == batch.length)
+    streamed.zip(batch).foreach { case (a, b) =>
+      assert(a._1 == b._1 && a._2 == b._2 && a._3 == b._3 && a._4 == b._4,
+        s"$a vs $b")
+      assert(math.abs(a._5 - b._5) < 1e-9, s"$a vs $b")
+    }
   }
 
   test("st03: streaming dedup emits each distinct document exactly once, across batches") {
