@@ -561,6 +561,20 @@ object Relational {
       .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
+  // ---------------------------------------------------------------- q36
+  /** Exact percentile (median): `percentile` sorts within the
+    * aggregate — the exact form; production at 100 TB reaches for
+    * approx_percentile (t-digest) once per-group volumes explode, and
+    * q23 shows that sketch pattern. Integer-valued quantities make the
+    * interpolation arithmetic bit-identical across engines. */
+  def q36Median(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        percentile(col("l_quantity"), lit(0.5)).as("median_qty"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -598,7 +612,8 @@ object Relational {
     "q32_datetime"          -> (q32Datetime _),
     "q33_index_lookup"      -> (q33IndexLookup _),
     "q34_moving_avg"        -> (q34MovingAvg _),
-    "q35_cube"              -> (q35Cube _))
+    "q35_cube"              -> (q35Cube _),
+    "q36_median"            -> (q36Median _))
 
   val oracleSql: Map[String, String] = Map(
     "q01_scan_project" ->
@@ -851,5 +866,8 @@ object Relational {
         |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem
         |GROUP BY CUBE (l_returnflag, l_linestatus)
-        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q36_median" ->
+      """SELECT l_returnflag, MEDIAN(l_quantity) AS median_qty, COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
 }

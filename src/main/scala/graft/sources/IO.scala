@@ -47,4 +47,12 @@ object IO {
 
   def writeJsonl(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).json(path)
+
+  // ORC: the other columnar format warehouses exchange — same pruning
+  // and predicate-pushdown properties as parquet through Catalyst
+  def readOrc(s: SparkSession, path: String, schema: StructType): DataFrame =
+    s.read.schema(schema).orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
 }

@@ -37,6 +37,17 @@ class IOSpec extends AnyFunSuite {
     assert(a.sameElements(b)) // a second-only format would truncate silently
   }
 
+  test("orc round-trips exactly and pushes filters to the scan") {
+    val orders = sources.Tables.orders(spark, sf)
+    val path = tmp() + "/orders_orc"
+    IO.writeOrc(orders, path)
+    val back = IO.readOrc(spark, path, orders.schema)
+    assert(back.orderBy("o_orderkey").collect().toSeq
+      == orders.orderBy("o_orderkey").collect().toSeq)
+    val plan = GraftSession.explainPlan(back.filter(col("o_orderkey") === 1L))
+    assert(plan.contains("PushedFilters") && plan.contains("o_orderkey"), plan.take(500))
+  }
+
   test("partitioned parquet write enables partition pruning") {
     val path = tmp() + "/orders_part"
     IO.writeParquetPartitioned(
