@@ -41,6 +41,31 @@ object Smoke {
       l.contains("PushedFilters") || l.contains("Join") || l.contains("ReadSchema"))
       .mkString("\n"))
 
+    println("== typed expressions: double arrays cast, not misread ==")
+    val cos = spark.sql(
+      "SELECT cosine_sim(array(1.0D, 2.0D, 3.0D), array(1.0D, 2.0D, 3.0D)) AS c")
+      .collect()(0).getDouble(0)
+    require(math.abs(cos - 1.0) < 1e-9, s"implicit cast broken: $cos")
+
+    println("== GraftSQL round-2 surface: ^/!, txn, index scan ==")
+    val root = java.nio.file.Files.createTempDirectory("graft-smoke").toString
+    val g = new GraftSQL(spark, new sources.TableCatalog(spark, root))
+    g.execute("CREATE TABLE s (id INTEGER PRIMARY KEY, v DOUBLE INDEX)")
+    g.execute("INSERT INTO s VALUES (1, 1.5), (2, 4.0)")
+    require(g.execute("SELECT 2 ^ 3 AS x").collect()(0).get(0) == 8.0, "^ must be exponent")
+    require(g.execute("SELECT 5! AS x").collect()(0).get(0) == 120L, "! must be factorial")
+    g.execute("BEGIN")
+    g.execute("UPDATE s SET v = v * 2 WHERE id = 1")
+    require(g.execute("SELECT v FROM s WHERE id = 1").collect()(0).getDouble(0) == 3.0,
+      "txn must read its own write")
+    g.execute("ROLLBACK")
+    require(g.execute("SELECT v FROM s WHERE id = 1").collect()(0).getDouble(0) == 1.5,
+      "rollback must revert the staged update")
+    require(g.catalog.scan("s", org.apache.spark.sql.functions.col("v") > 2.0).count() == 1,
+      "index-pruned scan must filter correctly")
+    sources.TableCatalog.deleteRecursively(java.nio.file.Paths.get(root))
+    println("GraftSQL OK")
+
     spark.stop()
   }
 }
