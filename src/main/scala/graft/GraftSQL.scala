@@ -198,26 +198,12 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
         lastRegistered = tableNames
           .filter(n => ("(?i)\\b" + java.util.regex.Pattern.quote(n) + "\\b")
             .r.findFirstIn(s).isDefined)
-        // save any pre-existing same-named TEMP VIEW's plan, bind the
-        // snapshot views, run, then RESTORE the prior binding (or drop
-        // the view if none existed): no graft snapshot — least of all
-        // a txn-private one — may linger in the session's shared
-        // temp-view namespace after the statement. Only temp views are
-        // restored as temp views: re-materializing a permanent catalog
-        // table's plan as a view would pin stale data over it.
-        val saved = lastRegistered.flatMap { n =>
-          scala.util.Try(spark.catalog.getTable(n)).toOption
-            .filter(_.isTemporary)
-            .map(_ => n -> spark.table(n))
-        }.toMap
-        lastRegistered.foreach(n => currentScan(n).createOrReplaceTempView(n))
-        try spark.sql(s)
-        finally lastRegistered.foreach { n =>
-          saved.get(n) match {
-            case Some(prior) => prior.createOrReplaceTempView(n)
-            case None        => spark.catalog.dropTempView(n)
-          }
-        }
+        // bind snapshot views (txn/as-of/read-only pinned) only for
+        // the statement's duration; withTempViews restores whatever
+        // the names held before, so no graft snapshot — least of all
+        // a txn-private one — lingers in the shared namespace
+        GraftSession.withTempViews(spark,
+          lastRegistered.map(n => n -> currentScan(n)))(spark.sql(s))
 
       case other =>
         throw new IllegalArgumentException(s"unsupported statement: $other")

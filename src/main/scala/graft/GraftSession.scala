@@ -55,4 +55,27 @@ object GraftSession {
   def explainPlan(df: DataFrame): String =
     df.queryExecution.explainString(
       org.apache.spark.sql.execution.FormattedMode)
+
+  /** Bind `bindings` as temp views for the duration of `body`, then
+    * RESTORE whatever TEMP VIEW each name held before (or drop the
+    * view if none existed): no caller-private snapshot may linger in
+    * the session's shared temp-view namespace, and a permanent catalog
+    * table is never re-materialized as a view (that would pin stale
+    * data over it). Safe because spark.sql/DataFrame ops analyze
+    * eagerly — frames built inside `body` stay valid after restore. */
+  def withTempViews[A](spark: SparkSession, bindings: Seq[(String, DataFrame)])(body: => A): A = {
+    val saved = bindings.flatMap { case (n, _) =>
+      scala.util.Try(spark.catalog.getTable(n)).toOption
+        .filter(_.isTemporary)
+        .map(_ => n -> spark.table(n))
+    }.toMap
+    bindings.foreach { case (n, df) => df.createOrReplaceTempView(n) }
+    try body
+    finally bindings.foreach { case (n, _) =>
+      saved.get(n) match {
+        case Some(prior) => prior.createOrReplaceTempView(n)
+        case None        => spark.catalog.dropTempView(n)
+      }
+    }
+  }
 }

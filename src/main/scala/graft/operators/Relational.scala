@@ -218,24 +218,11 @@ object Relational {
 
   def q15SqlInterface(s: SparkSession, d: String): DataFrame = {
     // register just the referenced tables (each registration costs a
-    // parquet footer read), run, then RESTORE whatever those names
-    // were bound to before — this query must not permanently rebind a
-    // session's views to dataset `d` (spark.sql analyzes eagerly, so
-    // the returned frame stays valid after restore)
+    // parquet footer read) for the statement's duration — this query
+    // must not permanently rebind a session's views to dataset `d`
     val names = Seq("customer", "orders", "lineitem")
-    val saved = names.flatMap { n =>
-      scala.util.Try(s.catalog.getTable(n)).toOption
-        .filter(_.isTemporary) // never pin a permanent table's plan as a view
-        .map(_ => n -> s.table(n))
-    }.toMap
-    names.foreach(n => Tables.load(s, d, n).createOrReplaceTempView(n))
-    try s.sql(q15Sql)
-    finally names.foreach { n =>
-      saved.get(n) match {
-        case Some(prior) => prior.createOrReplaceTempView(n)
-        case None        => s.catalog.dropTempView(n)
-      }
-    }
+    GraftSession.withTempViews(s, names.map(n => n -> Tables.load(s, d, n)))(
+      s.sql(q15Sql))
   }
 
   // ---------------------------------------------------------------- q16

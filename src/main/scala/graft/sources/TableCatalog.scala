@@ -760,13 +760,20 @@ class TableCatalog(spark: SparkSession, val root: String) {
     }
 
     /** Staged copy-on-write DELETE with FK RESTRICT against the txn
-      * view of every referencing table. */
+      * view of every referencing table — which is the OUTER list minus
+      * tables this txn dropped (they no longer restrict anything) plus
+      * tables this txn created (their staged FKs restrict too, or a
+      * commit could publish orphans). */
     def delete(name: String, where: Column): Unit = {
       open(); visible(name)
       if (createdTables.contains(name)) { stagedCat.delete(name, where); return }
       val m = meta(name)
       val base = baseOf(name)
-      for (pk <- m.primaryKey; (refTable, refCol) <- referencingTables(name)) {
+      val refs =
+        referencingTables(name).filterNot { case (t, _) => droppedTables.contains(t) } ++
+          createdTables.toSeq.flatMap(t =>
+            stagedCat.meta(t).references.collect { case (c, `name`) => (t, c) })
+      for (pk <- m.primaryKey; (refTable, refCol) <- refs) {
         val removedKeys = scan(name).filter(coalesce(where, lit(false)))
           .select(col(pk).as(refCol)).distinct()
         val stillRef = scan(refTable).select(refCol).na.drop()

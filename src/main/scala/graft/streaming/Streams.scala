@@ -98,6 +98,11 @@ object Streams {
             // should use the window-based batch twin (q26Sessionize).
             val sorted = it.toSeq.sortBy(e => micros(e.ts))
             var buf = state.getOption
+            // late-but-within-watermark events older than a gap before
+            // the open session build their own gap-merged sessions
+            // (emitting each as a singleton would double-count where
+            // the batch twin merges them)
+            var lateBuf: Option[SessionBuf] = None
             val closed = List.newBuilder[Session]
             for (e <- sorted) {
               val t = micros(e.ts)
@@ -109,11 +114,17 @@ object Streams {
                     lastUs = math.max(b.lastUs, t), n = b.n + 1,
                     total = b.total + e.value))
                 case Some(b) if t < b.startUs =>
-                  // late event more than a gap before the open session:
-                  // whatever session it belonged to is already beyond
-                  // the watermark — emit it as its own closed session
-                  // rather than wrongly merging or silently dropping it
-                  closed += flush(userId, SessionBuf(t, t, 1, e.value))
+                  lateBuf match {
+                    case Some(lb) if t - lb.lastUs <= gapUs =>
+                      lateBuf = Some(lb.copy(startUs = math.min(lb.startUs, t),
+                        lastUs = math.max(lb.lastUs, t), n = lb.n + 1,
+                        total = lb.total + e.value))
+                    case Some(lb) =>
+                      closed += flush(userId, lb)
+                      lateBuf = Some(SessionBuf(t, t, 1, e.value))
+                    case None =>
+                      lateBuf = Some(SessionBuf(t, t, 1, e.value))
+                  }
                 case Some(b) =>
                   closed += flush(userId, b)
                   buf = Some(SessionBuf(t, t, 1, e.value))
@@ -121,6 +132,17 @@ object Streams {
                   buf = Some(SessionBuf(t, t, 1, e.value))
               }
             }
+            // the last late session may now bridge into the (possibly
+            // start-extended) open session — the batch gaps-and-islands
+            // result for the same sorted sequence
+            (lateBuf, buf) match {
+              case (Some(lb), Some(b)) if b.startUs - lb.lastUs <= gapUs =>
+                buf = Some(b.copy(startUs = lb.startUs, n = b.n + lb.n,
+                  total = b.total + lb.total))
+                lateBuf = None
+              case _ =>
+            }
+            lateBuf.foreach(lb => closed += flush(userId, lb))
             if (isStreaming) {
               buf.foreach { b =>
                 state.update(b)

@@ -283,6 +283,32 @@ class CatalogSpec extends AnyFunSuite {
     assert(kept.size < all.size, s"${kept.size}/${all.size}")
   }
 
+  test("txn FK RESTRICT sees txn-created referencing tables and ignores txn-dropped ones") {
+    val cat = freshCatalog()
+    cat.createTable("parent", schema, primaryKey = Some("id"))
+    cat.insert("parent", Seq((1L, "p", 0.0)).toDF("id", "name", "balance"))
+
+    // a child created IN the txn must restrict deletes in the same txn
+    val t = cat.begin()
+    t.createTable("tchild",
+      StructType(Seq(StructField("cid", LongType), StructField("pid", LongType))),
+      primaryKey = Some("cid"), references = Map("pid" -> "parent"))
+    t.insert("tchild", Seq((10L, 1L)).toDF("cid", "pid"))
+    intercept[IllegalArgumentException] { t.delete("parent", col("id") === 1L) }
+    t.rollback()
+
+    // a child DROPPED in the txn must no longer restrict
+    cat.createTable("child2",
+      StructType(Seq(StructField("cid", LongType), StructField("pid", LongType))),
+      primaryKey = Some("cid"), references = Map("pid" -> "parent"))
+    cat.insert("child2", Seq((20L, 1L)).toDF("cid", "pid"))
+    val t2 = cat.begin()
+    t2.dropTable("child2")
+    t2.delete("parent", col("id") === 1L) // must NOT throw
+    t2.commit()
+    assert(!cat.exists("child2") && cat.scan("parent").count() == 0)
+  }
+
   test("staged CREATE TABLE resolves FK targets through the txn view") {
     val cat = freshCatalog()
     cat.createTable("parent", schema, primaryKey = Some("id"))

@@ -145,6 +145,32 @@ class StreamsSpec extends AnyFunSuite {
     assert(u1(0).n_events == 2 && u1(0).total_value == 3.0)
   }
 
+  test("st02 gap-merges consecutive late events instead of emitting singletons") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Event]
+    val q = Streams.sessionize(src.toDS(), gapMinutes = 30, watermark = "6 hours")
+      .writeStream.format("memory").queryName("st02_latemerge_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      src.addData(Event(1, ts(240), "click", 1.0)) // open session at 4h
+      q.processAllAvailable()
+      // two late events, 5 min apart, both > gap before the open
+      // session: one merged session 0:00-0:05, not two singletons
+      src.addData(Event(1, ts(0), "view", 2.0), Event(1, ts(5), "view", 3.0))
+      q.processAllAvailable()
+      src.addData(Event(99, ts(5000), "x", 0.0)) // sentinels close state
+      q.processAllAvailable()
+      src.addData(Event(99, ts(9000), "x", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val u1 = spark.table("st02_latemerge_out").as[Session].collect()
+      .filter(_.user_id == 1L).sortBy(_.start_ts.getTime)
+    assert(u1.length == 2, s"got ${u1.toSeq}")
+    assert(u1(0).start_ts == ts(0) && u1(0).end_ts == ts(5) && u1(0).n_events == 2)
+    assert(u1(1).start_ts == ts(240) && u1(1).n_events == 1)
+  }
+
   test("st02 batch parity: a bounded frame emits the trailing open session too") {
     import spark.implicits._
     val events = Seq(
