@@ -24,13 +24,18 @@ object Bench {
       // Catalyst's EliminateSorts removes final ORDER BYs, so count()
       // under-measures sort-heavy queries; the noop sink consumes every
       // row of the complete plan
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${Option(e.getMessage).getOrElse(e)}")
+          false
+        }
+      // a failed query reports -1, never a deceptively fast "success"
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     operators.FrameCache.clear() // release shared signature frames
     spark.stop()

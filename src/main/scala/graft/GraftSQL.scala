@@ -18,8 +18,14 @@ import org.apache.spark.sql.types._
   * through the same optimizer and codegen as the DataFrame API.
   *
   * MVCC: `BEGIN READ ONLY AS OF SYSTEM TIME v` pins reads to catalog
-  * version v (ast.rs:11-14); `BEGIN` starts a staged-write transaction
-  * (TableCatalog.Txn) with read-your-writes and rollback.
+  * version v (ast.rs:11-14) — note versions are PER-TABLE counters,
+  * so `AS OF v` is exact time travel for a single table; a
+  * multi-table query at `AS OF v` pairs each table's v-th version,
+  * which is a simplification of the reference's global MVCC
+  * timestamp. Plain `BEGIN READ ONLY` pins every table's version at
+  * BEGIN (a true consistent snapshot); `BEGIN` starts a staged-write
+  * transaction (TableCatalog.Txn) with reads pinned at BEGIN,
+  * read-your-writes and rollback.
   */
 class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
 
@@ -219,7 +225,11 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
     val references = Map.newBuilder[String, String]
     val indexes = Seq.newBuilder[String]
     val fields = splitTopLevel(colsBody, ',').map { colDef =>
-      val toks = colDef.trim.split("\\s+").toList
+      // constraint keywords are detected on a string-MASKED copy: a
+      // DEFAULT 'not null yet' literal must not turn into a real
+      // NOT NULL constraint
+      val masked = GraftSQL.maskStrings(colDef)
+      val toks = masked.trim.split("\\s+").toList
       require(toks.size >= 2, s"bad column def: $colDef")
       val cname = toks.head
       val dtype = typeMap.getOrElse(toks(1).toUpperCase,
@@ -231,7 +241,7 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
       if (rest.contains("UNIQUE")) unique += cname
       if (restUp.contains("INDEX")) indexes += cname // schema.rs:154-155
       val refRe = raw"(?i)REFERENCES\s+(\w+)".r
-      refRe.findFirstMatchIn(colDef).foreach(m => references += cname -> m.group(1))
+      refRe.findFirstMatchIn(masked).foreach(m => references += cname -> m.group(1))
       GraftSQL.parseDefaultLiteral(colDef).foreach(v => defaults += cname -> v)
       val nullable = !(rest.contains("NOT NULL") || rest.contains("PRIMARY KEY"))
       StructField(cname, dtype, nullable)
@@ -421,6 +431,25 @@ object GraftSQL {
       }
     }
     s
+  }
+
+  /** The input with every quoted literal's CONTENT blanked out (quotes
+    * kept) — for keyword detection that must not see inside strings. */
+  private[graft] def maskStrings(s: String): String = {
+    val out = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      s(i) match {
+        case q @ ('\'' | '"') =>
+          val end = skipString(s, i)
+          out += q
+          out.append(" " * math.max(0, end - i - 2))
+          if (end - i >= 2) out += q
+          i = end
+        case c => out += c; i += 1
+      }
+    }
+    out.toString
   }
 
   /** Split on `sep` ignoring separators inside parens and single- OR

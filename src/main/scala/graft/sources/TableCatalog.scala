@@ -80,10 +80,14 @@ class TableCatalog(spark: SparkSession, val root: String) {
     val m = ("\"" + key + "\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"").r.findFirstMatchIn(json)
     m.map(g => unesc(g.group(1))) // the scanner, not a replace chain
   }
+  /** Elements of the JSON string array under `key`, properly
+    * unescaped — the escaped-string regex (not a naive comma split)
+    * keeps quotes/commas/backslashes in column names intact. */
   private def jsonStrArr(json: String, key: String): Seq[String] = {
-    val m = ("\"" + key + "\"\\s*:\\s*\\[([^\\]]*)\\]").r.findFirstMatchIn(json)
-    m.map(_.group(1)).filter(_.trim.nonEmpty).toSeq
-      .flatMap(_.split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")))
+    val m = ("\"" + key + "\"\\s*:\\s*\\[((?:[^\\]\"]|\"(?:[^\"\\\\]|\\\\.)*\")*)\\]")
+      .r.findFirstMatchIn(json)
+    m.map(_.group(1)).toSeq.flatMap(body =>
+      "\"((?:[^\"\\\\]|\\\\.)*)\"".r.findAllMatchIn(body).map(g => unesc(g.group(1))))
   }
   private def jsonInt(json: String, key: String): Int =
     ("\"" + key + "\"\\s*:\\s*(\\d+)").r.findFirstMatchIn(json).map(_.group(1).toInt)
@@ -225,6 +229,12 @@ class TableCatalog(spark: SparkSession, val root: String) {
 
   def dropTable(name: String): Unit = {
     require(exists(name), s"no such table: $name")
+    // RESTRICT at the table level too: dropping a referenced parent
+    // would leave children with dangling FK metadata, making every
+    // later write to them fail on an unknown table
+    val refs = referencingTables(name).map(_._1).distinct
+    require(refs.isEmpty,
+      s"DROP TABLE $name restricted: referenced by ${refs.mkString(", ")} (drop them first)")
     TableCatalog.deleteRecursively(tableDir(name))
   }
 
@@ -474,18 +484,24 @@ class TableCatalog(spark: SparkSession, val root: String) {
     }
   }
 
-  /** Tables whose FKs reference `name` (reverse FK index). */
-  private def referencingTables(name: String): Seq[(String, String)] = {
-    val rootDir = new java.io.File(root)
-    Option(rootDir.listFiles()).toSeq.flatten
+  /** Tables under this catalog root (directory listing = catalog scan). */
+  private def listTables(): Seq[String] =
+    Option(new java.io.File(root).listFiles()).toSeq.flatten
       .filter(f => f.isDirectory && new java.io.File(f, "meta.json").exists())
-      .map(_.getName).filter(_ != name)
+      .map(_.getName)
+
+  /** Tables whose FKs reference `name` (reverse FK index). */
+  private def referencingTables(name: String): Seq[(String, String)] =
+    listTables().filter(_ != name)
       .flatMap(t => meta(t).references.collect { case (c, `name`) => (t, c) })
-  }
 
   private def applyDefaults(name: String, m: TableMeta, df: DataFrame): DataFrame = {
     val out = m.schema.fields.foldLeft(df) { (acc, f) =>
-      if (acc.columns.contains(f.name)) acc
+      // case-INSENSITIVE presence check: Spark's resolver is, and
+      // withColumn resolves case-insensitively too — a sensitive check
+      // here would overwrite a provided `ID` column with the NULL
+      // default for `id`
+      if (acc.columns.exists(_.equalsIgnoreCase(f.name))) acc
       else acc.withColumn(f.name,
         m.defaults.get(f.name).map(lit(_)).getOrElse(lit(null)))
     }
@@ -501,11 +517,42 @@ class TableCatalog(spark: SparkSession, val root: String) {
   def insert(name: String, df: DataFrame): Int =
     stageInsert(name, df, publish = true)
 
+  /** SET keys resolved against the declared schema case-INSENSITIVELY
+    * (Spark's own resolver is) — and every key must resolve: a typo'd
+    * column must error, not silently no-op. */
+  private def resolveSetKeys(m: TableMeta, name: String,
+      set: Map[String, Column]): Map[String, Column] =
+    set.map { case (k, v) =>
+      val f = m.schema.fields.find(_.name.equalsIgnoreCase(k))
+        .getOrElse(throw new IllegalArgumentException(s"UPDATE $name: no such column $k"))
+      f.name -> v
+    }
+
+  /** RESTRICT check shared by DELETE and PK-changing UPDATE: no key in
+    * `removedKeys` may still be referenced by any table in `refs`. */
+  private def restrictReferenced(name: String, removedKeys: DataFrame,
+      refs: Seq[(String, String)], resolve: String => DataFrame, verb: String): Unit =
+    for ((refTable, refCol) <- refs) {
+      val stillRef = resolve(refTable).select(refCol).na.drop()
+        .join(removedKeys.toDF(refCol), Seq(refCol), "left_semi")
+      require(stillRef.isEmpty,
+        s"$verb on $name restricted: rows referenced by $refTable.$refCol")
+    }
+
   /** UPDATE ... SET ... WHERE: copy-on-write snapshot. All SET
     * expressions evaluate against the pre-update row (one select, not
-    * a sequential fold), matching SQL UPDATE semantics. */
-  def update(name: String, set: Map[String, Column], where: Column): Int = {
+    * a sequential fold), matching SQL UPDATE semantics. Changing a
+    * REFERENCED primary-key value is RESTRICT-checked like a delete of
+    * the old key — otherwise child rows would be silently orphaned. */
+  def update(name: String, set0: Map[String, Column], where: Column): Int = {
     val m = meta(name)
+    val set = resolveSetKeys(m, name, set0)
+    for (pk <- m.primaryKey if set.contains(pk)) {
+      val changedKeys = scan(name).filter(coalesce(where, lit(false)))
+        .filter(!(set(pk).cast(m.schema(pk).dataType) <=> col(pk)))
+        .select(col(pk)).distinct()
+      restrictReferenced(name, changedKeys, referencingTables(name), scan, "UPDATE")
+    }
     val updated = scan(name).select(m.schema.fields.map { f =>
       set.get(f.name)
         .map(v => when(where, v.cast(f.dataType)).otherwise(col(f.name)).as(f.name))
@@ -519,13 +566,10 @@ class TableCatalog(spark: SparkSession, val root: String) {
     * FK cannot be deleted. */
   def delete(name: String, where: Column): Int = {
     val m = meta(name)
-    for (pk <- m.primaryKey; (refTable, refCol) <- referencingTables(name)) {
+    for (pk <- m.primaryKey) {
       val removedKeys = scan(name).filter(coalesce(where, lit(false)))
-        .select(col(pk).as(refCol)).distinct()
-      val stillRef = scan(refTable).select(refCol).na.drop()
-        .join(removedKeys, Seq(refCol), "left_semi")
-      require(stillRef.isEmpty,
-        s"DELETE from $name restricted: rows referenced by $refTable.$refCol")
+        .select(col(pk)).distinct()
+      restrictReferenced(name, removedKeys, referencingTables(name), scan, "DELETE")
     }
     rewrite(name, m, scan(name).filter(!coalesce(where, lit(false))), publish = true)
   }
@@ -548,10 +592,11 @@ class TableCatalog(spark: SparkSession, val root: String) {
 
   private def rewrite(name: String, m: TableMeta, df: DataFrame, publish: Boolean): Int = {
     val next = m.version + 1
-    validate(m, name, df.cache())
     val rel = s"data/snap-$next"
-    writeData(m, df, absTableDir(name).resolve(rel).toString)
-    df.unpersist()
+    try {
+      validate(m, name, df.cache())
+      writeData(m, df, absTableDir(name).resolve(rel).toString)
+    } finally df.unpersist() // a failed validation must not leak cache
     writeManifest(name, next, Seq(rel), collectStats(m, name, rel))
     if (publish) writeMeta(name, m.copy(version = next))
     next
@@ -618,6 +663,12 @@ class TableCatalog(spark: SparkSession, val root: String) {
     * writes and its own DDL. */
   class Txn private[TableCatalog] () {
     private val txnId = java.util.UUID.randomUUID().toString.take(8)
+    // per-table versions pinned AT BEGIN: every read inside the txn —
+    // and every conflict base — resolves against this snapshot, so the
+    // txn has repeatable reads (scanning `current` would let another
+    // session's commit change what this txn sees mid-flight)
+    private val snapshot: Map[String, Int] =
+      listTables().map(n => n -> currentVersion(n)).toMap
     // table -> (base version at first write, rel-dir list composing the txn view)
     private val staged = scala.collection.mutable.LinkedHashMap[String, (Int, Seq[String])]()
     private val createdDirs = scala.collection.mutable.ArrayBuffer[Path]()
@@ -681,8 +732,17 @@ class TableCatalog(spark: SparkSession, val root: String) {
       createdTables += name
     }
 
+    /** Referencing tables under the txn's view: the outer list minus
+      * tables this txn dropped, plus tables this txn created. */
+    private def refsOf(name: String): Seq[(String, String)] =
+      referencingTables(name).filterNot { case (t, _) => droppedTables.contains(t) } ++
+        createdTables.toSeq.flatMap(t =>
+          stagedCat.meta(t).references.collect { case (c, `name`) => (t, c) })
+
     /** Staged DROP TABLE: gone inside the txn, untouched outside until
-      * commit. Dropping a table created in this txn just unstages it. */
+      * commit. Dropping a table created in this txn just unstages it.
+      * Table-level RESTRICT under the txn view (children must be
+      * dropped first, within or before this txn). */
     def dropTable(name: String): Unit = {
       open()
       if (createdTables.contains(name)) {
@@ -691,28 +751,35 @@ class TableCatalog(spark: SparkSession, val root: String) {
       } else {
         visible(name)
         require(TableCatalog.this.exists(name), s"no such table: $name")
+        val refs = refsOf(name).map(_._1).distinct
+        require(refs.isEmpty,
+          s"DROP TABLE $name restricted: referenced by ${refs.mkString(", ")} (drop them first)")
         droppedTables += name
         staged.remove(name) // staged writes to a table we then drop die with it
       }
     }
 
+    private def snapshotVersion(name: String): Int =
+      snapshot.getOrElse(name,
+        throw new IllegalArgumentException(s"no such table in txn snapshot: $name"))
+
     /** The txn's view of `name`: txn-created table, staged dirs if
-      * written, else the committed snapshot. */
+      * written, else the version pinned at BEGIN. */
     def scan(name: String): DataFrame = {
       visible(name)
       if (createdTables.contains(name)) stagedCat.scan(name)
       else staged.get(name) match {
         case Some((_, dirs)) => frameOf(meta(name).schema, resolveDirs(name, dirs))
-        case None            => TableCatalog.this.scan(name)
+        case None            => asOf(name, snapshotVersion(name))
       }
     }
 
     private def baseOf(name: String): Int =
-      staged.get(name).map(_._1).getOrElse(currentVersion(name))
+      staged.get(name).map(_._1).getOrElse(snapshotVersion(name))
 
     private def viewDirs(name: String): Seq[String] =
       staged.get(name).map(_._2)
-        .getOrElse(readManifest(name, currentVersion(name)))
+        .getOrElse(readManifest(name, snapshotVersion(name)))
 
     private def freshDir(name: String): String = {
       seq += 1
@@ -740,46 +807,46 @@ class TableCatalog(spark: SparkSession, val root: String) {
     }
 
     /** Staged copy-on-write UPDATE: the txn view is rewritten into one
-      * txn-unique snapshot dir; SET expressions see the pre-update row. */
-    def update(name: String, set: Map[String, Column], where: Column): Unit = {
+      * txn-unique snapshot dir; SET expressions see the pre-update row.
+      * PK-changing updates are RESTRICT-checked like the unstaged path,
+      * against the txn's referencing-table view. */
+    def update(name: String, set0: Map[String, Column], where: Column): Unit = {
       open(); visible(name)
-      if (createdTables.contains(name)) { stagedCat.update(name, set, where); return }
+      if (createdTables.contains(name)) { stagedCat.update(name, set0, where); return }
       val m = meta(name)
+      val set = resolveSetKeys(m, name, set0)
       val base = baseOf(name)
+      for (pk <- m.primaryKey if set.contains(pk)) {
+        val changedKeys = scan(name).filter(coalesce(where, lit(false)))
+          .filter(!(set(pk).cast(m.schema(pk).dataType) <=> col(pk)))
+          .select(col(pk)).distinct()
+        restrictReferenced(name, changedKeys, refsOf(name), scan, "UPDATE")
+      }
       val updated = scan(name).select(m.schema.fields.map { f =>
         set.get(f.name)
           .map(v => when(where, v.cast(f.dataType)).otherwise(col(f.name)).as(f.name))
           .getOrElse(col(f.name))
       }: _*)
-      validate(m, name, updated.cache(), scan)
       val rel = freshDir(name)
-      writeData(m, updated, absTableDir(name).resolve(rel).toString)
-      updated.unpersist()
+      try {
+        validate(m, name, updated.cache(), scan)
+        writeData(m, updated, absTableDir(name).resolve(rel).toString)
+      } finally updated.unpersist() // failed validation must not leak cache
       dirStats(rel) = collectStats(m, name, rel)
       staged(name) = (base, Seq(rel))
     }
 
     /** Staged copy-on-write DELETE with FK RESTRICT against the txn
-      * view of every referencing table — which is the OUTER list minus
-      * tables this txn dropped (they no longer restrict anything) plus
-      * tables this txn created (their staged FKs restrict too, or a
-      * commit could publish orphans). */
+      * view of every referencing table. */
     def delete(name: String, where: Column): Unit = {
       open(); visible(name)
       if (createdTables.contains(name)) { stagedCat.delete(name, where); return }
       val m = meta(name)
       val base = baseOf(name)
-      val refs =
-        referencingTables(name).filterNot { case (t, _) => droppedTables.contains(t) } ++
-          createdTables.toSeq.flatMap(t =>
-            stagedCat.meta(t).references.collect { case (c, `name`) => (t, c) })
-      for (pk <- m.primaryKey; (refTable, refCol) <- refs) {
+      for (pk <- m.primaryKey) {
         val removedKeys = scan(name).filter(coalesce(where, lit(false)))
-          .select(col(pk).as(refCol)).distinct()
-        val stillRef = scan(refTable).select(refCol).na.drop()
-          .join(removedKeys, Seq(refCol), "left_semi")
-        require(stillRef.isEmpty,
-          s"DELETE from $name restricted: rows referenced by $refTable.$refCol")
+          .select(col(pk)).distinct()
+        restrictReferenced(name, removedKeys, refsOf(name), scan, "DELETE")
       }
       val remaining = scan(name).filter(!coalesce(where, lit(false)))
       val rel = freshDir(name)

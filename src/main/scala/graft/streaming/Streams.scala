@@ -146,7 +146,12 @@ object Streams {
             if (isStreaming) {
               buf.foreach { b =>
                 state.update(b)
-                state.setTimeoutTimestamp(b.lastUs / 1000L + gapUs / 1000L)
+                // clamp above the watermark: a very late event can leave
+                // lastUs+gap behind it, and setTimeoutTimestamp THROWS
+                // on a timestamp <= watermark, killing the whole query
+                state.setTimeoutTimestamp(
+                  math.max(b.lastUs / 1000L + gapUs / 1000L,
+                    state.getCurrentWatermarkMs() + 1))
               }
             } else {
               buf.foreach(b => closed += flush(userId, b))

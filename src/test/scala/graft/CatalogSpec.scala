@@ -283,6 +283,52 @@ class CatalogSpec extends AnyFunSuite {
     assert(kept.size < all.size, s"${kept.size}/${all.size}")
   }
 
+  test("UPDATE of a referenced PK and DROP of a referenced parent are RESTRICT-checked") {
+    val cat = freshCatalog()
+    cat.createTable("par", schema, primaryKey = Some("id"))
+    cat.insert("par", Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "name", "balance"))
+    cat.createTable("kid",
+      StructType(Seq(StructField("cid", LongType), StructField("pid", LongType))),
+      primaryKey = Some("cid"), references = Map("pid" -> "par"))
+    cat.insert("kid", Seq((10L, 1L)).toDF("cid", "pid"))
+    // changing a referenced PK value would orphan kid.pid=1
+    intercept[IllegalArgumentException] {
+      cat.update("par", Map("id" -> (col("id") + 100L)), col("id") === 1L)
+    }
+    // an unreferenced PK value may change; non-PK updates always may
+    cat.update("par", Map("id" -> (col("id") + 100L)), col("id") === 2L)
+    cat.update("par", Map("balance" -> lit(9.0)), col("id") === 1L)
+    assert(cat.scan("par").filter(col("id") === 102L).count() == 1)
+    // dropping the referenced parent is restricted until kid is gone
+    intercept[IllegalArgumentException] { cat.dropTable("par") }
+    cat.dropTable("kid")
+    cat.dropTable("par")
+    assert(!cat.exists("par"))
+  }
+
+  test("UPDATE resolves SET columns case-insensitively and rejects unknown ones") {
+    val cat = freshCatalog()
+    cat.createTable("ci", schema, primaryKey = Some("id"))
+    cat.insert("ci", Seq((1L, "a", 1.0)).toDF("id", "name", "balance"))
+    cat.update("ci", Map("BALANCE" -> lit(5.0)), col("id") === 1L) // case-insensitive
+    assert(cat.scan("ci").collect()(0).getDouble(2) == 5.0)
+    intercept[IllegalArgumentException] { // a typo must error, not no-op
+      cat.update("ci", Map("balanec" -> lit(7.0)), col("id") === 1L)
+    }
+  }
+
+  test("txn reads are pinned at BEGIN: repeatable reads for write txns") {
+    val cat = freshCatalog()
+    cat.createTable("pin", schema, primaryKey = Some("id"))
+    cat.insert("pin", Seq((1L, "a", 1.0)).toDF("id", "name", "balance"))
+    val t = cat.begin()
+    assert(t.scan("pin").count() == 1)
+    cat.insert("pin", Seq((2L, "b", 2.0)).toDF("id", "name", "balance")) // concurrent commit
+    assert(t.scan("pin").count() == 1) // snapshot must not move
+    t.rollback()
+    assert(cat.scan("pin").count() == 2)
+  }
+
   test("txn FK RESTRICT sees txn-created referencing tables and ignores txn-dropped ones") {
     val cat = freshCatalog()
     cat.createTable("parent", schema, primaryKey = Some("id"))

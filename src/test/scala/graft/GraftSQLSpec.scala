@@ -190,6 +190,20 @@ class GraftSQLSpec extends AnyFunSuite {
     assert(r.getString(0) == "a where b" && r.getString(1) == "c, d")
   }
 
+  test("constraint keywords inside DEFAULT string literals are not parsed as constraints") {
+    val g = session()
+    g.execute("""CREATE TABLE kw (
+      id INTEGER PRIMARY KEY,
+      note STRING DEFAULT 'not null yet',
+      memo STRING DEFAULT 'unique primary key index')""")
+    val m = g.catalog.meta("kw")
+    assert(m.notNull == Seq("id"), m.notNull)     // only the PK
+    assert(m.unique.isEmpty && m.indexes.isEmpty) // nothing leaked from literals
+    g.execute("INSERT INTO kw (id, note) VALUES (1, NULL)") // note IS nullable
+    assert(g.execute("SELECT memo FROM kw").collect()(0).getString(0)
+      == "unique primary key index")
+  }
+
   test("DEFAULT literals: multi-word strings, NULL, escaped quotes") {
     val g = session()
     g.execute("""CREATE TABLE dl (
