@@ -48,14 +48,11 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
     "STRING" -> StringType, "TEXT" -> StringType, "VARCHAR" -> StringType,
     "CHAR" -> StringType)
 
-  /** Tables known to the catalog (directory listing = catalog scan),
+  /** Tables known to the catalog (one listing — TableCatalog's),
     * adjusted for the active txn's staged DDL: its created tables are
     * visible, its dropped tables are not. */
   private def tableNames: Seq[String] = {
-    val rootDir = new java.io.File(catalogRoot)
-    val base = Option(rootDir.listFiles()).toSeq.flatten
-      .filter(f => f.isDirectory && new java.io.File(f, "meta.json").exists())
-      .map(_.getName)
+    val base = catalog.listTables()
     (txn match {
       case Some(t) => base.filterNot(t.droppedTableNames.contains) ++ t.createdTableNames
       case None    =>
@@ -63,7 +60,6 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
         roVersions.map(vs => base.filter(vs.contains)).getOrElse(base)
     }).sorted
   }
-  private def catalogRoot: String = catalog.root
 
   private def currentScan(name: String): DataFrame =
     txn.map(_.scan(name))
@@ -104,7 +100,7 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
         case Some(m) => asOf = Some(m.group(1).toInt)
         case None if isReadOnly =>
           readOnly = true // snapshot-at-now, no writes
-          roVersions = Some(tableNames.map(n => n -> catalog.currentVersion(n)).toMap)
+          roVersions = Some(catalog.pinVersions())
         case None => txn = Some(catalog.begin())
       }
       return Seq("BEGIN").toDF("status")
@@ -234,16 +230,18 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
       val cname = toks.head
       val dtype = typeMap.getOrElse(toks(1).toUpperCase,
         throw new IllegalArgumentException(s"unknown type ${toks(1)}"))
+      // TOKEN-exact constraint detection (substring matching would see
+      // UNIQUE inside an identifier like REFERENCES unique_users)
       val restUp = toks.drop(2).map(_.toUpperCase)
-      val rest = restUp.mkString(" ")
-      if (rest.contains("PRIMARY KEY")) pk = Some(cname)
-      if (rest.contains("NOT NULL") || rest.contains("PRIMARY KEY")) notNull += cname
-      if (rest.contains("UNIQUE")) unique += cname
+      val isPk = restUp.containsSlice(Seq("PRIMARY", "KEY"))
+      if (isPk) pk = Some(cname)
+      if (isPk || restUp.containsSlice(Seq("NOT", "NULL"))) notNull += cname
+      if (restUp.contains("UNIQUE")) unique += cname
       if (restUp.contains("INDEX")) indexes += cname // schema.rs:154-155
       val refRe = raw"(?i)REFERENCES\s+(\w+)".r
       refRe.findFirstMatchIn(masked).foreach(m => references += cname -> m.group(1))
       GraftSQL.parseDefaultLiteral(colDef).foreach(v => defaults += cname -> v)
-      val nullable = !(rest.contains("NOT NULL") || rest.contains("PRIMARY KEY"))
+      val nullable = !(isPk || restUp.containsSlice(Seq("NOT", "NULL")))
       StructField(cname, dtype, nullable)
     }
     txn match {

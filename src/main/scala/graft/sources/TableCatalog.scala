@@ -485,10 +485,23 @@ class TableCatalog(spark: SparkSession, val root: String) {
   }
 
   /** Tables under this catalog root (directory listing = catalog scan). */
-  private def listTables(): Seq[String] =
+  private[graft] def listTables(): Seq[String] =
     Option(new java.io.File(root).listFiles()).toSeq.flatten
       .filter(f => f.isDirectory && new java.io.File(f, "meta.json").exists())
       .map(_.getName)
+
+  /** Version pointer alone, without the full TableMeta parse — BEGIN
+    * pins every table's version, and paying a schema-JSON parse per
+    * table per BEGIN would make txn startup O(catalog metadata). */
+  private[graft] def quickVersion(name: String): Int = {
+    require(exists(name), s"no such table: $name")
+    jsonInt(Files.readString(metaPath(name)), "version")
+  }
+
+  /** (table -> current version) for every table — the consistent
+    * snapshot a txn or READ ONLY session pins at BEGIN. */
+  private[graft] def pinVersions(): Map[String, Int] =
+    listTables().map(n => n -> quickVersion(n)).toMap
 
   /** Tables whose FKs reference `name` (reverse FK index). */
   private def referencingTables(name: String): Seq[(String, String)] =
@@ -667,8 +680,7 @@ class TableCatalog(spark: SparkSession, val root: String) {
     // and every conflict base — resolves against this snapshot, so the
     // txn has repeatable reads (scanning `current` would let another
     // session's commit change what this txn sees mid-flight)
-    private val snapshot: Map[String, Int] =
-      listTables().map(n => n -> currentVersion(n)).toMap
+    private val snapshot: Map[String, Int] = pinVersions()
     // table -> (base version at first write, rel-dir list composing the txn view)
     private val staged = scala.collection.mutable.LinkedHashMap[String, (Int, Seq[String])]()
     private val createdDirs = scala.collection.mutable.ArrayBuffer[Path]()
@@ -732,10 +744,14 @@ class TableCatalog(spark: SparkSession, val root: String) {
       createdTables += name
     }
 
-    /** Referencing tables under the txn's view: the outer list minus
-      * tables this txn dropped, plus tables this txn created. */
+    /** Referencing tables under the txn's view: outer tables that were
+      * IN the BEGIN snapshot (a table committed after BEGIN is
+      * invisible to this txn — consulting it would also crash on the
+      * missing snapshot version) minus txn-dropped, plus txn-created. */
     private def refsOf(name: String): Seq[(String, String)] =
-      referencingTables(name).filterNot { case (t, _) => droppedTables.contains(t) } ++
+      referencingTables(name).filter { case (t, _) =>
+        snapshot.contains(t) && !droppedTables.contains(t)
+      } ++
         createdTables.toSeq.flatMap(t =>
           stagedCat.meta(t).references.collect { case (c, `name`) => (t, c) })
 
@@ -872,6 +888,14 @@ class TableCatalog(spark: SparkSession, val root: String) {
       }
       droppedTables.foreach { name =>
         require(TableCatalog.this.exists(name), s"no such table: $name")
+        // re-check table-level RESTRICT against the LIVE catalog now,
+        // BEFORE anything publishes: a child table created concurrently
+        // since BEGIN must fail the commit here, not mid-publish inside
+        // dropTable (which would leave a half-published txn)
+        val refs = referencingTables(name).map(_._1)
+          .filterNot(droppedTables.contains).distinct
+        require(refs.isEmpty,
+          s"DROP TABLE $name conflict: now referenced by ${refs.mkString(", ")}")
       }
       // point of no return: from here staged dirs may become referenced
       // by published manifests, so a rollback() after a mid-publish

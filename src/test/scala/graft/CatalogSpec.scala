@@ -329,6 +329,23 @@ class CatalogSpec extends AnyFunSuite {
     assert(cat.scan("pin").count() == 2)
   }
 
+  test("tables created after BEGIN are invisible to the txn, not a crash") {
+    val cat = freshCatalog()
+    cat.createTable("base", schema, primaryKey = Some("id"))
+    cat.insert("base", Seq((1L, "a", 1.0)).toDF("id", "name", "balance"))
+    val t = cat.begin()
+    // concurrent session creates a referencing child AFTER BEGIN
+    cat.createTable("post_kid",
+      StructType(Seq(StructField("cid", LongType), StructField("pid", LongType))),
+      primaryKey = Some("cid"), references = Map("pid" -> "base"))
+    // snapshot semantics: the txn neither sees post_kid nor crashes on
+    // it during restrict checks
+    intercept[Exception] { t.scan("post_kid") }
+    t.delete("base", col("id") === 1L) // must not throw an internal error
+    t.rollback()
+    cat.dropTable("post_kid")
+  }
+
   test("txn FK RESTRICT sees txn-created referencing tables and ignores txn-dropped ones") {
     val cat = freshCatalog()
     cat.createTable("parent", schema, primaryKey = Some("id"))

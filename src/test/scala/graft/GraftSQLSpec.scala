@@ -204,6 +204,19 @@ class GraftSQLSpec extends AnyFunSuite {
       == "unique primary key index")
   }
 
+  test("constraint keywords inside identifiers are not parsed as constraints") {
+    val g = session()
+    g.execute("CREATE TABLE unique_users (id INTEGER PRIMARY KEY)")
+    g.execute("INSERT INTO unique_users VALUES (1)")
+    g.execute("CREATE TABLE orders2 (id INTEGER PRIMARY KEY, uid INTEGER REFERENCES unique_users)")
+    val m = g.catalog.meta("orders2")
+    assert(m.unique.isEmpty, m.unique) // 'UNIQUE' inside the table name must not leak
+    assert(m.references == Map("uid" -> "unique_users"))
+    // two orders from the same user are fine — uid is NOT unique
+    g.execute("INSERT INTO orders2 VALUES (1, 1), (2, 1)")
+    assert(g.execute("SELECT count(*) AS n FROM orders2").collect()(0).getLong(0) == 2)
+  }
+
   test("DEFAULT literals: multi-word strings, NULL, escaped quotes") {
     val g = session()
     g.execute("""CREATE TABLE dl (
