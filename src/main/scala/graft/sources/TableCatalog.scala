@@ -36,9 +36,18 @@ import scala.jdk.CollectionConverters._
   */
 class TableCatalog(spark: SparkSession, val root: String) {
 
-  import TableCatalog.{FileStat, TableMeta}
+  import TableCatalog.{FileStat, TableMeta, WriteConflictException}
 
   Files.createDirectories(Paths.get(root))
+
+  // One lock object per normalized root, shared by every TableCatalog
+  // instance over the same directory: the conflict-check → publish
+  // window of commits and non-txn DML is check-then-act on the version
+  // pointer, so without mutual exclusion two in-process writers could
+  // both pass the check and silently lose one txn's writes. Cross-
+  // process writers are covered by the manifest claim (CREATE_NEW) in
+  // writeManifest below.
+  private val rootLock: Object = TableCatalog.lockFor(root)
 
   private def tableDir(name: String): Path = Paths.get(root, name)
   private def metaPath(name: String): Path = tableDir(name).resolve("meta.json")
@@ -60,37 +69,110 @@ class TableCatalog(spark: SparkSession, val root: String) {
     }.mkString("{", ",", "}")
     val refs = m.references
       .map { case (k, v) => s"${esc(k)}: ${esc(v)}" }.mkString("{", ",", "}")
+    // scalar/structural fields first, the user-keyed objects (defaults,
+    // references — whose KEYS are arbitrary column names) last: even a
+    // reader that scanned positionally could not be shadowed by a
+    // column literally named "version". The readers are additionally
+    // anchored to top-level keys (see topLevel), so order is defense
+    // in depth, not a correctness requirement.
     val json =
-      s"""{"schema": ${esc(m.schema.json)},
+      s"""{"version": ${m.version},
+         |"schema": ${esc(m.schema.json)},
          |"primaryKey": ${m.primaryKey.map(esc).getOrElse("null")},
          |"notNull": [${m.notNull.map(esc).mkString(",")}],
          |"unique": [${m.unique.map(esc).mkString(",")}],
-         |"defaults": $defaults,
-         |"references": $refs,
          |"indexes": [${m.indexes.map(esc).mkString(",")}],
-         |"version": ${m.version}}""".stripMargin
+         |"defaults": $defaults,
+         |"references": $refs}""".stripMargin
     val tmp = tableDir(name).resolve("meta.json.tmp")
     Files.writeString(tmp, json)
     Files.move(tmp, metaPath(name), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
   }
 
-  // minimal JSON field readers (schema string, string arrays, int)
-  private def jsonStr(json: String, key: String): Option[String] = {
-    val m = ("\"" + key + "\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"").r.findFirstMatchIn(json)
-    m.map(g => unesc(g.group(1))) // the scanner, not a replace chain
+  /** Index just past the closing '"' of the JSON string starting at
+    * `i` (json(i) is the opening quote); backslash-escape aware. */
+  private def skipJsonString(json: String, i0: Int): Int = {
+    var i = i0 + 1
+    while (i < json.length && json(i) != '"') {
+      if (json(i) == '\\') i += 1
+      i += 1
+    }
+    math.min(i + 1, json.length)
   }
-  /** Elements of the JSON string array under `key`, properly
+
+  /** Raw value substring of the TOP-LEVEL `"key":` entry — a depth-1,
+    * quote-aware scan. The defaults/references objects carry arbitrary
+    * COLUMN NAMES as keys, so a positional regex over the whole
+    * document could match a column literally named "version" (or
+    * "primaryKey", "schema", ...) inside them and corrupt the parsed
+    * metadata; anchoring to depth 1 makes that class of collision
+    * impossible. */
+  private def topLevel(json: String, key: String): Option[String] = {
+    val pat = "\"" + key + "\""
+    var i = 0
+    var depth = 0
+    while (i < json.length) {
+      json(i) match {
+        case '"' =>
+          val start = i
+          i = skipJsonString(json, i)
+          if (depth == 1 && i - start == pat.length
+              && json.regionMatches(start, pat, 0, pat.length)) {
+            var j = i
+            while (j < json.length && json(j).isWhitespace) j += 1
+            if (j < json.length && json(j) == ':') {
+              j += 1
+              while (j < json.length && json(j).isWhitespace) j += 1
+              if (j >= json.length) return None
+              val end = json(j) match {
+                case '"' => skipJsonString(json, j)
+                case '{' | '[' => skipJsonBalanced(json, j)
+                case _ =>
+                  var k = j
+                  while (k < json.length && json(k) != ',' && json(k) != '}'
+                    && json(k) != ']') k += 1
+                  k
+              }
+              return Some(json.substring(j, end).trim)
+            }
+          }
+        case '{' | '[' => depth += 1; i += 1
+        case '}' | ']' => depth -= 1; i += 1
+        case _ => i += 1
+      }
+    }
+    None
+  }
+
+  /** Index just past the bracket matching the '{'/'[' at `i0`,
+    * quote-aware. */
+  private def skipJsonBalanced(json: String, i0: Int): Int = {
+    var i = i0
+    var depth = 0
+    while (i < json.length) {
+      json(i) match {
+        case '"' => i = skipJsonString(json, i)
+        case '{' | '[' => depth += 1; i += 1
+        case '}' | ']' => depth -= 1; i += 1; if (depth == 0) return i
+        case _ => i += 1
+      }
+    }
+    i
+  }
+
+  // top-level JSON field readers (schema string, string arrays, int)
+  private def jsonStr(json: String, key: String): Option[String] =
+    topLevel(json, key).filter(_.startsWith("\""))
+      .map(v => unesc(v.substring(1, v.length - 1))) // the scanner, not a replace chain
+  /** Elements of the JSON string array under top-level `key`, properly
     * unescaped — the escaped-string regex (not a naive comma split)
     * keeps quotes/commas/backslashes in column names intact. */
-  private def jsonStrArr(json: String, key: String): Seq[String] = {
-    val m = ("\"" + key + "\"\\s*:\\s*\\[((?:[^\\]\"]|\"(?:[^\"\\\\]|\\\\.)*\")*)\\]")
-      .r.findFirstMatchIn(json)
-    m.map(_.group(1)).toSeq.flatMap(body =>
+  private def jsonStrArr(json: String, key: String): Seq[String] =
+    topLevel(json, key).filter(_.startsWith("[")).toSeq.flatMap(body =>
       "\"((?:[^\"\\\\]|\\\\.)*)\"".r.findAllMatchIn(body).map(g => unesc(g.group(1))))
-  }
   private def jsonInt(json: String, key: String): Int =
-    ("\"" + key + "\"\\s*:\\s*(\\d+)").r.findFirstMatchIn(json).map(_.group(1).toInt)
+    topLevel(json, key).flatMap(_.toIntOption)
       .getOrElse(sys.error(s"missing $key"))
 
   /** Inverse of [[esc]]: a left-to-right scanner, NOT chained
@@ -116,35 +198,13 @@ class TableCatalog(spark: SparkSession, val root: String) {
     out.toString
   }
 
-  /** The brace-balanced, quote-aware body of the JSON object under
-    * `key` (the regex-only readers above can't see past a '}' inside a
-    * string default). */
-  private def jsonObjBody(json: String, key: String): Option[String] = {
-    val keyIdx = json.indexOf("\"" + key + "\"")
-    if (keyIdx < 0) return None
-    var i = json.indexOf('{', keyIdx)
-    if (i < 0) return None
-    val start = i + 1
-    var depth = 0
-    while (i < json.length) {
-      json(i) match {
-        case '"' =>
-          i += 1
-          while (i < json.length && json(i) != '"') {
-            if (json(i) == '\\') i += 1
-            i += 1
-          }
-          i += 1
-        case '{' => depth += 1; i += 1
-        case '}' =>
-          depth -= 1
-          if (depth == 0) return Some(json.substring(start, i))
-          i += 1
-        case _ => i += 1
-      }
-    }
-    None
-  }
+  /** The brace-balanced, quote-aware body of the JSON object under the
+    * TOP-LEVEL `key` (the regex-only readers can't see past a '}'
+    * inside a string default, and a non-anchored indexOf could land on
+    * a same-named key nested in another object). */
+  private def jsonObjBody(json: String, key: String): Option[String] =
+    topLevel(json, key).filter(_.startsWith("{"))
+      .map(v => v.substring(1, v.length - 1))
 
   /** Inverse of [[writeMeta]]'s defaults serialization: string, long,
     * double, and boolean literals round-trip. Declared defaults are
@@ -169,10 +229,10 @@ class TableCatalog(spark: SparkSession, val root: String) {
   def meta(name: String): TableMeta = {
     require(exists(name), s"no such table: $name")
     val json = Files.readString(metaPath(name))
-    val refsBody = ("\"references\"\\s*:\\s*\\{([^}]*)\\}").r
-      .findFirstMatchIn(json).map(_.group(1)).getOrElse("")
-    val refs = "\"([^\"]+)\"\\s*:\\s*\"([^\"]+)\"".r.findAllMatchIn(refsBody)
-      .map(m => m.group(1) -> m.group(2)).toMap
+    val refsBody = jsonObjBody(json, "references").getOrElse("")
+    val refs = "\"((?:[^\"\\\\]|\\\\.)*)\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"".r
+      .findAllMatchIn(refsBody)
+      .map(m => unesc(m.group(1)) -> unesc(m.group(2))).toMap
     TableMeta(
       schema = DataTypeBridge.structFromJson(jsonStr(json, "schema").get),
       primaryKey = jsonStr(json, "primaryKey"),
@@ -195,7 +255,7 @@ class TableCatalog(spark: SparkSession, val root: String) {
       unique: Seq[String] = Nil,
       defaults: Map[String, Any] = Map.empty,
       references: Map[String, String] = Map.empty,
-      indexes: Seq[String] = Nil): Unit = {
+      indexes: Seq[String] = Nil): Unit = rootLock.synchronized {
     require(!exists(name), s"table already exists: $name")
     references.foreach { case (c, t) =>
       val parent = fkTargetMeta(t)
@@ -227,7 +287,7 @@ class TableCatalog(spark: SparkSession, val root: String) {
     case _ => false
   }
 
-  def dropTable(name: String): Unit = {
+  def dropTable(name: String): Unit = rootLock.synchronized {
     require(exists(name), s"no such table: $name")
     // RESTRICT at the table level too: dropping a referenced parent
     // would leave children with dangling FK metadata, making every
@@ -239,13 +299,25 @@ class TableCatalog(spark: SparkSession, val root: String) {
   }
 
   // ---------------------------------------------------------- manifests
+  /** Writes version `v`'s manifest with O_CREAT|O_EXCL: creating the
+    * version file IS the atomic claim on that version number, so a
+    * concurrent writer in ANOTHER process (the JVM rootLock can't see
+    * it) that lost the race fails here with a conflict instead of
+    * silently overwriting the winner's manifest. */
   private def writeManifest(name: String, v: Int, dirs: Seq[String],
       stats: Seq[FileStat] = Nil): Unit = {
     val statJson = stats.map(f =>
       s"""{"path": ${esc(f.path)}, "column": ${esc(f.column)}, """ +
         s""""mn": ${esc(f.min)}, "mx": ${esc(f.max)}}""").mkString("[", ",", "]")
-    Files.writeString(manifestPath(name, v),
-      s"""{"dirs": [${dirs.map(esc).mkString(",")}], "stats": $statJson}""")
+    val body = s"""{"dirs": [${dirs.map(esc).mkString(",")}], "stats": $statJson}"""
+    try Files.write(manifestPath(name, v),
+      body.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      java.nio.file.StandardOpenOption.CREATE_NEW)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new WriteConflictException(
+          s"write-write conflict on $name: version $v already published by another writer")
+    }
   }
 
   private def readManifest(name: String, v: Int): Seq[String] = {
@@ -255,7 +327,7 @@ class TableCatalog(spark: SparkSession, val root: String) {
 
   private def readStats(name: String, v: Int): Seq[FileStat] = {
     if (!Files.exists(manifestPath(name, v))) return Nil
-    val json = Files.readString(manifestPath(name, v))
+    val json = topLevel(Files.readString(manifestPath(name, v)), "stats").getOrElse("")
     val entry = ("""\{"path": "((?:[^"\\]|\\.)*)", "column": "((?:[^"\\]|\\.)*)", """ +
       """"mn": "((?:[^"\\]|\\.)*)", "mx": "((?:[^"\\]|\\.)*)"\}""").r
     entry.findAllMatchIn(json).map(m =>
@@ -526,9 +598,32 @@ class TableCatalog(spark: SparkSession, val root: String) {
   }
 
   /** Append-only INSERT: writes one new data dir, no existing bytes
-    * move. Missing columns take declared defaults (or NULL). */
-  def insert(name: String, df: DataFrame): Int =
-    stageInsert(name, df, publish = true)
+    * move. Missing columns take declared defaults (or NULL).
+    * Serialized per catalog root: version read → validate → publish is
+    * check-then-act on the version pointer (first-committer-wins needs
+    * the check and the publish to be one atomic step). */
+  def insert(name: String, df: DataFrame): Int = rootLock.synchronized {
+    val m = meta(name)
+    val aligned = applyDefaults(name, m, df)
+    val next = m.version + 1
+    validateInsert(m, name, aligned,
+      existing = () => scan(name),
+      pruned = Some(f => scan(name, f)),
+      fkResolve = scan)
+    // dir name unique per writer: two processes appending version n+1
+    // concurrently must never write the same path — the manifest claim
+    // picks the winner, and the loser's dir is deleted below
+    val rel = s"data/delta-$next-${TableCatalog.freshSuffix()}"
+    writeData(m, aligned, absTableDir(name).resolve(rel).toString)
+    try writeManifest(name, next, readManifest(name, m.version) :+ rel,
+      readStats(name, m.version) ++ collectStats(m, name, rel))
+    catch { case e: WriteConflictException =>
+      TableCatalog.deleteRecursively(absTableDir(name).resolve(rel))
+      throw e
+    }
+    writeMeta(name, m.copy(version = next))
+    next
+  }
 
   /** SET keys resolved against the declared schema case-INSENSITIVELY
     * (Spark's own resolver is) — and every key must resolve: a typo'd
@@ -557,61 +652,50 @@ class TableCatalog(spark: SparkSession, val root: String) {
     * a sequential fold), matching SQL UPDATE semantics. Changing a
     * REFERENCED primary-key value is RESTRICT-checked like a delete of
     * the old key — otherwise child rows would be silently orphaned. */
-  def update(name: String, set0: Map[String, Column], where: Column): Int = {
-    val m = meta(name)
-    val set = resolveSetKeys(m, name, set0)
-    for (pk <- m.primaryKey if set.contains(pk)) {
-      val changedKeys = scan(name).filter(coalesce(where, lit(false)))
-        .filter(!(set(pk).cast(m.schema(pk).dataType) <=> col(pk)))
-        .select(col(pk)).distinct()
-      restrictReferenced(name, changedKeys, referencingTables(name), scan, "UPDATE")
+  def update(name: String, set0: Map[String, Column], where: Column): Int =
+    rootLock.synchronized {
+      val m = meta(name)
+      val set = resolveSetKeys(m, name, set0)
+      for (pk <- m.primaryKey if set.contains(pk)) {
+        val changedKeys = scan(name).filter(coalesce(where, lit(false)))
+          .filter(!(set(pk).cast(m.schema(pk).dataType) <=> col(pk)))
+          .select(col(pk)).distinct()
+        restrictReferenced(name, changedKeys, referencingTables(name), scan, "UPDATE")
+      }
+      val updated = scan(name).select(m.schema.fields.map { f =>
+        set.get(f.name)
+          .map(v => when(where, v.cast(f.dataType)).otherwise(col(f.name)).as(f.name))
+          .getOrElse(col(f.name))
+      }: _*)
+      rewrite(name, m, updated)
     }
-    val updated = scan(name).select(m.schema.fields.map { f =>
-      set.get(f.name)
-        .map(v => when(where, v.cast(f.dataType)).otherwise(col(f.name)).as(f.name))
-        .getOrElse(col(f.name))
-    }: _*)
-    rewrite(name, m, updated, publish = true)
-  }
 
   /** DELETE ... WHERE: copy-on-write anti-filter snapshot. RESTRICT
     * semantics: rows whose PK is still referenced by another table's
     * FK cannot be deleted. */
-  def delete(name: String, where: Column): Int = {
+  def delete(name: String, where: Column): Int = rootLock.synchronized {
     val m = meta(name)
     for (pk <- m.primaryKey) {
       val removedKeys = scan(name).filter(coalesce(where, lit(false)))
         .select(col(pk)).distinct()
       restrictReferenced(name, removedKeys, referencingTables(name), scan, "DELETE")
     }
-    rewrite(name, m, scan(name).filter(!coalesce(where, lit(false))), publish = true)
+    rewrite(name, m, scan(name).filter(!coalesce(where, lit(false))))
   }
 
-  private def stageInsert(name: String, df: DataFrame, publish: Boolean): Int = {
-    val m = meta(name)
-    val aligned = applyDefaults(name, m, df)
+  private def rewrite(name: String, m: TableMeta, df: DataFrame): Int = {
     val next = m.version + 1
-    validateInsert(m, name, aligned,
-      existing = () => scan(name),
-      pruned = Some(f => scan(name, f)),
-      fkResolve = scan)
-    val rel = s"data/delta-$next"
-    writeData(m, aligned, absTableDir(name).resolve(rel).toString)
-    writeManifest(name, next, readManifest(name, m.version) :+ rel,
-      readStats(name, m.version) ++ collectStats(m, name, rel))
-    if (publish) writeMeta(name, m.copy(version = next))
-    next
-  }
-
-  private def rewrite(name: String, m: TableMeta, df: DataFrame, publish: Boolean): Int = {
-    val next = m.version + 1
-    val rel = s"data/snap-$next"
+    val rel = s"data/snap-$next-${TableCatalog.freshSuffix()}"
     try {
       validate(m, name, df.cache())
       writeData(m, df, absTableDir(name).resolve(rel).toString)
     } finally df.unpersist() // a failed validation must not leak cache
-    writeManifest(name, next, Seq(rel), collectStats(m, name, rel))
-    if (publish) writeMeta(name, m.copy(version = next))
+    try writeManifest(name, next, Seq(rel), collectStats(m, name, rel))
+    catch { case e: WriteConflictException =>
+      TableCatalog.deleteRecursively(absTableDir(name).resolve(rel))
+      throw e
+    }
+    writeMeta(name, m.copy(version = next))
     next
   }
 
@@ -877,7 +961,10 @@ class TableCatalog(spark: SparkSession, val root: String) {
       * deletion for drops. (The reference gets multi-table atomicity
       * from its Raft log; on a filesystem each individual publish is an
       * atomic rename.) */
-    def commit(): Unit = {
+    def commit(): Unit = rootLock.synchronized {
+      // the root lock spans conflict check AND publish: without it a
+      // concurrent commit could pass the same version check (TOCTOU)
+      // and both would publish base+1, silently losing one txn's writes
       open()
       staged.foreach { case (name, (base, _)) =>
         require(currentVersion(name) == base, s"write-write conflict on $name")
@@ -897,22 +984,37 @@ class TableCatalog(spark: SparkSession, val root: String) {
         require(refs.isEmpty,
           s"DROP TABLE $name conflict: now referenced by ${refs.mkString(", ")}")
       }
-      // point of no return: from here staged dirs may become referenced
-      // by published manifests, so a rollback() after a mid-publish
+      // claim phase: create every staged table's next manifest
+      // (atomic CREATE_NEW — the cross-process conflict gate) BEFORE
+      // any version pointer moves. A lost claim un-claims what this
+      // commit already created and aborts with nothing published.
+      val claims = scala.collection.mutable.ArrayBuffer[(String, TableMeta, Int)]()
+      try {
+        staged.foreach { case (name, (_, dirs)) =>
+          val m = meta(name)
+          val next = m.version + 1
+          // index stats: inherit entries for dirs the new version keeps,
+          // add the stats collected for this txn's own dirs
+          val inherited = readStats(name, m.version)
+            .filter(st => dirs.exists(d => st.path.startsWith(d + "/")))
+          val fresh = dirs.flatMap(d => dirStats.getOrElse(d, Nil))
+          writeManifest(name, next, dirs, inherited ++ fresh)
+          claims += ((name, m, next))
+        }
+      } catch {
+        case e: WriteConflictException =>
+          claims.foreach { case (name, _, next) =>
+            Files.deleteIfExists(manifestPath(name, next)) }
+          throw e
+      }
+      // point of no return: from here staged dirs become referenced by
+      // published version pointers, so a rollback() after a mid-publish
       // failure must NOT delete them (that would corrupt the committed
       // versions) — hand the cleanup list to this commit and empty the
       // rollback's.
       val cleanupCandidates = createdDirs.toList
       createdDirs.clear()
-      staged.foreach { case (name, (_, dirs)) =>
-        val m = meta(name)
-        val next = m.version + 1
-        // index stats: inherit entries for dirs the new version keeps,
-        // add the stats collected for this txn's own dirs
-        val inherited = readStats(name, m.version)
-          .filter(st => dirs.exists(d => st.path.startsWith(d + "/")))
-        val fresh = dirs.flatMap(d => dirStats.getOrElse(d, Nil))
-        writeManifest(name, next, dirs, inherited ++ fresh)
+      claims.foreach { case (name, m, next) =>
         writeMeta(name, m.copy(version = next))
       }
       droppedTables.foreach(TableCatalog.this.dropTable)
@@ -949,6 +1051,28 @@ class TableCatalog(spark: SparkSession, val root: String) {
 }
 
 object TableCatalog {
+
+  /** Publish raced with another writer and lost — the transaction (or
+    * statement) aborted with nothing published; retry against the new
+    * current version. */
+  class WriteConflictException(msg: String) extends IllegalStateException(msg)
+
+  // one lock per normalized catalog root — every TableCatalog instance
+  // over the same directory (in this JVM) shares it
+  private val rootLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private[sources] def lockFor(root: String): Object =
+    rootLocks.computeIfAbsent(
+      Paths.get(root).toAbsolutePath.normalize.toString, _ => new Object)
+
+  private val suffixCounter = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Writer-unique data-dir suffix: pid-scoped random plus a counter,
+    * so concurrent writers (threads or processes) never target the
+    * same physical dir for the same logical version. */
+  private[sources] def freshSuffix(): String =
+    f"${java.util.UUID.randomUUID().toString.take(8)}-${suffixCounter.incrementAndGet()}%d"
 
   /** Recursive delete with the listing stream closed (a leaked
     * Files.list holds a directory fd until GC). Shared by dropTable,

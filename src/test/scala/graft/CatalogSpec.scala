@@ -388,4 +388,102 @@ class CatalogSpec extends AnyFunSuite {
     assert(cat.scan("child").count() == 1)
     assert(cat.meta("child").references == Map("pid" -> "parent"))
   }
+
+  test("metadata survives columns/defaults named like structural JSON keys") {
+    // the defaults/references objects carry COLUMN NAMES as keys: a
+    // column literally named "version" with a numeric default must not
+    // shadow the table's real version pointer on reopen (anchored
+    // top-level readers, defaults serialized last)
+    val cat = freshCatalog()
+    val evil = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("version", LongType),
+      StructField("references", StringType),
+      StructField("primaryKey", StringType),
+      StructField("schema", StringType)))
+    cat.createTable("evil", evil, primaryKey = Some("id"),
+      defaults = Map("version" -> 99L, "references" -> "bogus",
+        "primaryKey" -> "zzz", "schema" -> "{\"fake\": 1}"))
+    cat.insert("evil", Seq(1L).toDF("id"))
+    cat.insert("evil", Seq(2L).toDF("id"))
+    // reopen over the same root: everything must parse from disk
+    val reopened = new TableCatalog(spark, cat.root)
+    val m = reopened.meta("evil")
+    assert(m.version == 2, "real version pointer, not the default named 'version'")
+    assert(m.primaryKey.contains("id"))
+    assert(m.references.isEmpty)
+    assert(m.defaults("version") == 99L && m.defaults("primaryKey") == "zzz")
+    assert(m.schema.fieldNames.toSeq ==
+      Seq("id", "version", "references", "primaryKey", "schema"))
+    val rows = reopened.scan("evil").orderBy("id").collect()
+    assert(rows.map(_.getLong(1)).toSeq == Seq(99L, 99L)) // default applied
+    reopened.insert("evil", Seq(3L).toDF("id")) // version pointer still sane
+    assert(reopened.currentVersion("evil") == 3)
+  }
+
+  test("concurrent txn commits: exactly one wins, loser aborts with conflict") {
+    val cat = freshCatalog()
+    cat.createTable("t", schema, primaryKey = Some("id"))
+    cat.insert("t", Seq((1L, "base", 0.0)).toDF("id", "name", "balance"))
+    val t1 = cat.begin(); val t2 = cat.begin()
+    t1.insert("t", Seq((2L, "t1", 0.0)).toDF("id", "name", "balance"))
+    t2.insert("t", Seq((3L, "t2", 0.0)).toDF("id", "name", "balance"))
+    val results =
+      new java.util.concurrent.ConcurrentHashMap[String, Either[Throwable, Unit]]()
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val threads = Seq("t1" -> t1, "t2" -> t2).map { case (tag, t) =>
+      new Thread(() => {
+        start.await()
+        results.put(tag, try Right(t.commit()) catch { case e: Throwable => Left(e) })
+      })
+    }
+    threads.foreach(_.start()); start.countDown(); threads.foreach(_.join())
+    import scala.jdk.CollectionConverters._
+    val (losses, wins) = results.asScala.toSeq.partition(_._2.isLeft)
+    assert(wins.size == 1 && losses.size == 1, s"expected 1 winner, got $results")
+    assert(losses.head._2.swap.toOption.get.getMessage.contains("write-write conflict"))
+    // exactly the winner's row landed, and the table is at version 2
+    assert(cat.scan("t").count() == 2)
+    assert(cat.currentVersion("t") == 2)
+    // the loser's staging is gone after rollback
+    (if (losses.head._1 == "t1") t1 else t2).rollback()
+    val leftover = java.nio.file.Files.list(java.nio.file.Paths.get(cat.root, "t", "data"))
+    try assert(leftover.iterator().asScala.size == 2) // base delta + winner delta
+    finally leftover.close()
+  }
+
+  test("concurrent non-txn inserts serialize: both land, distinct versions") {
+    val cat = freshCatalog()
+    cat.createTable("t", schema, primaryKey = Some("id"))
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (1 to 2).map { i =>
+      new Thread(() => {
+        start.await()
+        try cat.insert("t", Seq((i.toLong, s"w$i", 0.0)).toDF("id", "name", "balance"))
+        catch { case e: Throwable => errs.add(e) }
+      })
+    }
+    threads.foreach(_.start()); start.countDown(); threads.foreach(_.join())
+    assert(errs.isEmpty, s"unexpected failures: $errs")
+    assert(cat.scan("t").count() == 2)
+    assert(cat.currentVersion("t") == 2) // no lost update: versions 1 and 2
+  }
+
+  test("cross-process claim: a pre-existing next-version manifest aborts the publish") {
+    val cat = freshCatalog()
+    cat.createTable("t", schema)
+    cat.insert("t", Seq((1L, "a", 0.0)).toDF("id", "name", "balance"))
+    // simulate another PROCESS (invisible to the JVM lock) having
+    // already claimed version 2
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(cat.root, "t", "versions", "v2.json"),
+      """{"dirs": [], "stats": []}""")
+    intercept[TableCatalog.WriteConflictException] {
+      cat.insert("t", Seq((2L, "b", 0.0)).toDF("id", "name", "balance"))
+    }
+    // nothing published, table intact at version 1
+    assert(cat.currentVersion("t") == 1)
+    assert(cat.scan("t").count() == 1)
+  }
 }
