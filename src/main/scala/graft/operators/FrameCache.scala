@@ -18,7 +18,9 @@ import org.apache.spark.storage.StorageLevel
   */
 object FrameCache {
 
-  private val frames = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private final case class Entry(owner: SparkSession, df: DataFrame)
+
+  private val frames = new java.util.concurrent.ConcurrentHashMap[String, Entry]()
 
   /** The frame cached under (session, tag), building and persisting it
     * on first use. Keyed by sessionUUID (collision-free; an identity
@@ -28,18 +30,51 @@ object FrameCache {
     * recursive mapping functions. The lock is reentrant, so a nested
     * getOrBuild from inside `build` is safe. */
   def getOrBuild(s: SparkSession, tag: String)(build: => DataFrame): DataFrame = {
+    sweepStopped()
     val key = sessionKey(s) + "|" + tag
     val hit = frames.get(key)
-    if (hit != null) hit
+    if (hit != null) hit.df
     else synchronized {
       val again = frames.get(key)
-      if (again != null) again
+      if (again != null) again.df
       else {
         val df = build.persist(StorageLevel.MEMORY_AND_DISK)
-        frames.put(key, df)
+        frames.put(key, Entry(s, df))
         df
       }
     }
+  }
+
+  /** Entries whose owning session's context is stopped are dead weight
+    * (their cached blocks are already gone with the executors) — drop
+    * them so a long-lived JVM that starts and stops many contexts
+    * doesn't accumulate frames bound to dead sessions. Swept on every
+    * getOrBuild. */
+  private def sweepStopped(): Unit =
+    frames.forEach { (key, e) =>
+      if (e.owner.sparkContext.isStopped) {
+        frames.remove(key, e)
+        try e.df.unpersist() catch { case _: Throwable => () }
+      }
+    }
+
+  /** Unpersist and forget one session's cached frames (end of that
+    * session's pipeline) without touching other sessions sharing the
+    * JVM. */
+  def clear(s: SparkSession): Unit = {
+    val prefix = sessionKey(s) + "|"
+    frames.forEach { (key, e) =>
+      if (key.startsWith(prefix) && frames.remove(key, e))
+        try e.df.unpersist() catch { case _: Throwable => () }
+    }
+  }
+
+  /** Number of frames cached for `s` (test observability). */
+  def cachedCount(s: SparkSession): Int = {
+    val prefix = sessionKey(s) + "|"
+    var n = 0
+    frames.forEach { (key, _) => if (key.startsWith(prefix)) n += 1 }
+    n
   }
 
   /** Collision-free session identity (sessionUUID on classic Spark). */
@@ -49,7 +84,7 @@ object FrameCache {
 
   /** Unpersist and forget every cached frame (end of pipeline). */
   def clear(): Unit = {
-    frames.values.forEach(df => try df.unpersist() catch { case _: Throwable => () })
+    frames.values.forEach(e => try e.df.unpersist() catch { case _: Throwable => () })
     frames.clear()
   }
 }

@@ -33,6 +33,16 @@ object Streams {
   // session boundaries away from the batch/oracle computation.
   case class SessionBuf(startUs: Long, lastUs: Long, n: Int, total: Double)
 
+  /** Keyed state: ALL of a user's sessions the watermark has not yet
+    * passed, sorted by start, pairwise more than a gap apart. Holding
+    * closed-but-within-watermark sessions (not just the open one) is
+    * what makes multi-batch late arrival correct: an event in a later
+    * batch that lands adjacent to an earlier late session merges into
+    * it instead of emitting a split session. A session leaves state
+    * only when no admissible future event (ts ≥ watermark) could still
+    * extend or front-merge it — i.e. when lastUs + gap < watermark. */
+  case class SessionState(bufs: List[SessionBuf])
+
   /** st01: watermarked tumbling-window aggregation. State is bounded
     * by the watermark: windows older than `watermark` behind the max
     * seen event time are finalized and dropped from the state store. */
@@ -72,23 +82,61 @@ object Streams {
     def flush(userId: Long, b: SessionBuf): Session =
       Session(userId, fromMicros(b.startUs), fromMicros(b.lastUs), b.n, b.total)
 
+    // A session is FINAL (safe to emit and drop from state) only when
+    // lastUs + gap < watermark: any future event is >= watermark, so it
+    // can neither extend the session's tail (t - last <= gap would need
+    // t < watermark) nor attach before a session whose whole span is
+    // already behind the watermark. Until then the session stays in
+    // state, where a late event from a later batch can still merge
+    // into it — the property the batch gaps-and-islands result has.
+    def isFinal(b: SessionBuf, wmUs: Long): Boolean = b.lastUs + gapUs < wmUs
+    // gaps-and-islands sweep over buffered sessions + new events
+    // (sorted by start): adjacent items closer than a gap merge. New
+    // events can bridge two previously-separate buffered sessions.
+    def merge(items: List[SessionBuf]): List[SessionBuf] = {
+      val sorted = items.sortBy(b => (b.startUs, b.lastUs))
+      val out = List.newBuilder[SessionBuf]
+      var cur: Option[SessionBuf] = None
+      for (b <- sorted) cur = cur match {
+        case Some(c) if b.startUs - c.lastUs <= gapUs =>
+          Some(c.copy(lastUs = math.max(c.lastUs, b.lastUs),
+            n = c.n + b.n, total = c.total + b.total))
+        case Some(c) => out += c; Some(b)
+        case None => Some(b)
+      }
+      cur.foreach(out += _)
+      out.result()
+    }
+    // keep the pending sessions and arm the next event-time timeout at
+    // the earliest lastUs+gap — clamped above the watermark, because
+    // setTimeoutTimestamp THROWS on a timestamp <= watermark, killing
+    // the whole query
+    def park(state: GroupState[SessionState], kept: List[SessionBuf]): Unit = {
+      state.update(SessionState(kept))
+      state.setTimeoutTimestamp(
+        math.max(kept.map(b => b.lastUs / 1000L + gapUs / 1000L).min,
+          state.getCurrentWatermarkMs() + 1))
+    }
+
     events
       .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessionBuf, Session](
+      .flatMapGroupsWithState[SessionState, Session](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (userId: Long, it: Iterator[Event], state: GroupState[SessionBuf]) =>
+        (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
-            // watermark passed the gap: the open session is final
-            val out = state.getOption.map(flush(userId, _)).toList
-            state.remove()
-            out.iterator
+            // watermark passed some pending session's gap: emit every
+            // session that is final, keep (and re-arm) the rest
+            val wmUs = state.getCurrentWatermarkMs() * 1000L
+            val (ready, kept) = state.get.bufs.partition(isFinal(_, wmUs))
+            if (kept.isEmpty) state.remove() else park(state, kept)
+            ready.map(flush(userId, _)).iterator
           } else {
             // batch execution never fires event-time timeouts (there is
-            // no watermark), so the trailing open session must be
-            // emitted at end-of-iterator instead of parked in state
-            // that batch execution discards — this is what makes the
-            // operator give the same answer on a bounded frame
+            // no watermark), so every session must be emitted at
+            // end-of-iterator instead of parked in state that batch
+            // execution discards — this is what makes the operator give
+            // the same answer on a bounded frame
             val isStreaming =
               try { state.getCurrentWatermarkMs(); true }
               catch { case _: UnsupportedOperationException => false }
@@ -96,67 +144,17 @@ object Streams {
             // sort; per-user per-batch volume is bounded by session
             // activity. A backfill over a pathologically hot user
             // should use the window-based batch twin (q26Sessionize).
-            val sorted = it.toSeq.sortBy(e => micros(e.ts))
-            var buf = state.getOption
-            // late-but-within-watermark events older than a gap before
-            // the open session build their own gap-merged sessions
-            // (emitting each as a singleton would double-count where
-            // the batch twin merges them)
-            var lateBuf: Option[SessionBuf] = None
-            val closed = List.newBuilder[Session]
-            for (e <- sorted) {
-              val t = micros(e.ts)
-              buf match {
-                case Some(b) if t >= b.startUs - gapUs && t - b.lastUs <= gapUs =>
-                  // in-range (possibly a cross-batch late event just
-                  // before the open session — extend its start)
-                  buf = Some(b.copy(startUs = math.min(b.startUs, t),
-                    lastUs = math.max(b.lastUs, t), n = b.n + 1,
-                    total = b.total + e.value))
-                case Some(b) if t < b.startUs =>
-                  lateBuf match {
-                    case Some(lb) if t - lb.lastUs <= gapUs =>
-                      lateBuf = Some(lb.copy(startUs = math.min(lb.startUs, t),
-                        lastUs = math.max(lb.lastUs, t), n = lb.n + 1,
-                        total = lb.total + e.value))
-                    case Some(lb) =>
-                      closed += flush(userId, lb)
-                      lateBuf = Some(SessionBuf(t, t, 1, e.value))
-                    case None =>
-                      lateBuf = Some(SessionBuf(t, t, 1, e.value))
-                  }
-                case Some(b) =>
-                  closed += flush(userId, b)
-                  buf = Some(SessionBuf(t, t, 1, e.value))
-                case None =>
-                  buf = Some(SessionBuf(t, t, 1, e.value))
-              }
-            }
-            // the last late session may now bridge into the (possibly
-            // start-extended) open session — the batch gaps-and-islands
-            // result for the same sorted sequence
-            (lateBuf, buf) match {
-              case (Some(lb), Some(b)) if b.startUs - lb.lastUs <= gapUs =>
-                buf = Some(b.copy(startUs = lb.startUs, n = b.n + lb.n,
-                  total = b.total + lb.total))
-                lateBuf = None
-              case _ =>
-            }
-            lateBuf.foreach(lb => closed += flush(userId, lb))
+            val fresh = it.map(e =>
+              SessionBuf(micros(e.ts), micros(e.ts), 1, e.value)).toList
+            val merged = merge(state.getOption.map(_.bufs).getOrElse(Nil) ++ fresh)
             if (isStreaming) {
-              buf.foreach { b =>
-                state.update(b)
-                // clamp above the watermark: a very late event can leave
-                // lastUs+gap behind it, and setTimeoutTimestamp THROWS
-                // on a timestamp <= watermark, killing the whole query
-                state.setTimeoutTimestamp(
-                  math.max(b.lastUs / 1000L + gapUs / 1000L,
-                    state.getCurrentWatermarkMs() + 1))
-              }
+              val wmUs = state.getCurrentWatermarkMs() * 1000L
+              val (ready, kept) = merged.partition(isFinal(_, wmUs))
+              if (kept.isEmpty) state.remove() else park(state, kept)
+              ready.map(flush(userId, _)).iterator
             } else {
-              buf.foreach(b => closed += flush(userId, b))
+              merged.map(flush(userId, _)).iterator
             }
-            closed.result().iterator
           }
       }
   }

@@ -139,6 +139,28 @@ class GraftSQLSpec extends AnyFunSuite {
     assert(g.execute("SELECT count(*) AS n FROM acc").collect()(0).getLong(0) == 2)
   }
 
+  test("BEGIN while a transaction is open fails instead of leaking the staged txn") {
+    val g = session()
+    g.execute("CREATE TABLE nb (id INTEGER PRIMARY KEY)")
+    g.execute("BEGIN")
+    g.execute("INSERT INTO nb VALUES (1)")
+    // a nested BEGIN must not silently replace (and leak) the open
+    // txn's staging dirs
+    intercept[IllegalArgumentException] { g.execute("BEGIN") }
+    intercept[IllegalArgumentException] { g.execute("BEGIN READ ONLY") }
+    // the original txn is still the active one: its write survives to COMMIT
+    g.execute("COMMIT")
+    assert(g.execute("SELECT count(*) AS n FROM nb").collect()(0).getLong(0) == 1)
+    // and no orphaned txn staging is left behind
+    val leftovers = java.nio.file.Files.list(java.nio.file.Paths.get(g.catalog.root))
+    try {
+      import scala.jdk.CollectionConverters._
+      val stray = leftovers.iterator().asScala
+        .map(_.getFileName.toString).filter(_.startsWith(".txn-")).toList
+      assert(stray.isEmpty, s"leaked staging: $stray")
+    } finally leftovers.close()
+  }
+
   test("write-write conflict through SQL: second committer fails") {
     val g1 = session()
     val g2 = new GraftSQL(spark, g1.catalog)

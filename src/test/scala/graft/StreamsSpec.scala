@@ -171,6 +171,63 @@ class StreamsSpec extends AnyFunSuite {
     assert(u1(1).start_ts == ts(240) && u1(1).n_events == 1)
   }
 
+  test("st02 merges late events ACROSS batches into one session (no split emission)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Event]
+    val q = Streams.sessionize(src.toDS(), gapMinutes = 30, watermark = "6 hours")
+      .writeStream.format("memory").queryName("st02_xbatch_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      src.addData(Event(1, ts(240), "click", 1.0)) // open session at 4h
+      q.processAllAvailable()
+      // late event in its own batch: must be BUFFERED (watermark has
+      // not passed it), not flushed at end of batch
+      src.addData(Event(1, ts(0), "view", 2.0))
+      q.processAllAvailable()
+      // a later batch's late event adjacent to it: one merged session
+      // 0:00-0:05 — the old per-batch flush emitted [0,0] then [5,5]
+      src.addData(Event(1, ts(5), "view", 3.0))
+      q.processAllAvailable()
+      src.addData(Event(99, ts(5000), "x", 0.0)) // sentinels close state
+      q.processAllAvailable()
+      src.addData(Event(99, ts(9000), "x", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val u1 = spark.table("st02_xbatch_out").as[Session].collect()
+      .filter(_.user_id == 1L).sortBy(_.start_ts.getTime)
+    assert(u1.length == 2, s"got ${u1.toSeq}")
+    assert(u1(0).start_ts == ts(0) && u1(0).end_ts == ts(5)
+      && u1(0).n_events == 2 && u1(0).total_value == 5.0)
+    assert(u1(1).start_ts == ts(240) && u1(1).n_events == 1)
+  }
+
+  test("st02 late event bridges two buffered sessions across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Event]
+    val q = Streams.sessionize(src.toDS(), gapMinutes = 30, watermark = "6 hours")
+      .writeStream.format("memory").queryName("st02_bridge_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // two sessions 50 min apart — separate (gap 30)
+      src.addData(Event(1, ts(0), "a", 1.0), Event(1, ts(50), "b", 2.0))
+      q.processAllAvailable()
+      // a late event at 0:25 bridges them: 25-0 ≤ 30 and 50-25 ≤ 30
+      src.addData(Event(1, ts(25), "c", 4.0))
+      q.processAllAvailable()
+      src.addData(Event(99, ts(5000), "x", 0.0))
+      q.processAllAvailable()
+      src.addData(Event(99, ts(9000), "x", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val u1 = spark.table("st02_bridge_out").as[Session].collect()
+      .filter(_.user_id == 1L)
+    assert(u1.length == 1, s"got ${u1.toSeq}")
+    assert(u1(0).start_ts == ts(0) && u1(0).end_ts == ts(50)
+      && u1(0).n_events == 3 && u1(0).total_value == 7.0)
+  }
+
   test("st02 batch parity: a bounded frame emits the trailing open session too") {
     import spark.implicits._
     val events = Seq(
