@@ -83,6 +83,22 @@ case class Hamming64(left: Expression, right: Expression) extends BinaryExpressi
     copy(left = l, right = r)
 }
 
+/** IVF cell assignment: index of the cosine-nearest centroid in a
+  * (small, literal/broadcast) array<array<float>> centroid list. */
+case class NearestCentroid(left: Expression, right: Expression) extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.GraftTypes.AbstractType] =
+    Seq(ArrayType(FloatType), ArrayType(ArrayType(FloatType)))
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "nearest_centroid"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.nearestCentroid(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Kernels.nearestCentroid($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 case class Shingles64(child: Expression, n: Int) extends UnaryExpression with ImplicitCastInputTypes {
   override def inputTypes: Seq[org.apache.spark.sql.GraftTypes.AbstractType] = Seq(StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)

@@ -108,6 +108,23 @@ object Kernels {
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 
+  /** Index of the centroid (array<array<float>>) most cosine-similar
+    * to `v` — the IVF cell assignment / coarse-quantizer kernel. Ties
+    * break to the lowest index; an empty centroid list yields -1.
+    * One fused pass per centroid, no per-row allocation. */
+  def nearestCentroid(v: ArrayData, cents: ArrayData): Int = {
+    val k = cents.numElements()
+    var best = -1
+    var bestCos = Double.NegativeInfinity
+    var i = 0
+    while (i < k) {
+      val cos = cosine(v, cents.getArray(i))
+      if (cos > bestCos) { bestCos = cos; best = i }
+      i += 1
+    }
+    best
+  }
+
   /** Sorted distinct XXH64 hashes of all byte `n`-grams (shingles) of
     * `text`. The per-document set representation used for exact
     * n-gram Jaccard similarity. */

@@ -22,6 +22,9 @@ package object functions {
   def hamming64(a: Column, b: Column): Column =
     column(Hamming64(expression(a), expression(b)))
 
+  def nearest_centroid(v: Column, centroids: Column): Column =
+    column(NearestCentroid(expression(v), expression(centroids)))
+
   def shingles64(text: Column, n: Int): Column =
     column(Shingles64(expression(text), n))
 
@@ -64,6 +67,8 @@ package functions {
         es => HyperplaneSig(es(0), intArg(es(1)), longArg(es(2))), "scala_udf")
       reg.createOrReplaceTempFunction("simhash64", es => SimHash64(es(0)), "scala_udf")
       reg.createOrReplaceTempFunction("hamming64", es => Hamming64(es(0), es(1)), "scala_udf")
+      reg.createOrReplaceTempFunction("nearest_centroid",
+        es => NearestCentroid(es(0), es(1)), "scala_udf")
       reg.createOrReplaceTempFunction("shingles64",
         es => Shingles64(es(0), intArg(es(1))), "scala_udf")
       reg.createOrReplaceTempFunction("minhash_sig",

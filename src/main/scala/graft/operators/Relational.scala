@@ -562,6 +562,63 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
 
+  // ---------------------------------------------------------------- q37
+  /** Ordered string aggregation (LISTAGG/STRING_AGG). Realized as
+    * array_sort(collect_list) + array_join: the sort makes the result
+    * a pure function of the group's SET of values — deterministic
+    * under any partitioning/merge order, which a bare
+    * collect_list-then-join is not. */
+  def q37StringAgg(s: SparkSession, d: String): DataFrame =
+    Tables.region(s, d)
+      .join(Tables.nation(s, d), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(
+        array_join(array_sort(collect_list(col("n_name"))), ",").as("nations"),
+        count(lit(1)).as("n_nations"))
+      .orderBy("r_name")
+
+  // ---------------------------------------------------------------- q38
+  /** Array/list function surface: split, size, sort, slice, contains,
+    * element access — single scan, all codegen builtins. */
+  def q38ArrayFuncs(s: SparkSession, d: String): DataFrame = {
+    val toks = split(col("p_name"), " ")
+    Tables.part(s, d).select(
+      col("p_partkey"),
+      size(toks).as("n_tokens"),
+      array_join(slice(array_sort(toks), 1, 3), "|").as("first3"),
+      array_contains(toks, "green").as("has_green"),
+      element_at(toks, 1).as("tok1"))
+      .orderBy("p_partkey")
+  }
+
+  // ---------------------------------------------------------------- q39
+  /** Regular-expression surface: group extraction, match counting,
+    * boolean match — all codegen'd builtins over one scan. */
+  def q39RegexpExtract(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d).select(
+      col("p_partkey"),
+      regexp_extract(col("p_type"), "^(\\w+)", 1).as("type_head"),
+      regexp_count(col("p_brand"), lit("\\d")).cast("int").as("n_digits"),
+      col("p_type").rlike("PLATED|BRUSHED").as("finished"))
+      .orderBy("p_partkey")
+
+  // ---------------------------------------------------------------- q40
+  /** Date/interval arithmetic: day offsets, month arithmetic with
+    * end-of-month clamping, day difference, last_day. (The oracle
+    * computes the 90-day offset as DATE + integer, not a second
+    * INTERVAL literal: DuckDB 1.0's subexpression elimination treats
+    * INTERVAL 90 DAY = INTERVAL 3 MONTH — 1 month ≡ 30 days — and
+    * silently reuses whichever constant appears first.) */
+  def q40IntervalArith(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select(
+      col("o_orderkey"),
+      date_add(col("o_orderdate"), 90).as("due_date"),
+      add_months(col("o_orderdate"), 3).as("plus3mo"),
+      datediff(lit(java.sql.Date.valueOf("1998-12-31")), col("o_orderdate"))
+        .cast("int").as("days_to_eoy"),
+      last_day(col("o_orderdate")).as("month_end"))
+      .orderBy("o_orderkey")
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -600,7 +657,11 @@ object Relational {
     "q33_index_lookup"      -> (q33IndexLookup _),
     "q34_moving_avg"        -> (q34MovingAvg _),
     "q35_cube"              -> (q35Cube _),
-    "q36_median"            -> (q36Median _))
+    "q36_median"            -> (q36Median _),
+    "q37_string_agg"        -> (q37StringAgg _),
+    "q38_array_funcs"       -> (q38ArrayFuncs _),
+    "q39_regexp"            -> (q39RegexpExtract _),
+    "q40_interval_arith"    -> (q40IntervalArith _))
 
   val oracleSql: Map[String, String] = Map(
     "q01_scan_project" ->
@@ -856,5 +917,31 @@ object Relational {
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "q36_median" ->
       """SELECT l_returnflag, MEDIAN(l_quantity) AS median_qty, COUNT(*) AS n
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q37_string_agg" ->
+      """SELECT r_name, STRING_AGG(n_name, ',' ORDER BY n_name) AS nations,
+        |       COUNT(*) AS n_nations
+        |FROM region JOIN nation ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "q38_array_funcs" ->
+      """SELECT p_partkey,
+        |       CAST(len(string_split(p_name, ' ')) AS INT) AS n_tokens,
+        |       array_to_string(list_sort(string_split(p_name, ' '))[1:3], '|') AS first3,
+        |       list_contains(string_split(p_name, ' '), 'green') AS has_green,
+        |       string_split(p_name, ' ')[1] AS tok1
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q39_regexp" ->
+      """SELECT p_partkey,
+        |       regexp_extract(p_type, '^(\w+)', 1) AS type_head,
+        |       CAST(len(regexp_extract_all(p_brand, '\d')) AS INT) AS n_digits,
+        |       regexp_matches(p_type, 'PLATED|BRUSHED') AS finished
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q40_interval_arith" ->
+      """SELECT o_orderkey,
+        |       CAST(o_orderdate AS DATE) + 90 AS due_date,
+        |       CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus3mo,
+        |       CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS INT)
+        |         AS days_to_eoy,
+        |       last_day(CAST(o_orderdate AS DATE)) AS month_end
+        |FROM orders ORDER BY o_orderkey""".stripMargin)
 }

@@ -92,6 +92,99 @@ object Similarity {
       .limit(K)
   }
 
+  // ---------------------------------------------------------------- s04
+  /** IVF (inverted-file) ANN — the other classic scale path next to
+    * s02's signature ranking. Build: k-means coarse quantizer trained
+    * by Lloyd iterations where ONLY the k×dim centroid table ever
+    * reaches the driver (assignment is a scan with a literal centroid
+    * list; the update is the constant-bytes-per-group [[graft
+    * .functions.VectorAgg]] fold — one shuffle of k buffers per
+    * round). Query: rank cells by probe-to-centroid cosine driver-side
+    * (k tiny), scan ONLY the nprobe best cells' rows for the exact
+    * kernel. At 100 TB the assignment frame is a table partitioned by
+    * `cell`, so probing nprobe cells is partition pruning — the scan
+    * reads nprobe/k of the corpus, corpus-size-independent per cell. */
+  object Ivf {
+    def centroidsLit(cents: Array[Array[Float]]) =
+      typedLit(cents.map(_.toSeq).toSeq)
+
+    /** Deterministic k-means: init = k rows by hashed id (seeded
+      * pseudo-random, stable across partitionings), then `iters` Lloyd
+      * rounds. Cells that lose all members keep their old centroid. */
+    def train(emb: DataFrame, k: Int, iters: Int): Array[Array[Float]] = {
+      var cents = emb.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(k)
+        .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+      var it = 0
+      while (it < iters && cents.nonEmpty) {
+        val upd = emb
+          .select(nearest_centroid(col("embedding"), centroidsLit(cents)).as("cell"),
+            col("embedding"))
+          .groupBy("cell")
+          .agg(graft.functions.VectorAgg.centroid_agg(col("embedding")).as("c"))
+          .collect().map(r => r.getInt(0) -> r.getSeq[Float](1).toArray).toMap
+        cents = Array.tabulate(cents.length)(i => upd.getOrElse(i, cents(i)))
+        it += 1
+      }
+      cents
+    }
+
+    /** The corpus with its IVF cell id — the inverted lists. */
+    def assign(emb: DataFrame, cents: Array[Array[Float]]): DataFrame =
+      emb.withColumn("cell", nearest_centroid(col("embedding"), centroidsLit(cents)))
+
+    /** Top-k by exact cosine over the `nprobe` cells whose centroids
+      * are most cosine-similar to the probe (ranked driver-side — the
+      * centroid table is k rows). */
+    def topK(assigned: DataFrame, cents: Array[Array[Float]], q: Array[Float],
+        nprobe: Int, k: Int): DataFrame = {
+      val qa = UnsafeArrayData.fromPrimitiveArray(q)
+      val cells = cents.zipWithIndex
+        .map { case (c, i) =>
+          (i, Kernels.cosine(qa, UnsafeArrayData.fromPrimitiveArray(c))) }
+        .sortBy { case (i, cos) => (-cos, i) }
+        .take(nprobe).map(_._1)
+      assigned.filter(col("cell").isin(cells: _*))
+        .select(col("vec_id"), cosine_sim(col("embedding"), typedLit(q.toSeq)).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id"))
+        .limit(k)
+    }
+  }
+
+  private val IvfK      = 16
+  private val IvfIters  = 3
+  private val IvfNprobe = 4
+
+  /** (cell, centroid) — the trained coarse quantizer, cached per
+    * (session, dataset) like the signature frame: at 100 TB this is a
+    * stored k-row table written at index-build time. */
+  private def ivfCells(s: SparkSession, d: String): DataFrame =
+    FrameCache.getOrBuild(s, s"ann/ivf_cells|$d") {
+      import s.implicits._
+      val cents = Ivf.train(
+        Tables.embeddings(s, d).select("vec_id", "embedding"), IvfK, IvfIters)
+      cents.zipWithIndex.map { case (c, i) => (i, c) }.toSeq.toDF("cell", "centroid")
+    }
+
+  private def collectCents(cells: DataFrame): Array[Array[Float]] =
+    cells.orderBy("cell").collect().map(_.getSeq[Float](1).toArray)
+
+  /** vec_id + embedding + cell: the corpus organized into inverted
+    * lists (at scale: a table PARTITIONED BY cell — probe = partition
+    * pruning). */
+  private def ivfAssigned(s: SparkSession, d: String): DataFrame =
+    FrameCache.getOrBuild(s, s"ann/ivf_assign|$d") {
+      Ivf.assign(Tables.embeddings(s, d).select("vec_id", "embedding"),
+        collectCents(ivfCells(s, d)))
+    }
+
+  /** Driver query: IVF top-k for the fixed probe, nprobe of k cells. */
+  def s04IvfAnn(s: SparkSession, d: String): DataFrame = {
+    val cents = collectCents(ivfCells(s, d))
+    val q = Tables.embeddings(s, d).filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).toArray
+    Ivf.topK(ivfAssigned(s, d).filter(col("vec_id") =!= 0), cents, q, IvfNprobe, K)
+  }
+
   // ---------------------------------------------------------------- s03
   /** Per-label embedding centroids via the one-pass [[graft.functions
     * .VectorAgg]] aggregator (custom typed Aggregator — constant
@@ -117,7 +210,8 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_ann_brute" -> (s01BruteForce _),
     "s02_ann_lsh"   -> (s02LshAnn _),
-    "s03_centroids" -> (s03Centroids _))
+    "s03_centroids" -> (s03Centroids _),
+    "s04_ann_ivf"   -> (s04IvfAnn _))
 
   val oracleSql: Map[String, String] = Map(
     "s01_ann_brute" ->

@@ -163,12 +163,54 @@ object TextAnalysis {
       |FROM documents, UNNEST(STRING_SPLIT(text, ' ')) AS u(term)
       |GROUP BY term ORDER BY n DESC, term LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------------- t06
+  // Patterns shared by the Spark query and the DuckDB oracle — kept to
+  // the regex subset where Java's engine and RE2 agree (char classes,
+  // bounded repeats, \b on ASCII).
+  private val EmailRe  = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhoneRe  = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+  private val LongIdRe = "\\b\\d{9,}\\b"
+
+  /** PII detection + redaction — the scrub pass every training-data
+    * pipeline runs before a corpus ships. Pure codegen column
+    * expressions (regexp_count / chained regexp_replace), one scan, no
+    * UDFs; at 100 TB this is embarrassingly parallel and
+    * pushdown-friendly (the counts prune to the text column only). */
+  def t06PiiRedact(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      regexp_count(col("text"), lit(EmailRe)).cast("int").as("n_emails"),
+      regexp_count(col("text"), lit(PhoneRe)).cast("int").as("n_phones"),
+      regexp_count(col("text"), lit(LongIdRe)).cast("int").as("n_long_ids"),
+      regexp_count(col("text"), lit("\\d")).cast("int").as("n_digit_chars"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+          PhoneRe, "<PHONE>"),
+        LongIdRe, "<ID>").as("redacted"))
+      .orderBy("doc_id")
+
+  val t06OracleSql: String =
+    """SELECT doc_id,
+      |  CAST(LEN(REGEXP_EXTRACT_ALL(text,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+      |  CAST(LEN(REGEXP_EXTRACT_ALL(text, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS INT)
+      |    AS n_phones,
+      |  CAST(LEN(REGEXP_EXTRACT_ALL(text, '\b\d{9,}\b')) AS INT) AS n_long_ids,
+      |  CAST(LEN(REGEXP_EXTRACT_ALL(text, '\d')) AS INT) AS n_digit_chars,
+      |  REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(text,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |    '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
+      |    '\b\d{9,}\b', '<ID>', 'g') AS redacted
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_langid"      -> (t01LangId _),
     "t02_quality"     -> (t02Quality _),
     "t03_tokens"      -> (t03Tokens _),
     "t04_fingerprint" -> (t04Fingerprint _),
-    "t05_top_terms"   -> (t05TopTerms _))
+    "t05_top_terms"   -> (t05TopTerms _),
+    "t06_pii_redact"  -> (t06PiiRedact _))
 
   /** t01's stopword-count heuristic is integer arithmetic over token
     * lists — DuckDB reproduces it exactly (list lambdas + the same
@@ -201,8 +243,9 @@ object TextAnalysis {
        |FROM sc ORDER BY doc_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
-    "t01_langid"    -> t01OracleSql,
-    "t02_quality"   -> t02OracleSql,
-    "t03_tokens"    -> t03OracleSql,
-    "t05_top_terms" -> t05OracleSql)
+    "t01_langid"     -> t01OracleSql,
+    "t02_quality"    -> t02OracleSql,
+    "t03_tokens"     -> t03OracleSql,
+    "t05_top_terms"  -> t05OracleSql,
+    "t06_pii_redact" -> t06OracleSql)
 }

@@ -140,10 +140,45 @@ object StreamQueries {
     s.table("graft_st03_sink").orderBy("text")
   }
 
+  /** st04: stream-static join — the streaming enrichment pattern (an
+    * unbounded fact stream decorated by a small dimension table). The
+    * static side is broadcast: no state, no stream-side shuffle for
+    * the join itself; at 100 TB/day the dim ships once per executor
+    * while the stream flows through. Windowed aggregation on the
+    * joined frame; bounded input + complete mode ⇒ equals the batch
+    * join, which the DuckDB oracle checks. */
+  def st04StreamJoin(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = s.readStream
+      .schema(s.read.parquet(s"$d/events.parquet").schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(d)
+    val events = raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val dim = broadcast(Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_mktsegment")))
+
+    val agg = events.join(dim, col("user_id") === col("c_custkey"))
+      .groupBy(window(col("ts"), "1 hour"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(28,10)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("hour_start"), col("c_mktsegment"),
+        col("n_events"), col("sum_value"))
+
+    val q = agg.writeStream
+      .format("memory").queryName("graft_st04_sink")
+      .outputMode(OutputMode.Complete)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+
+    s.table("graft_st04_sink").orderBy("hour_start", "c_mktsegment")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st01_stream_window" -> (st01StreamWindow _),
     "st02_stream_state"  -> (st02StreamState _),
-    "st03_stream_dedup"  -> (st03StreamDedup _))
+    "st03_stream_dedup"  -> (st03StreamDedup _),
+    "st04_stream_join"   -> (st04StreamJoin _))
 
   /** Same oracle as the batch twin: tumbling 1h windows aligned to the
     * epoch are exactly date_trunc('hour'). */
@@ -177,5 +212,11 @@ object StreamQueries {
         |GROUP BY user_id, session_id
         |ORDER BY user_id, start_ts""".stripMargin,
     "st03_stream_dedup" ->
-      "SELECT DISTINCT text FROM documents ORDER BY text")
+      "SELECT DISTINCT text FROM documents ORDER BY text",
+    "st04_stream_join" ->
+      """SELECT date_trunc('hour', ts) AS hour_start, c_mktsegment,
+        |       COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS sum_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1, 2 ORDER BY hour_start, c_mktsegment""".stripMargin)
 }

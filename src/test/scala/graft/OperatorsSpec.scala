@@ -340,6 +340,47 @@ class OperatorsSpec extends AnyFunSuite {
     assert(n == sources.Tables.documents(spark, sf).count())
   }
 
+  test("s04 IVF: cells partition the corpus; all-cell probe is exact; nprobe recall") {
+    import spark.implicits._
+    import operators.Similarity.Ivf
+    import graft.functions.Kernels
+    import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+    // planted clusters — the data regime IVF is FOR (the shared
+    // embeddings fixture is near-orthogonal noise, where any
+    // cell-pruned method honestly degrades toward nprobe/k sampling)
+    val rnd = new scala.util.Random(42)
+    val dim = 16; val nClusters = 8; val per = 25
+    val centers = Array.fill(nClusters)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+    val vecs = for { c <- 0 until nClusters; j <- 0 until per } yield
+      ((c * per + j).toLong,
+        centers(c).map(x => x + 0.05f * rnd.nextGaussian().toFloat))
+    val emb = vecs.toDF("vec_id", "embedding")
+    val cents = Ivf.train(emb, nClusters, iters = 4)
+    assert(cents.length == nClusters)
+    // assignment partitions the corpus into valid cells
+    val assigned = Ivf.assign(emb, cents)
+    assert(assigned.count() == vecs.size)
+    assert(assigned.filter(col("cell") < 0 || col("cell") >= nClusters).count() == 0)
+    // brute-force truth for probe vec 0, same kernel driver-side
+    val q = vecs.head._2
+    def ua(v: Array[Float]) = UnsafeArrayData.fromPrimitiveArray(v)
+    val brute = vecs.tail.map { case (id, v) => (id, Kernels.cosine(ua(q), ua(v))) }
+      .sortBy { case (id, cos) => (-cos, id) }.take(10).map(_._1).toSet
+    val rest = assigned.filter(col("vec_id") =!= 0L)
+    // probing ALL cells is exhaustive — identical to brute force
+    val allCells = Ivf.topK(rest, cents, q, nprobe = nClusters, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(allCells == brute, s"all-cell probe diverged: $allCells vs $brute")
+    // pruned probe keeps high recall on clustered data
+    val pruned = Ivf.topK(rest, cents, q, nprobe = 2, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(pruned.intersect(brute).size >= 9,
+      s"recall ${pruned.intersect(brute).size}/10 at nprobe=2")
+    // training is deterministic (hash-seeded init, fixed rounds)
+    assert(Ivf.train(emb, nClusters, iters = 4).map(_.toSeq).toSeq ==
+      cents.map(_.toSeq).toSeq)
+  }
+
   test("FrameCache.clear(session) evicts only that session's frames") {
     import operators.FrameCache
     val s2 = spark.newSession() // distinct sessionUUID, shared context

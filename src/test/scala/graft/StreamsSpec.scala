@@ -85,6 +85,26 @@ class StreamsSpec extends AnyFunSuite {
     assert(got == exp)
   }
 
+  test("st04 DRIVER QUERY equals the batch stream-static join; dim side broadcasts") {
+    import org.apache.spark.sql.functions._
+    val streamed = graft.streaming.StreamQueries.st04StreamJoin(spark, TestSpark.sf)
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val batchDf = sources.Tables.events(spark, TestSpark.sf)
+      .join(sources.Tables.customer(spark, TestSpark.sf)
+        .select(col("c_custkey"), col("c_mktsegment")),
+        col("user_id") === col("c_custkey"))
+      .groupBy(date_trunc("hour", col("ts")).as("hour_start"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(28,10)")).cast("double").as("sum_value"))
+      .orderBy("hour_start", "c_mktsegment")
+    val batch = batchDf.collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(streamed.toSeq == batch.toSeq)
+    // the dimension side must broadcast (no stream-side shuffle join)
+    assert(batchDf.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+  }
+
   test("st02 DRIVER QUERY equals the batch sessionization") {
     val streamed = graft.streaming.StreamQueries.st02StreamState(spark, TestSpark.sf)
       .collect()
