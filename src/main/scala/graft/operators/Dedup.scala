@@ -240,6 +240,72 @@ object Dedup {
     "d05_dedup_embedding" -> (d05Embedding _),
     "d06_dedup_clusters"  -> (d06Clusters _))
 
+  /** d04/d06 ARE oracle-checkable, via brute force: DuckDB computes
+    * all-pairs 5-gram Jaccard (char n-grams == byte n-grams on this
+    * ASCII corpus; 64-bit hash-set Jaccard == string-set Jaccard
+    * barring a ~1e-14 collision) and the LSH-blocked Spark pipeline
+    * must produce the SAME pairs — recall completeness on this corpus
+    * is deterministic given (data, seed) and proven by the
+    * [[graft.BruteCheck]] tool + the d04 completeness spec. The
+    * size-ratio prefilter is sound: jaccard >= 0.8 forces
+    * min(|A|,|B|)/max(|A|,|B|) >= 0.8. */
+  val d04OracleSql: String =
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |         list_distinct([text[i:i+4] for i in generate_series(1, len(text)-4)]) AS s
+      |  FROM documents
+      |),
+      |cand AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |         len(list_intersect(a.s, b.s)) AS inter,
+      |         len(a.s) AS na, len(b.s) AS nb
+      |  FROM sh a JOIN sh b
+      |    ON a.doc_id < b.doc_id
+      |   AND len(a.s) * 5 >= len(b.s) * 4
+      |   AND len(b.s) * 5 >= len(a.s) * 4
+      |)
+      |SELECT doc_a, doc_b, CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
+      |FROM cand
+      |WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.8
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Connected components of the brute-force pair graph by transitive
+    * closure (recursive CTE) — clusters are small cliques, so the
+    * closure stays tiny. Matches d06's min-label propagation. */
+  val d06OracleSql: String =
+    """WITH RECURSIVE sh AS (
+      |  SELECT doc_id,
+      |         list_distinct([text[i:i+4] for i in generate_series(1, len(text)-4)]) AS s
+      |  FROM documents
+      |),
+      |cand AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |         len(list_intersect(a.s, b.s)) AS inter,
+      |         len(a.s) AS na, len(b.s) AS nb
+      |  FROM sh a JOIN sh b
+      |    ON a.doc_id < b.doc_id
+      |   AND len(a.s) * 5 >= len(b.s) * 4
+      |   AND len(b.s) * 5 >= len(a.s) * 4
+      |),
+      |pairs AS (
+      |  SELECT doc_a, doc_b FROM cand
+      |  WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.8
+      |),
+      |edges AS (
+      |  SELECT doc_a AS s, doc_b AS t FROM pairs
+      |  UNION ALL
+      |  SELECT doc_b, doc_a FROM pairs
+      |),
+      |reach AS (
+      |  SELECT s AS doc_id, t AS peer FROM edges
+      |  UNION
+      |  SELECT r.doc_id, e.t FROM reach r JOIN edges e ON r.peer = e.s
+      |)
+      |SELECT doc_id, LEAST(doc_id, MIN(peer)) AS cluster_rep
+      |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
-    "d01_dedup_exact" -> d01OracleSql)
+    "d01_dedup_exact"    -> d01OracleSql,
+    "d04_dedup_ngram"    -> d04OracleSql,
+    "d06_dedup_clusters" -> d06OracleSql)
 }

@@ -340,6 +340,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(n == sources.Tables.documents(spark, sf).count())
   }
 
+  test("d04 is COMPLETE: LSH-blocked pairs equal the brute-force jaccard >= 0.8 scan") {
+    import graft.functions.{jaccard64, shingles64}
+    // the fact that licenses d04/d06's brute-force DuckDB oracles:
+    // deterministic (data, seed) LSH recall is total on this corpus
+    val docs = sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), shingles64(col("text"), 5).as("sh")) // ShingleN = 5
+    val brute = docs.as("a").crossJoin(docs.as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        jaccard64(col("a.sh"), col("b.sh")).as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val lsh = Dedup.d04NgramJaccard(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(lsh == brute, s"missed=${(brute -- lsh).size} spurious=${(lsh -- brute).size}")
+  }
+
   test("s04 IVF: cells partition the corpus; all-cell probe is exact; nprobe recall") {
     import spark.implicits._
     import operators.Similarity.Ivf
