@@ -284,12 +284,51 @@ object GraftSQL {
     // introduces `^` or `!`, and every changing pass consumes at least
     // one, so the operator count strictly decreases.
     var prev = sql
-    var cur = rewriteExponents(rewriteFactorials(sql))
+    var cur = rewriteExponents(rewriteFactorials(rewriteNanInf(sql)))
     while (cur != prev) {
       prev = cur
       cur = rewriteExponents(rewriteFactorials(cur))
     }
     cur
+  }
+
+  /** The reference lexes `NAN` and `INFINITY` as FLOAT literals
+    * (lexer.rs:98,110; parser/mod.rs:572-573). Spark has no such
+    * keywords — it would resolve them as COLUMNS and fail (or worse,
+    * match a real column). Rewritten token-level to double casts,
+    * string-safe; skipped when the word is qualified (`t.nan`), a
+    * function call (`nan(...)`), or an alias (`AS nan`) — positions
+    * where the reference's own grammar could not have meant the
+    * literal either. */
+  private[graft] def rewriteNanInf(sql: String): String = {
+    val out = new StringBuilder
+    var prevWord = "" // last identifier emitted (for the AS-alias guard)
+    var i = 0
+    while (i < sql.length) {
+      val c = sql(i)
+      if (c == '\'' || c == '"') {
+        val j = skipString(sql, i); out.append(sql.substring(i, j)); i = j
+      } else if (c.isLetter || c == '_') {
+        var j = i
+        while (j < sql.length && (sql(j).isLetterOrDigit || sql(j) == '_')) j += 1
+        val word = sql.substring(i, j)
+        val up = word.toUpperCase
+        var k = i - 1
+        while (k >= 0 && sql(k).isWhitespace) k -= 1
+        val prevCh = if (k >= 0) sql(k) else ' '
+        var m = j
+        while (m < sql.length && sql(m).isWhitespace) m += 1
+        val nextCh = if (m < sql.length) sql(m) else ' '
+        if ((up == "NAN" || up == "INFINITY") && prevCh != '.' && nextCh != '.'
+            && nextCh != '(' && prevWord != "AS") {
+          out.append(if (up == "NAN") "CAST('NaN' AS DOUBLE)"
+                     else "CAST('Infinity' AS DOUBLE)")
+        } else out.append(word)
+        prevWord = up
+        i = j
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
   }
 
   /** Index just past the closing quote of a literal starting at `i`

@@ -139,6 +139,25 @@ class GraftSQLSpec extends AnyFunSuite {
     assert(g.execute("SELECT count(*) AS n FROM acc").collect()(0).getLong(0) == 2)
   }
 
+  test("NAN and INFINITY are float literals, as in the reference lexer") {
+    val g = session()
+    // reference lexer.rs:98,110 — NAN/INFINITY are keywords lexed to
+    // FLOAT literals; Spark alone would resolve them as columns
+    val r = g.execute(
+      "SELECT nan AS a, INFINITY AS b, -infinity AS c, 'NAN' AS s, 1 + infinity AS d")
+      .collect()(0)
+    assert(r.getDouble(0).isNaN)
+    assert(r.getDouble(1) == Double.PositiveInfinity)
+    assert(r.getDouble(2) == Double.NegativeInfinity)
+    assert(r.getString(3) == "NAN") // string literal untouched
+    assert(r.getDouble(4) == Double.PositiveInfinity)
+    // NaN compares per SQL float semantics through WHERE too
+    val n = g.execute("SELECT 1 AS x WHERE NAN = NAN").count()
+    assert(n == 0 || n == 1) // engine-defined; must not throw
+    // no interference with the ^/! rewrites
+    assert(g.execute("SELECT 2 ^ 3 AS p").collect()(0).getDouble(0) == 8.0)
+  }
+
   test("BEGIN while a transaction is open fails instead of leaking the staged txn") {
     val g = session()
     g.execute("CREATE TABLE nb (id INTEGER PRIMARY KEY)")
