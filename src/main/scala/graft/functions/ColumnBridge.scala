@@ -23,6 +23,16 @@ object GraftColumnBridge {
     case _ => None
   }
 
+  /** The physical plan of a streaming query's most recent micro-batch
+    * (StreamingQueryWrapper / StreamExecution are private[sql]) — how
+    * a spec asserts what a STREAMING query actually executed (e.g.
+    * that a stream-static join really broadcast the static side). */
+  def streamingExecutedPlan(q: streaming.StreamingQuery): Option[String] = q match {
+    case w: execution.streaming.runtime.StreamingQueryWrapper =>
+      Option(w.streamingQuery.lastExecution).map(_.executedPlan.toString)
+    case _ => None
+  }
+
   /** `(column, comparator, literal-as-string)` for every top-level AND
     * conjunct of an UNANALYZED Column that has the shape
     * `col <op> literal` (either side), with the comparator normalized

@@ -248,7 +248,10 @@ object Dedup {
     * is deterministic given (data, seed) and proven by the
     * [[graft.BruteCheck]] tool + the d04 completeness spec. The
     * size-ratio prefilter is sound: jaccard >= 0.8 forces
-    * min(|A|,|B|)/max(|A|,|B|) >= 0.8. */
+    * min(|A|,|B|)/max(|A|,|B|) >= 0.8. Two EMPTY shingle sets (docs
+    * shorter than the shingle width) are jaccard 1.0 — the kernel's
+    * convention (Kernels.jaccard64), mirrored here with a CASE so the
+    * oracle cannot silently drop such pairs to 0/0. */
   val d04OracleSql: String =
     """WITH sh AS (
       |  SELECT doc_id,
@@ -263,10 +266,15 @@ object Dedup {
       |    ON a.doc_id < b.doc_id
       |   AND len(a.s) * 5 >= len(b.s) * 4
       |   AND len(b.s) * 5 >= len(a.s) * 4
+      |),
+      |scored AS (
+      |  SELECT doc_a, doc_b,
+      |         CASE WHEN na + nb = 0 THEN 1.0
+      |              ELSE CAST(inter AS DOUBLE) / (na + nb - inter) END AS jaccard
+      |  FROM cand
       |)
-      |SELECT doc_a, doc_b, CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
-      |FROM cand
-      |WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.8
+      |SELECT doc_a, doc_b, jaccard FROM scored
+      |WHERE jaccard >= 0.8
       |ORDER BY doc_a, doc_b""".stripMargin
 
   /** Connected components of the brute-force pair graph by transitive
@@ -289,7 +297,8 @@ object Dedup {
       |),
       |pairs AS (
       |  SELECT doc_a, doc_b FROM cand
-      |  WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.8
+      |  WHERE CASE WHEN na + nb = 0 THEN 1.0
+      |             ELSE CAST(inter AS DOUBLE) / (na + nb - inter) END >= 0.8
       |),
       |edges AS (
       |  SELECT doc_a AS s, doc_b AS t FROM pairs

@@ -597,33 +597,116 @@ class TableCatalog(spark: SparkSession, val root: String) {
     out.select(m.schema.fields.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
   }
 
-  /** Append-only INSERT: writes one new data dir, no existing bytes
-    * move. Missing columns take declared defaults (or NULL).
-    * Serialized per catalog root: version read → validate → publish is
-    * check-then-act on the version pointer (first-committer-wins needs
-    * the check and the publish to be one atomic step). */
-  def insert(name: String, df: DataFrame): Int = rootLock.synchronized {
-    val m = meta(name)
-    val aligned = applyDefaults(name, m, df)
-    val next = m.version + 1
-    validateInsert(m, name, aligned,
-      existing = () => scan(name),
-      pruned = Some(f => scan(name, f)),
-      fkResolve = scan)
-    // dir name unique per writer: two processes appending version n+1
-    // concurrently must never write the same path — the manifest claim
-    // picks the winner, and the loser's dir is deleted below
-    val rel = s"data/delta-$next-${TableCatalog.freshSuffix()}"
-    writeData(m, aligned, absTableDir(name).resolve(rel).toString)
-    try writeManifest(name, next, readManifest(name, m.version) :+ rel,
-      readStats(name, m.version) ++ collectStats(m, name, rel))
-    catch { case e: WriteConflictException =>
-      TableCatalog.deleteRecursively(absTableDir(name).resolve(rel))
-      throw e
-    }
-    writeMeta(name, m.copy(version = next))
-    next
+  // ------------------------------------------- optimistic write publish
+  //
+  // Non-txn DML is optimistic, not serialized: validation and parquet
+  // writes (the expensive Spark jobs) run OUTSIDE the root lock against
+  // a snapshot; the lock is held only for the fingerprint re-check +
+  // manifest claim + pointer move (file operations, microseconds). A
+  // writer that loses the race deletes its dir and RETRIES against the
+  // new state — so concurrent inserts to unrelated tables never queue
+  // behind each other's Spark jobs, and concurrent inserts to the same
+  // table each land (first-committer-wins per attempt, bounded retry).
+
+  private val MaxPublishAttempts = 5
+
+  /** Versions of every table whose state this write's pre-publish
+    * checks read: the table itself, its FK parents (INSERT validated
+    * rows against them), and its referencing children (UPDATE/DELETE
+    * RESTRICT-checked against them). If ANY moved — or the set itself
+    * changed (a new FK child table) — by publish time, the checks are
+    * stale and the attempt must retry. Cheap: meta-file reads only. */
+  private def fkFingerprint(name: String, m: TableMeta): Map[String, Int] = {
+    val related = m.references.values.toSet ++
+      referencingTables(name).map(_._1).toSet + name
+    // a txn's staged catalog resolves FK parents through the OUTER
+    // view (subclass overrides) — tables not physically in THIS
+    // catalog can't be version-fingerprinted here, and don't need to
+    // be: the staging catalog is single-writer by construction
+    related.iterator.filter(exists).map(t => t -> currentVersion(t)).toMap
   }
+
+  /** Bounded optimistic-write loop: `attempt` validates + writes
+    * against the current snapshot and returns None if its publish lost
+    * the race. */
+  private def publishWithRetry(what: String)(attempt: () => Option[Int]): Int = {
+    var n = 0
+    while (n < MaxPublishAttempts) {
+      attempt() match {
+        case Some(v) => return v
+        case None    => n += 1
+      }
+    }
+    throw new TableCatalog.WriteConflictException(
+      s"$what: lost the publish race $MaxPublishAttempts times")
+  }
+
+  /** A claim orphaned longer than this (crashed writer died between
+    * manifest claim and pointer move) is reclaimed — an in-flight
+    * publisher's claim→pointer window is milliseconds, so a minute-old
+    * claim with no matching pointer is dead, and without reclaim it
+    * would wedge the table's writes forever. */
+  private val StaleClaimMs = 60000L
+
+  /** Claim version m.version+1's manifest and move the pointer. Call
+    * ONLY inside rootLock with the fingerprint verified. Returns false
+    * when another PROCESS holds a fresh claim (its publish is
+    * in-flight; the JVM lock cannot see it). */
+  private def claimPublish(name: String, m: TableMeta, dirs: Seq[String],
+      stats: Seq[FileStat]): Boolean = {
+    val next = m.version + 1
+    val claimed =
+      try { writeManifest(name, next, dirs, stats); true }
+      catch { case _: WriteConflictException =>
+        val p = manifestPath(name, next)
+        val age =
+          try System.currentTimeMillis - Files.getLastModifiedTime(p).toMillis
+          catch { case _: java.io.IOException => Long.MaxValue } // gone = free
+        if (age >= StaleClaimMs) {
+          Files.deleteIfExists(p)
+          try { writeManifest(name, next, dirs, stats); true }
+          catch { case _: WriteConflictException => false } // re-raced
+        } else false
+      }
+    claimed && {
+      try { writeMeta(name, m.copy(version = next)); true }
+      catch { case scala.util.control.NonFatal(e) =>
+        Files.deleteIfExists(manifestPath(name, next)) // un-claim: a
+        // failed pointer move must not leave a wedging orphan claim
+        throw e
+      }
+    }
+  }
+
+  /** Append-only INSERT: writes one new data dir, no existing bytes
+    * move. Missing columns take declared defaults (or NULL). Validation
+    * + write run lock-free against a snapshot; publish re-checks the
+    * fingerprint under the lock and retries on a lost race (see the
+    * optimistic-publish note above). */
+  def insert(name: String, df: DataFrame): Int =
+    publishWithRetry(s"INSERT INTO $name") { () =>
+      val m = meta(name)
+      val fp = fkFingerprint(name, m)
+      val aligned = applyDefaults(name, m, df)
+      val next = m.version + 1
+      validateInsert(m, name, aligned,
+        existing = () => scan(name),
+        pruned = Some(f => scan(name, f)),
+        fkResolve = scan)
+      // dir name unique per writer: two writers appending version n+1
+      // concurrently must never target the same path — the fingerprint
+      // check picks the winner, and the loser's dir is deleted below
+      val rel = s"data/delta-$next-${TableCatalog.freshSuffix()}"
+      writeData(m, aligned, absTableDir(name).resolve(rel).toString)
+      val fresh = collectStats(m, name, rel)
+      val ok = rootLock.synchronized {
+        fkFingerprint(name, meta(name)) == fp &&
+          claimPublish(name, m, readManifest(name, m.version) :+ rel,
+            readStats(name, m.version) ++ fresh)
+      }
+      if (ok) Some(next)
+      else { TableCatalog.deleteRecursively(absTableDir(name).resolve(rel)); None }
+    }
 
   /** SET keys resolved against the declared schema case-INSENSITIVELY
     * (Spark's own resolver is) — and every key must resolve: a typo'd
@@ -653,8 +736,9 @@ class TableCatalog(spark: SparkSession, val root: String) {
     * REFERENCED primary-key value is RESTRICT-checked like a delete of
     * the old key — otherwise child rows would be silently orphaned. */
   def update(name: String, set0: Map[String, Column], where: Column): Int =
-    rootLock.synchronized {
+    publishWithRetry(s"UPDATE $name") { () =>
       val m = meta(name)
+      val fp = fkFingerprint(name, m)
       val set = resolveSetKeys(m, name, set0)
       for (pk <- m.primaryKey if set.contains(pk)) {
         val changedKeys = scan(name).filter(coalesce(where, lit(false)))
@@ -667,36 +751,43 @@ class TableCatalog(spark: SparkSession, val root: String) {
           .map(v => when(where, v.cast(f.dataType)).otherwise(col(f.name)).as(f.name))
           .getOrElse(col(f.name))
       }: _*)
-      rewrite(name, m, updated)
+      rewriteAttempt(name, m, fp, updated)
     }
 
   /** DELETE ... WHERE: copy-on-write anti-filter snapshot. RESTRICT
     * semantics: rows whose PK is still referenced by another table's
     * FK cannot be deleted. */
-  def delete(name: String, where: Column): Int = rootLock.synchronized {
-    val m = meta(name)
-    for (pk <- m.primaryKey) {
-      val removedKeys = scan(name).filter(coalesce(where, lit(false)))
-        .select(col(pk)).distinct()
-      restrictReferenced(name, removedKeys, referencingTables(name), scan, "DELETE")
+  def delete(name: String, where: Column): Int =
+    publishWithRetry(s"DELETE FROM $name") { () =>
+      val m = meta(name)
+      val fp = fkFingerprint(name, m)
+      for (pk <- m.primaryKey) {
+        val removedKeys = scan(name).filter(coalesce(where, lit(false)))
+          .select(col(pk)).distinct()
+        restrictReferenced(name, removedKeys, referencingTables(name), scan, "DELETE")
+      }
+      rewriteAttempt(name, m, fp, scan(name).filter(!coalesce(where, lit(false))))
     }
-    rewrite(name, m, scan(name).filter(!coalesce(where, lit(false))))
-  }
 
-  private def rewrite(name: String, m: TableMeta, df: DataFrame): Int = {
+  /** One copy-on-write attempt: validate + write the snapshot outside
+    * the lock, publish only if the fingerprint (this table, FK parents,
+    * referencing children) is unchanged — the RESTRICT/uniqueness
+    * checks above were computed against exactly that state. None =
+    * lost the race; the caller rebuilds against the new state. */
+  private def rewriteAttempt(name: String, m: TableMeta, fp: Map[String, Int],
+      df: DataFrame): Option[Int] = {
     val next = m.version + 1
     val rel = s"data/snap-$next-${TableCatalog.freshSuffix()}"
     try {
       validate(m, name, df.cache())
       writeData(m, df, absTableDir(name).resolve(rel).toString)
     } finally df.unpersist() // a failed validation must not leak cache
-    try writeManifest(name, next, Seq(rel), collectStats(m, name, rel))
-    catch { case e: WriteConflictException =>
-      TableCatalog.deleteRecursively(absTableDir(name).resolve(rel))
-      throw e
+    val stats = collectStats(m, name, rel)
+    val ok = rootLock.synchronized {
+      fkFingerprint(name, meta(name)) == fp && claimPublish(name, m, Seq(rel), stats)
     }
-    writeMeta(name, m.copy(version = next))
-    next
+    if (ok) Some(next)
+    else { TableCatalog.deleteRecursively(absTableDir(name).resolve(rel)); None }
   }
 
   /** Physical layout: an indexed table is range-partitioned and sorted
@@ -1002,7 +1093,11 @@ class TableCatalog(spark: SparkSession, val root: String) {
           claims += ((name, m, next))
         }
       } catch {
-        case e: WriteConflictException =>
+        // ANY failure mid-claim (conflict, IO error, manifest parse
+        // error) must un-claim every manifest this commit already
+        // created — a surviving orphan claim would wedge that table's
+        // writes until the stale-claim reclaim kicks in
+        case scala.util.control.NonFatal(e) =>
           claims.foreach { case (name, _, next) =>
             Files.deleteIfExists(manifestPath(name, next)) }
           throw e
@@ -1030,6 +1125,7 @@ class TableCatalog(spark: SparkSession, val root: String) {
       }.toSet
       cleanupCandidates.filterNot(live.contains).foreach(deleteDir)
       deleteDir(Paths.get(root, s".txn-$txnId"))
+      TableCatalog.releaseLock(Paths.get(root, s".txn-$txnId").toString)
     }
 
     /** Abandon all staged state: staged dirs and the txn-private
@@ -1041,6 +1137,7 @@ class TableCatalog(spark: SparkSession, val root: String) {
       createdDirs.foreach(deleteDir)
       createdDirs.clear()
       deleteDir(Paths.get(root, s".txn-$txnId"))
+      TableCatalog.releaseLock(Paths.get(root, s".txn-$txnId").toString)
       closed = true
     }
 
@@ -1065,6 +1162,12 @@ object TableCatalog {
   private[sources] def lockFor(root: String): Object =
     rootLocks.computeIfAbsent(
       Paths.get(root).toAbsolutePath.normalize.toString, _ => new Object)
+
+  /** Forget a root's lock entry once the root is gone — every txn's
+    * private staging catalog registers one, and a long-lived JVM
+    * running many transactions must not grow the lock map forever. */
+  private[sources] def releaseLock(root: String): Unit =
+    rootLocks.remove(Paths.get(root).toAbsolutePath.normalize.toString)
 
   private val suffixCounter = new java.util.concurrent.atomic.AtomicLong()
 

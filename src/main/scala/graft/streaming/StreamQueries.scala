@@ -147,7 +147,10 @@ object StreamQueries {
     * while the stream flows through. Windowed aggregation on the
     * joined frame; bounded input + complete mode ⇒ equals the batch
     * join, which the DuckDB oracle checks. */
-  def st04StreamJoin(s: SparkSession, d: String): DataFrame = {
+  /** The st04 streaming frame, unstarted — split out so the spec can
+    * run its own query over it and assert on the EXECUTED streaming
+    * plan (the broadcast), not a batch approximation. */
+  private[graft] def st04Agg(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = s.readStream
       .schema(s.read.parquet(s"$d/events.parquet").schema)
@@ -157,14 +160,16 @@ object StreamQueries {
     val dim = broadcast(Tables.customer(s, d)
       .select(col("c_custkey"), col("c_mktsegment")))
 
-    val agg = events.join(dim, col("user_id") === col("c_custkey"))
+    events.join(dim, col("user_id") === col("c_custkey"))
       .groupBy(window(col("ts"), "1 hour"), col("c_mktsegment"))
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(28,10)")).cast("double").as("sum_value"))
       .select(col("window.start").as("hour_start"), col("c_mktsegment"),
         col("n_events"), col("sum_value"))
+  }
 
-    val q = agg.writeStream
+  def st04StreamJoin(s: SparkSession, d: String): DataFrame = {
+    val q = st04Agg(s, d).writeStream
       .format("memory").queryName("graft_st04_sink")
       .outputMode(OutputMode.Complete)
       .start()

@@ -475,7 +475,8 @@ class CatalogSpec extends AnyFunSuite {
     cat.createTable("t", schema)
     cat.insert("t", Seq((1L, "a", 0.0)).toDF("id", "name", "balance"))
     // simulate another PROCESS (invisible to the JVM lock) having
-    // already claimed version 2
+    // just claimed version 2 — a FRESH claim means its publish is
+    // in-flight, so this writer must back off and eventually conflict
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(cat.root, "t", "versions", "v2.json"),
       """{"dirs": [], "stats": []}""")
@@ -485,5 +486,27 @@ class CatalogSpec extends AnyFunSuite {
     // nothing published, table intact at version 1
     assert(cat.currentVersion("t") == 1)
     assert(cat.scan("t").count() == 1)
+    // no leftover data dirs from the failed attempts
+    val data = java.nio.file.Files.list(java.nio.file.Paths.get(cat.root, "t", "data"))
+    try {
+      import scala.jdk.CollectionConverters._
+      assert(data.iterator().asScala.size == 1, "loser attempts must clean up")
+    } finally data.close()
+  }
+
+  test("a STALE orphan claim (crashed writer) is reclaimed, not a permanent wedge") {
+    val cat = freshCatalog()
+    cat.createTable("t", schema)
+    cat.insert("t", Seq((1L, "a", 0.0)).toDF("id", "name", "balance"))
+    // a writer that died between manifest claim and pointer move left
+    // versions/v2.json with no matching version pointer, minutes ago
+    val claim = java.nio.file.Paths.get(cat.root, "t", "versions", "v2.json")
+    java.nio.file.Files.writeString(claim, """{"dirs": [], "stats": []}""")
+    java.nio.file.Files.setLastModifiedTime(claim,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis - 120000L))
+    // the next write reclaims the orphan and publishes normally
+    cat.insert("t", Seq((2L, "b", 0.0)).toDF("id", "name", "balance"))
+    assert(cat.currentVersion("t") == 2)
+    assert(cat.scan("t").count() == 2)
   }
 }

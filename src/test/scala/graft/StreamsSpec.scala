@@ -101,8 +101,19 @@ class StreamsSpec extends AnyFunSuite {
     val batch = batchDf.collect()
       .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
     assert(streamed.toSeq == batch.toSeq)
-    // the dimension side must broadcast (no stream-side shuffle join)
-    assert(batchDf.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    // the dim side must broadcast IN THE STREAMING EXECUTION — assert
+    // on the micro-batch's actual physical plan, not a batch stand-in
+    val q = graft.streaming.StreamQueries.st04Agg(spark, TestSpark.sf)
+      .writeStream.format("memory").queryName("st04_plan_probe")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete).start()
+    try {
+      q.processAllAvailable()
+      val plan = org.apache.spark.sql.GraftColumnBridge.streamingExecutedPlan(q)
+      assert(plan.isDefined, "no streaming execution captured")
+      assert(plan.get.contains("BroadcastHashJoin"),
+        s"stream-static join did not broadcast:\n${plan.get.take(800)}")
+      assert(!plan.get.contains("SortMergeJoin") && !plan.get.contains("ShuffledHashJoin"))
+    } finally q.stop()
   }
 
   test("st02 DRIVER QUERY equals the batch sessionization") {
