@@ -306,7 +306,9 @@ object GraftSQL {
     var i = 0
     while (i < sql.length) {
       val c = sql(i)
-      if (c == '\'' || c == '"') {
+      if (c == '\'' || c == '"' || c == '`') {
+        // backticks too: a quoted identifier `nan` is an explicit
+        // column reference, never the literal keyword
         val j = skipString(sql, i); out.append(sql.substring(i, j)); i = j
       } else if (c.isLetter || c == '_') {
         var j = i
@@ -423,7 +425,7 @@ object GraftSQL {
       var i = 0
       while (i < s.length && !changed) {
         s(i) match {
-          case '\'' | '"' => i = skipString(s, i)
+          case '\'' | '"' | '`' => i = skipString(s, i)
           case '!' if i + 1 >= s.length || s(i + 1) != '=' =>
             var j = i - 1
             while (j >= 0 && s(j).isWhitespace) j -= 1
@@ -453,7 +455,7 @@ object GraftSQL {
       var i = 0
       while (i < s.length) {
         s(i) match {
-          case '\'' | '"' => i = skipString(s, i)
+          case '\'' | '"' | '`' => i = skipString(s, i)
           case '^' => idx = i; i += 1
           case _ => i += 1
         }

@@ -272,6 +272,7 @@ class TableCatalog(spark: SparkSession, val root: String) {
     writeManifest(name, 0, Nil)
     writeMeta(name,
       TableMeta(schema, primaryKey, notNull, unique, defaults, references, 0, indexes))
+    TableCatalog.ddlEpoch(root).incrementAndGet() // invalidate in-flight fingerprints
   }
 
   /** FK-target schema resolution for createTable and validate; a txn's
@@ -296,6 +297,7 @@ class TableCatalog(spark: SparkSession, val root: String) {
     require(refs.isEmpty,
       s"DROP TABLE $name restricted: referenced by ${refs.mkString(", ")} (drop them first)")
     TableCatalog.deleteRecursively(tableDir(name))
+    TableCatalog.ddlEpoch(root).incrementAndGet() // invalidate in-flight fingerprints
   }
 
   // ---------------------------------------------------------- manifests
@@ -611,19 +613,28 @@ class TableCatalog(spark: SparkSession, val root: String) {
   private val MaxPublishAttempts = 5
 
   /** Versions of every table whose state this write's pre-publish
-    * checks read: the table itself, its FK parents (INSERT validated
-    * rows against them), and its referencing children (UPDATE/DELETE
-    * RESTRICT-checked against them). If ANY moved — or the set itself
-    * changed (a new FK child table) — by publish time, the checks are
-    * stale and the attempt must retry. Cheap: meta-file reads only. */
-  private def fkFingerprint(name: String, m: TableMeta): Map[String, Int] = {
+    * checks read: the table itself (anchored to m.version — the
+    * snapshot the caller actually validated against, NOT a re-read
+    * that could silently advance past it), its FK parents (INSERT
+    * validated rows against them), and its referencing children
+    * (UPDATE/DELETE RESTRICT-checked against them). The map also
+    * carries the root's DDL epoch: a DROP+CREATE lands the recreated
+    * table back at version 0, which version numbers alone cannot
+    * distinguish from the original — the epoch can. If ANY entry
+    * moved — or the related set itself changed (a new FK child
+    * table) — by publish time, the checks are stale and the attempt
+    * must retry. Cheap: version-field reads, no full meta parse. */
+  private def fkFingerprint(name: String, m: TableMeta): Map[String, Long] = {
     val related = m.references.values.toSet ++
-      referencingTables(name).map(_._1).toSet + name
+      referencingTables(name).map(_._1).toSet
     // a txn's staged catalog resolves FK parents through the OUTER
     // view (subclass overrides) — tables not physically in THIS
     // catalog can't be version-fingerprinted here, and don't need to
     // be: the staging catalog is single-writer by construction
-    related.iterator.filter(exists).map(t => t -> currentVersion(t)).toMap
+    (related - name).iterator.filter(exists)
+      .map(t => t -> quickVersion(t).toLong).toMap +
+      (name -> m.version.toLong) +
+      (" ddl" -> TableCatalog.ddlEpoch(root).get())
   }
 
   /** Bounded optimistic-write loop: `attempt` validates + writes
@@ -655,25 +666,43 @@ class TableCatalog(spark: SparkSession, val root: String) {
   private def claimPublish(name: String, m: TableMeta, dirs: Seq[String],
       stats: Seq[FileStat]): Boolean = {
     val next = m.version + 1
-    val claimed =
+    def tryClaim(): Boolean =
       try { writeManifest(name, next, dirs, stats); true }
-      catch { case _: WriteConflictException =>
-        val p = manifestPath(name, next)
-        val age =
-          try System.currentTimeMillis - Files.getLastModifiedTime(p).toMillis
-          catch { case _: java.io.IOException => Long.MaxValue } // gone = free
-        if (age >= StaleClaimMs) {
-          Files.deleteIfExists(p)
-          try { writeManifest(name, next, dirs, stats); true }
-          catch { case _: WriteConflictException => false } // re-raced
-        } else false
+      catch { case _: WriteConflictException => false }
+    val claimed = tryClaim() || {
+      // conflict: v_next's manifest already exists. It is reclaimable
+      // ONLY if provably orphaned: the pointer must still be at OUR
+      // base (a pointer at/past next means the manifest is a LIVE
+      // published version — deleting it would destroy committed data)
+      // AND the claim must be old (an in-flight publisher's
+      // claim→pointer window is milliseconds; a minute-old claim with
+      // no pointer is a dead writer's, and without reclaim it would
+      // wedge the table's writes forever).
+      val p = manifestPath(name, next)
+      val age =
+        try System.currentTimeMillis - Files.getLastModifiedTime(p).toMillis
+        catch { case _: java.io.IOException => Long.MaxValue } // gone = free
+      quickVersion(name) == m.version && age >= StaleClaimMs && {
+        Files.deleteIfExists(p)
+        tryClaim() // may still lose to a cross-process re-claim
       }
+    }
     claimed && {
-      try { writeMeta(name, m.copy(version = next)); true }
-      catch { case scala.util.control.NonFatal(e) =>
-        Files.deleteIfExists(manifestPath(name, next)) // un-claim: a
-        // failed pointer move must not leave a wedging orphan claim
-        throw e
+      // re-verify the pointer right before moving it: if THIS writer
+      // stalled long enough between claim and here for another process
+      // to reclaim its manifest and publish (pause > StaleClaimMs),
+      // moving the pointer now would roll it back over that commit.
+      // Abort without touching the manifest — if it is still ours it
+      // becomes a stale orphan the reclaim path self-heals later.
+      quickVersion(name) == m.version && {
+        try { writeMeta(name, m.copy(version = next)); true }
+        catch { case scala.util.control.NonFatal(e) =>
+          // un-claim so a failed pointer move cannot wedge the table —
+          // but only while the pointer still says the claim is ours
+          if (quickVersion(name) == m.version)
+            Files.deleteIfExists(manifestPath(name, next))
+          throw e
+        }
       }
     }
   }
@@ -699,11 +728,17 @@ class TableCatalog(spark: SparkSession, val root: String) {
       val rel = s"data/delta-$next-${TableCatalog.freshSuffix()}"
       writeData(m, aligned, absTableDir(name).resolve(rel).toString)
       val fresh = collectStats(m, name, rel)
-      val ok = rootLock.synchronized {
-        fkFingerprint(name, meta(name)) == fp &&
-          claimPublish(name, m, readManifest(name, m.version) :+ rel,
-            readStats(name, m.version) ++ fresh)
-      }
+      val ok =
+        try rootLock.synchronized {
+          fkFingerprint(name, meta(name)) == fp &&
+            claimPublish(name, m, readManifest(name, m.version) :+ rel,
+              readStats(name, m.version) ++ fresh)
+        } catch { case scala.util.control.NonFatal(e) =>
+          // a publish that ERRORED (vs lost the race) still owns its
+          // data dir — clean it up before propagating
+          TableCatalog.deleteRecursively(absTableDir(name).resolve(rel))
+          throw e
+        }
       if (ok) Some(next)
       else { TableCatalog.deleteRecursively(absTableDir(name).resolve(rel)); None }
     }
@@ -774,7 +809,7 @@ class TableCatalog(spark: SparkSession, val root: String) {
     * referencing children) is unchanged — the RESTRICT/uniqueness
     * checks above were computed against exactly that state. None =
     * lost the race; the caller rebuilds against the new state. */
-  private def rewriteAttempt(name: String, m: TableMeta, fp: Map[String, Int],
+  private def rewriteAttempt(name: String, m: TableMeta, fp: Map[String, Long],
       df: DataFrame): Option[Int] = {
     val next = m.version + 1
     val rel = s"data/snap-$next-${TableCatalog.freshSuffix()}"
@@ -783,9 +818,13 @@ class TableCatalog(spark: SparkSession, val root: String) {
       writeData(m, df, absTableDir(name).resolve(rel).toString)
     } finally df.unpersist() // a failed validation must not leak cache
     val stats = collectStats(m, name, rel)
-    val ok = rootLock.synchronized {
-      fkFingerprint(name, meta(name)) == fp && claimPublish(name, m, Seq(rel), stats)
-    }
+    val ok =
+      try rootLock.synchronized {
+        fkFingerprint(name, meta(name)) == fp && claimPublish(name, m, Seq(rel), stats)
+      } catch { case scala.util.control.NonFatal(e) =>
+        TableCatalog.deleteRecursively(absTableDir(name).resolve(rel))
+        throw e
+      }
     if (ok) Some(next)
     else { TableCatalog.deleteRecursively(absTableDir(name).resolve(rel)); None }
   }
@@ -1060,6 +1099,26 @@ class TableCatalog(spark: SparkSession, val root: String) {
       staged.foreach { case (name, (base, _)) =>
         require(currentVersion(name) == base, s"write-write conflict on $name")
       }
+      // FK-relative serialization check: this txn's RESTRICT and FK
+      // validations ran against the BEGIN snapshot of the staged
+      // tables' parents and children. If any of those moved since —
+      // e.g. a non-txn DELETE removed a parent key this txn's staged
+      // child row references (the delete's own fingerprint cannot see
+      // unpublished staged rows) — committing would publish a
+      // referential-integrity violation. Conflict instead.
+      staged.keys.foreach { name =>
+        val m = meta(name)
+        val related = (m.references.values.toSet ++
+          referencingTables(name).map(_._1).toSet) - name -- staged.keys
+        related.filter(TableCatalog.this.exists).foreach { t =>
+          snapshot.get(t) match {
+            case Some(base) => require(currentVersion(t) == base,
+              s"serialization conflict: $t (FK-related to $name) changed since BEGIN")
+            case None => require(false,
+              s"serialization conflict: $t (FK-related to $name) created since BEGIN")
+          }
+        }
+      }
       createdTables.foreach { name =>
         require(!TableCatalog.this.exists(name) || droppedTables.contains(name),
           s"write-write conflict on $name: created concurrently")
@@ -1166,8 +1225,24 @@ object TableCatalog {
   /** Forget a root's lock entry once the root is gone — every txn's
     * private staging catalog registers one, and a long-lived JVM
     * running many transactions must not grow the lock map forever. */
-  private[sources] def releaseLock(root: String): Unit =
-    rootLocks.remove(Paths.get(root).toAbsolutePath.normalize.toString)
+  private[sources] def releaseLock(root: String): Unit = {
+    val key = Paths.get(root).toAbsolutePath.normalize.toString
+    rootLocks.remove(key)
+    ddlEpochs.remove(key)
+  }
+
+  // Monotone per-root DDL counter: bumped by every CREATE/DROP TABLE so
+  // optimistic writers can tell a DROP+CREATE (which resets the table's
+  // version to 0, aliasing the old numbers) from an untouched table.
+  // In-process only — cross-process DDL racing DML is out of scope (the
+  // cross-process claims arbitrate same-table version races only).
+  private val ddlEpochs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+
+  private[sources] def ddlEpoch(root: String): java.util.concurrent.atomic.AtomicLong =
+    ddlEpochs.computeIfAbsent(
+      Paths.get(root).toAbsolutePath.normalize.toString,
+      _ => new java.util.concurrent.atomic.AtomicLong())
 
   private val suffixCounter = new java.util.concurrent.atomic.AtomicLong()
 

@@ -494,6 +494,28 @@ class CatalogSpec extends AnyFunSuite {
     } finally data.close()
   }
 
+  test("commit conflicts when an FK-related table changed since BEGIN") {
+    val cat = freshCatalog()
+    cat.createTable("parent", StructType(Seq(
+      StructField("id", LongType, nullable = false))), primaryKey = Some("id"))
+    cat.createTable("child", StructType(Seq(
+      StructField("cid", LongType, nullable = false),
+      StructField("pid", LongType))),
+      primaryKey = Some("cid"), references = Map("pid" -> "parent"))
+    cat.insert("parent", Seq(1L, 2L).toDF("id"))
+    val t = cat.begin()
+    // staged child row referencing parent key 2 — valid in t's snapshot
+    t.insert("child", Seq((10L, 2L)).toDF("cid", "pid"))
+    // concurrent non-txn delete of key 2 passes ITS restrict check
+    // (t's staged row is unpublished, invisible to it)
+    cat.delete("parent", col("id") === 2L)
+    // committing t now would publish an orphaned FK row — must conflict
+    val e = intercept[IllegalArgumentException] { t.commit() }
+    assert(e.getMessage.contains("FK-related"), e.getMessage)
+    t.rollback()
+    assert(cat.scan("child").count() == 0)
+  }
+
   test("a STALE orphan claim (crashed writer) is reclaimed, not a permanent wedge") {
     val cat = freshCatalog()
     cat.createTable("t", schema)

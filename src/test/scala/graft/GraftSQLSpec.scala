@@ -156,6 +156,12 @@ class GraftSQLSpec extends AnyFunSuite {
     assert(n == 0 || n == 1) // engine-defined; must not throw
     // no interference with the ^/! rewrites
     assert(g.execute("SELECT 2 ^ 3 AS p").collect()(0).getDouble(0) == 8.0)
+    // a backtick-quoted identifier is an explicit column reference and
+    // must NOT be rewritten into the literal
+    assert(GraftSQL.rewriteOps("SELECT `nan`, nan AS x") ==
+      "SELECT `nan`, CAST('NaN' AS DOUBLE) AS x")
+    assert(GraftSQL.rewriteOps("SELECT `infinity` FROM t") ==
+      "SELECT `infinity` FROM t")
   }
 
   test("BEGIN while a transaction is open fails instead of leaking the staged txn") {
