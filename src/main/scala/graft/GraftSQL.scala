@@ -132,8 +132,24 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
     // string literal
     val updateRe = raw"(?is)UPDATE\s+(\w+)\s+SET\s+(.*)".r
     val deleteRe = raw"(?is)DELETE\s+FROM\s+(\w+)(?:\s+WHERE\s+(.*))?\s*".r
+    // maintenance statements (beyond the reference surface — the
+    // lakehouse operations an append-heavy managed table needs)
+    val compactRe = raw"(?is)COMPACT\s+TABLE\s+(\w+)\s*".r
+    val vacuumRe  = raw"(?is)VACUUM\s+(\w+)(?:\s+KEEP\s+(\d+))?\s*".r
 
     s match {
+      case compactRe(name) =>
+        require(txn.isEmpty && asOf.isEmpty && !readOnly,
+          "COMPACT TABLE: not inside a transaction")
+        val v = catalog.compact(name)
+        Seq(s"COMPACT TABLE $name -> v$v").toDF("status")
+
+      case vacuumRe(name, keep) =>
+        require(txn.isEmpty && asOf.isEmpty && !readOnly,
+          "VACUUM: not inside a transaction")
+        val removed = catalog.vacuum(name, Option(keep).map(_.toInt).getOrElse(1))
+        Seq(s"VACUUM $name: removed $removed versions").toDF("status")
+
       case createRe(name, colsBody) =>
         require(asOf.isEmpty && !readOnly, "read-only transaction")
         createTable(name, colsBody)

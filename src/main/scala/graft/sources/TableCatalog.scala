@@ -634,7 +634,7 @@ class TableCatalog(spark: SparkSession, val root: String) {
     (related - name).iterator.filter(exists)
       .map(t => t -> quickVersion(t).toLong).toMap +
       (name -> m.version.toLong) +
-      (" ddl" -> TableCatalog.ddlEpoch(root).get())
+      ("//ddl-epoch" -> TableCatalog.ddlEpoch(root).get())
   }
 
   /** Bounded optimistic-write loop: `attempt` validates + writes
@@ -808,13 +808,16 @@ class TableCatalog(spark: SparkSession, val root: String) {
     * the lock, publish only if the fingerprint (this table, FK parents,
     * referencing children) is unchanged — the RESTRICT/uniqueness
     * checks above were computed against exactly that state. None =
-    * lost the race; the caller rebuilds against the new state. */
+    * lost the race; the caller rebuilds against the new state.
+    * `revalidate = false` skips constraint validation — only for
+    * row-preserving rewrites (compaction), where the rows already
+    * satisfied every constraint when first published. */
   private def rewriteAttempt(name: String, m: TableMeta, fp: Map[String, Long],
-      df: DataFrame): Option[Int] = {
+      df: DataFrame, revalidate: Boolean = true): Option[Int] = {
     val next = m.version + 1
     val rel = s"data/snap-$next-${TableCatalog.freshSuffix()}"
     try {
-      validate(m, name, df.cache())
+      if (revalidate) validate(m, name, df.cache())
       writeData(m, df, absTableDir(name).resolve(rel).toString)
     } finally df.unpersist() // a failed validation must not leak cache
     val stats = collectStats(m, name, rel)
@@ -828,6 +831,62 @@ class TableCatalog(spark: SparkSession, val root: String) {
     if (ok) Some(next)
     else { TableCatalog.deleteRecursively(absTableDir(name).resolve(rel)); None }
   }
+
+  /** OPTIMIZE / compaction: rewrite the CURRENT snapshot's rows into
+    * one fresh data dir — re-range-partitioned and re-sorted when the
+    * table is indexed — and publish it as a new version. This is the
+    * small-files fix an append-heavy 100 TB table needs: every INSERT
+    * adds a delta dir, so scans accumulate open-file overhead and the
+    * per-file min/max ranges of an indexed column drift toward
+    * overlapping (each delta spans the full value range), eroding
+    * index pruning. Compaction restores one-sorted-layout selectivity.
+    * Rows are bit-identical (no validation re-run — they already
+    * satisfied every constraint when first published); history stays
+    * time-travelable; concurrent writers win races normally (the
+    * compactor retries or gives up like any optimistic writer). */
+  def compact(name: String): Int =
+    publishWithRetry(s"COMPACT $name") { () =>
+      val m = meta(name)
+      val fp = fkFingerprint(name, m)
+      rewriteAttempt(name, m, fp, scan(name), revalidate = false)
+    }
+
+  /** MVCC garbage collection: retain the newest `keep` versions,
+    * delete older manifests, and remove data dirs that no retained
+    * manifest references. Time travel to a vacuumed version then
+    * errors; retained versions are untouched. Unreferenced dirs
+    * YOUNGER than `graceMs` are kept — an optimistic writer's data dir
+    * exists before any manifest references it, and a txn's staged dirs
+    * (`data/txn-*`, skipped entirely) live until COMMIT. Returns the
+    * number of versions removed. */
+  def vacuum(name: String, keep: Int = 1, graceMs: Long = StaleClaimMs): Int =
+    rootLock.synchronized {
+      require(keep >= 1, "vacuum: must keep at least the current version")
+      val cur = currentVersion(name)
+      val cutoff = math.max(0, cur - keep + 1) // retain [cutoff, cur]
+      val live = (cutoff to cur)
+        .flatMap(v => readManifest(name, v))
+        .map(r => absTableDir(name).resolve(r).normalize)
+        .toSet
+      var removed = 0
+      (0 until cutoff).foreach { v =>
+        if (Files.deleteIfExists(manifestPath(name, v))) removed += 1
+      }
+      val dataDir = tableDir(name).resolve("data")
+      if (Files.exists(dataDir)) {
+        val children = Files.list(dataDir)
+        try children.iterator().asScala.toList.foreach { p =>
+          val abs = p.toAbsolutePath.normalize
+          val isStaged = p.getFileName.toString.startsWith("txn-")
+          val age =
+            try System.currentTimeMillis - Files.getLastModifiedTime(p).toMillis
+            catch { case _: java.io.IOException => 0L }
+          if (!live.contains(abs) && !isStaged && age >= graceMs)
+            TableCatalog.deleteRecursively(abs)
+        } finally children.close()
+      }
+      removed
+    }
 
   /** Physical layout: an indexed table is range-partitioned and sorted
     * on its indexed columns before writing, so each parquet file covers

@@ -494,6 +494,49 @@ class CatalogSpec extends AnyFunSuite {
     } finally data.close()
   }
 
+  test("compact folds insert deltas into one dir; vacuum GCs old versions") {
+    val cat = freshCatalog()
+    cat.createTable("t", schema, primaryKey = Some("id"))
+    (1 to 3).foreach(i =>
+      cat.insert("t", Seq((i.toLong, s"r$i", i * 1.0)).toDF("id", "name", "balance")))
+    def dataDirs: List[String] = {
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get(cat.root, "t", "data"))
+      try { import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(_.getFileName.toString).toList }
+      finally s.close()
+    }
+    val before = cat.scan("t").orderBy("id").collect().toSeq
+    assert(dataDirs.size == 3, s"3 insert deltas expected: $dataDirs")
+    // compact: same rows, one fresh dir, new version; history intact
+    val v = cat.compact("t")
+    assert(v == 4 && cat.currentVersion("t") == 4)
+    assert(cat.scan("t").orderBy("id").collect().toSeq == before)
+    assert(cat.asOf("t", 3).count() == 3) // time travel still works
+    assert(dataDirs.size == 4) // 3 deltas + 1 compacted snapshot
+    // vacuum: v0..v3 go; only the compacted dir survives
+    val removed = cat.vacuum("t", keep = 1, graceMs = 0)
+    assert(removed == 4, s"expected 4 manifests removed, got $removed")
+    assert(cat.scan("t").orderBy("id").collect().toSeq == before)
+    assert(dataDirs.size == 1, s"only the live snapshot should remain: $dataDirs")
+    val e = intercept[IllegalArgumentException] { cat.asOf("t", 3) }
+    assert(e.getMessage.contains("no version"))
+    // the table still accepts writes after vacuum
+    cat.insert("t", Seq((4L, "r4", 4.0)).toDF("id", "name", "balance"))
+    assert(cat.scan("t").count() == 4)
+  }
+
+  test("vacuum never deletes a transaction's staged dirs") {
+    val cat = freshCatalog()
+    cat.createTable("t", schema, primaryKey = Some("id"))
+    cat.insert("t", Seq((1L, "a", 0.0)).toDF("id", "name", "balance"))
+    val t = cat.begin()
+    t.insert("t", Seq((2L, "b", 0.0)).toDF("id", "name", "balance"))
+    // aggressive vacuum while the txn is open: staged dirs must survive
+    cat.vacuum("t", keep = 1, graceMs = 0)
+    t.commit()
+    assert(cat.scan("t").count() == 2)
+  }
+
   test("commit conflicts when an FK-related table changed since BEGIN") {
     val cat = freshCatalog()
     cat.createTable("parent", StructType(Seq(

@@ -164,6 +164,25 @@ class GraftSQLSpec extends AnyFunSuite {
       "SELECT `infinity` FROM t")
   }
 
+  test("COMPACT TABLE and VACUUM maintenance statements") {
+    val g = session()
+    g.execute("CREATE TABLE mt (id INTEGER PRIMARY KEY, v INTEGER)")
+    g.execute("INSERT INTO mt VALUES (1, 10)")
+    g.execute("INSERT INTO mt VALUES (2, 20)")
+    g.execute("INSERT INTO mt VALUES (3, 30)")
+    val st = g.execute("COMPACT TABLE mt").collect()(0).getString(0)
+    assert(st.contains("v4"), st)
+    assert(g.execute("SELECT count(*) AS n FROM mt").collect()(0).getLong(0) == 3)
+    val vac = g.execute("VACUUM mt KEEP 1").collect()(0).getString(0)
+    assert(vac.contains("removed 4"), vac)
+    assert(g.execute("SELECT count(*) AS n FROM mt").collect()(0).getLong(0) == 3)
+    // maintenance is rejected inside transactions
+    g.execute("BEGIN")
+    intercept[IllegalArgumentException] { g.execute("COMPACT TABLE mt") }
+    intercept[IllegalArgumentException] { g.execute("VACUUM mt") }
+    g.execute("ROLLBACK")
+  }
+
   test("BEGIN while a transaction is open fails instead of leaking the staged txn") {
     val g = session()
     g.execute("CREATE TABLE nb (id INTEGER PRIMARY KEY)")
