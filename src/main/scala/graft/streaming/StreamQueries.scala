@@ -179,11 +179,55 @@ object StreamQueries {
     s.table("graft_st04_sink").orderBy("hour_start", "c_mktsegment")
   }
 
+  /** The st05 streaming frame, unstarted (split out for the spec's
+    * plan assertion): watermarked stream-stream SELF-join — every
+    * click paired with the same user's errors in the following 10
+    * minutes. Both sides carry watermarks and the join condition
+    * carries time bounds, so the state store retains only a bounded
+    * window of each side (the unbounded-state trap of stream-stream
+    * joins); an inner join emits pairs as soon as both sides arrive. */
+  private[graft] def st05Agg(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = s.readStream
+      .schema(s.read.parquet(s"$d/events.parquet").schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(d)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val clicks = raw.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "10 minutes")
+    val errors = raw.filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("event_id").as("error_id"),
+        col("ts").as("error_ts"))
+      .withWatermark("error_ts", "10 minutes")
+    clicks.join(errors,
+      col("c_user") === col("e_user") &&
+        col("error_ts") >= col("click_ts") &&
+        col("error_ts") <= col("click_ts") + expr("INTERVAL 10 MINUTES"))
+      .select(col("c_user").as("user_id"), col("click_id"), col("click_ts"),
+        col("error_id"), col("error_ts"))
+  }
+
+  /** st05: the stream-stream join executed live; bounded input ⇒ the
+    * emitted pair set equals the batch inequality join, which the
+    * DuckDB oracle checks. */
+  def st05StreamStreamJoin(s: SparkSession, d: String): DataFrame = {
+    val q = st05Agg(s, d).writeStream
+      .format("memory").queryName("graft_st05_sink")
+      .outputMode(OutputMode.Append)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    s.table("graft_st05_sink").orderBy("click_id", "error_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st01_stream_window" -> (st01StreamWindow _),
     "st02_stream_state"  -> (st02StreamState _),
     "st03_stream_dedup"  -> (st03StreamDedup _),
-    "st04_stream_join"   -> (st04StreamJoin _))
+    "st04_stream_join"   -> (st04StreamJoin _),
+    "st05_stream_stream_join" -> (st05StreamStreamJoin _))
 
   /** Same oracle as the batch twin: tumbling 1h windows aligned to the
     * epoch are exactly date_trunc('hour'). */
@@ -223,5 +267,19 @@ object StreamQueries {
         |       COUNT(*) AS n_events,
         |       CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS sum_value
         |FROM events JOIN customer ON user_id = c_custkey
-        |GROUP BY 1, 2 ORDER BY hour_start, c_mktsegment""".stripMargin)
+        |GROUP BY 1, 2 ORDER BY hour_start, c_mktsegment""".stripMargin,
+    // ts cast to µs TIMESTAMP in the CTE so both engines compare the
+    // same precision in the inequality (the parquet column is ns)
+    "st05_stream_stream_join" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events
+        |)
+        |SELECT c.user_id, c.event_id AS click_id, c.ts AS click_ts,
+        |       e.event_id AS error_id, e.ts AS error_ts
+        |FROM ev c JOIN ev e
+        |  ON c.event_type = 'click' AND e.event_type = 'error'
+        | AND e.user_id = c.user_id
+        | AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL 10 MINUTE
+        |ORDER BY click_id, error_id""".stripMargin)
 }

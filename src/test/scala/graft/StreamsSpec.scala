@@ -116,6 +116,44 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("st05 DRIVER QUERY equals the batch inequality join; symmetric hash join in plan") {
+    import org.apache.spark.sql.functions._
+    val streamed = graft.streaming.StreamQueries.st05StreamStreamJoin(spark, TestSpark.sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2),
+        r.getLong(3), r.getTimestamp(4)))
+    val ev = sources.Tables.events(spark, TestSpark.sf)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("event_id").as("error_id"),
+        col("ts").as("error_ts"))
+    val batch = clicks.join(errors,
+      col("c_user") === col("e_user") &&
+        col("error_ts") >= col("click_ts") &&
+        col("error_ts") <= col("click_ts") + expr("INTERVAL 10 MINUTES"))
+      .select(col("c_user"), col("click_id"), col("click_ts"),
+        col("error_id"), col("error_ts"))
+      .orderBy("click_id", "error_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2),
+        r.getLong(3), r.getTimestamp(4)))
+    assert(streamed.nonEmpty, "expected click->error pairs in the fixture")
+    assert(streamed.toSeq == batch.toSeq)
+    // the streaming execution must use the stateful symmetric hash
+    // join (both sides streaming), not a broadcast/static plan
+    val q = graft.streaming.StreamQueries.st05Agg(spark, TestSpark.sf)
+      .writeStream.format("memory").queryName("st05_plan_probe")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      val plan = org.apache.spark.sql.GraftColumnBridge.streamingExecutedPlan(q)
+      assert(plan.exists(_.contains("StreamingSymmetricHashJoin")),
+        s"plan:\n${plan.getOrElse("none").take(600)}")
+    } finally q.stop()
+  }
+
   test("st02 DRIVER QUERY equals the batch sessionization") {
     val streamed = graft.streaming.StreamQueries.st02StreamState(spark, TestSpark.sf)
       .collect()
