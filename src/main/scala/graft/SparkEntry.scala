@@ -36,5 +36,6 @@ object SparkEntry {
       operators.Similarity.oracleSql ++
       operators.TextAnalysis.oracleSql ++
       operators.Multimodal.oracleSql ++
+      operators.Sampling.oracleSql ++
       streaming.StreamQueries.oracleSql
 }

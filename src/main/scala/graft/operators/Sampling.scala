@@ -45,9 +45,34 @@ object Sampling {
       .orderBy("doc_id")
   }
 
+  /** p03: leakage-safe TEMPORAL split — train strictly before the
+    * cutoff, test at/after it. The split every time-series / events
+    * model needs: a hash split would leak future rows of a user into
+    * training. Pure row predicate → single scan, no shuffle except the
+    * final presentation sort, stable under reprocessing; and unlike
+    * p01/p02's engine-specific hashes, exactly SQL-expressible, so it
+    * is DuckDB-oracle-checked. */
+  def p03TimeSplit(s: SparkSession, d: String): DataFrame = {
+    val cutoff = lit(java.sql.Timestamp.valueOf("2024-01-22 00:00:00"))
+    Tables.events(s, d)
+      .select(
+        col("event_id"), col("user_id"),
+        when(col("ts") < cutoff, "train").otherwise("test").as("split"))
+      .orderBy("event_id")
+  }
+
+  val p03OracleSql: String =
+    """SELECT event_id, user_id,
+      |       CASE WHEN ts < TIMESTAMP '2024-01-22 00:00:00'
+      |            THEN 'train' ELSE 'test' END AS split
+      |FROM events ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_hash_split"        -> (p01HashSplit _),
-    "p02_stratified_sample" -> (p02StratifiedSample _))
+    "p02_stratified_sample" -> (p02StratifiedSample _),
+    "p03_time_split"        -> (p03TimeSplit _))
 
-  val oracleSql: Map[String, String] = Map.empty // engine-specific RNG/hash
+  // p01/p02 rows-only: engine-specific RNG/hash
+  val oracleSql: Map[String, String] = Map(
+    "p03_time_split" -> p03OracleSql)
 }

@@ -204,13 +204,46 @@ object TextAnalysis {
       |    '\b\d{9,}\b', '<ID>', 'g') AS redacted
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- t07
+  /** Text canonicalization — the normalize pass that runs BEFORE exact
+    * dedup in a real pipeline (d01 on raw text misses "same document,
+    * different whitespace/case"): lowercase, strip punctuation to
+    * spaces, collapse whitespace runs, trim. Emits the canonical text
+    * plus the size of the canonical-dedup partition it lands in, so
+    * the oracle also checks the normalize→dedup composition. */
+  def t07Normalize(s: SparkSession, d: String): DataFrame = {
+    val canon = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9\\s]", " "),
+      "\\s+", " "))
+    val docs = Tables.documents(s, d).select(col("doc_id"), canon.as("canonical"))
+    docs
+      .join(docs.groupBy("canonical").agg(count(lit(1)).as("n_same")), "canonical")
+      .select(col("doc_id"), col("canonical"), col("n_same"))
+      .orderBy("doc_id")
+  }
+
+  val t07OracleSql: String =
+    """WITH canon AS (
+      |  SELECT doc_id,
+      |         TRIM(REGEXP_REPLACE(
+      |           REGEXP_REPLACE(LOWER(text), '[^a-z0-9\s]', ' ', 'g'),
+      |           '\s+', ' ', 'g')) AS canonical
+      |  FROM documents
+      |)
+      |SELECT c.doc_id, c.canonical, g.n_same
+      |FROM canon c
+      |JOIN (SELECT canonical, COUNT(*) AS n_same FROM canon GROUP BY canonical) g
+      |  ON c.canonical = g.canonical
+      |ORDER BY c.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_langid"      -> (t01LangId _),
     "t02_quality"     -> (t02Quality _),
     "t03_tokens"      -> (t03Tokens _),
     "t04_fingerprint" -> (t04Fingerprint _),
     "t05_top_terms"   -> (t05TopTerms _),
-    "t06_pii_redact"  -> (t06PiiRedact _))
+    "t06_pii_redact"  -> (t06PiiRedact _),
+    "t07_normalize"   -> (t07Normalize _))
 
   /** t01's stopword-count heuristic is integer arithmetic over token
     * lists — DuckDB reproduces it exactly (list lambdas + the same
@@ -247,5 +280,6 @@ object TextAnalysis {
     "t02_quality"    -> t02OracleSql,
     "t03_tokens"     -> t03OracleSql,
     "t05_top_terms"  -> t05OracleSql,
-    "t06_pii_redact" -> t06OracleSql)
+    "t06_pii_redact" -> t06OracleSql,
+    "t07_normalize"  -> t07OracleSql)
 }
