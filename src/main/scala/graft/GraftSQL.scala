@@ -139,15 +139,18 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
 
     s match {
       case compactRe(name) =>
-        require(txn.isEmpty && asOf.isEmpty && !readOnly,
-          "COMPACT TABLE: not inside a transaction")
+        require(txn.isEmpty, "COMPACT TABLE: not inside a transaction")
+        require(asOf.isEmpty && !readOnly, "read-only transaction")
         val v = catalog.compact(name)
         Seq(s"COMPACT TABLE $name -> v$v").toDF("status")
 
       case vacuumRe(name, keep) =>
-        require(txn.isEmpty && asOf.isEmpty && !readOnly,
-          "VACUUM: not inside a transaction")
-        val removed = catalog.vacuum(name, Option(keep).map(_.toInt).getOrElse(1))
+        require(txn.isEmpty, "VACUUM: not inside a transaction")
+        require(asOf.isEmpty && !readOnly, "read-only transaction")
+        val n = Option(keep).map(k => k.toIntOption.getOrElse(
+          throw new IllegalArgumentException(s"VACUUM $name: KEEP $k out of range")))
+          .getOrElse(1)
+        val removed = catalog.vacuum(name, n)
         Seq(s"VACUUM $name: removed $removed versions").toDF("status")
 
       case createRe(name, colsBody) =>

@@ -53,7 +53,10 @@ object Sampling {
     * p01/p02's engine-specific hashes, exactly SQL-expressible, so it
     * is DuckDB-oracle-checked. */
   def p03TimeSplit(s: SparkSession, d: String): DataFrame = {
-    val cutoff = lit(java.sql.Timestamp.valueOf("2024-01-22 00:00:00"))
+    // to_timestamp resolves in the pinned SESSION timezone (UTC) —
+    // java.sql.Timestamp.valueOf would parse in the JVM default zone
+    // and silently shift the cutoff against the UTC-literal oracle
+    val cutoff = to_timestamp(lit("2024-01-22 00:00:00"))
     Tables.events(s, d)
       .select(
         col("event_id"), col("user_id"),

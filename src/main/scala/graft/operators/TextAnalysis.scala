@@ -216,9 +216,14 @@ object TextAnalysis {
       regexp_replace(lower(col("text")), "[^a-z0-9\\s]", " "),
       "\\s+", " "))
     val docs = Tables.documents(s, d).select(col("doc_id"), canon.as("canonical"))
+    // window count, not a self-join against a groupBy of the same
+    // derived frame: one scan + one shuffle, and the canonicalization
+    // pipeline evaluates once (at 100 TB, partition on
+    // xxhash64(canonical) — the d01 pattern — to shuffle 8-byte keys)
     docs
-      .join(docs.groupBy("canonical").agg(count(lit(1)).as("n_same")), "canonical")
-      .select(col("doc_id"), col("canonical"), col("n_same"))
+      .select(col("doc_id"), col("canonical"),
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("canonical")).as("n_same"))
       .orderBy("doc_id")
   }
 

@@ -864,12 +864,17 @@ class TableCatalog(spark: SparkSession, val root: String) {
       require(keep >= 1, "vacuum: must keep at least the current version")
       val cur = currentVersion(name)
       val cutoff = math.max(0, cur - keep + 1) // retain [cutoff, cur]
-      val live = (cutoff to cur)
+      // versions pinned by OPEN transactions stay readable: snapshot
+      // isolation promises their reads keep working until they close
+      val pinned = pinnedByOpenTxns(name)
+      val retained = (cutoff to cur).toSet ++ pinned
+      val live = retained.toSeq
+        .filter(v => Files.exists(manifestPath(name, v)))
         .flatMap(v => readManifest(name, v))
         .map(r => absTableDir(name).resolve(r).normalize)
         .toSet
       var removed = 0
-      (0 until cutoff).foreach { v =>
+      (0 until cutoff).filterNot(retained.contains).foreach { v =>
         if (Files.deleteIfExists(manifestPath(name, v))) removed += 1
       }
       val dataDir = tableDir(name).resolve("data")
@@ -954,6 +959,15 @@ class TableCatalog(spark: SparkSession, val root: String) {
     // txn has repeatable reads (scanning `current` would let another
     // session's commit change what this txn sees mid-flight)
     private val snapshot: Map[String, Int] = pinVersions()
+    // DDL epoch at BEGIN: commit's FK-relative checks compare bare
+    // version numbers, which a concurrent DROP+CREATE can alias — any
+    // epoch movement makes those checks conflict coarsely instead
+    private val beginDdlEpoch: Long = TableCatalog.ddlEpoch(root).get()
+
+    /** The version this open txn pins for `name`, if any — vacuum must
+      * not delete manifests an open transaction still reads. */
+    private[TableCatalog] def pinnedVersion(name: String): Option[Int] =
+      if (closed) None else snapshot.get(name)
     // table -> (base version at first write, rel-dir list composing the txn view)
     private val staged = scala.collection.mutable.LinkedHashMap[String, (Int, Seq[String])]()
     private val createdDirs = scala.collection.mutable.ArrayBuffer[Path]()
@@ -1165,18 +1179,32 @@ class TableCatalog(spark: SparkSession, val root: String) {
       // child row references (the delete's own fingerprint cannot see
       // unpublished staged rows) — committing would publish a
       // referential-integrity violation. Conflict instead.
-      staged.keys.foreach { name =>
-        val m = meta(name)
-        val related = (m.references.values.toSet ++
-          referencingTables(name).map(_._1).toSet) - name -- staged.keys
+      // any outer DDL since BEGIN (another txn's committed CREATE/DROP,
+      // or a direct one) can alias version numbers — a DROP+CREATE
+      // lands the recreated table back at its old version, which bare
+      // version comparison cannot see. DDL is rare; conflict coarsely.
+      val ddlMoved = TableCatalog.ddlEpoch(root).get() != beginDdlEpoch
+      def checkRelated(owner: String, related: Set[String]): Unit =
         related.filter(TableCatalog.this.exists).foreach { t =>
           snapshot.get(t) match {
-            case Some(base) => require(currentVersion(t) == base,
-              s"serialization conflict: $t (FK-related to $name) changed since BEGIN")
+            case Some(base) => require(!ddlMoved && currentVersion(t) == base,
+              s"serialization conflict: $t (FK-related to $owner) changed since BEGIN")
             case None => require(false,
-              s"serialization conflict: $t (FK-related to $name) created since BEGIN")
+              s"serialization conflict: $t (FK-related to $owner) created since BEGIN")
           }
         }
+      staged.keys.foreach { name =>
+        val m = meta(name)
+        checkRelated(name, (m.references.values.toSet ++
+          referencingTables(name).map(_._1).toSet) - name -- staged.keys)
+      }
+      // txn-CREATED tables validated their FK rows against outer
+      // parents too (through the txn view) — those parents must be
+      // equally unmoved, or the moved parent's RESTRICT check could
+      // not have seen this txn's invisible child rows
+      createdTables.foreach { name =>
+        checkRelated(name,
+          stagedCat.meta(name).references.values.toSet -- createdTables -- staged.keys)
       }
       createdTables.foreach { name =>
         require(!TableCatalog.this.exists(name) || droppedTables.contains(name),
@@ -1235,6 +1263,9 @@ class TableCatalog(spark: SparkSession, val root: String) {
         Files.move(Paths.get(root, s".txn-$txnId", name), tableDir(name),
           StandardCopyOption.ATOMIC_MOVE)
       }
+      // published DDL invalidates in-flight optimistic fingerprints
+      // exactly like direct createTable/dropTable would
+      if (createdTables.nonEmpty) TableCatalog.ddlEpoch(root).incrementAndGet()
       closed = true
       // staged dirs replaced mid-txn (e.g. insert then update) are
       // unreferenced by the committed manifests — MVCC garbage; drop
@@ -1244,6 +1275,7 @@ class TableCatalog(spark: SparkSession, val root: String) {
       cleanupCandidates.filterNot(live.contains).foreach(deleteDir)
       deleteDir(Paths.get(root, s".txn-$txnId"))
       TableCatalog.releaseLock(Paths.get(root, s".txn-$txnId").toString)
+      activeTxns.remove(this)
     }
 
     /** Abandon all staged state: staged dirs and the txn-private
@@ -1257,12 +1289,26 @@ class TableCatalog(spark: SparkSession, val root: String) {
       deleteDir(Paths.get(root, s".txn-$txnId"))
       TableCatalog.releaseLock(Paths.get(root, s".txn-$txnId").toString)
       closed = true
+      activeTxns.remove(this)
     }
 
     private def deleteDir(p: Path): Unit = TableCatalog.deleteRecursively(p)
   }
 
-  def begin(): Txn = new Txn()
+  // open transactions in THIS process — vacuum spares the versions
+  // they pin (cross-process open txns are outside its view, like the
+  // rest of the cross-process coordination surface)
+  private val activeTxns =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[Txn]()
+
+  private def pinnedByOpenTxns(name: String): Set[Int] =
+    activeTxns.asScala.flatMap(_.pinnedVersion(name)).toSet
+
+  def begin(): Txn = {
+    val t = new Txn()
+    activeTxns.add(t)
+    t
+  }
 }
 
 object TableCatalog {

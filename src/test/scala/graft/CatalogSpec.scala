@@ -559,6 +559,44 @@ class CatalogSpec extends AnyFunSuite {
     assert(cat.scan("child").count() == 0)
   }
 
+  test("commit conflicts when a txn-CREATED child's FK parent changed since BEGIN") {
+    val cat = freshCatalog()
+    cat.createTable("parent", StructType(Seq(
+      StructField("id", LongType, nullable = false))), primaryKey = Some("id"))
+    cat.insert("parent", Seq(1L, 2L).toDF("id"))
+    val t = cat.begin()
+    t.createTable("child2", StructType(Seq(
+      StructField("cid", LongType, nullable = false),
+      StructField("pid", LongType))),
+      primaryKey = Some("cid"), references = Map("pid" -> "parent"))
+    // valid against t's view: parent key 2 exists in the snapshot
+    t.insert("child2", Seq((10L, 2L)).toDF("cid", "pid"))
+    // concurrent delete can't see the txn-private child — passes
+    cat.delete("parent", col("id") === 2L)
+    // commit would move child2 (with its orphaned row) into the root
+    val e = intercept[IllegalArgumentException] { t.commit() }
+    assert(e.getMessage.contains("FK-related"), e.getMessage)
+    t.rollback()
+    assert(!cat.exists("child2"))
+  }
+
+  test("vacuum spares versions pinned by open transactions") {
+    val cat = freshCatalog()
+    cat.createTable("t", schema, primaryKey = Some("id"))
+    cat.insert("t", Seq((1L, "a", 0.0)).toDF("id", "name", "balance")) // v1
+    val t = cat.begin() // pins t@1
+    cat.insert("t", Seq((2L, "b", 0.0)).toDF("id", "name", "balance")) // v2
+    cat.insert("t", Seq((3L, "c", 0.0)).toDF("id", "name", "balance")) // v3
+    cat.vacuum("t", keep = 1, graceMs = 0)
+    // the open txn's snapshot read must still work (snapshot isolation)
+    assert(t.scan("t").count() == 1)
+    t.rollback()
+    // with the txn closed, a second vacuum may collect its version
+    cat.vacuum("t", keep = 1, graceMs = 0)
+    intercept[IllegalArgumentException] { cat.asOf("t", 1) }
+    assert(cat.scan("t").count() == 3)
+  }
+
   test("a STALE orphan claim (crashed writer) is reclaimed, not a permanent wedge") {
     val cat = freshCatalog()
     cat.createTable("t", schema)
