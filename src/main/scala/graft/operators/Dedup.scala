@@ -232,13 +232,74 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- d07
+  /** INCREMENTAL near-dup: dedup a NEW batch against an EXISTING
+    * corpus — the shape a continuously-ingesting 100 TB pipeline
+    * actually runs. The corpus's signatures/shingles are already
+    * materialized (here: the shared cached frame; in production, the
+    * stored signature table written at ingest); only the new batch
+    * computes fresh signatures, and the band join probes
+    * new-vs-existing ONLY — no existing-vs-existing re-verification
+    * ever re-runs. Cost per batch is O(batch + matched buckets),
+    * independent of corpus size. Modeled on the shared documents
+    * table: even doc_ids = corpus, odd = new batch; candidate recall
+    * is total for the same reason as d04 (BruteCheck). */
+  def d07Incremental(s: SparkSession, d: String): DataFrame = {
+    val isNew = (c: org.apache.spark.sql.Column) => c % 2 =!= 0
+    val cand = candidates(s, d) // a<b pairs from the shared band join
+      .filter(isNew(col("doc_a")) =!= isNew(col("doc_b"))) // cross only
+    val sh = signed(s, d).select("doc_id", "sh")
+    cand
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(
+        // orient: existing corpus doc first, new-batch doc second
+        when(isNew(col("doc_b")), col("doc_a")).otherwise(col("doc_b")).as("corpus_doc"),
+        when(isNew(col("doc_b")), col("doc_b")).otherwise(col("doc_a")).as("new_doc"),
+        jaccard64(col("sa.sh"), col("sb.sh")).as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+      .orderBy("corpus_doc", "new_doc")
+  }
+
+  /** Brute force over CROSS (even, odd) pairs only — the oracle's
+    * restriction of d04's pair universe to new-vs-existing. */
+  val d07OracleSql: String =
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |         list_distinct([text[i:i+4] for i in generate_series(1, len(text)-4)]) AS s
+      |  FROM documents
+      |),
+      |cand AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |         len(list_intersect(a.s, b.s)) AS inter,
+      |         len(a.s) AS na, len(b.s) AS nb
+      |  FROM sh a JOIN sh b
+      |    ON a.doc_id < b.doc_id
+      |   AND (a.doc_id % 2 = 0) != (b.doc_id % 2 = 0)
+      |   AND len(a.s) * 5 >= len(b.s) * 4
+      |   AND len(b.s) * 5 >= len(a.s) * 4
+      |),
+      |scored AS (
+      |  SELECT doc_a, doc_b,
+      |         CASE WHEN na + nb = 0 THEN 1.0
+      |              ELSE CAST(inter AS DOUBLE) / (na + nb - inter) END AS jaccard
+      |  FROM cand
+      |)
+      |SELECT CASE WHEN doc_b % 2 != 0 THEN doc_a ELSE doc_b END AS corpus_doc,
+      |       CASE WHEN doc_b % 2 != 0 THEN doc_b ELSE doc_a END AS new_doc,
+      |       jaccard
+      |FROM scored
+      |WHERE jaccard >= 0.8
+      |ORDER BY corpus_doc, new_doc""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_dedup_exact"     -> (d01Exact _),
     "d02_dedup_minhash"   -> (d02Minhash _),
     "d03_dedup_simhash"   -> (d03Simhash _),
     "d04_dedup_ngram"     -> (d04NgramJaccard _),
     "d05_dedup_embedding" -> (d05Embedding _),
-    "d06_dedup_clusters"  -> (d06Clusters _))
+    "d06_dedup_clusters"  -> (d06Clusters _),
+    "d07_dedup_incremental" -> (d07Incremental _))
 
   /** d04/d06 ARE oracle-checkable, via brute force: DuckDB computes
     * all-pairs 5-gram Jaccard (char n-grams == byte n-grams on this
@@ -314,7 +375,8 @@ object Dedup {
       |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
-    "d01_dedup_exact"    -> d01OracleSql,
-    "d04_dedup_ngram"    -> d04OracleSql,
-    "d06_dedup_clusters" -> d06OracleSql)
+    "d01_dedup_exact"       -> d01OracleSql,
+    "d04_dedup_ngram"       -> d04OracleSql,
+    "d06_dedup_clusters"    -> d06OracleSql,
+    "d07_dedup_incremental" -> d07OracleSql)
 }

@@ -619,6 +619,25 @@ object Relational {
       last_day(col("o_orderdate")).as("month_end"))
       .orderBy("o_orderkey")
 
+  // ---------------------------------------------------------------- q41
+  /** Correlated LATERAL subquery (top-N per outer row) — Catalyst
+    * decorrelates the ORDER+LIMIT lateral into a ranked window join
+    * rather than re-executing the subquery per row. Same SQL runs on
+    * both engines verbatim. */
+  val q41Sql: String =
+    """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+      |FROM customer c, LATERAL (
+      |  SELECT o_orderkey, o_totalprice FROM orders
+      |  WHERE o_custkey = c.c_custkey
+      |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+      |ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey""".stripMargin
+
+  def q41Lateral(s: SparkSession, d: String): DataFrame = {
+    val names = Seq("customer", "orders")
+    GraftSession.withTempViews(s, names.map(n => n -> Tables.load(s, d, n)))(
+      s.sql(q41Sql))
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -661,7 +680,8 @@ object Relational {
     "q37_string_agg"        -> (q37StringAgg _),
     "q38_array_funcs"       -> (q38ArrayFuncs _),
     "q39_regexp"            -> (q39RegexpExtract _),
-    "q40_interval_arith"    -> (q40IntervalArith _))
+    "q40_interval_arith"    -> (q40IntervalArith _),
+    "q41_lateral"           -> (q41Lateral _))
 
   val oracleSql: Map[String, String] = Map(
     "q01_scan_project" ->
@@ -943,5 +963,6 @@ object Relational {
         |       CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS INT)
         |         AS days_to_eoy,
         |       last_day(CAST(o_orderdate AS DATE)) AS month_end
-        |FROM orders ORDER BY o_orderkey""".stripMargin)
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q41_lateral" -> q41Sql)
 }
