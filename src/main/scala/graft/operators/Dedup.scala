@@ -245,17 +245,25 @@ object Dedup {
     * table: even doc_ids = corpus, odd = new batch; candidate recall
     * is total for the same reason as d04 (BruteCheck). */
   def d07Incremental(s: SparkSession, d: String): DataFrame = {
-    val isNew = (c: org.apache.spark.sql.Column) => c % 2 =!= 0
-    val cand = candidates(s, d) // a<b pairs from the shared band join
-      .filter(isNew(col("doc_a")) =!= isNew(col("doc_b"))) // cross only
-    val sh = signed(s, d).select("doc_id", "sh")
+    val sg = signed(s, d)
+    val bands = minhashBands(sg.select("doc_id", "sig"))
+    // the INCREMENTAL join shape: new-batch bands against corpus bands
+    // — never the corpus-wide self-join. Candidate volume is bounded
+    // by the new batch's bucket matches; at 100 TB the corpus band
+    // table is stored BUCKETED by (band, bh) so only the new side
+    // shuffles, and the corpus-side scan prunes to matched buckets.
+    val corpusBands = bands.filter(col("doc_id") % 2 === 0)
+    val newBands    = bands.filter(col("doc_id") % 2 =!= 0)
+    val cand = corpusBands.as("a")
+      .join(newBands.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
+      .select(col("a.doc_id").as("corpus_doc"), col("b.doc_id").as("new_doc"))
+      .distinct()
+    val sh = sg.select("doc_id", "sh")
     cand
-      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sh.as("sb"), col("doc_b") === col("sb.doc_id"))
-      .select(
-        // orient: existing corpus doc first, new-batch doc second
-        when(isNew(col("doc_b")), col("doc_a")).otherwise(col("doc_b")).as("corpus_doc"),
-        when(isNew(col("doc_b")), col("doc_b")).otherwise(col("doc_a")).as("new_doc"),
+      .join(sh.as("sa"), col("corpus_doc") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("new_doc") === col("sb.doc_id"))
+      .select(col("corpus_doc"), col("new_doc"),
         jaccard64(col("sa.sh"), col("sb.sh")).as("jaccard"))
       .filter(col("jaccard") >= 0.8)
       .orderBy("corpus_doc", "new_doc")
@@ -264,33 +272,13 @@ object Dedup {
   /** Brute force over CROSS (even, odd) pairs only — the oracle's
     * restriction of d04's pair universe to new-vs-existing. */
   val d07OracleSql: String =
-    """WITH sh AS (
-      |  SELECT doc_id,
-      |         list_distinct([text[i:i+4] for i in generate_series(1, len(text)-4)]) AS s
-      |  FROM documents
-      |),
-      |cand AS (
-      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-      |         len(list_intersect(a.s, b.s)) AS inter,
-      |         len(a.s) AS na, len(b.s) AS nb
-      |  FROM sh a JOIN sh b
-      |    ON a.doc_id < b.doc_id
-      |   AND (a.doc_id % 2 = 0) != (b.doc_id % 2 = 0)
-      |   AND len(a.s) * 5 >= len(b.s) * 4
-      |   AND len(b.s) * 5 >= len(a.s) * 4
-      |),
-      |scored AS (
-      |  SELECT doc_a, doc_b,
-      |         CASE WHEN na + nb = 0 THEN 1.0
-      |              ELSE CAST(inter AS DOUBLE) / (na + nb - inter) END AS jaccard
-      |  FROM cand
-      |)
-      |SELECT CASE WHEN doc_b % 2 != 0 THEN doc_a ELSE doc_b END AS corpus_doc,
-      |       CASE WHEN doc_b % 2 != 0 THEN doc_b ELSE doc_a END AS new_doc,
-      |       jaccard
-      |FROM scored
-      |WHERE jaccard >= 0.8
-      |ORDER BY corpus_doc, new_doc""".stripMargin
+    s"""WITH ${bruteCtes("\n   AND (a.doc_id % 2 = 0) != (b.doc_id % 2 = 0)")}
+       |SELECT CASE WHEN doc_b % 2 != 0 THEN doc_a ELSE doc_b END AS corpus_doc,
+       |       CASE WHEN doc_b % 2 != 0 THEN doc_b ELSE doc_a END AS new_doc,
+       |       jaccard
+       |FROM scored
+       |WHERE jaccard >= 0.8
+       |ORDER BY corpus_doc, new_doc""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_dedup_exact"     -> (d01Exact _),
@@ -313,66 +301,61 @@ object Dedup {
     * shorter than the shingle width) are jaccard 1.0 — the kernel's
     * convention (Kernels.jaccard64), mirrored here with a CASE so the
     * oracle cannot silently drop such pairs to 0/0. */
+  /** Shared CTE prefix of every brute-force oracle (d04/d06/d07):
+    * per-doc distinct 5-gram sets, size-ratio-prefiltered pairs
+    * (`extraJoin` narrows the pair universe, e.g. to cross-parity for
+    * the incremental oracle), and the scored jaccard with the
+    * empty-sets-are-identical convention. ONE definition — the shingle
+    * width and prefilter constants cannot drift between the three
+    * oracles and the Scala kernel. */
+  private def bruteCtes(extraJoin: String): String =
+    s"""sh AS (
+       |  SELECT doc_id,
+       |         list_distinct([text[i:i+4] for i in generate_series(1, len(text)-4)]) AS s
+       |  FROM documents
+       |),
+       |cand AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         len(list_intersect(a.s, b.s)) AS inter,
+       |         len(a.s) AS na, len(b.s) AS nb
+       |  FROM sh a JOIN sh b
+       |    ON a.doc_id < b.doc_id$extraJoin
+       |   AND len(a.s) * 5 >= len(b.s) * 4
+       |   AND len(b.s) * 5 >= len(a.s) * 4
+       |),
+       |scored AS (
+       |  SELECT doc_a, doc_b,
+       |         CASE WHEN na + nb = 0 THEN 1.0
+       |              ELSE CAST(inter AS DOUBLE) / (na + nb - inter) END AS jaccard
+       |  FROM cand
+       |)""".stripMargin
+
   val d04OracleSql: String =
-    """WITH sh AS (
-      |  SELECT doc_id,
-      |         list_distinct([text[i:i+4] for i in generate_series(1, len(text)-4)]) AS s
-      |  FROM documents
-      |),
-      |cand AS (
-      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-      |         len(list_intersect(a.s, b.s)) AS inter,
-      |         len(a.s) AS na, len(b.s) AS nb
-      |  FROM sh a JOIN sh b
-      |    ON a.doc_id < b.doc_id
-      |   AND len(a.s) * 5 >= len(b.s) * 4
-      |   AND len(b.s) * 5 >= len(a.s) * 4
-      |),
-      |scored AS (
-      |  SELECT doc_a, doc_b,
-      |         CASE WHEN na + nb = 0 THEN 1.0
-      |              ELSE CAST(inter AS DOUBLE) / (na + nb - inter) END AS jaccard
-      |  FROM cand
-      |)
-      |SELECT doc_a, doc_b, jaccard FROM scored
-      |WHERE jaccard >= 0.8
-      |ORDER BY doc_a, doc_b""".stripMargin
+    s"""WITH ${bruteCtes("")}
+       |SELECT doc_a, doc_b, jaccard FROM scored
+       |WHERE jaccard >= 0.8
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   /** Connected components of the brute-force pair graph by transitive
     * closure (recursive CTE) — clusters are small cliques, so the
     * closure stays tiny. Matches d06's min-label propagation. */
   val d06OracleSql: String =
-    """WITH RECURSIVE sh AS (
-      |  SELECT doc_id,
-      |         list_distinct([text[i:i+4] for i in generate_series(1, len(text)-4)]) AS s
-      |  FROM documents
-      |),
-      |cand AS (
-      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-      |         len(list_intersect(a.s, b.s)) AS inter,
-      |         len(a.s) AS na, len(b.s) AS nb
-      |  FROM sh a JOIN sh b
-      |    ON a.doc_id < b.doc_id
-      |   AND len(a.s) * 5 >= len(b.s) * 4
-      |   AND len(b.s) * 5 >= len(a.s) * 4
-      |),
-      |pairs AS (
-      |  SELECT doc_a, doc_b FROM cand
-      |  WHERE CASE WHEN na + nb = 0 THEN 1.0
-      |             ELSE CAST(inter AS DOUBLE) / (na + nb - inter) END >= 0.8
-      |),
-      |edges AS (
-      |  SELECT doc_a AS s, doc_b AS t FROM pairs
-      |  UNION ALL
-      |  SELECT doc_b, doc_a FROM pairs
-      |),
-      |reach AS (
-      |  SELECT s AS doc_id, t AS peer FROM edges
-      |  UNION
-      |  SELECT r.doc_id, e.t FROM reach r JOIN edges e ON r.peer = e.s
-      |)
-      |SELECT doc_id, LEAST(doc_id, MIN(peer)) AS cluster_rep
-      |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    s"""WITH RECURSIVE ${bruteCtes("")},
+       |pairs AS (
+       |  SELECT doc_a, doc_b FROM scored WHERE jaccard >= 0.8
+       |),
+       |edges AS (
+       |  SELECT doc_a AS s, doc_b AS t FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b, doc_a FROM pairs
+       |),
+       |reach AS (
+       |  SELECT s AS doc_id, t AS peer FROM edges
+       |  UNION
+       |  SELECT r.doc_id, e.t FROM reach r JOIN edges e ON r.peer = e.s
+       |)
+       |SELECT doc_id, LEAST(doc_id, MIN(peer)) AS cluster_rep
+       |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "d01_dedup_exact"       -> d01OracleSql,
