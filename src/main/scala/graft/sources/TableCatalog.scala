@@ -610,7 +610,10 @@ class TableCatalog(spark: SparkSession, val root: String) {
   // behind each other's Spark jobs, and concurrent inserts to the same
   // table each land (first-committer-wins per attempt, bounded retry).
 
-  private val MaxPublishAttempts = 5
+  // generous: under N-way same-table contention a writer expects ~N
+  // lost races before landing, and each retry is cheap relative to a
+  // spurious WriteConflictException surfacing to the caller
+  private val MaxPublishAttempts = 12
 
   /** Versions of every table whose state this write's pre-publish
     * checks read: the table itself (anchored to m.version — the
@@ -645,7 +648,12 @@ class TableCatalog(spark: SparkSession, val root: String) {
     while (n < MaxPublishAttempts) {
       attempt() match {
         case Some(v) => return v
-        case None    => n += 1
+        case None =>
+          n += 1
+          // linear backoff de-synchronizes herds of same-table writers
+          // (every loser otherwise revalidates and re-races in
+          // lockstep); deterministic — no RNG — and capped small
+          Thread.sleep(math.min(200L, 25L * n))
       }
     }
     throw new TableCatalog.WriteConflictException(

@@ -452,6 +452,33 @@ class CatalogSpec extends AnyFunSuite {
     finally leftover.close()
   }
 
+  test("stress: 4 writers x 3 inserts each all land under optimistic retry") {
+    val cat = freshCatalog()
+    cat.createTable("t", schema, primaryKey = Some("id"))
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val threads = (0 until 4).map { w =>
+      new Thread(() => {
+        start.await()
+        (0 until 3).foreach { i =>
+          val id = (w * 3 + i).toLong
+          try cat.insert("t", Seq((id, s"w$w-$i", 0.0)).toDF("id", "name", "balance"))
+          catch { case e: Throwable => errs.add(e) }
+        }
+      })
+    }
+    threads.foreach(_.start()); start.countDown(); threads.foreach(_.join())
+    import scala.jdk.CollectionConverters._
+    assert(errs.isEmpty, s"unexpected failures: ${errs.asScala.map(_.getMessage)}")
+    // every insert landed exactly once: 12 rows, version advanced 12x,
+    // and no orphan data dirs from lost attempts
+    assert(cat.scan("t").count() == 12)
+    assert(cat.currentVersion("t") == 12)
+    val data = java.nio.file.Files.list(java.nio.file.Paths.get(cat.root, "t", "data"))
+    try assert(data.iterator().asScala.size == 12, "losers must clean up")
+    finally data.close()
+  }
+
   test("concurrent non-txn inserts serialize: both land, distinct versions") {
     val cat = freshCatalog()
     cat.createTable("t", schema, primaryKey = Some("id"))
