@@ -367,9 +367,39 @@ object GraftSQL {
   }
 
   /** Start index of the primary expression that ends right before
+    * `end` — like [[primaryStart0]], but absorbing a preceding UNARY
+    * sign: the reference's prefix operators bind TIGHTER than `^` and
+    * `!` (prec 9 vs 7/8, parser/mod.rs:712-725), so `-2 ^ 2` is
+    * `(-2)^2 = 4` and `-3!` is `(-3)!` — the sign is part of the
+    * operand, not applied to the rewritten result. A sign preceded by
+    * an operand (identifier/number/`)`/quote) is binary and stays
+    * outside. */
+  private def primaryStart(s: String, end: Int): Int = {
+    val st = primaryStart0(s, end)
+    var k = st - 1
+    while (k >= 0 && s(k).isWhitespace) k -= 1
+    if (k >= 0 && (s(k) == '-' || s(k) == '+')) {
+      var j = k - 1
+      while (j >= 0 && s(j).isWhitespace) j -= 1
+      // binary iff an OPERAND precedes the sign; a keyword word like
+      // SELECT/WHERE/AND puts the sign in unary position even though a
+      // letter precedes it
+      val binary = j >= 0 && {
+        if (s(j).isLetterOrDigit || s(j) == '_') {
+          var w = j
+          while (w >= 0 && (s(w).isLetterOrDigit || s(w) == '_')) w -= 1
+          !NonPrimaryWords.contains(s.substring(w + 1, j + 1).toUpperCase)
+        } else s(j) == ')' || s(j) == '\'' || s(j) == '"' || s(j) == '`'
+      }
+      if (!binary) return k
+    }
+    st
+  }
+
+  /** Start index of the primary expression that ends right before
     * `end`: an identifier / number / qualified name, or a balanced
     * `(...)` group optionally preceded by a function name. */
-  private def primaryStart(s: String, end: Int): Int = {
+  private def primaryStart0(s: String, end: Int): Int = {
     var i = end - 1
     while (i >= 0 && s(i).isWhitespace) i -= 1
     if (i < 0) return 0

@@ -326,6 +326,16 @@ class GraftSQLSpec extends AnyFunSuite {
     g.execute("INSERT INTO pw VALUES (1, 4)")
     assert(one("SELECT n ^ 2 AS x FROM pw") == 16.0)
     assert(one("SELECT n! AS x FROM pw WHERE id != 2") == 24L)
+    // the reference's PREFIX operators bind tighter than ^ and !
+    // (prec 9 vs 7/8, parser/mod.rs:712-725): a unary sign is part of
+    // the operand — -2 ^ 2 is (-2)^2 = 4, NOT -(2^2)
+    assert(one("SELECT -2 ^ 2 AS x") == 4.0)
+    assert(one("SELECT 2 ^ -2 AS x") == 0.25)
+    // ...but a BINARY minus stays outside: 5 - 2 ^ 2 = 5 - 4
+    assert(one("SELECT 5 - 2 ^ 2 AS x") == 1.0)
+    assert(one("SELECT 4 - 3! AS x") == -2L)
+    // (-3)! like the reference's precedence — undefined, not -(3!)=-6
+    assert(g.execute("SELECT -3! AS x").collect()(0).isNullAt(0))
   }
 
   test("rewriteOps is total and idempotent on adversarial input") {
