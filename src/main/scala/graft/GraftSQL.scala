@@ -16,6 +16,16 @@ import org.apache.spark.sql.types._
   * (`expr(...)` / `spark.sql`), so the expression grammar is Catalyst's
   * superset of the reference's (ast.rs:130-158) and everything runs
   * through the same optimizer and codegen as the DataFrame API.
+  * Rewrites restore the reference tokens Catalyst reads differently:
+  * `^`/postfix `!` (incl. the reference's tight prefix-sign binding:
+  * `-2 ^ 2` = `(-2)^2`) and `NAN`/`INFINITY` literals. One precedence
+  * delta is deliberate: the reference's prefix NOT binds at prec 9
+  * (`NOT a = b` ≡ `(NOT a) = b`, parser/mod.rs:712-725) while
+  * Catalyst uses standard SQL (`NOT (a = b)`) — for every query the
+  * reference ACCEPTS (NOT over booleans only), the two trees are
+  * value-equivalent (both are XOR over booleans); queries the
+  * reference REJECTS (NOT over non-booleans, `NOT x LIKE y`) get
+  * standard SQL semantics here instead of an error.
   *
   * MVCC: `BEGIN READ ONLY AS OF SYSTEM TIME v` pins reads to catalog
   * version v (ast.rs:11-14) — note versions are PER-TABLE counters,
