@@ -70,12 +70,39 @@ object Sampling {
       |            THEN 'train' ELSE 'test' END AS split
       |FROM events ORDER BY event_id""".stripMargin
 
+  /** p04: per-group quota cap — "keep at most N documents per
+    * language/domain", the balance pass crawl pipelines run so one
+    * giant domain can't dominate the corpus. Deterministic rank
+    * (doc_id order, no RNG) so reprocessing keeps the same rows. One
+    * shuffle on the group key; at 100 TB the rank never materializes
+    * the group — row_number streams each partition, and AQE's skew
+    * split doesn't apply to windows, so a pathological mega-group is
+    * the one skew a salted two-phase cap (rank within hash-salted
+    * subgroup, then re-rank the ≤ salt·N survivors) would bound. */
+  def p04CapPerGroup(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), row_number().over(w).as("rn"))
+      .filter(col("rn") <= 50)
+      .orderBy("lang", "doc_id")
+  }
+
+  val p04OracleSql: String =
+    """SELECT doc_id, lang, CAST(rn AS INT) AS rn FROM (
+      |  SELECT doc_id, lang,
+      |         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+      |  FROM documents) t
+      |WHERE rn <= 50 ORDER BY lang, doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_hash_split"        -> (p01HashSplit _),
     "p02_stratified_sample" -> (p02StratifiedSample _),
-    "p03_time_split"        -> (p03TimeSplit _))
+    "p03_time_split"        -> (p03TimeSplit _),
+    "p04_cap_per_group"     -> (p04CapPerGroup _))
 
   // p01/p02 rows-only: engine-specific RNG/hash
   val oracleSql: Map[String, String] = Map(
-    "p03_time_split" -> p03OracleSql)
+    "p03_time_split"    -> p03OracleSql,
+    "p04_cap_per_group" -> p04OracleSql)
 }

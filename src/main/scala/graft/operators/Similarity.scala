@@ -207,11 +207,72 @@ object Similarity {
       .select(col("label"), col("n"), size(col("centroid")).as("dim"), col("c0"))
       .orderBy("label")
 
+  // ---------------------------------------------------------------- s05
+  /** Int8 scalar quantization of the embedding column — the 4×
+    * storage/bandwidth compression an ANN index at 100 TB stores its
+    * vectors in (per-vector min/max affine code, the faiss SQ8
+    * layout). Pure per-row `transform` lambdas — single scan, no
+    * shuffle, codegen'd, embarrassingly parallel. Emitted columns are
+    * scalars derived from the quantized codes (exact integers) plus
+    * the max reconstruction error (order-independent max, so no
+    * float-summation-order hazard), making the whole arithmetic
+    * DuckDB-checkable bit-for-bit. */
+  def s05Quantize(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.embeddings(s, d).select(
+      col("vec_id"), col("embedding"),
+      array_min(col("embedding")).cast("double").as("mn"),
+      array_max(col("embedding")).cast("double").as("mx"))
+    // span floored so a constant vector quantizes to 0s, not NaNs;
+    // rounded argument is always >= 0, dodging the engines' negative
+    // tie-rounding differences
+    val spanned = base.withColumn("span", greatest(col("mx") - col("mn"), lit(1e-12)))
+    val quantized = spanned
+      .withColumn("q", transform(col("embedding"), x =>
+        (round((x.cast("double") - col("mn")) * 254.0 / col("span")) - lit(127))
+          .cast("int")))
+      .withColumn("err", transform(col("embedding"), x =>
+        abs(col("mn") + round((x.cast("double") - col("mn")) * 254.0 / col("span"))
+          * col("span") / 254.0 - x.cast("double"))))
+    quantized.select(
+        col("vec_id"),
+        size(col("embedding")).as("dim"),
+        array_min(col("q")).as("q_min"),
+        array_max(col("q")).as("q_max"),
+        aggregate(col("q"), lit(0), (acc, x) => acc + x).as("q_sum"),
+        round(array_max(col("err")), 6).as("max_err"))
+      .orderBy("vec_id")
+  }
+
+  val s05OracleSql: String =
+    """WITH sp AS (
+      |  SELECT vec_id, embedding,
+      |         CAST(list_min(embedding) AS DOUBLE) AS mn,
+      |         GREATEST(CAST(list_max(embedding) AS DOUBLE)
+      |                  - CAST(list_min(embedding) AS DOUBLE), 1e-12) AS span
+      |  FROM embeddings
+      |), qz AS (
+      |  SELECT vec_id, embedding, mn, span,
+      |    list_transform(embedding, x ->
+      |      CAST(ROUND((CAST(x AS DOUBLE) - mn) * 254.0 / span) AS INT) - 127) AS q,
+      |    list_transform(embedding, x ->
+      |      ABS(mn + ROUND((CAST(x AS DOUBLE) - mn) * 254.0 / span)
+      |          * span / 254.0 - CAST(x AS DOUBLE))) AS err
+      |  FROM sp
+      |)
+      |SELECT vec_id,
+      |  CAST(LEN(embedding) AS INT) AS dim,
+      |  CAST(list_min(q) AS INT) AS q_min,
+      |  CAST(list_max(q) AS INT) AS q_max,
+      |  CAST(list_sum(q) AS INT) AS q_sum,
+      |  ROUND(list_max(err), 6) AS max_err
+      |FROM qz ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_ann_brute" -> (s01BruteForce _),
     "s02_ann_lsh"   -> (s02LshAnn _),
     "s03_centroids" -> (s03Centroids _),
-    "s04_ann_ivf"   -> (s04IvfAnn _))
+    "s04_ann_ivf"   -> (s04IvfAnn _),
+    "s05_quantize"  -> (s05Quantize _))
 
   val oracleSql: Map[String, String] = Map(
     "s01_ann_brute" ->
@@ -227,5 +288,6 @@ object Similarity {
         |       CAST(LEN(ANY_VALUE(embedding)) AS INT) AS dim,
         |       CAST(SUM(CAST(CAST(embedding[1] AS DOUBLE) AS DECIMAL(20,10))) AS DOUBLE)
         |         / COUNT(*) AS c0
-        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin)
+        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
+    "s05_quantize" -> s05OracleSql)
 }

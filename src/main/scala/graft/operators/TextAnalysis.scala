@@ -241,6 +241,50 @@ object TextAnalysis {
       |  ON c.canonical = g.canonical
       |ORDER BY c.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- t08
+  /** TF-IDF term weighting — the relevance/quality signal behind
+    * keyword extraction and near-duplicate triage. Shape at scale:
+    * explode → map-side partial counts per (doc, term); the document
+    * frequency table is VOCABULARY-sized, so it broadcasts and the
+    * tf←df join never shuffles the corpus; the doc count N rides along
+    * as a one-row broadcast (no driver round-trip). The score is
+    * rounded to 4 decimals so the two engines' last-ulp `ln` deltas
+    * can't flip the hash (the s01 pattern). */
+  def t08TfIdf(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).cast("int").as("tf"))
+    // tf is already distinct per (doc, term): df = row count per term
+    val df = tf.groupBy("term").agg(count(lit(1)).cast("int").as("df"))
+    val n = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    tf.join(broadcast(df), "term")
+      .crossJoin(broadcast(n))
+      .select(
+        col("doc_id"), col("term"), col("tf"), col("df"),
+        round(col("tf").cast("double") * log(col("n_docs") / col("df")), 4)
+          .as("tfidf"))
+      .orderBy("doc_id", "term")
+  }
+
+  val t08OracleSql: String =
+    """WITH terms AS (
+      |  SELECT doc_id, term
+      |  FROM documents, UNNEST(STRING_SPLIT(text, ' ')) AS u(term)
+      |), tf AS (
+      |  SELECT doc_id, term, CAST(COUNT(*) AS INT) AS tf
+      |  FROM terms GROUP BY doc_id, term
+      |), df AS (
+      |  SELECT term, CAST(COUNT(*) AS INT) AS df FROM tf GROUP BY term
+      |), n AS (
+      |  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents
+      |)
+      |SELECT tf.doc_id, tf.term, tf.tf, df.df,
+      |       ROUND(CAST(tf.tf AS DOUBLE) * LN(n.n_docs / df.df), 4) AS tfidf
+      |FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+      |ORDER BY tf.doc_id, tf.term""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_langid"      -> (t01LangId _),
     "t02_quality"     -> (t02Quality _),
@@ -248,7 +292,8 @@ object TextAnalysis {
     "t04_fingerprint" -> (t04Fingerprint _),
     "t05_top_terms"   -> (t05TopTerms _),
     "t06_pii_redact"  -> (t06PiiRedact _),
-    "t07_normalize"   -> (t07Normalize _))
+    "t07_normalize"   -> (t07Normalize _),
+    "t08_tfidf"       -> (t08TfIdf _))
 
   /** t01's stopword-count heuristic is integer arithmetic over token
     * lists — DuckDB reproduces it exactly (list lambdas + the same
@@ -286,5 +331,6 @@ object TextAnalysis {
     "t03_tokens"     -> t03OracleSql,
     "t05_top_terms"  -> t05OracleSql,
     "t06_pii_redact" -> t06OracleSql,
-    "t07_normalize"  -> t07OracleSql)
+    "t07_normalize"  -> t07OracleSql,
+    "t08_tfidf"      -> t08OracleSql)
 }

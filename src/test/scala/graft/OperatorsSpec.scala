@@ -1,7 +1,7 @@
 package graft
 
 import graft.operators._
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{array_max, array_min, col, size, split, sum}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Operator-level behavior at sf0.001 + plan-shape assertions (the
@@ -421,5 +421,58 @@ class OperatorsSpec extends AnyFunSuite {
     assert(FrameCache.cachedCount(spark) >= 1)
     assert(a.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
     FrameCache.clear(spark)
+  }
+
+  test("t08 tf-idf: ubiquitous terms score 0, df consistent, tf sums to token count") {
+    val rows = TextAnalysis.t08TfIdf(spark, sf).collect()
+    val nDocs = sources.Tables.documents(spark, sf).count()
+    // a term present in every document carries zero information
+    rows.filter(_.getInt(3) == nDocs).foreach(r =>
+      assert(r.getDouble(4) == 0.0, s"df==N term ${r.getString(1)} must score 0"))
+    // df == number of docs the term appears in (recomputed independently)
+    val docsPerTerm = rows.groupBy(_.getString(1)).view.mapValues(_.length)
+    rows.foreach(r => assert(r.getInt(3) == docsPerTerm(r.getString(1))))
+    // sum(tf) == total token count of the corpus (split-on-space)
+    val totalTokens = sources.Tables.documents(spark, sf)
+      .select(size(split(col("text"), " ")).as("n"))
+      .agg(sum("n")).head().getLong(0)
+    assert(rows.map(_.getInt(2).toLong).sum == totalTokens)
+  }
+
+  test("p04 cap per group: at most 50 per lang, lowest doc_ids kept, deterministic") {
+    val rows = Sampling.p04CapPerGroup(spark, sf).collect()
+    val byLang = rows.groupBy(_.getString(1))
+    byLang.foreach { case (lang, rs) =>
+      assert(rs.length <= 50, s"$lang over cap")
+      // the kept rows are exactly the group's smallest doc_ids
+      val kept = rs.map(_.getLong(0)).sorted
+      val expected = sources.Tables.documents(spark, sf)
+        .filter(col("lang") === lang).select("doc_id")
+        .collect().map(_.getLong(0)).sorted.take(50)
+      assert(kept.sameElements(expected), s"$lang must keep the smallest ids")
+    }
+    val again = Sampling.p04CapPerGroup(spark, sf).collect()
+    assert(rows.map(_.toString).sameElements(again.map(_.toString)))
+  }
+
+  test("s05 quantize: codes in [-127,127], error within the half-step bound") {
+    val out = Similarity.s05Quantize(spark, sf).collect()
+    val spans = sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+        (array_max(col("embedding")).cast("double")
+          - array_min(col("embedding")).cast("double")).as("span"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (id, qMin, qMax, maxErr) =
+        (r.getLong(0), r.getInt(2), r.getInt(3), r.getDouble(5))
+      assert(qMin >= -127 && qMax <= 127, s"vec $id codes out of int8 range")
+      // affine SQ8: |x - dequant(quant(x))| <= step/2, step = span/254
+      // (+5e-7: max_err is emitted rounded to 6 decimals, which can
+      // round it up past the exact bound)
+      val bound = spans(id) / 254.0 / 2.0 + 5e-7
+      assert(maxErr >= 0.0 && maxErr <= bound,
+        s"vec $id max_err $maxErr exceeds half-step $bound")
+    }
   }
 }
