@@ -246,24 +246,25 @@ object TextAnalysis {
     * keyword extraction and near-duplicate triage. Shape at scale:
     * explode → map-side partial counts per (doc, term); the document
     * frequency table is VOCABULARY-sized, so it broadcasts and the
-    * tf←df join never shuffles the corpus; the doc count N rides along
-    * as a one-row broadcast (no driver round-trip). The score is
-    * rounded to 4 decimals so the two engines' last-ulp `ln` deltas
-    * can't flip the hash (the s01 pattern). */
+    * tf←df join never shuffles the corpus; the doc count N is a
+    * parquet-footer count folded into the plan as a literal (the d05
+    * pattern — O(1) metadata read, cheaper than a one-row-broadcast
+    * join node). The score is rounded to 4 decimals so the two
+    * engines' last-ulp `ln` deltas can't flip the hash (the s01
+    * pattern). */
   def t08TfIdf(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
+    val nDocs = docs.count().toDouble
     val tf = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .groupBy("doc_id", "term")
       .agg(count(lit(1)).cast("int").as("tf"))
     // tf is already distinct per (doc, term): df = row count per term
     val df = tf.groupBy("term").agg(count(lit(1)).cast("int").as("df"))
-    val n = docs.agg(count(lit(1)).cast("double").as("n_docs"))
     tf.join(broadcast(df), "term")
-      .crossJoin(broadcast(n))
       .select(
         col("doc_id"), col("term"), col("tf"), col("df"),
-        round(col("tf").cast("double") * log(col("n_docs") / col("df")), 4)
+        round(col("tf").cast("double") * log(lit(nDocs) / col("df")), 4)
           .as("tfidf"))
       .orderBy("doc_id", "term")
   }
