@@ -77,8 +77,9 @@ object Sampling {
     * shuffle on the group key; at 100 TB the rank never materializes
     * the group — row_number streams each partition, and AQE's skew
     * split doesn't apply to windows, so a pathological mega-group is
-    * the one skew a salted two-phase cap (rank within hash-salted
-    * subgroup, then re-rank the ≤ salt·N survivors) would bound. */
+    * the one skew [[Scale.saltedCapPerGroup]] bounds (rank within
+    * hash-salted subgroup, then exact re-rank of the ≤ salt·N
+    * survivors — spec-proven identical to this plain cap). */
   def p04CapPerGroup(s: SparkSession, d: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("lang")).orderBy(col("doc_id"))

@@ -22,6 +22,21 @@ class ScaleSpec extends AnyFunSuite {
     assert(a.sameElements(b))
   }
 
+  test("salted two-phase cap returns exactly the plain window-cap result") {
+    val docs = sources.Tables.documents(spark, sf)
+    val plain = operators.Sampling.p04CapPerGroup(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).sorted
+    val salted = Scale.saltedCapPerGroup(docs, "lang", "doc_id", n = 50, salt = 8)
+      .select(col("doc_id"), col("lang"), col("rn"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).sorted
+    assert(salted.sameElements(plain))
+    // degenerate salt=1 collapses to the plain single-window cap
+    val unsalted = Scale.saltedCapPerGroup(docs, "lang", "doc_id", n = 50, salt = 1)
+      .select(col("doc_id"), col("lang"), col("rn"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).sorted
+    assert(unsalted.sameElements(plain))
+  }
+
   test("bucketed tables equi-join without a shuffle exchange") {
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
