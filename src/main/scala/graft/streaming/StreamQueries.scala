@@ -14,6 +14,24 @@ import org.apache.spark.sql.streaming.OutputMode
   */
 object StreamQueries {
 
+  /** Runs `body` (a streaming start→drain→stop) with the session's
+    * shuffle partitions dialed down to `n`, restoring the previous
+    * value after. Stateful streaming operators keep ONE state store
+    * per shuffle partition (a stream-stream join keeps four), each
+    * committing a delta file per micro-batch — at the default 32
+    * partitions that is pure fixed overhead for bounded inputs. The
+    * streaming query pins its state partitioning from this conf AT
+    * START, so the scope covers exactly the streaming run; results
+    * are partitioning-independent (every query here is
+    * oracle-checked). At production scale this knob goes UP with
+    * volume instead — state stores shard across executors. */
+  private def withStatePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, prev)
+  }
+
   /** st01: the q19 hour-bucket aggregation executed by the streaming
     * engine. Source: file stream over the events parquet (one batch —
     * bounded); sink: in-memory table. */
@@ -36,12 +54,14 @@ object StreamQueries {
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
-    val q = agg.writeStream
-      .format("memory").queryName("graft_st01_sink")
-      .outputMode(OutputMode.Complete)
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
+    withStatePartitions(s, 8) {
+      val q = agg.writeStream
+        .format("memory").queryName("graft_st01_sink")
+        .outputMode(OutputMode.Complete)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
 
     s.table("graft_st01_sink").orderBy("hour_start", "event_type")
   }
@@ -93,15 +113,17 @@ object StreamQueries {
       .option("maxFilesPerTrigger", "1")
       .parquet(streamDir.toString)
       .as[Streams.Event]
-    val q = Streams.sessionize(stream, gapMinutes = 30, watermark = "10 minutes")
-      .writeStream.format("memory").queryName("graft_st02_sink")
-      .outputMode(OutputMode.Append)
-      .start()
-    try q.processAllAvailable()
-    finally {
-      // the memory sink holds the rows; the staged stream files are done
-      try q.stop()
-      finally graft.sources.TableCatalog.deleteRecursively(tmp)
+    withStatePartitions(s, 8) {
+      val q = Streams.sessionize(stream, gapMinutes = 30, watermark = "10 minutes")
+        .writeStream.format("memory").queryName("graft_st02_sink")
+        .outputMode(OutputMode.Append)
+        .start()
+      try q.processAllAvailable()
+      finally {
+        // the memory sink holds the rows; the staged stream files are done
+        try q.stop()
+        finally graft.sources.TableCatalog.deleteRecursively(tmp)
+      }
     }
 
     s.table("graft_st02_sink")
@@ -129,14 +151,16 @@ object StreamQueries {
       .schema(schema)
       .option("pathGlobFilter", "documents.parquet")
       .parquet(d)
-    val q = stream
-      .dropDuplicates("text")
-      .select(col("text"))
-      .writeStream.format("memory").queryName("graft_st03_sink")
-      .outputMode(OutputMode.Append)
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
+    withStatePartitions(s, 8) {
+      val q = stream
+        .dropDuplicates("text")
+        .select(col("text"))
+        .writeStream.format("memory").queryName("graft_st03_sink")
+        .outputMode(OutputMode.Append)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
     s.table("graft_st03_sink").orderBy("text")
   }
 
@@ -169,12 +193,15 @@ object StreamQueries {
   }
 
   def st04StreamJoin(s: SparkSession, d: String): DataFrame = {
-    val q = st04Agg(s, d).writeStream
-      .format("memory").queryName("graft_st04_sink")
-      .outputMode(OutputMode.Complete)
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
+    val agg = st04Agg(s, d)
+    withStatePartitions(s, 8) {
+      val q = agg.writeStream
+        .format("memory").queryName("graft_st04_sink")
+        .outputMode(OutputMode.Complete)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
 
     s.table("graft_st04_sink").orderBy("hour_start", "c_mktsegment")
   }
@@ -213,12 +240,15 @@ object StreamQueries {
     * emitted pair set equals the batch inequality join, which the
     * DuckDB oracle checks. */
   def st05StreamStreamJoin(s: SparkSession, d: String): DataFrame = {
-    val q = st05Agg(s, d).writeStream
-      .format("memory").queryName("graft_st05_sink")
-      .outputMode(OutputMode.Append)
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
+    val agg = st05Agg(s, d)
+    withStatePartitions(s, 8) {
+      val q = agg.writeStream
+        .format("memory").queryName("graft_st05_sink")
+        .outputMode(OutputMode.Append)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
     s.table("graft_st05_sink").orderBy("click_id", "error_id")
   }
 
