@@ -297,6 +297,19 @@ class GraftSQLSpec extends AnyFunSuite {
     assert(r.isNullAt(2))
   }
 
+  test("reference operators evaluate inside INSERT VALUES and UPDATE SET (ast.rs:29-38)") {
+    val g = session()
+    g.execute("CREATE TABLE calc (id INTEGER PRIMARY KEY, x FLOAT, n INTEGER)")
+    // the reference accepts arbitrary expressions in VALUES tuples —
+    // including its ^ and ! operators, which must be rewritten here too
+    g.execute("INSERT INTO calc VALUES (1, 2 ^ 3, 4!)")
+    val r = g.execute("SELECT x, n FROM calc WHERE id = 1").collect()(0)
+    assert(r.getDouble(0) == 8.0 && r.getLong(1) == 24L)
+    g.execute("UPDATE calc SET x = x ^ 2, n = 3! WHERE id = 1")
+    val u = g.execute("SELECT x, n FROM calc WHERE id = 1").collect()(0)
+    assert(u.getDouble(0) == 64.0 && u.getLong(1) == 6L)
+  }
+
   test("reference `^` is exponentiation and postfix `!` is factorial (ast.rs:149-150)") {
     val g = session()
     def one(sql: String): Any = g.execute(sql).collect()(0).get(0)
