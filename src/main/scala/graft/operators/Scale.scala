@@ -48,21 +48,28 @@ object Scale {
     * `ord` per `group` — same result as one `row_number` window, but a
     * window puts an entire group in one task, so one mega-group (the
     * single-domain crawl dump) stalls the stage. Two phases bound it:
-    * rank within (group, hash-salt of `ord`) sub-groups — each task
-    * sees ≤ group/salt rows — keep sub-top-n (≤ salt·n survivors per
-    * group, n·salt rows max regardless of group size), then re-rank
-    * the survivors exactly. Phase 2's per-group input is ≤ salt·n
-    * rows, constant, so its window can never skew. Deterministic for
-    * distinct `ord` values (ties broken by the salt partition, like
-    * any non-total window order). */
+    * rank within (group, hash-salt) sub-groups — each task sees
+    * ~group/salt rows — keep sub-top-n (≤ salt·n survivors per group,
+    * regardless of group size), then re-rank the survivors exactly.
+    * Phase 2's per-group input is ≤ salt·n rows, constant, so its
+    * window can never skew.
+    *
+    * The salt hashes `saltKey` (default: `ord`), so the spread — and
+    * with it the phase-1 bound — needs saltKey values to be ~unique
+    * within a group: salting a low-cardinality key (e.g. a date
+    * column with millions of rows per date) lands each value's rows
+    * in ONE bucket and the bound is lost. Pass a unique row id as
+    * `saltKey` in that case. Deterministic for distinct `ord` values
+    * (ties broken by the salt partition, like any non-total window
+    * order). */
   def saltedCapPerGroup(df: DataFrame, group: String, ord: String,
-      n: Int, salt: Int): DataFrame = {
+      n: Int, salt: Int, saltKey: Option[String] = None): DataFrame = {
     require(n >= 1 && salt >= 1, s"saltedCapPerGroup: n=$n salt=$salt")
     import org.apache.spark.sql.expressions.Window
     val saltCol = "__graft_capsalt"
     val sub = Window.partitionBy(col(group), col(saltCol)).orderBy(col(ord))
     val fin = Window.partitionBy(col(group)).orderBy(col(ord))
-    df.withColumn(saltCol, pmod(xxhash64(col(ord)), lit(salt)))
+    df.withColumn(saltCol, pmod(xxhash64(col(saltKey.getOrElse(ord))), lit(salt)))
       .withColumn("__sub_rn", row_number().over(sub))
       .filter(col("__sub_rn") <= n) // survivors: ≤ salt·n per group
       .withColumn("rn", row_number().over(fin))

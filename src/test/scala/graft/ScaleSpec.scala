@@ -35,6 +35,13 @@ class ScaleSpec extends AnyFunSuite {
       .select(col("doc_id"), col("lang"), col("rn"))
       .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).sorted
     assert(unsalted.sameElements(plain))
+    // bucket assignment doesn't affect the result: salting by an
+    // unrelated ~unique key returns the same rows and ranks
+    val altKey = Scale.saltedCapPerGroup(docs, "lang", "doc_id", n = 50, salt = 8,
+        saltKey = Some("text"))
+      .select(col("doc_id"), col("lang"), col("rn"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).sorted
+    assert(altKey.sameElements(plain))
   }
 
   test("bucketed tables equi-join without a shuffle exchange") {
