@@ -286,6 +286,38 @@ object TextAnalysis {
       |FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
       |ORDER BY tf.doc_id, tf.term""".stripMargin
 
+  // ---------------------------------------------------------------- t09
+  /** Per-language corpus statistics — the "dataset card" summary every
+    * shipped training corpus publishes: doc counts, token volume, mean
+    * and median document length. One scan + one shuffle of
+    * constant-size partial aggregates per group; the median uses the
+    * exact in-aggregate sort (integer lengths → bit-identical
+    * interpolation, the q36 recipe), where 100 TB production would
+    * swap in approx_percentile (q23's sketch pattern). */
+  def t09CorpusStats(s: SparkSession, d: String): DataFrame = {
+    val nChars  = length(col("text"))
+    val nTokens = nChars - length(regexp_replace(col("text"), " ", "")) + 1
+    Tables.documents(s, d)
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).cast("int").as("n_docs"),
+        sum(nTokens.cast("bigint")).as("total_tokens"),
+        // integer char sums are exact in both engines; one double
+        // division at the end keeps the mean bit-stable
+        (sum(nChars.cast("bigint")).cast("double") / count(lit(1))).as("avg_chars"),
+        percentile(nChars, lit(0.5)).as("median_chars"))
+      .orderBy("lang")
+  }
+
+  val t09OracleSql: String =
+    """SELECT lang,
+      |  CAST(COUNT(*) AS INT) AS n_docs,
+      |  CAST(SUM(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, ' ', '', 'g')) + 1)
+      |       AS BIGINT) AS total_tokens,
+      |  CAST(SUM(CAST(LENGTH(text) AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_chars,
+      |  MEDIAN(LENGTH(text)) AS median_chars
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_langid"      -> (t01LangId _),
     "t02_quality"     -> (t02Quality _),
@@ -294,7 +326,8 @@ object TextAnalysis {
     "t05_top_terms"   -> (t05TopTerms _),
     "t06_pii_redact"  -> (t06PiiRedact _),
     "t07_normalize"   -> (t07Normalize _),
-    "t08_tfidf"       -> (t08TfIdf _))
+    "t08_tfidf"       -> (t08TfIdf _),
+    "t09_corpus_stats" -> (t09CorpusStats _))
 
   /** t01's stopword-count heuristic is integer arithmetic over token
     * lists — DuckDB reproduces it exactly (list lambdas + the same
@@ -333,5 +366,6 @@ object TextAnalysis {
     "t05_top_terms"  -> t05OracleSql,
     "t06_pii_redact" -> t06OracleSql,
     "t07_normalize"  -> t07OracleSql,
-    "t08_tfidf"      -> t08OracleSql)
+    "t08_tfidf"      -> t08OracleSql,
+    "t09_corpus_stats" -> t09OracleSql)
 }

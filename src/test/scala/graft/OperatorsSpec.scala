@@ -439,6 +439,17 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rows.map(_.getInt(2).toLong).sum == totalTokens)
   }
 
+  test("t08/t09 plans: vocabulary df join broadcasts; corpus stats never sort-merge") {
+    val t08Plan = GraftSession.explainPlan(TextAnalysis.t08TfIdf(spark, sf))
+    assert(t08Plan.contains("BroadcastHashJoin"), "df join must broadcast")
+    assert(!t08Plan.contains("SortMergeJoin") && !t08Plan.contains("BroadcastNestedLoopJoin"),
+      "the corpus must never shuffle for the df join")
+    val t09Plan = GraftSession.explainPlan(TextAnalysis.t09CorpusStats(spark, sf))
+    assert(!t09Plan.contains("Join"), "single-table aggregate, no join")
+    assert(t09Plan.contains("HashAggregate") || t09Plan.contains("ObjectHashAggregate") ||
+      t09Plan.contains("SortAggregate"), "partial aggregation expected")
+  }
+
   test("p04 cap per group: at most 50 per lang, lowest doc_ids kept, deterministic") {
     val rows = Sampling.p04CapPerGroup(spark, sf).collect()
     val byLang = rows.groupBy(_.getString(1))
