@@ -1,7 +1,7 @@
 package graft
 
 import graft.sources.TableCatalog
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, GraftColumnBridge, SparkSession}
 import org.apache.spark.sql.functions.{expr, lit}
 import org.apache.spark.sql.types._
 
@@ -180,7 +180,9 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
         require(asOf.isEmpty && !readOnly, "read-only transaction")
         // Catalyst parses the tuples: VALUES (...),(...) is a valid
         // Spark relation; columns come back as col1, col2, ...
-        val raw = spark.sql(s"SELECT * FROM VALUES $valuesBody")
+        // referenceDivision: VALUES expressions follow the reference's
+        // evaluation rules too (INSERT ... VALUES (7 / 2) inserts 3)
+        val raw = referenceDivision(spark.sql(s"SELECT * FROM VALUES $valuesBody"))
         val targetCols: Seq[String] = Option(colList) match {
           case Some(cl) => cl.split(",").map(_.trim).toSeq
           case None =>
@@ -219,6 +221,8 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
         Seq(s"DELETE $name").toDF("status")
 
       case _ if up.startsWith("SELECT") || up.startsWith("WITH") =>
+        // reference semantics for `/` applied AFTER analysis (the
+        // dispatch is type-directed) — see referenceDivision
         // register snapshot views at the txn/as-of version for only the
         // tables the query references (each registration costs a footer
         // read — the full catalog would be O(tables) per statement),
@@ -234,11 +238,55 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
         // the names held before, so no graft snapshot — least of all
         // a txn-private one — lingers in the shared namespace
         GraftSession.withTempViews(spark,
-          lastRegistered.map(n => n -> currentScan(n)))(spark.sql(s))
+          lastRegistered.map(n => n -> currentScan(n)))(
+          referenceDivision(spark.sql(s)))
 
       case other =>
         throw new IllegalArgumentException(s"unsupported statement: $other")
     }
+  }
+
+  /** Reference semantics for `/` (expression.rs:142-152): INTEGER /
+    * INTEGER is TRUNCATING integer division (Rust i64 `/`; `3 / 2` =
+    * 1, `-7 / 2` = -3), while Catalyst's `/` always widens to double
+    * (`3 / 2` = 1.5) — the same silent-wrong-answer class as `^`/`!`.
+    * Unlike those, the dispatch is type-directed (INTEGER/FLOAT mixes
+    * stay float), so a token rewrite can't do it: this rewrites the
+    * ANALYZED plan, where operand types are known. Both-integral
+    * divisions become `IntegralDivide`, stripping only the
+    * ANALYZER-INSERTED double-casts (a user-written CAST keeps
+    * standard Spark semantics — such a query is outside the
+    * reference's grammar, same policy as the NOT-precedence note
+    * above). Bottom-up, so `a / b / c` over integers chains as
+    * integer division like the reference's left-assoc evaluation.
+    * Divide-by-zero then errors under ANSI mode exactly like the
+    * reference's "Can't divide by zero". UPDATE SET expressions don't
+    * take this path: their results are cast to the target column's
+    * type on write, which truncates identically for integer targets. */
+  private def referenceDivision(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Divide, Expression, IntegralDivide}
+    def integral(t: DataType): Boolean = t match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    // the integral operand under an analyzer-inserted widening cast
+    def intOperand(e: Expression): Option[Expression] = e match {
+      case c @ Cast(u, DoubleType, _, _)
+          if integral(u.dataType) && c.getTagValue(Cast.USER_SPECIFIED_CAST).isEmpty =>
+        Some(u)
+      case _ if integral(e.dataType) => Some(e)
+      case _ => None
+    }
+    val fixed = df.queryExecution.analyzed.transformUp {
+      case node => node.mapExpressions(_.transformUp {
+        case d @ Divide(l, r, _) =>
+          (intOperand(l), intOperand(r)) match {
+            case (Some(li), Some(ri)) => IntegralDivide(li, ri)
+            case _ => d
+          }
+      })
+    }
+    GraftColumnBridge.ofRows(spark, fixed)
   }
 
   // ---------------------------------------------------------- CREATE

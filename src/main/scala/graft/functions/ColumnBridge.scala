@@ -17,6 +17,18 @@ object GraftColumnBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** DataFrame over an already-analyzed logical plan (Dataset.ofRows
+    * is private[sql]) — how GraftSQL re-wraps a plan it has rewritten
+    * (e.g. the reference's integer-division dispatch, which is
+    * type-directed and therefore must run AFTER analysis). */
+  def ofRows(s: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    s match {
+      case c: classic.SparkSession => classic.Dataset.ofRows(c, plan)
+      case other => throw new UnsupportedOperationException(
+        s"classic SparkSession required, got ${other.getClass.getName}")
+    }
+
   /** Collision-free session identity (sessionUUID is private[sql]). */
   def sessionUUID(s: SparkSession): Option[String] = s match {
     case c: classic.SparkSession => Some(c.sessionUUID)

@@ -297,6 +297,36 @@ class GraftSQLSpec extends AnyFunSuite {
     assert(r.isNullAt(2))
   }
 
+  test("reference INTEGER / INTEGER is truncating integer division (expression.rs:142-152)") {
+    val g = session()
+    def one(sql: String): Any = g.execute(sql).collect()(0).get(0)
+    // Spark alone answers 1.5 — the reference truncates like Rust i64 `/`
+    assert(one("SELECT 3 / 2 AS x") == 1L)
+    assert(one("SELECT 7 / 2 AS x") == 3L)
+    // truncation is toward zero, not floor
+    assert(one("SELECT -7 / 2 AS x") == -3L)
+    // left-assoc chain stays integral: (100 / 6) / 2 = 16 / 2 = 8
+    assert(one("SELECT 100 / 6 / 2 AS x") == 8L)
+    // any float operand → float division, like the reference's mixes
+    assert(one("SELECT 3.0 / 2 AS x").toString.toDouble == 1.5)
+    assert(one("SELECT 3 / 2.0 AS x").toString.toDouble == 1.5)
+    // integer division by zero is an error, not NULL (ANSI mode on:
+    // the reference's "Can't divide by zero")
+    intercept[Exception] { g.execute("SELECT 1 / 0 AS x").collect() }
+    // columns dispatch the same way as literals
+    g.execute("CREATE TABLE dv (id INTEGER PRIMARY KEY, n INTEGER, f FLOAT)")
+    g.execute("INSERT INTO dv VALUES (1, 7, 2.0)")
+    assert(one("SELECT n / 2 AS x FROM dv") == 3L)
+    assert(one("SELECT n / f AS x FROM dv") == 3.5)
+    // VALUES expressions evaluate with the same rules
+    g.execute("INSERT INTO dv VALUES (2, 9 / 2, 9 / 2.0)")
+    val r = g.execute("SELECT n, f FROM dv WHERE id = 2").collect()(0)
+    assert(r.getLong(0) == 4L && r.getDouble(1) == 4.5)
+    // a user-written CAST is outside the reference grammar and keeps
+    // standard Spark float-division semantics
+    assert(one("SELECT CAST(3 AS DOUBLE) / 2 AS x") == 1.5)
+  }
+
   test("reference operators evaluate inside INSERT VALUES and UPDATE SET (ast.rs:29-38)") {
     val g = session()
     g.execute("CREATE TABLE calc (id INTEGER PRIMARY KEY, x FLOAT, n INTEGER)")
