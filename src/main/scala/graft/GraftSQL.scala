@@ -262,9 +262,23 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
     * Divide-by-zero then errors under ANSI mode exactly like the
     * reference's "Can't divide by zero". UPDATE SET expressions don't
     * take this path: their results are cast to the target column's
-    * type on write, which truncates identically for integer targets. */
+    * type on write, which truncates identically for integer targets.
+    *
+    * The same pass restores INTEGER ^ INTEGER → INTEGER
+    * (expression.rs:161-165: checked_pow for rhs >= 0): the `^` token
+    * rewrite emits `power()`, which always computes in double —
+    * silently rounding exact i64 results past 2^53 and making
+    * `2 ^ 3 / 3` answer 2.667 where the reference answers 2 (the pow
+    * result feeds integer division). Both-integral Pow with a FOLDABLE
+    * non-negative exponent becomes the overflow-checked
+    * [[graft.functions.IntPow]]; a negative or non-constant exponent
+    * keeps float pow (the reference types that case per-row — rhs < 0
+    * → Float — which a statically-typed plan cannot mirror; constant
+    * exponents are the reference-grammar cases that matter). Running
+    * bottom-up makes the rules compose: IntPow's long output is an
+    * integral operand to an enclosing division. */
   private def referenceDivision(df: DataFrame): DataFrame = {
-    import org.apache.spark.sql.catalyst.expressions.{Cast, Divide, Expression, IntegralDivide}
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Divide, Expression, IntegralDivide, Pow}
     def integral(t: DataType): Boolean = t match {
       case ByteType | ShortType | IntegerType | LongType => true
       case _ => false
@@ -277,12 +291,26 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
       case _ if integral(e.dataType) => Some(e)
       case _ => None
     }
+    def foldedNonNegative(e: Expression): Boolean =
+      e.foldable && (e.eval(null) match {
+        case i: Int   => i >= 0
+        case l: Long  => l >= 0
+        case s: Short => s >= 0
+        case b: Byte  => b >= 0
+        case _        => false
+      })
     val fixed = df.queryExecution.analyzed.transformUp {
       case node => node.mapExpressions(_.transformUp {
         case d @ Divide(l, r, _) =>
           (intOperand(l), intOperand(r)) match {
             case (Some(li), Some(ri)) => IntegralDivide(li, ri)
             case _ => d
+          }
+        case p @ Pow(l, r) =>
+          (intOperand(l), intOperand(r)) match {
+            case (Some(li), Some(ri)) if foldedNonNegative(ri) =>
+              graft.functions.IntPow(li, ri)
+            case _ => p
           }
       })
     }

@@ -52,7 +52,11 @@ object Smoke {
     val g = new GraftSQL(spark, new sources.TableCatalog(spark, root))
     g.execute("CREATE TABLE s (id INTEGER PRIMARY KEY, v DOUBLE INDEX)")
     g.execute("INSERT INTO s VALUES (1, 1.5), (2, 4.0)")
-    require(g.execute("SELECT 2 ^ 3 AS x").collect()(0).get(0) == 8.0, "^ must be exponent")
+    // INTEGER ^ INTEGER is exact i64 like the reference (expression
+    // .rs:161-165), not a double from pow
+    require(g.execute("SELECT 2 ^ 3 AS x").collect()(0).get(0) == 8L, "^ must be exponent")
+    require(g.execute("SELECT 2.0 ^ 3 AS x").collect()(0).get(0) == 8.0, "float ^ stays float")
+    require(g.execute("SELECT 7 / 2 AS x").collect()(0).get(0) == 3L, "int / int truncates")
     require(g.execute("SELECT 5! AS x").collect()(0).get(0) == 120L, "! must be factorial")
     g.execute("BEGIN")
     g.execute("UPDATE s SET v = v * 2 WHERE id = 1")

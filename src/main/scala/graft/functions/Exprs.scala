@@ -147,3 +147,25 @@ case class Jaccard64(left: Expression, right: Expression) extends BinaryExpressi
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
+
+/** The reference's INTEGER ^ INTEGER with non-negative exponent —
+  * EXACT i64 result with overflow checks (expression.rs:161-165),
+  * where `pow` would silently round through double past 2^53. Reached
+  * only via GraftSQL's type-directed rewrite, which guarantees the
+  * exponent is a foldable value >= 0. */
+case class IntPow(left: Expression, right: Expression) extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.GraftTypes.AbstractType] = Seq(LongType, LongType)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "int_pow"
+  // Number.longValue, not asInstanceOf[Long]: the GraftSQL rewrite
+  // folds nested IntPows BEFORE re-analysis inserts the long casts,
+  // so interpreted eval can see Int children (codegen widens int →
+  // long implicitly, this is the interpreted twin)
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.intPow(a.asInstanceOf[Number].longValue, b.asInstanceOf[Number].longValue)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Kernels.intPow($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}

@@ -108,6 +108,25 @@ object Kernels {
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 
+  /** Exact i64 exponentiation by squaring with OVERFLOW CHECKS — the
+    * reference's INTEGER ^ INTEGER (expression.rs:161-165: checked_pow
+    * → "Integer overflow" error). Spark's pow would detour through
+    * double and silently round results past 2^53. Exponent must be
+    * >= 0 (the rewrite in GraftSQL only dispatches here for foldable
+    * non-negative exponents, mirroring the reference's rhs >= 0 arm). */
+  def intPow(base: Long, exp: Long): Long = {
+    require(exp >= 0, s"intPow: negative exponent $exp")
+    var result = 1L
+    var b = base
+    var e = exp
+    while (e > 0) {
+      if ((e & 1L) == 1L) result = Math.multiplyExact(result, b)
+      e >>= 1
+      if (e > 0) b = Math.multiplyExact(b, b)
+    }
+    result
+  }
+
   /** Index of the centroid (array<array<float>>) most cosine-similar
     * to `v` — the IVF cell assignment / coarse-quantizer kernel. Ties
     * break to the lowest index; an empty centroid list yields -1.

@@ -155,7 +155,7 @@ class GraftSQLSpec extends AnyFunSuite {
     val n = g.execute("SELECT 1 AS x WHERE NAN = NAN").count()
     assert(n == 0 || n == 1) // engine-defined; must not throw
     // no interference with the ^/! rewrites
-    assert(g.execute("SELECT 2 ^ 3 AS p").collect()(0).getDouble(0) == 8.0)
+    assert(g.execute("SELECT 2 ^ 3 AS p").collect()(0).getLong(0) == 8L)
     // a backtick-quoted identifier is an explicit column reference and
     // must NOT be rewritten into the literal
     assert(GraftSQL.rewriteOps("SELECT `nan`, nan AS x") ==
@@ -344,21 +344,29 @@ class GraftSQLSpec extends AnyFunSuite {
     val g = session()
     def one(sql: String): Any = g.execute(sql).collect()(0).get(0)
     // Spark alone would answer 2 ^ 3 = 1 (XOR) — the silent-wrong-answer trap
-    assert(one("SELECT 2 ^ 3 AS x") == 8.0)
+    assert(one("SELECT 2 ^ 3 AS x") == 8L)
     assert(one("SELECT 5! AS x") == 120L)
     // right-associative like the reference: 2 ^ 3 ^ 2 = 2 ^ 9
-    assert(one("SELECT 2 ^ 3 ^ 2 AS x") == 512.0)
+    assert(one("SELECT 2 ^ 3 ^ 2 AS x") == 512L)
     // binds tighter than '*': 2 * 3 ^ 2 = 18, not 36
-    assert(one("SELECT 2 * 3 ^ 2 AS x") == 18.0)
+    assert(one("SELECT 2 * 3 ^ 2 AS x") == 18L)
     assert(one("SELECT (1 + 2)! AS x") == 6L)
-    assert(one("SELECT 3! ^ 2 AS x") == 36.0)
+    assert(one("SELECT 3! ^ 2 AS x") == 36L)
+    // INTEGER ^ INTEGER is EXACT i64 (expression.rs:161-165) — 3^39
+    // exceeds double's 2^53 mantissa, where pow() would round
+    assert(one("SELECT 3 ^ 39 AS x") == 4052555153018976267L)
+    // ...and overflow is an error like the reference's checked_pow
+    intercept[Exception] { session().execute("SELECT 2 ^ 64 AS x").collect() }
+    // the integer result feeds integer division (the rules compose):
+    // reference: 2^3 = Integer 8, 8 / 3 = 2 — not pow's 8.0 / 3 = 2.667
+    assert(one("SELECT 2 ^ 3 / 3 AS x") == 2L)
     // untouched inside string literals; != stays not-equals
     assert(one("SELECT 'a^b!' AS x") == "a^b!")
     assert(one("SELECT CASE WHEN 1 != 2 THEN 'ok' ELSE 'no' END AS x") == "ok")
     // function-call operands and nesting
     assert(one("SELECT abs(-3)! AS x") == 6L)
-    assert(one("SELECT 2 ^ (3!) AS x") == 64.0)
-    assert(one("SELECT greatest(2, 3) ^ 2 AS x") == 9.0)
+    assert(one("SELECT 2 ^ (3!) AS x") == 64L)
+    assert(one("SELECT greatest(2, 3) ^ 2 AS x") == 9L)
     // escaped quote inside a literal doesn't derail the scanner
     assert(one("SELECT 'it''s^fine!' AS x") == "it's^fine!")
     // a lone comparison after a factorial-looking token: 5!=120 lexes
@@ -367,15 +375,15 @@ class GraftSQLSpec extends AnyFunSuite {
     // expressions over table columns
     g.execute("CREATE TABLE pw (id INTEGER PRIMARY KEY, n INTEGER)")
     g.execute("INSERT INTO pw VALUES (1, 4)")
-    assert(one("SELECT n ^ 2 AS x FROM pw") == 16.0)
+    assert(one("SELECT n ^ 2 AS x FROM pw") == 16L)
     assert(one("SELECT n! AS x FROM pw WHERE id != 2") == 24L)
     // the reference's PREFIX operators bind tighter than ^ and !
     // (prec 9 vs 7/8, parser/mod.rs:712-725): a unary sign is part of
     // the operand — -2 ^ 2 is (-2)^2 = 4, NOT -(2^2)
-    assert(one("SELECT -2 ^ 2 AS x") == 4.0)
+    assert(one("SELECT -2 ^ 2 AS x") == 4L)
     assert(one("SELECT 2 ^ -2 AS x") == 0.25)
     // ...but a BINARY minus stays outside: 5 - 2 ^ 2 = 5 - 4
-    assert(one("SELECT 5 - 2 ^ 2 AS x") == 1.0)
+    assert(one("SELECT 5 - 2 ^ 2 AS x") == 1L)
     assert(one("SELECT 4 - 3! AS x") == -2L)
     // (-3)! like the reference's precedence — undefined, not -(3!)=-6
     assert(g.execute("SELECT -3! AS x").collect()(0).isNullAt(0))
