@@ -276,9 +276,18 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
     * → Float — which a statically-typed plan cannot mirror; constant
     * exponents are the reference-grammar cases that matter). Running
     * bottom-up makes the rules compose: IntPow's long output is an
-    * integral operand to an enclosing division. */
+    * integral operand to an enclosing division.
+    *
+    * AVG over INTEGER follows the same reference rule
+    * (aggregation.rs:132-137: `Integer(sum / count)` — integer
+    * division in the finalizer): Catalyst's Average always answers in
+    * double (AVG of 1,2 = 1.5 where the reference answers 1), so an
+    * integral-input Average becomes sum ÷ count with IntegralDivide —
+    * the exact distributed form of the reference's finalizer, with
+    * null/empty groups propagating identically (null sum → null). */
   private def referenceDivision(df: DataFrame): DataFrame = {
-    import org.apache.spark.sql.catalyst.expressions.{Cast, Divide, Expression, IntegralDivide, Pow}
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Divide, Expression, IntegralDivide, NamedExpression, Pow}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Sum}
     def integral(t: DataType): Boolean = t match {
       case ByteType | ShortType | IntegerType | LongType => true
       case _ => false
@@ -312,6 +321,10 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
               graft.functions.IntPow(li, ri)
             case _ => p
           }
+        case ae @ AggregateExpression(Average(c, _), _, _, _, _) if integral(c.dataType) =>
+          IntegralDivide(
+            ae.copy(aggregateFunction = Sum(c), resultId = NamedExpression.newExprId),
+            ae.copy(aggregateFunction = Count(Seq(c)), resultId = NamedExpression.newExprId))
       })
     }
     GraftColumnBridge.ofRows(spark, fixed)

@@ -327,6 +327,28 @@ class GraftSQLSpec extends AnyFunSuite {
     assert(one("SELECT CAST(3 AS DOUBLE) / 2 AS x") == 1.5)
   }
 
+  test("reference AVG over INTEGER is integer division in the finalizer (aggregation.rs:132-137)") {
+    val g = session()
+    def one(sql: String): Any = g.execute(sql).collect()(0).get(0)
+    g.execute("CREATE TABLE av (id INTEGER PRIMARY KEY, v INTEGER, f FLOAT, grp STRING)")
+    g.execute("INSERT INTO av VALUES (1, 1, 1.0, 'a'), (2, 2, 2.0, 'a'), (3, 10, 10.0, 'b')")
+    // Spark alone answers 1.5; the reference's Average finalizer is
+    // Integer(sum / count)
+    assert(one("SELECT avg(v) AS x FROM av WHERE grp = 'a'") == 1L)
+    // float input keeps float semantics
+    assert(one("SELECT avg(f) AS x FROM av WHERE grp = 'a'") == 1.5)
+    // grouped form dispatches the same way
+    val rows = g.execute("SELECT grp, avg(v) AS a FROM av GROUP BY grp ORDER BY grp").collect()
+    assert(rows(0).getLong(1) == 1L && rows(1).getLong(1) == 10L)
+    // empty input → NULL, like the reference's (Null, _) arm
+    assert(g.execute("SELECT avg(v) AS x FROM av WHERE id > 99").collect()(0).isNullAt(0))
+    // mixed statement: other aggregates unaffected
+    val m = g.execute("SELECT avg(v) AS a, sum(v) AS s, count(*) AS c, min(f) AS mn FROM av")
+      .collect()(0)
+    assert(m.getLong(0) == 4L && m.getLong(1) == 13L && m.getLong(2) == 3L
+      && m.getDouble(3) == 1.0)
+  }
+
   test("reference operators evaluate inside INSERT VALUES and UPDATE SET (ast.rs:29-38)") {
     val g = session()
     g.execute("CREATE TABLE calc (id INTEGER PRIMARY KEY, x FLOAT, n INTEGER)")
