@@ -2,7 +2,7 @@ package graft
 
 import graft.sources.TableCatalog
 import org.apache.spark.sql.{DataFrame, GraftColumnBridge, SparkSession}
-import org.apache.spark.sql.functions.{expr, lit}
+import org.apache.spark.sql.functions.lit
 import org.apache.spark.sql.types._
 
 /** SQL-text front over the graft catalog: the full entangleDB
@@ -182,7 +182,7 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
         // Spark relation; columns come back as col1, col2, ...
         // referenceDivision: VALUES expressions follow the reference's
         // evaluation rules too (INSERT ... VALUES (7 / 2) inserts 3)
-        val raw = referenceDivision(spark.sql(s"SELECT * FROM VALUES $valuesBody"))
+        val raw = referenceSql(s"SELECT * FROM VALUES $valuesBody")
         val targetCols: Seq[String] = Option(colList) match {
           case Some(cl) => cl.split(",").map(_.trim).toSeq
           case None =>
@@ -202,9 +202,9 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
         val (setBody, whereBody) = GraftSQL.splitAtTopLevelWhere(body)
         val sets = splitTopLevel(setBody, ',').map { a =>
           val Array(k, v) = a.split("=", 2)
-          k.trim -> expr(v.trim)
+          k.trim -> referenceExpr(v.trim)
         }.toMap
-        val where = whereBody.map(w => expr(w.trim)).getOrElse(lit(true))
+        val where = whereBody.map(w => referenceExpr(w.trim)).getOrElse(lit(true))
         txn match {
           case Some(t) => t.update(name, sets, where)
           case None    => catalog.update(name, sets, where)
@@ -213,7 +213,7 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
 
       case deleteRe(name, whereBody) =>
         require(asOf.isEmpty && !readOnly, "read-only transaction")
-        val where = Option(whereBody).map(w => expr(w.trim)).getOrElse(lit(true))
+        val where = Option(whereBody).map(w => referenceExpr(w.trim)).getOrElse(lit(true))
         txn match {
           case Some(t) => t.delete(name, where)
           case None    => catalog.delete(name, where)
@@ -238,97 +238,33 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
         // the names held before, so no graft snapshot — least of all
         // a txn-private one — lingers in the shared namespace
         GraftSession.withTempViews(spark,
-          lastRegistered.map(n => n -> currentScan(n)))(
-          referenceDivision(spark.sql(s)))
+          lastRegistered.map(n => n -> currentScan(n)))(referenceSql(s))
 
       case other =>
         throw new IllegalArgumentException(s"unsupported statement: $other")
     }
   }
 
-  /** Reference semantics for `/` (expression.rs:142-152): INTEGER /
-    * INTEGER is TRUNCATING integer division (Rust i64 `/`; `3 / 2` =
-    * 1, `-7 / 2` = -3), while Catalyst's `/` always widens to double
-    * (`3 / 2` = 1.5) — the same silent-wrong-answer class as `^`/`!`.
-    * Unlike those, the dispatch is type-directed (INTEGER/FLOAT mixes
-    * stay float), so a token rewrite can't do it: this rewrites the
-    * ANALYZED plan, where operand types are known. Both-integral
-    * divisions become `IntegralDivide`, stripping only the
-    * ANALYZER-INSERTED double-casts (a user-written CAST keeps
-    * standard Spark semantics — such a query is outside the
-    * reference's grammar, same policy as the NOT-precedence note
-    * above). Bottom-up, so `a / b / c` over integers chains as
-    * integer division like the reference's left-assoc evaluation.
-    * Divide-by-zero then errors under ANSI mode exactly like the
-    * reference's "Can't divide by zero". UPDATE SET expressions don't
-    * take this path: their results are cast to the target column's
-    * type on write, which truncates identically for integer targets.
-    *
-    * The same pass restores INTEGER ^ INTEGER → INTEGER
-    * (expression.rs:161-165: checked_pow for rhs >= 0): the `^` token
-    * rewrite emits `power()`, which always computes in double —
-    * silently rounding exact i64 results past 2^53 and making
-    * `2 ^ 3 / 3` answer 2.667 where the reference answers 2 (the pow
-    * result feeds integer division). Both-integral Pow with a FOLDABLE
-    * non-negative exponent becomes the overflow-checked
-    * [[graft.functions.IntPow]]; a negative or non-constant exponent
-    * keeps float pow (the reference types that case per-row — rhs < 0
-    * → Float — which a statically-typed plan cannot mirror; constant
-    * exponents are the reference-grammar cases that matter). Running
-    * bottom-up makes the rules compose: IntPow's long output is an
-    * integral operand to an enclosing division.
-    *
-    * AVG over INTEGER follows the same reference rule
-    * (aggregation.rs:132-137: `Integer(sum / count)` — integer
-    * division in the finalizer): Catalyst's Average always answers in
-    * double (AVG of 1,2 = 1.5 where the reference answers 1), so an
-    * integral-input Average becomes sum ÷ count with IntegralDivide —
-    * the exact distributed form of the reference's finalizer, with
-    * null/empty groups propagating identically (null sum → null). */
-  private def referenceDivision(df: DataFrame): DataFrame = {
-    import org.apache.spark.sql.catalyst.expressions.{Cast, Divide, Expression, IntegralDivide, NamedExpression, Pow}
-    import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Sum}
-    def integral(t: DataType): Boolean = t match {
-      case ByteType | ShortType | IntegerType | LongType => true
-      case _ => false
-    }
-    // the integral operand under an analyzer-inserted widening cast
-    def intOperand(e: Expression): Option[Expression] = e match {
-      case c @ Cast(u, DoubleType, _, _)
-          if integral(u.dataType) && c.getTagValue(Cast.USER_SPECIFIED_CAST).isEmpty =>
-        Some(u)
-      case _ if integral(e.dataType) => Some(e)
-      case _ => None
-    }
-    def foldedNonNegative(e: Expression): Boolean =
-      e.foldable && (e.eval(null) match {
-        case i: Int   => i >= 0
-        case l: Long  => l >= 0
-        case s: Short => s >= 0
-        case b: Byte  => b >= 0
-        case _        => false
-      })
-    val fixed = df.queryExecution.analyzed.transformUp {
-      case node => node.mapExpressions(_.transformUp {
-        case d @ Divide(l, r, _) =>
-          (intOperand(l), intOperand(r)) match {
-            case (Some(li), Some(ri)) => IntegralDivide(li, ri)
-            case _ => d
-          }
-        case p @ Pow(l, r) =>
-          (intOperand(l), intOperand(r)) match {
-            case (Some(li), Some(ri)) if foldedNonNegative(ri) =>
-              graft.functions.IntPow(li, ri)
-            case _ => p
-          }
-        case ae @ AggregateExpression(Average(c, _), _, _, _, _) if integral(c.dataType) =>
-          IntegralDivide(
-            ae.copy(aggregateFunction = Sum(c), resultId = NamedExpression.newExprId),
-            ae.copy(aggregateFunction = Count(Seq(c)), resultId = NamedExpression.newExprId))
-      })
-    }
-    GraftColumnBridge.ofRows(spark, fixed)
-  }
+  /** Parse `sql` and substitute the reference's type-dispatching
+    * arithmetic ([[GraftSQL.refArithmetic]]) BEFORE analysis, then let
+    * the analyzer resolve the rewritten tree — types flow through
+    * CTEs, subqueries and windows natively, with no post-hoc
+    * attribute patching. */
+  private def referenceSql(sql: String): DataFrame =
+    GraftColumnBridge.ofRows(spark,
+      GraftSQL.refArithmeticPlan(spark.sessionState.sqlParser.parsePlan(sql)))
+
+  /** The arithmetic rules for an UPDATE SET / WHERE or DELETE WHERE
+    * expression — same parse-level substitution as SELECT, so
+    * `UPDATE t SET n = 3 ^ 39` stores the exact i64 that SELECT
+    * answers and `DELETE ... WHERE n / 2 = 3` filters with integer
+    * division. Parses eagerly with the session parser — `expr()`
+    * would defer the parse inside a SqlExpression node the rewrite
+    * can't see into. The Column stays unresolved; the catalog binds
+    * it. */
+  private def referenceExpr(text: String): org.apache.spark.sql.Column =
+    GraftColumnBridge.column(
+      GraftSQL.refArithmetic(spark.sessionState.sqlParser.parseExpression(text)))
 
   // ---------------------------------------------------------- CREATE
   private def createTable(name: String, colsBody: String): Unit = {
@@ -380,6 +316,79 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
 
 /** Dialect shims shared by every [[GraftSQL]] instance. */
 object GraftSQL {
+
+  /** The reference's arithmetic substituted into one PARSED
+    * (unresolved) expression tree — the type dispatch itself lives in
+    * [[graft.functions.RefDiv]]/[[graft.functions.RefPow]], whose
+    * `dataType` encodes the reference rules once the analyzer has
+    * resolved operand types:
+    *
+    *  - `/` (parsed as `Divide`) → `RefDiv` — INTEGER/INTEGER
+    *    truncates in i64 with divide-by-zero an error
+    *    (expression.rs:142-152); a float operand → double division.
+    *  - `power(..)` (what the `^` token rewrite emits) → `RefPow` —
+    *    INTEGER^INTEGER with a foldable non-negative exponent is
+    *    exact checked i64 (expression.rs:161-165).
+    *  - `avg(x)` → `RefDiv(sum(x), count(x))` — the reference's
+    *    Average finalizer is `Integer(sum / count)`
+    *    (aggregation.rs:132-137); over floats, sum/count is exactly
+    *    what Catalyst's Average computes anyway. DISTINCT and FILTER
+    *    propagate to both halves.
+    *
+    * Window functions are carved out: the reference grammar has no
+    * OVER clause, so `avg(x) OVER w` keeps Catalyst's Average (a
+    * sum÷count rewrite would not be a valid window function), while
+    * operands inside window ARGUMENTS still get the scalar rules.
+    * Rewriting before analysis means the analyzer itself propagates
+    * the narrowed types through CTEs, subqueries and nested scopes —
+    * nothing is patched after the fact. */
+  private[graft] def refArithmetic(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+    import org.apache.spark.sql.catalyst.expressions.{Divide, SubqueryExpression, WindowExpression}
+    import graft.functions.{RefDiv, RefPow}
+    def fnName(f: UnresolvedFunction): String =
+      if (f.nameParts.length == 1) f.nameParts.head.toLowerCase(java.util.Locale.ROOT) else ""
+    e match {
+      case we: WindowExpression =>
+        we.mapChildren {
+          case f: UnresolvedFunction => f.mapChildren(refArithmetic)
+          case other => refArithmetic(other)
+        }
+      case sq: SubqueryExpression => sq.withNewPlan(refArithmeticPlan(sq.plan))
+      case _ =>
+        e.mapChildren(refArithmetic) match {
+          case Divide(l, r, _) => RefDiv(l, r)
+          case f: UnresolvedFunction
+              if fnName(f) == "power" && f.arguments.length == 2 && !f.isDistinct =>
+            RefPow(f.arguments(0), f.arguments(1))
+          case f: UnresolvedFunction
+              if fnName(f) == "avg" && f.arguments.length == 1 =>
+            RefDiv(
+              f.copy(nameParts = Seq("sum")),
+              f.copy(nameParts = Seq("count")))
+          case other => other
+        }
+    }
+  }
+
+  /** [[refArithmetic]] over every expression of a parsed plan,
+    * including subquery plans and CTE definitions (UnresolvedWith
+    * holds its CTE relations outside `children`, so a plain transform
+    * would miss them). */
+  private[graft] def refArithmeticPlan(
+      p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    import org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith
+    p.transformDown {
+      case w: UnresolvedWith =>
+        w.copy(cteRelations = w.cteRelations.map { case (n, rel, o) =>
+          (n, refArithmeticPlan(rel)
+            .asInstanceOf[org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias], o)
+        }).mapExpressions(refArithmetic)
+      case node => node.mapExpressions(refArithmetic)
+    }
+  }
 
   // SQL keywords that can directly precede a prefix `!` (NOT) — a `!`
   // after one of these is never the reference's postfix factorial

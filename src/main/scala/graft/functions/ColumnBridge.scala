@@ -11,6 +11,12 @@ import org.apache.spark.sql.catalyst.expressions.Expression
   * from outside the org.apache.spark.sql package. */
 object GraftTypes {
   type AbstractType = org.apache.spark.sql.types.AbstractDataType
+
+  /** The NumericType companion as an AbstractDataType (it is
+    * private[sql]) — "any numeric child, UNCAST", used by the
+    * reference-arithmetic expressions whose long-vs-double dispatch
+    * must read the raw child type. */
+  val numeric: AbstractType = types.NumericType
 }
 
 object GraftColumnBridge {

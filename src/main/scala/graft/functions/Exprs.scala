@@ -148,24 +148,88 @@ case class Jaccard64(left: Expression, right: Expression) extends BinaryExpressi
     copy(left = l, right = r)
 }
 
-/** The reference's INTEGER ^ INTEGER with non-negative exponent —
-  * EXACT i64 result with overflow checks (expression.rs:161-165),
-  * where `pow` would silently round through double past 2^53. Reached
-  * only via GraftSQL's type-directed rewrite, which guarantees the
-  * exponent is a foldable value >= 0. */
-case class IntPow(left: Expression, right: Expression) extends BinaryExpression with ImplicitCastInputTypes {
-  override def inputTypes: Seq[org.apache.spark.sql.GraftTypes.AbstractType] = Seq(LongType, LongType)
-  override def dataType: DataType = LongType
+/** The reference's `/` (expression.rs:142-152), as a TYPE-DISPATCHING
+  * expression substituted for Catalyst's `Divide` at PARSE time by
+  * GraftSQL: INTEGER / INTEGER is truncating i64 division with
+  * divide-by-zero an error; any FLOAT operand makes it double
+  * division. Carrying the dispatch in `dataType` (long iff both
+  * operands resolve integral) lets the ANALYZER propagate the correct
+  * type through CTEs, subqueries and windows — no post-analysis
+  * attribute patching. Integral operands implicitly widen to long,
+  * fractional/decimal to double (ANSI implicit casts never narrow a
+  * double into the LongType branch). */
+case class RefDiv(left: Expression, right: Expression) extends BinaryExpression with ImplicitCastInputTypes {
+  import RefArith._
+  override def inputTypes: Seq[org.apache.spark.sql.GraftTypes.AbstractType] = numericInputs
+  private def longMode = integral(left.dataType) && integral(right.dataType)
+  override def dataType: DataType = if (longMode) LongType else DoubleType
   override def nullIntolerant: Boolean = true
-  override def prettyName: String = "int_pow"
-  // Number.longValue, not asInstanceOf[Long]: the GraftSQL rewrite
-  // folds nested IntPows BEFORE re-analysis inserts the long casts,
-  // so interpreted eval can see Int children (codegen widens int →
-  // long implicitly, this is the interpreted twin)
+  override def prettyName: String = "ref_div"
+  override def sql: String = s"(${left.sql} / ${right.sql})"
   override protected def nullSafeEval(a: Any, b: Any): Any =
-    Kernels.intPow(a.asInstanceOf[Number].longValue, b.asInstanceOf[Number].longValue)
+    if (longMode) Kernels.refDivLong(toL(a), toL(b))
+    else toD(a) / toD(b)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Kernels.intPow($a, $b)")
+    if (longMode)
+      defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Kernels.refDivLong((long)($a), (long)($b))")
+    else
+      defineCodeGen(ctx, ev, (a, b) =>
+        s"(${dblCode(a, left.dataType)} / ${dblCode(b, right.dataType)})")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** The reference's `^` (expression.rs:160-174), substituted for the
+  * token-rewrite's `power()` at parse time: INTEGER ^ INTEGER with a
+  * non-negative exponent is EXACT i64 (checked_pow — `pow` would
+  * round through double past 2^53); a float operand or negative
+  * exponent computes in double. The reference types the
+  * negative-exponent case PER ROW (rhs < 0 → Float), which a static
+  * type cannot mirror — so the i64 branch requires a FOLDABLE
+  * exponent, covering the reference-grammar cases that matter
+  * (`x ^ 2`); a non-constant integral exponent keeps double. */
+object RefArith {
+  import org.apache.spark.sql.GraftTypes.AbstractType
+  /** Accept any numeric child UNCAST — the long-vs-double dispatch
+    * reads the raw child type (an implicit-cast collection would let
+    * the coercion rules pick a branch, e.g. decimal 3.0 → long). */
+  val numericInputs: Seq[AbstractType] =
+    Seq(org.apache.spark.sql.GraftTypes.numeric, org.apache.spark.sql.GraftTypes.numeric)
+  def integral(t: DataType): Boolean = t match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+  def toD(x: Any): Double = x match {
+    case d: Decimal => d.toDouble
+    case n: java.lang.Number => n.doubleValue
+  }
+  def toL(x: Any): Long = x.asInstanceOf[java.lang.Number].longValue
+  /** Java source converting a child's codegen value to double. */
+  def dblCode(code: String, t: DataType): String = t match {
+    case _: DecimalType => s"$code.toDouble()"
+    case _              => s"(double)($code)"
+  }
+}
+case class RefPow(left: Expression, right: Expression) extends BinaryExpression with ImplicitCastInputTypes {
+  import RefArith._
+  override def inputTypes: Seq[org.apache.spark.sql.GraftTypes.AbstractType] = numericInputs
+  private lazy val longMode =
+    integral(left.dataType) && integral(right.dataType) && right.foldable && {
+      val v = right.eval(null)
+      v != null && v.asInstanceOf[java.lang.Number].longValue >= 0
+    }
+  override def dataType: DataType = if (longMode) LongType else DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "ref_pow"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    if (longMode) Kernels.intPow(toL(a), toL(b))
+    else Math.pow(toD(a), toD(b))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    if (longMode)
+      defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Kernels.intPow((long)($a), (long)($b))")
+    else
+      defineCodeGen(ctx, ev, (a, b) =>
+        s"java.lang.Math.pow(${dblCode(a, left.dataType)}, ${dblCode(b, right.dataType)})")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }

@@ -108,6 +108,14 @@ object Kernels {
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 
+  /** The reference's INTEGER / INTEGER (expression.rs:142-147):
+    * truncating i64 division, divide-by-zero an error regardless of
+    * ANSI conf ("Can't divide by zero"). */
+  def refDivLong(a: Long, b: Long): Long = {
+    if (b == 0L) throw new ArithmeticException("Can't divide by zero")
+    a / b
+  }
+
   /** Exact i64 exponentiation by squaring with OVERFLOW CHECKS — the
     * reference's INTEGER ^ INTEGER (expression.rs:161-165: checked_pow
     * → "Integer overflow" error). Spark's pow would detour through

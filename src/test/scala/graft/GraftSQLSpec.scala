@@ -325,6 +325,51 @@ class GraftSQLSpec extends AnyFunSuite {
     // a user-written CAST is outside the reference grammar and keeps
     // standard Spark float-division semantics
     assert(one("SELECT CAST(3 AS DOUBLE) / 2 AS x") == 1.5)
+    // the narrowed type propagates across plan-node boundaries — CTE,
+    // subquery, and post-aggregate references must re-bind, not crash
+    // on stale double-typed attributes or silently stay double
+    assert(one("WITH t AS (SELECT 7 / 2 AS x) SELECT x + 1 AS y FROM t") == 4L)
+    assert(one("SELECT x + 1 AS y FROM (SELECT 7 / 2 AS x) t") == 4L)
+    assert(one("SELECT x / 2 AS y FROM (SELECT 7 / 2 AS x) t") == 1L)
+  }
+
+  test("reference arithmetic reaches UPDATE/DELETE WHERE and stays consistent with SELECT") {
+    val g = session()
+    def one(sql: String): Any = g.execute(sql).collect()(0).get(0)
+    g.execute("CREATE TABLE dw (id INTEGER PRIMARY KEY, n INTEGER, f FLOAT)")
+    g.execute("INSERT INTO dw VALUES (1, 6, 0.0), (2, 7, 0.0), (3, 9, 0.0)")
+    // reference: 7/2 = 3, so ids 1 AND 2 match n / 2 = 3 (float
+    // division would match only id 1)
+    assert(g.execute("SELECT count(*) AS c FROM dw WHERE n / 2 = 3")
+      .collect()(0).getLong(0) == 2L)
+    g.execute("DELETE FROM dw WHERE n / 2 = 3")
+    assert(g.execute("SELECT id FROM dw").collect().map(_.getLong(0)).toSeq == Seq(3L))
+    // UPDATE SET stores the same exact value SELECT answers: 3 ^ 39
+    // through power() would round past 2^53 before the write cast
+    g.execute("UPDATE dw SET n = 3 ^ 39 WHERE id = 3")
+    assert(one("SELECT n FROM dw WHERE id = 3") == 4052555153018976267L)
+    // float-target division follows reference evaluation: 7 / 2 = 3
+    // (Integer), stored as 3.0 — not power-of-double's 3.5
+    g.execute("UPDATE dw SET f = 7 / 2 WHERE id = 3")
+    assert(one("SELECT f FROM dw WHERE id = 3") == 3.0)
+    // overflow in an UPDATE errors like the reference's checked_pow
+    intercept[Exception] { g.execute("UPDATE dw SET n = 2 ^ 64 WHERE id = 3") }
+  }
+
+  test("window queries (outside the reference grammar) keep Spark semantics and run") {
+    val g = session()
+    g.execute("CREATE TABLE wq (id INTEGER PRIMARY KEY, v INTEGER, grp STRING)")
+    g.execute("INSERT INTO wq VALUES (1, 1, 'a'), (2, 2, 'a'), (3, 10, 'b')")
+    // integral avg INSIDE a window stays Catalyst's double Average —
+    // rewriting it would not be a valid window function at all
+    val rows = g.execute(
+      "SELECT id, avg(v) OVER (PARTITION BY grp) AS w FROM wq ORDER BY id").collect()
+    assert(rows(0).getDouble(1) == 1.5 && rows(2).getDouble(1) == 10.0)
+    // scalar rules still apply inside window ARGUMENTS: 7/2 = 3
+    val arg = g.execute(
+      "SELECT sum(v * (7 / 2)) OVER (PARTITION BY grp) AS s FROM wq WHERE grp = 'b'")
+      .collect()(0)
+    assert(arg.getLong(0) == 30L)
   }
 
   test("reference AVG over INTEGER is integer division in the finalizer (aggregation.rs:132-137)") {
