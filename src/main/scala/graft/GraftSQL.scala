@@ -326,7 +326,8 @@ object GraftSQL {
     *  - `/` (parsed as `Divide`) → `RefDiv` — INTEGER/INTEGER
     *    truncates in i64 with divide-by-zero an error
     *    (expression.rs:142-152); a float operand → double division.
-    *  - `power(..)` (what the `^` token rewrite emits) → `RefPow` —
+    *  - `graft_pow(..)` (the sentinel the `^` token rewrite emits —
+    *    a user-written `power()` keeps Spark semantics) → `RefPow` —
     *    INTEGER^INTEGER with a foldable non-negative exponent is
     *    exact checked i64 (expression.rs:161-165).
     *  - `avg(x)` → `RefDiv(sum(x), count(x))` — the reference's
@@ -345,22 +346,26 @@ object GraftSQL {
   private[graft] def refArithmetic(e: org.apache.spark.sql.catalyst.expressions.Expression)
       : org.apache.spark.sql.catalyst.expressions.Expression = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
-    import org.apache.spark.sql.catalyst.expressions.{Divide, SubqueryExpression, WindowExpression}
+    import org.apache.spark.sql.catalyst.expressions.{Divide, SubqueryExpression, UnresolvedWindowExpression, WindowExpression}
     import graft.functions.{RefDiv, RefPow}
     def fnName(f: UnresolvedFunction): String =
       if (f.nameParts.length == 1) f.nameParts.head.toLowerCase(java.util.Locale.ROOT) else ""
+    // both window forms: inline `OVER (...)` parses to WindowExpression,
+    // a named `OVER w ... WINDOW w AS (...)` to UnresolvedWindowExpression
+    def carveWindow(w: org.apache.spark.sql.catalyst.expressions.Expression) =
+      w.mapChildren {
+        case f: UnresolvedFunction => f.mapChildren(refArithmetic)
+        case other => refArithmetic(other)
+      }
     e match {
-      case we: WindowExpression =>
-        we.mapChildren {
-          case f: UnresolvedFunction => f.mapChildren(refArithmetic)
-          case other => refArithmetic(other)
-        }
+      case we: WindowExpression           => carveWindow(we)
+      case we: UnresolvedWindowExpression => carveWindow(we)
       case sq: SubqueryExpression => sq.withNewPlan(refArithmeticPlan(sq.plan))
       case _ =>
         e.mapChildren(refArithmetic) match {
           case Divide(l, r, _) => RefDiv(l, r)
           case f: UnresolvedFunction
-              if fnName(f) == "power" && f.arguments.length == 2 && !f.isDistinct =>
+              if fnName(f) == "graft_pow" && f.arguments.length == 2 && !f.isDistinct =>
             RefPow(f.arguments(0), f.arguments(1))
           case f: UnresolvedFunction
               if fnName(f) == "avg" && f.arguments.length == 1 =>
@@ -398,12 +403,15 @@ object GraftSQL {
     "VALUES", "SET", "AS", "JOIN", "DISTINCT", "ALL", "LIMIT", "OFFSET")
 
   /** Rewrite the reference's `^` (exponentiation, right-associative,
-    * ast.rs:149) and postfix `!` (factorial, ast.rs:150) into Spark's
-    * `power()` / `factorial()` before delegating to Catalyst's parser.
-    * Without this, Spark silently parses `^` as bitwise XOR
-    * (`2 ^ 3 = 1`, not 8) and rejects postfix `!` — wrong answers with
-    * no error, the worst failure mode. String-literal- and paren-safe;
-    * `!=` is left untouched. */
+    * ast.rs:149) and postfix `!` (factorial, ast.rs:150) into
+    * `graft_pow()` (a sentinel [[refArithmetic]] turns into
+    * [[graft.functions.RefPow]] — NOT `power`, so a user-written
+    * power() call keeps standard Spark semantics) and Spark's
+    * `factorial()` before delegating to Catalyst's parser. Without
+    * this, Spark silently parses `^` as bitwise XOR (`2 ^ 3 = 1`, not
+    * 8) and rejects postfix `!` — wrong answers with no error, the
+    * worst failure mode. String-literal- and paren-safe; `!=` is left
+    * untouched. */
   private[graft] def rewriteOps(sql: String): String = {
     // iterate to fixpoint: an exponent rewrite can expose a postfix `!`
     // that only became attachable once its operand gained parentheses
@@ -623,7 +631,9 @@ object GraftSQL {
         val re = primaryEnd(s, idx + 1)
         val l = s.substring(ls, idx).trim
         val r = s.substring(idx + 1, re).trim
-        s = s.substring(0, ls) + s"power($l,$r)" + s.substring(re)
+        // the sentinel name (not `power`) keeps a user-written power()
+        // call on standard Spark semantics — only `^` gets RefPow
+        s = s.substring(0, ls) + s"graft_pow($l,$r)" + s.substring(re)
       }
     }
     s

@@ -113,6 +113,9 @@ object Kernels {
     * ANSI conf ("Can't divide by zero"). */
   def refDivLong(a: Long, b: Long): Long = {
     if (b == 0L) throw new ArithmeticException("Can't divide by zero")
+    // the one i64 division overflow: Java wraps silently, Rust panics
+    if (a == Long.MinValue && b == -1L)
+      throw new ArithmeticException("Integer overflow")
     a / b
   }
 

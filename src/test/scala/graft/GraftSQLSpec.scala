@@ -370,6 +370,27 @@ class GraftSQLSpec extends AnyFunSuite {
       "SELECT sum(v * (7 / 2)) OVER (PARTITION BY grp) AS s FROM wq WHERE grp = 'b'")
       .collect()(0)
     assert(arg.getLong(0) == 30L)
+    // the NAMED window form parses to UnresolvedWindowExpression, not
+    // WindowExpression — the carve-out must cover both
+    val named = g.execute(
+      "SELECT avg(v) OVER w AS a FROM wq WINDOW w AS (PARTITION BY grp) ORDER BY id")
+      .collect()
+    assert(named(0).getDouble(0) == 1.5 && named(2).getDouble(0) == 10.0)
+  }
+
+  test("user-written power() and CAST keep Spark semantics; only ^ dispatches to RefPow") {
+    val g = session()
+    def one(sql: String): Any = g.execute(sql).collect()(0).get(0)
+    // power() is Spark's builtin everywhere else — it must not
+    // inherit the reference's exact-i64 ^ semantics
+    assert(one("SELECT power(3, 39) AS x") == 4.052555153018976e18)
+    assert(one("SELECT power(2, 64) AS x") == 1.8446744073709552e19) // no overflow error
+    // while the reference operator is exact and checked
+    assert(one("SELECT 3 ^ 39 AS x") == 4052555153018976267L)
+    // the single i64 division overflow errors like Rust's panicking /
+    intercept[Exception] {
+      g.execute("SELECT (-9223372036854775807 - 1) / -1 AS x").collect()
+    }
   }
 
   test("reference AVG over INTEGER is integer division in the finalizer (aggregation.rs:132-137)") {
