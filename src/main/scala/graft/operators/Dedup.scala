@@ -269,6 +269,51 @@ object Dedup {
       .orderBy("corpus_doc", "new_doc")
   }
 
+  // ---------------------------------------------------------------- d08
+  /** Benchmark DECONTAMINATION: flag training documents that share any
+    * word 8-gram with the evaluation set — the pass every serious
+    * training pipeline runs so eval answers don't leak into training
+    * data. Eval set: doc_id % 20 == 0 (the held-out 5%); output: each
+    * contaminated TRAIN doc with its count of distinct shared 8-grams.
+    *
+    * Scale shape: grams are hashed to 64 bits before the join (8-byte
+    * keys, the d01 pattern — the 2^-64 collision tolerance standard in
+    * dedup pipelines), and the EVAL side is broadcast: benchmark sets
+    * are thousands of documents regardless of corpus size, so the
+    * 100 TB corpus never shuffles — each task streams its train grams
+    * past the in-memory eval-gram set. The oracle recomputes the same
+    * overlap on gram STRINGS brute-force. */
+  def d08Decontaminate(s: SparkSession, d: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    // one row per (doc, 8-gram hash): codegen'd lambda pipeline —
+    // sequence/transform/slice stay whole-stage, no UDF
+    def grams(df: DataFrame) = df
+      .filter(size(toks) >= 8)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(toks) - 8),
+          i => xxhash64(array_join(slice(toks, i + lit(1), lit(8)), " ")))).as("gh"))
+    val docs = Tables.documents(s, d)
+    val evalGrams  = grams(docs.filter(col("doc_id") % 20 === 0)).select("gh").distinct()
+    val trainGrams = grams(docs.filter(col("doc_id") % 20 =!= 0)).distinct()
+    trainGrams.join(broadcast(evalGrams), "gh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_shared_8grams"))
+      .orderBy("doc_id")
+  }
+
+  val d08OracleSql: String =
+    """WITH toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+      |grams AS (
+      |  SELECT doc_id, ARRAY_TO_STRING(t[i:i+7], ' ') AS g
+      |  FROM toks, UNNEST(RANGE(1, LEN(t)-6)) AS r(i)
+      |  WHERE LEN(t) >= 8
+      |),
+      |eval_g AS (SELECT DISTINCT g FROM grams WHERE doc_id % 20 = 0),
+      |train_g AS (SELECT DISTINCT doc_id, g FROM grams WHERE doc_id % 20 <> 0)
+      |SELECT t.doc_id, CAST(COUNT(*) AS INT) AS n_shared_8grams
+      |FROM train_g t JOIN eval_g e USING (g)
+      |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+
   /** Brute force over CROSS (even, odd) pairs only — the oracle's
     * restriction of d04's pair universe to new-vs-existing. */
   val d07OracleSql: String =
@@ -287,7 +332,8 @@ object Dedup {
     "d04_dedup_ngram"     -> (d04NgramJaccard _),
     "d05_dedup_embedding" -> (d05Embedding _),
     "d06_dedup_clusters"  -> (d06Clusters _),
-    "d07_dedup_incremental" -> (d07Incremental _))
+    "d07_dedup_incremental" -> (d07Incremental _),
+    "d08_decontaminate"   -> (d08Decontaminate _))
 
   /** d04/d06 ARE oracle-checkable, via brute force: DuckDB computes
     * all-pairs 5-gram Jaccard (char n-grams == byte n-grams on this
@@ -361,5 +407,6 @@ object Dedup {
     "d01_dedup_exact"       -> d01OracleSql,
     "d04_dedup_ngram"       -> d04OracleSql,
     "d06_dedup_clusters"    -> d06OracleSql,
-    "d07_dedup_incremental" -> d07OracleSql)
+    "d07_dedup_incremental" -> d07OracleSql,
+    "d08_decontaminate"     -> d08OracleSql)
 }

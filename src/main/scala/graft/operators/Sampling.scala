@@ -96,14 +96,69 @@ object Sampling {
       |  FROM documents) t
       |WHERE rn <= 50 ORDER BY lang, doc_id""".stripMargin
 
+  /** p05: EXACT-QUOTA mixture composition — build a training mix that
+    * hits target proportions per source class exactly ("upweight
+    * curated, downweight web"), not in expectation like p02's
+    * Bernoulli. Budget = 40% of the corpus; web sources (src0-src9)
+    * get 25% of the budget, curated (src10+) get 75%. Selection within
+    * a class is a deterministic rank over an arithmetic PRF
+    * (LCG — pure BIGINT arithmetic, so the DuckDB oracle reproduces it
+    * bit-exactly; production would swap in xxhash64, p01's pattern),
+    * tie-broken by doc_id → reprocessing-stable. One shuffle on the
+    * class key; quotas are driver-side literals from a parquet-footer
+    * count. A 2-class partition ranks whole classes on single
+    * partitions at 100 TB — there, rank via [[Scale.saltedCapPerGroup]]
+    * (salted two-phase rank, spec-proven identical). */
+  def p05Mixture(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val budget = docs.count() * 40 / 100 // footer count; integer math in both engines
+    val webQuota = budget * 25 / 100
+    val curQuota = budget * 75 / 100
+    val cls = when(substring(col("source"), 4, 8).cast("int") < 10, "web")
+      .otherwise("curated")
+    val prf = (col("doc_id") * lit(1103515245L) + lit(12345L)) % lit(2147483648L)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("class")).orderBy(col("prf"), col("doc_id"))
+    docs
+      .select(col("doc_id"), col("source"), cls.as("class"), prf.as("prf"))
+      .withColumn("rn", row_number().over(w))
+      .filter(
+        (col("class") === "web" && col("rn") <= webQuota) ||
+          (col("class") === "curated" && col("rn") <= curQuota))
+      .select("doc_id", "source", "class")
+      .orderBy("doc_id")
+  }
+
+  val p05OracleSql: String =
+    """WITH n AS (SELECT COUNT(*) AS nd FROM documents),
+      |cls AS (
+      |  SELECT doc_id, source,
+      |         CASE WHEN CAST(SUBSTR(source, 4) AS INT) < 10
+      |              THEN 'web' ELSE 'curated' END AS class,
+      |         (doc_id * 1103515245 + 12345) % 2147483648 AS prf
+      |  FROM documents
+      |),
+      |ranked AS (
+      |  SELECT doc_id, source, class,
+      |         ROW_NUMBER() OVER (PARTITION BY class ORDER BY prf, doc_id) AS rn
+      |  FROM cls
+      |)
+      |SELECT r.doc_id, r.source, r.class
+      |FROM ranked r CROSS JOIN n
+      |WHERE (r.class = 'web'     AND r.rn <= (n.nd * 40 // 100) * 25 // 100)
+      |   OR (r.class = 'curated' AND r.rn <= (n.nd * 40 // 100) * 75 // 100)
+      |ORDER BY r.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_hash_split"        -> (p01HashSplit _),
     "p02_stratified_sample" -> (p02StratifiedSample _),
     "p03_time_split"        -> (p03TimeSplit _),
-    "p04_cap_per_group"     -> (p04CapPerGroup _))
+    "p04_cap_per_group"     -> (p04CapPerGroup _),
+    "p05_mixture"           -> (p05Mixture _))
 
   // p01/p02 rows-only: engine-specific RNG/hash
   val oracleSql: Map[String, String] = Map(
     "p03_time_split"    -> p03OracleSql,
-    "p04_cap_per_group" -> p04OracleSql)
+    "p04_cap_per_group" -> p04OracleSql,
+    "p05_mixture"       -> p05OracleSql)
 }

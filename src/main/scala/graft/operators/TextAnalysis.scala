@@ -318,6 +318,61 @@ object TextAnalysis {
       |  MEDIAN(LENGTH(text)) AS median_chars
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------------------- t10
+  /** Repetition-based quality filter (the Gopher-rules family): per
+    * document, the fraction of word 2-grams that are duplicates and the
+    * fraction claimed by the single most frequent 2-gram — boilerplate
+    * and template spam score high on both; docs exceeding either
+    * threshold are flagged (keep=0). Shape at scale: explode →
+    * per-(doc, gram) partial counts → per-doc constant-size aggregate;
+    * both shuffles carry map-side-combined partials, so bytes moved are
+    * bounded by distinct grams, not corpus tokens. Fractions round to 4
+    * decimals (the s01/t08 ulp pattern). */
+  def t10Repetition(s: SparkSession, d: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val grams = Tables.documents(s, d)
+      .filter(size(toks) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(toks) - 2),
+          i => concat_ws(" ",
+            element_at(toks, i + lit(1)), element_at(toks, i + lit(2))))).as("g"))
+    val total   = col("total_2grams").cast("double")
+    val dupFrac = (col("total_2grams") - col("distinct_2grams")).cast("double") / total
+    val topFrac = col("top").cast("double") / total
+    grams.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(
+        sum("c").cast("int").as("total_2grams"),
+        count(lit(1)).cast("int").as("distinct_2grams"),
+        max("c").as("top"))
+      .select(
+        col("doc_id"), col("total_2grams"), col("distinct_2grams"),
+        round(dupFrac, 4).as("dup2_frac"),
+        round(topFrac, 4).as("top2_frac"),
+        when(dupFrac <= 0.2 && topFrac <= 0.1, 1).otherwise(0)
+          .cast("int").as("keep"))
+      .orderBy("doc_id")
+  }
+
+  val t10OracleSql: String =
+    """WITH toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+      |grams AS (
+      |  SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+      |  FROM toks, UNNEST(RANGE(1, LEN(t))) AS r(i)
+      |  WHERE LEN(t) >= 2
+      |),
+      |cnt AS (SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY doc_id, g),
+      |agg AS (SELECT doc_id, SUM(c) AS total, COUNT(*) AS n_distinct, MAX(c) AS top
+      |        FROM cnt GROUP BY doc_id)
+      |SELECT doc_id,
+      |  CAST(total AS INT) AS total_2grams,
+      |  CAST(n_distinct AS INT) AS distinct_2grams,
+      |  ROUND(CAST(total - n_distinct AS DOUBLE)/total, 4) AS dup2_frac,
+      |  ROUND(CAST(top AS DOUBLE)/total, 4) AS top2_frac,
+      |  CAST(CASE WHEN CAST(total - n_distinct AS DOUBLE)/total <= 0.2
+      |             AND CAST(top AS DOUBLE)/total <= 0.1 THEN 1 ELSE 0 END AS INT) AS keep
+      |FROM agg ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_langid"      -> (t01LangId _),
     "t02_quality"     -> (t02Quality _),
@@ -327,7 +382,8 @@ object TextAnalysis {
     "t06_pii_redact"  -> (t06PiiRedact _),
     "t07_normalize"   -> (t07Normalize _),
     "t08_tfidf"       -> (t08TfIdf _),
-    "t09_corpus_stats" -> (t09CorpusStats _))
+    "t09_corpus_stats" -> (t09CorpusStats _),
+    "t10_repetition"  -> (t10Repetition _))
 
   /** t01's stopword-count heuristic is integer arithmetic over token
     * lists — DuckDB reproduces it exactly (list lambdas + the same
@@ -367,5 +423,6 @@ object TextAnalysis {
     "t06_pii_redact" -> t06OracleSql,
     "t07_normalize"  -> t07OracleSql,
     "t08_tfidf"      -> t08OracleSql,
-    "t09_corpus_stats" -> t09OracleSql)
+    "t09_corpus_stats" -> t09OracleSql,
+    "t10_repetition" -> t10OracleSql)
 }

@@ -486,4 +486,72 @@ class OperatorsSpec extends AnyFunSuite {
         s"vec $id max_err $maxErr exceeds half-step $bound")
     }
   }
+
+  test("d08 decontaminate matches a brute-force 8-gram overlap scan") {
+    val texts = sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def grams8(t: String): Set[String] = {
+      val w = t.split(" ", -1)
+      if (w.length < 8) Set.empty
+      else w.sliding(8).map(_.mkString(" ")).toSet
+    }
+    val evalGrams = texts.collect { case (id, t) if id % 20 == 0 => grams8(t) }
+      .foldLeft(Set.empty[String])(_ ++ _)
+    val expected = texts.collect {
+      case (id, t) if id % 20 != 0 =>
+        id -> (grams8(t) & evalGrams).size
+    }.filter(_._2 > 0)
+    val got = Dedup.d08Decontaminate(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == expected.toMap, "contaminated doc set must equal brute force")
+    assert(got.keys.forall(_ % 20 != 0), "eval docs must never be flagged")
+  }
+
+  test("t10 repetition stats match a per-doc recount; flags are consistent") {
+    val out = TextAnalysis.t10Repetition(spark, sf).collect()
+    val texts = sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val grams = texts(id).split(" ", -1).sliding(2).map(_.mkString(" ")).toSeq
+      val counts = grams.groupBy(identity).map(_._2.size)
+      assert(r.getInt(1) == grams.size, s"doc $id total")
+      assert(r.getInt(2) == counts.size, s"doc $id distinct")
+      val dupFrac = (grams.size - counts.size).toDouble / grams.size
+      val topFrac = counts.max.toDouble / grams.size
+      assert(math.abs(r.getDouble(3) - BigDecimal(dupFrac)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12)
+      assert(math.abs(r.getDouble(4) - BigDecimal(topFrac)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12)
+      assert((r.getInt(5) == 1) == (dupFrac <= 0.2 && topFrac <= 0.1), s"doc $id keep flag")
+    }
+  }
+
+  test("p05 mixture: exact class quotas, PRF-ranked selection, deterministic") {
+    val rows = Sampling.p05Mixture(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val docs = sources.Tables.documents(spark, sf)
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val budget = docs.length.toLong * 40 / 100
+    val quota = Map("web" -> budget * 25 / 100, "curated" -> budget * 75 / 100)
+    val byClass = rows.groupBy(_._3)
+    quota.foreach { case (c, q) =>
+      assert(byClass.get(c).map(_.length.toLong).getOrElse(0L) == q,
+        s"class $c must hit its quota exactly")
+    }
+    // expected selection: rank by (LCG PRF, doc_id) within class
+    def cls(src: String) = if (src.drop(3).toInt < 10) "web" else "curated"
+    def prf(id: Long) = (id * 1103515245L + 12345L) % 2147483648L
+    val expected = docs.groupBy(d => cls(d._2)).toSeq.flatMap { case (c, ds) =>
+      ds.sortBy(d => (prf(d._1), d._1)).take(quota(c).toInt).toSeq
+    }.map(_._1).toSet
+    assert(rows.map(_._1).toSet == expected, "selected ids must be the PRF-rank winners")
+    val again = Sampling.p05Mixture(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(rows.sameElements(again), "must be deterministic")
+  }
 }
