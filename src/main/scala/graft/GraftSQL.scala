@@ -137,6 +137,9 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
     val createRe = raw"(?is)CREATE\s+TABLE\s+(\w+)\s*\((.*)\)\s*".r
     val dropRe   = raw"(?is)DROP\s+TABLE\s+(\w+)\s*".r
     val insertRe = raw"(?is)INSERT\s+INTO\s+(\w+)\s*(?:\(([^)]*)\)\s*)?VALUES\s*(.*)".r
+    // MERGE INTO t VALUES ...: upsert on the primary key (beyond the
+    // reference surface — the lakehouse MERGE, VALUES-source form)
+    val mergeRe  = raw"(?is)MERGE\s+INTO\s+(\w+)\s*(?:\(([^)]*)\)\s*)?VALUES\s*(.*)".r
     // SET/WHERE split happens quote-aware below, NOT in the regex: a
     // lazy (.*?)\s+WHERE would cut the SET body at a 'where' inside a
     // string literal
@@ -196,6 +199,23 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
           case None    => catalog.insert(name, df)
         }
         Seq(s"INSERT ${df.count()}").toDF("status")
+
+      case mergeRe(name, colList, valuesBody) =>
+        require(asOf.isEmpty && !readOnly, "read-only transaction")
+        val raw = referenceSql(s"SELECT * FROM VALUES $valuesBody")
+        val targetCols: Seq[String] = Option(colList) match {
+          case Some(cl) => cl.split(",").map(_.trim).toSeq
+          case None =>
+            txn.map(_.metaOf(name)).getOrElse(catalog.meta(name)).schema.fieldNames.toSeq
+        }
+        require(raw.columns.length == targetCols.length,
+          s"MERGE arity: ${raw.columns.length} values vs ${targetCols.length} columns")
+        val df = raw.toDF(targetCols: _*)
+        txn match {
+          case Some(t) => t.merge(name, df)
+          case None    => catalog.merge(name, df)
+        }
+        Seq(s"MERGE ${df.count()}").toDF("status")
 
       case updateRe(name, body) =>
         require(asOf.isEmpty && !readOnly, "read-only transaction")

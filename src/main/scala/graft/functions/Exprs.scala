@@ -123,6 +123,21 @@ case class MinHashSig(child: Expression, n: Int, k: Int, seed: Long) extends Una
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Per-document distinct word n-gram hash set — the decontamination /
+  * containment-join key material (see Kernels.wordGrams64). */
+case class WordGrams64(child: Expression, n: Int) extends UnaryExpression with ImplicitCastInputTypes {
+  require(n >= 1, s"word_grams64: n must be >= 1, got $n")
+  override def inputTypes: Seq[org.apache.spark.sql.GraftTypes.AbstractType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "word_grams64"
+  override protected def nullSafeEval(a: Any): Any =
+    Kernels.wordGrams64(a.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.Kernels.wordGrams64($a, $n)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 case class Fingerprint64(child: Expression, n: Int, w: Int) extends UnaryExpression with ImplicitCastInputTypes {
   override def inputTypes: Seq[org.apache.spark.sql.GraftTypes.AbstractType] = Seq(StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)

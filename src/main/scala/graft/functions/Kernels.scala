@@ -189,6 +189,40 @@ object Kernels {
     UnsafeArrayData.fromPrimitiveArray(sig)
   }
 
+  /** Sorted distinct XXH64 hashes of all word `n`-grams of `text`.
+    * Tokens are single-space-split segments (exactly `split(text, ' ')`
+    * — empty segments from leading/trailing/double spaces included),
+    * and each gram is hashed over the ORIGINAL byte span from its first
+    * token's start to its last token's end. Splitting on a single char
+    * and rejoining with it is the identity, so that span is
+    * byte-identical to joining the n tokens with ' ' — equal gram
+    * strings hash equal, which is all a decontamination overlap join
+    * needs. One pass, no per-gram string allocation. */
+  def wordGrams64(text: UTF8String, n: Int): UnsafeArrayData = {
+    val nb = text.numBytes
+    var spaces = 0
+    var i = 0
+    while (i < nb) { if (text.getByte(i) == ' ') spaces += 1; i += 1 }
+    val tokens = spaces + 1
+    val cnt = tokens - n + 1
+    if (cnt <= 0) return UnsafeArrayData.fromPrimitiveArray(new Array[Long](0))
+    val starts = new Array[Int](tokens)
+    starts(0) = 0
+    var t = 1
+    i = 0
+    while (i < nb) { if (text.getByte(i) == ' ') { starts(t) = i + 1; t += 1 }; i += 1 }
+    val hs = new Array[Long](cnt)
+    var g = 0
+    while (g < cnt) {
+      // gram g spans [starts(g), end): end is just before the space
+      // separating token g+n-1 from token g+n, or end-of-text
+      val end = if (g + n < tokens) starts(g + n) - 1 else nb
+      hs(g) = hashRange(text, starts(g), end - starts(g), 0x8f14e45fL)
+      g += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(sortedDistinct(hs))
+  }
+
   /** Winnowing document fingerprint (Schleimer/Wilkerson/Aiken,
     * SIGMOD 2003): hash all byte `n`-grams, slide a window of `w`
     * hashes, keep each window's rightmost minimum → sorted distinct

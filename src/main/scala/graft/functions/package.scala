@@ -34,6 +34,9 @@ package object functions {
   def fingerprint64(text: Column, n: Int, w: Int): Column =
     column(Fingerprint64(expression(text), n, w))
 
+  def word_grams64(text: Column, n: Int): Column =
+    column(WordGrams64(expression(text), n))
+
   def jaccard64(a: Column, b: Column): Column =
     column(Jaccard64(expression(a), expression(b)))
 }
@@ -75,6 +78,8 @@ package functions {
         es => MinHashSig(es(0), intArg(es(1)), intArg(es(2)), longArg(es(3))), "scala_udf")
       reg.createOrReplaceTempFunction("fingerprint64",
         es => Fingerprint64(es(0), intArg(es(1)), intArg(es(2))), "scala_udf")
+      reg.createOrReplaceTempFunction("word_grams64",
+        es => WordGrams64(es(0), intArg(es(1))), "scala_udf")
       reg.createOrReplaceTempFunction("jaccard64", es => Jaccard64(es(0), es(1)), "scala_udf")
     }
   }

@@ -276,25 +276,23 @@ object Dedup {
     * data. Eval set: doc_id % 20 == 0 (the held-out 5%); output: each
     * contaminated TRAIN doc with its count of distinct shared 8-grams.
     *
-    * Scale shape: grams are hashed to 64 bits before the join (8-byte
-    * keys, the d01 pattern — the 2^-64 collision tolerance standard in
-    * dedup pipelines), and the EVAL side is broadcast: benchmark sets
-    * are thousands of documents regardless of corpus size, so the
-    * 100 TB corpus never shuffles — each task streams its train grams
-    * past the in-memory eval-gram set. The oracle recomputes the same
-    * overlap on gram STRINGS brute-force. */
+    * Scale shape: grams are hashed to 64 bits in a single-pass codegen
+    * kernel ([[graft.functions.Kernels.wordGrams64]] — 8-byte keys, the
+    * d01 pattern; 2^-64 collision tolerance, standard in dedup
+    * pipelines) that emits each document's gram set ALREADY distinct,
+    * so the train side needs no dedup shuffle at all. The EVAL side is
+    * broadcast: benchmark sets are thousands of documents regardless of
+    * corpus size, so the 100 TB corpus never shuffles — each task
+    * streams its train grams past the in-memory eval-gram set. The
+    * oracle recomputes the same overlap on gram STRINGS brute-force. */
   def d08Decontaminate(s: SparkSession, d: String): DataFrame = {
-    val toks = split(col("text"), " ")
-    // one row per (doc, 8-gram hash): codegen'd lambda pipeline —
-    // sequence/transform/slice stay whole-stage, no UDF
+    // one row per (doc, distinct 8-gram hash): the kernel dedups within
+    // the document, so explode emits set elements directly
     def grams(df: DataFrame) = df
-      .filter(size(toks) >= 8)
-      .select(col("doc_id"),
-        explode(transform(sequence(lit(0), size(toks) - 8),
-          i => xxhash64(array_join(slice(toks, i + lit(1), lit(8)), " ")))).as("gh"))
+      .select(col("doc_id"), explode(word_grams64(col("text"), 8)).as("gh"))
     val docs = Tables.documents(s, d)
     val evalGrams  = grams(docs.filter(col("doc_id") % 20 === 0)).select("gh").distinct()
-    val trainGrams = grams(docs.filter(col("doc_id") % 20 =!= 0)).distinct()
+    val trainGrams = grams(docs.filter(col("doc_id") % 20 =!= 0))
     trainGrams.join(broadcast(evalGrams), "gh")
       .groupBy("doc_id")
       .agg(count(lit(1)).cast("int").as("n_shared_8grams"))

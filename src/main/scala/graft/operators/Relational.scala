@@ -638,6 +638,56 @@ object Relational {
       s.sql(q41Sql))
   }
 
+  // ---------------------------------------------------------------- q42
+  /** Explicit GROUPING SETS (the general form behind q24's ROLLUP and
+    * q35's CUBE — an arbitrary subset of the lattice in ONE pass) with
+    * GROUPING() markers disambiguating a real NULL group key from a
+    * superaggregate row. Same SQL runs on both engines verbatim; one
+    * Expand + one aggregate exchange, not one scan per set. */
+  val q42Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |       COUNT(*) AS n,
+      |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |       CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+      |       CAST(GROUPING(l_linestatus) AS INT) AS g_status
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+      |ORDER BY g_flag, g_status, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
+  def q42GroupingSets(s: SparkSession, d: String): DataFrame =
+    GraftSession.withTempViews(s, Seq("lineitem" -> Tables.lineitem(s, d)))(
+      s.sql(q42Sql))
+
+  // ---------------------------------------------------------------- q43
+  /** Recursive CTE (WITH RECURSIVE): iterative ancestor walk over a
+    * data-driven edge list — the construct behind hierarchy/graph
+    * queries a fixpoint loop cannot express in one statement. Depth is
+    * explicitly bounded (< 40) so the identical SQL stays inside both
+    * engines' recursion budgets (Spark's default level limit is 100,
+    * and its MAX RECURSION LEVEL escape hatch does not parse
+    * elsewhere). Execution is one join + dedup-free UNION ALL per
+    * level — each level shuffles only the frontier, the d06 property;
+    * d06 itself remains the driver-loop form for UNBOUNDED-diameter
+    * graphs, where a checkpointed loop beats in-plan recursion. */
+  val q43Sql: String =
+    """WITH RECURSIVE edges AS (
+      |  SELECT a.doc_id AS child, b.doc_id AS parent
+      |  FROM documents a JOIN documents b
+      |    ON b.doc_id = a.doc_id - 20 AND b.source = a.source
+      |), walk(child, anc, depth) AS (
+      |  SELECT child, parent, 1 FROM edges
+      |  UNION ALL
+      |  SELECT w.child, e.parent, w.depth + 1
+      |  FROM walk w JOIN edges e ON w.anc = e.child
+      |  WHERE w.depth < 40
+      |)
+      |SELECT child AS doc_id, MIN(anc) AS far_ancestor, CAST(MAX(depth) AS INT) AS n_hops
+      |FROM walk GROUP BY child ORDER BY doc_id""".stripMargin
+
+  def q43RecursiveCte(s: SparkSession, d: String): DataFrame =
+    GraftSession.withTempViews(s, Seq("documents" -> Tables.documents(s, d)))(
+      s.sql(q43Sql))
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -681,7 +731,9 @@ object Relational {
     "q38_array_funcs"       -> (q38ArrayFuncs _),
     "q39_regexp"            -> (q39RegexpExtract _),
     "q40_interval_arith"    -> (q40IntervalArith _),
-    "q41_lateral"           -> (q41Lateral _))
+    "q41_lateral"           -> (q41Lateral _),
+    "q42_grouping_sets"     -> (q42GroupingSets _),
+    "q43_recursive_cte"     -> (q43RecursiveCte _))
 
   val oracleSql: Map[String, String] = Map(
     "q01_scan_project" ->
@@ -964,5 +1016,7 @@ object Relational {
         |         AS days_to_eoy,
         |       last_day(CAST(o_orderdate AS DATE)) AS month_end
         |FROM orders ORDER BY o_orderkey""".stripMargin,
-    "q41_lateral" -> q41Sql)
+    "q41_lateral" -> q41Sql,
+    "q42_grouping_sets" -> q42Sql,
+    "q43_recursive_cte" -> q43Sql)
 }

@@ -840,6 +840,31 @@ class TableCatalog(spark: SparkSession, val root: String) {
     else { TableCatalog.deleteRecursively(absTableDir(name).resolve(rel)); None }
   }
 
+  /** MERGE (upsert) keyed on the PRIMARY KEY — the lakehouse MERGE
+    * INTO, minimal form: each source row REPLACES the current row with
+    * its key, or appends if the key is new, in ONE copy-on-write
+    * snapshot version. Matched rows are replaced whole (a source row
+    * missing declared columns takes defaults/NULL — the INSERT
+    * alignment rule); the source must be key-unique, else which copy
+    * wins is undefined. All constraints revalidate on the merged
+    * snapshot; publish is the same optimistic fingerprint-checked
+    * race as UPDATE/DELETE. */
+  def merge(name: String, source: DataFrame): Int =
+    publishWithRetry(s"MERGE INTO $name") { () =>
+      val m = meta(name)
+      val pk = m.primaryKey.getOrElse(
+        throw new IllegalArgumentException(s"MERGE INTO $name: table has no primary key"))
+      val fp = fkFingerprint(name, m)
+      val aligned = applyDefaults(name, m, source)
+      require(aligned.filter(col(pk).isNull).isEmpty, s"$name.$pk: NOT NULL violated")
+      require(aligned.groupBy(col(pk)).count().filter(col("count") > 1).isEmpty,
+        s"MERGE INTO $name: duplicate keys in source")
+      val merged = scan(name)
+        .join(aligned.select(col(pk)), Seq(pk), "left_anti")
+        .unionByName(aligned)
+      rewriteAttempt(name, m, fp, merged)
+    }
+
   /** OPTIMIZE / compaction: rewrite the CURRENT snapshot's rows into
     * one fresh data dir — re-range-partitioned and re-sorted when the
     * table is indexed — and publish it as a new version. This is the
@@ -1143,6 +1168,31 @@ class TableCatalog(spark: SparkSession, val root: String) {
         validate(m, name, updated.cache(), scan)
         writeData(m, updated, absTableDir(name).resolve(rel).toString)
       } finally updated.unpersist() // failed validation must not leak cache
+      dirStats(rel) = collectStats(m, name, rel)
+      staged(name) = (base, Seq(rel))
+    }
+
+    /** Staged MERGE (upsert on the primary key): same semantics as the
+      * unstaged [[TableCatalog.merge]], against the txn view. */
+    def merge(name: String, source: DataFrame): Unit = {
+      open(); visible(name)
+      if (createdTables.contains(name)) { stagedCat.merge(name, source); return }
+      val m = meta(name)
+      val pk = m.primaryKey.getOrElse(
+        throw new IllegalArgumentException(s"MERGE INTO $name: table has no primary key"))
+      val base = baseOf(name)
+      val aligned = applyDefaults(name, m, source)
+      require(aligned.filter(col(pk).isNull).isEmpty, s"$name.$pk: NOT NULL violated")
+      require(aligned.groupBy(col(pk)).count().filter(col("count") > 1).isEmpty,
+        s"MERGE INTO $name: duplicate keys in source")
+      val merged = scan(name)
+        .join(aligned.select(col(pk)), Seq(pk), "left_anti")
+        .unionByName(aligned)
+      val rel = freshDir(name)
+      try {
+        validate(m, name, merged.cache(), scan)
+        writeData(m, merged, absTableDir(name).resolve(rel).toString)
+      } finally merged.unpersist()
       dirStats(rel) = collectStats(m, name, rel)
       staged(name) = (base, Seq(rel))
     }

@@ -77,23 +77,33 @@ object StreamQueries {
     * equal the batch/DuckDB sessionization exactly. */
   def st02StreamState(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    import java.nio.file.{Files => JFiles}
-    val batch = Tables.events(s, d)
-      .select(col("user_id"), col("ts"), col("event_type"),
-        col("value").cast("double").as("value"))
+    import java.nio.file.{Files => JFiles, Paths => JPaths}
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = s.read.parquet(s"$d/events.parquet").schema // ts: ns LONG
 
-    val maxRow = batch.agg(max(col("ts"))).head()
+    val maxRow = s.read.schema(rawSchema).parquet(s"$d/events.parquet")
+      .agg(max(col("ts"))).head()
     if (maxRow.isNullAt(0))
       return Seq.empty[(Long, java.sql.Timestamp, java.sql.Timestamp, Int, Double)]
         .toDF("user_id", "start_ts", "end_ts", "n_events", "total_value")
-    val maxTs = maxRow.getTimestamp(0)
+    val maxNs = maxRow.getLong(0)
 
     val tmp = JFiles.createTempDirectory("graft-st02")
     val streamDir = tmp.resolve("stream")
     JFiles.createDirectories(streamDir)
-    def writeChunk(df: DataFrame, n: Int): Unit = {
+    // chunk 0 IS the source parquet, byte-copied — staging the stream
+    // must not pay a full Spark rewrite of the events table
+    val chunk0 = streamDir.resolve("chunk-0000.parquet")
+    JFiles.copy(JPaths.get(d, "events.parquet"), chunk0)
+    chunk0.toFile.setLastModified(1700000000000L)
+    // sentinels: single-row parquet files in the RAW column layout (ts
+    // in epoch ns; the columns absent from the file — event_id, props —
+    // read back as NULL under rawSchema)
+    def writeSentinel(offMs: Long, n: Int): Unit = {
       val staging = tmp.resolve(s"chunk$n")
-      df.coalesce(1).write.parquet(staging.toString)
+      Seq((-1L, maxNs + offMs * 1000000L, "sentinel", 0.0))
+        .toDF("user_id", "ts", "event_type", "value")
+        .coalesce(1).write.parquet(staging.toString)
       val part = JFiles.list(staging).iterator()
       val dest = streamDir.resolve(f"chunk-$n%04d.parquet")
       while (part.hasNext) {
@@ -102,16 +112,15 @@ object StreamQueries {
       }
       dest.toFile.setLastModified(1700000000000L + n * 60000L) // source order
     }
-    def sentinel(offMs: Long): DataFrame = Seq(
-      (-1L, new java.sql.Timestamp(maxTs.getTime + offMs), "sentinel", 0.0))
-      .toDF("user_id", "ts", "event_type", "value")
-    writeChunk(batch, 0)
-    writeChunk(sentinel(86400000L), 1)  // + 1 day
-    writeChunk(sentinel(172800000L), 2) // + 2 days
+    writeSentinel(86400000L, 1)  // + 1 day
+    writeSentinel(172800000L, 2) // + 2 days
 
-    val stream = s.readStream.schema(batch.schema)
+    val stream = s.readStream.schema(rawSchema)
       .option("maxFilesPerTrigger", "1")
       .parquet(streamDir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select(col("user_id"), col("ts"), col("event_type"),
+        col("value").cast("double").as("value"))
       .as[Streams.Event]
     withStatePartitions(s, 8) {
       val q = Streams.sessionize(stream, gapMinutes = 30, watermark = "10 minutes")
@@ -252,12 +261,50 @@ object StreamQueries {
     s.table("graft_st05_sink").orderBy("click_id", "error_id")
   }
 
+  /** st06: streaming DECONTAMINATION at ingest — the streaming twin of
+    * batch d08: documents stream in, their word-8-gram hash sets
+    * (single-pass codegen kernel) probe a BROADCAST static eval-gram
+    * set, and contaminated docs surface with their overlap counts as
+    * they arrive. No stream-side state beyond the per-doc aggregate;
+    * the eval set ships once per executor (benchmark sets stay small at
+    * any corpus scale). Bounded run + complete mode ⇒ equals batch d08,
+    * which the same DuckDB brute-force oracle checks. */
+  def st06StreamDecontaminate(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.word_grams64
+    val schema = s.read.parquet(s"$d/documents.parquet").schema
+    // the static side: in production, the benchmark gram table built
+    // once at eval-set publication
+    val evalGrams = Tables.documents(s, d)
+      .filter(col("doc_id") % 20 === 0)
+      .select(explode(word_grams64(col("text"), 8)).as("gh"))
+      .distinct()
+    val stream = s.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(d)
+    val flagged = stream
+      .filter(col("doc_id") % 20 =!= 0)
+      .select(col("doc_id"), explode(word_grams64(col("text"), 8)).as("gh"))
+      .join(broadcast(evalGrams), "gh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_shared_8grams"))
+    withStatePartitions(s, 8) {
+      val q = flagged.writeStream
+        .format("memory").queryName("graft_st06_sink")
+        .outputMode(OutputMode.Complete)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    s.table("graft_st06_sink").orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st01_stream_window" -> (st01StreamWindow _),
     "st02_stream_state"  -> (st02StreamState _),
     "st03_stream_dedup"  -> (st03StreamDedup _),
     "st04_stream_join"   -> (st04StreamJoin _),
-    "st05_stream_stream_join" -> (st05StreamStreamJoin _))
+    "st05_stream_stream_join" -> (st05StreamStreamJoin _),
+    "st06_stream_decontaminate" -> (st06StreamDecontaminate _))
 
   /** Same oracle as the batch twin: tumbling 1h windows aligned to the
     * epoch are exactly date_trunc('hour'). */
@@ -311,5 +358,8 @@ object StreamQueries {
         |  ON c.event_type = 'click' AND e.event_type = 'error'
         | AND e.user_id = c.user_id
         | AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL 10 MINUTE
-        |ORDER BY click_id, error_id""".stripMargin)
+        |ORDER BY click_id, error_id""".stripMargin,
+    // identical oracle to batch d08: the streaming run must produce the
+    // same contaminated-doc set and overlap counts
+    "st06_stream_decontaminate" -> graft.operators.Dedup.d08OracleSql)
 }

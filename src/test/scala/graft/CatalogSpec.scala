@@ -639,4 +639,46 @@ class CatalogSpec extends AnyFunSuite {
     assert(cat.currentVersion("t") == 2)
     assert(cat.scan("t").count() == 2)
   }
+
+  test("merge upserts on the primary key; history stays time-travelable") {
+    val cat = freshCatalog()
+    cat.createTable("m", schema, primaryKey = Some("id"),
+      defaults = Map("balance" -> 0.0))
+    cat.insert("m", Seq((1L, "alice", 10.0), (2L, "bob", 20.0))
+      .toDF("id", "name", "balance"))
+    val vBefore = cat.currentVersion("m")
+    cat.merge("m", Seq((2L, "bob2", 99.0), (3L, "carol", 30.0))
+      .toDF("id", "name", "balance"))
+    val rows = cat.scan("m").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(rows == Seq((1L, "alice", 10.0), (2L, "bob2", 99.0), (3L, "carol", 30.0)))
+    // pre-merge snapshot still readable
+    assert(cat.asOf("m", vBefore).orderBy("id").collect()
+      .map(_.getString(1)).toSeq == Seq("alice", "bob"))
+    // a source carrying duplicate keys is rejected (undefined winner)
+    intercept[IllegalArgumentException] {
+      cat.merge("m", Seq((4L, "x", 0.0), (4L, "y", 0.0)).toDF("id", "name", "balance"))
+    }
+    // merge requires a primary key to match on
+    cat.createTable("nopk", schema)
+    intercept[IllegalArgumentException] {
+      cat.merge("nopk", Seq((1L, "a", 0.0)).toDF("id", "name", "balance"))
+    }
+  }
+
+  test("txn merge: staged, read-your-writes, invisible until commit") {
+    val cat = freshCatalog()
+    cat.createTable("m", schema, primaryKey = Some("id"))
+    cat.insert("m", Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "name", "balance"))
+    val t = cat.begin()
+    t.merge("m", Seq((2L, "b2", 22.0), (3L, "c", 3.0)).toDF("id", "name", "balance"))
+    // txn sees its merge; outside sees the old snapshot
+    assert(t.scan("m").orderBy("id").collect().map(_.getString(1)).toSeq
+      == Seq("a", "b2", "c"))
+    assert(cat.scan("m").orderBy("id").collect().map(_.getString(1)).toSeq
+      == Seq("a", "b"))
+    t.commit()
+    assert(cat.scan("m").orderBy("id").collect().map(_.getString(1)).toSeq
+      == Seq("a", "b2", "c"))
+  }
 }

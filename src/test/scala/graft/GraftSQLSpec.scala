@@ -533,4 +533,22 @@ class GraftSQLSpec extends AnyFunSuite {
     g.execute("ROLLBACK")
     intercept[Exception] { g.execute("SELECT * FROM ghost").collect() }
   }
+
+  test("MERGE INTO upserts through SQL text, inside and outside a txn") {
+    val g = session()
+    g.execute("CREATE TABLE kv (id INTEGER PRIMARY KEY, v STRING)")
+    g.execute("INSERT INTO kv VALUES (1, 'one'), (2, 'two')")
+    g.execute("MERGE INTO kv VALUES (2, 'TWO'), (3, 'three')")
+    assert(g.execute("SELECT v FROM kv ORDER BY id").collect().map(_.getString(0)).toSeq
+      == Seq("one", "TWO", "three"))
+    // staged in a txn: invisible before COMMIT
+    g.execute("BEGIN")
+    g.execute("MERGE INTO kv VALUES (3, 'THREE'), (4, 'four')")
+    assert(g.execute("SELECT count(*) AS n FROM kv").collect()(0).getLong(0) == 4)
+    val g2 = new GraftSQL(spark, g.catalog)
+    assert(g2.execute("SELECT count(*) AS n FROM kv").collect()(0).getLong(0) == 3)
+    g.execute("COMMIT")
+    assert(g2.execute("SELECT v FROM kv ORDER BY id").collect().map(_.getString(0)).toSeq
+      == Seq("one", "TWO", "THREE", "four"))
+  }
 }

@@ -84,4 +84,30 @@ class KernelsSpec extends AnyFunSuite {
     val sig = Kernels.hyperplaneSig(v, 8, 7L)
     assert(sig >= 0 && sig < 256)
   }
+
+  test("wordGrams64 preserves the string-gram equality relation (incl. empty tokens)") {
+    // reference implementation: split(' ') / sliding(n) / mkString(" ")
+    def strGrams(t: String, n: Int): Set[String] = {
+      val w = t.split(" ", -1)
+      if (w.length < n) Set.empty else w.sliding(n).map(_.mkString(" ")).toSet
+    }
+    def kGrams(t: String, n: Int): Set[Long] =
+      Kernels.wordGrams64(s(t), n).toLongArray().toSet
+    val corpus = Seq(
+      "a b c d e f g h i j",
+      "Z a b c d e f g h",          // shares the 8-gram "a b c d e f g h"
+      "a  b c d e f g h",           // double space → empty token
+      " a b c d e f g h",           // leading space
+      "a b c d e f g h ",           // trailing space
+      "short text",                 // fewer tokens than n
+      "",                           // empty
+      "a b c d e f g h i j")        // duplicate of first
+    for (n <- Seq(2, 8); i <- corpus.indices; j <- corpus.indices) {
+      val (si, sj) = (strGrams(corpus(i), n), strGrams(corpus(j), n))
+      val (ki, kj) = (kGrams(corpus(i), n), kGrams(corpus(j), n))
+      assert(ki.size == si.size, s"n=$n set size for '${corpus(i)}'")
+      assert((ki & kj).size == (si & sj).size,
+        s"n=$n intersection of '${corpus(i)}' and '${corpus(j)}'")
+    }
+  }
 }

@@ -508,6 +508,12 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.keys.forall(_ % 20 != 0), "eval docs must never be flagged")
   }
 
+  test("d08 plan: eval grams broadcast; corpus side never shuffles into the join") {
+    val plan = GraftSession.explainPlan(Dedup.d08Decontaminate(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), "eval side must broadcast")
+    assert(!plan.contains("SortMergeJoin"), "the corpus side must not shuffle to join")
+  }
+
   test("t10 repetition stats match a per-doc recount; flags are consistent") {
     val out = TextAnalysis.t10Repetition(spark, sf).collect()
     val texts = sources.Tables.documents(spark, sf)
