@@ -148,6 +148,9 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
     // maintenance statements (beyond the reference surface — the
     // lakehouse operations an append-heavy managed table needs)
     val compactRe = raw"(?is)COMPACT\s+TABLE\s+(\w+)\s*".r
+    // metadata-only schema evolution (beyond the reference surface)
+    val alterAddRe  = raw"(?is)ALTER\s+TABLE\s+(\w+)\s+ADD\s+COLUMN\s+(.*)".r
+    val alterDropRe = raw"(?is)ALTER\s+TABLE\s+(\w+)\s+DROP\s+COLUMN\s+(\w+)\s*".r
     val vacuumRe  = raw"(?is)VACUUM\s+(\w+)(?:\s+KEEP\s+(\d+))?\s*".r
 
     s match {
@@ -165,6 +168,33 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
           .getOrElse(1)
         val removed = catalog.vacuum(name, n)
         Seq(s"VACUUM $name: removed $removed versions").toDF("status")
+
+      case alterDropRe(name, colName) =>
+        require(txn.isEmpty, "ALTER TABLE: not inside a transaction")
+        require(asOf.isEmpty && !readOnly, "read-only transaction")
+        catalog.dropColumn(name, colName)
+        Seq(s"ALTER TABLE $name DROP COLUMN $colName").toDF("status")
+
+      case alterAddRe(name, colDef) =>
+        require(txn.isEmpty, "ALTER TABLE: not inside a transaction")
+        require(asOf.isEmpty && !readOnly, "read-only transaction")
+        val masked = GraftSQL.maskStrings(colDef)
+        val toks = masked.trim.split("\\s+").toList
+        require(toks.size >= 2, s"bad column def: $colDef")
+        val cname = toks.head
+        val dtype = typeMap.getOrElse(toks(1).toUpperCase,
+          throw new IllegalArgumentException(s"unknown type ${toks(1)}"))
+        val restUp = toks.drop(2).map(_.toUpperCase)
+        // metadata-only evolution: existing rows have no value, so the
+        // new column cannot carry constraints that existing rows would
+        // already violate (a DEFAULT applies to future inserts only)
+        require(!restUp.contains("PRIMARY") && !restUp.contains("UNIQUE")
+          && !restUp.contains("INDEX") && !restUp.contains("REFERENCES")
+          && !restUp.containsSlice(Seq("NOT", "NULL")),
+          s"ALTER TABLE ADD COLUMN: only a nullable column with an optional DEFAULT")
+        catalog.addColumn(name, StructField(cname, dtype, nullable = true),
+          GraftSQL.parseDefaultLiteral(colDef))
+        Seq(s"ALTER TABLE $name ADD COLUMN $cname").toDF("status")
 
       case createRe(name, colsBody) =>
         require(asOf.isEmpty && !readOnly, "read-only transaction")

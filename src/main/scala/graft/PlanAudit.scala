@@ -29,7 +29,8 @@ object PlanAudit {
         val flags = Seq(
           if (plan.contains("CartesianProduct") && !name.contains("cross")) "⚠CARTESIAN" else "",
           if (plan.contains("BroadcastNestedLoopJoin") && !name.contains("cross")
-            && !name.contains("brute") && !name.contains("lsh")) "⚠BNLJ" else "")
+            && !name.contains("brute") && !name.contains("lsh")
+            && !name.contains("batch")) "⚠BNLJ" else "") // s06: intended broadcast×corpus
           .filter(_.nonEmpty)
         println(f"$name%-24s ${ops.mkString(" ")} ${flags.mkString(" ")}")
       } catch {

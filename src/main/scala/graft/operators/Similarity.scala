@@ -185,6 +185,52 @@ object Similarity {
     Ivf.topK(ivfAssigned(s, d).filter(col("vec_id") =!= 0), cents, q, IvfNprobe, K)
   }
 
+  // ---------------------------------------------------------------- s06
+  /** BATCH-probe exact top-k: the nearest 3 corpus vectors for EACH of
+    * 10 probe vectors in ONE corpus scan — the shape an embedding
+    * service runs (N probes amortize a single pass; never N scans).
+    * Probes broadcast; top-k is the TWO-PHASE rank ([[Scale
+    * .saltedCapPerGroup]]'s shape): rank within (probe, salt) slices
+    * first, so only ≤ salt·k survivors per probe reach the exact
+    * per-probe rank — the full scored frame never shuffles into 10
+    * mega-partitions. Cosines round to 3 decimals (min boundary
+    * distance 6e-6 on this data vs ~6e-8 float-vs-double engine delta;
+    * 4 decimals would sit 3.7e-8 from a boundary — inside the noise).
+    * Ranking uses the unrounded value. */
+  def s06AnnBatch(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val probes = broadcast(Tables.embeddings(s, d).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("qv")))
+    val scored = Tables.embeddings(s, d).filter(col("vec_id") >= 10)
+      .crossJoin(probes)
+      .select(col("probe_id"), col("vec_id"),
+        cosine_sim(col("embedding"), col("qv")).as("raw"))
+    val salt = pmod(col("vec_id"), lit(32))
+    val w1 = Window.partitionBy(col("probe_id"), salt)
+      .orderBy(col("raw").desc, col("vec_id"))
+    val w2 = Window.partitionBy(col("probe_id"))
+      .orderBy(col("raw").desc, col("vec_id"))
+    scored
+      .withColumn("r1", row_number().over(w1)).filter(col("r1") <= 3)
+      .withColumn("rn", row_number().over(w2)).filter(col("rn") <= 3)
+      .select(col("probe_id"), col("vec_id"), round(col("raw"), 3).as("cos"))
+      .orderBy(col("probe_id"), col("cos").desc, col("vec_id"))
+  }
+
+  val s06OracleSql: String =
+    """WITH p AS (SELECT vec_id AS probe_id, embedding AS q
+      |           FROM embeddings WHERE vec_id < 10),
+      |r AS (
+      |  SELECT p.probe_id, e.vec_id,
+      |         CAST(list_cosine_similarity(e.embedding, p.q) AS DOUBLE) AS c,
+      |         ROW_NUMBER() OVER (PARTITION BY p.probe_id
+      |           ORDER BY CAST(list_cosine_similarity(e.embedding, p.q) AS DOUBLE) DESC,
+      |                    e.vec_id) AS rn
+      |  FROM embeddings e, p WHERE e.vec_id >= 10
+      |)
+      |SELECT probe_id, vec_id, ROUND(c, 3) AS cos FROM r WHERE rn <= 3
+      |ORDER BY probe_id, cos DESC, vec_id""".stripMargin
+
   // ---------------------------------------------------------------- s03
   /** Per-label embedding centroids via the one-pass [[graft.functions
     * .VectorAgg]] aggregator (custom typed Aggregator — constant
@@ -272,7 +318,8 @@ object Similarity {
     "s02_ann_lsh"   -> (s02LshAnn _),
     "s03_centroids" -> (s03Centroids _),
     "s04_ann_ivf"   -> (s04IvfAnn _),
-    "s05_quantize"  -> (s05Quantize _))
+    "s05_quantize"  -> (s05Quantize _),
+    "s06_ann_batch" -> (s06AnnBatch _))
 
   val oracleSql: Map[String, String] = Map(
     "s01_ann_brute" ->
@@ -289,5 +336,6 @@ object Similarity {
         |       CAST(SUM(CAST(CAST(embedding[1] AS DOUBLE) AS DECIMAL(20,10))) AS DOUBLE)
         |         / COUNT(*) AS c0
         |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
-    "s05_quantize" -> s05OracleSql)
+    "s05_quantize" -> s05OracleSql,
+    "s06_ann_batch" -> s06OracleSql)
 }

@@ -3,7 +3,7 @@ package graft.sources
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 import scala.jdk.CollectionConverters._
 
 /** Versioned managed tables: the Spark-native analog of the
@@ -839,6 +839,57 @@ class TableCatalog(spark: SparkSession, val root: String) {
     if (ok) Some(next)
     else { TableCatalog.deleteRecursively(absTableDir(name).resolve(rel)); None }
   }
+
+  /** Metadata-only schema evolution, publish-atomic: the new schema
+    * ships as a NEW VERSION whose manifest lists the SAME data dirs —
+    * no bytes move (the Iceberg/Delta ADD COLUMN property; at 100 TB a
+    * rewrite would be a full-table job). Existing rows read NULL for
+    * the new column (Delta semantics — a declared DEFAULT applies to
+    * FUTURE inserts, it does not backfill); the column must therefore
+    * be nullable and carry no other constraint. Publishing through the
+    * same claim machinery as DML means concurrent optimistic writers
+    * see the version move and retry against the new schema. */
+  def addColumn(name: String, field: StructField, default: Option[Any] = None): Int =
+    rootLock.synchronized {
+      val m = meta(name)
+      require(!m.schema.fieldNames.exists(_.equalsIgnoreCase(field.name)),
+        s"ALTER TABLE $name: column ${field.name} already exists")
+      require(field.nullable,
+        s"ALTER TABLE $name ADD COLUMN ${field.name}: must be nullable (existing rows have no value)")
+      val m2 = m.copy(
+        schema = StructType(m.schema.fields :+ field),
+        defaults = default.map(v => m.defaults + (field.name -> v)).getOrElse(m.defaults))
+      if (!claimPublish(name, m2,
+          readManifest(name, m.version), readStats(name, m.version)))
+        throw new WriteConflictException(s"ALTER TABLE $name: lost the publish race")
+      m.version + 1
+    }
+
+  /** Metadata-only DROP COLUMN: the column leaves the schema (reads
+    * prune it at the parquet scan — its bytes stay in old files until
+    * compaction rewrites them) and every constraint entry it carried
+    * (NOT NULL, UNIQUE, INDEX, its outgoing FK, its default) leaves
+    * with it. The PRIMARY KEY cannot be dropped — children FK-reference
+    * it. Same atomic version publish as addColumn. */
+  def dropColumn(name: String, colName: String): Int =
+    rootLock.synchronized {
+      val m = meta(name)
+      val f = m.schema.fields.find(_.name.equalsIgnoreCase(colName)).getOrElse(
+        throw new IllegalArgumentException(s"ALTER TABLE $name: no such column $colName"))
+      require(!m.primaryKey.exists(_.equalsIgnoreCase(f.name)),
+        s"ALTER TABLE $name: cannot drop the primary key ${f.name}")
+      val m2 = m.copy(
+        schema = StructType(m.schema.fields.filterNot(_.name == f.name)),
+        notNull = m.notNull.filterNot(_ == f.name),
+        unique = m.unique.filterNot(_ == f.name),
+        defaults = m.defaults - f.name,
+        references = m.references - f.name,
+        indexes = m.indexes.filterNot(_ == f.name))
+      if (!claimPublish(name, m2, readManifest(name, m.version),
+          readStats(name, m.version).filterNot(_.column == f.name)))
+        throw new WriteConflictException(s"ALTER TABLE $name: lost the publish race")
+      m.version + 1
+    }
 
   /** MERGE (upsert) keyed on the PRIMARY KEY — the lakehouse MERGE
     * INTO, minimal form: each source row REPLACES the current row with

@@ -298,13 +298,51 @@ object StreamQueries {
     s.table("graft_st06_sink").orderBy("doc_id")
   }
 
+  /** st07: streaming ingest INTO the versioned catalog — the write
+    * path a continuously-landing pipeline runs: each micro-batch
+    * appends through [[graft.sources.TableCatalog.insert]] via
+    * foreachBatch, so every batch is one atomic MVCC version with the
+    * catalog's constraint validation (PK uniqueness batch-scoped
+    * against the existing snapshot) applied AT ingest, and readers
+    * always see a complete published version, never a half-written
+    * batch. Output is the managed table's final scan; the DuckDB
+    * oracle checks it equals the source exactly. */
+  def st07StreamIngest(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = s.read.parquet(s"$d/events.parquet").schema
+    val root = java.nio.file.Files.createTempDirectory("graft-st07").toString
+    val cat = new graft.sources.TableCatalog(s, root)
+    cat.createTable("events_ingest", StructType(Seq(
+      StructField("event_id", LongType, nullable = false),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType))), primaryKey = Some("event_id"))
+    val stream = s.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value").cast("double").as("value"))
+    withStatePartitions(s, 8) {
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          cat.insert("events_ingest", batch): Unit
+        }
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    cat.scan("events_ingest").orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st01_stream_window" -> (st01StreamWindow _),
     "st02_stream_state"  -> (st02StreamState _),
     "st03_stream_dedup"  -> (st03StreamDedup _),
     "st04_stream_join"   -> (st04StreamJoin _),
     "st05_stream_stream_join" -> (st05StreamStreamJoin _),
-    "st06_stream_decontaminate" -> (st06StreamDecontaminate _))
+    "st06_stream_decontaminate" -> (st06StreamDecontaminate _),
+    "st07_stream_ingest" -> (st07StreamIngest _))
 
   /** Same oracle as the batch twin: tumbling 1h windows aligned to the
     * epoch are exactly date_trunc('hour'). */
@@ -361,5 +399,9 @@ object StreamQueries {
         |ORDER BY click_id, error_id""".stripMargin,
     // identical oracle to batch d08: the streaming run must produce the
     // same contaminated-doc set and overlap counts
-    "st06_stream_decontaminate" -> graft.operators.Dedup.d08OracleSql)
+    "st06_stream_decontaminate" -> graft.operators.Dedup.d08OracleSql,
+    // the ingested managed table must equal the source, row for row
+    "st07_stream_ingest" ->
+      """SELECT event_id, user_id, event_type, value
+        |FROM events ORDER BY event_id""".stripMargin)
 }

@@ -666,6 +666,39 @@ class CatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("ALTER TABLE: metadata-only add/drop column, no data rewrite, atomic version") {
+    val cat = freshCatalog()
+    cat.createTable("a", schema, primaryKey = Some("id"))
+    cat.insert("a", Seq((1L, "x", 1.0)).toDF("id", "name", "balance"))
+    val dataDirsBefore = java.nio.file.Files.list(
+      java.nio.file.Paths.get(cat.root, "a", "data")).count()
+    val v1 = cat.currentVersion("a")
+
+    // ADD: existing rows read NULL; the default applies to future inserts
+    cat.addColumn("a", StructField("tag", StringType), default = Some("new"))
+    assert(cat.currentVersion("a") == v1 + 1)
+    val r1 = cat.scan("a").orderBy("id").collect()
+    assert(r1.head.isNullAt(3), "existing row must read NULL for the added column")
+    cat.insert("a", Seq((2L, "y", 2.0)).toDF("id", "name", "balance"))
+    val r2 = cat.scan("a").orderBy("id").collect()
+    assert(r2(1).getString(3) == "new", "new insert takes the declared default")
+    // no data rewrite happened for the ALTER itself (one dir per insert only)
+    assert(java.nio.file.Files.list(
+      java.nio.file.Paths.get(cat.root, "a", "data")).count() == dataDirsBefore + 1)
+    // old version still time-travelable (added column reads NULL there too)
+    assert(cat.asOf("a", v1).count() == 1)
+
+    // DROP: column leaves schema + constraints; PK cannot be dropped
+    cat.dropColumn("a", "tag")
+    assert(!cat.meta("a").schema.fieldNames.contains("tag"))
+    assert(cat.scan("a").columns.toSeq == Seq("id", "name", "balance"))
+    intercept[IllegalArgumentException] { cat.dropColumn("a", "id") }
+    // non-nullable add without a value path is rejected
+    intercept[IllegalArgumentException] {
+      cat.addColumn("a", StructField("strict", LongType, nullable = false))
+    }
+  }
+
   test("txn merge: staged, read-your-writes, invisible until commit") {
     val cat = freshCatalog()
     cat.createTable("m", schema, primaryKey = Some("id"))

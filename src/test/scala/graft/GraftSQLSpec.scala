@@ -534,6 +534,23 @@ class GraftSQLSpec extends AnyFunSuite {
     intercept[Exception] { g.execute("SELECT * FROM ghost").collect() }
   }
 
+  test("ALTER TABLE ADD/DROP COLUMN through SQL text") {
+    val g = session()
+    g.execute("CREATE TABLE t (id INTEGER PRIMARY KEY, name STRING)")
+    g.execute("INSERT INTO t VALUES (1, 'a')")
+    g.execute("ALTER TABLE t ADD COLUMN score FLOAT DEFAULT 0.5")
+    // existing row reads NULL; new insert takes the default
+    g.execute("INSERT INTO t (id, name) VALUES (2, 'b')")
+    val rows = g.execute("SELECT id, score FROM t ORDER BY id").collect()
+    assert(rows(0).isNullAt(1) && rows(1).getDouble(1) == 0.5)
+    g.execute("ALTER TABLE t DROP COLUMN score")
+    assert(g.execute("SELECT * FROM t").columns.toSeq == Seq("id", "name"))
+    // constrained adds are rejected (existing rows could not satisfy them)
+    intercept[IllegalArgumentException] {
+      g.execute("ALTER TABLE t ADD COLUMN u STRING UNIQUE")
+    }
+  }
+
   test("MERGE INTO upserts through SQL text, inside and outside a txn") {
     val g = session()
     g.execute("CREATE TABLE kv (id INTEGER PRIMARY KEY, v STRING)")
