@@ -138,6 +138,21 @@ case class WordGrams64(child: Expression, n: Int) extends UnaryExpression with I
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** One-pass per-document gram repetition stats [total, distinct, top]
+  * (see Kernels.wordGramStats). */
+case class WordGramStats(child: Expression, n: Int) extends UnaryExpression with ImplicitCastInputTypes {
+  require(n >= 1, s"word_gram_stats: n must be >= 1, got $n")
+  override def inputTypes: Seq[org.apache.spark.sql.GraftTypes.AbstractType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "word_gram_stats"
+  override protected def nullSafeEval(a: Any): Any =
+    Kernels.wordGramStats(a.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.Kernels.wordGramStats($a, $n)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 case class Fingerprint64(child: Expression, n: Int, w: Int) extends UnaryExpression with ImplicitCastInputTypes {
   override def inputTypes: Seq[org.apache.spark.sql.GraftTypes.AbstractType] = Seq(StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)

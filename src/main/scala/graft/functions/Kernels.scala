@@ -223,6 +223,47 @@ object Kernels {
     UnsafeArrayData.fromPrimitiveArray(sortedDistinct(hs))
   }
 
+  /** Per-document word n-gram repetition statistics in one pass:
+    * `[total, distinct, topFrequency]` over the same gram definition as
+    * [[wordGrams64]] (single-space token segments, byte-span hashes).
+    * The open-addressing count table is transient per row — no explode,
+    * no shuffle; the repetition quality filter becomes scan-bound. */
+  def wordGramStats(text: UTF8String, n: Int): UnsafeArrayData = {
+    val nb = text.numBytes
+    var spaces = 0
+    var i = 0
+    while (i < nb) { if (text.getByte(i) == ' ') spaces += 1; i += 1 }
+    val tokens = spaces + 1
+    val cnt = tokens - n + 1
+    if (cnt <= 0)
+      return UnsafeArrayData.fromPrimitiveArray(Array(0L, 0L, 0L))
+    val starts = new Array[Int](tokens)
+    starts(0) = 0
+    var t = 1
+    i = 0
+    while (i < nb) { if (text.getByte(i) == ' ') { starts(t) = i + 1; t += 1 }; i += 1 }
+    // open-addressing hash counts (power-of-two capacity >= 2*cnt)
+    var cap = 4
+    while (cap < cnt * 2) cap <<= 1
+    val keys = new Array[Long](cap)
+    val counts = new Array[Int](cap)
+    var distinct = 0
+    var top = 0
+    var g = 0
+    while (g < cnt) {
+      val end = if (g + n < tokens) starts(g + n) - 1 else nb
+      var h = hashRange(text, starts(g), end - starts(g), 0x8f14e45fL)
+      if (h == 0L) h = 0x9e3779b97f4a7c15L // 0 is the empty-slot marker
+      var slot = (mix64(h) & (cap - 1)).toInt
+      while (keys(slot) != 0L && keys(slot) != h) slot = (slot + 1) & (cap - 1)
+      if (keys(slot) == 0L) { keys(slot) = h; distinct += 1 }
+      counts(slot) += 1
+      if (counts(slot) > top) top = counts(slot)
+      g += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(Array(cnt.toLong, distinct.toLong, top.toLong))
+  }
+
   /** Winnowing document fingerprint (Schleimer/Wilkerson/Aiken,
     * SIGMOD 2003): hash all byte `n`-grams, slide a window of `w`
     * hashes, keep each window's rightmost minimum → sorted distinct

@@ -37,6 +37,9 @@ package object functions {
   def word_grams64(text: Column, n: Int): Column =
     column(WordGrams64(expression(text), n))
 
+  def word_gram_stats(text: Column, n: Int): Column =
+    column(WordGramStats(expression(text), n))
+
   def jaccard64(a: Column, b: Column): Column =
     column(Jaccard64(expression(a), expression(b)))
 }
@@ -80,6 +83,8 @@ package functions {
         es => Fingerprint64(es(0), intArg(es(1)), intArg(es(2))), "scala_udf")
       reg.createOrReplaceTempFunction("word_grams64",
         es => WordGrams64(es(0), intArg(es(1))), "scala_udf")
+      reg.createOrReplaceTempFunction("word_gram_stats",
+        es => WordGramStats(es(0), intArg(es(1))), "scala_udf")
       reg.createOrReplaceTempFunction("jaccard64", es => Jaccard64(es(0), es(1)), "scala_udf")
     }
   }

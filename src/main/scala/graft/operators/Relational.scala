@@ -662,7 +662,7 @@ object Relational {
   /** Recursive CTE (WITH RECURSIVE): iterative ancestor walk over a
     * data-driven edge list — the construct behind hierarchy/graph
     * queries a fixpoint loop cannot express in one statement. Depth is
-    * explicitly bounded (< 40) so the identical SQL stays inside both
+    * explicitly bounded (< 12) so the identical SQL stays inside both
     * engines' recursion budgets (Spark's default level limit is 100,
     * and its MAX RECURSION LEVEL escape hatch does not parse
     * elsewhere). Execution is one join + dedup-free UNION ALL per
@@ -679,7 +679,7 @@ object Relational {
       |  UNION ALL
       |  SELECT w.child, e.parent, w.depth + 1
       |  FROM walk w JOIN edges e ON w.anc = e.child
-      |  WHERE w.depth < 40
+      |  WHERE w.depth < 12
       |)
       |SELECT child AS doc_id, MIN(anc) AS far_ancestor, CAST(MAX(depth) AS INT) AS n_hops
       |FROM walk GROUP BY child ORDER BY doc_id""".stripMargin

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.fingerprint64
+import graft.functions.{fingerprint64, word_gram_stats}
 import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -323,28 +323,24 @@ object TextAnalysis {
     * document, the fraction of word 2-grams that are duplicates and the
     * fraction claimed by the single most frequent 2-gram — boilerplate
     * and template spam score high on both; docs exceeding either
-    * threshold are flagged (keep=0). Shape at scale: explode →
-    * per-(doc, gram) partial counts → per-doc constant-size aggregate;
-    * both shuffles carry map-side-combined partials, so bytes moved are
-    * bounded by distinct grams, not corpus tokens. Fractions round to 4
-    * decimals (the s01/t08 ulp pattern). */
+    * threshold are flagged (keep=0). Shape at scale: the per-doc
+    * [total, distinct, top] triple comes from the single-pass
+    * [[graft.functions.Kernels.wordGramStats]] codegen kernel —
+    * NO explode, NO shuffle (vs the naive explode → count → re-agg,
+    * which shuffles every gram twice); only the presentation sort
+    * exchanges data. Fractions round to 4 decimals (the s01/t08 ulp
+    * pattern). */
   def t10Repetition(s: SparkSession, d: String): DataFrame = {
-    val toks = split(col("text"), " ")
-    val grams = Tables.documents(s, d)
-      .filter(size(toks) >= 2)
-      .select(col("doc_id"),
-        explode(transform(sequence(lit(0), size(toks) - 2),
-          i => concat_ws(" ",
-            element_at(toks, i + lit(1)), element_at(toks, i + lit(2))))).as("g"))
+    val st = word_gram_stats(col("text"), 2)
     val total   = col("total_2grams").cast("double")
     val dupFrac = (col("total_2grams") - col("distinct_2grams")).cast("double") / total
     val topFrac = col("top").cast("double") / total
-    grams.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id")
-      .agg(
-        sum("c").cast("int").as("total_2grams"),
-        count(lit(1)).cast("int").as("distinct_2grams"),
-        max("c").as("top"))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        element_at(st, 1).cast("int").as("total_2grams"),
+        element_at(st, 2).cast("int").as("distinct_2grams"),
+        element_at(st, 3).as("top"))
+      .filter(col("total_2grams") >= 1) // docs with < 2 tokens have no grams
       .select(
         col("doc_id"), col("total_2grams"), col("distinct_2grams"),
         round(dupFrac, 4).as("dup2_frac"),

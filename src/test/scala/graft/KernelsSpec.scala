@@ -110,4 +110,27 @@ class KernelsSpec extends AnyFunSuite {
         s"n=$n intersection of '${corpus(i)}' and '${corpus(j)}'")
     }
   }
+
+  test("wordGramStats matches a brute per-doc recount") {
+    def brute(t: String, n: Int): (Long, Long, Long) = {
+      val w = t.split(" ", -1)
+      if (w.length < n) (0L, 0L, 0L)
+      else {
+        val grams = w.sliding(n).map(_.mkString(" ")).toSeq
+        val counts = grams.groupBy(identity).map(_._2.size)
+        (grams.size.toLong, counts.size.toLong, counts.max.toLong)
+      }
+    }
+    val corpus = Seq(
+      "a b a b a b a b",               // heavy repetition
+      "a a a a a a",                   // one gram repeated
+      "x y z w v u t s r q",           // all distinct
+      "a  b a  b",                     // empty tokens repeat too
+      "solo", "", "two words")
+    for (t <- corpus; n <- Seq(1, 2, 3)) {
+      val got = Kernels.wordGramStats(s(t), n).toLongArray()
+      val (tot, dis, top) = brute(t, n)
+      assert(got.toSeq == Seq(tot, dis, top), s"'$t' n=$n")
+    }
+  }
 }
