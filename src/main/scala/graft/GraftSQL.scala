@@ -134,6 +134,9 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
       return Seq("ROLLBACK").toDF("status")
     }
 
+    // CTAS / INSERT..SELECT (beyond the reference's VALUES-only DML)
+    val ctasRe = raw"(?is)CREATE\s+TABLE\s+(\w+)\s+AS\s+((?:SELECT|WITH)\b.*)".r
+    val insertSelectRe = raw"(?is)INSERT\s+INTO\s+(\w+)\s*(?:\(([^)]*)\)\s*)?((?:SELECT|WITH)\b.*)".r
     val createRe = raw"(?is)CREATE\s+TABLE\s+(\w+)\s*\((.*)\)\s*".r
     val dropRe   = raw"(?is)DROP\s+TABLE\s+(\w+)\s*".r
     val insertRe = raw"(?is)INSERT\s+INTO\s+(\w+)\s*(?:\(([^)]*)\)\s*)?VALUES\s*(.*)".r
@@ -195,6 +198,31 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
         catalog.addColumn(name, StructField(cname, dtype, nullable = true),
           GraftSQL.parseDefaultLiteral(colDef))
         Seq(s"ALTER TABLE $name ADD COLUMN $cname").toDF("status")
+
+      case ctasRe(name, selectBody) =>
+        require(asOf.isEmpty && !readOnly, "read-only transaction")
+        val df = runSelect(selectBody)
+        txn match {
+          case Some(t) => t.createTable(name, df.schema); t.insert(name, df)
+          case None    => catalog.createTable(name, df.schema); catalog.insert(name, df)
+        }
+        Seq(s"CREATE TABLE $name AS SELECT (${df.count()} rows)").toDF("status")
+
+      case insertSelectRe(name, colList, selectBody) =>
+        require(asOf.isEmpty && !readOnly, "read-only transaction")
+        val raw = runSelect(selectBody)
+        val targetCols: Seq[String] = Option(colList) match {
+          case Some(cl) => cl.split(",").map(_.trim).toSeq
+          case None     => raw.columns.toSeq // positional-by-name: SELECT aliases line up
+        }
+        require(raw.columns.length == targetCols.length,
+          s"INSERT arity: ${raw.columns.length} values vs ${targetCols.length} columns")
+        val df = raw.toDF(targetCols: _*)
+        txn match {
+          case Some(t) => t.insert(name, df)
+          case None    => catalog.insert(name, df)
+        }
+        Seq(s"INSERT ${df.count()}").toDF("status")
 
       case createRe(name, colsBody) =>
         require(asOf.isEmpty && !readOnly, "read-only transaction")
@@ -271,28 +299,29 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
         Seq(s"DELETE $name").toDF("status")
 
       case _ if up.startsWith("SELECT") || up.startsWith("WITH") =>
-        // reference semantics for `/` applied AFTER analysis (the
-        // dispatch is type-directed) — see referenceDivision
-        // register snapshot views at the txn/as-of version for only the
-        // tables the query references (each registration costs a footer
-        // read — the full catalog would be O(tables) per statement),
-        // let Spark SQL run the whole query, then drop the views:
-        // spark.sql analyzes eagerly, so the returned frame stays
-        // valid, and no txn-private snapshot lingers in the session's
-        // shared temp-view namespace for another GraftSQL to resolve
-        lastRegistered = tableNames
-          .filter(n => ("(?i)\\b" + java.util.regex.Pattern.quote(n) + "\\b")
-            .r.findFirstIn(s).isDefined)
-        // bind snapshot views (txn/as-of/read-only pinned) only for
-        // the statement's duration; withTempViews restores whatever
-        // the names held before, so no graft snapshot — least of all
-        // a txn-private one — lingers in the shared namespace
-        GraftSession.withTempViews(spark,
-          lastRegistered.map(n => n -> currentScan(n)))(referenceSql(s))
+        runSelect(s)
 
       case other =>
         throw new IllegalArgumentException(s"unsupported statement: $other")
     }
+  }
+
+  /** A SELECT/WITH under the session's snapshot view bindings.
+    * Reference semantics for `/` applied AFTER analysis (the dispatch
+    * is type-directed) — see referenceSql. Registers snapshot views at
+    * the txn/as-of version for only the tables the query references
+    * (each registration costs a footer read — the full catalog would
+    * be O(tables) per statement), lets Spark SQL run the whole query,
+    * then restores the namespace: spark.sql analyzes eagerly, so the
+    * returned frame stays valid, and no txn-private snapshot lingers
+    * in the session's shared temp-view namespace for another GraftSQL
+    * to resolve. */
+  private def runSelect(s: String): DataFrame = {
+    lastRegistered = tableNames
+      .filter(n => ("(?i)\\b" + java.util.regex.Pattern.quote(n) + "\\b")
+        .r.findFirstIn(s).isDefined)
+    GraftSession.withTempViews(spark,
+      lastRegistered.map(n => n -> currentScan(n)))(referenceSql(s))
   }
 
   /** Parse `sql` and substitute the reference's type-dispatching

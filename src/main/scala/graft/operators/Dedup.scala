@@ -312,6 +312,46 @@ object Dedup {
       |FROM train_g t JOIN eval_g e USING (g)
       |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- d09
+  /** Substring-CONTAINMENT detection: pairs where one document's full
+    * text appears inside another's — the sub-document dedup case
+    * (quoted articles, boilerplate-wrapped copies) that similarity
+    * thresholds miss when the container is much longer. Blocking is
+    * the winnowing fingerprint index ([[graft.functions
+    * .Kernels.fingerprint64]], t04's kernel): winnowing GUARANTEES any
+    * shared substring of length >= w+n-1 (= 23 chars here; every doc
+    * in this corpus is longer) yields a shared selected fingerprint,
+    * so candidate recall for whole-document containment is TOTAL —
+    * the exact `contains` verification then runs only on pairs
+    * sharing a fingerprint (an inverted-index join, bounded by
+    * fingerprint collisions, never all-pairs). The DuckDB oracle is
+    * the brute-force all-pairs contains() scan. */
+  def d09Containment(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val fps = docs.select(col("doc_id"),
+      explode(fingerprint64(col("text"), 8, 16)).as("fp"))
+    val cand = fps.as("a")
+      .join(fps.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("contained_doc"), col("b.doc_id").as("container_doc"))
+      .distinct()
+    val texts = docs.select(col("doc_id"), col("text"))
+    cand
+      .join(texts.withColumnsRenamed(Map("doc_id" -> "contained_doc", "text" -> "a_text")),
+        Seq("contained_doc"))
+      .join(texts.withColumnsRenamed(Map("doc_id" -> "container_doc", "text" -> "b_text")),
+        Seq("container_doc"))
+      .filter(col("b_text").contains(col("a_text")))
+      .select("contained_doc", "container_doc")
+      .orderBy("contained_doc", "container_doc")
+  }
+
+  val d09OracleSql: String =
+    """SELECT a.doc_id AS contained_doc, b.doc_id AS container_doc
+      |FROM documents a JOIN documents b
+      |  ON a.doc_id != b.doc_id AND contains(b.text, a.text)
+      |ORDER BY contained_doc, container_doc""".stripMargin
+
   /** Brute force over CROSS (even, odd) pairs only — the oracle's
     * restriction of d04's pair universe to new-vs-existing. */
   val d07OracleSql: String =
@@ -331,7 +371,8 @@ object Dedup {
     "d05_dedup_embedding" -> (d05Embedding _),
     "d06_dedup_clusters"  -> (d06Clusters _),
     "d07_dedup_incremental" -> (d07Incremental _),
-    "d08_decontaminate"   -> (d08Decontaminate _))
+    "d08_decontaminate"   -> (d08Decontaminate _),
+    "d09_containment"     -> (d09Containment _))
 
   /** d04/d06 ARE oracle-checkable, via brute force: DuckDB computes
     * all-pairs 5-gram Jaccard (char n-grams == byte n-grams on this
@@ -406,5 +447,6 @@ object Dedup {
     "d04_dedup_ngram"       -> d04OracleSql,
     "d06_dedup_clusters"    -> d06OracleSql,
     "d07_dedup_incremental" -> d07OracleSql,
-    "d08_decontaminate"     -> d08OracleSql)
+    "d08_decontaminate"     -> d08OracleSql,
+    "d09_containment"       -> d09OracleSql)
 }

@@ -688,6 +688,31 @@ object Relational {
     GraftSession.withTempViews(s, Seq("documents" -> Tables.documents(s, d)))(
       s.sql(q43Sql))
 
+  // ---------------------------------------------------------------- q44
+  /** Multiset set operations (EXCEPT ALL / INTERSECT ALL): duplicates
+    * carry multiplicity — max(n_a - n_b, 0) and min(n_a, n_b) copies
+    * respectively — where q22's distinct forms collapse them. Both
+    * engines run the identical SQL; Catalyst plans each as one
+    * aggregate-style exchange on the row value (no join explosion). */
+  val q44Sql: String =
+    """WITH e AS (
+      |  SELECT l_suppkey FROM lineitem WHERE l_quantity >= 48
+      |  EXCEPT ALL
+      |  SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'A' AND l_quantity >= 48
+      |), i AS (
+      |  SELECT l_suppkey FROM lineitem WHERE l_quantity >= 48
+      |  INTERSECT ALL
+      |  SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'A' AND l_quantity >= 48
+      |)
+      |SELECT 'except_all' AS op, l_suppkey, COUNT(*) AS n FROM e GROUP BY l_suppkey
+      |UNION ALL
+      |SELECT 'intersect_all' AS op, l_suppkey, COUNT(*) AS n FROM i GROUP BY l_suppkey
+      |ORDER BY op, l_suppkey""".stripMargin
+
+  def q44SetOpsAll(s: SparkSession, d: String): DataFrame =
+    GraftSession.withTempViews(s, Seq("lineitem" -> Tables.lineitem(s, d)))(
+      s.sql(q44Sql))
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -733,7 +758,8 @@ object Relational {
     "q40_interval_arith"    -> (q40IntervalArith _),
     "q41_lateral"           -> (q41Lateral _),
     "q42_grouping_sets"     -> (q42GroupingSets _),
-    "q43_recursive_cte"     -> (q43RecursiveCte _))
+    "q43_recursive_cte"     -> (q43RecursiveCte _),
+    "q44_setops_all"        -> (q44SetOpsAll _))
 
   val oracleSql: Map[String, String] = Map(
     "q01_scan_project" ->
@@ -1018,5 +1044,6 @@ object Relational {
         |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q41_lateral" -> q41Sql,
     "q42_grouping_sets" -> q42Sql,
-    "q43_recursive_cte" -> q43Sql)
+    "q43_recursive_cte" -> q43Sql,
+    "q44_setops_all" -> q44Sql)
 }

@@ -699,6 +699,33 @@ class CatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("stress: concurrent merges on disjoint keys all land under optimistic retry") {
+    val cat = freshCatalog()
+    cat.createTable("t", schema, primaryKey = Some("id"))
+    cat.insert("t", Seq((100L, "base", 0.0)).toDF("id", "name", "balance"))
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val threads = (0 until 3).map { w =>
+      new Thread(() => {
+        start.await()
+        try cat.merge("t",
+          Seq((w.toLong, s"w$w", 1.0), (100L, s"upd$w", 2.0))
+            .toDF("id", "name", "balance"))
+        catch { case e: Throwable => errs.add(e) }
+      })
+    }
+    threads.foreach(_.start()); start.countDown(); threads.foreach(_.join())
+    import scala.jdk.CollectionConverters._
+    assert(errs.isEmpty, s"unexpected failures: ${errs.asScala.map(_.getMessage)}")
+    // all three merges landed: 3 new keys + the base key (upserted by
+    // whichever merge published LAST — each retry re-reads the current
+    // snapshot, so no insert is lost)
+    val rows = cat.scan("t").orderBy("id").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L, 100L))
+    assert(rows.last.getString(1).startsWith("upd"))
+    assert(cat.currentVersion("t") == 4)
+  }
+
   test("txn merge: staged, read-your-writes, invisible until commit") {
     val cat = freshCatalog()
     cat.createTable("m", schema, primaryKey = Some("id"))

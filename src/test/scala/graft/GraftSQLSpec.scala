@@ -551,6 +551,27 @@ class GraftSQLSpec extends AnyFunSuite {
     }
   }
 
+  test("CTAS and INSERT..SELECT route through the catalog, txn-staged inside BEGIN") {
+    val g = session()
+    g.execute("CREATE TABLE src (id INTEGER PRIMARY KEY, v INTEGER)")
+    g.execute("INSERT INTO src VALUES (1, 10), (2, 20), (3, 30)")
+    // CTAS: derived schema + rows land as a managed table
+    g.execute("CREATE TABLE big AS SELECT id, v * 2 AS v2 FROM src WHERE v >= 20")
+    assert(g.execute("SELECT id, v2 FROM big ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((2L, 40L), (3L, 60L)))
+    // INSERT..SELECT appends query results
+    g.execute("INSERT INTO big SELECT id, v AS v2 FROM src WHERE v = 10")
+    assert(g.execute("SELECT count(*) AS n FROM big").collect()(0).getLong(0) == 3)
+    // staged inside a txn: invisible to others before COMMIT
+    g.execute("BEGIN")
+    g.execute("CREATE TABLE derived AS SELECT id FROM src")
+    assert(g.execute("SELECT count(*) AS n FROM derived").collect()(0).getLong(0) == 3)
+    val g2 = new GraftSQL(spark, g.catalog)
+    intercept[Exception] { g2.execute("SELECT * FROM derived").collect() }
+    g.execute("COMMIT")
+    assert(g2.execute("SELECT count(*) AS n FROM derived").collect()(0).getLong(0) == 3)
+  }
+
   test("MERGE INTO upserts through SQL text, inside and outside a txn") {
     val g = session()
     g.execute("CREATE TABLE kv (id INTEGER PRIMARY KEY, v STRING)")

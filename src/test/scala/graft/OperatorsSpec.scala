@@ -514,6 +514,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), "the corpus side must not shuffle to join")
   }
 
+  test("d09 containment equals the brute-force substring scan (winnowing recall is total)") {
+    val texts = sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = (for {
+      (a, ta) <- texts.toSeq; (b, tb) <- texts.toSeq
+      if a != b && tb.contains(ta)
+    } yield (a, b)).toSet
+    val got = Dedup.d09Containment(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected, "containment pairs must equal brute force")
+    assert(got.nonEmpty, "corpus has exact dups, so containment pairs must exist")
+  }
+
   test("t10 repetition stats match a per-doc recount; flags are consistent") {
     val out = TextAnalysis.t10Repetition(spark, sf).collect()
     val texts = sources.Tables.documents(spark, sf)
