@@ -134,6 +134,9 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
       return Seq("ROLLBACK").toDF("status")
     }
 
+    // introspection (reference server.rs:126-127: ListTables/GetTable)
+    val showCreateRe = raw"(?is)SHOW\s+CREATE\s+TABLE\s+(\w+)\s*".r
+    val descRe = raw"(?is)DESCRIBE\s+(\w+)\s*".r
     // CTAS / INSERT..SELECT (beyond the reference's VALUES-only DML)
     val ctasRe = raw"(?is)CREATE\s+TABLE\s+(\w+)\s+AS\s+((?:SELECT|WITH)\b.*)".r
     val insertSelectRe = raw"(?is)INSERT\s+INTO\s+(\w+)\s*(?:\(([^)]*)\)\s*)?((?:SELECT|WITH)\b.*)".r
@@ -298,12 +301,63 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
         }
         Seq(s"DELETE $name").toDF("status")
 
+      // catalog introspection — the reference's ListTables / GetTable
+      // client surface (server.rs:126-127, bin client `!tables` /
+      // `!table`), as statements
+      case _ if up.trim == "SHOW TABLES" =>
+        tableNames.sorted.toDF("table")
+
+      case showCreateRe(name) =>
+        Seq(showCreate(name)).toDF("create_table")
+
+      case descRe(name) =>
+        val m = txn.map(_.metaOf(name)).getOrElse(catalog.meta(name))
+        m.schema.fields.toSeq.map { f =>
+          (f.name, sqlTypeName(f.dataType), f.nullable,
+            m.primaryKey.contains(f.name), m.unique.contains(f.name),
+            m.indexes.contains(f.name),
+            m.defaults.get(f.name).map(_.toString).orNull,
+            m.references.get(f.name).orNull)
+        }.toDF("column", "type", "nullable", "primary_key", "unique", "indexed",
+          "default", "references")
+
       case _ if up.startsWith("SELECT") || up.startsWith("WITH") =>
         runSelect(s)
 
       case other =>
         throw new IllegalArgumentException(s"unsupported statement: $other")
     }
+  }
+
+  private def sqlTypeName(dt: DataType): String = dt match {
+    case LongType | IntegerType => "INTEGER"
+    case DoubleType | FloatType => "FLOAT"
+    case StringType             => "STRING"
+    case BooleanType            => "BOOLEAN"
+    case other                  => other.simpleString.toUpperCase // beyond the reference types
+  }
+
+  /** The reference's GetTable behavior: the table's schema AS SQL — a
+    * CREATE TABLE statement that round-trips through [[execute]]
+    * (re-executing it recreates identical metadata). */
+  private def showCreate(name: String): String = {
+    val m = txn.map(_.metaOf(name)).getOrElse(catalog.meta(name))
+    def lit(v: Any): String = v match {
+      case s: String => "'" + s.replace("'", "''") + "'"
+      case b: Boolean => if (b) "TRUE" else "FALSE"
+      case other => other.toString
+    }
+    val cols = m.schema.fields.map { f =>
+      val parts = Seq(f.name, sqlTypeName(f.dataType)) ++
+        (if (m.primaryKey.contains(f.name)) Seq("PRIMARY KEY") else Nil) ++
+        (if (!f.nullable && !m.primaryKey.contains(f.name)) Seq("NOT NULL") else Nil) ++
+        (if (m.unique.contains(f.name)) Seq("UNIQUE") else Nil) ++
+        (if (m.indexes.contains(f.name)) Seq("INDEX") else Nil) ++
+        m.defaults.get(f.name).map(v => s"DEFAULT ${lit(v)}").toSeq ++
+        m.references.get(f.name).map(t => s"REFERENCES $t").toSeq
+      "  " + parts.mkString(" ")
+    }
+    s"CREATE TABLE $name (\n${cols.mkString(",\n")}\n)"
   }
 
   /** A SELECT/WITH under the session's snapshot view bindings.

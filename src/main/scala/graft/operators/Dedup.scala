@@ -318,18 +318,22 @@ object Dedup {
     * (quoted articles, boilerplate-wrapped copies) that similarity
     * thresholds miss when the container is much longer. Blocking is
     * the winnowing fingerprint index ([[graft.functions
-    * .Kernels.fingerprint64]], t04's kernel): winnowing GUARANTEES any
-    * shared substring of length >= w+n-1 (= 23 chars here; every doc
+    * .Kernels.fingerprint64]]): winnowing GUARANTEES any shared
+    * substring of length >= w+n-1 (= 31 chars at n=24/w=8; every doc
     * in this corpus is longer) yields a shared selected fingerprint,
     * so candidate recall for whole-document containment is TOTAL —
     * the exact `contains` verification then runs only on pairs
     * sharing a fingerprint (an inverted-index join, bounded by
-    * fingerprint collisions, never all-pairs). The DuckDB oracle is
-    * the brute-force all-pairs contains() scan. */
+    * posting-list sizes, never all-pairs). The gram width matters for
+    * posting selectivity: at n=8 this tiny-vocabulary corpus shares
+    * grams ubiquitously (hottest posting 3.5k docs → 56M candidate
+    * pairs at sf0.1); n=24 grams are near-unique snippets (hottest
+    * posting 14 → 47k pairs) at the same recall guarantee. The DuckDB
+    * oracle is the brute-force all-pairs contains() scan. */
   def d09Containment(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val fps = docs.select(col("doc_id"),
-      explode(fingerprint64(col("text"), 8, 16)).as("fp"))
+      explode(fingerprint64(col("text"), 24, 8)).as("fp"))
     val cand = fps.as("a")
       .join(fps.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") =!= col("b.doc_id"))

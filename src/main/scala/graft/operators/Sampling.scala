@@ -149,16 +149,40 @@ object Sampling {
       |   OR (r.class = 'curated' AND r.rn <= (n.nd * 40 // 100) * 75 // 100)
       |ORDER BY r.doc_id""".stripMargin
 
+  /** p06: deterministic EPOCH SHUFFLE — the training-order pass: rows
+    * get a global order that is a pure function of (seed, key), so
+    * every rerun, worker, and resumed job sees the identical order
+    * (a `rand()`-based orderBy is partition-layout-dependent and
+    * unrepeatable). Different seeds give independent epoch orders.
+    * One range-partitioned sort at any scale — exactly what writing a
+    * shuffled training manifest costs. The arithmetic PRF (p05's LCG)
+    * makes it DuckDB-oracle-exact; production would use xxhash64. */
+  def p06EpochShuffle(s: SparkSession, d: String): DataFrame = {
+    val seed = 3L
+    val prf = (col("doc_id") * lit(22695477L) + lit(seed)) % lit(2147483648L)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), prf.as("shuffle_key"))
+      .orderBy(col("shuffle_key"), col("doc_id"))
+  }
+
+  val p06OracleSql: String =
+    """SELECT doc_id, source,
+      |       (doc_id * 22695477 + 3) % 2147483648 AS shuffle_key
+      |FROM documents
+      |ORDER BY shuffle_key, doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_hash_split"        -> (p01HashSplit _),
     "p02_stratified_sample" -> (p02StratifiedSample _),
     "p03_time_split"        -> (p03TimeSplit _),
     "p04_cap_per_group"     -> (p04CapPerGroup _),
-    "p05_mixture"           -> (p05Mixture _))
+    "p05_mixture"           -> (p05Mixture _),
+    "p06_epoch_shuffle"     -> (p06EpochShuffle _))
 
   // p01/p02 rows-only: engine-specific RNG/hash
   val oracleSql: Map[String, String] = Map(
     "p03_time_split"    -> p03OracleSql,
     "p04_cap_per_group" -> p04OracleSql,
-    "p05_mixture"       -> p05OracleSql)
+    "p05_mixture"       -> p05OracleSql,
+    "p06_epoch_shuffle" -> p06OracleSql)
 }

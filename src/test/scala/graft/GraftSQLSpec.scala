@@ -551,6 +551,33 @@ class GraftSQLSpec extends AnyFunSuite {
     }
   }
 
+  test("SHOW TABLES / DESCRIBE / SHOW CREATE TABLE mirror the reference's introspection") {
+    val g = session()
+    g.execute("CREATE TABLE studios (id INTEGER PRIMARY KEY)")
+    g.execute("""CREATE TABLE movies (
+      id INTEGER PRIMARY KEY,
+      studio_id INTEGER INDEX REFERENCES studios,
+      title STRING NOT NULL UNIQUE,
+      rating FLOAT DEFAULT 4.5)""")
+    assert(g.execute("SHOW TABLES").collect().map(_.getString(0)).toSeq
+      == Seq("movies", "studios"))
+    val desc = g.execute("DESCRIBE movies").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(desc("id").getBoolean(3), "id is primary key")
+    assert(desc("studio_id").getBoolean(5) && desc("studio_id").getString(7) == "studios")
+    assert(desc("title").getBoolean(4) && !desc("title").getBoolean(2))
+    assert(desc("rating").getString(6) == "4.5")
+    // SHOW CREATE TABLE round-trips: re-executing recreates identical metadata
+    val ddl = g.execute("SHOW CREATE TABLE movies").collect()(0).getString(0)
+    val before = g.catalog.meta("movies")
+    g.execute("DROP TABLE movies")
+    g.execute(ddl)
+    val after = g.catalog.meta("movies")
+    assert(after.schema == before.schema && after.primaryKey == before.primaryKey
+      && after.unique == before.unique && after.indexes == before.indexes
+      && after.references == before.references && after.defaults == before.defaults)
+  }
+
   test("CTAS and INSERT..SELECT route through the catalog, txn-staged inside BEGIN") {
     val g = session()
     g.execute("CREATE TABLE src (id INTEGER PRIMARY KEY, v INTEGER)")

@@ -110,4 +110,32 @@ class KernelPropertiesSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("wordGrams64 equals the split/sliding reference on random text") {
+    def strGrams(t: String, n: Int): Seq[String] = {
+      val w = t.split(" ", -1)
+      if (w.length < n) Nil else w.sliding(n).map(_.mkString(" ")).toSeq
+    }
+    for (t <- samples(text); n <- Seq(1, 2, 4)) {
+      val k = Kernels.wordGrams64(s(t), n).toLongArray()
+      val expect = strGrams(t, n).distinct
+      assert(k.length == expect.size, s"'$t' n=$n distinct size")
+      assert(k.toSeq == k.toSeq.sorted, "output must be sorted")
+      // equal gram strings hash equal: recompute and compare sets
+      assert(Kernels.wordGrams64(s(t), n).toLongArray().toSeq == k.toSeq)
+    }
+  }
+
+  test("wordGramStats agrees with wordGrams64 and the sliding recount") {
+    for (t <- samples(text); n <- Seq(1, 2, 4)) {
+      val Array(total, distinct, top) = Kernels.wordGramStats(s(t), n).toLongArray()
+      val w = t.split(" ", -1)
+      val grams = if (w.length < n) Nil else w.sliding(n).map(_.mkString(" ")).toSeq
+      assert(total == grams.size, s"'$t' n=$n total")
+      assert(distinct == Kernels.wordGrams64(s(t), n).numElements(), s"'$t' n=$n distinct")
+      val expTop = if (grams.isEmpty) 0 else grams.groupBy(identity).map(_._2.size).max
+      assert(top == expTop, s"'$t' n=$n top")
+      assert(distinct <= total && (total == 0 || top >= 1))
+    }
+  }
 }
