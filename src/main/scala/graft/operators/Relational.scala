@@ -713,6 +713,33 @@ object Relational {
     GraftSession.withTempViews(s, Seq("lineitem" -> Tables.lineitem(s, d)))(
       s.sql(q44Sql))
 
+  // ---------------------------------------------------------------- q45
+  /** Window DISTRIBUTION functions (ntile/percent_rank/cume_dist) —
+    * the quantile-bucketing surface q18's rank family doesn't cover.
+    * The window orders by (price, key), a total order, so ranks have
+    * no tie ambiguity and both engines' (rank-1)/(n-1) arithmetic is
+    * bit-identical. One shuffle on the partition key. */
+  def q45WindowDistribution(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(s, d).select(
+        col("o_orderkey"), col("o_orderpriority"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+      .orderBy("o_orderkey")
+  }
+
+  val q45OracleSql: String =
+    """SELECT o_orderkey, o_orderpriority,
+      |  CAST(NTILE(4) OVER w AS INT) AS quartile,
+      |  PERCENT_RANK() OVER w AS pct_rank,
+      |  CUME_DIST() OVER w AS cume
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+      |ORDER BY o_orderkey""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -759,7 +786,8 @@ object Relational {
     "q41_lateral"           -> (q41Lateral _),
     "q42_grouping_sets"     -> (q42GroupingSets _),
     "q43_recursive_cte"     -> (q43RecursiveCte _),
-    "q44_setops_all"        -> (q44SetOpsAll _))
+    "q44_setops_all"        -> (q44SetOpsAll _),
+    "q45_window_distribution" -> (q45WindowDistribution _))
 
   val oracleSql: Map[String, String] = Map(
     "q01_scan_project" ->
@@ -1045,5 +1073,6 @@ object Relational {
     "q41_lateral" -> q41Sql,
     "q42_grouping_sets" -> q42Sql,
     "q43_recursive_cte" -> q43Sql,
-    "q44_setops_all" -> q44Sql)
+    "q44_setops_all" -> q44Sql,
+    "q45_window_distribution" -> q45OracleSql)
 }

@@ -335,6 +335,34 @@ object StreamQueries {
     cat.scan("events_ingest").orderBy("event_id")
   }
 
+  /** st08: streaming corpus top-k terms (streaming twin of t05) —
+    * complete-mode aggregation with an in-plan sort+limit: each
+    * micro-batch re-emits the current global top 20, the live
+    * leaderboard pattern. State is vocabulary-bounded (term counts),
+    * not corpus-bounded; the sort runs over the aggregate's output,
+    * never the raw stream. Bounded run ⇒ equals batch t05, same
+    * oracle. */
+  def st08StreamTopk(s: SparkSession, d: String): DataFrame = {
+    val schema = s.read.parquet(s"$d/documents.parquet").schema
+    val stream = s.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(d)
+    val agg = stream
+      .select(explode(split(col("text"), " ")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term"))
+      .limit(20)
+    withStatePartitions(s, 8) {
+      val q = agg.writeStream
+        .format("memory").queryName("graft_st08_sink")
+        .outputMode(OutputMode.Complete)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    s.table("graft_st08_sink").orderBy(col("n").desc, col("term"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st01_stream_window" -> (st01StreamWindow _),
     "st02_stream_state"  -> (st02StreamState _),
@@ -342,7 +370,8 @@ object StreamQueries {
     "st04_stream_join"   -> (st04StreamJoin _),
     "st05_stream_stream_join" -> (st05StreamStreamJoin _),
     "st06_stream_decontaminate" -> (st06StreamDecontaminate _),
-    "st07_stream_ingest" -> (st07StreamIngest _))
+    "st07_stream_ingest" -> (st07StreamIngest _),
+    "st08_stream_topk"   -> (st08StreamTopk _))
 
   /** Same oracle as the batch twin: tumbling 1h windows aligned to the
     * epoch are exactly date_trunc('hour'). */
@@ -403,5 +432,7 @@ object StreamQueries {
     // the ingested managed table must equal the source, row for row
     "st07_stream_ingest" ->
       """SELECT event_id, user_id, event_type, value
-        |FROM events ORDER BY event_id""".stripMargin)
+        |FROM events ORDER BY event_id""".stripMargin,
+    // identical oracle to batch t05
+    "st08_stream_topk" -> graft.operators.TextAnalysis.t05OracleSql)
 }
