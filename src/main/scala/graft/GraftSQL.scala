@@ -135,6 +135,7 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
     }
 
     // introspection (reference server.rs:126-127: ListTables/GetTable)
+    val showTablesRe = raw"(?is)SHOW\s+TABLES\s*".r
     val showCreateRe = raw"(?is)SHOW\s+CREATE\s+TABLE\s+(\w+)\s*".r
     val descRe = raw"(?is)DESCRIBE\s+(\w+)\s*".r
     // CTAS / INSERT..SELECT (beyond the reference's VALUES-only DML)
@@ -209,23 +210,20 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
           case Some(t) => t.createTable(name, df.schema); t.insert(name, df)
           case None    => catalog.createTable(name, df.schema); catalog.insert(name, df)
         }
-        Seq(s"CREATE TABLE $name AS SELECT (${df.count()} rows)").toDF("status")
+        // row count from the WRITTEN table (parquet footer metadata) —
+        // df.count() would re-execute the entire source query
+        val n = txn.map(_.scan(name)).getOrElse(catalog.scan(name)).count()
+        Seq(s"CREATE TABLE $name AS SELECT ($n rows)").toDF("status")
 
       case insertSelectRe(name, colList, selectBody) =>
         require(asOf.isEmpty && !readOnly, "read-only transaction")
-        val raw = runSelect(selectBody)
-        val targetCols: Seq[String] = Option(colList) match {
-          case Some(cl) => cl.split(",").map(_.trim).toSeq
-          case None     => raw.columns.toSeq // positional-by-name: SELECT aliases line up
-        }
-        require(raw.columns.length == targetCols.length,
-          s"INSERT arity: ${raw.columns.length} values vs ${targetCols.length} columns")
-        val df = raw.toDF(targetCols: _*)
+        val df = alignCols(runSelect(selectBody), colList, name, "INSERT",
+          defaultToOwnColumns = true)
         txn match {
           case Some(t) => t.insert(name, df)
           case None    => catalog.insert(name, df)
         }
-        Seq(s"INSERT ${df.count()}").toDF("status")
+        Seq(s"INSERT INTO $name FROM SELECT").toDF("status")
 
       case createRe(name, colsBody) =>
         require(asOf.isEmpty && !readOnly, "read-only transaction")
@@ -246,15 +244,8 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
         // Spark relation; columns come back as col1, col2, ...
         // referenceDivision: VALUES expressions follow the reference's
         // evaluation rules too (INSERT ... VALUES (7 / 2) inserts 3)
-        val raw = referenceSql(s"SELECT * FROM VALUES $valuesBody")
-        val targetCols: Seq[String] = Option(colList) match {
-          case Some(cl) => cl.split(",").map(_.trim).toSeq
-          case None =>
-            txn.map(_.metaOf(name)).getOrElse(catalog.meta(name)).schema.fieldNames.toSeq
-        }
-        require(raw.columns.length == targetCols.length,
-          s"INSERT arity: ${raw.columns.length} values vs ${targetCols.length} columns")
-        val df = raw.toDF(targetCols: _*)
+        val df = alignCols(referenceSql(s"SELECT * FROM VALUES $valuesBody"),
+          colList, name, "INSERT")
         txn match {
           case Some(t) => t.insert(name, df)
           case None    => catalog.insert(name, df)
@@ -263,15 +254,8 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
 
       case mergeRe(name, colList, valuesBody) =>
         require(asOf.isEmpty && !readOnly, "read-only transaction")
-        val raw = referenceSql(s"SELECT * FROM VALUES $valuesBody")
-        val targetCols: Seq[String] = Option(colList) match {
-          case Some(cl) => cl.split(",").map(_.trim).toSeq
-          case None =>
-            txn.map(_.metaOf(name)).getOrElse(catalog.meta(name)).schema.fieldNames.toSeq
-        }
-        require(raw.columns.length == targetCols.length,
-          s"MERGE arity: ${raw.columns.length} values vs ${targetCols.length} columns")
-        val df = raw.toDF(targetCols: _*)
+        val df = alignCols(referenceSql(s"SELECT * FROM VALUES $valuesBody"),
+          colList, name, "MERGE")
         txn match {
           case Some(t) => t.merge(name, df)
           case None    => catalog.merge(name, df)
@@ -303,8 +287,12 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
 
       // catalog introspection — the reference's ListTables / GetTable
       // client surface (server.rs:126-127, bin client `!tables` /
-      // `!table`), as statements
-      case _ if up.trim == "SHOW TABLES" =>
+      // `!table`), as statements. Metadata is the CURRENT catalog's:
+      // snapshot reads (asOf/READ ONLY) reconcile old data with the
+      // current schema too (frameOf reads every version under
+      // meta.schema), so introspection and SELECT agree in a pinned
+      // session by construction.
+      case showTablesRe() =>
         tableNames.sorted.toDF("table")
 
       case showCreateRe(name) =>
@@ -339,7 +327,12 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
 
   /** The reference's GetTable behavior: the table's schema AS SQL — a
     * CREATE TABLE statement that round-trips through [[execute]]
-    * (re-executing it recreates identical metadata). */
+    * (re-executing it recreates identical metadata) for tables within
+    * the reference's type system (BOOLEAN/INTEGER/FLOAT/STRING — the
+    * only types its DDL declares). A CTAS-created table can carry
+    * richer Spark types (arrays, decimals, timestamps); those emit
+    * their Spark names, readable but not re-parseable DDL — the same
+    * scoping as the reference, whose GetTable never meets such types. */
   private def showCreate(name: String): String = {
     val m = txn.map(_.metaOf(name)).getOrElse(catalog.meta(name))
     def lit(v: Any): String = v match {
@@ -358,6 +351,24 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
       "  " + parts.mkString(" ")
     }
     s"CREATE TABLE $name (\n${cols.mkString(",\n")}\n)"
+  }
+
+  /** Shared DML source alignment: rename the source frame's columns to
+    * the statement's explicit column list, or to the target table's
+    * declared columns (VALUES come back as col1, col2, ...), or — for
+    * INSERT..SELECT — to the source's own aliases. One definition, so
+    * INSERT / MERGE / INSERT..SELECT arity checks cannot drift. */
+  private def alignCols(raw: DataFrame, colList: String, name: String,
+      verb: String, defaultToOwnColumns: Boolean = false): DataFrame = {
+    val targetCols: Seq[String] = Option(colList) match {
+      case Some(cl) => cl.split(",").map(_.trim).toSeq
+      case None if defaultToOwnColumns => raw.columns.toSeq
+      case None =>
+        txn.map(_.metaOf(name)).getOrElse(catalog.meta(name)).schema.fieldNames.toSeq
+    }
+    require(raw.columns.length == targetCols.length,
+      s"$verb arity: ${raw.columns.length} values vs ${targetCols.length} columns")
+    raw.toDF(targetCols: _*)
   }
 
   /** A SELECT/WITH under the session's snapshot view bindings.

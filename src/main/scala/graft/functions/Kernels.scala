@@ -237,6 +237,11 @@ object Kernels {
     val cnt = tokens - n + 1
     if (cnt <= 0)
       return UnsafeArrayData.fromPrimitiveArray(Array(0L, 0L, 0L))
+    // hard bound, checked explicitly: past it the capacity doubling
+    // below would overflow Int and the probe loop over an undersized
+    // table would spin forever — fail loudly instead (a single
+    // half-billion-gram document has no business in a per-row kernel)
+    require(cnt <= (1 << 29), s"wordGramStats: document too large ($cnt grams)")
     val starts = new Array[Int](tokens)
     starts(0) = 0
     var t = 1

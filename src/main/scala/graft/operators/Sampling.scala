@@ -116,7 +116,13 @@ object Sampling {
     val curQuota = budget * 75 / 100
     val cls = when(substring(col("source"), 4, 8).cast("int") < 10, "web")
       .otherwise("curated")
-    val prf = (col("doc_id") * lit(1103515245L) + lit(12345L)) % lit(2147483648L)
+    // key reduced mod 2^31 BEFORE the multiply: doc_id * multiplier
+    // must stay inside i64 at ANY corpus size (Spark would silently
+    // wrap negative past ~8e9 docs while DuckDB errors — breaking both
+    // the oracle and the determinism claim at exactly the scale this
+    // operator targets); (2^31-1) * 1103515245 < 2^63 always holds
+    val prf = (pmod(col("doc_id"), lit(2147483648L)) * lit(1103515245L)
+      + lit(12345L)) % lit(2147483648L)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("class")).orderBy(col("prf"), col("doc_id"))
     docs
@@ -135,7 +141,7 @@ object Sampling {
       |  SELECT doc_id, source,
       |         CASE WHEN CAST(SUBSTR(source, 4) AS INT) < 10
       |              THEN 'web' ELSE 'curated' END AS class,
-      |         (doc_id * 1103515245 + 12345) % 2147483648 AS prf
+      |         ((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648 AS prf
       |  FROM documents
       |),
       |ranked AS (
@@ -159,7 +165,10 @@ object Sampling {
     * makes it DuckDB-oracle-exact; production would use xxhash64. */
   def p06EpochShuffle(s: SparkSession, d: String): DataFrame = {
     val seed = 3L
-    val prf = (col("doc_id") * lit(22695477L) + lit(seed)) % lit(2147483648L)
+    // same mod-2^31 reduction as p05: the multiply stays in i64 at
+    // any corpus size on both engines
+    val prf = (pmod(col("doc_id"), lit(2147483648L)) * lit(22695477L)
+      + lit(seed)) % lit(2147483648L)
     Tables.documents(s, d)
       .select(col("doc_id"), col("source"), prf.as("shuffle_key"))
       .orderBy(col("shuffle_key"), col("doc_id"))
@@ -167,7 +176,7 @@ object Sampling {
 
   val p06OracleSql: String =
     """SELECT doc_id, source,
-      |       (doc_id * 22695477 + 3) % 2147483648 AS shuffle_key
+      |       ((doc_id % 2147483648) * 22695477 + 3) % 2147483648 AS shuffle_key
       |FROM documents
       |ORDER BY shuffle_key, doc_id""".stripMargin
 

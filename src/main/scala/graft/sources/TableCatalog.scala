@@ -856,6 +856,16 @@ class TableCatalog(spark: SparkSession, val root: String) {
         s"ALTER TABLE $name: column ${field.name} already exists")
       require(field.nullable,
         s"ALTER TABLE $name ADD COLUMN ${field.name}: must be nullable (existing rows have no value)")
+      // the DEFAULT must actually cast to the column type — otherwise
+      // every future insert would silently write NULL where the user
+      // declared a default (the insert path applies lit(v).cast(type))
+      default.foreach { v =>
+        val cast = org.apache.spark.sql.catalyst.expressions.Cast(
+          org.apache.spark.sql.catalyst.expressions.Literal(v), field.dataType,
+          Some("UTC"), org.apache.spark.sql.catalyst.expressions.EvalMode.TRY)
+        require(cast.eval(null) != null,
+          s"ALTER TABLE $name: DEFAULT $v is not a valid ${field.dataType.simpleString}")
+      }
       val m2 = m.copy(
         schema = StructType(m.schema.fields :+ field),
         defaults = default.map(v => m.defaults + (field.name -> v)).getOrElse(m.defaults))
@@ -903,18 +913,27 @@ class TableCatalog(spark: SparkSession, val root: String) {
   def merge(name: String, source: DataFrame): Int =
     publishWithRetry(s"MERGE INTO $name") { () =>
       val m = meta(name)
-      val pk = m.primaryKey.getOrElse(
-        throw new IllegalArgumentException(s"MERGE INTO $name: table has no primary key"))
       val fp = fkFingerprint(name, m)
-      val aligned = applyDefaults(name, m, source)
-      require(aligned.filter(col(pk).isNull).isEmpty, s"$name.$pk: NOT NULL violated")
-      require(aligned.groupBy(col(pk)).count().filter(col("count") > 1).isEmpty,
-        s"MERGE INTO $name: duplicate keys in source")
-      val merged = scan(name)
-        .join(aligned.select(col(pk)), Seq(pk), "left_anti")
-        .unionByName(aligned)
-      rewriteAttempt(name, m, fp, merged)
+      rewriteAttempt(name, m, fp, mergedFrame(m, name, source, scan(name)))
     }
+
+  /** The merged (upserted) snapshot shared by [[merge]] and
+    * [[Txn.merge]]: source rows validated (key present and unique)
+    * and aligned, current rows with matching keys dropped, source
+    * appended. ONE definition — the upsert semantics cannot drift
+    * between the staged and unstaged paths. */
+  private def mergedFrame(m: TableMeta, name: String, source: DataFrame,
+      current: DataFrame): DataFrame = {
+    val pk = m.primaryKey.getOrElse(
+      throw new IllegalArgumentException(s"MERGE INTO $name: table has no primary key"))
+    val aligned = applyDefaults(name, m, source)
+    require(aligned.filter(col(pk).isNull).isEmpty, s"$name.$pk: NOT NULL violated")
+    require(aligned.groupBy(col(pk)).count().filter(col("count") > 1).isEmpty,
+      s"MERGE INTO $name: duplicate keys in source")
+    current
+      .join(aligned.select(col(pk)), Seq(pk), "left_anti")
+      .unionByName(aligned)
+  }
 
   /** OPTIMIZE / compaction: rewrite the CURRENT snapshot's rows into
     * one fresh data dir — re-range-partitioned and re-sorted when the
@@ -1224,21 +1243,14 @@ class TableCatalog(spark: SparkSession, val root: String) {
     }
 
     /** Staged MERGE (upsert on the primary key): same semantics as the
-      * unstaged [[TableCatalog.merge]], against the txn view. */
+      * unstaged [[TableCatalog.merge]] (shared [[mergedFrame]]),
+      * against the txn view. */
     def merge(name: String, source: DataFrame): Unit = {
       open(); visible(name)
       if (createdTables.contains(name)) { stagedCat.merge(name, source); return }
       val m = meta(name)
-      val pk = m.primaryKey.getOrElse(
-        throw new IllegalArgumentException(s"MERGE INTO $name: table has no primary key"))
       val base = baseOf(name)
-      val aligned = applyDefaults(name, m, source)
-      require(aligned.filter(col(pk).isNull).isEmpty, s"$name.$pk: NOT NULL violated")
-      require(aligned.groupBy(col(pk)).count().filter(col("count") > 1).isEmpty,
-        s"MERGE INTO $name: duplicate keys in source")
-      val merged = scan(name)
-        .join(aligned.select(col(pk)), Seq(pk), "left_anti")
-        .unionByName(aligned)
+      val merged = mergedFrame(m, name, source, scan(name))
       val rel = freshDir(name)
       try {
         validate(m, name, merged.cache(), scan)

@@ -697,6 +697,14 @@ class CatalogSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       cat.addColumn("a", StructField("strict", LongType, nullable = false))
     }
+    // a DEFAULT that cannot cast to the column type is rejected AT
+    // ALTER time (future inserts would otherwise silently write NULL)
+    intercept[IllegalArgumentException] {
+      cat.addColumn("a", StructField("n", LongType), default = Some("oops"))
+    }
+    cat.addColumn("a", StructField("n", LongType), default = Some("12")) // castable: fine
+    cat.insert("a", Seq((3L, "z", 3.0)).toDF("id", "name", "balance"))
+    assert(cat.scan("a").filter(col("id") === 3L).head().getLong(3) == 12L)
   }
 
   test("stress: concurrent merges on disjoint keys all land under optimistic retry") {
