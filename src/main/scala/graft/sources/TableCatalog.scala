@@ -247,6 +247,28 @@ class TableCatalog(spark: SparkSession, val root: String) {
   // --------------------------------------------------------------- DDL
   def exists(name: String): Boolean = Files.exists(metaPath(name))
 
+  /** Declared defaults must survive the meta.json round-trip:
+    * parseDefaults reads back String/Boolean/Long/Double literals
+    * only, and writeMeta serializes anything else via raw toString —
+    * a Date default would write invalid JSON that permanently wedges
+    * meta(), and a NaN/Infinity double silently becomes NULL on
+    * reopen. Reject both AT DECLARATION, not at first read. */
+  private def validateDefaults(name: String, defaults: Map[String, Any]): Unit =
+    defaults.foreach { case (k, v) =>
+      v match {
+        case _: String | _: Boolean | _: Long | _: Int | _: Short | _: Byte => ()
+        case d: Double =>
+          require(!d.isNaN && !d.isInfinite,
+            s"$name.$k: non-finite default $d cannot round-trip through metadata")
+        case f: Float =>
+          require(!f.isNaN && !f.isInfinite,
+            s"$name.$k: non-finite default $f cannot round-trip through metadata")
+        case other => throw new IllegalArgumentException(
+          s"$name.$k: default of type ${other.getClass.getSimpleName} is not a " +
+            "durable literal (STRING/BOOLEAN/INTEGER/FLOAT only)")
+      }
+    }
+
   def createTable(
       name: String,
       schema: StructType,
@@ -257,6 +279,7 @@ class TableCatalog(spark: SparkSession, val root: String) {
       references: Map[String, String] = Map.empty,
       indexes: Seq[String] = Nil): Unit = rootLock.synchronized {
     require(!exists(name), s"table already exists: $name")
+    validateDefaults(name, defaults)
     references.foreach { case (c, t) =>
       val parent = fkTargetMeta(t)
       require(parent.isDefined, s"FK $name.$c references unknown table $t")
@@ -352,8 +375,16 @@ class TableCatalog(spark: SparkSession, val root: String) {
   private def resolveDirs(name: String, rels: Seq[String]): Seq[String] =
     rels.map(r => absTableDir(name).resolve(r).toString)
   private def relativizeFile(name: String, fileUri: String): String = {
-    val p = Paths.get(new java.net.URI(fileUri).getPath).toAbsolutePath.normalize
-    absTableDir(name).relativize(p).toString
+    // input_file_name() yields Hadoop path strings that are not fully
+    // URI-encoded (a literal space makes `new URI` throw) — fall back
+    // to stripping the scheme textually so catalogs under such paths
+    // still collect index stats
+    val local =
+      try Paths.get(new java.net.URI(fileUri).getPath)
+      catch { case _: Exception =>
+        Paths.get(fileUri.stripPrefix("file:").replaceFirst("^//+", "/"))
+      }
+    absTableDir(name).relativize(local.toAbsolutePath.normalize).toString
   }
 
   /** MVCC time travel: scan the table as of `version`. */
@@ -499,7 +530,12 @@ class TableCatalog(spark: SparkSession, val root: String) {
     for (k <- m.primaryKey.toSeq ++ m.notNull)
       require(df.filter(col(k).isNull).isEmpty, s"$name.$k: NOT NULL violated")
     for (k <- keys) {
-      val dups = df.groupBy(col(k)).count().filter(col("count") > 1)
+      // NULLs dropped BEFORE the duplicate count — SQL UNIQUE permits
+      // any number of NULLs (and validateInsert admits them), so a
+      // groupBy that lumped NULLs together would flag legal rows and
+      // brick every later UPDATE/DELETE on the table
+      val dups = df.select(col(k)).na.drop()
+        .groupBy(col(k)).count().filter(col("count") > 1)
       require(dups.isEmpty, s"$name.$k: UNIQUE/PRIMARY KEY violated")
     }
     // referential integrity: every non-null FK value must exist in the
@@ -573,14 +609,32 @@ class TableCatalog(spark: SparkSession, val root: String) {
   }
 
   /** (table -> current version) for every table — the consistent
-    * snapshot a txn or READ ONLY session pins at BEGIN. */
-  private[graft] def pinVersions(): Map[String, Int] =
+    * snapshot a txn or READ ONLY session pins at BEGIN. Under
+    * rootLock: commits move multiple pointers while holding it, so an
+    * unlocked scan could pin old-A + new-B across one commit (a torn
+    * snapshot whose FK-linked tables disagree), or crash on a table
+    * dropped between the listing and the version read. */
+  private[graft] def pinVersions(): Map[String, Int] = rootLock.synchronized {
     listTables().map(n => n -> quickVersion(n)).toMap
+  }
 
-  /** Tables whose FKs reference `name` (reverse FK index). */
+  /** References map alone, without the full TableMeta parse — the
+    * reverse-FK scan below runs over EVERY table per DML attempt
+    * (twice: fingerprint outside the lock, re-check inside), and the
+    * schema-JSON parse is the expensive part of meta(). */
+  private def quickReferences(name: String): Map[String, String] = {
+    val json = Files.readString(metaPath(name))
+    val body = jsonObjBody(json, "references").getOrElse("")
+    "\"((?:[^\"\\\\]|\\\\.)*)\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"".r
+      .findAllMatchIn(body)
+      .map(m => unesc(m.group(1)) -> unesc(m.group(2))).toMap
+  }
+
+  /** Tables whose FKs reference `name` (reverse FK index; version-field
+    * style reads — no schema parse). */
   private def referencingTables(name: String): Seq[(String, String)] =
     listTables().filter(_ != name)
-      .flatMap(t => meta(t).references.collect { case (c, `name`) => (t, c) })
+      .flatMap(t => quickReferences(t).collect { case (c, `name`) => (t, c) })
 
   private def applyDefaults(name: String, m: TableMeta, df: DataFrame): DataFrame = {
     val out = m.schema.fields.foldLeft(df) { (acc, f) =>
@@ -866,6 +920,7 @@ class TableCatalog(spark: SparkSession, val root: String) {
         require(cast.eval(null) != null,
           s"ALTER TABLE $name: DEFAULT $v is not a valid ${field.dataType.simpleString}")
       }
+      validateDefaults(name, default.map(field.name -> _).toMap)
       val m2 = m.copy(
         schema = StructType(m.schema.fields :+ field),
         defaults = default.map(v => m.defaults + (field.name -> v)).getOrElse(m.defaults))
@@ -962,7 +1017,16 @@ class TableCatalog(spark: SparkSession, val root: String) {
     * exists before any manifest references it, and a txn's staged dirs
     * (`data/txn-*`, skipped entirely) live until COMMIT. Returns the
     * number of versions removed. */
-  def vacuum(name: String, keep: Int = 1, graceMs: Long = StaleClaimMs): Int =
+  /** Default vacuum grace: how long an UNREFERENCED data dir is left
+    * alone. Must cover a writer's longest write→publish window — the
+    * dir exists from writeData until claimPublish, and collectStats
+    * alone can run minutes on a large indexed batch — NOT the
+    * millisecond claim→pointer window StaleClaimMs bounds. Deleting a
+    * younger dir would let an in-flight insert publish a manifest over
+    * vanished files. */
+  private val VacuumGraceMs = 30L * 60 * 1000
+
+  def vacuum(name: String, keep: Int = 1, graceMs: Long = VacuumGraceMs): Int =
     rootLock.synchronized {
       require(keep >= 1, "vacuum: must keep at least the current version")
       val cur = currentVersion(name)
@@ -1107,11 +1171,21 @@ class TableCatalog(spark: SparkSession, val root: String) {
     /** Tables this txn dropped (still visible to everyone else). */
     def droppedTableNames: Seq[String] = droppedTables.toSeq
 
+    // outer-table metadata pinned at FIRST USE inside the txn: a
+    // concurrent ALTER TABLE (metadata-only version bump) must not
+    // change what an open txn's reads return mid-flight — the schema
+    // analog of the version snapshot. A txn that also STAGED writes to
+    // an altered table aborts at commit anyway (its base version
+    // moved); this cache covers the read-only tables.
+    private val metaPins = scala.collection.mutable.Map[String, TableMeta]()
+    private def pinnedMetaOf(name: String): TableMeta =
+      metaPins.getOrElseUpdate(name, TableCatalog.this.meta(name))
+
     /** Schema metadata under the txn's view of the catalog. */
     def metaOf(name: String): TableMeta = {
       visible(name)
       if (createdTables.contains(name)) stagedCat.meta(name)
-      else TableCatalog.this.meta(name)
+      else pinnedMetaOf(name)
     }
 
     /** Staged CREATE TABLE: fully usable inside the txn, invisible
@@ -1175,8 +1249,10 @@ class TableCatalog(spark: SparkSession, val root: String) {
       visible(name)
       if (createdTables.contains(name)) stagedCat.scan(name)
       else staged.get(name) match {
-        case Some((_, dirs)) => frameOf(meta(name).schema, resolveDirs(name, dirs))
-        case None            => asOf(name, snapshotVersion(name))
+        case Some((_, dirs)) =>
+          frameOf(pinnedMetaOf(name).schema, resolveDirs(name, dirs))
+        case None => frameOf(pinnedMetaOf(name).schema,
+          resolveDirs(name, readManifest(name, snapshotVersion(name))))
       }
     }
 
@@ -1199,7 +1275,7 @@ class TableCatalog(spark: SparkSession, val root: String) {
     def insert(name: String, df: DataFrame): Unit = {
       open(); visible(name)
       if (createdTables.contains(name)) { stagedCat.insert(name, df); return }
-      val m = meta(name)
+      val m = pinnedMetaOf(name)
       val base = baseOf(name)
       val dirs = viewDirs(name)
       val aligned = applyDefaults(name, m, df)
@@ -1219,7 +1295,7 @@ class TableCatalog(spark: SparkSession, val root: String) {
     def update(name: String, set0: Map[String, Column], where: Column): Unit = {
       open(); visible(name)
       if (createdTables.contains(name)) { stagedCat.update(name, set0, where); return }
-      val m = meta(name)
+      val m = pinnedMetaOf(name)
       val set = resolveSetKeys(m, name, set0)
       val base = baseOf(name)
       for (pk <- m.primaryKey if set.contains(pk)) {
@@ -1248,7 +1324,7 @@ class TableCatalog(spark: SparkSession, val root: String) {
     def merge(name: String, source: DataFrame): Unit = {
       open(); visible(name)
       if (createdTables.contains(name)) { stagedCat.merge(name, source); return }
-      val m = meta(name)
+      val m = pinnedMetaOf(name)
       val base = baseOf(name)
       val merged = mergedFrame(m, name, source, scan(name))
       val rel = freshDir(name)
@@ -1265,7 +1341,7 @@ class TableCatalog(spark: SparkSession, val root: String) {
     def delete(name: String, where: Column): Unit = {
       open(); visible(name)
       if (createdTables.contains(name)) { stagedCat.delete(name, where); return }
-      val m = meta(name)
+      val m = pinnedMetaOf(name)
       val base = baseOf(name)
       for (pk <- m.primaryKey) {
         val removedKeys = scan(name).filter(coalesce(where, lit(false)))

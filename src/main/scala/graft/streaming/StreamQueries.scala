@@ -32,20 +32,25 @@ object StreamQueries {
     try body finally s.conf.set(key, prev)
   }
 
+  /** The raw events file-stream with `ts` converted ns → µs — the
+    * shared front of every event-driven streaming query (the source
+    * wants a directory, so the glob pins the events file; the ns→µs
+    * conversion mirrors Tables.events). ONE definition, so the
+    * timestamp handling cannot drift between queries. */
+  private def rawEventsStream(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.readStream
+      .schema(s.read.parquet(s"$d/events.parquet").schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(d)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
   /** st01: the q19 hour-bucket aggregation executed by the streaming
     * engine. Source: file stream over the events parquet (one batch —
     * bounded); sink: in-memory table. */
   def st01StreamWindow(s: SparkSession, d: String): DataFrame = {
-    // schema via the batch loader (handles TIMESTAMP(NANOS) → µs)
-    val batch = Tables.events(s, d)
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // the file-stream source wants a directory: stream the sf dir with
-    // a glob pinned to the events file
-    val raw = s.readStream
-      .schema(s.read.parquet(s"$d/events.parquet").schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(d)
-    val events = raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val events = rawEventsStream(s, d)
 
     val agg = events
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -104,12 +109,15 @@ object StreamQueries {
       Seq((-1L, maxNs + offMs * 1000000L, "sentinel", 0.0))
         .toDF("user_id", "ts", "event_type", "value")
         .coalesce(1).write.parquet(staging.toString)
-      val part = JFiles.list(staging).iterator()
+      val listing = JFiles.list(staging)
       val dest = streamDir.resolve(f"chunk-$n%04d.parquet")
-      while (part.hasNext) {
-        val p = part.next()
-        if (p.getFileName.toString.endsWith(".parquet")) JFiles.move(p, dest)
-      }
+      try {
+        val part = listing.iterator()
+        while (part.hasNext) {
+          val p = part.next()
+          if (p.getFileName.toString.endsWith(".parquet")) JFiles.move(p, dest)
+        }
+      } finally listing.close() // a leaked Files.list holds a directory fd
       dest.toFile.setLastModified(1700000000000L + n * 60000L) // source order
     }
     writeSentinel(86400000L, 1)  // + 1 day
@@ -184,12 +192,7 @@ object StreamQueries {
     * run its own query over it and assert on the EXECUTED streaming
     * plan (the broadcast), not a batch approximation. */
   private[graft] def st04Agg(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = s.readStream
-      .schema(s.read.parquet(s"$d/events.parquet").schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(d)
-    val events = raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val events = rawEventsStream(s, d)
     val dim = broadcast(Tables.customer(s, d)
       .select(col("c_custkey"), col("c_mktsegment")))
 
@@ -223,12 +226,7 @@ object StreamQueries {
     * window of each side (the unbounded-state trap of stream-stream
     * joins); an inner join emits pairs as soon as both sides arrive. */
   private[graft] def st05Agg(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = s.readStream
-      .schema(s.read.parquet(s"$d/events.parquet").schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(d)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = rawEventsStream(s, d)
     val clicks = raw.filter(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
         col("ts").as("click_ts"))
@@ -310,7 +308,6 @@ object StreamQueries {
   def st07StreamIngest(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.types._
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val rawSchema = s.read.parquet(s"$d/events.parquet").schema
     val root = java.nio.file.Files.createTempDirectory("graft-st07").toString
     val cat = new graft.sources.TableCatalog(s, root)
     cat.createTable("events_ingest", StructType(Seq(
@@ -318,9 +315,7 @@ object StreamQueries {
       StructField("user_id", LongType),
       StructField("event_type", StringType),
       StructField("value", DoubleType))), primaryKey = Some("event_id"))
-    val stream = s.readStream.schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(d)
+    val stream = rawEventsStream(s, d)
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("value").cast("double").as("value"))
     withStatePartitions(s, 8) {

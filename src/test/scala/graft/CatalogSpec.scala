@@ -640,6 +640,38 @@ class CatalogSpec extends AnyFunSuite {
     assert(cat.scan("t").count() == 2)
   }
 
+  test("UNIQUE permits multiple NULLs, and later UPDATE/DELETE still revalidate cleanly") {
+    val cat = freshCatalog()
+    cat.createTable("u", StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("email", StringType))), primaryKey = Some("id"),
+      unique = Seq("email"))
+    // SQL UNIQUE semantics: any number of NULLs coexist
+    cat.insert("u", Seq((1L, null.asInstanceOf[String]), (2L, null.asInstanceOf[String]))
+      .toDF("id", "email"))
+    // the rewrite paths (update/delete/merge revalidate the WHOLE
+    // snapshot) must not count the NULL group as a duplicate
+    cat.update("u", Map("email" -> lit("a@x")), col("id") === 1L)
+    cat.delete("u", col("id") === 99L) // no-op delete still revalidates
+    assert(cat.scan("u").count() == 2)
+    // real duplicates still rejected
+    intercept[IllegalArgumentException] {
+      cat.update("u", Map("email" -> lit("dup@x")), lit(true))
+    }
+  }
+
+  test("txn reads pin metadata: a concurrent ALTER does not change an open txn's schema") {
+    val cat = freshCatalog()
+    cat.createTable("t", schema, primaryKey = Some("id"))
+    cat.insert("t", Seq((1L, "a", 1.0)).toDF("id", "name", "balance"))
+    val t = cat.begin()
+    assert(t.scan("t").columns.length == 3) // pins the metadata
+    cat.addColumn("t", StructField("extra", StringType))
+    assert(t.scan("t").columns.length == 3, "open txn must keep its pinned schema")
+    assert(cat.scan("t").columns.length == 4, "outside view sees the new column")
+    t.rollback()
+  }
+
   test("merge upserts on the primary key; history stays time-travelable") {
     val cat = freshCatalog()
     cat.createTable("m", schema, primaryKey = Some("id"),
