@@ -39,6 +39,8 @@ import org.apache.spark.sql.types._
   */
 class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
 
+  import GraftSQL.{showTablesRe, showCreateRe, descRe, ctasRe, insertSelectRe, createRe, dropRe, insertRe, mergeRe, updateRe, deleteRe, compactRe, alterAddRe, alterDropRe, vacuumRe}
+
   GraftSession.prepare(spark)
 
   private var txn: Option[catalog.Txn] = None
@@ -133,32 +135,6 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
       txn = None; asOf = None; readOnly = false; roVersions = None
       return Seq("ROLLBACK").toDF("status")
     }
-
-    // introspection (reference server.rs:126-127: ListTables/GetTable)
-    val showTablesRe = raw"(?is)SHOW\s+TABLES\s*".r
-    val showCreateRe = raw"(?is)SHOW\s+CREATE\s+TABLE\s+(\w+)\s*".r
-    val descRe = raw"(?is)DESCRIBE\s+(\w+)\s*".r
-    // CTAS / INSERT..SELECT (beyond the reference's VALUES-only DML)
-    val ctasRe = raw"(?is)CREATE\s+TABLE\s+(\w+)\s+AS\s+((?:SELECT|WITH)\b.*)".r
-    val insertSelectRe = raw"(?is)INSERT\s+INTO\s+(\w+)\s*(?:\(([^)]*)\)\s*)?((?:SELECT|WITH)\b.*)".r
-    val createRe = raw"(?is)CREATE\s+TABLE\s+(\w+)\s*\((.*)\)\s*".r
-    val dropRe   = raw"(?is)DROP\s+TABLE\s+(\w+)\s*".r
-    val insertRe = raw"(?is)INSERT\s+INTO\s+(\w+)\s*(?:\(([^)]*)\)\s*)?VALUES\s*(.*)".r
-    // MERGE INTO t VALUES ...: upsert on the primary key (beyond the
-    // reference surface — the lakehouse MERGE, VALUES-source form)
-    val mergeRe  = raw"(?is)MERGE\s+INTO\s+(\w+)\s*(?:\(([^)]*)\)\s*)?VALUES\s*(.*)".r
-    // SET/WHERE split happens quote-aware below, NOT in the regex: a
-    // lazy (.*?)\s+WHERE would cut the SET body at a 'where' inside a
-    // string literal
-    val updateRe = raw"(?is)UPDATE\s+(\w+)\s+SET\s+(.*)".r
-    val deleteRe = raw"(?is)DELETE\s+FROM\s+(\w+)(?:\s+WHERE\s+(.*))?\s*".r
-    // maintenance statements (beyond the reference surface — the
-    // lakehouse operations an append-heavy managed table needs)
-    val compactRe = raw"(?is)COMPACT\s+TABLE\s+(\w+)\s*".r
-    // metadata-only schema evolution (beyond the reference surface)
-    val alterAddRe  = raw"(?is)ALTER\s+TABLE\s+(\w+)\s+ADD\s+COLUMN\s+(.*)".r
-    val alterDropRe = raw"(?is)ALTER\s+TABLE\s+(\w+)\s+DROP\s+COLUMN\s+(\w+)\s*".r
-    val vacuumRe  = raw"(?is)VACUUM\s+(\w+)(?:\s+KEEP\s+(\d+))?\s*".r
 
     s match {
       case compactRe(name) =>
@@ -461,6 +437,35 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
 /** Dialect shims shared by every [[GraftSQL]] instance. */
 object GraftSQL {
 
+  // statement-routing patterns — constants, compiled once (execute()
+  // used to recompile all of them per call)
+  // introspection (reference server.rs:126-127: ListTables/GetTable)
+  private val showTablesRe = raw"(?is)SHOW\s+TABLES\s*".r
+  private val showCreateRe = raw"(?is)SHOW\s+CREATE\s+TABLE\s+(\w+)\s*".r
+  private val descRe = raw"(?is)DESCRIBE\s+(\w+)\s*".r
+  // CTAS / INSERT..SELECT (beyond the reference's VALUES-only DML)
+  private val ctasRe = raw"(?is)CREATE\s+TABLE\s+(\w+)\s+AS\s+((?:SELECT|WITH)\b.*)".r
+  private val insertSelectRe = raw"(?is)INSERT\s+INTO\s+(\w+)\s*(?:\(([^)]*)\)\s*)?((?:SELECT|WITH)\b.*)".r
+  private val createRe = raw"(?is)CREATE\s+TABLE\s+(\w+)\s*\((.*)\)\s*".r
+  private val dropRe   = raw"(?is)DROP\s+TABLE\s+(\w+)\s*".r
+  private val insertRe = raw"(?is)INSERT\s+INTO\s+(\w+)\s*(?:\(([^)]*)\)\s*)?VALUES\s*(.*)".r
+  // MERGE INTO t VALUES ...: upsert on the primary key (beyond the
+  // reference surface — the lakehouse MERGE, VALUES-source form)
+  private val mergeRe  = raw"(?is)MERGE\s+INTO\s+(\w+)\s*(?:\(([^)]*)\)\s*)?VALUES\s*(.*)".r
+  // SET/WHERE split happens quote-aware in splitAtTopLevelWhere, NOT in
+  // the regex: a lazy (.*?)\s+WHERE would cut the SET body at a 'where'
+  // inside a string literal
+  private val updateRe = raw"(?is)UPDATE\s+(\w+)\s+SET\s+(.*)".r
+  private val deleteRe = raw"(?is)DELETE\s+FROM\s+(\w+)(?:\s+WHERE(?![A-Za-z0-9_])\s*(.*))?\s*".r
+  // maintenance statements (beyond the reference surface — the
+  // lakehouse operations an append-heavy managed table needs)
+  private val compactRe = raw"(?is)COMPACT\s+TABLE\s+(\w+)\s*".r
+  // metadata-only schema evolution (beyond the reference surface)
+  private val alterAddRe  = raw"(?is)ALTER\s+TABLE\s+(\w+)\s+ADD\s+COLUMN\s+(.*)".r
+  private val alterDropRe = raw"(?is)ALTER\s+TABLE\s+(\w+)\s+DROP\s+COLUMN\s+(\w+)\s*".r
+  private val vacuumRe  = raw"(?is)VACUUM\s+(\w+)(?:\s+KEEP\s+(\d+))?\s*".r
+
+
   /** The reference's arithmetic substituted into one PARSED
     * (unresolved) expression tree — the type dispatch itself lives in
     * [[graft.functions.RefDiv]]/[[graft.functions.RefPow]], whose
@@ -528,12 +533,22 @@ object GraftSQL {
   private[graft] def refArithmeticPlan(
       p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
-    import org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith
+    import org.apache.spark.sql.catalyst.plans.logical.{UnresolvedWith, WithWindowDefinition}
     p.transformDown {
       case w: UnresolvedWith =>
         w.copy(cteRelations = w.cteRelations.map { case (n, rel, o) =>
           (n, refArithmeticPlan(rel)
             .asInstanceOf[org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias], o)
+        }).mapExpressions(refArithmetic)
+      case w: WithWindowDefinition =>
+        // named WINDOW w AS (...) specs live in a Map field, which
+        // QueryPlan.mapExpressions leaves UNTOUCHED (its recursive
+        // transform skips Map-typed products) — without this case,
+        // `/` and the graft_pow sentinel inside a named window spec
+        // would silently keep Catalyst semantics / fail to resolve
+        w.copy(windowDefinitions = w.windowDefinitions.map { case (n, spec) =>
+          n -> refArithmetic(spec).asInstanceOf[
+            org.apache.spark.sql.catalyst.expressions.WindowSpecDefinition]
         }).mapExpressions(refArithmetic)
       case node => node.mapExpressions(refArithmetic)
     }
@@ -613,17 +628,42 @@ object GraftSQL {
   }
 
   /** Index just past the closing quote of a literal starting at `i`
-    * (s(i) is the opening quote). Handles '' doubling. */
+    * (s(i) is the opening quote). Handles '' doubling AND backslash
+    * escapes — Spark's default dialect (escapedStringLiterals=false)
+    * reads `'don\'t'` as one literal, so a scanner that stopped at the
+    * \' would desynchronize and rewrite inside string content.
+    * Backticked identifiers have no backslash escapes (doubling only). */
   private def skipString(s: String, i: Int): Int = {
     val q = s(i)
     var j = i + 1
     while (j < s.length) {
-      if (s(j) == q) {
+      if (s(j) == '\\' && q != '`' && j + 1 < s.length) j += 2
+      else if (s(j) == q) {
         if (j + 1 < s.length && s(j + 1) == q) j += 2 // escaped quote
         else return j + 1
       } else j += 1
     }
     j
+  }
+
+  /** For every index of `s`: the index of the opening quote of the
+    * enclosing string/backtick literal, or -1 when outside any
+    * literal. BACKWARD scans consult this to step over literals
+    * wholesale — counting a quoted ')' as a real paren would corrupt
+    * the operand boundary (`replace(x, ')', '') ^ 2`). */
+  private def literalStarts(s: String): Array[Int] = {
+    val m = Array.fill(s.length)(-1)
+    var i = 0
+    while (i < s.length) {
+      val c = s(i)
+      if (c == '\'' || c == '"' || c == '`') {
+        val j = skipString(s, i)
+        var k = i
+        while (k < j && k < s.length) { m(k) = i; k += 1 }
+        i = j
+      } else i += 1
+    }
+    m
   }
 
   /** Start index of the primary expression that ends right before
@@ -657,25 +697,32 @@ object GraftSQL {
   }
 
   /** Start index of the primary expression that ends right before
-    * `end`: an identifier / number / qualified name, or a balanced
-    * `(...)` group optionally preceded by a function name. */
+    * `end`: an identifier / number / qualified name, a quoted literal
+    * or backticked identifier, or a balanced `(...)` group optionally
+    * preceded by a function name. String-literal-aware in BOTH
+    * branches (see [[literalStarts]]). */
   private def primaryStart0(s: String, end: Int): Int = {
+    val lit = literalStarts(s)
     var i = end - 1
     while (i >= 0 && s(i).isWhitespace) i -= 1
     if (i < 0) return 0
+    if (lit(i) >= 0) return lit(i) // operand IS a literal / `quoted id`
     if (s(i) == ')') {
       var depth = 0
       while (i >= 0) {
-        if (s(i) == ')') depth += 1
-        else if (s(i) == '(') {
-          depth -= 1
-          if (depth == 0) {
-            i -= 1
-            while (i >= 0 && (s(i).isLetterOrDigit || s(i) == '_')) i -= 1
-            return i + 1
+        if (lit(i) >= 0) i = lit(i) - 1 // step over literals wholesale
+        else {
+          if (s(i) == ')') depth += 1
+          else if (s(i) == '(') {
+            depth -= 1
+            if (depth == 0) {
+              i -= 1
+              while (i >= 0 && (s(i).isLetterOrDigit || s(i) == '_')) i -= 1
+              return i + 1
+            }
           }
+          i -= 1
         }
-        i -= 1
       }
       0
     } else {
@@ -838,7 +885,8 @@ object GraftSQL {
         case c if depth == 0 && (c == 'w' || c == 'W')
             && body.regionMatches(true, i, "WHERE", 0, 5)
             && i > 0 && body(i - 1).isWhitespace
-            && (i + 5 >= body.length || body(i + 5).isWhitespace) =>
+            && (i + 5 >= body.length || body(i + 5).isWhitespace
+              || body(i + 5) == '(') => // WHERE(cond) — no space — is valid SQL
           return (body.substring(0, i), Some(body.substring(i + 5)))
         case _ => i += 1
       }

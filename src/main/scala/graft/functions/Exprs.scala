@@ -100,6 +100,7 @@ case class NearestCentroid(left: Expression, right: Expression) extends BinaryEx
 }
 
 case class Shingles64(child: Expression, n: Int) extends UnaryExpression with ImplicitCastInputTypes {
+  require(n >= 1, s"shingles64: n must be >= 1, got $n")
   override def inputTypes: Seq[org.apache.spark.sql.GraftTypes.AbstractType] = Seq(StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
@@ -112,6 +113,8 @@ case class Shingles64(child: Expression, n: Int) extends UnaryExpression with Im
 }
 
 case class MinHashSig(child: Expression, n: Int, k: Int, seed: Long) extends UnaryExpression with ImplicitCastInputTypes {
+  require(n >= 1, s"minhash_sig: n must be >= 1, got $n")
+  require(k >= 1 && k <= 4096, s"minhash_sig: k must be in [1,4096], got $k")
   override def inputTypes: Seq[org.apache.spark.sql.GraftTypes.AbstractType] = Seq(StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
@@ -154,6 +157,8 @@ case class WordGramStats(child: Expression, n: Int) extends UnaryExpression with
 }
 
 case class Fingerprint64(child: Expression, n: Int, w: Int) extends UnaryExpression with ImplicitCastInputTypes {
+  require(n >= 1, s"fingerprint64: n must be >= 1, got $n")
+  require(w >= 1, s"fingerprint64: w must be >= 1, got $w")
   override def inputTypes: Seq[org.apache.spark.sql.GraftTypes.AbstractType] = Seq(StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true

@@ -127,15 +127,19 @@ object Kernels {
     * non-negative exponents, mirroring the reference's rhs >= 0 arm). */
   def intPow(base: Long, exp: Long): Long = {
     require(exp >= 0, s"intPow: negative exponent $exp")
-    var result = 1L
-    var b = base
-    var e = exp
-    while (e > 0) {
-      if ((e & 1L) == 1L) result = Math.multiplyExact(result, b)
-      e >>= 1
-      if (e > 0) b = Math.multiplyExact(b, b)
+    try {
+      var result = 1L
+      var b = base
+      var e = exp
+      while (e > 0) {
+        if ((e & 1L) == 1L) result = Math.multiplyExact(result, b)
+        e >>= 1
+        if (e > 0) b = Math.multiplyExact(b, b)
+      }
+      result
+    } catch { // the reference's checked_pow error text, like refDivLong
+      case _: ArithmeticException => throw new ArithmeticException("Integer overflow")
     }
-    result
   }
 
   /** Index of the centroid (array<array<float>>) most cosine-similar

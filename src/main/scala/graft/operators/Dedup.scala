@@ -136,9 +136,11 @@ object Dedup {
   }
 
   // ---------------------------------------------------------------- d04
-  /** n-gram Jaccard dedup: minhash-LSH candidates verified with the
-    * *exact* shingle-set Jaccard (merge of sorted hash sets). */
-  def d04NgramJaccard(s: SparkSession, d: String): DataFrame = {
+  /** The verified near-dup pairs WITHOUT the presentation sort —
+    * d06 consumes this (its edge checkpoint would otherwise
+    * materialize a full range-partitioned sort it immediately
+    * discards); d04's public result adds the ORDER BY. */
+  private def verifiedPairs(s: SparkSession, d: String): DataFrame = {
     val cand = candidates(s, d)
     val sh = signed(s, d).select("doc_id", "sh")
     cand
@@ -147,8 +149,12 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         jaccard64(col("sa.sh"), col("sb.sh")).as("jaccard"))
       .filter(col("jaccard") >= 0.8)
-      .orderBy("doc_a", "doc_b")
   }
+
+  /** n-gram Jaccard dedup: minhash-LSH candidates verified with the
+    * *exact* shingle-set Jaccard (merge of sorted hash sets). */
+  def d04NgramJaccard(s: SparkSession, d: String): DataFrame =
+    verifiedPairs(s, d).orderBy("doc_a", "doc_b")
 
   // ---------------------------------------------------------------- d05
   /** Embedding near-dup: random-hyperplane LSH buckets as the blocking
@@ -191,7 +197,7 @@ object Dedup {
     * it converges in 2-3 rounds. Each round is one shuffle
     * (join + groupBy min) — the large-graph-safe formulation. */
   def d06Clusters(s: SparkSession, d: String): DataFrame = {
-    val pairs = d04NgramJaccard(s, d).select("doc_a", "doc_b")
+    val pairs = verifiedPairs(s, d).select("doc_a", "doc_b")
     // symmetric edge list, materialized once: every propagation round
     // joins against it — without the checkpoint each round would
     // re-run the whole upstream LSH pipeline

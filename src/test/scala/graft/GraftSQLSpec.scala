@@ -551,6 +551,36 @@ class GraftSQLSpec extends AnyFunSuite {
     }
   }
 
+  test("rewrites survive quoted parens, backslash escapes, and named-window specs") {
+    val g = session()
+    // a quoted ')' inside the left operand of ^ must not corrupt the
+    // backward operand scan
+    val r1 = g.execute("SELECT length(replace('ab)', ')', 'cd')) ^ 2 AS v").collect()
+    assert(r1(0).getLong(0) == 16L, "len('abcd')=4, 4^2=16")
+    // backslash-escaped quote: content after \' is still INSIDE the
+    // literal — the ^ in it must not be rewritten
+    val r2 = g.execute("""SELECT 'don\'t ^ care' AS s""").collect()
+    assert(r2(0).getString(0) == "don't ^ care")
+    // reference arithmetic reaches a named WINDOW spec: n / 2 must be
+    // integer division there, same as the inline OVER form
+    g.execute("CREATE TABLE nums (id INTEGER PRIMARY KEY, n INTEGER)")
+    g.execute("INSERT INTO nums VALUES (1, 4), (2, 5), (3, 6)")
+    val named = g.execute(
+      """SELECT id, count(*) OVER w AS c FROM nums
+        |WINDOW w AS (PARTITION BY n / 2) ORDER BY id""".stripMargin)
+      .collect().map(_.getLong(1)).toSeq
+    // integer division: 4/2=2, 5/2=2 (truncating!), 6/2=3 → groups {4,5},{6}
+    assert(named == Seq(2L, 2L, 1L), s"n/2 in a named window must truncate: $named")
+    // WHERE with no space before the paren
+    g.execute("UPDATE nums SET n = 0 WHERE(id = 3)")
+    g.execute("DELETE FROM nums WHERE(id = 1)")
+    assert(g.execute("SELECT id, n FROM nums ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((2L, 5L), (3L, 0L)))
+    // malformed kernel parameters fail loudly, never reach unsafe reads
+    intercept[Exception] { g.execute("SELECT fingerprint64('abc', 8, 0)").collect() }
+    intercept[Exception] { g.execute("SELECT shingles64('abc', -2)").collect() }
+  }
+
   test("SHOW TABLES / DESCRIBE / SHOW CREATE TABLE mirror the reference's introspection") {
     val g = session()
     g.execute("CREATE TABLE studios (id INTEGER PRIMARY KEY)")
