@@ -176,7 +176,7 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
           && !restUp.containsSlice(Seq("NOT", "NULL")),
           s"ALTER TABLE ADD COLUMN: only a nullable column with an optional DEFAULT")
         catalog.addColumn(name, StructField(cname, dtype, nullable = true),
-          GraftSQL.parseDefaultLiteral(colDef))
+          parseDefault(colDef))
         Seq(s"ALTER TABLE $name ADD COLUMN $cname").toDF("status")
 
       case ctasRe(name, selectBody) =>
@@ -184,7 +184,18 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
         val df = runSelect(selectBody)
         txn match {
           case Some(t) => t.createTable(name, df.schema); t.insert(name, df)
-          case None    => catalog.createTable(name, df.schema); catalog.insert(name, df)
+          case None    =>
+            catalog.createTable(name, df.schema)
+            // create-then-insert is two steps outside a txn: a failed
+            // insert (source write error) must not leave an empty
+            // committed table behind that wedges every CTAS retry with
+            // "table already exists"
+            try catalog.insert(name, df)
+            catch {
+              case e: Throwable =>
+                try catalog.dropTable(name) catch { case _: Throwable => () }
+                throw e
+            }
         }
         // row count from the WRITTEN table (parquet footer metadata) —
         // df.count() would re-execute the entire source query
@@ -358,9 +369,13 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
     * in the session's shared temp-view namespace for another GraftSQL
     * to resolve. */
   private def runSelect(s: String): DataFrame = {
+    // table detection runs over a string-MASKED copy: a table name
+    // appearing only inside a string literal ('orders were late') must
+    // not register a spurious snapshot view
+    val masked = GraftSQL.maskStrings(s)
     lastRegistered = tableNames
       .filter(n => ("(?i)\\b" + java.util.regex.Pattern.quote(n) + "\\b")
-        .r.findFirstIn(s).isDefined)
+        .r.findFirstIn(masked).isDefined)
     GraftSession.withTempViews(spark,
       lastRegistered.map(n => n -> currentScan(n)))(referenceSql(s))
   }
@@ -414,7 +429,7 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
       if (restUp.contains("INDEX")) indexes += cname // schema.rs:154-155
       val refRe = raw"(?i)REFERENCES\s+(\w+)".r
       refRe.findFirstMatchIn(masked).foreach(m => references += cname -> m.group(1))
-      GraftSQL.parseDefaultLiteral(colDef).foreach(v => defaults += cname -> v)
+      parseDefault(colDef).foreach(v => defaults += cname -> v)
       val nullable = !(isPk || restUp.containsSlice(Seq("NOT", "NULL")))
       StructField(cname, dtype, nullable)
     }
@@ -427,6 +442,39 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
         catalog.createTable(name, StructType(fields), pk,
           notNull.result().distinct, unique.result(), defaults.result(),
           references.result(), indexes.result())
+    }
+  }
+
+  /** The DEFAULT value of one column definition, if any. The reference
+    * accepts an arbitrary constant expression (ast.rs:82 — `DEFAULT
+    * 1+1`, `DEFAULT -5`, `DEFAULT upper('x')`), constant-folded at
+    * DDL time; so here the clause text is parsed by Catalyst, the
+    * reference arithmetic rules applied ([[GraftSQL.refArithmetic]] —
+    * `DEFAULT 7/2` stores 3), analyzed, and evaluated ONCE at CREATE.
+    * A non-foldable default (`DEFAULT rand()`) is rejected loudly at
+    * declaration — silently re-evaluating it per insert would neither
+    * match the reference nor round-trip through metadata. `DEFAULT
+    * NULL` is the same as no default. */
+  private def parseDefault(colDef: String): Option[Any] = {
+    val text = GraftSQL.defaultExprText(colDef).getOrElse(return None)
+    val analyzed = referenceSql(s"SELECT ($text) AS graft_default")
+      .queryExecution.analyzed
+    val e = analyzed.expressions.head match {
+      case a: org.apache.spark.sql.catalyst.expressions.Alias => a.child
+      case other => other
+    }
+    require(e.foldable,
+      s"DEFAULT $text: not a constant expression (must fold at CREATE time)")
+    Option(e.eval(null)).map { v =>
+      org.apache.spark.sql.catalyst.CatalystTypeConverters
+        .convertToScala(v, e.dataType) match {
+        // a decimal literal (Catalyst parses 0.5 as DECIMAL) becomes
+        // the double the reference's FLOAT columns store — BigDecimal
+        // itself is not a durable metadata literal (validateDefaults)
+        case d: java.math.BigDecimal => d.doubleValue()
+        case d: BigDecimal           => d.toDouble
+        case other                   => other
+      }
     }
   }
 
@@ -894,24 +942,38 @@ object GraftSQL {
     (body, None)
   }
 
-  /** The DEFAULT literal of one column definition, if any: a quoted
-    * string (with '' escapes), TRUE/FALSE, a number — or None for
-    * DEFAULT NULL (same as no default). A regex \\S+ would truncate
-    * 'john doe' at the space. */
-  private[graft] def parseDefaultLiteral(colDef: String): Option[Any] = {
-    val m = raw"(?i)\bDEFAULT\s+".r.findFirstMatchIn(colDef).getOrElse(return None)
-    val rest = colDef.substring(m.end).trim
-    if (rest.isEmpty) return None
-    if (rest.head == '\'') {
-      val end = skipString(rest, 0)
-      // '' doubling inside the literal unescapes to a single quote
-      return Some(rest.substring(1, end - 1).replace("''", "'"))
+  // tokens that END a DEFAULT expression: the next top-level column
+  // constraint keyword of the reference's column grammar (ast.rs:77-87)
+  private val DefaultStopWords = Set("PRIMARY", "NOT", "UNIQUE", "INDEX", "REFERENCES")
+
+  /** The raw TEXT of the DEFAULT expression in one column definition:
+    * everything after the DEFAULT keyword up to the next top-level
+    * constraint keyword (string- and paren-masked scan, so 'not null
+    * yet' inside the default literal and NOT inside a parenthesized
+    * expression never truncate it). None when there is no DEFAULT
+    * clause, or the expression is the bare NULL keyword (same as no
+    * default). The caller parses/folds the text with Catalyst. */
+  private[graft] def defaultExprText(colDef: String): Option[String] = {
+    val masked = maskStrings(colDef)
+    val m = raw"(?i)\bDEFAULT\s".r.findFirstMatchIn(masked).getOrElse(return None)
+    val start = m.end
+    var i = start
+    var depth = 0
+    var end = colDef.length
+    while (i < masked.length && end == colDef.length) {
+      val c = masked(i)
+      if (c == '(') { depth += 1; i += 1 }
+      else if (c == ')') { depth -= 1; i += 1 }
+      else if (depth == 0 && (c.isLetter || c == '_')) {
+        var j = i
+        while (j < masked.length && (masked(j).isLetterOrDigit || masked(j) == '_')) j += 1
+        if (DefaultStopWords.contains(masked.substring(i, j).toUpperCase)) end = i
+        else i = j
+      } else i += 1
     }
-    val tok = rest.takeWhile(c => !c.isWhitespace && c != ',')
-    if (tok.equalsIgnoreCase("NULL")) None
-    else if (tok.equalsIgnoreCase("TRUE")) Some(true)
-    else if (tok.equalsIgnoreCase("FALSE")) Some(false)
-    else if (tok.exists(c => c == '.' || c == 'e' || c == 'E')) Some(tok.toDouble)
-    else Some(tok.toLong)
+    // masking preserves offsets, so the [start, end) slice of the RAW
+    // text is the expression with its string contents intact
+    val text = colDef.substring(start, end).trim
+    if (text.isEmpty || text.equalsIgnoreCase("NULL")) None else Some(text)
   }
 }

@@ -297,6 +297,63 @@ class GraftSQLSpec extends AnyFunSuite {
     assert(r.isNullAt(2))
   }
 
+  test("DEFAULT accepts constant expressions, folded at CREATE (ast.rs:82)") {
+    val g = session()
+    g.execute("""CREATE TABLE de (
+      id INTEGER PRIMARY KEY,
+      n INTEGER DEFAULT 1+1,
+      m INTEGER DEFAULT -5,
+      d INTEGER DEFAULT 7/2,
+      p INTEGER DEFAULT 2^5,
+      s STRING DEFAULT upper('a' || 'b'))""")
+    g.execute("INSERT INTO de (id) VALUES (1)")
+    val r = g.execute("SELECT n, m, d, p, s FROM de").collect()(0)
+    assert(r.getLong(0) == 2L)   // folded at DDL time
+    assert(r.getLong(1) == -5L)
+    assert(r.getLong(2) == 3L)   // reference integer division
+    assert(r.getLong(3) == 32L)  // reference ^ exponentiation
+    assert(r.getString(4) == "AB")
+    // non-foldable defaults are rejected AT CREATE, not at first insert
+    intercept[Exception] {
+      g.execute("CREATE TABLE bad (id INTEGER PRIMARY KEY, r FLOAT DEFAULT rand())")
+    }
+    assert(!g.catalog.exists("bad"))
+    // ALTER TABLE ADD COLUMN takes expression defaults too
+    g.execute("ALTER TABLE de ADD COLUMN extra INTEGER DEFAULT 10*10")
+    g.execute("INSERT INTO de (id) VALUES (2)")
+    val rows = g.execute("SELECT id, extra FROM de ORDER BY id").collect()
+    assert(rows(0).isNullAt(1) && rows(1).getLong(1) == 100L)
+  }
+
+  test("DEFAULT string literals unescape backslash sequences like Spark's parser") {
+    val g = session()
+    // Spark's default dialect reads 'don\'t' as don't — the stored
+    // default must agree with how the same literal evaluates elsewhere
+    g.execute("""CREATE TABLE bs (id INTEGER PRIMARY KEY, v STRING DEFAULT 'don\'t')""")
+    g.execute("INSERT INTO bs (id) VALUES (1)")
+    assert(g.execute("SELECT v FROM bs").collect()(0).getString(0) == "don't")
+  }
+
+  test("a table named only inside a string literal registers no view") {
+    val g = session()
+    g.execute("CREATE TABLE lit_probe (id INTEGER PRIMARY KEY, note STRING)")
+    g.execute("INSERT INTO lit_probe VALUES (1, 'orders were late')")
+    g.execute("CREATE TABLE orders (id INTEGER PRIMARY KEY)")
+    val r = g.execute("SELECT note FROM lit_probe WHERE note = 'orders were late'")
+    assert(r.count() == 1)
+    assert(g.lastRegistered == Seq("lit_probe"), g.lastRegistered)
+  }
+
+  test("LIMIT/OFFSET accept constant expressions like the reference (ast.rs:46-48)") {
+    val g = session()
+    g.execute("CREATE TABLE lim (id INTEGER PRIMARY KEY)")
+    g.execute("INSERT INTO lim VALUES (1), (2), (3), (4), (5), (6), (7)")
+    assert(g.execute("SELECT id FROM lim ORDER BY id LIMIT 2+3").count() == 5)
+    val r = g.execute("SELECT id FROM lim ORDER BY id LIMIT 2*2 OFFSET 1+1")
+      .collect().map(_.getLong(0)).toSeq
+    assert(r == Seq(3L, 4L, 5L, 6L), r)
+  }
+
   test("reference INTEGER / INTEGER is truncating integer division (expression.rs:142-152)") {
     val g = session()
     def one(sql: String): Any = g.execute(sql).collect()(0).get(0)
