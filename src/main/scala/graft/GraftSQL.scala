@@ -52,6 +52,10 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
   private var roVersions: Option[Map[String, Int]] = None
   // views the last SELECT registered (observable registration scope)
   private[graft] var lastRegistered: Seq[String] = Nil
+  // (kept files, total files) per table the last SELECT index-pruned —
+  // plan observability for specs, like the reference's EXPLAIN showing
+  // an IndexLookup node instead of a Scan
+  private[graft] var lastPruned: Map[String, (Int, Int)] = Map.empty
 
   private val typeMap: Map[String, DataType] = Map(
     "BOOLEAN" -> BooleanType, "BOOL" -> BooleanType,
@@ -376,8 +380,202 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
     lastRegistered = tableNames
       .filter(n => ("(?i)\\b" + java.util.regex.Pattern.quote(n) + "\\b")
         .r.findFirstIn(masked).isDefined)
-    GraftSession.withTempViews(spark,
-      lastRegistered.map(n => n -> currentScan(n)))(referenceSql(s))
+    // parse ONCE: the same tree feeds the index-prune extraction and
+    // (rewritten) the analyzer
+    val plan = spark.sessionState.sqlParser.parsePlan(s)
+    lastPruned = Map.empty
+    // pruning reads the CURRENT manifest, so it applies only to the
+    // plain (unpinned) session — a txn/AS OF/READ ONLY session reads
+    // older versions whose file set the current stats don't describe
+    val prunes: Map[String, org.apache.spark.sql.Column] =
+      if (txn.isEmpty && asOf.isEmpty && roVersions.isEmpty) indexPrunes(plan)
+      else Map.empty
+    val bindings = lastRegistered.map { n =>
+      n -> (prunes.get(n) match {
+        case Some(f) =>
+          val (kept, all) = catalog.planFiles(n, f)
+          lastPruned += n -> ((kept.size, all.size))
+          catalog.scanFiles(n, kept)
+        case None => currentScan(n)
+      })
+    }
+    GraftSession.withTempViews(spark, bindings)(
+      GraftColumnBridge.ofRows(spark, GraftSQL.refArithmeticPlan(plan)))
+  }
+
+  /** Per-table manifest-pruning predicates extracted from the PARSED
+    * (unanalyzed) SQL tree — the SQL-front analog of the reference's
+    * IndexLookup optimizer pass (plan/mod.rs:42, 77-92), which turns a
+    * WHERE over an indexed column into an index scan from SQL text.
+    * Here the equivalent is binding the table's snapshot view to the
+    * manifest-pruned file set ([[TableCatalog.planFiles]]), so the
+    * files the index excludes are never handed to Spark at all.
+    *
+    * SOUNDNESS (pruning must never change results — the query's own
+    * WHERE re-applies every predicate, so what matters is that every
+    * dropped file provably contains no row the query keeps):
+    *  - only `col op literal` conjuncts from a Filter/inner-join-ON
+    *    whose child subtree is purely relations/aliases/joins are used
+    *    — such conjuncts are null-rejecting on the attributed column,
+    *    so they constrain that table's rows even under an outer join
+    *    above or around it (mismatches the pruning creates are rows
+    *    the conjunct rejects anyway);
+    *  - a conjunct is attributed to a table only when its column
+    *    reference is unambiguous: qualified by exactly one leaf's
+    *    alias, or unqualified with every leaf's schema known and
+    *    exactly one owning table;
+    *  - a table OCCURRING MORE THAN ONCE in the whole tree (self-join,
+    *    CTE body + main body) is never pruned — one shared view cannot
+    *    carry two different occurrence constraints;
+    *  - a name that actually resolves to a CTE makes the bound view
+    *    unused, so pruning it is vacuously harmless. */
+  private def indexPrunes(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : Map[String, org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
+    import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, SubqueryExpression}
+    import org.apache.spark.sql.catalyst.plans.Inner
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan, SubqueryAlias, UnresolvedWith}
+    import org.apache.spark.sql.functions.{col, lit}
+    import graft.sources.TableCatalog.TableMeta
+
+    val metas = scala.collection.mutable.Map[String, Option[TableMeta]]()
+    def metaOf(t: String): Option[TableMeta] =
+      metas.getOrElseUpdate(t, if (catalog.exists(t)) Some(catalog.meta(t)) else None)
+    def hasCol(t: String, c: String): Boolean =
+      metaOf(t).exists(_.schema.fieldNames.exists(_.equalsIgnoreCase(c)))
+    // cheap gate: no registered table is indexed → nothing to extract
+    if (!lastRegistered.exists(n => metaOf(n).exists(_.indexes.nonEmpty)))
+      return Map.empty
+
+    // leaf = one FROM-clause relation occurrence: the catalog table it
+    // names (None = unknown — CTE reference or multipart name) and the
+    // qualifier the query uses for it (alias, else the name itself)
+    case class Leaf(table: Option[String], qual: String)
+    def leafOf(p: LogicalPlan): Option[Leaf] = p match {
+      case r: UnresolvedRelation if r.multipartIdentifier.length == 1 =>
+        val n = r.multipartIdentifier.head
+        Some(Leaf(lastRegistered.find(_.equalsIgnoreCase(n)), n))
+      case SubqueryAlias(id, child) => leafOf(child).map(l => Leaf(l.table, id.name))
+      case _ => None
+    }
+    def simpleLeaves(p: LogicalPlan): Option[Seq[Leaf]] = p match {
+      case j: Join => for (l <- simpleLeaves(j.left); r <- simpleLeaves(j.right)) yield l ++ r
+      case f: Filter => simpleLeaves(f.child)
+      case other => leafOf(other).map(Seq(_))
+    }
+    def conjunctsOf(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjunctsOf(l) ++ conjunctsOf(r)
+      // x BETWEEN lo AND hi parses to the `between` function, not to
+      // And(>=, <=) — expand it so range pruning sees both bounds
+      case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+          if f.nameParts.length == 1 &&
+            f.nameParts.head.equalsIgnoreCase("between") &&
+            f.arguments.length == 3 && !f.isDistinct =>
+        Seq(GreaterThanOrEqual(f.arguments(0), f.arguments(1)),
+          LessThanOrEqual(f.arguments(0), f.arguments(2)))
+      case other => Seq(other)
+    }
+    // `attr op <foldable literal>` conjuncts, comparator normalized to
+    // the attribute-on-the-left direction; the literal side folds via
+    // Catalyst eval (covers -5 = UnaryMinus(Literal) and friends)
+    def asRange(e: Expression): Option[(UnresolvedAttribute, String, String)] = {
+      def litVal(x: Expression): Option[String] =
+        if (x.deterministic && x.foldable)
+          try Option(x.eval(null)).map(_.toString) catch { case _: Exception => None }
+        else None
+      def flip(op: String) = op match {
+        case ">" => "<"; case ">=" => "<="; case "<" => ">"; case "<=" => ">="; case o => o
+      }
+      val (a, b, op) = e match {
+        case EqualTo(x, y)            => (x, y, "=")
+        case GreaterThan(x, y)        => (x, y, ">")
+        case GreaterThanOrEqual(x, y) => (x, y, ">=")
+        case LessThan(x, y)           => (x, y, "<")
+        case LessThanOrEqual(x, y)    => (x, y, "<=")
+        case _                        => return None
+      }
+      (a, b) match {
+        case (u: UnresolvedAttribute, v) => litVal(v).map(s => (u, op, s))
+        case (v, u: UnresolvedAttribute) => litVal(v).map(s => (u, flip(op), s))
+        case _ => None
+      }
+    }
+
+    val occurrences = scala.collection.mutable.Map[String, Int]().withDefaultValue(0)
+    val found = scala.collection.mutable.Map[String, List[(String, Column)]]()
+      .withDefaultValue(Nil)
+
+    def attribute(leaves: Seq[Leaf], cond: Expression): Unit =
+      conjunctsOf(cond).flatMap(asRange).foreach { case (attr, op, v) =>
+        val target: Option[String] = attr.nameParts match {
+          case Seq(q, c) =>
+            leaves.filter(_.qual.equalsIgnoreCase(q)) match {
+              case Seq(one) => one.table.filter(hasCol(_, c))
+              case _        => None // no / ambiguous qualifier match
+            }
+          case Seq(c) =>
+            // unqualified: sound only when EVERY leaf's schema is known
+            // (an unknown leaf could own the column) and exactly one
+            // table has it — mirroring how the analyzer would resolve
+            if (leaves.exists(_.table.isEmpty)) None
+            else leaves.flatMap(_.table).distinct.filter(hasCol(_, c)) match {
+              case Seq(one) => Some(one)
+              case _        => None
+            }
+          case _ => None
+        }
+        target.foreach { t =>
+          val canonical = metaOf(t).get.schema.fieldNames
+            .find(_.equalsIgnoreCase(attr.nameParts.last)).get
+          val cr = col(canonical)
+          val c = op match {
+            case "="  => cr === lit(v)
+            case ">"  => cr > lit(v)
+            case ">=" => cr >= lit(v)
+            case "<"  => cr < lit(v)
+            case "<=" => cr <= lit(v)
+          }
+          found(t) = found(t) :+ (canonical -> c)
+        }
+      }
+
+    val visited = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[LogicalPlan, java.lang.Boolean]())
+    def walk(p: LogicalPlan): Unit = {
+      if (!visited.add(p)) return
+      p match {
+        case r: UnresolvedRelation if r.multipartIdentifier.length == 1 =>
+          occurrences(r.multipartIdentifier.head.toLowerCase) += 1
+        case f: Filter =>
+          simpleLeaves(f.child).foreach(attribute(_, f.condition))
+        case j: Join if j.joinType == Inner && j.condition.isDefined =>
+          // inner-join ON conjuncts filter the join output exactly like
+          // a WHERE would; outer-join ON semantics differ — excluded
+          simpleLeaves(j).foreach(attribute(_, j.condition.get))
+        case _ =>
+      }
+      (p match {
+        // cteRelations live outside `children` — count the table
+        // occurrences inside CTE bodies too (identity-dedup'd in case
+        // a Spark version puts them in both)
+        case w: UnresolvedWith => p.children ++ w.cteRelations.map(_._2)
+        case _ => p.children
+      }).foreach(walk)
+      p.expressions.foreach(_.foreach {
+        case sq: SubqueryExpression => walk(sq.plan)
+        case _ =>
+      })
+    }
+    walk(plan)
+
+    found.toMap.collect {
+      case (t, conjs)
+          if occurrences(t.toLowerCase) == 1 &&
+            conjs.exists { case (c, _) => metaOf(t).exists(_.indexes.contains(c)) } =>
+        t -> conjs.map(_._2).reduce(_ && _)
+    }
   }
 
   /** Parse `sql` and substitute the reference's type-dispatching

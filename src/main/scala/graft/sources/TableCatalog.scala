@@ -406,6 +406,14 @@ class TableCatalog(spark: SparkSession, val root: String) {
     frameOf(meta(name).schema, resolveDirs(name, kept)).filter(filter)
   }
 
+  /** Frame over an explicit kept-file list from [[planFiles]] — how the
+    * SQL front binds an index-pruned snapshot view: its OWN plan carries
+    * the WHERE that justified the pruning, so re-applying the filter
+    * here would be redundant. Paths are table-relative, as returned by
+    * planFiles. */
+  def scanFiles(name: String, rels: Seq[String]): DataFrame =
+    frameOf(meta(name).schema, resolveDirs(name, rels))
+
   /** (paths the pruned scan reads, all paths in the current manifest).
     * Exposed for plan inspection/specs.
     *

@@ -1,6 +1,7 @@
 package graft
 
 import graft.sources.TableCatalog
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The reference's SQL statement surface end-to-end through text
@@ -295,6 +296,42 @@ class GraftSQLSpec extends AnyFunSuite {
     assert(r.getString(0) == "john doe")
     assert(r.getString(1) == "o'brien")
     assert(r.isNullAt(2))
+  }
+
+  test("SQL-text SELECT over an indexed table prunes manifest files (IndexLookup parity)") {
+    val g = session()
+    g.execute("CREATE TABLE ix (id INTEGER PRIMARY KEY, v INTEGER INDEX, s STRING)")
+    // four inserts => four delta dirs, each covering a disjoint indexed
+    // range — the layout whose files a range WHERE can skip
+    for (b <- 0 until 4)
+      g.execute("INSERT INTO ix VALUES " +
+        (0 until 50).map(i => s"(${b * 50 + i}, ${b * 1000 + i}, 'r$b')").mkString(", "))
+    val rows = g.execute(
+      "SELECT id, v FROM ix WHERE v BETWEEN 2000 AND 2049 ORDER BY id").collect()
+    assert(rows.map(_.getLong(0)).toSeq == (100L until 150L))
+    val (kept, all) = g.lastPruned("ix")
+    assert(kept < all, s"SQL front must skip manifest files: kept=$kept of $all")
+    // result parity with the unpruned programmatic path (q33's oracle shape)
+    val full = g.catalog.scan("ix")
+      .filter(col("v") >= 2000 && col("v") <= 2049)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(full == rows.map(_.getLong(0)).toSeq)
+    // alias-qualified references prune too
+    g.execute("SELECT a.id FROM ix a WHERE a.v >= 3000 AND a.s = 'r3'").collect()
+    assert(g.lastPruned.get("ix").exists { case (k, a) => k < a }, g.lastPruned)
+    // a pinned session reads versions the current stats don't describe
+    g.execute("BEGIN READ ONLY")
+    g.execute("SELECT id FROM ix WHERE v = 2000").collect()
+    assert(g.lastPruned.isEmpty)
+    g.execute("ROLLBACK")
+    // a self-joined table shares one view — two occurrences, no pruning
+    g.execute("SELECT x.id FROM ix x JOIN ix y ON x.id = y.id WHERE x.v = 2000").collect()
+    assert(g.lastPruned.isEmpty)
+    // an inner-join ON conjunct prunes the joined side
+    g.execute("CREATE TABLE dim (id INTEGER PRIMARY KEY)")
+    g.execute("INSERT INTO dim VALUES (100), (101)")
+    g.execute("SELECT d.id FROM dim d JOIN ix ON d.id = ix.id AND ix.v >= 2000").collect()
+    assert(g.lastPruned.get("ix").exists { case (k, a) => k < a }, g.lastPruned)
   }
 
   test("DEFAULT accepts constant expressions, folded at CREATE (ast.rs:82)") {
