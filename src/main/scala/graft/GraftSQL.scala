@@ -27,15 +27,15 @@ import org.apache.spark.sql.types._
   * reference REJECTS (NOT over non-booleans, `NOT x LIKE y`) get
   * standard SQL semantics here instead of an error.
   *
-  * MVCC: `BEGIN READ ONLY AS OF SYSTEM TIME v` pins reads to catalog
-  * version v (ast.rs:11-14) — note versions are PER-TABLE counters,
-  * so `AS OF v` is exact time travel for a single table; a
-  * multi-table query at `AS OF v` pairs each table's v-th version,
-  * which is a simplification of the reference's global MVCC
-  * timestamp. Plain `BEGIN READ ONLY` pins every table's version at
-  * BEGIN (a true consistent snapshot); `BEGIN` starts a staged-write
-  * transaction (TableCatalog.Txn) with reads pinned at BEGIN,
-  * read-your-writes and rollback.
+  * MVCC: `BEGIN READ ONLY AS OF SYSTEM TIME g` reads the catalog at
+  * GLOBAL commit version g, resolved through the root commit journal
+  * ([[graft.sources.TableCatalog.snapshotAt]]) — one global MVCC
+  * timestamp exactly like the reference (ast.rs:11-14): a multi-table
+  * txn commit becomes visible at one g atomically, and tables created
+  * after g are invisible. Plain `BEGIN READ ONLY` pins every table's
+  * version at BEGIN (the snapshot-at-now form); `BEGIN` starts a
+  * staged-write transaction (TableCatalog.Txn) with reads pinned at
+  * BEGIN, read-your-writes and rollback.
   */
 class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
 
@@ -44,11 +44,11 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
   GraftSession.prepare(spark)
 
   private var txn: Option[catalog.Txn] = None
-  private var asOf: Option[Int] = None
   private var readOnly: Boolean = false
-  // READ ONLY pins per-table versions captured AT BEGIN — without this
-  // each SELECT would read the latest commit (non-repeatable reads,
-  // not the "snapshot-at-now" MVCC semantics the reference gives)
+  // READ ONLY pins per-table versions captured AT BEGIN (or resolved
+  // from the commit journal for AS OF) — without this each SELECT
+  // would read the latest commit (non-repeatable reads, not the
+  // snapshot MVCC semantics the reference gives)
   private var roVersions: Option[Map[String, Int]] = None
   // views the last SELECT registered (observable registration scope)
   private[graft] var lastRegistered: Seq[String] = Nil
@@ -79,7 +79,6 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
 
   private def currentScan(name: String): DataFrame =
     txn.map(_.scan(name))
-      .orElse(asOf.map(v => catalog.asOf(name, v)))
       .orElse(roVersions.map(vs => catalog.asOf(name,
         vs.getOrElse(name, sys.error(s"no such table in snapshot: $name")))))
       .getOrElse(catalog.scan(name))
@@ -109,11 +108,15 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
     }
 
     if (up.startsWith("BEGIN")) {
-      require(txn.isEmpty && asOf.isEmpty && !readOnly, "already in a transaction")
+      require(txn.isEmpty && !readOnly, "already in a transaction")
       val asOfRe = raw"(?i)AS\s+OF\s+SYSTEM\s+TIME\s+(\d+)".r
       val isReadOnly = raw"(?i)READ\s+ONLY".r.findFirstIn(s).isDefined
       asOfRe.findFirstMatchIn(s) match {
-        case Some(m) => asOf = Some(m.group(1).toInt)
+        case Some(m) =>
+          // one GLOBAL MVCC timestamp (ast.rs:11-14): the journal maps
+          // it to the per-table versions the catalog had at that commit
+          readOnly = true
+          roVersions = Some(catalog.snapshotAt(m.group(1).toLong))
         case None if isReadOnly =>
           readOnly = true // snapshot-at-now, no writes
           roVersions = Some(catalog.pinVersions())
@@ -128,28 +131,28 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
       catch {
         case e: Throwable =>
           txn.foreach(_.rollback())
-          txn = None; asOf = None; readOnly = false; roVersions = None
+          txn = None; readOnly = false; roVersions = None
           throw e
       }
-      txn = None; asOf = None; readOnly = false; roVersions = None
+      txn = None; readOnly = false; roVersions = None
       return Seq("COMMIT").toDF("status")
     }
     if (up == "ROLLBACK") {
       txn.foreach(_.rollback())
-      txn = None; asOf = None; readOnly = false; roVersions = None
+      txn = None; readOnly = false; roVersions = None
       return Seq("ROLLBACK").toDF("status")
     }
 
     s match {
       case compactRe(name) =>
         require(txn.isEmpty, "COMPACT TABLE: not inside a transaction")
-        require(asOf.isEmpty && !readOnly, "read-only transaction")
+        require(!readOnly, "read-only transaction")
         val v = catalog.compact(name)
         Seq(s"COMPACT TABLE $name -> v$v").toDF("status")
 
       case vacuumRe(name, keep) =>
         require(txn.isEmpty, "VACUUM: not inside a transaction")
-        require(asOf.isEmpty && !readOnly, "read-only transaction")
+        require(!readOnly, "read-only transaction")
         val n = Option(keep).map(k => k.toIntOption.getOrElse(
           throw new IllegalArgumentException(s"VACUUM $name: KEEP $k out of range")))
           .getOrElse(1)
@@ -158,13 +161,13 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
 
       case alterDropRe(name, colName) =>
         require(txn.isEmpty, "ALTER TABLE: not inside a transaction")
-        require(asOf.isEmpty && !readOnly, "read-only transaction")
+        require(!readOnly, "read-only transaction")
         catalog.dropColumn(name, colName)
         Seq(s"ALTER TABLE $name DROP COLUMN $colName").toDF("status")
 
       case alterAddRe(name, colDef) =>
         require(txn.isEmpty, "ALTER TABLE: not inside a transaction")
-        require(asOf.isEmpty && !readOnly, "read-only transaction")
+        require(!readOnly, "read-only transaction")
         val masked = GraftSQL.maskStrings(colDef)
         val toks = masked.trim.split("\\s+").toList
         require(toks.size >= 2, s"bad column def: $colDef")
@@ -184,7 +187,7 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
         Seq(s"ALTER TABLE $name ADD COLUMN $cname").toDF("status")
 
       case ctasRe(name, selectBody) =>
-        require(asOf.isEmpty && !readOnly, "read-only transaction")
+        require(!readOnly, "read-only transaction")
         val df = runSelect(selectBody)
         txn match {
           case Some(t) => t.createTable(name, df.schema); t.insert(name, df)
@@ -207,7 +210,7 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
         Seq(s"CREATE TABLE $name AS SELECT ($n rows)").toDF("status")
 
       case insertSelectRe(name, colList, selectBody) =>
-        require(asOf.isEmpty && !readOnly, "read-only transaction")
+        require(!readOnly, "read-only transaction")
         val df = alignCols(runSelect(selectBody), colList, name, "INSERT",
           defaultToOwnColumns = true)
         txn match {
@@ -217,12 +220,12 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
         Seq(s"INSERT INTO $name FROM SELECT").toDF("status")
 
       case createRe(name, colsBody) =>
-        require(asOf.isEmpty && !readOnly, "read-only transaction")
+        require(!readOnly, "read-only transaction")
         createTable(name, colsBody)
         Seq(s"CREATE TABLE $name").toDF("status")
 
       case dropRe(name) =>
-        require(asOf.isEmpty && !readOnly, "read-only transaction")
+        require(!readOnly, "read-only transaction")
         txn match {
           case Some(t) => t.dropTable(name)
           case None    => catalog.dropTable(name)
@@ -230,7 +233,7 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
         Seq(s"DROP TABLE $name").toDF("status")
 
       case insertRe(name, colList, valuesBody) =>
-        require(asOf.isEmpty && !readOnly, "read-only transaction")
+        require(!readOnly, "read-only transaction")
         // Catalyst parses the tuples: VALUES (...),(...) is a valid
         // Spark relation; columns come back as col1, col2, ...
         // referenceDivision: VALUES expressions follow the reference's
@@ -244,7 +247,7 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
         Seq(s"INSERT ${df.count()}").toDF("status")
 
       case mergeRe(name, colList, valuesBody) =>
-        require(asOf.isEmpty && !readOnly, "read-only transaction")
+        require(!readOnly, "read-only transaction")
         val df = alignCols(referenceSql(s"SELECT * FROM VALUES $valuesBody"),
           colList, name, "MERGE")
         txn match {
@@ -254,7 +257,7 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
         Seq(s"MERGE ${df.count()}").toDF("status")
 
       case updateRe(name, body) =>
-        require(asOf.isEmpty && !readOnly, "read-only transaction")
+        require(!readOnly, "read-only transaction")
         val (setBody, whereBody) = GraftSQL.splitAtTopLevelWhere(body)
         val sets = splitTopLevel(setBody, ',').map { a =>
           val Array(k, v) = a.split("=", 2)
@@ -268,7 +271,7 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
         Seq(s"UPDATE $name").toDF("status")
 
       case deleteRe(name, whereBody) =>
-        require(asOf.isEmpty && !readOnly, "read-only transaction")
+        require(!readOnly, "read-only transaction")
         val where = Option(whereBody).map(w => referenceExpr(w.trim)).getOrElse(lit(true))
         txn match {
           case Some(t) => t.delete(name, where)
@@ -388,7 +391,7 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
     // plain (unpinned) session — a txn/AS OF/READ ONLY session reads
     // older versions whose file set the current stats don't describe
     val prunes: Map[String, org.apache.spark.sql.Column] =
-      if (txn.isEmpty && asOf.isEmpty && roVersions.isEmpty) indexPrunes(plan)
+      if (txn.isEmpty && roVersions.isEmpty) indexPrunes(plan)
       else Map.empty
     val bindings = lastRegistered.map { n =>
       n -> (prunes.get(n) match {

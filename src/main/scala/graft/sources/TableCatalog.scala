@@ -295,6 +295,7 @@ class TableCatalog(spark: SparkSession, val root: String) {
     writeManifest(name, 0, Nil)
     writeMeta(name,
       TableMeta(schema, primaryKey, notNull, unique, defaults, references, 0, indexes))
+    journalAppend(Map(name -> 0))
     TableCatalog.ddlEpoch(root).incrementAndGet() // invalidate in-flight fingerprints
   }
 
@@ -312,6 +313,13 @@ class TableCatalog(spark: SparkSession, val root: String) {
   }
 
   def dropTable(name: String): Unit = rootLock.synchronized {
+    dropTableImpl(name, journal = true)
+  }
+
+  /** DROP body; `journal = false` lets [[Txn.commit]] fold its drops
+    * into the commit's single atomic journal line instead of one line
+    * per table. */
+  private def dropTableImpl(name: String, journal: Boolean): Unit = {
     require(exists(name), s"no such table: $name")
     // RESTRICT at the table level too: dropping a referenced parent
     // would leave children with dangling FK metadata, making every
@@ -320,6 +328,7 @@ class TableCatalog(spark: SparkSession, val root: String) {
     require(refs.isEmpty,
       s"DROP TABLE $name restricted: referenced by ${refs.mkString(", ")} (drop them first)")
     TableCatalog.deleteRecursively(tableDir(name))
+    if (journal) journalAppend(Map.empty, Seq(name))
     TableCatalog.ddlEpoch(root).incrementAndGet() // invalidate in-flight fingerprints
   }
 
@@ -358,6 +367,65 @@ class TableCatalog(spark: SparkSession, val root: String) {
     entry.findAllMatchIn(json).map(m =>
       FileStat(unesc(m.group(1)), unesc(m.group(2)), unesc(m.group(3)), unesc(m.group(4))))
       .toSeq
+  }
+
+  // ------------------------------------------------------ commit journal
+  //
+  // The reference's MVCC timestamp is GLOBAL: `BEGIN READ ONLY AS OF
+  // SYSTEM TIME n` reads the whole database at one version
+  // (ast.rs:11-14), while this catalog's version pointers are per
+  // table. The bridge is a root-level monotone journal: every publish
+  // appends one JSON line {g, tables: {name: version}, dropped: [...]},
+  // written under rootLock AFTER the per-table pointers move — a txn
+  // commit spanning N tables appends ONE line, so its tables become
+  // visible at one global version atomically. Folding the journal up
+  // to g reconstructs the per-table snapshot the catalog had then.
+  // In-process writers serialize on rootLock; cross-process appends
+  // are single small O_APPEND writes (best-effort, like ddlEpoch).
+
+  private def journalPath: Path = Paths.get(root, "commits.jsonl")
+
+  /** (global version, published table versions, dropped tables) per
+    * journal line, oldest first. */
+  private def readJournal(): Seq[(Long, Map[String, Int], Seq[String])] =
+    if (!Files.exists(journalPath)) Nil
+    else Files.readAllLines(journalPath).asScala.toSeq.filter(_.trim.nonEmpty).map { line =>
+      val g = topLevel(line, "g").flatMap(_.toLongOption)
+        .getOrElse(sys.error(s"bad journal line: $line"))
+      val tables = jsonObjBody(line, "tables").map { body =>
+        "\"((?:[^\"\\\\]|\\\\.)*)\"\\s*:\\s*(\\d+)".r.findAllMatchIn(body)
+          .map(m => unesc(m.group(1)) -> m.group(2).toInt).toMap
+      }.getOrElse(Map.empty[String, Int])
+      (g, tables, jsonStrArr(line, "dropped"))
+    }
+
+  /** The newest global commit version (0 = nothing ever published). */
+  def globalVersion(): Long = readJournal().lastOption.map(_._1).getOrElse(0L)
+
+  /** Append one journal line. Call under rootLock, after the per-table
+    * pointers it describes have moved. */
+  private def journalAppend(published: Map[String, Int],
+      dropped: Seq[String] = Nil): Unit = {
+    val g = globalVersion() + 1
+    val tables = published.map { case (k, v) => s"${esc(k)}: $v" }.mkString("{", ",", "}")
+    val drops = dropped.map(esc).mkString("[", ",", "]")
+    Files.writeString(journalPath,
+      s"""{"g": $g, "tables": $tables, "dropped": $drops}""" + "\n",
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+  }
+
+  /** The per-table version snapshot at GLOBAL version `g` — what
+    * `BEGIN READ ONLY AS OF SYSTEM TIME g` reads. Tables created after
+    * g are absent; tables dropped since are excluded (DROP is physical
+    * — their data is gone, like a vacuumed version). */
+  def snapshotAt(g: Long): Map[String, Int] = {
+    val m = scala.collection.mutable.LinkedHashMap[String, Int]()
+    readJournal().filter(_._1 <= g).foreach { case (_, tables, dropped) =>
+      tables.foreach { case (t, v) => m(t) = v }
+      dropped.foreach(m.remove)
+    }
+    m.toMap.filter { case (t, _) => exists(t) }
   }
 
   // --------------------------------------------------------------- read
@@ -765,7 +833,11 @@ class TableCatalog(spark: SparkSession, val root: String) {
       // Abort without touching the manifest — if it is still ours it
       // becomes a stale orphan the reclaim path self-heals later.
       quickVersion(name) == m.version && {
-        try { writeMeta(name, m.copy(version = next)); true }
+        try {
+          writeMeta(name, m.copy(version = next))
+          journalAppend(Map(name -> next))
+          true
+        }
         catch { case scala.util.control.NonFatal(e) =>
           // un-claim so a failed pointer move cannot wedge the table —
           // but only while the pointer still says the claim is ours
@@ -1129,11 +1201,22 @@ class TableCatalog(spark: SparkSession, val root: String) {
     * writes and its own DDL. */
   class Txn private[TableCatalog] () {
     private val txnId = java.util.UUID.randomUUID().toString.take(8)
-    // per-table versions pinned AT BEGIN: every read inside the txn —
-    // and every conflict base — resolves against this snapshot, so the
-    // txn has repeatable reads (scanning `current` would let another
-    // session's commit change what this txn sees mid-flight)
-    private val snapshot: Map[String, Int] = pinVersions()
+    // per-table versions AND metadata pinned AT BEGIN, under ONE
+    // rootLock acquisition: every read inside the txn — and every
+    // conflict base — resolves against this snapshot, so the txn has
+    // repeatable reads (scanning `current` would let another session's
+    // commit change what this txn sees mid-flight). Metadata is pinned
+    // HERE too, not at first use: a concurrent ALTER landing between
+    // BEGIN and the txn's first read of a table would otherwise make
+    // the txn read its pinned-version data under the post-ALTER schema
+    // (e.g. a DROP COLUMN hiding a column that existed at the
+    // snapshot). Costs one schema parse per table per BEGIN — small
+    // against the Spark jobs a txn runs.
+    private val (snapshot: Map[String, Int], metaPins) = rootLock.synchronized {
+      val vs = pinVersions()
+      (vs, scala.collection.mutable.Map.from(
+        vs.keys.map(n => n -> TableCatalog.this.meta(n))))
+    }
     // DDL epoch at BEGIN: commit's FK-relative checks compare bare
     // version numbers, which a concurrent DROP+CREATE can alias — any
     // epoch movement makes those checks conflict coarsely instead
@@ -1143,6 +1226,29 @@ class TableCatalog(spark: SparkSession, val root: String) {
       * not delete manifests an open transaction still reads. */
     private[TableCatalog] def pinnedVersion(name: String): Option[Int] =
       if (closed) None else snapshot.get(name)
+
+    // Durable pin: a SIBLING PROCESS's vacuum cannot see this JVM's
+    // activeTxns, so the pinned snapshot is also written as a pin file
+    // any process's vacuum reads (heartbeat-refreshed mtime; a pin
+    // whose writer died goes stale and stops counting). Best-effort IO
+    // — a pin write failure must not fail BEGIN (the in-process set
+    // still protects same-JVM vacuums, the common case).
+    private val pinPath: Path = Paths.get(root, "pins", s"txn-$txnId.json")
+    try {
+      Files.createDirectories(pinPath.getParent)
+      val body = snapshot.map { case (t, v) => s"${esc(t)}: $v" }.mkString("{", ",", "}")
+      Files.writeString(pinPath, s"""{"tables": $body}""")
+    } catch { case _: java.io.IOException => () }
+
+    /** Refresh the pin's liveness stamp — called from every txn
+      * operation, so an active cross-process txn never looks stale. */
+    private def heartbeat(): Unit =
+      try Files.setLastModifiedTime(pinPath,
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis))
+      catch { case _: java.io.IOException => () }
+
+    private def dropPin(): Unit =
+      try Files.deleteIfExists(pinPath) catch { case _: java.io.IOException => () }
     // table -> (base version at first write, rel-dir list composing the txn view)
     private val staged = scala.collection.mutable.LinkedHashMap[String, (Int, Seq[String])]()
     private val createdDirs = scala.collection.mutable.ArrayBuffer[Path]()
@@ -1170,7 +1276,7 @@ class TableCatalog(spark: SparkSession, val root: String) {
     // index stats collected for each staged dir at write time
     private val dirStats = scala.collection.mutable.Map[String, Seq[FileStat]]()
 
-    private def open(): Unit = require(!closed, "transaction closed")
+    private def open(): Unit = { require(!closed, "transaction closed"); heartbeat() }
     private def visible(name: String): Unit =
       require(!droppedTables.contains(name), s"no such table: $name (dropped in txn)")
 
@@ -1179,13 +1285,9 @@ class TableCatalog(spark: SparkSession, val root: String) {
     /** Tables this txn dropped (still visible to everyone else). */
     def droppedTableNames: Seq[String] = droppedTables.toSeq
 
-    // outer-table metadata pinned at FIRST USE inside the txn: a
-    // concurrent ALTER TABLE (metadata-only version bump) must not
-    // change what an open txn's reads return mid-flight — the schema
-    // analog of the version snapshot. A txn that also STAGED writes to
-    // an altered table aborts at commit anyway (its base version
-    // moved); this cache covers the read-only tables.
-    private val metaPins = scala.collection.mutable.Map[String, TableMeta]()
+    // metaPins populated at BEGIN (see the snapshot initializer); the
+    // getOrElseUpdate is a fallback for tables outside the snapshot
+    // (cannot normally be read — visible()/snapshotVersion guard)
     private def pinnedMetaOf(name: String): TableMeta =
       metaPins.getOrElseUpdate(name, TableCatalog.this.meta(name))
 
@@ -1255,6 +1357,7 @@ class TableCatalog(spark: SparkSession, val root: String) {
       * written, else the version pinned at BEGIN. */
     def scan(name: String): DataFrame = {
       visible(name)
+      heartbeat()
       if (createdTables.contains(name)) stagedCat.scan(name)
       else staged.get(name) match {
         case Some((_, dirs)) =>
@@ -1463,11 +1566,19 @@ class TableCatalog(spark: SparkSession, val root: String) {
       claims.foreach { case (name, m, next) =>
         writeMeta(name, m.copy(version = next))
       }
-      droppedTables.foreach(TableCatalog.this.dropTable)
+      droppedTables.foreach(n => TableCatalog.this.dropTableImpl(n, journal = false))
       createdTables.foreach { name =>
         Files.move(Paths.get(root, s".txn-$txnId", name), tableDir(name),
           StandardCopyOption.ATOMIC_MOVE)
       }
+      // ONE journal line for the whole commit: every staged write,
+      // created table (at the version its staging reached) and drop
+      // becomes visible at one global version — the multi-table
+      // atomicity the reference gets from its Raft log
+      journalAppend(
+        claims.map { case (name, _, next) => name -> next }.toMap ++
+          createdTables.map(n => n -> TableCatalog.this.quickVersion(n)).toMap,
+        droppedTables.toSeq)
       // published DDL invalidates in-flight optimistic fingerprints
       // exactly like direct createTable/dropTable would
       if (createdTables.nonEmpty) TableCatalog.ddlEpoch(root).incrementAndGet()
@@ -1480,6 +1591,7 @@ class TableCatalog(spark: SparkSession, val root: String) {
       cleanupCandidates.filterNot(live.contains).foreach(deleteDir)
       deleteDir(Paths.get(root, s".txn-$txnId"))
       TableCatalog.releaseLock(Paths.get(root, s".txn-$txnId").toString)
+      dropPin()
       activeTxns.remove(this)
     }
 
@@ -1493,6 +1605,7 @@ class TableCatalog(spark: SparkSession, val root: String) {
       createdDirs.clear()
       deleteDir(Paths.get(root, s".txn-$txnId"))
       TableCatalog.releaseLock(Paths.get(root, s".txn-$txnId").toString)
+      dropPin()
       closed = true
       activeTxns.remove(this)
     }
@@ -1500,14 +1613,44 @@ class TableCatalog(spark: SparkSession, val root: String) {
     private def deleteDir(p: Path): Unit = TableCatalog.deleteRecursively(p)
   }
 
-  // open transactions in THIS process — vacuum spares the versions
-  // they pin (cross-process open txns are outside its view, like the
-  // rest of the cross-process coordination surface)
+  // open transactions in THIS process; cross-process open txns are
+  // covered by their pin files (see Txn.pinPath + pinnedByPinFiles)
   private val activeTxns =
     java.util.concurrent.ConcurrentHashMap.newKeySet[Txn]()
 
+  /** A pin file idle longer than this stops protecting its versions —
+    * its writer is presumed dead (live txns heartbeat on every
+    * operation). Generous: a pin must survive the longest single Spark
+    * job a txn runs between operations. */
+  private val PinStaleMs = 60L * 60 * 1000
+
+  /** Versions of `name` pinned by ANY process's open transactions —
+    * their pin files under `<root>/pins/`, staleness-filtered. Stale
+    * pins are garbage-collected here (vacuum is the only reader that
+    * acts on them). */
+  private def pinnedByPinFiles(name: String): Set[Int] = {
+    val dir = Paths.get(root, "pins")
+    if (!Files.isDirectory(dir)) return Set.empty
+    val listing = Files.list(dir)
+    val files = try listing.iterator().asScala.toList finally listing.close()
+    files.flatMap { p =>
+      val age =
+        try System.currentTimeMillis - Files.getLastModifiedTime(p).toMillis
+        catch { case _: java.io.IOException => Long.MaxValue } // gone = no pin
+      if (age >= PinStaleMs) {
+        try Files.deleteIfExists(p) catch { case _: java.io.IOException => () }
+        Nil
+      } else {
+        val json = try Files.readString(p) catch { case _: java.io.IOException => "" }
+        jsonObjBody(json, "tables").toSeq.flatMap(body =>
+          "\"((?:[^\"\\\\]|\\\\.)*)\"\\s*:\\s*(\\d+)".r.findAllMatchIn(body)
+            .collect { case m if unesc(m.group(1)) == name => m.group(2).toInt })
+      }
+    }.toSet
+  }
+
   private def pinnedByOpenTxns(name: String): Set[Int] =
-    activeTxns.asScala.flatMap(_.pinnedVersion(name)).toSet
+    activeTxns.asScala.flatMap(_.pinnedVersion(name)).toSet ++ pinnedByPinFiles(name)
 
   def begin(): Txn = {
     val t = new Txn()

@@ -317,6 +317,64 @@ class CatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("vacuum spares versions pinned by a SIBLING catalog instance's open txn (pin files)") {
+    val dir = Files.newTmp()
+    val cat1 = new TableCatalog(spark, dir)
+    val cat2 = new TableCatalog(spark, dir) // activeTxns is per-instance,
+    // so cat1's vacuum can only see cat2's txn through its pin file —
+    // the cross-process shape
+    cat1.createTable("pp", schema, primaryKey = Some("id"))
+    cat1.insert("pp", Seq((1L, "a", 1.0)).toDF("id", "name", "balance")) // v1
+    val t = cat2.begin() // pins v1 durably
+    cat1.insert("pp", Seq((2L, "b", 2.0)).toDF("id", "name", "balance")) // v2
+    cat1.insert("pp", Seq((3L, "c", 3.0)).toDF("id", "name", "balance")) // v3
+    cat1.vacuum("pp", keep = 1, graceMs = 0)
+    // the sibling's snapshot must still read v1
+    assert(t.scan("pp").count() == 1)
+    t.rollback()
+    // pin gone with the txn: the next vacuum reclaims v1
+    cat1.vacuum("pp", keep = 1, graceMs = 0)
+    intercept[Exception] { cat1.asOf("pp", 1).collect() }
+    assert(cat1.scan("pp").count() == 3)
+  }
+
+  test("commit journal: a two-table txn commit is ONE atomic global version") {
+    val cat = freshCatalog()
+    cat.createTable("ja", schema, primaryKey = Some("id")) // g=1
+    cat.createTable("jb", schema, primaryKey = Some("id")) // g=2
+    val g0 = cat.globalVersion()
+    assert(g0 == 2L)
+    val t = cat.begin()
+    t.insert("ja", Seq((1L, "x", 1.0)).toDF("id", "name", "balance"))
+    t.insert("jb", Seq((2L, "y", 2.0)).toDF("id", "name", "balance"))
+    t.commit()
+    // BOTH tables move at one global version — the reference's Raft-log
+    // atomicity, journal form
+    assert(cat.globalVersion() == g0 + 1)
+    val before = cat.snapshotAt(g0)
+    val after = cat.snapshotAt(g0 + 1)
+    assert(cat.asOf("ja", before("ja")).count() == 0)
+    assert(cat.asOf("jb", before("jb")).count() == 0)
+    assert(cat.asOf("ja", after("ja")).count() == 1)
+    assert(cat.asOf("jb", after("jb")).count() == 1)
+    // non-txn DML journals one line per publish
+    cat.insert("ja", Seq((3L, "z", 3.0)).toDF("id", "name", "balance"))
+    assert(cat.globalVersion() == g0 + 2)
+    assert(cat.snapshotAt(g0 + 1)("ja") == after("ja")) // history immutable
+    // a txn-created table enters the journal at the commit's version
+    val t2 = cat.begin()
+    t2.createTable("jc", schema)
+    t2.insert("jc", Seq((9L, "w", 9.0)).toDF("id", "name", "balance"))
+    t2.commit()
+    val gC = cat.globalVersion()
+    assert(cat.snapshotAt(gC).contains("jc"))
+    assert(!cat.snapshotAt(gC - 1).contains("jc"))
+    assert(cat.asOf("jc", cat.snapshotAt(gC)("jc")).count() == 1)
+    // dropped tables leave the snapshot from their drop version on
+    cat.dropTable("jc")
+    assert(!cat.snapshotAt(cat.globalVersion()).contains("jc"))
+  }
+
   test("txn reads are pinned at BEGIN: repeatable reads for write txns") {
     val cat = freshCatalog()
     cat.createTable("pin", schema, primaryKey = Some("id"))

@@ -105,13 +105,22 @@ class GraftSQLSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { g.execute("DELETE FROM t WHERE id = 1") }
     g.execute("ROLLBACK")
 
-    // MVCC: read the world as of version 1
-    g.execute("BEGIN READ ONLY AS OF SYSTEM TIME 1")
+    // MVCC: AS OF is a GLOBAL commit version resolved through the
+    // journal (ast.rs:11-14): g1 = CREATE, g2 = first INSERT, ...
+    g.execute("BEGIN READ ONLY AS OF SYSTEM TIME 2")
     val old = g.execute("SELECT v FROM t").collect()
     assert(old.length == 1 && old(0).getString(0) == "v1")
     intercept[IllegalArgumentException] { g.execute("INSERT INTO t VALUES (9, 'x')") }
     g.execute("COMMIT")
     assert(g.execute("SELECT * FROM t").count() == 3)
+
+    // a table created after g is INVISIBLE at g — global snapshot, not
+    // per-table version pairing
+    g.execute("CREATE TABLE later_t (id INTEGER PRIMARY KEY)")
+    g.execute("BEGIN READ ONLY AS OF SYSTEM TIME 2")
+    assert(g.execute("SHOW TABLES").collect().map(_.getString(0)).toSeq == Seq("t"))
+    intercept[Exception] { g.execute("SELECT * FROM later_t").collect() }
+    g.execute("ROLLBACK")
   }
 
   test("UPDATE/DELETE inside BEGIN: staged, invisible before COMMIT, undone by ROLLBACK") {
