@@ -5,38 +5,66 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main (driver contract): runs every SparkEntry query on
   * SPARK_GRAFT_SF_DIR, prints one JSON line with per-query seconds.
   * A warmup action first, so measured queries see a live executor
-  * pool and compiled codegen rather than JVM startup. */
+  * pool and compiled codegen rather than JVM startup.
+  *
+  * Robustness: each query runs SPARK_GRAFT_BENCH_RUNS times (default
+  * 3) and reports the per-query MEDIAN — one background-load spike on
+  * a shared box can no longer masquerade as a regression — and the
+  * JSON self-reports /proc/loadavg before and after the suite so a
+  * contaminated run is visible in the artifact itself.
+  */
 object Bench {
+
+  private def loadavg(): String =
+    try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      try src.mkString.trim.split("\\s+").take(3).mkString(",")
+      finally src.close()
+    } catch { case _: Throwable => "unavailable" }
+
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.isEmpty) -1.0
+    else if (s.size % 2 == 1) s(s.size / 2)
+    else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     GraftSession.prepare(spark)
+    val loadBefore = loadavg()
 
     // warmup: scan + shuffle + codegen once, outside any measurement
     sources.Tables.lineitem(spark, sfDir)
       .groupBy("l_returnflag").count().collect()
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // noop-format write, not count(): under an aggregate-only action
-      // Catalyst's EliminateSorts removes final ORDER BYs, so count()
-      // under-measures sort-heavy queries; the noop sink consumes every
-      // row of the complete plan
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${Option(e.getMessage).getOrElse(e)}")
-          false
-        }
-      // a failed query reports -1, never a deceptively fast "success"
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val times = (1 to runs).flatMap { _ =>
+        val t0 = System.nanoTime()
+        // noop-format write, not count(): under an aggregate-only action
+        // Catalyst's EliminateSorts removes final ORDER BYs, so count()
+        // under-measures sort-heavy queries; the noop sink consumes every
+        // row of the complete plan
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${Option(e.getMessage).getOrElse(e)}")
+            false
+          }
+        if (ok) Some((System.nanoTime() - t0) / 1e9) else None
+      }
+      // a failed query reports -1, never a deceptively fast "success";
+      // the median only aggregates successful runs
+      name -> (if (times.size == runs) median(times) else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"loadavg_before":"$loadBefore","loadavg_after":"${loadavg()}"}""")
     operators.FrameCache.clear() // release shared signature frames
     spark.stop()
   }

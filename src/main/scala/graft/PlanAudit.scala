@@ -30,7 +30,8 @@ object PlanAudit {
           if (plan.contains("CartesianProduct") && !name.contains("cross")) "⚠CARTESIAN" else "",
           if (plan.contains("BroadcastNestedLoopJoin") && !name.contains("cross")
             && !name.contains("brute") && !name.contains("lsh")
-            && !name.contains("batch")) "⚠BNLJ" else "") // s06: intended broadcast×corpus
+            && !name.contains("batch") // s06: intended broadcast×corpus
+            && !name.contains("containment")) "⚠BNLJ" else "") // d09 short-doc probe
           .filter(_.nonEmpty)
         println(f"$name%-24s ${ops.mkString(" ")} ${flags.mkString(" ")}")
       } catch {

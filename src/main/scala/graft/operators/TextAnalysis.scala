@@ -215,15 +215,26 @@ object TextAnalysis {
     val canon = trim(regexp_replace(
       regexp_replace(lower(col("text")), "[^a-z0-9\\s]", " "),
       "\\s+", " "))
-    val docs = Tables.documents(s, d).select(col("doc_id"), canon.as("canonical"))
-    // window count, not a self-join against a groupBy of the same
-    // derived frame: one scan + one shuffle, and the canonicalization
-    // pipeline evaluates once (at 100 TB, partition on
-    // xxhash64(canonical) — the d01 pattern — to shuffle 8-byte keys)
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), canon.as("canonical"))
+      .withColumn("h", xxhash64(col("canonical")))
+    // window count partitioned on the 8-BYTE HASH, not the text (the
+    // d01 pattern): one scan + one shuffle whose exchange key is h, so
+    // a 100 TB run routes and sorts 8-byte keys instead of whole
+    // documents. Collision-SAFE, not merely collision-tolerant: the
+    // distinct-canonical count within each hash group rides the same
+    // window buffer, and a group that mixes two canonicals (a real
+    // xxhash64 collision) raises instead of returning a merged count.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("h")
     docs
       .select(col("doc_id"), col("canonical"),
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy("canonical")).as("n_same"))
+        count(lit(1)).over(w).as("n_in_bucket"),
+        size(collect_set(col("canonical")).over(w)).as("n_distinct"))
+      .select(col("doc_id"), col("canonical"),
+        when(col("n_distinct") === 1, col("n_in_bucket"))
+          .otherwise(raise_error(concat(
+            lit("t07: xxhash64 collision on canonical text of doc "),
+            col("doc_id")))).as("n_same"))
       .orderBy("doc_id")
   }
 

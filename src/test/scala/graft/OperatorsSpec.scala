@@ -423,6 +423,38 @@ class OperatorsSpec extends AnyFunSuite {
     FrameCache.clear(spark)
   }
 
+  test("d07 reads STORED corpus signatures: only the new batch evaluates the kernel") {
+    val df = Dedup.d07Incremental(spark, sf)
+    val reads = GraftSession.explainPlan(df).linesIterator
+      .filter(_.contains("ReadSchema")).toSeq
+    // corpus side: parquet scans of the stored signature table — the
+    // sig/sh columns come from the scan schema, not a kernel expression
+    assert(reads.count(l =>
+      l.contains("sig:array<bigint>") || l.contains("sh:array<bigint>")) >= 2,
+      reads.mkString("\n"))
+    // raw document text is scanned ONLY by the two new-batch subtrees
+    // (band build + shingle verify): the corpus-side kernel never runs
+    assert(reads.count(_.contains("text:string")) == 2, reads.mkString("\n"))
+    // incremental contract: pairs are corpus(even) x new-batch(odd)
+    Dedup.d07Incremental(spark, sf).collect().foreach { r =>
+      assert(r.getLong(0) % 2 == 0 && r.getLong(1) % 2 == 1)
+    }
+  }
+
+  test("t07 normalize: exchange keyed on the 8-byte hash, counts exact per canonical") {
+    val df = TextAnalysis.t07Normalize(spark, sf)
+    // the wide exchange routes on the derived xxhash64 column, never
+    // on the canonical text itself (the 100 TB shuffle-key concern)
+    val parts = GraftSession.explainPlan(df).linesIterator
+      .filter(_.contains("hashpartitioning")).mkString("\n")
+    assert(parts.contains("hashpartitioning(h#"), parts)
+    assert(!parts.contains("canonical#"), parts)
+    // counts agree with an independent driver-side group on the text
+    val rows = df.collect()
+    val byCanon = rows.groupBy(_.getString(1)).view.mapValues(_.size).toMap
+    rows.foreach(r => assert(r.getLong(2) == byCanon(r.getString(1)).toLong))
+  }
+
   test("t08 tf-idf: ubiquitous terms score 0, df consistent, tf sums to token count") {
     val rows = TextAnalysis.t08TfIdf(spark, sf).collect()
     val nDocs = sources.Tables.documents(spark, sf).count()

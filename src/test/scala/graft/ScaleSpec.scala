@@ -44,6 +44,48 @@ class ScaleSpec extends AnyFunSuite {
     assert(altKey.sameElements(plain))
   }
 
+  test("d09 hot-posting cap: planted boilerplate bounds candidates, recall stays total") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def uniq(tag: String) =
+      s"$tag " + Seq.fill(6)(rnd.alphanumeric.take(10).mkString).mkString(" ")
+    val boiler = "subscribe to our newsletter for updates every week" // 50 B >= 31
+    val base = (0 until 1000).map(i => (i.toLong, s"${uniq(s"u$i")} $boiler ${uniq(s"v$i")}"))
+    // planted containments: docs 1000..1009 wrap docs 0..9 whole
+    val wrapped = (0 until 10).map(i => ((1000 + i).toLong, s"wrap ${base(i)._2} end"))
+    val extras = Seq(
+      (2000L, boiler),                            // ALL-hot fingerprints: starved doc
+      (2001L, "tinysnippet"),                     // below the gram width entirely
+      (2002L, "AA tinysnippet BB"),               // its container (short itself)
+      (2003L, "abcdefghijklmnopqrstuvwxyz"),      // >= n, < w+n-1: no guarantee zone
+      (2004L, "Q abcdefghijklmnopqrstuvwxyz Z"))
+    val docs = (base ++ wrapped ++ extras).toDF("doc_id", "text")
+
+    // brute-force truth, driver-side
+    val all = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+    val truth = (for {
+      (ia, ta) <- all; (ib, tb) <- all
+      if ia != ib && tb.contains(ta)
+    } yield (ia, ib)).toSet
+
+    val got = operators.Dedup.containment(docs, hotK = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == truth,
+      s"missing=${(truth -- got).take(5)} extra=${(got -- truth).take(5)}")
+    // the boilerplate fingerprint is hot (posting ~1011 > 64): capped
+    // candidate volume collapses vs the uncapped quadratic block join
+    val sized = docs.select(col("doc_id"), col("text"), octet_length(col("text")).as("len"))
+    val capped = operators.Dedup.containmentCandidates(sized, hotK = 64).count()
+    val uncapped = operators.Dedup.containmentCandidates(sized, hotK = Int.MaxValue).count()
+    assert(uncapped > 400000L, s"planted corpus should explode uncapped: $uncapped")
+    assert(capped < uncapped / 50, s"capped=$capped uncapped=$uncapped")
+    // the starved all-boilerplate doc is found in every carrier via the
+    // rarest-fingerprint fallback, not lost to the cap
+    assert(got.count(_._1 == 2000L) >= 1000)
+    // short docs (below the winnowing guarantee) surface via the exact path
+    assert(got.contains((2001L, 2002L)) && got.contains((2003L, 2004L)))
+  }
+
   test("bucketed tables equi-join without a shuffle exchange") {
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
