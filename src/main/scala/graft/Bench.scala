@@ -57,6 +57,11 @@ object Bench {
           }
         if (ok) Some((System.nanoTime() - t0) / 1e9) else None
       }
+      // per-run detail to stderr: the JSON median is the artifact, but
+      // a spread across runs (cache build on run 1, load spike) should
+      // be diagnosable from the round log without a re-run
+      System.err.println(
+        s"[bench] $name runs: ${times.map(t => f"$t%.2f").mkString(" ")}")
       // a failed query reports -1, never a deceptively fast "success";
       // the median only aggregates successful runs
       name -> (if (times.size == runs) median(times) else -1.0)

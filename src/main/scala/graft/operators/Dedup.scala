@@ -247,7 +247,31 @@ object Dedup {
   private val sigStores =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), graft.sources.TableCatalog]
 
-  private def signatureStore(s: SparkSession, d: String): graft.sources.TableCatalog =
+  private def deleteDir(root: String): Unit = {
+    import java.nio.file.{Files, Path}
+    import scala.jdk.CollectionConverters._
+    val p = Path.of(root)
+    if (Files.exists(p)) {
+      val s = Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder[Path]())
+        .iterator().asScala.foreach(f => try Files.delete(f) catch { case _: Throwable => () })
+      finally s.close()
+    }
+  }
+
+  locally { // the stores live in java.io.tmpdir: clean up at JVM exit
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      sigStores.values.foreach(c => deleteDir(c.root))))
+  }
+
+  private def signatureStore(s: SparkSession, d: String): graft.sources.TableCatalog = {
+    // drop stores bound to stopped sessions (their frames are useless
+    // and the next live session would shadow them anyway)
+    sigStores.filterInPlace { case ((owner, _), cat) =>
+      val live = !owner.sparkContext.isStopped
+      if (!live) deleteDir(cat.root)
+      live
+    }
     sigStores.getOrElseUpdate((s, d), {
       val root = java.nio.file.Files.createTempDirectory("graft-sigstore-").toString
       val cat = new graft.sources.TableCatalog(s, root)
@@ -260,6 +284,7 @@ object Dedup {
       cat.insert("corpus_signatures", corpus)
       cat
     })
+  }
 
   /** INCREMENTAL near-dup: dedup a NEW batch against an EXISTING
     * corpus — the shape a continuously-ingesting 100 TB pipeline
