@@ -482,11 +482,17 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
     }
     // `attr op <foldable literal>` conjuncts, comparator normalized to
     // the attribute-on-the-left direction; the literal side folds via
-    // Catalyst eval (covers -5 = UnaryMinus(Literal) and friends)
-    def asRange(e: Expression): Option[(UnresolvedAttribute, String, String)] = {
-      def litVal(x: Expression): Option[String] =
+    // Catalyst eval (covers -5 = UnaryMinus(Literal) and friends).
+    // The folded value stays TYPED (converted back to its external
+    // Scala form) so the pruning layer can tell a numeric literal from
+    // a string one — `WHERE stringcol > 100` compares numerically in
+    // Spark and must not be pruned by byte-order stats.
+    def asRange(e: Expression): Option[(UnresolvedAttribute, String, Any)] = {
+      def litVal(x: Expression): Option[Any] =
         if (x.deterministic && x.foldable)
-          try Option(x.eval(null)).map(_.toString) catch { case _: Exception => None }
+          try Option(x.eval(null)).map(
+            org.apache.spark.sql.catalyst.CatalystTypeConverters.convertToScala(_, x.dataType))
+          catch { case _: Exception => None }
         else None
       def flip(op: String) = op match {
         case ">" => "<"; case ">=" => "<="; case "<" => ">"; case "<=" => ">="; case o => o

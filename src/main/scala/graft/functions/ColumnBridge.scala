@@ -51,14 +51,19 @@ object GraftColumnBridge {
     case _ => None
   }
 
-  /** `(column, comparator, literal-as-string)` for every top-level AND
-    * conjunct of an UNANALYZED Column that has the shape
-    * `col <op> literal` (either side), with the comparator normalized
-    * to the column-on-the-left direction. A freshly built Column holds
-    * sql-api ColumnNodes (operators are UnresolvedFunction nodes), and
-    * those node classes are private[sql] — hence this bridge. Used by
-    * the catalog's manifest-stats index pruning. */
-  def rangeConjuncts(c: Column): Seq[(String, String, String)] = {
+  /** `(column, comparator, literal-as-string, literal-is-string)` for
+    * every top-level AND conjunct of an UNANALYZED Column that has the
+    * shape `col <op> literal` (either side), with the comparator
+    * normalized to the column-on-the-left direction. The is-string
+    * flag carries the literal's RUNTIME type to the pruning layer: a
+    * numeric literal compared against a string column evaluates
+    * NUMERICALLY in Spark (the string side is coerced), so byte-order
+    * stats pruning would be unsound for it — the consumer must skip
+    * those. A freshly built Column holds sql-api ColumnNodes
+    * (operators are UnresolvedFunction nodes), and those node classes
+    * are private[sql] — hence this bridge. Used by the catalog's
+    * manifest-stats index pruning. */
+  def rangeConjuncts(c: Column): Seq[(String, String, String, Boolean)] = {
     import org.apache.spark.sql.internal.{ColumnNode, UnresolvedAttribute, UnresolvedFunction, Literal => LitNode}
     def conjuncts(n: ColumnNode): Seq[ColumnNode] = n match {
       case f: UnresolvedFunction if f.functionName.equalsIgnoreCase("and") =>
@@ -69,8 +74,9 @@ object GraftColumnBridge {
       case a: UnresolvedAttribute => Some(a.nameParts.mkString("."))
       case _ => None
     }
-    def litStr(n: ColumnNode): Option[String] = n match {
-      case l: LitNode if l.value != null => Some(l.value.toString)
+    def litStr(n: ColumnNode): Option[(String, Boolean)] = n match {
+      case l: LitNode if l.value != null =>
+        Some((l.value.toString, l.value.isInstanceOf[String]))
       case _ => None
     }
     def flip(op: String): String = op match {
@@ -81,8 +87,8 @@ object GraftColumnBridge {
       case f: UnresolvedFunction if f.arguments.length == 2 =>
         val Seq(x, y) = f.arguments
         (attr(x), litStr(y), attr(y), litStr(x)) match {
-          case (Some(cn), Some(v), _, _) => Some((cn, f.functionName, v))
-          case (_, _, Some(cn), Some(v)) => Some((cn, flip(f.functionName), v))
+          case (Some(cn), Some((v, s)), _, _) => Some((cn, f.functionName, v, s))
+          case (_, _, Some(cn), Some((v, s))) => Some((cn, flip(f.functionName), v, s))
           case _ => None
         }
       case _ => None

@@ -295,7 +295,7 @@ class TableCatalog(spark: SparkSession, val root: String) {
     writeManifest(name, 0, Nil)
     writeMeta(name,
       TableMeta(schema, primaryKey, notNull, unique, defaults, references, 0, indexes))
-    journalAppend(Map(name -> 0))
+    journalRecord(Map(name -> 0))
     TableCatalog.ddlEpoch(root).incrementAndGet() // invalidate in-flight fingerprints
   }
 
@@ -328,7 +328,7 @@ class TableCatalog(spark: SparkSession, val root: String) {
     require(refs.isEmpty,
       s"DROP TABLE $name restricted: referenced by ${refs.mkString(", ")} (drop them first)")
     TableCatalog.deleteRecursively(tableDir(name))
-    if (journal) journalAppend(Map.empty, Seq(name))
+    if (journal) journalRecord(Map.empty, Seq(name))
     TableCatalog.ddlEpoch(root).incrementAndGet() // invalidate in-flight fingerprints
   }
 
@@ -375,57 +375,195 @@ class TableCatalog(spark: SparkSession, val root: String) {
   // SYSTEM TIME n` reads the whole database at one version
   // (ast.rs:11-14), while this catalog's version pointers are per
   // table. The bridge is a root-level monotone journal: every publish
-  // appends one JSON line {g, tables: {name: version}, dropped: [...]},
-  // written under rootLock AFTER the per-table pointers move — a txn
-  // commit spanning N tables appends ONE line, so its tables become
-  // visible at one global version atomically. Folding the journal up
-  // to g reconstructs the per-table snapshot the catalog had then.
-  // In-process writers serialize on rootLock; cross-process appends
-  // are single small O_APPEND writes (best-effort, like ddlEpoch).
+  // records one entry {tables: {name: version}, dropped: [...]} under
+  // `<root>/commits/g<N>.json`, written AFTER the per-table pointers
+  // move — a txn commit spanning N tables records ONE entry, so its
+  // tables become visible at one global version atomically. Folding
+  // the journal up to g reconstructs the per-table snapshot the
+  // catalog had then.
+  //
+  // One FILE per commit, not one appended line: the global version is
+  // claimed by CREATE_NEW (O_CREAT|O_EXCL — atomic ACROSS PROCESSES,
+  // where the in-JVM rootLock cannot reach), so two sibling processes
+  // can never publish two different commits under the same g, and a
+  // torn append can never corrupt neighbours — the worst a crashed
+  // writer leaves is one empty/partial g-file, which the reader skips.
+  // The journal is an OBSERVABILITY index over the authoritative
+  // per-table pointers: an entry that failed to record degrades AS OF
+  // fidelity for that window but never the published data (see the
+  // journalAppend call sites, which isolate failures).
 
-  private def journalPath: Path = Paths.get(root, "commits.jsonl")
+  private def journalDir: Path = Paths.get(root, "commits")
+  private def journalFile(g: Long): Path = journalDir.resolve(f"g$g%012d.json")
+  private def checkpointFile(g: Long): Path = journalDir.resolve(f"c$g%012d.json")
+  private val journalName = "g(\\d{1,18})\\.json".r
+  private val checkpointName = "c(\\d{1,18})\\.json".r
 
-  /** (global version, published table versions, dropped tables) per
-    * journal line, oldest first. */
-  private def readJournal(): Seq[(Long, Map[String, Int], Seq[String])] =
-    if (!Files.exists(journalPath)) Nil
-    else Files.readAllLines(journalPath).asScala.toSeq.filter(_.trim.nonEmpty).map { line =>
-      val g = topLevel(line, "g").flatMap(_.toLongOption)
-        .getOrElse(sys.error(s"bad journal line: $line"))
-      val tables = jsonObjBody(line, "tables").map { body =>
-        "\"((?:[^\"\\\\]|\\\\.)*)\"\\s*:\\s*(\\d+)".r.findAllMatchIn(body)
+  /** Global versions present in the journal, unsorted: per-commit
+    * entries and checkpoint bases, separately. */
+  private def journalListing(): (Seq[Long], Seq[Long]) =
+    if (!Files.isDirectory(journalDir)) (Nil, Nil)
+    else {
+      val listing = Files.list(journalDir)
+      val names = try listing.iterator().asScala.map(_.getFileName.toString).toList
+        finally listing.close()
+      (names.collect { case journalName(g) => g.toLong },
+        names.collect { case checkpointName(g) => g.toLong })
+    }
+
+  private def journalVersions(): Seq[Long] = {
+    val (entries, ckpts) = journalListing()
+    entries ++ ckpts
+  }
+
+  /** Parse one journal/checkpoint file. TOLERANT: an empty or
+    * unparsable file (crashed writer mid-write) yields None with a
+    * warning — one bad file must degrade that single commit's AS OF
+    * visibility, not wedge every journal read on the root. */
+  private def parseJournalFile(p: Path): Option[(Map[String, Int], Seq[String])] =
+    try {
+      val body = Files.readString(p)
+      val tables = jsonObjBody(body, "tables").map { b =>
+        "\"((?:[^\"\\\\]|\\\\.)*)\"\\s*:\\s*(\\d+)".r.findAllMatchIn(b)
           .map(m => unesc(m.group(1)) -> m.group(2).toInt).toMap
       }.getOrElse(Map.empty[String, Int])
-      (g, tables, jsonStrArr(line, "dropped"))
+      val dropped = jsonStrArr(body, "dropped")
+      if (tables.isEmpty && dropped.isEmpty) {
+        // every real commit names a table or a drop: an empty parse
+        // is a crashed writer's torn claim — skip it
+        System.err.println(s"[graft] skipping torn journal file $p")
+        None
+      } else Some((tables, dropped))
+    } catch {
+      // vanished between listing and read = concurrent compaction
+      // superseded it — PROPAGATE so the reader re-lists (a silent
+      // skip would drop the folded history from the snapshot)
+      case e: java.nio.file.NoSuchFileException => throw e
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[graft] skipping unreadable journal file $p: $e")
+        None
     }
 
   /** The newest global commit version (0 = nothing ever published). */
-  def globalVersion(): Long = readJournal().lastOption.map(_._1).getOrElse(0L)
+  def globalVersion(): Long = journalVersions().maxOption.getOrElse(0L)
 
-  /** Append one journal line. Call under rootLock, after the per-table
-    * pointers it describes have moved. */
+  /** Record one commit entry; returns the global version claimed. Call
+    * under rootLock, after the per-table pointers it describes have
+    * moved. The per-root cache makes the happy path one CREATE_NEW —
+    * no directory listing; a collision (another process published)
+    * re-lists and retries above the observed maximum. */
   private def journalAppend(published: Map[String, Int],
-      dropped: Seq[String] = Nil): Unit = {
-    val g = globalVersion() + 1
+      dropped: Seq[String] = Nil): Long = {
+    Files.createDirectories(journalDir)
     val tables = published.map { case (k, v) => s"${esc(k)}: $v" }.mkString("{", ",", "}")
     val drops = dropped.map(esc).mkString("[", ",", "]")
-    Files.writeString(journalPath,
-      s"""{"g": $g, "tables": $tables, "dropped": $drops}""" + "\n",
-      java.nio.file.StandardOpenOption.CREATE,
-      java.nio.file.StandardOpenOption.APPEND)
+    val bytes = s"""{"tables": $tables, "dropped": $drops}"""
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val cache = TableCatalog.lastG(root)
+    if (cache.get() == 0L) cache.updateAndGet(o => math.max(o, globalVersion()))
+    var g = cache.get() + 1
+    var claimed = false
+    while (!claimed) {
+      try {
+        val ch = Files.newByteChannel(journalFile(g),
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
+        try ch.write(java.nio.ByteBuffer.wrap(bytes)) finally ch.close()
+        claimed = true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          g = math.max(g, globalVersion()) + 1
+      }
+    }
+    cache.updateAndGet(old => math.max(old, g))
+    g
   }
 
-  /** The per-table version snapshot at GLOBAL version `g` — what
-    * `BEGIN READ ONLY AS OF SYSTEM TIME g` reads. Tables created after
-    * g are absent; tables dropped since are excluded (DROP is physical
-    * — their data is gone, like a vacuumed version). */
-  def snapshotAt(g: Long): Map[String, Int] = {
-    val m = scala.collection.mutable.LinkedHashMap[String, Int]()
-    readJournal().filter(_._1 <= g).foreach { case (_, tables, dropped) =>
-      tables.foreach { case (t, v) => m(t) = v }
-      dropped.foreach(m.remove)
+  /** Isolation wrapper for the publish paths: the journal records an
+    * ALREADY-PUBLISHED commit, so an IO failure here must never fail
+    * the publish (the caller's error handling would delete live data
+    * dirs) — it costs AS OF visibility of this one commit until the
+    * affected tables publish again, and says so loudly. */
+  private def journalRecord(published: Map[String, Int],
+      dropped: Seq[String] = Nil): Unit =
+    try { journalAppend(published, dropped); () }
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(
+          s"[graft] journal append failed under $root (publish unaffected; " +
+            s"AS OF will not see this commit): $e")
     }
-    m.toMap.filter { case (t, _) => exists(t) }
+
+  /** The per-table version snapshot at GLOBAL version `g` — what
+    * `BEGIN READ ONLY AS OF SYSTEM TIME g` reads: the newest
+    * checkpoint at or below g (if any) as the base, plus every
+    * per-commit entry between. Tables created after g are absent;
+    * tables dropped since are excluded (DROP is physical — their data
+    * is gone, like a vacuumed version). A g below the oldest
+    * checkpoint is older than the compacted history — like reading a
+    * vacuumed version, it resolves to whatever entries remain. */
+  def snapshotAt(g: Long): Map[String, Int] = {
+    // a file listed then deleted = a concurrent compaction superseded
+    // it with a checkpoint — re-list and fold again (bounded: each
+    // retry observes a newer checkpoint)
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      try return foldJournal(g).filter { case (t, _) => exists(t) }
+      catch { case _: java.nio.file.NoSuchFileException if attempt < 3 => () }
+    }
+    Map.empty // unreachable
+  }
+
+  /** Checkpoint-base + entry fold of the journal up to g, WITHOUT the
+    * exists() filter (compaction must not hide a table whose drop
+    * entry comes after g). */
+  private def foldJournal(g: Long): Map[String, Int] = {
+    val (entries, ckpts) = journalListing()
+    val base = ckpts.filter(_ <= g).maxOption
+    val m = scala.collection.mutable.LinkedHashMap[String, Int]()
+    base.foreach(bg => parseJournalFile(checkpointFile(bg)).foreach {
+      case (tables, _) => tables.foreach { case (t, v) => m(t) = v }
+    })
+    entries.filter(e => e <= g && base.forall(e > _)).sorted.foreach { ge =>
+      parseJournalFile(journalFile(ge)).foreach { case (tables, dropped) =>
+        tables.foreach { case (t, v) => m(t) = v }
+        dropped.foreach(m.remove)
+      }
+    }
+    m.toMap
+  }
+
+  /** Fold all per-commit entries at or below the current global
+    * version into ONE checkpoint file and delete them (plus superseded
+    * older checkpoints) — the journal's vacuum. Without it a busy
+    * catalog accumulates one small file per commit forever; after it,
+    * snapshotAt(g) for g >= the checkpoint is unchanged, while older g
+    * lose per-commit granularity exactly like vacuumed table versions.
+    * Returns the checkpoint's global version (the current one). */
+  def compactJournal(): Long = rootLock.synchronized {
+    val (entries, ckpts) = journalListing()
+    val g = (entries ++ ckpts).maxOption.getOrElse(0L)
+    if (g == 0L || ckpts.contains(g)) return g // empty or already compact
+    val m = foldJournal(g)
+    if (m.isEmpty) return g // all entries torn — nothing worth folding
+    val tables = m.map { case (k, v) => s"${esc(k)}: $v" }.mkString("{", ",", "}")
+    val bytes = s"""{"tables": $tables, "dropped": []}"""
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    try {
+      val ch = Files.newByteChannel(checkpointFile(g),
+        java.nio.file.StandardOpenOption.CREATE_NEW,
+        java.nio.file.StandardOpenOption.WRITE)
+      try ch.write(java.nio.ByteBuffer.wrap(bytes)) finally ch.close()
+    } catch {
+      // another process checkpointed the same g — its fold is
+      // equivalent and IT deletes the superseded files
+      case _: java.nio.file.FileAlreadyExistsException => return g
+    }
+    // checkpoint durable: the files it supersedes can go
+    entries.filter(_ <= g).foreach(e => Files.deleteIfExists(journalFile(e)))
+    ckpts.filter(_ < g).foreach(c => Files.deleteIfExists(checkpointFile(c)))
+    g
   }
 
   // --------------------------------------------------------------- read
@@ -516,12 +654,23 @@ class TableCatalog(spark: SparkSession, val root: String) {
     // still get the sorted layout + parquet row-group stats, just no
     // manifest pruning)
     val ranges = extractRanges(filter)
-      .filter { case (c: String, _) =>
-        m.indexes.contains(c) && (m.schema(c).dataType match {
-          case _: org.apache.spark.sql.types.NumericType => true
-          case org.apache.spark.sql.types.StringType => true
-          case _ => false
-        })
+      .flatMap { case (c: String, (lo, hi)) =>
+        if (!m.indexes.contains(c)) None
+        else m.schema(c).dataType match {
+          // numeric columns: BOTH comparison sides go through
+          // BigDecimal in cmpTyped — a string literal that parses
+          // compares exactly like Spark's numeric coercion of it, and
+          // one that doesn't yields None (file kept). Always sound.
+          case _: org.apache.spark.sql.types.NumericType => Some(c -> (lo, hi))
+          // string columns: prune ONLY on string literals. Spark
+          // evaluates `stringcol > 100` by coercing the COLUMN to a
+          // number, so byte-order stats comparison against "100" would
+          // prune files whose matching rows sort differently as text.
+          case org.apache.spark.sql.types.StringType =>
+            val (l, h) = (lo.filter(_.isString), hi.filter(_.isString))
+            if (l.isEmpty && h.isEmpty) None else Some(c -> (l, h))
+          case _ => None
+        }
       }
     if (ranges.isEmpty) return (allPaths, allPaths)
     val byFile = stats.groupBy(_.path)
@@ -541,12 +690,14 @@ class TableCatalog(spark: SparkSession, val root: String) {
     (kept, allPaths)
   }
 
-  private case class Bound(value: String, inclusive: Boolean)
+  private case class Bound(value: String, inclusive: Boolean, isString: Boolean)
 
   /** Range constraints per column from the top-level AND conjuncts of
     * an (unanalyzed) filter Column — `col <op> literal` shapes only.
     * Anything non-extractable is simply not used for pruning (never
-    * unsound — the full filter re-applies after the read). */
+    * unsound — the full filter re-applies after the read). Each bound
+    * remembers whether its literal was a STRING, so [[planFiles]] can
+    * refuse byte-order pruning for mixed-type comparisons. */
   private def extractRanges(filter: Column): Map[String, (Option[Bound], Option[Bound])] = {
     val perCol = scala.collection.mutable.Map[String, (Option[Bound], Option[Bound])]()
     def add(c: String, lo: Option[Bound], hi: Option[Bound]): Unit = {
@@ -557,12 +708,12 @@ class TableCatalog(spark: SparkSession, val root: String) {
       perCol(c) = (lo.orElse(l0), hi.orElse(h0))
     }
     org.apache.spark.sql.GraftColumnBridge.rangeConjuncts(filter).foreach {
-      case (c, "=" | "==", v) =>
-        add(c, Some(Bound(v, inclusive = true)), Some(Bound(v, inclusive = true)))
-      case (c, ">", v)  => add(c, Some(Bound(v, inclusive = false)), None)
-      case (c, ">=", v) => add(c, Some(Bound(v, inclusive = true)), None)
-      case (c, "<", v)  => add(c, None, Some(Bound(v, inclusive = false)))
-      case (c, "<=", v) => add(c, None, Some(Bound(v, inclusive = true)))
+      case (c, "=" | "==", v, s) =>
+        add(c, Some(Bound(v, inclusive = true, s)), Some(Bound(v, inclusive = true, s)))
+      case (c, ">", v, s)  => add(c, Some(Bound(v, inclusive = false, s)), None)
+      case (c, ">=", v, s) => add(c, Some(Bound(v, inclusive = true, s)), None)
+      case (c, "<", v, s)  => add(c, None, Some(Bound(v, inclusive = false, s)))
+      case (c, "<=", v, s) => add(c, None, Some(Bound(v, inclusive = true, s)))
       case _ => // unsupported comparator — no pruning contribution
     }
     perCol.toMap
@@ -835,7 +986,7 @@ class TableCatalog(spark: SparkSession, val root: String) {
       quickVersion(name) == m.version && {
         try {
           writeMeta(name, m.copy(version = next))
-          journalAppend(Map(name -> next))
+          journalRecord(Map(name -> next))
           true
         }
         catch { case scala.util.control.NonFatal(e) =>
@@ -1241,14 +1392,26 @@ class TableCatalog(spark: SparkSession, val root: String) {
     } catch { case _: java.io.IOException => () }
 
     /** Refresh the pin's liveness stamp — called from every txn
-      * operation, so an active cross-process txn never looks stale. */
-    private def heartbeat(): Unit =
+      * operation AND by the background heartbeat below, so an active
+      * cross-process txn never looks stale even while one Spark action
+      * runs longer than the staleness window without touching the txn
+      * API. */
+    private[sources] def heartbeat(): Unit =
       try Files.setLastModifiedTime(pinPath,
         java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis))
       catch { case _: java.io.IOException => () }
 
-    private def dropPin(): Unit =
+    // Operation-start heartbeats alone cannot outlive a single long
+    // Spark job (scan() returns immediately; the action may run hours)
+    // — a shared daemon refreshes every open txn's pin on a period
+    // well inside the staleness window, and is cancelled on close.
+    private val heartbeatTask: java.util.concurrent.ScheduledFuture[_] =
+      TableCatalog.schedulePinHeartbeat(() => heartbeat())
+
+    private def dropPin(): Unit = {
+      heartbeatTask.cancel(false)
       try Files.deleteIfExists(pinPath) catch { case _: java.io.IOException => () }
+    }
     // table -> (base version at first write, rel-dir list composing the txn view)
     private val staged = scala.collection.mutable.LinkedHashMap[String, (Int, Seq[String])]()
     private val createdDirs = scala.collection.mutable.ArrayBuffer[Path]()
@@ -1575,7 +1738,7 @@ class TableCatalog(spark: SparkSession, val root: String) {
       // created table (at the version its staging reached) and drop
       // becomes visible at one global version — the multi-table
       // atomicity the reference gets from its Raft log
-      journalAppend(
+      journalRecord(
         claims.map { case (name, _, next) => name -> next }.toMap ++
           createdTables.map(n => n -> TableCatalog.this.quickVersion(n)).toMap,
         droppedTables.toSeq)
@@ -1619,9 +1782,10 @@ class TableCatalog(spark: SparkSession, val root: String) {
     java.util.concurrent.ConcurrentHashMap.newKeySet[Txn]()
 
   /** A pin file idle longer than this stops protecting its versions —
-    * its writer is presumed dead (live txns heartbeat on every
-    * operation). Generous: a pin must survive the longest single Spark
-    * job a txn runs between operations. */
+    * its writer is presumed dead. Live txns refresh at every operation
+    * start AND from the background heartbeat daemon (period = a
+    * quarter of this window), so even a txn sitting inside one
+    * multi-hour Spark action never looks stale while its JVM lives. */
   private val PinStaleMs = 60L * 60 * 1000
 
   /** Versions of `name` pinned by ANY process's open transactions —
@@ -1682,6 +1846,7 @@ object TableCatalog {
     val key = Paths.get(root).toAbsolutePath.normalize.toString
     rootLocks.remove(key)
     ddlEpochs.remove(key)
+    lastGs.remove(key)
   }
 
   // Monotone per-root DDL counter: bumped by every CREATE/DROP TABLE so
@@ -1696,6 +1861,35 @@ object TableCatalog {
     ddlEpochs.computeIfAbsent(
       Paths.get(root).toAbsolutePath.normalize.toString,
       _ => new java.util.concurrent.atomic.AtomicLong())
+
+  // Last journal global version OBSERVED per root (0 = not yet read):
+  // makes the happy-path journal append one CREATE_NEW instead of a
+  // directory listing. Staleness is harmless — CREATE_NEW collisions
+  // re-list and retry above the true maximum.
+  private val lastGs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+
+  private[sources] def lastG(root: String): java.util.concurrent.atomic.AtomicLong =
+    lastGs.computeIfAbsent(
+      Paths.get(root).toAbsolutePath.normalize.toString,
+      _ => new java.util.concurrent.atomic.AtomicLong())
+
+  // Single shared daemon thread refreshing open txns' pin-file mtimes
+  // (Txn.heartbeatTask): one thread serves every catalog in the JVM;
+  // daemon, so it never blocks JVM exit. The period is configurable
+  // for tests via -Dgraft.pin.heartbeat.ms (default: a quarter of the
+  // 1 h pin staleness window).
+  private lazy val pinScheduler =
+    java.util.concurrent.Executors.newSingleThreadScheduledExecutor { r =>
+      val t = new Thread(r, "graft-pin-heartbeat"); t.setDaemon(true); t
+    }
+
+  private[sources] def schedulePinHeartbeat(task: Runnable): java.util.concurrent.ScheduledFuture[_] = {
+    val period = sys.props.get("graft.pin.heartbeat.ms")
+      .flatMap(_.toLongOption).getOrElse(15L * 60 * 1000)
+    pinScheduler.scheduleWithFixedDelay(
+      task, period, period, java.util.concurrent.TimeUnit.MILLISECONDS)
+  }
 
   private val suffixCounter = new java.util.concurrent.atomic.AtomicLong()
 

@@ -4,6 +4,7 @@ import graft.sources.TableCatalog
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
+import scala.jdk.CollectionConverters._
 
 /** DDL / DML / MVCC time-travel / transaction semantics
   * (SURVEY.md §2 cat_* rows). */
@@ -373,6 +374,121 @@ class CatalogSpec extends AnyFunSuite {
     // dropped tables leave the snapshot from their drop version on
     cat.dropTable("jc")
     assert(!cat.snapshotAt(cat.globalVersion()).contains("jc"))
+  }
+
+  test("journal: torn claims are skipped and an append failure never fails the publish") {
+    val cat = freshCatalog()
+    cat.createTable("jt", schema, primaryKey = Some("id"))          // g=1
+    cat.insert("jt", Seq((1L, "a", 1.0)).toDF("id", "name", "balance")) // g=2
+    val g1 = cat.globalVersion()
+    // a crashed writer's torn claims occupy the next two slots: an
+    // empty file and a half-written one
+    val commits = java.nio.file.Paths.get(cat.root, "commits")
+    java.nio.file.Files.writeString(commits.resolve(f"g${g1 + 1}%012d.json"), "")
+    java.nio.file.Files.writeString(commits.resolve(f"g${g1 + 2}%012d.json"), "{\"tab")
+    // reads skip the torn entries; the next publish claims a FRESH g
+    cat.insert("jt", Seq((2L, "b", 2.0)).toDF("id", "name", "balance"))
+    assert(cat.globalVersion() == g1 + 3, "claim must not reuse an occupied slot")
+    assert(cat.snapshotAt(g1 + 2) == cat.snapshotAt(g1)) // torn = invisible
+    assert(cat.asOf("jt", cat.snapshotAt(cat.globalVersion())("jt")).count() == 2)
+    // journal storage broken outright (a FILE shadows the commits dir):
+    // the publish must still succeed — the journal is observability
+    // over the per-table pointers, never a gate in front of them
+    TableCatalog.deleteRecursively(commits)
+    java.nio.file.Files.writeString(commits, "not a directory")
+    cat.insert("jt", Seq((3L, "c", 3.0)).toDF("id", "name", "balance"))
+    assert(cat.scan("jt").count() == 3, "publish survives a dead journal")
+    assert(cat.currentVersion("jt") == 3)
+    // and the journal heals on the next publish once storage is back
+    java.nio.file.Files.delete(commits)
+    cat.insert("jt", Seq((4L, "d", 4.0)).toDF("id", "name", "balance"))
+    assert(cat.snapshotAt(cat.globalVersion())("jt") == 4)
+  }
+
+  test("journal compaction folds history into a checkpoint; AS OF unchanged from it on") {
+    val cat = freshCatalog()
+    cat.createTable("ca", schema, primaryKey = Some("id"))                 // g=1
+    cat.createTable("cb", schema, primaryKey = Some("id"))                 // g=2
+    cat.insert("ca", Seq((1L, "a", 1.0)).toDF("id", "name", "balance"))    // g=3
+    cat.dropTable("cb")                                                    // g=4
+    cat.insert("ca", Seq((2L, "b", 2.0)).toDF("id", "name", "balance"))    // g=5
+    val g = cat.globalVersion()
+    val snapBefore = cat.snapshotAt(g)
+    assert(!snapBefore.contains("cb")) // dropped before the fold point
+    assert(cat.compactJournal() == g)
+    // ONE checkpoint file remains; every per-commit entry is gone
+    val commits = java.nio.file.Paths.get(cat.root, "commits")
+    val names = { val l = java.nio.file.Files.list(commits)
+      try l.iterator().asScala.map(_.getFileName.toString).toList.sorted finally l.close() }
+    assert(names == List(f"c$g%012d.json"), names)
+    assert(cat.snapshotAt(g) == snapBefore)
+    // new commits land as entries ABOVE the checkpoint and fold on top
+    cat.insert("ca", Seq((3L, "c", 3.0)).toDF("id", "name", "balance"))    // g+1
+    assert(cat.globalVersion() == g + 1)
+    assert(cat.snapshotAt(g + 1)("ca") == 3)
+    assert(cat.snapshotAt(g)("ca") == 2) // checkpoint serves the old g
+    assert(cat.asOf("ca", cat.snapshotAt(g)("ca")).count() == 2)
+    // compacting again folds checkpoint + new entry, superseding both
+    assert(cat.compactJournal() == g + 1)
+    assert(cat.snapshotAt(g + 1)("ca") == 3)
+  }
+
+  test("pin heartbeat daemon keeps an idle open txn's pin fresh until close") {
+    val prev = sys.props.get("graft.pin.heartbeat.ms")
+    sys.props("graft.pin.heartbeat.ms") = "100"
+    try {
+      val cat = freshCatalog()
+      cat.createTable("hb", schema, primaryKey = Some("id"))
+      cat.insert("hb", Seq((1L, "a", 1.0)).toDF("id", "name", "balance"))
+      val t = cat.begin()
+      val pins = java.nio.file.Paths.get(cat.root, "pins")
+      val pin = { val l = java.nio.file.Files.list(pins); try l.iterator().next() finally l.close() }
+      // age the pin far into the past; the DAEMON must refresh it with
+      // no txn operation running — the long-Spark-action window
+      java.nio.file.Files.setLastModifiedTime(pin,
+        java.nio.file.attribute.FileTime.fromMillis(1000L))
+      val deadline = System.currentTimeMillis + 5000
+      var fresh = false
+      while (!fresh && System.currentTimeMillis < deadline) {
+        Thread.sleep(50)
+        fresh = java.nio.file.Files.getLastModifiedTime(pin).toMillis >
+          System.currentTimeMillis - 60000
+      }
+      assert(fresh, "daemon did not refresh the pin mtime")
+      t.rollback()
+      assert(!java.nio.file.Files.exists(pin), "pin must be dropped at close")
+    } finally {
+      prev match {
+        case Some(v) => sys.props("graft.pin.heartbeat.ms") = v
+        case None => sys.props.remove("graft.pin.heartbeat.ms")
+      }
+    }
+  }
+
+  test("index pruning refuses mixed-type comparisons on string columns") {
+    val cat = freshCatalog()
+    cat.createTable("stridx", StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("s", StringType))), primaryKey = Some("id"), indexes = Seq("s"))
+    // two delta files with disjoint STRING ranges whose numeric and
+    // byte-wise orders disagree: '0999' < '100' as text, > as number
+    cat.insert("stridx", Seq((1L, "0500"), (2L, "0999")).toDF("id", "s"))
+    cat.insert("stridx", Seq((3L, "100"), (4L, "200")).toDF("id", "s"))
+    // numeric literal → Spark compares numerically; byte-order stats
+    // must NOT prune (kept == all), and the result must equal the
+    // unpruned scan whatever the coercion semantics are
+    val numPred = col("s") > lit(150)
+    val (kept, all) = cat.planFiles("stridx", numPred)
+    assert(kept == all, s"mixed-type predicate must not prune: $kept vs $all")
+    val pruned = cat.scan("stridx", numPred).select("id").collect().map(_.getLong(0)).sorted
+    val full = cat.scan("stridx").filter(numPred).select("id").collect().map(_.getLong(0)).sorted
+    assert(pruned.sameElements(full))
+    // a STRING literal still prunes, in byte order
+    val (kept2, all2) = cat.planFiles("stridx", col("s") > lit("150"))
+    assert(kept2.size < all2.size, s"string predicate should prune: $kept2 of $all2")
+    val prunedS = cat.scan("stridx", col("s") > lit("150")).select("id")
+      .collect().map(_.getLong(0)).sorted
+    assert(prunedS.toSeq == Seq(4L)) // byte order: only '200' > '150'
   }
 
   test("txn reads are pinned at BEGIN: repeatable reads for write txns") {

@@ -1,7 +1,7 @@
 package graft
 
 import graft.sources.TableCatalog
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The reference's SQL statement surface end-to-end through text
@@ -341,6 +341,26 @@ class GraftSQLSpec extends AnyFunSuite {
     g.execute("INSERT INTO dim VALUES (100), (101)")
     g.execute("SELECT d.id FROM dim d JOIN ix ON d.id = ix.id AND ix.v >= 2000").collect()
     assert(g.lastPruned.get("ix").exists { case (k, a) => k < a }, g.lastPruned)
+  }
+
+  test("SQL pruning is type-aware: numeric literal on a string index never prunes") {
+    val g = session()
+    g.execute("CREATE TABLE mixp (id INTEGER PRIMARY KEY, s STRING INDEX)")
+    // two delta files whose STRING stats order disagrees with numeric
+    // order: byte-wise '0999' < '150' but numerically 999 > 150
+    g.execute("INSERT INTO mixp VALUES (1, '0500'), (2, '0999')")
+    g.execute("INSERT INTO mixp VALUES (3, '100'), (4, '200')")
+    val viaSql = g.execute("SELECT id FROM mixp WHERE s > 150 ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq
+    // ground truth: the same predicate over the unpruned scan
+    val full = g.catalog.scan("mixp").filter(col("s") > lit(150))
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(viaSql == full, s"sql=$viaSql full=$full")
+    assert(g.lastPruned.get("mixp").forall { case (k, a) => k == a },
+      s"mixed-type conjunct must not skip files: ${g.lastPruned}")
+    // the same column prunes fine under a string literal
+    g.execute("SELECT id FROM mixp WHERE s > '150'").collect()
+    assert(g.lastPruned.get("mixp").exists { case (k, a) => k < a }, g.lastPruned)
   }
 
   test("DEFAULT accepts constant expressions, folded at CREATE (ast.rs:82)") {
