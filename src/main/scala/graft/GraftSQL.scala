@@ -39,7 +39,7 @@ import org.apache.spark.sql.types._
   */
 class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
 
-  import GraftSQL.{showTablesRe, showCreateRe, descRe, ctasRe, insertSelectRe, createRe, dropRe, insertRe, mergeRe, updateRe, deleteRe, compactRe, alterAddRe, alterDropRe, vacuumRe}
+  import GraftSQL.{showTablesRe, showCreateRe, descRe, ctasRe, insertSelectRe, createRe, dropRe, insertRe, mergeRe, updateRe, deleteRe, compactRe, compactJournalRe, alterAddRe, alterDropRe, vacuumRe}
 
   GraftSession.prepare(spark)
 
@@ -144,6 +144,12 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
     }
 
     s match {
+      case compactJournalRe() =>
+        require(txn.isEmpty, "COMPACT JOURNAL: not inside a transaction")
+        require(!readOnly, "read-only transaction")
+        val g = catalog.compactJournal()
+        Seq(s"COMPACT JOURNAL -> g$g").toDF("status")
+
       case compactRe(name) =>
         require(txn.isEmpty, "COMPACT TABLE: not inside a transaction")
         require(!readOnly, "read-only transaction")
@@ -715,6 +721,7 @@ object GraftSQL {
   // maintenance statements (beyond the reference surface — the
   // lakehouse operations an append-heavy managed table needs)
   private val compactRe = raw"(?is)COMPACT\s+TABLE\s+(\w+)\s*".r
+  private val compactJournalRe = raw"(?is)COMPACT\s+JOURNAL\s*".r
   // metadata-only schema evolution (beyond the reference surface)
   private val alterAddRe  = raw"(?is)ALTER\s+TABLE\s+(\w+)\s+ADD\s+COLUMN\s+(.*)".r
   private val alterDropRe = raw"(?is)ALTER\s+TABLE\s+(\w+)\s+DROP\s+COLUMN\s+(\w+)\s*".r

@@ -186,10 +186,21 @@ class GraftSQLSpec extends AnyFunSuite {
     val vac = g.execute("VACUUM mt KEEP 1").collect()(0).getString(0)
     assert(vac.contains("removed 4"), vac)
     assert(g.execute("SELECT count(*) AS n FROM mt").collect()(0).getLong(0) == 3)
+    // COMPACT JOURNAL folds commit history; AS OF at the fold point
+    // still resolves, and later statements keep journaling above it
+    val gBefore = g.catalog.globalVersion()
+    val cj = g.execute("COMPACT JOURNAL").collect()(0).getString(0)
+    assert(cj.contains(s"g$gBefore"), cj)
+    g.execute("INSERT INTO mt VALUES (4, 40)")
+    assert(g.catalog.globalVersion() == gBefore + 1)
+    g.execute(s"BEGIN READ ONLY AS OF SYSTEM TIME $gBefore")
+    assert(g.execute("SELECT count(*) AS n FROM mt").collect()(0).getLong(0) == 3)
+    g.execute("ROLLBACK")
     // maintenance is rejected inside transactions
     g.execute("BEGIN")
     intercept[IllegalArgumentException] { g.execute("COMPACT TABLE mt") }
     intercept[IllegalArgumentException] { g.execute("VACUUM mt") }
+    intercept[IllegalArgumentException] { g.execute("COMPACT JOURNAL") }
     g.execute("ROLLBACK")
   }
 
