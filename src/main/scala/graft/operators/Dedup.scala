@@ -247,9 +247,22 @@ object Dedup {
   private val sigStores =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), graft.sources.TableCatalog]
 
-  private def deleteDir(root: String): Unit =
-    try graft.sources.TableCatalog.deleteRecursively(java.nio.file.Path.of(root))
-    catch { case _: Throwable => () }
+  /** Best-effort recursive delete — deliberately NOT
+    * TableCatalog.deleteRecursively, whose first failed delete aborts
+    * the walk: shutdown-hook cleanup must keep going past a locked or
+    * concurrently-removed file and delete the rest of the tree. */
+  private def deleteDir(root: String): Unit = {
+    import java.nio.file.{Files, Path}
+    import scala.jdk.CollectionConverters._
+    val p = Path.of(root)
+    if (Files.exists(p)) {
+      val s = Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder[Path]())
+        .iterator().asScala.foreach(f =>
+          try Files.delete(f) catch { case _: Throwable => () })
+      finally s.close()
+    }
+  }
 
   locally { // the stores live in java.io.tmpdir: clean up at JVM exit
     Runtime.getRuntime.addShutdownHook(new Thread(() =>

@@ -449,9 +449,12 @@ class TableCatalog(spark: SparkSession, val root: String) {
 
   /** Record one commit entry; returns the global version claimed. Call
     * under rootLock, after the per-table pointers it describes have
-    * moved. The per-root cache makes the happy path one CREATE_NEW —
-    * no directory listing; a collision (another process published)
-    * re-lists and retries above the observed maximum. */
+    * moved. The claim is one readdir (cheap — compaction keeps the
+    * directory small) + one CREATE_NEW; the candidate maxes over BOTH
+    * entry and checkpoint versions, so a slot a compaction folded and
+    * freed is never reclaimed for a different commit — a checkpoint
+    * retires every version at or below it forever. The per-root cache
+    * is a monotone floor that survives even journal-directory loss. */
   private def journalAppend(published: Map[String, Int],
       dropped: Seq[String] = Nil): Long = {
     Files.createDirectories(journalDir)
@@ -460,8 +463,7 @@ class TableCatalog(spark: SparkSession, val root: String) {
     val bytes = s"""{"tables": $tables, "dropped": $drops}"""
       .getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val cache = TableCatalog.lastG(root)
-    if (cache.get() == 0L) cache.updateAndGet(o => math.max(o, globalVersion()))
-    var g = cache.get() + 1
+    var g = math.max(cache.get(), journalVersions().maxOption.getOrElse(0L)) + 1
     var claimed = false
     while (!claimed) {
       try {
@@ -485,7 +487,11 @@ class TableCatalog(spark: SparkSession, val root: String) {
     * dirs) — it costs AS OF visibility of this one commit until the
     * affected tables publish again, and says so loudly. */
   private def journalRecord(published: Map[String, Int],
-      dropped: Seq[String] = Nil): Unit =
+      dropped: Seq[String] = Nil): Unit = {
+    // an empty commit (BEGIN; COMMIT with nothing staged) moved no
+    // pointers — journaling it would claim a slot whose entry parses
+    // exactly like a torn claim
+    if (published.isEmpty && dropped.isEmpty) return
     try { journalAppend(published, dropped); () }
     catch {
       case scala.util.control.NonFatal(e) =>
@@ -493,6 +499,7 @@ class TableCatalog(spark: SparkSession, val root: String) {
           s"[graft] journal append failed under $root (publish unaffected; " +
             s"AS OF will not see this commit): $e")
     }
+  }
 
   /** The per-table version snapshot at GLOBAL version `g` — what
     * `BEGIN READ ONLY AS OF SYSTEM TIME g` reads: the newest
@@ -517,15 +524,20 @@ class TableCatalog(spark: SparkSession, val root: String) {
 
   /** Checkpoint-base + entry fold of the journal up to g, WITHOUT the
     * exists() filter (compaction must not hide a table whose drop
-    * entry comes after g). */
+    * entry comes after g). The base is the newest checkpoint at or
+    * below g that PARSES: a torn checkpoint (compactor crashed between
+    * claim and write) must not become the base — the per-commit
+    * entries it failed to supersede are still on disk, so falling
+    * back to them (or to an older intact checkpoint) loses nothing. */
   private def foldJournal(g: Long): Map[String, Int] = {
     val (entries, ckpts) = journalListing()
-    val base = ckpts.filter(_ <= g).maxOption
+    val base: Option[(Long, Map[String, Int])] =
+      ckpts.filter(_ <= g).sorted.reverseIterator
+        .map(bg => bg -> parseJournalFile(checkpointFile(bg)))
+        .collectFirst { case (bg, Some((tables, _))) => bg -> tables }
     val m = scala.collection.mutable.LinkedHashMap[String, Int]()
-    base.foreach(bg => parseJournalFile(checkpointFile(bg)).foreach {
-      case (tables, _) => tables.foreach { case (t, v) => m(t) = v }
-    })
-    entries.filter(e => e <= g && base.forall(e > _)).sorted.foreach { ge =>
+    base.foreach { case (_, tables) => tables.foreach { case (t, v) => m(t) = v } }
+    entries.filter(e => e <= g && base.forall(e > _._1)).sorted.foreach { ge =>
       parseJournalFile(journalFile(ge)).foreach { case (tables, dropped) =>
         tables.foreach { case (t, v) => m(t) = v }
         dropped.foreach(m.remove)
@@ -542,9 +554,35 @@ class TableCatalog(spark: SparkSession, val root: String) {
     * lose per-commit granularity exactly like vacuumed table versions.
     * Returns the checkpoint's global version (the current one). */
   def compactJournal(): Long = rootLock.synchronized {
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      try return compactJournalOnce()
+      catch {
+        // a sibling process's compaction deleted a file between our
+        // listing and read — re-list; its checkpoint makes ours moot
+        case _: java.nio.file.NoSuchFileException if attempt < 3 => ()
+      }
+    }
+    0L // unreachable
+  }
+
+  private def compactJournalOnce(): Long = {
     val (entries, ckpts) = journalListing()
     val g = (entries ++ ckpts).maxOption.getOrElse(0L)
-    if (g == 0L || ckpts.contains(g)) return g // empty or already compact
+    if (g == 0L) return 0L
+    if (ckpts.contains(g)) {
+      // a PARSEABLE checkpoint at the top = already compact. A torn
+      // one (compactor died mid-write) blocks the slot: reads already
+      // fall back past it, and once it is provably stale we delete it
+      // and fold properly instead of returning a broken "success".
+      if (parseJournalFile(checkpointFile(g)).isDefined) return g
+      val age =
+        try System.currentTimeMillis - Files.getLastModifiedTime(checkpointFile(g)).toMillis
+        catch { case _: java.io.IOException => Long.MaxValue }
+      if (age < StaleClaimMs) return g // maybe still being written
+      Files.deleteIfExists(checkpointFile(g))
+    }
     val m = foldJournal(g)
     if (m.isEmpty) return g // all entries torn — nothing worth folding
     val tables = m.map { case (k, v) => s"${esc(k)}: $v" }.mkString("{", ",", "}")
@@ -1395,8 +1433,14 @@ class TableCatalog(spark: SparkSession, val root: String) {
       * operation AND by the background heartbeat below, so an active
       * cross-process txn never looks stale even while one Spark action
       * runs longer than the staleness window without touching the txn
-      * API. */
-    private[sources] def heartbeat(): Unit =
+      * API. Operation calls also bump the idle clock that bounds the
+      * daemon's lifetime. */
+    private[sources] def heartbeat(): Unit = {
+      lastOpMillis = System.currentTimeMillis
+      refreshPin()
+    }
+
+    private def refreshPin(): Unit =
       try Files.setLastModifiedTime(pinPath,
         java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis))
       catch { case _: java.io.IOException => () }
@@ -1405,8 +1449,17 @@ class TableCatalog(spark: SparkSession, val root: String) {
     // Spark job (scan() returns immediately; the action may run hours)
     // — a shared daemon refreshes every open txn's pin on a period
     // well inside the staleness window, and is cancelled on close.
+    // BOUNDED: an ABANDONED txn (never committed/rolled back, no
+    // operation for PinMaxIdleMs) stops being refreshed, so its pin
+    // goes stale and any process's vacuum can reclaim — the daemon
+    // must widen the liveness window for long jobs, not turn a leaked
+    // txn into a permanent cross-process vacuum blocker.
+    @volatile private var lastOpMillis = System.currentTimeMillis
     private val heartbeatTask: java.util.concurrent.ScheduledFuture[_] =
-      TableCatalog.schedulePinHeartbeat(() => heartbeat())
+      TableCatalog.schedulePinHeartbeat { () =>
+        if (System.currentTimeMillis - lastOpMillis < TableCatalog.PinMaxIdleMs)
+          refreshPin()
+      }
 
     private def dropPin(): Unit = {
       heartbeatTask.cancel(false)
@@ -1883,6 +1936,13 @@ object TableCatalog {
     java.util.concurrent.Executors.newSingleThreadScheduledExecutor { r =>
       val t = new Thread(r, "graft-pin-heartbeat"); t.setDaemon(true); t
     }
+
+  /** How long an open txn may sit with NO operation before its daemon
+    * stops refreshing the pin (it then goes stale after PinStaleMs and
+    * becomes vacuum-reclaimable everywhere). Bounds the blast radius
+    * of a leaked, never-closed txn; any single Spark action is
+    * expected to finish well inside it. */
+  private[sources] val PinMaxIdleMs: Long = 24L * 60 * 60 * 1000
 
   private[sources] def schedulePinHeartbeat(task: Runnable): java.util.concurrent.ScheduledFuture[_] = {
     val period = sys.props.get("graft.pin.heartbeat.ms")

@@ -405,6 +405,43 @@ class CatalogSpec extends AnyFunSuite {
     assert(cat.snapshotAt(cat.globalVersion())("jt") == 4)
   }
 
+  test("journal: torn checkpoints never claim the fold base; checkpoints retire their slots") {
+    val cat = freshCatalog()
+    cat.createTable("tc", schema, primaryKey = Some("id"))                 // g=1
+    cat.insert("tc", Seq((1L, "a", 1.0)).toDF("id", "name", "balance"))    // g=2
+    cat.insert("tc", Seq((2L, "b", 2.0)).toDF("id", "name", "balance"))    // g=3
+    val g = cat.globalVersion()
+    val commits = java.nio.file.Paths.get(cat.root, "commits")
+    // crashed compactor: torn (empty) checkpoint claims the top slot
+    val torn = commits.resolve(f"c$g%012d.json")
+    java.nio.file.Files.writeString(torn, "")
+    // reads fall back to the surviving per-commit entries, losing nothing
+    assert(cat.snapshotAt(g)("tc") == 2)
+    // compaction self-heals once the torn file is provably stale
+    java.nio.file.Files.setLastModifiedTime(torn,
+      java.nio.file.attribute.FileTime.fromMillis(1000L))
+    assert(cat.compactJournal() == g)
+    assert(cat.snapshotAt(g)("tc") == 2)
+    // a checkpoint retires every slot at/below it forever: a foreign
+    // checkpoint at a high g (a sibling process's compaction) forces
+    // new claims ABOVE it even though those g-files never existed
+    java.nio.file.Files.writeString(commits.resolve(f"c${g + 50}%012d.json"),
+      """{"tables": {"tc": 2}, "dropped": []}""")
+    cat.insert("tc", Seq((3L, "c", 3.0)).toDF("id", "name", "balance"))
+    assert(cat.globalVersion() == g + 51, "claim must exceed the checkpoint")
+    assert(cat.snapshotAt(g + 51)("tc") == 3)
+    assert(cat.snapshotAt(g + 50)("tc") == 2)
+  }
+
+  test("an empty txn COMMIT journals nothing") {
+    val cat = freshCatalog()
+    cat.createTable("et", schema, primaryKey = Some("id"))
+    val g = cat.globalVersion()
+    val t = cat.begin()
+    t.commit()
+    assert(cat.globalVersion() == g, "empty commit must not claim a journal slot")
+  }
+
   test("journal compaction folds history into a checkpoint; AS OF unchanged from it on") {
     val cat = freshCatalog()
     cat.createTable("ca", schema, primaryKey = Some("id"))                 // g=1
