@@ -433,6 +433,34 @@ class CatalogSpec extends AnyFunSuite {
     assert(cat.snapshotAt(g + 50)("tc") == 2)
   }
 
+  test("stress: concurrent writers journal distinct global versions, fold stays monotone") {
+    val cat = freshCatalog()
+    (1 to 4).foreach(i => cat.createTable(s"cw$i", schema, primaryKey = Some("id")))
+    val g0 = cat.globalVersion()
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (1 to 4).map { i =>
+      new Thread(() => try {
+        (1 to 3).foreach { j =>
+          cat.insert(s"cw$i", Seq((j.toLong, "x", 1.0)).toDF("id", "name", "balance"))
+        }
+      } catch { case t: Throwable => errs.add(t) })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, errs.asScala.map(_.getMessage).mkString("; "))
+    // 12 publishes = 12 distinct journal slots, none lost or shared
+    assert(cat.globalVersion() == g0 + 12)
+    val finalSnap = cat.snapshotAt(cat.globalVersion())
+    (1 to 4).foreach(i => assert(finalSnap(s"cw$i") == 3))
+    // the fold is monotone: walking g forward, no table's version
+    // ever regresses (a shared/reused slot would break this)
+    var prev = cat.snapshotAt(g0)
+    ((g0 + 1) to (g0 + 12)).foreach { g =>
+      val s = cat.snapshotAt(g)
+      prev.foreach { case (t, v) => assert(s.getOrElse(t, 0) >= v, s"$t regressed at g$g") }
+      prev = s
+    }
+  }
+
   test("an empty txn COMMIT journals nothing") {
     val cat = freshCatalog()
     cat.createTable("et", schema, primaryKey = Some("id"))
