@@ -269,27 +269,31 @@ object Dedup {
       sigStores.values.foreach(c => deleteDir(c.root))))
   }
 
-  private def signatureStore(s: SparkSession, d: String): graft.sources.TableCatalog = {
-    // drop stores bound to stopped sessions (their frames are useless
-    // and the next live session would shadow them anyway)
-    sigStores.filterInPlace { case ((owner, _), cat) =>
-      val live = !owner.sparkContext.isStopped
-      if (!live) deleteDir(cat.root)
-      live
+  // builds serialized under one lock: TrieMap.getOrElseUpdate may
+  // evaluate a racing builder twice and discard the loser — here the
+  // loser would be a fully-written store directory nothing ever sweeps
+  private def signatureStore(s: SparkSession, d: String): graft.sources.TableCatalog =
+    sigStores.synchronized {
+      // drop stores bound to stopped sessions (their frames are useless
+      // and the next live session would shadow them anyway)
+      sigStores.filterInPlace { case ((owner, _), cat) =>
+        val live = !owner.sparkContext.isStopped
+        if (!live) deleteDir(cat.root)
+        live
+      }
+      sigStores.getOrElseUpdate((s, d), {
+        val root = java.nio.file.Files.createTempDirectory("graft-sigstore-").toString
+        val cat = new graft.sources.TableCatalog(s, root)
+        val corpus = Tables.documents(s, d)
+          .filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id"),
+            minhash_sig(col("text"), ShingleN, MinhashK, Seed).as("sig"),
+            shingles64(col("text"), ShingleN).as("sh"))
+        cat.createTable("corpus_signatures", corpus.schema)
+        cat.insert("corpus_signatures", corpus)
+        cat
+      })
     }
-    sigStores.getOrElseUpdate((s, d), {
-      val root = java.nio.file.Files.createTempDirectory("graft-sigstore-").toString
-      val cat = new graft.sources.TableCatalog(s, root)
-      val corpus = Tables.documents(s, d)
-        .filter(col("doc_id") % 2 === 0)
-        .select(col("doc_id"),
-          minhash_sig(col("text"), ShingleN, MinhashK, Seed).as("sig"),
-          shingles64(col("text"), ShingleN).as("sh"))
-      cat.createTable("corpus_signatures", corpus.schema)
-      cat.insert("corpus_signatures", corpus)
-      cat
-    })
-  }
 
   /** INCREMENTAL near-dup: dedup a NEW batch against an EXISTING
     * corpus — the shape a continuously-ingesting 100 TB pipeline
@@ -313,6 +317,10 @@ object Dedup {
     // by the new batch's bucket matches; at 100 TB the corpus band
     // table is stored BUCKETED by (band, bh) so only the new side
     // shuffles, and the corpus-side scan prunes to matched buckets.
+    // newSig appears in two subtrees (bands, verify) but column
+    // pruning leaves each KERNEL evaluated once — bands computes only
+    // minhash_sig, verify only shingles64; the doubled work is just
+    // the new-batch parquet scan, small against the kernels.
     val cand = minhashBands(corpusSig.select("doc_id", "sig")).as("a")
       .join(minhashBands(newSig.select("doc_id", "sig")).as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))

@@ -226,12 +226,19 @@ object TextAnalysis {
     // window buffer, and a group that mixes two canonicals (a real
     // xxhash64 collision) raises instead of returning a merged count.
     val w = org.apache.spark.sql.expressions.Window.partitionBy("h")
+    // NULL text ⇒ NULL canonical: those rows count each other (the
+    // old partition-by-text window grouped NULLs together), never mix
+    // with a real canonical that happens to share the NULL hash, and
+    // never trip the collision check — count(col) skips NULLs, so
+    // n_nonnull/n_distinct see only real canonicals
     docs
       .select(col("doc_id"), col("canonical"),
         count(lit(1)).over(w).as("n_in_bucket"),
+        count(col("canonical")).over(w).as("n_nonnull"),
         size(collect_set(col("canonical")).over(w)).as("n_distinct"))
       .select(col("doc_id"), col("canonical"),
-        when(col("n_distinct") === 1, col("n_in_bucket"))
+        when(col("canonical").isNull, col("n_in_bucket") - col("n_nonnull"))
+          .when(col("n_distinct") === 1, col("n_nonnull"))
           .otherwise(raise_error(concat(
             lit("t07: xxhash64 collision on canonical text of doc "),
             col("doc_id")))).as("n_same"))

@@ -391,7 +391,10 @@ class TableCatalog(spark: SparkSession, val root: String) {
   // The journal is an OBSERVABILITY index over the authoritative
   // per-table pointers: an entry that failed to record degrades AS OF
   // fidelity for that window but never the published data (see the
-  // journalAppend call sites, which isolate failures).
+  // journalRecord wrapper, which isolates failures). This per-file
+  // layout replaced a single appended commits.jsonl before any
+  // release — there is no legacy-format migration path because no
+  // catalog ever shipped with one.
 
   private def journalDir: Path = Paths.get(root, "commits")
   private def journalFile(g: Long): Path = journalDir.resolve(f"g$g%012d.json")
@@ -420,29 +423,28 @@ class TableCatalog(spark: SparkSession, val root: String) {
     * unparsable file (crashed writer mid-write) yields None with a
     * warning — one bad file must degrade that single commit's AS OF
     * visibility, not wedge every journal read on the root. */
-  private def parseJournalFile(p: Path): Option[(Map[String, Int], Seq[String])] =
-    try {
-      val body = Files.readString(p)
-      val tables = jsonObjBody(body, "tables").map { b =>
-        "\"((?:[^\"\\\\]|\\\\.)*)\"\\s*:\\s*(\\d+)".r.findAllMatchIn(b)
-          .map(m => unesc(m.group(1)) -> m.group(2).toInt).toMap
-      }.getOrElse(Map.empty[String, Int])
-      val dropped = jsonStrArr(body, "dropped")
-      if (tables.isEmpty && dropped.isEmpty) {
-        // every real commit names a table or a drop: an empty parse
-        // is a crashed writer's torn claim — skip it
-        System.err.println(s"[graft] skipping torn journal file $p")
-        None
-      } else Some((tables, dropped))
-    } catch {
-      // vanished between listing and read = concurrent compaction
-      // superseded it — PROPAGATE so the reader re-lists (a silent
-      // skip would drop the folded history from the snapshot)
-      case e: java.nio.file.NoSuchFileException => throw e
-      case scala.util.control.NonFatal(e) =>
-        System.err.println(s"[graft] skipping unreadable journal file $p: $e")
-        None
-    }
+  private def parseJournalFile(p: Path): Option[(Map[String, Int], Seq[String])] = {
+    // IO failures PROPAGATE, they are not "torn": NoSuchFile lets the
+    // reader re-list after a concurrent compaction, and a transient
+    // read error (EACCES, ...) must fail the read loudly — silently
+    // skipping a GOOD checkpoint would fall back past it to history
+    // its compaction already deleted, returning a wrong snapshot as
+    // if it were right. Only successfully-READ-but-unparsable content
+    // is a torn claim. (Bytes decode with replacement, so a partial
+    // multi-byte write classifies as torn rather than throwing.)
+    val body = new String(Files.readAllBytes(p), java.nio.charset.StandardCharsets.UTF_8)
+    val tables = jsonObjBody(body, "tables").map { b =>
+      "\"((?:[^\"\\\\]|\\\\.)*)\"\\s*:\\s*(\\d+)".r.findAllMatchIn(b)
+        .map(m => unesc(m.group(1)) -> m.group(2).toInt).toMap
+    }.getOrElse(Map.empty[String, Int])
+    val dropped = jsonStrArr(body, "dropped")
+    if (tables.isEmpty && dropped.isEmpty) {
+      // every real commit names a table or a drop: an empty parse
+      // is a crashed writer's torn claim — skip it
+      System.err.println(s"[graft] skipping torn journal file $p")
+      None
+    } else Some((tables, dropped))
+  }
 
   /** The newest global commit version (0 = nothing ever published). */
   def globalVersion(): Long = journalVersions().maxOption.getOrElse(0L)
@@ -569,39 +571,60 @@ class TableCatalog(spark: SparkSession, val root: String) {
 
   private def compactJournalOnce(): Long = {
     val (entries, ckpts) = journalListing()
-    val g = (entries ++ ckpts).maxOption.getOrElse(0L)
-    if (g == 0L) return 0L
-    if (ckpts.contains(g)) {
-      // a PARSEABLE checkpoint at the top = already compact. A torn
-      // one (compactor died mid-write) blocks the slot: reads already
-      // fall back past it, and once it is provably stale we delete it
-      // and fold properly instead of returning a broken "success".
-      if (parseJournalFile(checkpointFile(g)).isDefined) return g
-      val age =
-        try System.currentTimeMillis - Files.getLastModifiedTime(checkpointFile(g)).toMillis
-        catch { case _: java.io.IOException => Long.MaxValue }
-      if (age < StaleClaimMs) return g // maybe still being written
-      Files.deleteIfExists(checkpointFile(g))
+    val gMax = (entries ++ ckpts).maxOption.getOrElse(0L)
+    if (gMax == 0L) return 0L
+    def fileAge(p: Path): Long =
+      try System.currentTimeMillis - Files.getLastModifiedTime(p).toMillis
+      catch { case _: java.io.IOException => Long.MaxValue }
+    // an unparsable entry YOUNGER than the claim-staleness window may
+    // be a sibling process's append between its CREATE_NEW claim and
+    // its write — folding past it would checkpoint over the slot and
+    // erase the commit. Cap the fold BELOW the youngest such entry;
+    // stale torn entries (provably dead writers) fold over and go.
+    val tornYoung = entries.filter { e =>
+      val p = journalFile(e)
+      parseJournalFile(p).isEmpty && fileAge(p) < StaleClaimMs
     }
-    val m = foldJournal(g)
-    if (m.isEmpty) return g // all entries torn — nothing worth folding
+    val foldTo = tornYoung.minOption.map(_ - 1).getOrElse(gMax)
+    if (foldTo <= 0L) return gMax // everything is an in-flight claim
+    def sweepSuperseded(): Unit = {
+      entries.filter(_ <= foldTo).foreach(e => Files.deleteIfExists(journalFile(e)))
+      ckpts.filter(_ < foldTo).foreach(c => Files.deleteIfExists(checkpointFile(c)))
+    }
+    val target = checkpointFile(foldTo)
+    if (ckpts.contains(foldTo)) {
+      if (parseJournalFile(target).isDefined) {
+        // already compact at the fold point — finish any sweep a
+        // crashed predecessor started, then done
+        sweepSuperseded(); return foldTo
+      }
+      // torn checkpoint: maybe a live compactor mid-write — back off
+      // until it is provably stale, then heal below via atomic replace
+      if (fileAge(target) < StaleClaimMs) return gMax
+    }
+    val m = foldJournal(foldTo)
+    if (m.isEmpty) return gMax // nothing parseable below — nothing to fold
     val tables = m.map { case (k, v) => s"${esc(k)}: $v" }.mkString("{", ",", "}")
     val bytes = s"""{"tables": $tables, "dropped": []}"""
       .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    // tmp + ATOMIC_MOVE REPLACE: healing a stale torn checkpoint never
+    // has a window where the slot holds NO checkpoint (a delete-then-
+    // recreate shape would let a racing compactor delete the freshly
+    // written good one); two racing healers overwrite each other with
+    // equivalent folds.
+    val tmp = Files.createTempFile(journalDir, ".ckpt", ".tmp")
     try {
-      val ch = Files.newByteChannel(checkpointFile(g),
-        java.nio.file.StandardOpenOption.CREATE_NEW,
-        java.nio.file.StandardOpenOption.WRITE)
-      try ch.write(java.nio.ByteBuffer.wrap(bytes)) finally ch.close()
+      Files.write(tmp, bytes)
+      Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
     } catch {
-      // another process checkpointed the same g — its fold is
-      // equivalent and IT deletes the superseded files
-      case _: java.nio.file.FileAlreadyExistsException => return g
+      case scala.util.control.NonFatal(e) =>
+        Files.deleteIfExists(tmp); throw e
     }
-    // checkpoint durable: the files it supersedes can go
-    entries.filter(_ <= g).foreach(e => Files.deleteIfExists(journalFile(e)))
-    ckpts.filter(_ < g).foreach(c => Files.deleteIfExists(checkpointFile(c)))
-    g
+    // checkpoint durable: the files it supersedes can go (all at or
+    // below foldTo are parseable-and-folded or provably-stale torn)
+    sweepSuperseded()
+    foldTo
   }
 
   // --------------------------------------------------------------- read
@@ -695,11 +718,15 @@ class TableCatalog(spark: SparkSession, val root: String) {
       .flatMap { case (c: String, (lo, hi)) =>
         if (!m.indexes.contains(c)) None
         else m.schema(c).dataType match {
-          // numeric columns: BOTH comparison sides go through
-          // BigDecimal in cmpTyped — a string literal that parses
-          // compares exactly like Spark's numeric coercion of it, and
-          // one that doesn't yields None (file kept). Always sound.
-          case _: org.apache.spark.sql.types.NumericType => Some(c -> (lo, hi))
+          // numeric columns: prune only on NUMERIC literals — both
+          // sides then compare via BigDecimal in cmpTyped, exactly as
+          // the query does. A STRING literal is excluded: Spark
+          // evaluates `bigintcol <= '9223372036854775806'` by casting
+          // both sides to double, whose rounding near 2^63 can admit
+          // rows an exact BigDecimal comparison would prune.
+          case _: org.apache.spark.sql.types.NumericType =>
+            val (l, h) = (lo.filterNot(_.isString), hi.filterNot(_.isString))
+            if (l.isEmpty && h.isEmpty) None else Some(c -> (l, h))
           // string columns: prune ONLY on string literals. Spark
           // evaluates `stringcol > 100` by coercing the COLUMN to a
           // number, so byte-order stats comparison against "100" would
@@ -1455,11 +1482,20 @@ class TableCatalog(spark: SparkSession, val root: String) {
     // must widen the liveness window for long jobs, not turn a leaked
     // txn into a permanent cross-process vacuum blocker.
     @volatile private var lastOpMillis = System.currentTimeMillis
-    private val heartbeatTask: java.util.concurrent.ScheduledFuture[_] =
-      TableCatalog.schedulePinHeartbeat { () =>
+    private val heartbeatTask: java.util.concurrent.ScheduledFuture[_] = {
+      // the task holds its own future so it can CANCEL itself once the
+      // idle bound passes — a leaked txn must not keep a scheduled
+      // task (and, through its closure, the whole Txn) alive forever
+      val self = new java.util.concurrent.atomic.AtomicReference[
+        java.util.concurrent.ScheduledFuture[_]]()
+      val f = TableCatalog.schedulePinHeartbeat { () =>
         if (System.currentTimeMillis - lastOpMillis < TableCatalog.PinMaxIdleMs)
           refreshPin()
+        else Option(self.get()).foreach(_.cancel(false))
       }
+      self.set(f)
+      f
+    }
 
     private def dropPin(): Unit = {
       heartbeatTask.cancel(false)

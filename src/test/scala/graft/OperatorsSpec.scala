@@ -455,6 +455,19 @@ class OperatorsSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getLong(2) == byCanon(r.getString(1)).toLong))
   }
 
+  test("t07 normalize: NULL texts count each other, never a spurious collision error") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-t07-null").toString
+    Seq((1L, "Hello, World!"), (2L, "hello world"),
+        (3L, null.asInstanceOf[String]), (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = TextAnalysis.t07Normalize(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(rows(1L) == 2 && rows(2L) == 2) // same canonical after normalize
+    assert(rows(3L) == 2 && rows(4L) == 2) // the two NULLs count each other
+  }
+
   test("t08 tf-idf: ubiquitous terms score 0, df consistent, tf sums to token count") {
     val rows = TextAnalysis.t08TfIdf(spark, sf).collect()
     val nDocs = sources.Tables.documents(spark, sf).count()
