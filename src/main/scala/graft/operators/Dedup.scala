@@ -497,6 +497,31 @@ object Dedup {
        |WHERE jaccard >= 0.8
        |ORDER BY corpus_doc, new_doc""".stripMargin
 
+  // ---------------------------------------------------------------- d10
+  /** EDIT-DISTANCE re-verification of near-dup candidates: d04's
+    * LSH-blocked, Jaccard-verified pairs get a second, orthogonal
+    * signal — Levenshtein over the 120-char document heads (bounded
+    * prefix: edit distance is O(len²), so production pipelines never
+    * run it on full documents; the head is the standard proxy).
+    * Distance only ever runs on the LSH candidate set — never all
+    * pairs — and the head lookup is a broadcast-able projection of the
+    * documents table, so at 100 TB this costs one candidate-sized
+    * probe join after the d04 machinery the chain already paid for. */
+  def d10EditDistance(s: SparkSession, d: String): DataFrame = {
+    val heads = Tables.documents(s, d)
+      .select(col("doc_id"), substring(col("text"), 1, 120).as("head"))
+    val lev = levenshtein(col("ta.head"), col("tb.head"))
+    verifiedPairs(s, d)
+      .join(heads.as("ta"), col("doc_a") === col("ta.doc_id"))
+      .join(heads.as("tb"), col("doc_b") === col("tb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        lev.as("lev"),
+        (lev.cast("double") /
+          greatest(length(col("ta.head")), length(col("tb.head")), lit(1)))
+          .as("lev_ratio"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_dedup_exact"     -> (d01Exact _),
     "d02_dedup_minhash"   -> (d02Minhash _),
@@ -506,7 +531,8 @@ object Dedup {
     "d06_dedup_clusters"  -> (d06Clusters _),
     "d07_dedup_incremental" -> (d07Incremental _),
     "d08_decontaminate"   -> (d08Decontaminate _),
-    "d09_containment"     -> (d09Containment _))
+    "d09_containment"     -> (d09Containment _),
+    "d10_editdist"        -> (d10EditDistance _))
 
   /** d04/d06 ARE oracle-checkable, via brute force: DuckDB computes
     * all-pairs 5-gram Jaccard (char n-grams == byte n-grams on this
@@ -576,11 +602,27 @@ object Dedup {
        |SELECT doc_id, LEAST(doc_id, MIN(peer)) AS cluster_rep
        |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** d10 oracle: d04's brute-force pair set + DuckDB's own
+    * levenshtein over the same 120-char heads (ASCII corpus: char
+    * semantics identical across engines). */
+  val d10OracleSql: String =
+    s"""WITH ${bruteCtes("")},
+       |p AS (SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= 0.8)
+       |SELECT p.doc_a, p.doc_b, p.jaccard,
+       |  CAST(levenshtein(a.text[1:120], b.text[1:120]) AS INT) AS lev,
+       |  CAST(levenshtein(a.text[1:120], b.text[1:120]) AS DOUBLE) /
+       |    GREATEST(LENGTH(a.text[1:120]), LENGTH(b.text[1:120]), 1) AS lev_ratio
+       |FROM p
+       |JOIN documents a ON p.doc_a = a.doc_id
+       |JOIN documents b ON p.doc_b = b.doc_id
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "d01_dedup_exact"       -> d01OracleSql,
     "d04_dedup_ngram"       -> d04OracleSql,
     "d06_dedup_clusters"    -> d06OracleSql,
     "d07_dedup_incremental" -> d07OracleSql,
     "d08_decontaminate"     -> d08OracleSql,
-    "d09_containment"       -> d09OracleSql)
+    "d09_containment"       -> d09OracleSql,
+    "d10_editdist"          -> d10OracleSql)
 }

@@ -740,6 +740,56 @@ object Relational {
       |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
       |ORDER BY o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------- q46
+  /** Fixed-width numeric HISTOGRAM (value profiling — the first query
+    * run against any new 100 TB column). One groupBy on ~30 bucket
+    * keys: map-side partial aggregation collapses every scan partition
+    * to at most n_buckets rows before the (trivial) shuffle, so cost
+    * is scan-bound at any scale. Sum goes through DECIMAL for
+    * order-independent bit-stability. */
+  def q46Histogram(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(floor(col("l_extendedprice") / 5000.0).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min("l_extendedprice").as("lo"),
+        max("l_extendedprice").as("hi"),
+        dsum(col("l_extendedprice")).as("total"))
+      .orderBy("bucket")
+
+  val q46OracleSql: String =
+    """SELECT CAST(FLOOR(l_extendedprice / 5000.0) AS BIGINT) AS bucket,
+      |       COUNT(*) AS n,
+      |       MIN(l_extendedprice) AS lo,
+      |       MAX(l_extendedprice) AS hi,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM lineitem GROUP BY 1 ORDER BY bucket""".stripMargin
+
+  // ---------------------------------------------------------------- q47
+  /** Exact multi-QUANTILE per group (interpolated, type-7 — the
+    * convention Spark's `percentile` and DuckDB's `quantile_cont`
+    * share, so the oracle is bit-exact). Exact percentiles buffer a
+    * group's value multiset on the agg side; that is the oracle-grade
+    * variant — at 100 TB the same query shape runs with
+    * `approx_percentile` (KLL-style sketch, mergeable, bounded
+    * memory) and q23's precedent covers sketch grading. */
+  def q47Percentiles(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        percentile(col("l_quantity"), lit(0.25)).as("p25"),
+        percentile(col("l_quantity"), lit(0.5)).as("p50"),
+        percentile(col("l_quantity"), lit(0.75)).as("p75"),
+        percentile(col("l_quantity"), lit(0.9)).as("p90"))
+      .orderBy("l_returnflag")
+
+  val q47OracleSql: String =
+    """SELECT l_returnflag, COUNT(*) AS n,
+      |       quantile_cont(l_quantity, 0.25) AS p25,
+      |       quantile_cont(l_quantity, 0.50) AS p50,
+      |       quantile_cont(l_quantity, 0.75) AS p75,
+      |       quantile_cont(l_quantity, 0.90) AS p90
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -787,7 +837,9 @@ object Relational {
     "q42_grouping_sets"     -> (q42GroupingSets _),
     "q43_recursive_cte"     -> (q43RecursiveCte _),
     "q44_setops_all"        -> (q44SetOpsAll _),
-    "q45_window_distribution" -> (q45WindowDistribution _))
+    "q45_window_distribution" -> (q45WindowDistribution _),
+    "q46_histogram"         -> (q46Histogram _),
+    "q47_percentiles"       -> (q47Percentiles _))
 
   val oracleSql: Map[String, String] = Map(
     "q01_scan_project" ->
@@ -1074,5 +1126,7 @@ object Relational {
     "q42_grouping_sets" -> q42Sql,
     "q43_recursive_cte" -> q43Sql,
     "q44_setops_all" -> q44Sql,
-    "q45_window_distribution" -> q45OracleSql)
+    "q45_window_distribution" -> q45OracleSql,
+    "q46_histogram"   -> q46OracleSql,
+    "q47_percentiles" -> q47OracleSql)
 }

@@ -180,18 +180,86 @@ object Sampling {
       |FROM documents
       |ORDER BY shuffle_key, doc_id""".stripMargin
 
+  /** p07: SEQUENCE PACKING — the concat-and-cut layout LLM training
+    * uses: documents are laid out in doc_id order and cut every 256
+    * tokens; each doc learns which pack it starts in and at what
+    * offset. The core is an exclusive prefix sum of token counts in a
+    * global order — computed the DISTRIBUTED way: contiguous doc_id
+    * buckets prefix-sum IN PARALLEL (window partitioned by bucket),
+    * and only the ≤32 per-bucket subtotals go through a single-row
+    * prefix pass before broadcasting back. A naive
+    * `Window.orderBy(doc_id)` would drag the whole corpus into ONE
+    * partition — the formulation here is the one that survives 100 TB
+    * (bucket boundaries come from value ranges, so the result is
+    * independent of physical layout; at scale the ingest-time
+    * bucketing supplies them for free). Pack arithmetic is
+    * shift/modulo on a power-of-two budget — bit-exact on both
+    * engines. */
+  def p07PackSequences(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    // contiguous value-range buckets: doc_id span / 32 (footer-cheap
+    // bounds scan; ids are dense here, and sparse ids only unbalance
+    // buckets, never break correctness)
+    val bounds = docs.agg(min("doc_id"), max("doc_id")).head()
+    val span = math.max(1L, bounds.getLong(1) - bounds.getLong(0) + 1)
+    val bsz = math.max(1L, (span + 31) / 32)
+    val nTokens =
+      (length(col("text")) - length(regexp_replace(col("text"), " ", "")) + 1)
+        .cast("long")
+    val base = docs.select(col("doc_id"), nTokens.as("n_tokens"),
+      ((col("doc_id") - bounds.getLong(0)) / bsz).cast("long").as("pid"))
+    val wPrev = Window.partitionBy("pid").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wPid = Window.orderBy("pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // ≤32 rows: the only single-partition step is over bucket subtotals
+    val offsets = base.groupBy("pid").agg(sum("n_tokens").as("bucket_tokens"))
+      .select(col("pid"),
+        coalesce(sum("bucket_tokens").over(wPid), lit(0L)).as("pid_offset"))
+    base.join(broadcast(offsets), "pid")
+      .select(col("doc_id"), col("n_tokens"),
+        (coalesce(sum("n_tokens").over(wPrev), lit(0L)) + col("pid_offset"))
+          .as("tokens_before"))
+      .select(col("doc_id"), col("n_tokens"), col("tokens_before"),
+        shiftright(col("tokens_before"), 8).as("pack_id"),
+        (col("tokens_before") % 256).as("pack_offset"),
+        shiftright(col("tokens_before") + col("n_tokens") - 1, 8).as("pack_id_end"))
+      .orderBy("doc_id")
+  }
+
+  val p07OracleSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |         CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, ' ', '', 'g')) + 1
+      |              AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, n_tokens,
+      |         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |              AS BIGINT) AS tokens_before
+      |  FROM t)
+      |SELECT doc_id, n_tokens, tokens_before,
+      |       tokens_before // 256 AS pack_id,
+      |       tokens_before % 256 AS pack_offset,
+      |       (tokens_before + n_tokens - 1) // 256 AS pack_id_end
+      |FROM c ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_hash_split"        -> (p01HashSplit _),
     "p02_stratified_sample" -> (p02StratifiedSample _),
     "p03_time_split"        -> (p03TimeSplit _),
     "p04_cap_per_group"     -> (p04CapPerGroup _),
     "p05_mixture"           -> (p05Mixture _),
-    "p06_epoch_shuffle"     -> (p06EpochShuffle _))
+    "p06_epoch_shuffle"     -> (p06EpochShuffle _),
+    "p07_pack_sequences"    -> (p07PackSequences _))
 
   // p01/p02 rows-only: engine-specific RNG/hash
   val oracleSql: Map[String, String] = Map(
     "p03_time_split"    -> p03OracleSql,
     "p04_cap_per_group" -> p04OracleSql,
     "p05_mixture"       -> p05OracleSql,
-    "p06_epoch_shuffle" -> p06OracleSql)
+    "p06_epoch_shuffle" -> p06OracleSql,
+    "p07_pack_sequences" -> p07OracleSql)
 }

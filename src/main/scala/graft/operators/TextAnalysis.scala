@@ -387,6 +387,75 @@ object TextAnalysis {
       |             AND CAST(top AS DOUBLE)/total <= 0.1 THEN 1 ELSE 0 END AS INT) AS keep
       |FROM agg ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- t11
+  /** Sliding-window token CHUNKING — context-window prep: each
+    * document becomes overlapping 32-token chunks on a 24-token
+    * stride. `explode(sequence(...))` fans each row out to ~n/stride
+    * chunk rows INSIDE the scan stage — no shuffle, no UDF; at 100 TB
+    * this is the embarrassingly-parallel map the chunk writer wants
+    * (the ORDER BY is presentation-only; a pipeline sink drops it and
+    * the whole operator stays inside whole-stage codegen). */
+  def t11Chunk(s: SparkSession, d: String): DataFrame = {
+    val L = 32; val S = 24
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), size(col("toks")) - 1, lit(S))).as("start"))
+      .select(col("doc_id"),
+        (col("start") / S).cast("int").as("chunk_id"),
+        array_join(slice(col("toks"), col("start") + 1, lit(L)), " ").as("chunk_text"),
+        least(size(col("toks")) - col("start"), lit(L)).as("chunk_tokens"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  /** DuckDB twin: 1-based inclusive list slice == Spark's
+    * slice(start+1, L); generate_series is inclusive like sequence. */
+  val t11OracleSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |s AS (SELECT doc_id, toks,
+      |             UNNEST(generate_series(0, len(toks) - 1, 24)) AS start
+      |      FROM t)
+      |SELECT doc_id,
+      |  CAST(start // 24 AS INT) AS chunk_id,
+      |  array_to_string(toks[start + 1 : start + 32], ' ') AS chunk_text,
+      |  CAST(LEAST(len(toks) - start, 32) AS INT) AS chunk_tokens
+      |FROM s ORDER BY doc_id, chunk_id""".stripMargin
+
+  // ---------------------------------------------------------------- t12
+  /** Multi-phrase BLOCKLIST filter — content filtering against a
+    * banned-phrase list. The list rides into codegen as an array
+    * LITERAL (`filter(typedLit(...), contains)`): no broadcast var, no
+    * join, no shuffle — a pure single-scan predicate at any corpus
+    * size. A production list of 10⁵ phrases would swap the linear
+    * probe for an Aho-Corasick Expression; the operator contract
+    * (matched list + keep flag) is what pipelines compose on. */
+  private val blockPhrases = Seq(
+    "slow query", "big table table", "merge batch",
+    "vector table", "stream window stream", "hash value table")
+
+  def t12Blocklist(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        filter(typedLit(blockPhrases), p => col("text").contains(p)).as("hits"))
+      .select(col("doc_id"),
+        size(col("hits")).as("n_hits"),
+        array_join(col("hits"), "|").as("matched"),
+        (size(col("hits")) === 0).cast("int").as("keep"))
+      .orderBy("doc_id")
+
+  val t12OracleSql: String = {
+    val lst = blockPhrases.map(p => s"'$p'").mkString("[", ", ", "]")
+    s"""WITH h AS (
+       |  SELECT doc_id,
+       |         list_filter($lst, p -> contains(text, p)) AS hits
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(hits) AS INT) AS n_hits,
+       |  COALESCE(array_to_string(hits, '|'), '') AS matched,
+       |  CAST(CASE WHEN len(hits) = 0 THEN 1 ELSE 0 END AS INT) AS keep
+       |FROM h ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_langid"      -> (t01LangId _),
     "t02_quality"     -> (t02Quality _),
@@ -397,7 +466,9 @@ object TextAnalysis {
     "t07_normalize"   -> (t07Normalize _),
     "t08_tfidf"       -> (t08TfIdf _),
     "t09_corpus_stats" -> (t09CorpusStats _),
-    "t10_repetition"  -> (t10Repetition _))
+    "t10_repetition"  -> (t10Repetition _),
+    "t11_chunk"       -> (t11Chunk _),
+    "t12_blocklist"   -> (t12Blocklist _))
 
   /** t01's stopword-count heuristic is integer arithmetic over token
     * lists — DuckDB reproduces it exactly (list lambdas + the same
@@ -438,5 +509,7 @@ object TextAnalysis {
     "t07_normalize"  -> t07OracleSql,
     "t08_tfidf"      -> t08OracleSql,
     "t09_corpus_stats" -> t09OracleSql,
-    "t10_repetition" -> t10OracleSql)
+    "t10_repetition" -> t10OracleSql,
+    "t11_chunk"      -> t11OracleSql,
+    "t12_blocklist"  -> t12OracleSql)
 }

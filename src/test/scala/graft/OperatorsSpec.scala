@@ -619,4 +619,95 @@ class OperatorsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
     assert(rows.sameElements(again), "must be deterministic")
   }
+
+  test("q46 histogram: buckets partition the table, bounds inside bucket ranges") {
+    val rows = Relational.q46Histogram(spark, sf).collect()
+    val total = sources.Tables.lineitem(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum == total, "bucket counts must partition all rows")
+    rows.foreach { r =>
+      val (b, lo, hi) = (r.getLong(0), r.getDouble(2), r.getDouble(3))
+      assert(lo >= b * 5000.0 && hi < (b + 1) * 5000.0 && lo <= hi,
+        s"bucket $b bounds [$lo,$hi] must lie in its range")
+    }
+    assert(rows.map(_.getLong(0)).sorted.sameElements(rows.map(_.getLong(0))),
+      "buckets ordered")
+  }
+
+  test("q47 percentiles: monotone across quantiles, p50 equals q36's median") {
+    val rows = Relational.q47Percentiles(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    rows.foreach { case (f, p25, p50, p75, p90) =>
+      assert(p25 <= p50 && p50 <= p75 && p75 <= p90, s"flag $f quantiles must be monotone")
+    }
+    val medians = Relational.q36Median(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toMap
+    rows.foreach { case (f, _, p50, _, _) =>
+      assert(p50 == medians(f), s"flag $f p50 must equal the q36 exact median")
+    }
+  }
+
+  test("d10 edit distance runs on exactly d04's verified pairs; ratio bounded") {
+    val d10 = Dedup.queries("d10_editdist")(spark, sf).collect()
+    val d04 = Dedup.d04NgramJaccard(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(d10.map(r => (r.getLong(0), r.getLong(1))).toSet == d04,
+      "d10 pairs must be the d04 candidate-verified set — never all pairs")
+    d10.foreach { r =>
+      val (lev, ratio) = (r.getInt(3), r.getDouble(4))
+      assert(lev >= 0 && ratio >= 0.0 && ratio <= 1.0,
+        "levenshtein over 120-char heads is bounded by the longer head")
+    }
+  }
+
+  test("p07 pack sequences: exclusive prefix sum exact; pack arithmetic consistent") {
+    val df = Sampling.p07PackSequences(spark, sf)
+    val rows = df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    // recompute the exclusive prefix sum single-threaded in doc_id order
+    var run = 0L
+    rows.sortBy(_._1).foreach { case (id, n, before, pid, off, pidEnd) =>
+      assert(before == run, s"doc $id tokens_before must be the global prefix sum")
+      assert(pid == before >> 8 && off == before % 256 && pidEnd == (before + n - 1) >> 8,
+        s"doc $id pack arithmetic must be shift/mod of the prefix sum")
+      run += n
+    }
+    // the corpus-sized window is partitioned by bucket, never a global sort
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(pid"),
+      "per-doc prefix window must hash-partition on the bucket id")
+  }
+
+  test("t11 chunk: stride/width reconstruction for one doc; coverage exact") {
+    val chunks = TextAnalysis.t11Chunk(spark, sf).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.sortBy(_.getInt(1))).toMap
+    val docs = sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(chunks.keySet == docs.keySet, "every doc chunks")
+    docs.foreach { case (id, text) =>
+      val toks = text.split(" ", -1)
+      val expected = (0 until toks.length by 24).zipWithIndex.map { case (st, i) =>
+        (i, toks.slice(st, st + 32).mkString(" "), math.min(toks.length - st, 32))
+      }
+      val got = chunks(id).map(r => (r.getInt(1), r.getString(2), r.getInt(3))).toSeq
+      assert(got == expected, s"doc $id chunks must be the 32/24 sliding windows")
+    }
+  }
+
+  test("t12 blocklist: hits equal a plain scala contains scan; keep consistent") {
+    val rows = TextAnalysis.t12Blocklist(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+    val docs = sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val phrases = Seq("slow query", "big table table", "merge batch",
+      "vector table", "stream window stream", "hash value table")
+    rows.foreach { case (id, n, matched, keep) =>
+      val expected = phrases.filter(docs(id).contains)
+      assert(matched == expected.mkString("|") && n == expected.length,
+        s"doc $id matched list must equal the direct scan")
+      assert(keep == (if (expected.isEmpty) 1 else 0), s"doc $id keep flag")
+    }
+    assert(rows.exists(_._2 > 0), "corpus must exercise at least one hit")
+  }
 }
