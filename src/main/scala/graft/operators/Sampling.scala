@@ -202,13 +202,16 @@ object Sampling {
     // bounds scan; ids are dense here, and sparse ids only unbalance
     // buckets, never break correctness)
     val bounds = docs.agg(min("doc_id"), max("doc_id")).head()
-    val span = math.max(1L, bounds.getLong(1) - bounds.getLong(0) + 1)
+    // empty table: min/max are NULL — any bounds work, the scan is empty
+    val (lo, hi) =
+      if (bounds.isNullAt(0)) (0L, 0L) else (bounds.getLong(0), bounds.getLong(1))
+    val span = math.max(1L, hi - lo + 1)
     val bsz = math.max(1L, (span + 31) / 32)
     val nTokens =
       (length(col("text")) - length(regexp_replace(col("text"), " ", "")) + 1)
         .cast("long")
     val base = docs.select(col("doc_id"), nTokens.as("n_tokens"),
-      ((col("doc_id") - bounds.getLong(0)) / bsz).cast("long").as("pid"))
+      ((col("doc_id") - lo) / bsz).cast("long").as("pid"))
     val wPrev = Window.partitionBy("pid").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
     val wPid = Window.orderBy("pid")

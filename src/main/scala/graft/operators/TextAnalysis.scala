@@ -429,7 +429,7 @@ object TextAnalysis {
     * size. A production list of 10⁵ phrases would swap the linear
     * probe for an Aho-Corasick Expression; the operator contract
     * (matched list + keep flag) is what pipelines compose on. */
-  private val blockPhrases = Seq(
+  private[graft] val blockPhrases = Seq(
     "slow query", "big table table", "merge batch",
     "vector table", "stream window stream", "hash value table")
 
@@ -444,7 +444,7 @@ object TextAnalysis {
       .orderBy("doc_id")
 
   val t12OracleSql: String = {
-    val lst = blockPhrases.map(p => s"'$p'").mkString("[", ", ", "]")
+    val lst = blockPhrases.map(p => s"'${p.replace("'", "''")}'").mkString("[", ", ", "]")
     s"""WITH h AS (
        |  SELECT doc_id,
        |         list_filter($lst, p -> contains(text, p)) AS hits

@@ -700,8 +700,7 @@ class OperatorsSpec extends AnyFunSuite {
     val docs = sources.Tables.documents(spark, sf)
       .select("doc_id", "text").collect()
       .map(r => (r.getLong(0), r.getString(1))).toMap
-    val phrases = Seq("slow query", "big table table", "merge batch",
-      "vector table", "stream window stream", "hash value table")
+    val phrases = TextAnalysis.blockPhrases
     rows.foreach { case (id, n, matched, keep) =>
       val expected = phrases.filter(docs(id).contains)
       assert(matched == expected.mkString("|") && n == expected.length,
