@@ -19,6 +19,7 @@ object SparkEntry {
       operators.TextAnalysis.queries ++
       operators.Multimodal.queries ++
       operators.Sampling.queries ++
+      operators.Pipeline.queries ++
       streaming.StreamQueries.queries
     all.map { case (name, fn) =>
       name -> { (s: SparkSession, d: String) =>
@@ -37,5 +38,6 @@ object SparkEntry {
       operators.TextAnalysis.oracleSql ++
       operators.Multimodal.oracleSql ++
       operators.Sampling.oracleSql ++
+      operators.Pipeline.oracleSql ++
       streaming.StreamQueries.oracleSql
 }

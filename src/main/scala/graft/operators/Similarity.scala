@@ -313,13 +313,37 @@ object Similarity {
       |  ROUND(list_max(err), 6) AS max_err
       |FROM qz ORDER BY vec_id""".stripMargin
 
+  // ---------------------------------------------------------------- s07
+  /** FILTERED vector search — top-k cosine among rows passing a
+    * metadata predicate (the hybrid-search shape: "nearest docs WHERE
+    * label ∈ …"). Pre-filtering, not post-filtering: the predicate is
+    * pushed into the parquet scan (spec-asserted), so recall over the
+    * allowed subset is exact — a post-filtered ANN can return < k rows
+    * when the filter is selective. At 100 TB with the table
+    * partitioned by the filter column this is partition pruning: the
+    * scan never touches disallowed cells, and the scored row count
+    * shrinks by the filter's selectivity before any ranking work. */
+  private val FilterLabels = Seq(2, 5, 7)
+
+  def s07FilteredAnn(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .filter(col("vec_id") =!= 0 && col("label").isin(FilterLabels: _*))
+      .crossJoin(broadcast(probe(s, d)))
+      .select(col("vec_id"), col("label"),
+        cosine_sim(col("embedding"), col("qv")).as("raw"))
+      .orderBy(col("raw").desc, col("vec_id"))
+      .limit(K)
+      .select(col("vec_id"), col("label"), round(col("raw"), 4).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_ann_brute" -> (s01BruteForce _),
     "s02_ann_lsh"   -> (s02LshAnn _),
     "s03_centroids" -> (s03Centroids _),
     "s04_ann_ivf"   -> (s04IvfAnn _),
     "s05_quantize"  -> (s05Quantize _),
-    "s06_ann_batch" -> (s06AnnBatch _))
+    "s06_ann_batch" -> (s06AnnBatch _),
+    "s07_ann_filtered" -> (s07FilteredAnn _))
 
   val oracleSql: Map[String, String] = Map(
     "s01_ann_brute" ->
@@ -337,5 +361,14 @@ object Similarity {
         |         / COUNT(*) AS c0
         |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
     "s05_quantize" -> s05OracleSql,
-    "s06_ann_batch" -> s06OracleSql)
+    "s06_ann_batch" -> s06OracleSql,
+    "s07_ann_filtered" ->
+      """WITH p AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+        |r AS (
+        |  SELECT e.vec_id, e.label,
+        |         CAST(list_cosine_similarity(e.embedding, p.q) AS DOUBLE) AS c
+        |  FROM embeddings e, p WHERE e.vec_id != 0 AND e.label IN (2, 5, 7)
+        |  ORDER BY c DESC, e.vec_id LIMIT 10
+        |)
+        |SELECT vec_id, label, ROUND(c, 4) AS cos FROM r ORDER BY cos DESC, vec_id""".stripMargin)
 }

@@ -709,4 +709,58 @@ class OperatorsSpec extends AnyFunSuite {
     }
     assert(rows.exists(_._2 > 0), "corpus must exercise at least one hit")
   }
+
+  test("s07 filtered ANN: pre-filter exact over the allowed subset, predicate pushed") {
+    val df = Similarity.queries("s07_ann_filtered")(spark, sf)
+    val rows = df.collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    assert(rows.length == 10 && rows.forall(r => Set(2, 5, 7)(r._2)),
+      "k results, all from allowed labels")
+    assert(rows.map(_._3).sliding(2).forall(p => p.head >= p.last), "cos descending")
+    // equals post-filtering the FULL exact ranking (proves no recall loss)
+    val full = sources.Tables.embeddings(spark, sf)
+      .filter(col("vec_id") =!= 0)
+      .crossJoin(org.apache.spark.sql.functions.broadcast(
+        sources.Tables.embeddings(spark, sf).filter(col("vec_id") === 0)
+          .select(col("embedding").as("qv"))))
+      .select(col("vec_id"), col("label"),
+        graft.functions.cosine_sim(col("embedding"), col("qv")).as("c"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    val expected = full.filter(r => Set(2, 5, 7)(r._2))
+      .sortBy(r => (-r._3, r._1)).take(10).map(_._1).toSet
+    assert(rows.map(_._1).toSet == expected,
+      "pre-filtered top-k must equal the post-filtered exact ranking")
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters") && scan.contains("In(label"),
+      "label predicate must reach the parquet scan")
+  }
+
+  test("e01 curate equals the composition of t02 + t12 + exact dedup") {
+    val out = operators.Pipeline.e01Curate(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(4)))
+    val quality = TextAnalysis.t02Quality(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(7))).toMap
+    val keep = TextAnalysis.t12Blocklist(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(3))).toMap
+    val texts = sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val survivors = texts.filter { case (id, _) =>
+      quality(id) >= 0.35 && keep(id) == 1
+    }
+    val expected = survivors.groupBy(_._2).values.map(_.map(_._1).min).toSet
+    assert(out.map(_._1).toSet == expected,
+      "curated set must be the filter-then-dedup composition of the unit operators")
+    out.foreach { case (id, score) =>
+      assert(score == quality(id), s"doc $id must carry t02's exact score")
+    }
+    assert(out.nonEmpty && out.length < texts.length,
+      "pipeline must keep some and reject some")
+    // the only corpus exchange is keyed on the 8-byte hash, not text
+    val plan = operators.Pipeline.e01Curate(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(h#"),
+      "dedup window must shuffle on the content hash")
+    assert(!plan.contains("hashpartitioning(text"),
+      "document text must never be a shuffle key")
+  }
 }
