@@ -31,6 +31,7 @@ object PlanAudit {
           if (plan.contains("BroadcastNestedLoopJoin") && !name.contains("cross")
             && !name.contains("brute") && !name.contains("lsh")
             && !name.contains("batch") // s06: intended broadcast×corpus
+            && !name.contains("filtered") // s07: intended one-row probe broadcast
             && !name.contains("containment")) "⚠BNLJ" else "") // d09 short-doc probe
           .filter(_.nonEmpty)
         println(f"$name%-24s ${ops.mkString(" ")} ${flags.mkString(" ")}")

@@ -358,6 +358,41 @@ object StreamQueries {
     s.table("graft_st08_sink").orderBy(col("n").desc, col("term"))
   }
 
+  /** st09: streaming CURATION at ingest — the streaming twin of the
+    * batch e01 pipeline: the quality + blocklist gates run as
+    * stateless scan predicates on the stream (rejected documents cost
+    * state NOTHING — they never reach a state store), and only the
+    * survivors pay the stateful content dedup (the st03 pattern). The
+    * gate expressions are SHARED with batch e01 (Pipeline.*Col), so
+    * the twins cannot drift. Output keys on the text (a streaming
+    * first-arrival keeper is arrival-order-dependent, so doc_id is
+    * not emitted); n_tokens/quality_score are pure functions of the
+    * text, identical whichever duplicate arrived first. */
+  def st09StreamCurate(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Pipeline
+    val schema = s.read.parquet(s"$d/documents.parquet").schema
+    val stream = s.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(d)
+    withStatePartitions(s, 8) {
+      val q = stream
+        .select(col("text"),
+          Pipeline.nTokensCol.cast("int").as("n_tokens"),
+          Pipeline.qualityScoreCol.as("quality_score"),
+          Pipeline.nBlockedCol.as("n_blocked"))
+        .filter(col("quality_score") >= 0.35 && col("n_blocked") === 0)
+        .dropDuplicates("text")
+        .select("text", "n_tokens", "quality_score")
+        .writeStream.format("memory").queryName("graft_st09_sink")
+        .outputMode(OutputMode.Append)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    s.table("graft_st09_sink").orderBy("text")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st01_stream_window" -> (st01StreamWindow _),
     "st02_stream_state"  -> (st02StreamState _),
@@ -366,7 +401,8 @@ object StreamQueries {
     "st05_stream_stream_join" -> (st05StreamStreamJoin _),
     "st06_stream_decontaminate" -> (st06StreamDecontaminate _),
     "st07_stream_ingest" -> (st07StreamIngest _),
-    "st08_stream_topk"   -> (st08StreamTopk _))
+    "st08_stream_topk"   -> (st08StreamTopk _),
+    "st09_stream_curate" -> (st09StreamCurate _))
 
   /** Same oracle as the batch twin: tumbling 1h windows aligned to the
     * epoch are exactly date_trunc('hour'). */
@@ -429,5 +465,18 @@ object StreamQueries {
       """SELECT event_id, user_id, event_type, value
         |FROM events ORDER BY event_id""".stripMargin,
     // identical oracle to batch t05
-    "st08_stream_topk" -> graft.operators.TextAnalysis.t05OracleSql)
+    "st08_stream_topk" -> graft.operators.TextAnalysis.t05OracleSql,
+    // e01's gates over the distinct text set: the gate expressions are
+    // pure functions of text, so filter-then-distinct == distinct-then-
+    // filter, and any duplicate's representative row scores the same
+    "st09_stream_curate" ->
+      s"""WITH q AS (SELECT DISTINCT text FROM documents),
+         |s AS (
+         |  SELECT text,
+         |    ${graft.operators.Pipeline.nTokensSql} AS n_tokens,
+         |    ${graft.operators.Pipeline.qualityScoreSql} AS quality_score,
+         |    ${graft.operators.Pipeline.nBlockedSql} AS nb
+         |  FROM q)
+         |SELECT text, n_tokens, quality_score FROM s
+         |WHERE quality_score >= 0.35 AND nb = 0 ORDER BY text""".stripMargin)
 }

@@ -85,6 +85,26 @@ class StreamsSpec extends AnyFunSuite {
     assert(got == exp)
   }
 
+  test("st09 DRIVER QUERY equals the batch gates + distinct over documents") {
+    import org.apache.spark.sql.functions._
+    val got = graft.streaming.StreamQueries.st09StreamCurate(spark, TestSpark.sf)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2))).toSeq
+    val exp = sources.Tables.documents(spark, TestSpark.sf)
+      .select(col("text"),
+        graft.operators.Pipeline.nTokensCol.cast("int").as("n_tokens"),
+        graft.operators.Pipeline.qualityScoreCol.as("quality_score"),
+        graft.operators.Pipeline.nBlockedCol.as("n_blocked"))
+      .filter(col("quality_score") >= 0.35 && col("n_blocked") === 0)
+      .dropDuplicates("text")
+      .select("text", "n_tokens", "quality_score")
+      .orderBy("text")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2))).toSeq
+    assert(got == exp, "streaming curation must equal the batch gates")
+    assert(got.nonEmpty && got.length <
+      sources.Tables.documents(spark, TestSpark.sf).count(),
+      "gates must keep some and reject some")
+  }
+
   test("st04 DRIVER QUERY equals the batch stream-static join; dim side broadcasts") {
     import org.apache.spark.sql.functions._
     val streamed = graft.streaming.StreamQueries.st04StreamJoin(spark, TestSpark.sf)
