@@ -12,39 +12,19 @@ import org.apache.spark.sql.functions._
   *
   * e01 composes quality scoring (t02's formula) → blocklist filtering
   * (t12's predicate) → exact dedup (d01's hash grouping) → the final
-  * curated training set. Plan shape: both filters are scan-stage
-  * predicates evaluated BEFORE the only shuffle, so rejected documents
-  * never leave their input partition; the dedup window shuffles the
-  * survivors keyed on an 8-byte content hash (never the text — the
-  * projection drops it first), carrying only the slim output columns.
-  * At 100 TB: one pass over the corpus, one survivors-only exchange.
+  * curated training set. The gate expressions are the SINGLE shared
+  * definitions in [[TextAnalysis]] (consumed by t02, t12, e01, st09 —
+  * four call sites, zero drift). Plan shape: both filters are
+  * scan-stage predicates evaluated BEFORE the only shuffle, so
+  * rejected documents never leave their input partition; the dedup
+  * window shuffles the survivors keyed on an 8-byte content hash
+  * (never the text — the projection drops it first), carrying only
+  * the slim output columns. At 100 TB: one pass over the corpus, one
+  * survivors-only exchange.
   */
 object Pipeline {
-
-  /** The gate expressions, shared by batch e01 and streaming st09 so
-    * the two twins cannot drift. All pure functions of `text`. */
-  private[graft] def nTokensCol: org.apache.spark.sql.Column = {
-    val nChars  = length(col("text"))
-    nChars - length(regexp_replace(col("text"), " ", "")) + 1
-  }
-
-  /** t02's quality score, verbatim — bit-identical across engines
-    * (t02's oracle passes hash-exact), so thresholding on it agrees. */
-  private[graft] def qualityScoreCol: org.apache.spark.sql.Column = {
-    val nChars  = length(col("text"))
-    val charDen = greatest(nChars, lit(1))
-    val nSpaces = nChars - length(regexp_replace(col("text"), " ", ""))
-    val nTokens = nSpaces + 1
-    val nPunct  = nChars - length(regexp_replace(col("text"), "[.,!?;:]", ""))
-    val nDigit  = nChars - length(regexp_replace(col("text"), "[0-9]", ""))
-    least(lit(1.0), nTokens.cast("double") / 50.0) *
-      (lit(1.0) - least(lit(0.5),
-        nPunct.cast("double") / charDen + nDigit.cast("double") / charDen)) *
-      least(lit(1.0), ((nChars - nSpaces).cast("double") / nTokens) / 8.0)
-  }
-
-  private[graft] def nBlockedCol: org.apache.spark.sql.Column =
-    size(filter(typedLit(TextAnalysis.blockPhrases), p => col("text").contains(p)))
+  import TextAnalysis.{nTokensCol, qualityScoreCol, nBlockedCol,
+    nTokensSql, qualityScoreSql, nBlockedSql, qualityGate}
 
   // ---------------------------------------------------------------- e01
   def e01Curate(s: SparkSession, d: String): DataFrame = {
@@ -52,7 +32,7 @@ object Pipeline {
       .select(col("doc_id"), col("lang"), col("source"),
         nTokensCol.cast("int").as("n_tokens"), qualityScoreCol.as("quality_score"),
         nBlockedCol.as("n_blocked"), xxhash64(col("text")).as("h"))
-      .filter(col("quality_score") >= 0.35 && col("n_blocked") === 0)
+      .filter(col("quality_score") >= qualityGate && col("n_blocked") === 0)
     // d01's dedup contract: min doc_id per content hash is the keeper
     // (2^-64 collision odds, the established d01 precedent)
     staged
@@ -60,23 +40,6 @@ object Pipeline {
       .filter(col("doc_id") === col("keeper"))
       .select("doc_id", "lang", "source", "n_tokens", "quality_score")
       .orderBy("doc_id")
-  }
-
-  /** DuckDB fragments of the gate expressions, shared with st09's
-    * oracle the same way the Column forms are shared with st09. */
-  private[graft] val nTokensSql: String =
-    "CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, ' ', '', 'g')) + 1 AS INT)"
-  private[graft] val qualityScoreSql: String =
-    """LEAST(1.0, CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, ' ', '', 'g')) + 1 AS DOUBLE) / 50.0)
-      |    * (1.0 - LEAST(0.5,
-      |         CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / GREATEST(LENGTH(text), 1)
-      |       + CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[0-9]', '', 'g')) AS DOUBLE) / GREATEST(LENGTH(text), 1)))
-      |    * LEAST(1.0, (CAST(LENGTH(REGEXP_REPLACE(text, ' ', '', 'g')) AS DOUBLE)
-      |        / (LENGTH(text) - LENGTH(REGEXP_REPLACE(text, ' ', '', 'g')) + 1)) / 8.0)""".stripMargin
-  private[graft] val nBlockedSql: String = {
-    val lst = TextAnalysis.blockPhrases
-      .map(p => s"'${p.replace("'", "''")}'").mkString("[", ", ", "]")
-    s"len(list_filter($lst, p -> contains(text, p)))"
   }
 
   /** Oracle: the same three stages in the same order (filters first,
@@ -90,7 +53,7 @@ object Pipeline {
        |  FROM documents),
        |f AS (
        |  SELECT * FROM q
-       |  WHERE quality_score >= 0.35
+       |  WHERE quality_score >= $qualityGate
        |    AND $nBlockedSql = 0),
        |k AS (SELECT *, MIN(doc_id) OVER (PARTITION BY text) AS keeper FROM f)
        |SELECT doc_id, lang, source, n_tokens, quality_score

@@ -54,6 +54,61 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  // ------------------------------------------------- shared gate exprs
+  /** ONE definition (Column + DuckDB fragment) for the text-gate
+    * expressions consumed by t02/t12 AND the e01/st09 curation twins
+    * ([[Pipeline]], StreamQueries) — four call sites, zero drift. All
+    * pure functions of `text`. */
+  private[graft] val blockPhrases = Seq(
+    "slow query", "big table table", "merge batch",
+    "vector table", "stream window stream", "hash value table")
+
+  private[graft] val blockPhrasesSqlList: String = blockPhrases
+    .map(p => s"'${p.replace("'", "''")}'").mkString("[", ", ", "]")
+
+  private[graft] def nTokensCol: Column =
+    length(col("text")) - length(regexp_replace(col("text"), " ", "")) + 1
+
+  /** The quality score: length/punct/digit/word-length structural
+    * heuristic. Ratio denominators floored at 1: an empty document
+    * must score 0, not null (Spark x/0 → null, DuckDB → inf — both
+    * wrong AND divergent from each other). */
+  private[graft] def qualityScoreCol: Column = {
+    val nChars  = length(col("text"))
+    val charDen = greatest(nChars, lit(1))
+    val nSpaces = nChars - length(regexp_replace(col("text"), " ", ""))
+    val nTokens = nSpaces + 1
+    val nPunct  = nChars - length(regexp_replace(col("text"), "[.,!?;:]", ""))
+    val nDigit  = nChars - length(regexp_replace(col("text"), "[0-9]", ""))
+    least(lit(1.0), nTokens.cast("double") / 50.0) *
+      (lit(1.0) - least(lit(0.5),
+        nPunct.cast("double") / charDen + nDigit.cast("double") / charDen)) *
+      least(lit(1.0), ((nChars - nSpaces).cast("double") / nTokens) / 8.0)
+  }
+
+  private[graft] def nBlockedCol: Column =
+    size(filter(typedLit(blockPhrases), p => col("text").contains(p)))
+
+  private[graft] val nTokensSql: String =
+    "CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, ' ', '', 'g')) + 1 AS INT)"
+
+  private[graft] val qualityScoreSql: String =
+    """LEAST(1.0, CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, ' ', '', 'g')) + 1 AS DOUBLE) / 50.0)
+      |  * (1.0 - LEAST(0.5,
+      |       CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / GREATEST(LENGTH(text), 1)
+      |     + CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[0-9]', '', 'g')) AS DOUBLE) / GREATEST(LENGTH(text), 1)))
+      |  * LEAST(1.0, (CAST(LENGTH(REGEXP_REPLACE(text, ' ', '', 'g')) AS DOUBLE)
+      |      / (LENGTH(text) - LENGTH(REGEXP_REPLACE(text, ' ', '', 'g')) + 1)) / 8.0)""".stripMargin
+
+  private[graft] val nBlockedSql: String =
+    s"len(list_filter($blockPhrasesSqlList, p -> contains(text, p)))"
+
+  /** The e01/st09 curation quality gate. 0.371 sits between lattice
+    * points of the score distribution (scores land on a 0.0025 grid at
+    * every SF) with ≥1e-3 margin both sides — gate membership never
+    * hinges on ulp-level float agreement between Spark and DuckDB. */
+  private[graft] val qualityGate = 0.371
+
   // ---------------------------------------------------------------- t02
   /** Quality scoring: structural ratios a pretraining filter keys on.
     * Character-class counts via length deltas (dialect-portable, so
@@ -61,9 +116,6 @@ object TextAnalysis {
   def t02Quality(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val nChars  = length(col("text"))
-    // ratio denominator floored at 1: an empty document must score 0,
-    // not null (Spark x/0 → null, DuckDB → inf — both wrong AND
-    // divergent from each other)
     val charDen = greatest(nChars, lit(1))
     val nSpaces = nChars - length(regexp_replace(col("text"), " ", ""))
     val nTokens = nSpaces + 1
@@ -78,34 +130,25 @@ object TextAnalysis {
         (nDigit.cast("double") / charDen).as("digit_ratio"),
         (nAlpha.cast("double") / charDen).as("alpha_ratio"),
         ((nChars - nSpaces).cast("double") / nTokens).as("avg_word_len"),
-        (least(lit(1.0), nTokens.cast("double") / 50.0)
-          * (lit(1.0) - least(lit(0.5),
-              nPunct.cast("double") / charDen + nDigit.cast("double") / charDen))
-          * least(lit(1.0), ((nChars - nSpaces).cast("double") / nTokens) / 8.0))
-          .as("quality_score"))
+        qualityScoreCol.as("quality_score"))
       .orderBy("doc_id")
   }
 
   val t02OracleSql: String =
-    """SELECT doc_id,
-      |  CAST(LENGTH(text) AS INT) AS n_chars,
-      |  CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, ' ', '', 'g')) + 1 AS INT) AS n_tokens,
-      |  CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
-      |    / GREATEST(LENGTH(text), 1) AS punct_ratio,
-      |  CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[0-9]', '', 'g')) AS DOUBLE)
-      |    / GREATEST(LENGTH(text), 1) AS digit_ratio,
-      |  CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[A-Za-z]', '', 'g')) AS DOUBLE)
-      |    / GREATEST(LENGTH(text), 1) AS alpha_ratio,
-      |  CAST(LENGTH(REGEXP_REPLACE(text, ' ', '', 'g')) AS DOUBLE)
-      |    / (LENGTH(text) - LENGTH(REGEXP_REPLACE(text, ' ', '', 'g')) + 1) AS avg_word_len,
-      |  LEAST(1.0, CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, ' ', '', 'g')) + 1 AS DOUBLE) / 50.0)
-      |  * (1.0 - LEAST(0.5,
-      |       CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / GREATEST(LENGTH(text), 1)
-      |     + CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[0-9]', '', 'g')) AS DOUBLE) / GREATEST(LENGTH(text), 1)))
-      |  * LEAST(1.0, (CAST(LENGTH(REGEXP_REPLACE(text, ' ', '', 'g')) AS DOUBLE)
-      |      / (LENGTH(text) - LENGTH(REGEXP_REPLACE(text, ' ', '', 'g')) + 1)) / 8.0)
-      |    AS quality_score
-      |FROM documents ORDER BY doc_id""".stripMargin
+    s"""SELECT doc_id,
+       |  CAST(LENGTH(text) AS INT) AS n_chars,
+       |  $nTokensSql AS n_tokens,
+       |  CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+       |    / GREATEST(LENGTH(text), 1) AS punct_ratio,
+       |  CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[0-9]', '', 'g')) AS DOUBLE)
+       |    / GREATEST(LENGTH(text), 1) AS digit_ratio,
+       |  CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[A-Za-z]', '', 'g')) AS DOUBLE)
+       |    / GREATEST(LENGTH(text), 1) AS alpha_ratio,
+       |  CAST(LENGTH(REGEXP_REPLACE(text, ' ', '', 'g')) AS DOUBLE)
+       |    / (LENGTH(text) - LENGTH(REGEXP_REPLACE(text, ' ', '', 'g')) + 1) AS avg_word_len,
+       |  $qualityScoreSql
+       |    AS quality_score
+       |FROM documents ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- t03
   /** Token counting: whitespace tokens plus a BPE-ish segmentation
@@ -428,11 +471,9 @@ object TextAnalysis {
     * join, no shuffle — a pure single-scan predicate at any corpus
     * size. A production list of 10⁵ phrases would swap the linear
     * probe for an Aho-Corasick Expression; the operator contract
-    * (matched list + keep flag) is what pipelines compose on. */
-  private[graft] val blockPhrases = Seq(
-    "slow query", "big table table", "merge batch",
-    "vector table", "stream window stream", "hash value table")
-
+    * (matched list + keep flag) is what pipelines compose on. The
+    * phrase list is the shared [[blockPhrases]] consumed by all four
+    * gate call sites (t12, e01, st09, and the nBlocked fragments). */
   def t12Blocklist(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"),
@@ -444,10 +485,9 @@ object TextAnalysis {
       .orderBy("doc_id")
 
   val t12OracleSql: String = {
-    val lst = blockPhrases.map(p => s"'${p.replace("'", "''")}'").mkString("[", ", ", "]")
     s"""WITH h AS (
        |  SELECT doc_id,
-       |         list_filter($lst, p -> contains(text, p)) AS hits
+       |         list_filter($blockPhrasesSqlList, p -> contains(text, p)) AS hits
        |  FROM documents)
        |SELECT doc_id,
        |  CAST(len(hits) AS INT) AS n_hits,

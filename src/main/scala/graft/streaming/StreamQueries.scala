@@ -363,13 +363,14 @@ object StreamQueries {
     * stateless scan predicates on the stream (rejected documents cost
     * state NOTHING — they never reach a state store), and only the
     * survivors pay the stateful content dedup (the st03 pattern). The
-    * gate expressions are SHARED with batch e01 (Pipeline.*Col), so
-    * the twins cannot drift. Output keys on the text (a streaming
+    * gate expressions are the SINGLE shared definitions in
+    * [[graft.operators.TextAnalysis]] (t02/t12/e01/st09 all consume
+    * them), so the twins cannot drift. Output keys on the text (a streaming
     * first-arrival keeper is arrival-order-dependent, so doc_id is
     * not emitted); n_tokens/quality_score are pure functions of the
     * text, identical whichever duplicate arrived first. */
   def st09StreamCurate(s: SparkSession, d: String): DataFrame = {
-    import graft.operators.Pipeline
+    import graft.operators.TextAnalysis
     val schema = s.read.parquet(s"$d/documents.parquet").schema
     val stream = s.readStream
       .schema(schema)
@@ -378,10 +379,10 @@ object StreamQueries {
     withStatePartitions(s, 8) {
       val q = stream
         .select(col("text"),
-          Pipeline.nTokensCol.cast("int").as("n_tokens"),
-          Pipeline.qualityScoreCol.as("quality_score"),
-          Pipeline.nBlockedCol.as("n_blocked"))
-        .filter(col("quality_score") >= 0.35 && col("n_blocked") === 0)
+          TextAnalysis.nTokensCol.cast("int").as("n_tokens"),
+          TextAnalysis.qualityScoreCol.as("quality_score"),
+          TextAnalysis.nBlockedCol.as("n_blocked"))
+        .filter(col("quality_score") >= TextAnalysis.qualityGate && col("n_blocked") === 0)
         .dropDuplicates("text")
         .select("text", "n_tokens", "quality_score")
         .writeStream.format("memory").queryName("graft_st09_sink")
@@ -473,10 +474,11 @@ object StreamQueries {
       s"""WITH q AS (SELECT DISTINCT text FROM documents),
          |s AS (
          |  SELECT text,
-         |    ${graft.operators.Pipeline.nTokensSql} AS n_tokens,
-         |    ${graft.operators.Pipeline.qualityScoreSql} AS quality_score,
-         |    ${graft.operators.Pipeline.nBlockedSql} AS nb
+         |    ${graft.operators.TextAnalysis.nTokensSql} AS n_tokens,
+         |    ${graft.operators.TextAnalysis.qualityScoreSql} AS quality_score,
+         |    ${graft.operators.TextAnalysis.nBlockedSql} AS nb
          |  FROM q)
          |SELECT text, n_tokens, quality_score FROM s
-         |WHERE quality_score >= 0.35 AND nb = 0 ORDER BY text""".stripMargin)
+         |WHERE quality_score >= ${graft.operators.TextAnalysis.qualityGate} AND nb = 0
+         |ORDER BY text""".stripMargin)
 }

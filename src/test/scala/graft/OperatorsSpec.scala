@@ -745,7 +745,7 @@ class OperatorsSpec extends AnyFunSuite {
       .select("doc_id", "text").collect()
       .map(r => (r.getLong(0), r.getString(1)))
     val survivors = texts.filter { case (id, _) =>
-      quality(id) >= 0.35 && keep(id) == 1
+      quality(id) >= TextAnalysis.qualityGate && keep(id) == 1
     }
     val expected = survivors.groupBy(_._2).values.map(_.map(_._1).min).toSet
     assert(out.map(_._1).toSet == expected,
@@ -762,5 +762,24 @@ class OperatorsSpec extends AnyFunSuite {
       "dedup window must shuffle on the content hash")
     assert(!plan.contains("hashpartitioning(text"),
       "document text must never be a shuffle key")
+  }
+
+  test("e01 curate: planted duplicate texts collapse to the min-doc_id keeper") {
+    // the corpus has zero duplicate texts at unit/oracle SFs, so the
+    // dedup stage is only non-vacuous on a corpus with PLANTED clones:
+    // every doc cloned under doc_id+1e6 — the curated set must be
+    // byte-identical to the unplanted run (keeper = original id; a
+    // max-keeper or a dropped dedup stage both fail loudly)
+    val dir = java.nio.file.Files.createTempDirectory("graft-e01-dup").toString
+    val base = sources.Tables.documents(spark, sf)
+    base.unionByName(base.withColumn("doc_id", col("doc_id") + 1000000L))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got  = operators.Pipeline.e01Curate(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(3), r.getDouble(4))).toSeq
+    val want = operators.Pipeline.e01Curate(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(3), r.getDouble(4))).toSeq
+    assert(got == want,
+      "clones must collapse to the original min-doc_id keeper — never the clone, never both")
+    assert(got.nonEmpty && got.forall(_._1 < 1000000L), "no clone id may survive")
   }
 }

@@ -91,10 +91,11 @@ class StreamsSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2))).toSeq
     val exp = sources.Tables.documents(spark, TestSpark.sf)
       .select(col("text"),
-        graft.operators.Pipeline.nTokensCol.cast("int").as("n_tokens"),
-        graft.operators.Pipeline.qualityScoreCol.as("quality_score"),
-        graft.operators.Pipeline.nBlockedCol.as("n_blocked"))
-      .filter(col("quality_score") >= 0.35 && col("n_blocked") === 0)
+        graft.operators.TextAnalysis.nTokensCol.cast("int").as("n_tokens"),
+        graft.operators.TextAnalysis.qualityScoreCol.as("quality_score"),
+        graft.operators.TextAnalysis.nBlockedCol.as("n_blocked"))
+      .filter(col("quality_score") >= graft.operators.TextAnalysis.qualityGate &&
+        col("n_blocked") === 0)
       .dropDuplicates("text")
       .select("text", "n_tokens", "quality_score")
       .orderBy("text")
@@ -103,6 +104,32 @@ class StreamsSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.length <
       sources.Tables.documents(spark, TestSpark.sf).count(),
       "gates must keep some and reject some")
+  }
+
+  test("st09 stateful dedup is non-vacuous: planted duplicate texts collapse") {
+    // zero duplicate texts exist at the unit SF, so st09's
+    // dropDuplicates state store is only exercised against a corpus
+    // with PLANTED clones; the curated stream must match the
+    // unplanted run exactly (duplicates collapse in state)
+    import org.apache.spark.sql.functions._
+    // the streaming source's pathGlobFilter expects the testdata
+    // layout (documents.parquet is a single FILE) — stage the planted
+    // corpus then place the one part file under that exact name
+    val dir     = java.nio.file.Files.createTempDirectory("graft-st09-dup").toString
+    val staging = java.nio.file.Files.createTempDirectory("graft-st09-stage").toString
+    val base = sources.Tables.documents(spark, TestSpark.sf)
+    base.unionByName(base.withColumn("doc_id", col("doc_id") + 1000000L))
+      .coalesce(1).write.mode("overwrite").parquet(staging)
+    val part = new java.io.File(staging).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(part.toPath,
+      java.nio.file.Paths.get(dir, "documents.parquet"))
+    val got = graft.streaming.StreamQueries.st09StreamCurate(spark, dir)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2))).toSeq
+    val want = graft.streaming.StreamQueries.st09StreamCurate(spark, TestSpark.sf)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2))).toSeq
+    assert(got == want, "planted clones must collapse to one row per text")
+    assert(got.map(_._1).distinct.length == got.length, "output texts unique")
   }
 
   test("st04 DRIVER QUERY equals the batch stream-static join; dim side broadcasts") {
