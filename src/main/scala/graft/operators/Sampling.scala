@@ -249,6 +249,100 @@ object Sampling {
       |       (tokens_before + n_tokens - 1) // 256 AS pack_id_end
       |FROM c ORDER BY doc_id""".stripMargin
 
+  /** p08: DATA SELECTION UNDER A TOKEN BUDGET — the "best data first"
+    * curation step: rank documents by quality score (t02's shared
+    * formula) and take them greedily until the token budget is
+    * exhausted (the document that crosses the line is kept:
+    * membership is `tokens_before < B`). The running total in
+    * (score DESC, doc_id) order is p07's distributed prefix sum
+    * re-keyed on SCORE-RANGE buckets: scores live in [0,1], so
+    * `pid = floor((1-score)*32)` gives 32 contiguous buckets in rank
+    * order — every score in bucket b sorts before every score in
+    * b+1 — so buckets prefix-sum IN PARALLEL and only the ≤32
+    * subtotals pass through a single-row window before broadcasting
+    * back. A naive `Window.orderBy(score)` would drag the corpus
+    * into one partition; this shape survives 100 TB. */
+  def p08TokenBudget(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val budget = 12000L
+    // null-text rows carry no tokens and no score — excluded up front
+    // so the running sum is well-defined on both engines
+    val base = Tables.documents(s, d)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        TextAnalysis.nTokensCol.cast("long").as("n_tokens"),
+        TextAnalysis.qualityScoreCol.as("quality_score"))
+      .withColumn("pid",
+        least(lit(31L), floor((lit(1.0) - col("quality_score")) * 32).cast("long")))
+    val wPrev = Window.partitionBy("pid")
+      .orderBy(col("quality_score").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wPid = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    // ≤32 rows: the only single-partition step is over bucket subtotals
+    val offsets = base.groupBy("pid").agg(sum("n_tokens").as("bucket_tokens"))
+      .select(col("pid"),
+        coalesce(sum("bucket_tokens").over(wPid), lit(0L)).as("pid_offset"))
+    base.join(broadcast(offsets), "pid")
+      .select(col("doc_id"), col("n_tokens"), col("quality_score"),
+        (coalesce(sum("n_tokens").over(wPrev), lit(0L)) + col("pid_offset"))
+          .as("tokens_before"))
+      .filter(col("tokens_before") < budget)
+      .orderBy("doc_id")
+  }
+
+  val p08OracleSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    CAST(${TextAnalysis.nTokensSql} AS BIGINT) AS n_tokens,
+       |    ${TextAnalysis.qualityScoreSql} AS quality_score
+       |  FROM documents WHERE text IS NOT NULL),
+       |c AS (
+       |  SELECT doc_id, n_tokens, quality_score,
+       |    CAST(COALESCE(SUM(n_tokens) OVER (
+       |      ORDER BY quality_score DESC, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS tokens_before
+       |  FROM t)
+       |SELECT doc_id, n_tokens, quality_score, tokens_before
+       |FROM c WHERE tokens_before < 12000 ORDER BY doc_id""".stripMargin
+
+  /** p09: PER-GROUP QUANTILE GATE — keep each language's top quality
+    * quartile. The threshold is an exact type-7 p75 per language (the
+    * q47 convention Spark's `percentile` and DuckDB's `quantile_cont`
+    * share — bit-identical on this corpus, probe-verified), computed
+    * by an aggregation that collapses to n_lang rows, broadcast back,
+    * and applied as a scan predicate. No per-group sort window
+    * anywhere: a `percent_rank` formulation would funnel each
+    * language's documents into ONE partition (5 langs = 5 partitions
+    * regardless of cluster size); this is one map-side agg + one
+    * map-side filter, skew-proof at 100 TB. At that scale the exact
+    * percentile swaps for `approx_percentile` (mergeable sketch) on
+    * the same query shape. */
+  def p09QualityQuantile(s: SparkSession, d: String): DataFrame = {
+    val scored = Tables.documents(s, d)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("lang"),
+        TextAnalysis.qualityScoreCol.as("quality_score"))
+    val thresholds = scored.groupBy("lang")
+      .agg(percentile(col("quality_score"), lit(0.75)).as("lang_p75"))
+    scored.join(broadcast(thresholds), "lang")
+      .filter(col("quality_score") >= col("lang_p75"))
+      .select("doc_id", "lang", "quality_score", "lang_p75")
+      .orderBy("doc_id")
+  }
+
+  val p09OracleSql: String =
+    s"""WITH sc AS (
+       |  SELECT doc_id, lang,
+       |    ${TextAnalysis.qualityScoreSql} AS quality_score
+       |  FROM documents WHERE text IS NOT NULL),
+       |th AS (
+       |  SELECT lang, quantile_cont(quality_score, 0.75) AS lang_p75
+       |  FROM sc GROUP BY lang)
+       |SELECT doc_id, sc.lang, quality_score, lang_p75
+       |FROM sc JOIN th ON sc.lang = th.lang
+       |WHERE quality_score >= lang_p75 ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_hash_split"        -> (p01HashSplit _),
     "p02_stratified_sample" -> (p02StratifiedSample _),
@@ -256,7 +350,9 @@ object Sampling {
     "p04_cap_per_group"     -> (p04CapPerGroup _),
     "p05_mixture"           -> (p05Mixture _),
     "p06_epoch_shuffle"     -> (p06EpochShuffle _),
-    "p07_pack_sequences"    -> (p07PackSequences _))
+    "p07_pack_sequences"    -> (p07PackSequences _),
+    "p08_token_budget"      -> (p08TokenBudget _),
+    "p09_quality_quantile"  -> (p09QualityQuantile _))
 
   // p01/p02 rows-only: engine-specific RNG/hash
   val oracleSql: Map[String, String] = Map(
@@ -264,5 +360,7 @@ object Sampling {
     "p04_cap_per_group" -> p04OracleSql,
     "p05_mixture"       -> p05OracleSql,
     "p06_epoch_shuffle" -> p06OracleSql,
-    "p07_pack_sequences" -> p07OracleSql)
+    "p07_pack_sequences" -> p07OracleSql,
+    "p08_token_budget" -> p08OracleSql,
+    "p09_quality_quantile" -> p09OracleSql)
 }

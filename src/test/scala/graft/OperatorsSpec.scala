@@ -764,6 +764,75 @@ class OperatorsSpec extends AnyFunSuite {
       "document text must never be a shuffle key")
   }
 
+  test("p08 token budget: greedy best-first selection exact; window bucketed") {
+    val df = Sampling.p08TokenBudget(spark, sf)
+    val rows = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    // recompute the greedy selection single-threaded in rank order
+    val ranked = TextAnalysis.t02Quality(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(2).toLong, r.getDouble(7)))
+      .sortBy { case (id, _, score) => (-score, id) }
+    var run = 0L
+    val expected = scala.collection.mutable.Map[Long, Long]()
+    ranked.foreach { case (id, n, _) =>
+      if (run < 12000L) expected(id) = run
+      run += n
+    }
+    assert(rows.map(_._1).toSet == expected.keySet,
+      "selection must be the greedy rank-order prefix under the budget")
+    rows.foreach { case (id, _, _, before) =>
+      assert(before == expected(id), s"doc $id tokens_before must be the rank prefix sum")
+    }
+    assert(rows.forall(_._4 < 12000L) &&
+      rows.map(r => r._4 + r._2).max >= 12000L,
+      "budget boundary: all below, crossing doc included")
+    // the corpus-sized window is partitioned by score bucket, never a global sort
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(pid"),
+      "per-doc prefix window must hash-partition on the score bucket")
+  }
+
+  test("p09 quality quantile: per-lang p75 gate exact; threshold broadcasts") {
+    val df = Sampling.p09QualityQuantile(spark, sf)
+    val rows = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getDouble(3)))
+    val scored = TextAnalysis.t02Quality(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(7))).toMap
+    val langs = sources.Tables.documents(spark, sf)
+      .select("doc_id", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    // type-7 p75 per lang, recomputed driver-side in the WEIGHTED
+    // interpolation form both engines use: lo*(hi-pos) + hi*(pos-lo)
+    // (the delta form lo + (hi-lo)*f is an ulp off)
+    val p75 = langs.groupBy(_._2).view.mapValues { docs =>
+      val xs = docs.map(kv => scored(kv._1)).toArray.sorted
+      val pos = (xs.length - 1) * 0.75
+      val lo = math.floor(pos).toInt
+      val hi = math.ceil(pos).toInt
+      if (lo == hi) xs(lo)
+      else xs(lo) * (hi - pos) + xs(hi) * (pos - lo)
+    }.toMap
+    val expected = langs.collect {
+      case (id, lang) if scored(id) >= p75(lang) => id
+    }.toSet
+    assert(rows.map(_._1).toSet == expected,
+      "kept set must be exactly the docs at or above their language's p75")
+    rows.foreach { case (id, lang, score, thr) =>
+      assert(score == scored(id) && thr == p75(lang),
+        s"doc $id must carry the exact score and threshold")
+    }
+    // every language keeps at least a quarter (ties can push above)
+    val keptPerLang = rows.groupBy(_._2).view.mapValues(_.length).toMap
+    langs.groupBy(_._2).foreach { case (lang, docs) =>
+      assert(keptPerLang.getOrElse(lang, 0) >= docs.size / 4,
+        s"$lang must keep at least its top quartile")
+    }
+    // threshold side is a broadcast join, not a shuffle join
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "the n_lang-row threshold table must broadcast")
+  }
+
   test("e01 curate: planted duplicate texts collapse to the min-doc_id keeper") {
     // the corpus has zero duplicate texts at unit/oracle SFs, so the
     // dedup stage is only non-vacuous on a corpus with PLANTED clones:
