@@ -26,18 +26,30 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** The events table carries TIMESTAMP(NANOS) parquet timestamps,
-    * which Spark only reads as raw longs (legacy nanosAsLong conf).
-    * Surface them as microsecond TimestampType — the same truncation
-    * DuckDB applies on its ns→µs cast, so oracles stay comparable. */
+  /** The events table's `ts` has shipped in two parquet encodings
+    * across testdata generations: TIMESTAMP(NANOS), which Spark only
+    * reads as raw longs (legacy nanosAsLong conf), and plain µs
+    * timestamps (NTZ when written tz-naive). Surface both as
+    * microsecond TimestampType — matching DuckDB's reading of the same
+    * file, so oracles stay comparable. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = s.read.parquet(s"$d/events.parquet")
-    // integer `div`, not `/`: double division loses precision at
-    // nanosecond-epoch magnitude (~1.7e18 > 2^53)
-    raw.withColumn("ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    normalizeTs(s.read.parquet(s"$d/events.parquet"))
+  }
+
+  /** Normalize a frame's `ts` column to µs TimestampType regardless of
+    * which physical encoding the parquet carried. The session timezone
+    * is UTC, so the NTZ→LTZ cast is value-preserving. */
+  def normalizeTs(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    raw.schema("ts").dataType match {
+      // integer `div`, not `/`: double division loses precision at
+      // nanosecond-epoch magnitude (~1.7e18 > 2^53)
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -32,18 +32,19 @@ object StreamQueries {
     try body finally s.conf.set(key, prev)
   }
 
-  /** The raw events file-stream with `ts` converted ns → µs — the
-    * shared front of every event-driven streaming query (the source
-    * wants a directory, so the glob pins the events file; the ns→µs
-    * conversion mirrors Tables.events). ONE definition, so the
-    * timestamp handling cannot drift between queries. */
+  /** The raw events file-stream with `ts` normalized to µs
+    * TimestampType — the shared front of every event-driven streaming
+    * query (the source wants a directory, so the glob pins the events
+    * file; the normalization is [[Tables.normalizeTs]], the SAME
+    * branch the batch loader uses). ONE definition, so the timestamp
+    * handling cannot drift between queries or testdata generations. */
   private def rawEventsStream(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.readStream
-      .schema(s.read.parquet(s"$d/events.parquet").schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(d)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    Tables.normalizeTs(
+      s.readStream
+        .schema(s.read.parquet(s"$d/events.parquet").schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(d))
   }
 
   /** st01: the q19 hour-bucket aggregation executed by the streaming
