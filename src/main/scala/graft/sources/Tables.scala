@@ -45,8 +45,16 @@ object Tables {
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     raw.schema("ts").dataType match {
       // integer `div`, not `/`: double division loses precision at
-      // nanosecond-epoch magnitude (~1.7e18 > 2^53)
-      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // nanosecond-epoch magnitude (~1.7e18 > 2^53). A LongType ts is
+      // epoch NANOSECONDS by contract (the TIMESTAMP(NANOS) legacy read
+      // path); the range guard raises loudly if a generation ever ships
+      // raw µs/ms longs (~1000×/10⁶× smaller), instead of silently
+      // dividing them into wrong timestamps.
+      case LongType => raw.withColumn("ts", expr(
+        """timestamp_micros(
+          |  if(ts is null or ts >= 631152000000000000L, ts,
+          |     raise_error(concat('graft: LongType ts outside the epoch-ns range: ',
+          |                        cast(ts as string)))) div 1000)""".stripMargin))
       case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
       case _                => raw
     }

@@ -84,15 +84,23 @@ object StreamQueries {
   def st02StreamState(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import java.nio.file.{Files => JFiles, Paths => JPaths}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val rawSchema = s.read.parquet(s"$d/events.parquet").schema // ts: ns LONG
+    // ts arrives as ns-LONG or µs-timestamp depending on the testdata
+    // generation (Tables.scala documents both); every extraction below
+    // branches on the actual type instead of assuming one encoding
+    val rawSchema = s.read.parquet(s"$d/events.parquet").schema
+    val tsType = rawSchema("ts").dataType
 
-    val maxRow = s.read.schema(rawSchema).parquet(s"$d/events.parquet")
-      .agg(max(col("ts"))).head()
+    // max event time in µs, through the SAME normalization branch the
+    // batch loader uses — never a raw getLong on an encoding-dependent
+    // column
+    val maxRow = Tables.normalizeTs(s.read.parquet(s"$d/events.parquet"))
+      .agg(max(unix_micros(col("ts")))).head()
     if (maxRow.isNullAt(0))
       return Seq.empty[(Long, java.sql.Timestamp, java.sql.Timestamp, Int, Double)]
         .toDF("user_id", "start_ts", "end_ts", "n_events", "total_value")
-    val maxNs = maxRow.getLong(0)
+    val maxUs = maxRow.getLong(0)
 
     val tmp = JFiles.createTempDirectory("graft-st02")
     val streamDir = tmp.resolve("stream")
@@ -102,14 +110,31 @@ object StreamQueries {
     val chunk0 = streamDir.resolve("chunk-0000.parquet")
     JFiles.copy(JPaths.get(d, "events.parquet"), chunk0)
     chunk0.toFile.setLastModified(1700000000000L)
-    // sentinels: single-row parquet files in the RAW column layout (ts
-    // in epoch ns; the columns absent from the file — event_id, props —
-    // read back as NULL under rawSchema)
+    // sentinels: single-row parquet files with ts in the SAME encoding
+    // as the source file — every chunk is read under rawSchema, so a
+    // sentinel in the wrong physical type would fail the whole stream
+    // (the columns absent from the file — event_id, props — read back
+    // as NULL under rawSchema)
     def writeSentinel(offMs: Long, n: Int): Unit = {
       val staging = tmp.resolve(s"chunk$n")
-      Seq((-1L, maxNs + offMs * 1000000L, "sentinel", 0.0))
-        .toDF("user_id", "ts", "event_type", "value")
-        .coalesce(1).write.parquet(staging.toString)
+      val sentinelUs = maxUs + offMs * 1000L
+      val secs = Math.floorDiv(sentinelUs, 1000000L)
+      val micros = Math.floorMod(sentinelUs, 1000000L)
+      val sentinelDf = tsType match {
+        case LongType => // ns-LONG generation: epoch-ns long
+          Seq((-1L, sentinelUs * 1000L, "sentinel", 0.0))
+            .toDF("user_id", "ts", "event_type", "value")
+        case TimestampNTZType => // µs tz-naive generation
+          Seq((-1L, java.time.LocalDateTime.ofEpochSecond(
+              secs, (micros * 1000L).toInt, java.time.ZoneOffset.UTC),
+            "sentinel", 0.0))
+            .toDF("user_id", "ts", "event_type", "value")
+        case _ => // µs UTC-adjusted timestamp
+          Seq((-1L, java.time.Instant.ofEpochSecond(secs, micros * 1000L),
+            "sentinel", 0.0))
+            .toDF("user_id", "ts", "event_type", "value")
+      }
+      sentinelDf.coalesce(1).write.parquet(staging.toString)
       val listing = JFiles.list(staging)
       val dest = streamDir.resolve(f"chunk-$n%04d.parquet")
       try {
@@ -124,10 +149,10 @@ object StreamQueries {
     writeSentinel(86400000L, 1)  // + 1 day
     writeSentinel(172800000L, 2) // + 2 days
 
-    val stream = s.readStream.schema(rawSchema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(streamDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = Tables.normalizeTs(
+        s.readStream.schema(rawSchema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(streamDir.toString))
       .select(col("user_id"), col("ts"), col("event_type"),
         col("value").cast("double").as("value"))
       .as[Streams.Event]
