@@ -1,7 +1,7 @@
 package graft
 
 import graft.sources.TableCatalog
-import org.apache.spark.sql.{DataFrame, GraftColumnBridge, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, GraftColumnBridge, SparkSession}
 import org.apache.spark.sql.functions.lit
 import org.apache.spark.sql.types._
 
@@ -95,16 +95,54 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
         && (up.length == 7 || up(7).isWhitespace)) { // EXPLAIN\nSELECT too
       val inner = s.drop("EXPLAIN".length).trim
       val innerUp = inner.toUpperCase
-      // EXPLAIN plans, it never executes (reference ast.rs:17). SELECTs
-      // are side-effect-free so building the frame is safe; DML/DDL is
-      // described by its routing WITHOUT running it — the old recursive
-      // execute() actually performed the INSERT/DELETE being explained.
+      // EXPLAIN plans, it never executes (reference ast.rs:17 plans ANY
+      // statement, plan/mod.rs:51-125 dumps the node tree). SELECTs are
+      // side-effect-free so building the frame is safe; DML explains
+      // the would-be-written snapshot frame — built by the SAME frame
+      // constructors the write paths use — without validating, writing,
+      // or publishing a version. Residual DDL (CREATE/DROP/ALTER...) is
+      // metadata-only and keeps the routing line.
       if (innerUp.startsWith("SELECT") || innerUp.startsWith("WITH")) {
-        val df = execute(inner)
-        return Seq(GraftSession.explainPlan(df)).toDF("plan")
+        val df = runSelect(inner)
+        // surface the manifest pruning the bound scans applied — the
+        // reference's EXPLAIN shows an IndexLookup node instead of a
+        // Scan; here the visible analog is kept/total data files
+        val pruneTxt = lastPruned.toSeq.sortBy(_._1).map { case (t, (k, a)) =>
+          s"IndexPrune: $t kept $k/$a files" }.mkString("\n")
+        val planTxt = GraftSession.explainPlan(df)
+        return Seq(if (pruneTxt.isEmpty) planTxt else s"$pruneTxt\n$planTxt")
+          .toDF("plan")
       }
       val verb = innerUp.split("\\s+").take(2).mkString(" ")
-      return Seq(s"GraftStatement($verb) -> TableCatalog (not executed)").toDF("plan")
+      val dmlFrame: Option[DataFrame] = inner match {
+        case ctasRe(_, selectBody) => Some(runSelect(selectBody))
+        case insertSelectRe(name, colList, selectBody) =>
+          Some(catalog.explainInsert(name,
+            alignCols(runSelect(selectBody), colList, name, "INSERT",
+              defaultToOwnColumns = true)))
+        case insertRe(name, colList, valuesBody) =>
+          Some(catalog.explainInsert(name,
+            alignCols(referenceSql(s"SELECT * FROM VALUES $valuesBody"),
+              colList, name, "INSERT")))
+        case mergeRe(name, colList, valuesBody) =>
+          Some(catalog.explainMerge(name,
+            alignCols(referenceSql(s"SELECT * FROM VALUES $valuesBody"),
+              colList, name, "MERGE")))
+        case updateRe(name, body) =>
+          val (sets, where) = parseUpdateBody(body)
+          Some(catalog.explainUpdate(name, sets, where))
+        case deleteRe(name, whereBody) =>
+          Some(catalog.explainDelete(name,
+            Option(whereBody).map(w => referenceExpr(w.trim)).getOrElse(lit(true))))
+        case _ => None
+      }
+      return dmlFrame match {
+        case Some(df) => Seq(
+          s"GraftStatement($verb) -> TableCatalog (not executed)\n" +
+            GraftSession.explainPlan(df)).toDF("plan")
+        case None =>
+          Seq(s"GraftStatement($verb) -> TableCatalog (not executed)").toDF("plan")
+      }
     }
 
     if (up.startsWith("BEGIN")) {
@@ -264,12 +302,7 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
 
       case updateRe(name, body) =>
         require(!readOnly, "read-only transaction")
-        val (setBody, whereBody) = GraftSQL.splitAtTopLevelWhere(body)
-        val sets = splitTopLevel(setBody, ',').map { a =>
-          val Array(k, v) = a.split("=", 2)
-          k.trim -> referenceExpr(v.trim)
-        }.toMap
-        val where = whereBody.map(w => referenceExpr(w.trim)).getOrElse(lit(true))
+        val (sets, where) = parseUpdateBody(body)
         txn match {
           case Some(t) => t.update(name, sets, where)
           case None    => catalog.update(name, sets, where)
@@ -369,6 +402,18 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
     require(raw.columns.length == targetCols.length,
       s"$verb arity: ${raw.columns.length} values vs ${targetCols.length} columns")
     raw.toDF(targetCols: _*)
+  }
+
+  /** UPDATE's `SET ... [WHERE ...]` body → (set map, where) — ONE
+    * parse shared by the executing path and EXPLAIN UPDATE. */
+  private def parseUpdateBody(body: String): (Map[String, Column], Column) = {
+    val (setBody, whereBody) = GraftSQL.splitAtTopLevelWhere(body)
+    val sets = splitTopLevel(setBody, ',').map { a =>
+      val Array(k, v) = a.split("=", 2)
+      k.trim -> referenceExpr(v.trim)
+    }.toMap
+    val where = whereBody.map(w => referenceExpr(w.trim)).getOrElse(lit(true))
+    (sets, where)
   }
 
   /** A SELECT/WITH under the session's snapshot view bindings.

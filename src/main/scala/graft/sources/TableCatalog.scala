@@ -1139,13 +1139,45 @@ class TableCatalog(spark: SparkSession, val root: String) {
           .select(col(pk)).distinct()
         restrictReferenced(name, changedKeys, referencingTables(name), scan, "UPDATE")
       }
-      val updated = scan(name).select(m.schema.fields.map { f =>
-        set.get(f.name)
-          .map(v => when(where, v.cast(f.dataType)).otherwise(col(f.name)).as(f.name))
-          .getOrElse(col(f.name))
-      }: _*)
-      rewriteAttempt(name, m, fp, updated)
+      rewriteAttempt(name, m, fp, updatedFrame(m, set, where, scan(name)))
     }
+
+  /** The exact snapshot frame an UPDATE would publish — ONE definition
+    * shared by the executing path and EXPLAIN, so the explained plan is
+    * the plan that would run. All SET expressions evaluate against the
+    * pre-update row (one select, not a sequential fold). */
+  private def updatedFrame(m: TableMeta, set: Map[String, Column],
+      where: Column, current: DataFrame): DataFrame =
+    current.select(m.schema.fields.map { f =>
+      set.get(f.name)
+        .map(v => when(where, v.cast(f.dataType)).otherwise(col(f.name)).as(f.name))
+        .getOrElse(col(f.name))
+    }: _*)
+
+  /** The surviving-rows frame a DELETE would publish (shared by the
+    * executing path and EXPLAIN). */
+  private def deletedFrame(current: DataFrame, where: Column): DataFrame =
+    current.filter(!coalesce(where, lit(false)))
+
+  // ---------------------------------------------------- EXPLAIN support
+  // The reference's Explain(Box<Statement>) plans ANY statement and
+  // dumps the node tree without executing it (ast.rs:17,
+  // plan/mod.rs:51-125). The Spark-native analog: build the DataFrame
+  // the DML verb WOULD publish — through the same frame constructors
+  // the executing paths use — and hand it back for .explain, with no
+  // validation, no write, no version publish.
+  def explainUpdate(name: String, set0: Map[String, Column], where: Column): DataFrame = {
+    val m = meta(name)
+    updatedFrame(m, resolveSetKeys(m, name, set0), where, scan(name))
+  }
+  def explainDelete(name: String, where: Column): DataFrame =
+    deletedFrame(scan(name), where)
+  def explainMerge(name: String, source: DataFrame): DataFrame = {
+    val m = meta(name)
+    mergedFrame(m, name, source, scan(name), validate = false)
+  }
+  def explainInsert(name: String, df: DataFrame): DataFrame =
+    applyDefaults(name, meta(name), df)
 
   /** DELETE ... WHERE: copy-on-write anti-filter snapshot. RESTRICT
     * semantics: rows whose PK is still referenced by another table's
@@ -1159,7 +1191,7 @@ class TableCatalog(spark: SparkSession, val root: String) {
           .select(col(pk)).distinct()
         restrictReferenced(name, removedKeys, referencingTables(name), scan, "DELETE")
       }
-      rewriteAttempt(name, m, fp, scan(name).filter(!coalesce(where, lit(false))))
+      rewriteAttempt(name, m, fp, deletedFrame(scan(name), where))
     }
 
   /** One copy-on-write attempt: validate + write the snapshot outside
@@ -1274,13 +1306,15 @@ class TableCatalog(spark: SparkSession, val root: String) {
     * appended. ONE definition — the upsert semantics cannot drift
     * between the staged and unstaged paths. */
   private def mergedFrame(m: TableMeta, name: String, source: DataFrame,
-      current: DataFrame): DataFrame = {
+      current: DataFrame, validate: Boolean = true): DataFrame = {
     val pk = m.primaryKey.getOrElse(
       throw new IllegalArgumentException(s"MERGE INTO $name: table has no primary key"))
     val aligned = applyDefaults(name, m, source)
-    require(aligned.filter(col(pk).isNull).isEmpty, s"$name.$pk: NOT NULL violated")
-    require(aligned.groupBy(col(pk)).count().filter(col("count") > 1).isEmpty,
-      s"MERGE INTO $name: duplicate keys in source")
+    if (validate) { // EXPLAIN plans the frame without running source jobs
+      require(aligned.filter(col(pk).isNull).isEmpty, s"$name.$pk: NOT NULL violated")
+      require(aligned.groupBy(col(pk)).count().filter(col("count") > 1).isEmpty,
+        s"MERGE INTO $name: duplicate keys in source")
+    }
     current
       .join(aligned.select(col(pk)), Seq(pk), "left_anti")
       .unionByName(aligned)

@@ -253,6 +253,54 @@ class GraftSQLSpec extends AnyFunSuite {
     assert(p3.contains("Physical Plan"))
   }
 
+  test("EXPLAIN DML returns the real would-be-written plan, never publishing") {
+    val g = session()
+    g.execute("CREATE TABLE exd (id INTEGER PRIMARY KEY, v INTEGER, s STRING)")
+    g.execute("INSERT INTO exd VALUES (1, 10, 'a'), (2, 20, 'b')")
+    val v0 = g.catalog.currentVersion("exd")
+
+    // UPDATE: the CoW conditional projection must be visible
+    val up = g.execute("EXPLAIN UPDATE exd SET v = v + 1 WHERE id = 1")
+      .collect()(0).getString(0)
+    assert(up.contains("not executed") && up.contains("Physical Plan"), up)
+    assert(up.toUpperCase.contains("CASE WHEN"), up)
+
+    // DELETE: the anti-filter must be visible
+    val del = g.execute("EXPLAIN DELETE FROM exd WHERE id = 2").collect()(0).getString(0)
+    assert(del.contains("Physical Plan") && del.contains("Filter"), del)
+
+    // MERGE: the matched-key anti-join + append union must be visible
+    val mg = g.execute("EXPLAIN MERGE INTO exd VALUES (2, 99, 'z')")
+      .collect()(0).getString(0)
+    assert(mg.contains("Physical Plan"), mg)
+    assert(mg.toLowerCase.contains("anti"), mg)
+    assert(mg.contains("Union"), mg)
+
+    // INSERT: the aligned-values frame plans too
+    val ins = g.execute("EXPLAIN INSERT INTO exd VALUES (3, 30, 'c')")
+      .collect()(0).getString(0)
+    assert(ins.contains("Physical Plan"), ins)
+
+    // nothing published, nothing changed — same version, same rows
+    assert(g.catalog.currentVersion("exd") == v0)
+    assert(g.execute("SELECT count(*) AS n FROM exd").collect()(0).getLong(0) == 2)
+    assert(g.execute("SELECT v FROM exd WHERE id = 1").collect()(0).getLong(0) == 10)
+  }
+
+  test("EXPLAIN SELECT over an indexed table surfaces the manifest file skip") {
+    val g = session()
+    g.execute("CREATE TABLE ixe (id INTEGER PRIMARY KEY, v INTEGER INDEX)")
+    for (b <- 0 until 4)
+      g.execute("INSERT INTO ixe VALUES " +
+        (0 until 20).map(i => s"(${b * 20 + i}, ${b * 1000 + i})").mkString(", "))
+    val p = g.execute("EXPLAIN SELECT id FROM ixe WHERE v BETWEEN 2000 AND 2019")
+      .collect()(0).getString(0)
+    assert(p.contains("Physical Plan"), p)
+    val re = raw"IndexPrune: ixe kept (\d+)/(\d+) files".r
+    val m = re.findFirstMatchIn(p).getOrElse(fail(s"no IndexPrune line in:\n$p"))
+    assert(m.group(1).toInt < m.group(2).toInt, p)
+  }
+
   test("BEGIN READ ONLY pins a snapshot: repeatable reads across concurrent commits") {
     val g = session()
     val writer = new GraftSQL(spark, g.catalog)
