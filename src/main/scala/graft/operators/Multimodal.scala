@@ -5,129 +5,182 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing (SURVEY.md §2 scale ops): media treated
-  * as opaque `binary` payloads with a typed metadata struct, processed
-  * in partition-sized batches.
+  * as opaque `binary` payloads processed in partition-sized batches.
   *
-  * The Spark-side mechanics are real — binary column, metadata schema,
-  * typed Dataset, `mapPartitions` batch shape (the Scala analog of
-  * mapInPandas batch processing: one iterator per partition, so a real
-  * decoder would amortize model/codec init across the partition). The
-  * decode itself is a clearly marked deterministic STUB — the image /
-  * audio codecs are not in this environment.
+  * The decode path is REAL end-to-end on a pure-JVM format: payloads
+  * are P6 PPM images (binary RGB, the classic codec-free format — an
+  * ASCII header followed by a raw pixel array), the decoder is a real
+  * header parser (magic, whitespace/comment handling, dims, maxval)
+  * plus pixel-array extraction, and the resize is a real
+  * nearest-neighbor resample over decoded pixels. Only the payload
+  * SYNTHESIS is a stand-in: the testdata carries no media files, so
+  * each document's image is generated deterministically from its
+  * doc_id — with pixel bytes chosen so a DuckDB oracle can
+  * re-enumerate the exact array and check the decoded sums
+  * bit-for-bit (m01/m02/m03 are all oracle-exact, not rows-only).
+  *
+  * Scale shape: `mapPartitions` batches (one iterator per partition,
+  * so a production decoder/codec would init once per partition, the
+  * Scala analog of mapInPandas batch processing); payload bytes never
+  * shuffle — every query reduces to per-doc rows before its sort.
   */
 object Multimodal {
 
-  /** Typed row after "decoding": metadata + extracted features. */
-  case class MediaFeature(
-    doc_id: Long,
-    format: String,
-    width: Int,
-    height: Int,
-    n_bytes: Int,
-    feature: Array[Float],
-    checksum: Long)
-
-  /** STUB decoder: stands in for an image/audio decode + feature
-    * extraction. Deterministic in the payload bytes so results are
-    * reproducible; the real implementation would decode `bytes`
-    * according to `format` and run feature extraction here. */
-  private def stubDecode(bytes: Array[Byte], nFeatures: Int): (Array[Float], Long) = {
-    var h = 0xcbf29ce484222325L // FNV-1a 64
-    val feat = new Array[Float](nFeatures)
+  /** Deterministic P6 payload for a doc: header `P6\n<w> <h>\n255\n`
+    * then w*h*3 pixel bytes with byte i = (doc_id*31 + 7*i) mod 256 —
+    * a real, parseable image whose pixel array an SQL oracle can
+    * regenerate with generate_series. */
+  private[graft] def ppmPayload(docId: Long): Array[Byte] = {
+    val w = (docId % 64 + 16).toInt
+    val h = (docId % 48 + 16).toInt
+    val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + w * h * 3)
+    System.arraycopy(header, 0, out, 0, header.length)
+    val n = w * h * 3
     var i = 0
-    while (i < bytes.length) {
-      h = (h ^ (bytes(i) & 0xffL)) * 0x100000001b3L
-      feat(i % nFeatures) += (bytes(i) & 0xff) / 255.0f
+    while (i < n) {
+      out(header.length + i) = ((docId * 31 + 7L * i) % 256).toByte
       i += 1
     }
-    (feat, h)
+    out
   }
 
-  /** m01: documents → synthetic media payloads (binary column +
-    * metadata struct) → per-partition batch "decode" → typed feature
-    * rows. The payload here is the UTF-8 text standing in for media
-    * bytes; metadata is derived deterministically. */
+  /** A decoded image: dims + the raw interleaved-RGB pixel array. */
+  private[graft] case class Ppm(width: Int, height: Int, pixels: Array[Byte])
+
+  /** REAL P6 parser — not a stub: validates the magic, consumes
+    * whitespace and `#` comments between header tokens (the format
+    * allows them), reads ASCII dims and maxval, then takes the binary
+    * pixel array that follows the single whitespace after maxval.
+    * Malformed input raises instead of decoding garbage. */
+  private[graft] def decodePpm(bytes: Array[Byte]): Ppm = {
+    var pos = 0
+    def skipWs(): Unit = {
+      var go = true
+      while (go && pos < bytes.length) bytes(pos) match {
+        case ' ' | '\n' | '\r' | '\t' => pos += 1
+        case '#' => while (pos < bytes.length && bytes(pos) != '\n') pos += 1
+        case _ => go = false
+      }
+    }
+    def int(): Int = {
+      skipWs()
+      require(pos < bytes.length && bytes(pos) >= '0' && bytes(pos) <= '9',
+        s"PPM: expected integer at byte $pos")
+      var v = 0
+      while (pos < bytes.length && bytes(pos) >= '0' && bytes(pos) <= '9') {
+        v = v * 10 + (bytes(pos) - '0'); pos += 1
+      }
+      v
+    }
+    require(bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6', "PPM: bad magic")
+    pos = 2
+    val w = int(); val h = int(); val maxv = int()
+    require(maxv == 255, s"PPM: unsupported maxval $maxv")
+    require(pos < bytes.length, "PPM: missing pixel array")
+    pos += 1 // exactly one whitespace byte separates maxval from pixels
+    require(bytes.length - pos == w * h * 3,
+      s"PPM: pixel array is ${bytes.length - pos} bytes, expected ${w * h * 3}")
+    Ppm(w, h, java.util.Arrays.copyOfRange(bytes, pos, bytes.length))
+  }
+
+  /** Nearest-neighbor resample (real pixels, integer index mapping
+    * sx = x*w/ow, sy = y*h/oh) — returns the resized pixel array. */
+  private[graft] def resampleNn(img: Ppm, ow: Int, oh: Int): Array[Byte] = {
+    val out = new Array[Byte](ow * oh * 3)
+    var y = 0
+    while (y < oh) {
+      val sy = y * img.height / oh
+      var x = 0
+      while (x < ow) {
+        val sx = x * img.width / ow
+        val src = (sy * img.width + sx) * 3
+        val dst = (y * ow + x) * 3
+        out(dst) = img.pixels(src)
+        out(dst + 1) = img.pixels(src + 1)
+        out(dst + 2) = img.pixels(src + 2)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** The synthesized media frame: doc_id + PPM payload bytes — the
+    * ingest step a production pipeline replaces with binaryFile reads. */
+  private def mediaFrames(s: SparkSession, d: String) = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => (id, ppmPayload(id))))
+  }
+
+  /** m01: binary payloads → per-partition batch decode (REAL P6 parse)
+    * → typed feature rows: dims from the parsed header, payload size,
+    * and per-channel pixel sums. Every output column is recomputed
+    * exactly by the DuckDB oracle. */
   def m01Multimodal(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val media = Tables.documents(s, d).select(
-      col("doc_id"),
-      encode(col("text"), "UTF-8").as("payload"),
-      // metadata struct a real ingest would carry alongside the bytes
-      when(pmod(col("doc_id"), lit(3)) === 0, "png")
-        .when(pmod(col("doc_id"), lit(3)) === 1, "jpeg")
-        .otherwise("wav").as("format"),
-      (pmod(col("doc_id"), lit(64)) + 16).cast("int").as("width"),
-      (pmod(col("doc_id"), lit(48)) + 16).cast("int").as("height"))
-
-    val ds = media.as[(Long, Array[Byte], String, Int, Int)]
-    ds.mapPartitions { it =>
-      // partition = batch: real decoder/codec state would init once here
-      it.map { case (id, bytes, fmt, w, h) =>
-        val (feat, sum) = stubDecode(bytes, 8)
-        MediaFeature(id, fmt, w, h, bytes.length, feat, sum)
+    mediaFrames(s, d).mapPartitions { it =>
+      // partition = batch: decoder state would init once here
+      it.map { case (id, bytes) =>
+        val img = decodePpm(bytes)
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var i = 0
+        while (i < img.pixels.length) {
+          val v = img.pixels(i) & 0xff
+          (i % 3: @annotation.switch) match {
+            case 0 => sr += v
+            case 1 => sg += v
+            case _ => sb += v
+          }
+          i += 1
+        }
+        (id, "ppm", img.width, img.height, bytes.length, sr, sg, sb)
       }
-    }.toDF()
-      // the extracted feature IS the point of the decode — emit it
-      // (mapPartitions is opaque to Catalyst, so a dropped column
-      // would still have been computed, as pure waste)
-      .select(col("doc_id"), col("format"), col("width"), col("height"),
-        col("n_bytes"),
-        round(element_at(col("feature"), 1).cast("double"), 5).as("f0"),
-        round(element_at(col("feature"), 8).cast("double"), 5).as("f7"),
-        col("checksum"))
+    }.toDF("doc_id", "format", "width", "height", "n_bytes", "sum_r", "sum_g", "sum_b")
       .orderBy("doc_id")
   }
 
-  /** Typed row after a "resize": new dims + transformed payload size. */
-  case class ResizedMedia(doc_id: Long, width: Int, height: Int,
-    out_width: Int, out_height: Int, n_bytes_out: Int)
-
-  /** m02: batch resize plumbing — fixed target box, aspect preserved.
-    * The arithmetic (real) runs per-row in a partition batch; the
-    * pixel resample itself is the stubbed step (payload size scales by
-    * area ratio as a stand-in). */
+  /** m02: decode → REAL nearest-neighbor resample into a 32×32 box
+    * (aspect preserved) → re-encoded P6 size + resampled-pixel sum. */
   def m02Resize(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val (tw, th) = (32, 32)
-    Tables.documents(s, d).select(
-        col("doc_id"),
-        encode(col("text"), "UTF-8").as("payload"),
-        (pmod(col("doc_id"), lit(64)) + 16).cast("int").as("width"),
-        (pmod(col("doc_id"), lit(48)) + 16).cast("int").as("height"))
-      .as[(Long, Array[Byte], Int, Int)]
-      .mapPartitions { it =>
-        it.map { case (id, bytes, w, h) =>
-          val scale = math.min(tw.toDouble / w, th.toDouble / h)
-          val (ow, oh) = (math.max(1, (w * scale).toInt), math.max(1, (h * scale).toInt))
-          // STUB: real implementation resamples pixels; size scales by area
-          val outBytes = math.max(1, (bytes.length * (ow.toLong * oh) / (w.toLong * h)).toInt)
-          ResizedMedia(id, w, h, ow, oh, outBytes)
-        }
-      }.toDF().orderBy("doc_id")
+    mediaFrames(s, d).mapPartitions { it =>
+      it.map { case (id, bytes) =>
+        val img = decodePpm(bytes)
+        val scale = math.min(tw.toDouble / img.width, th.toDouble / img.height)
+        val ow = math.max(1, (img.width * scale).toInt)
+        val oh = math.max(1, (img.height * scale).toInt)
+        val px = resampleNn(img, ow, oh)
+        var sum = 0L
+        var i = 0
+        while (i < px.length) { sum += px(i) & 0xff; i += 1 }
+        val outBytes = s"P6\n$ow $oh\n255\n".length + px.length // re-encoded size
+        (id, img.width, img.height, ow, oh, outBytes, sum)
+      }
+    }.toDF("doc_id", "width", "height", "out_width", "out_height", "n_bytes_out", "sum_out")
+      .orderBy("doc_id")
   }
 
-  /** m03: frame sampling — every `stride`-th fixed-size block of the
-    * payload treated as a frame, per-frame checksum emitted (one row
-    * per sampled frame: the explode shape a video pipeline produces). */
+  /** m03: frame sampling — every 4th 192-byte block (64 RGB pixels) of
+    * the decoded pixel array treated as a frame, per-frame pixel sum
+    * emitted (one row per sampled frame: the explode shape a video
+    * pipeline produces). */
   def m03FrameSample(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val frameLen = 64
+    val frameLen = 192
     val stride = 4
-    Tables.documents(s, d).select(
-        col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
-      .as[(Long, Array[Byte])]
-      .flatMap { case (id, bytes) =>
-        val nFrames = bytes.length / frameLen
-        (0 until nFrames by stride).map { f =>
-          var h = 0xcbf29ce484222325L
-          var i = f * frameLen
-          while (i < (f + 1) * frameLen) {
-            h = (h ^ (bytes(i) & 0xffL)) * 0x100000001b3L
-            i += 1
-          }
-          (id, f, h)
-        }
-      }.toDF("doc_id", "frame_idx", "frame_checksum")
+    mediaFrames(s, d).flatMap { case (id, bytes) =>
+      val img = decodePpm(bytes)
+      val nFrames = img.pixels.length / frameLen
+      (0 until nFrames by stride).map { f =>
+        var sum = 0L
+        var i = f * frameLen
+        while (i < (f + 1) * frameLen) { sum += img.pixels(i) & 0xff; i += 1 }
+        (id, f, sum)
+      }
+    }.toDF("doc_id", "frame_idx", "frame_sum")
       .orderBy("doc_id", "frame_idx")
   }
 
@@ -136,31 +189,69 @@ object Multimodal {
     "m02_resize"       -> (m02Resize _),
     "m03_frame_sample" -> (m03FrameSample _))
 
-  /** m02's geometry is pure arithmetic over (doc_id, payload length) —
-    * double division, truncating casts, integer division — so DuckDB
-    * reproduces it bit-for-bit (FLOOR, not CAST-to-INT: DuckDB's int
-    * cast rounds, Scala's toInt truncates). m01/m03 stay rows-only
-    * (FNV checksums are engine-specific). */
+  /** All three are oracle-exact: the pixel byte at index i is
+    * (doc_id*31 + 7*i) mod 256, so DuckDB regenerates the array with
+    * generate_series and recomputes the decoded sums, the
+    * nearest-neighbor mapping (pure integer division), and the P6
+    * header length (9 + digits(w) + digits(h)) bit-for-bit. SUMs cast
+    * to BIGINT (DuckDB sums integers into HUGEINT). */
   val oracleSql: Map[String, String] = Map(
+    "m01_multimodal" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |         CAST(doc_id % 64 + 16 AS INT) AS w,
+        |         CAST(doc_id % 48 + 16 AS INT) AS h
+        |  FROM documents
+        |), px AS (
+        |  SELECT doc_id, w, h, unnest(generate_series(0, w*h*3 - 1)) AS i FROM m
+        |)
+        |SELECT doc_id, 'ppm' AS format, w AS width, h AS height,
+        |       CAST(9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR))
+        |              + w*h*3 AS INT) AS n_bytes,
+        |       CAST(SUM(CASE WHEN i % 3 = 0 THEN (doc_id*31 + 7*i) % 256 END) AS BIGINT) AS sum_r,
+        |       CAST(SUM(CASE WHEN i % 3 = 1 THEN (doc_id*31 + 7*i) % 256 END) AS BIGINT) AS sum_g,
+        |       CAST(SUM(CASE WHEN i % 3 = 2 THEN (doc_id*31 + 7*i) % 256 END) AS BIGINT) AS sum_b
+        |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
     "m02_resize" ->
       """WITH m AS (
         |  SELECT doc_id,
-        |         CAST(doc_id % 64 + 16 AS INT) AS width,
-        |         CAST(doc_id % 48 + 16 AS INT) AS height,
-        |         octet_length(encode(text)) AS nb
+        |         CAST(doc_id % 64 + 16 AS INT) AS w,
+        |         CAST(doc_id % 48 + 16 AS INT) AS h
         |  FROM documents
-        |), s AS (
-        |  SELECT doc_id, width, height, nb,
-        |         LEAST(32.0 / width, 32.0 / height) AS scale
-        |  FROM m
         |), o AS (
-        |  SELECT doc_id, width, height, nb,
-        |         CAST(GREATEST(1, CAST(FLOOR(width * scale) AS INT)) AS INT) AS out_width,
-        |         CAST(GREATEST(1, CAST(FLOOR(height * scale) AS INT)) AS INT) AS out_height
-        |  FROM s
+        |  SELECT doc_id, w, h,
+        |         GREATEST(1, CAST(FLOOR(w * LEAST(32.0/w, 32.0/h)) AS INT)) AS ow,
+        |         GREATEST(1, CAST(FLOOR(h * LEAST(32.0/w, 32.0/h)) AS INT)) AS oh
+        |  FROM m
+        |), px AS (
+        |  SELECT doc_id, w, h, ow, oh,
+        |         unnest(generate_series(0, ow*oh*3 - 1)) AS j
+        |  FROM o
+        |), v AS (
+        |  SELECT doc_id, w, h, ow, oh,
+        |         (((((j // 3) // ow) * h // oh) * w
+        |            + (((j // 3) % ow) * w // ow)) * 3 + j % 3) AS si
+        |  FROM px
         |)
-        |SELECT doc_id, width, height, out_width, out_height,
-        |       CAST(GREATEST(1, nb * (out_width::BIGINT * out_height)
-        |                        // (width::BIGINT * height)) AS INT) AS n_bytes_out
-        |FROM o ORDER BY doc_id""".stripMargin)
+        |SELECT doc_id, w AS width, h AS height, ow AS out_width, oh AS out_height,
+        |       CAST(9 + length(CAST(ow AS VARCHAR)) + length(CAST(oh AS VARCHAR))
+        |              + ow*oh*3 AS INT) AS n_bytes_out,
+        |       CAST(SUM((doc_id*31 + 7*si) % 256) AS BIGINT) AS sum_out
+        |FROM v GROUP BY doc_id, w, h, ow, oh ORDER BY doc_id""".stripMargin,
+    "m03_frame_sample" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |         CAST(doc_id % 64 + 16 AS INT) AS w,
+        |         CAST(doc_id % 48 + 16 AS INT) AS h
+        |  FROM documents
+        |), f AS (
+        |  SELECT doc_id, unnest(generate_series(0, (w*h*3) // 192 - 1)) AS fi FROM m
+        |), sel AS (
+        |  SELECT doc_id, fi FROM f WHERE fi % 4 = 0
+        |), px AS (
+        |  SELECT doc_id, fi, unnest(generate_series(fi*192, fi*192 + 191)) AS i FROM sel
+        |)
+        |SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+        |       CAST(SUM((doc_id*31 + 7*i) % 256) AS BIGINT) AS frame_sum
+        |FROM px GROUP BY doc_id, fi ORDER BY doc_id, frame_idx""".stripMargin)
 }

@@ -165,12 +165,51 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.getInt(1) == doc0.split(" ", -1).length)
   }
 
-  test("m01 multimodal: deterministic checksums and features across two runs") {
+  test("m01 multimodal: real PPM decode, deterministic across two runs") {
     def run() = Multimodal.m01Multimodal(spark, sf).collect()
-      .map(r => (r.getLong(0), r.getAs[Long]("checksum"), r.getAs[Double]("f0")))
+      .map(r => (r.getLong(0), r.getAs[Int]("width"), r.getAs[Long]("sum_r")))
     val a = run(); val b = run()
     assert(a.sameElements(b))
-    assert(a.nonEmpty && a.exists(_._3 != 0.0)) // features really emitted
+    assert(a.nonEmpty && a.exists(_._3 != 0L)) // decoded pixels really summed
+  }
+
+  test("PPM codec: payload round-trips through the parser; malformed input raises") {
+    val payload = Multimodal.ppmPayload(5L)
+    val img = Multimodal.decodePpm(payload)
+    assert(img.width == 21 && img.height == 21) // 5%64+16, 5%48+16
+    assert(img.pixels.length == 21 * 21 * 3)
+    // pixel byte i = (doc_id*31 + 7i) mod 256
+    assert((0 until img.pixels.length).forall(i =>
+      (img.pixels(i) & 0xff) == ((5L * 31 + 7L * i) % 256)))
+    // header variants the format allows: comments + extra whitespace
+    val commented = ("P6\n# a comment\n21  21\n255\n".getBytes("US-ASCII")
+      ++ img.pixels)
+    assert(Multimodal.decodePpm(commented).width == 21)
+    // malformed input raises, never decodes garbage
+    intercept[IllegalArgumentException] {
+      Multimodal.decodePpm("P5\n2 2\n255\n".getBytes ++ new Array[Byte](12))
+    }
+    intercept[IllegalArgumentException] { // truncated pixel array
+      Multimodal.decodePpm(java.util.Arrays.copyOf(payload, payload.length - 1))
+    }
+  }
+
+  test("PPM resample: nearest-neighbor on a planted 2x2 image") {
+    // 2x2 RGB image with distinct corner colors
+    val px = Array[Byte](
+      10, 11, 12,  20, 21, 22,
+      30, 31, 32,  40, 41, 42)
+    val img = Multimodal.Ppm(2, 2, px)
+    // upscale to 4x4: each source pixel becomes a 2x2 block (sx = x*2/4)
+    val up = Multimodal.resampleNn(img, 4, 4)
+    assert(up.length == 4 * 4 * 3)
+    def at(x: Int, y: Int) = (up((y * 4 + x) * 3) & 0xff)
+    assert(at(0, 0) == 10 && at(1, 1) == 10) // top-left block
+    assert(at(2, 0) == 20 && at(3, 1) == 20) // top-right block
+    assert(at(0, 2) == 30 && at(3, 3) == 40)
+    // downscale to 1x1 keeps the top-left pixel (floor mapping)
+    val down = Multimodal.resampleNn(img, 1, 1)
+    assert((down(0) & 0xff) == 10 && (down(1) & 0xff) == 11)
   }
 
   test("q23 approx distinct within 5% of exact") {
