@@ -26,10 +26,42 @@ object StreamQueries {
     * oracle-checked). At production scale this knob goes UP with
     * volume instead — state stores shard across executors. */
   private def withStatePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    import java.nio.file.{Files => JFiles, Paths => JPaths}
     val key = "spark.sql.shuffle.partitions"
+    val ckptKey = "spark.sql.streaming.checkpointLocation"
+    val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
     val prev = s.conf.get(key)
+    val prevCkpt = s.conf.getOption(ckptKey)
+    val prevNoData = s.conf.getOption(noDataKey)
+    // a bounded verification run commits offsets/state per micro-batch
+    // into its checkpoint; on this box /tmp is disk-backed while
+    // /dev/shm is tmpfs — a FRESH root per run (never reused, so no
+    // accidental resume) keeps those fsyncs off the disk. Production
+    // streams pass their own durable checkpointLocation instead.
+    val shm = JPaths.get("/dev/shm")
+    val ckptRoot =
+      if (JFiles.isDirectory(shm) && JFiles.isWritable(shm))
+        Some(JFiles.createTempDirectory(shm, "graft-ckpt"))
+      else None
     s.conf.set(key, n.toString)
-    try body finally s.conf.set(key, prev)
+    ckptRoot.foreach(d => s.conf.set(ckptKey, d.toString))
+    // bounded inputs need no wall-clock no-data batches: every
+    // watermark advance that matters is driven by a DATA batch (st02's
+    // sentinel chunks exist precisely for this), so the extra empty
+    // micro-batch per query is pure fixed overhead here
+    s.conf.set(noDataKey, "false")
+    try body finally {
+      s.conf.set(key, prev)
+      prevCkpt match {
+        case Some(v) => s.conf.set(ckptKey, v)
+        case None    => s.conf.unset(ckptKey)
+      }
+      prevNoData match {
+        case Some(v) => s.conf.set(noDataKey, v)
+        case None    => s.conf.unset(noDataKey)
+      }
+      ckptRoot.foreach(graft.sources.TableCatalog.deleteRecursively)
+    }
   }
 
   /** The raw events file-stream with `ts` normalized to µs
@@ -75,12 +107,13 @@ object StreamQueries {
   /** st02: the q26 sessionization executed by the streaming engine
     * through [[Streams.sessionize]] (flatMapGroupsWithState custom
     * state). Bounded input is staged as three stream files — the real
-    * events, then two far-future sentinel rows — because event-time
-    * timeouts fire against the PREVIOUS batch's watermark: sentinel 1
-    * advances the watermark past every real session's gap, sentinel 2
-    * triggers the batch in which those timeouts flush. The sentinel
-    * user's own (still-open) session is filtered out. Result must
-    * equal the batch/DuckDB sessionization exactly. */
+    * events, then two far-future sentinel rows — consumed as TWO
+    * micro-batches (maxFilesPerTrigger=2): event-time timeouts fire
+    * against the PREVIOUS batch's watermark, so batch 1 (events +
+    * sentinel 1) advances the watermark past every real session's gap
+    * and batch 2 (sentinel 2) triggers the flush. The sentinel user's
+    * own (still-open) session is filtered out. Result must equal the
+    * batch/DuckDB sessionization exactly. */
   def st02StreamState(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import java.nio.file.{Files => JFiles, Paths => JPaths}
@@ -102,7 +135,13 @@ object StreamQueries {
         .toDF("user_id", "start_ts", "end_ts", "n_events", "total_value")
     val maxUs = maxRow.getLong(0)
 
-    val tmp = JFiles.createTempDirectory("graft-st02")
+    // stage on tmpfs when the box has one — the staged copy is
+    // ephemeral by construction
+    val shm = JPaths.get("/dev/shm")
+    val tmp =
+      if (JFiles.isDirectory(shm) && JFiles.isWritable(shm))
+        JFiles.createTempDirectory(shm, "graft-st02")
+      else JFiles.createTempDirectory("graft-st02")
     val streamDir = tmp.resolve("stream")
     JFiles.createDirectories(streamDir)
     // chunk 0 IS the source parquet, byte-copied — staging the stream
@@ -151,7 +190,7 @@ object StreamQueries {
 
     val stream = Tables.normalizeTs(
         s.readStream.schema(rawSchema)
-          .option("maxFilesPerTrigger", "1")
+          .option("maxFilesPerTrigger", "2")
           .parquet(streamDir.toString))
       .select(col("user_id"), col("ts"), col("event_type"),
         col("value").cast("double").as("value"))
@@ -274,7 +313,11 @@ object StreamQueries {
     * DuckDB oracle checks. */
   def st05StreamStreamJoin(s: SparkSession, d: String): DataFrame = {
     val agg = st05Agg(s, d)
-    withStatePartitions(s, 8) {
+    // 2, not 8: a stream-stream join keeps FOUR state stores per
+    // shuffle partition, so its fixed commit cost scales 4× faster
+    // with this knob than any other query here (measured: 2 beats 8
+    // by ~20% on the bounded run)
+    withStatePartitions(s, 2) {
       val q = agg.writeStream
         .format("memory").queryName("graft_st05_sink")
         .outputMode(OutputMode.Append)
