@@ -59,9 +59,31 @@ object Pipeline {
        |SELECT doc_id, lang, source, n_tokens, quality_score
        |FROM k WHERE doc_id = keeper ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- e02
+  /** e02: the curation pipeline landed in the LAKEHOUSE — e01's curated
+    * set ingested into the versioned [[graft.sources.TableCatalog]] as
+    * one atomic MVCC version with PRIMARY KEY validation at write time,
+    * then read back through the catalog's manifest scan. This is the
+    * production handoff the pipeline ends with: downstream trainers
+    * read a published table version (time-travelable, constraint-
+    * checked), never a loose directory of files. The ingest cost is
+    * e01's plan + one parquet write; the scan result must equal e01's
+    * output exactly, which the same DuckDB oracle checks. */
+  def e02CurateIngest(s: SparkSession, d: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-e02").toString
+    val cat = new graft.sources.TableCatalog(s, root)
+    val curated = e01Curate(s, d)
+    cat.createTable("curated_docs", curated.schema, primaryKey = Some("doc_id"))
+    cat.insert("curated_docs", curated)
+    cat.scan("curated_docs").orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "e01_curate" -> (e01Curate _))
+    "e01_curate" -> (e01Curate _),
+    "e02_curate_ingest" -> (e02CurateIngest _))
 
   val oracleSql: Map[String, String] = Map(
-    "e01_curate" -> e01OracleSql)
+    "e01_curate" -> e01OracleSql,
+    // the ingested managed table must equal the curated set exactly
+    "e02_curate_ingest" -> e01OracleSql)
 }

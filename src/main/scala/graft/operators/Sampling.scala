@@ -343,6 +343,58 @@ object Sampling {
        |FROM sc JOIN th ON sc.lang = th.lang
        |WHERE quality_score >= lang_p75 ORDER BY doc_id""".stripMargin
 
+  /** p10: TEMPERATURE-REBALANCED language sampling — the multilingual
+    * mixing pass (mT5/XLM-R style): high-resource languages are
+    * down-weighted so the sampled mix is flatter than the corpus.
+    * T=2 temperature ⇒ per-language quota ∝ √n_lang, realized in
+    * INTEGER-EXACT arithmetic: isqrt = FLOOR(SQRT(n)) (IEEE sqrt is
+    * correctly rounded, so both engines agree bit-for-bit on exact
+    * integer inputs), quota = budget * isqrt_l div Σ isqrt — no
+    * float normalization to drift at a rounding boundary. Selection
+    * within a language is the p05 arithmetic-PRF rank (deterministic,
+    * reprocessing-stable, oracle-bit-exact). Plan shape: one tiny
+    * n_lang-row aggregate broadcast back; the per-language rank is one
+    * shuffle on the lang key (at 100 TB: [[Scale.saltedCapPerGroup]],
+    * p05's documented swap-in). */
+  def p10TemperatureSample(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val budget = docs.count() * 30 / 100 // footer count; integer math in both engines
+    val isqrt = floor(sqrt(col("n_l"))).cast("long")
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_l"))
+      .select(col("lang"), isqrt.as("r"))
+    val quotas = counts
+      .crossJoin(broadcast(counts.agg(sum(col("r")).as("sr")))) // n_lang rows × 1 row
+      .select(col("lang"), expr(s"($budget * r) div sr").as("quota"))
+    val prf = (pmod(col("doc_id"), lit(2147483648L)) * lit(1103515245L)
+      + lit(54321L)) % lit(2147483648L)
+    val w = Window.partitionBy(col("lang")).orderBy(col("prf"), col("doc_id"))
+    docs.select(col("doc_id"), col("lang"), prf.as("prf"))
+      .withColumn("rn", row_number().over(w))
+      .join(broadcast(quotas), "lang")
+      .filter(col("rn") <= col("quota"))
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+  }
+
+  val p10OracleSql: String =
+    """WITH n AS (SELECT COUNT(*) AS nd FROM documents),
+      |c AS (SELECT lang, CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT) AS r
+      |      FROM documents GROUP BY lang),
+      |s AS (SELECT CAST(SUM(r) AS BIGINT) AS sr FROM c),
+      |quota AS (
+      |  SELECT lang, ((SELECT nd * 30 // 100 FROM n) * r) // (SELECT sr FROM s) AS qt
+      |  FROM c),
+      |ranked AS (
+      |  SELECT doc_id, lang,
+      |         ROW_NUMBER() OVER (PARTITION BY lang
+      |           ORDER BY ((doc_id % 2147483648) * 1103515245 + 54321) % 2147483648,
+      |                    doc_id) AS rn
+      |  FROM documents)
+      |SELECT rk.doc_id, rk.lang
+      |FROM ranked rk JOIN quota q ON rk.lang = q.lang
+      |WHERE rk.rn <= q.qt ORDER BY rk.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_hash_split"        -> (p01HashSplit _),
     "p02_stratified_sample" -> (p02StratifiedSample _),
@@ -352,7 +404,8 @@ object Sampling {
     "p06_epoch_shuffle"     -> (p06EpochShuffle _),
     "p07_pack_sequences"    -> (p07PackSequences _),
     "p08_token_budget"      -> (p08TokenBudget _),
-    "p09_quality_quantile"  -> (p09QualityQuantile _))
+    "p09_quality_quantile"  -> (p09QualityQuantile _),
+    "p10_temperature_sample" -> (p10TemperatureSample _))
 
   // p01/p02 rows-only: engine-specific RNG/hash
   val oracleSql: Map[String, String] = Map(
@@ -362,5 +415,6 @@ object Sampling {
     "p06_epoch_shuffle" -> p06OracleSql,
     "p07_pack_sequences" -> p07OracleSql,
     "p08_token_budget" -> p08OracleSql,
-    "p09_quality_quantile" -> p09OracleSql)
+    "p09_quality_quantile" -> p09OracleSql,
+    "p10_temperature_sample" -> p10OracleSql)
 }

@@ -890,4 +890,57 @@ class OperatorsSpec extends AnyFunSuite {
       "clones must collapse to the original min-doc_id keeper — never the clone, never both")
     assert(got.nonEmpty && got.forall(_._1 < 1000000L), "no clone id may survive")
   }
+
+  test("p10 temperature sample: sqrt-flattened quotas, deterministic, quota-exact") {
+    val rows = Sampling.p10TemperatureSample(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val rows2 = Sampling.p10TemperatureSample(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.sameElements(rows2), "selection must be deterministic")
+    // recompute quotas: budget * isqrt(n_l) / sum(isqrt), integer math
+    val perLang = sources.Tables.documents(spark, sf).groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val budget = perLang.values.sum * 30 / 100
+    val isqrt = perLang.view.mapValues(n => math.sqrt(n.toDouble).toLong).toMap
+    val sr = isqrt.values.sum
+    val quota = isqrt.view.mapValues(r => budget * r / sr).toMap
+    val kept = rows.groupBy(_._2).view.mapValues(_.length).toMap
+    perLang.keys.foreach { l =>
+      assert(kept.getOrElse(l, 0) == math.min(quota(l), perLang(l)).toInt,
+        s"$l: kept ${kept.getOrElse(l, 0)} != quota ${quota(l)} (n=${perLang(l)})")
+    }
+    // the flattening property: sampled share of a high-resource lang is
+    // below its corpus share, low-resource above (when quotas differ)
+    if (quota.values.toSet.size > 1) {
+      val (hiLang, _) = perLang.maxBy(_._2)
+      val (loLang, _) = perLang.minBy(_._2)
+      val corpusShareHi = perLang(hiLang).toDouble / perLang.values.sum
+      val sampleShareHi = kept(hiLang).toDouble / rows.length
+      val corpusShareLo = perLang(loLang).toDouble / perLang.values.sum
+      val sampleShareLo = kept(loLang).toDouble / rows.length
+      assert(sampleShareHi <= corpusShareHi + 1e-9 && sampleShareLo >= corpusShareLo - 1e-9,
+        "temperature sampling must flatten the language distribution")
+    }
+  }
+
+  test("e02 curate-ingest: published as ONE catalog version, scan equals e01, PK enforced") {
+    val df = operators.Pipeline.e02CurateIngest(spark, sf)
+    val got = df.collect().map(r => (r.getLong(0), r.getInt(3), r.getDouble(4))).toSeq
+    val want = operators.Pipeline.e01Curate(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(3), r.getDouble(4))).toSeq
+    assert(got == want, "the ingested table must equal the curated set exactly")
+    // the ingest is atomic: exactly one version past CREATE, and the
+    // catalog enforces the doc_id PRIMARY KEY on later writers
+    val root = java.nio.file.Files.createTempDirectory("graft-e02-spec").toString
+    val cat = new sources.TableCatalog(spark, root)
+    val curated = operators.Pipeline.e01Curate(spark, sf)
+    cat.createTable("curated_docs", curated.schema, primaryKey = Some("doc_id"))
+    val v0 = cat.currentVersion("curated_docs")
+    cat.insert("curated_docs", curated)
+    assert(cat.currentVersion("curated_docs") == v0 + 1) // ONE atomic version
+    intercept[Exception] { // duplicate PK rejected, version unchanged
+      cat.insert("curated_docs", curated.limit(1))
+    }
+    assert(cat.currentVersion("curated_docs") == v0 + 1)
+  }
 }
