@@ -363,8 +363,11 @@ object Sampling {
     val isqrt = floor(sqrt(col("n_l"))).cast("long")
     val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_l"))
       .select(col("lang"), isqrt.as("r"))
-    val quotas = counts
-      .crossJoin(broadcast(counts.agg(sum(col("r")).as("sr")))) // n_lang rows × 1 row
+    // Σ isqrt via an unbounded window over the n_lang-row frame (≤ a
+    // few dozen rows at any corpus size — the single partition is the
+    // quota table, never the data)
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val quotas = counts.withColumn("sr", sum(col("r")).over(wAll))
       .select(col("lang"), expr(s"($budget * r) div sr").as("quota"))
     val prf = (pmod(col("doc_id"), lit(2147483648L)) * lit(1103515245L)
       + lit(54321L)) % lit(2147483648L)
