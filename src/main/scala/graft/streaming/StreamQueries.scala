@@ -463,6 +463,50 @@ object StreamQueries {
     s.table("graft_st09_sink").orderBy("text")
   }
 
+  /** st10: streaming curation INTO the versioned catalog — the
+    * streaming twin of batch e02 and the full production ingest path:
+    * st09's stateless gates + stateful dedup run on the stream, and
+    * each micro-batch of survivors lands in the catalog through
+    * foreachBatch as one atomic MVCC version (st07's pattern) with the
+    * text declared PRIMARY KEY — the catalog re-checks at publish what
+    * the stream's state already guarantees (each text emitted once),
+    * so a state-store bug could never corrupt the published table.
+    * Readers always see a complete version; the final scan must equal
+    * st09's gated-distinct oracle. */
+  def st10StreamCurateIngest(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.TextAnalysis
+    import org.apache.spark.sql.types._
+    val schema = s.read.parquet(s"$d/documents.parquet").schema
+    val root = java.nio.file.Files.createTempDirectory("graft-st10").toString
+    val cat = new graft.sources.TableCatalog(s, root)
+    cat.createTable("curated_stream", StructType(Seq(
+      StructField("text", StringType, nullable = false),
+      StructField("n_tokens", IntegerType),
+      StructField("quality_score", DoubleType))), primaryKey = Some("text"))
+    val stream = s.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(d)
+    withStatePartitions(s, 8) {
+      val q = stream
+        .select(col("text"),
+          TextAnalysis.nTokensCol.cast("int").as("n_tokens"),
+          TextAnalysis.qualityScoreCol.as("quality_score"),
+          TextAnalysis.nBlockedCol.as("n_blocked"))
+        .filter(col("quality_score") >= TextAnalysis.qualityGate && col("n_blocked") === 0)
+        .dropDuplicates("text")
+        .select("text", "n_tokens", "quality_score")
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          cat.insert("curated_stream", batch): Unit
+        }
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    cat.scan("curated_stream").orderBy("text")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st01_stream_window" -> (st01StreamWindow _),
     "st02_stream_state"  -> (st02StreamState _),
@@ -472,7 +516,8 @@ object StreamQueries {
     "st06_stream_decontaminate" -> (st06StreamDecontaminate _),
     "st07_stream_ingest" -> (st07StreamIngest _),
     "st08_stream_topk"   -> (st08StreamTopk _),
-    "st09_stream_curate" -> (st09StreamCurate _))
+    "st09_stream_curate" -> (st09StreamCurate _),
+    "st10_stream_curate_ingest" -> (st10StreamCurateIngest _))
 
   /** Same oracle as the batch twin: tumbling 1h windows aligned to the
     * epoch are exactly date_trunc('hour'). */
@@ -539,15 +584,20 @@ object StreamQueries {
     // e01's gates over the distinct text set: the gate expressions are
     // pure functions of text, so filter-then-distinct == distinct-then-
     // filter, and any duplicate's representative row scores the same
-    "st09_stream_curate" ->
-      s"""WITH q AS (SELECT DISTINCT text FROM documents),
-         |s AS (
-         |  SELECT text,
-         |    ${graft.operators.TextAnalysis.nTokensSql} AS n_tokens,
-         |    ${graft.operators.TextAnalysis.qualityScoreSql} AS quality_score,
-         |    ${graft.operators.TextAnalysis.nBlockedSql} AS nb
-         |  FROM q)
-         |SELECT text, n_tokens, quality_score FROM s
-         |WHERE quality_score >= ${graft.operators.TextAnalysis.qualityGate} AND nb = 0
-         |ORDER BY text""".stripMargin)
+    "st09_stream_curate" -> st09OracleSql,
+    // the catalog scan after streaming ingest must equal the gated
+    // distinct set exactly — same oracle as st09
+    "st10_stream_curate_ingest" -> st09OracleSql)
+
+  private lazy val st09OracleSql: String =
+    s"""WITH q AS (SELECT DISTINCT text FROM documents),
+       |s AS (
+       |  SELECT text,
+       |    ${graft.operators.TextAnalysis.nTokensSql} AS n_tokens,
+       |    ${graft.operators.TextAnalysis.qualityScoreSql} AS quality_score,
+       |    ${graft.operators.TextAnalysis.nBlockedSql} AS nb
+       |  FROM q)
+       |SELECT text, n_tokens, quality_score FROM s
+       |WHERE quality_score >= ${graft.operators.TextAnalysis.qualityGate} AND nb = 0
+       |ORDER BY text""".stripMargin
 }
