@@ -132,6 +132,16 @@ class StreamsSpec extends AnyFunSuite {
     assert(got.map(_._1).distinct.length == got.length, "output texts unique")
   }
 
+  test("st10 DRIVER QUERY: catalog scan equals st09's curated set") {
+    val got = graft.streaming.StreamQueries.st10StreamCurateIngest(spark, TestSpark.sf)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2))).toSeq
+    val want = graft.streaming.StreamQueries.st09StreamCurate(spark, TestSpark.sf)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2))).toSeq
+    assert(got == want,
+      "the catalog table after streaming ingest must equal the curated stream")
+    assert(got.nonEmpty)
+  }
+
   test("st04 DRIVER QUERY equals the batch stream-static join; dim side broadcasts") {
     import org.apache.spark.sql.functions._
     val streamed = graft.streaming.StreamQueries.st04StreamJoin(spark, TestSpark.sf)
