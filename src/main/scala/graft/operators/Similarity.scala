@@ -336,6 +336,52 @@ object Similarity {
       .select(col("vec_id"), col("label"), round(col("raw"), 4).as("cos"))
       .orderBy(col("cos").desc, col("vec_id"))
 
+  // ---------------------------------------------------------------- s08
+  /** TWO-STAGE quantized search — the production SQ8 serving shape:
+    * a cheap COARSE pass scores every vector through its int8 codes
+    * (s05's per-vector affine, decoded on the fly against the float
+    * probe), the top `CoarseC` candidates by coarse score pay the
+    * exact float kernel, and the final top-k comes from the rerank.
+    * At 100 TB the coarse scan reads the STORED code column —
+    * dim bytes/vector instead of 4·dim — and the exact kernel runs on
+    * a fixed candidate budget, corpus-size-independent. The coarse
+    * score is ranking-only (never emitted): candidate selection is
+    * robust to last-ulp float differences because the boundary gap is
+    * orders of magnitude wider (spec-asserted), and the emitted
+    * numbers carry s01's exact-kernel 4-decimal contract. */
+  private val CoarseC = 50
+
+  def s08AnnRerank(s: SparkSession, d: String): DataFrame = {
+    val q = Tables.embeddings(s, d).filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0)
+    val qLit = typedLit(q)
+    val coarse = Tables.embeddings(s, d)
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("embedding"),
+        array_min(col("embedding")).cast("double").as("mn"),
+        array_max(col("embedding")).cast("double").as("mx"))
+      .withColumn("span", greatest(col("mx") - col("mn"), lit(1e-12)))
+      // s05's exact quantization, then decode·probe accumulated in
+      // index order (both engines fold left-to-right)
+      .withColumn("qcode", transform(col("embedding"), x =>
+        (round((x.cast("double") - col("mn")) * 254.0 / col("span")) - lit(127))
+          .cast("int")))
+      .withColumn("coarse",
+        aggregate(
+          zip_with(col("qcode"), qLit, (c, p) =>
+            (col("mn") + (c + lit(127)).cast("double") * col("span") / 254.0)
+              * p.cast("double")),
+          lit(0.0), (acc, x) => acc + x))
+    coarse
+      .orderBy(col("coarse").desc, col("vec_id"))
+      .limit(CoarseC)
+      .select(col("vec_id"), cosine_sim(col("embedding"), qLit).as("raw"))
+      .orderBy(col("raw").desc, col("vec_id"))
+      .limit(K)
+      .select(col("vec_id"), round(col("raw"), 4).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_ann_brute" -> (s01BruteForce _),
     "s02_ann_lsh"   -> (s02LshAnn _),
@@ -343,7 +389,8 @@ object Similarity {
     "s04_ann_ivf"   -> (s04IvfAnn _),
     "s05_quantize"  -> (s05Quantize _),
     "s06_ann_batch" -> (s06AnnBatch _),
-    "s07_ann_filtered" -> (s07FilteredAnn _))
+    "s07_ann_filtered" -> (s07FilteredAnn _),
+    "s08_ann_rerank" -> (s08AnnRerank _))
 
   val oracleSql: Map[String, String] = Map(
     "s01_ann_brute" ->
@@ -362,6 +409,35 @@ object Similarity {
         |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
     "s05_quantize" -> s05OracleSql,
     "s06_ann_batch" -> s06OracleSql,
+    // same quantize→decode→rank→exact-rerank pipeline; the coarse
+    // score orders candidates only, the emitted cosine carries s01's
+    // 4-decimal contract
+    "s08_ann_rerank" ->
+      """WITH p AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+        |b AS (
+        |  SELECT e.vec_id, e.embedding, p.q,
+        |         CAST(list_min(e.embedding) AS DOUBLE) AS mn,
+        |         GREATEST(CAST(list_max(e.embedding) AS DOUBLE)
+        |                  - CAST(list_min(e.embedding) AS DOUBLE), 1e-12) AS span
+        |  FROM embeddings e, p WHERE e.vec_id != 0
+        |), qc AS (
+        |  SELECT vec_id, embedding, q, mn, span,
+        |    list_transform(embedding, x ->
+        |      CAST(ROUND((CAST(x AS DOUBLE) - mn) * 254.0 / span) AS INT) - 127) AS qcode
+        |  FROM b
+        |), co AS (
+        |  SELECT vec_id, embedding, q,
+        |    list_sum(list_transform(generate_series(1, len(qcode)), i ->
+        |      (mn + CAST(qcode[i] + 127 AS DOUBLE) * span / 254.0)
+        |        * CAST(q[i] AS DOUBLE))) AS coarse
+        |  FROM qc
+        |  ORDER BY coarse DESC, vec_id LIMIT 50
+        |), rr AS (
+        |  SELECT vec_id,
+        |         CAST(list_cosine_similarity(embedding, q) AS DOUBLE) AS c
+        |  FROM co ORDER BY c DESC, vec_id LIMIT 10
+        |)
+        |SELECT vec_id, ROUND(c, 4) AS cos FROM rr ORDER BY cos DESC, vec_id""".stripMargin,
     "s07_ann_filtered" ->
       """WITH p AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
         |r AS (

@@ -773,6 +773,37 @@ class OperatorsSpec extends AnyFunSuite {
       "label predicate must reach the parquet scan")
   }
 
+  test("s08 two-stage rerank: high recall vs exact top-k, wide coarse boundary") {
+    val got = Similarity.queries("s08_ann_rerank")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.length == 10)
+    val exact = Similarity.queries("s01_ann_brute")(spark, sf).collect()
+      .map(r => r.getLong(0)).toSet
+    val recall = got.map(_._1).count(exact) / 10.0
+    assert(recall >= 0.9, s"SQ8 coarse pass must retain the exact top-k (recall=$recall)")
+    // the candidate-cut robustness claim: the gap between the 50th and
+    // 51st coarse scores must dwarf any engine float-fold delta
+    val coarse = {
+      import org.apache.spark.sql.functions._
+      val q = sources.Tables.embeddings(spark, sf).filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0)
+      sources.Tables.embeddings(spark, sf).filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), col("embedding"),
+          array_min(col("embedding")).cast("double").as("mn"),
+          array_max(col("embedding")).cast("double").as("mx"))
+        .withColumn("span", greatest(col("mx") - col("mn"), lit(1e-12)))
+        .withColumn("qcode", transform(col("embedding"), x =>
+          (round((x.cast("double") - col("mn")) * 254.0 / col("span")) - lit(127)).cast("int")))
+        .withColumn("coarse", aggregate(
+          zip_with(col("qcode"), typedLit(q), (c, p) =>
+            (col("mn") + (c + lit(127)).cast("double") * col("span") / 254.0) * p.cast("double")),
+          lit(0.0), (acc, x) => acc + x))
+        .select("coarse").collect().map(_.getDouble(0)).sortBy(-_)
+    }
+    assert(coarse(49) - coarse(50) > 1e-9,
+      s"coarse cut boundary too tight: ${coarse(49) - coarse(50)}")
+  }
+
   test("e01 curate equals the composition of t02 + t12 + exact dedup") {
     val out = operators.Pipeline.e01Curate(spark, sf).collect()
       .map(r => (r.getLong(0), r.getDouble(4)))
