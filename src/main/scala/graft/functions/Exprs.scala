@@ -170,6 +170,20 @@ case class Fingerprint64(child: Expression, n: Int, w: Int) extends UnaryExpress
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Per-document codepoint Shannon entropy in nats (see
+  * Kernels.charEntropy) — single-scan codegen quality signal. */
+case class CharEntropy(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.GraftTypes.AbstractType] = Seq(StringType)
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "char_entropy"
+  override protected def nullSafeEval(a: Any): Any =
+    Kernels.charEntropy(a.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.Kernels.charEntropy($a)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 case class Jaccard64(left: Expression, right: Expression) extends BinaryExpression with ImplicitCastInputTypes {
   override def inputTypes: Seq[org.apache.spark.sql.GraftTypes.AbstractType] = Seq(ArrayType(LongType), ArrayType(LongType))
   override def dataType: DataType = DoubleType

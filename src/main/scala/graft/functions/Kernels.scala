@@ -345,4 +345,49 @@ object Kernels {
     }
     java.util.Arrays.copyOf(xs, np)
   }
+
+  /** Per-document Shannon entropy over Unicode CODE POINTS, in nats:
+    * H = ln(n) − (Σ c·ln c)/n over per-codepoint counts c — the
+    * CCNet-style quality signal (near 0 = one repeated character;
+    * unusually high = random bytes). Empty text → 0.0. The ASCII fast
+    * path counts into a flat array; the general path decodes code
+    * points (a surrogate pair is ONE symbol). The float fold is
+    * engine-comparable after upstream rounding: ln agrees across
+    * libms to ~1 ulp and the term count is small. */
+  def charEntropy(text: UTF8String): Double = {
+    val nb = text.numBytes
+    var ascii = true
+    var i = 0
+    while (ascii && i < nb) { if ((text.getByte(i) & 0x80) != 0) ascii = false; i += 1 }
+    var n = 0L
+    var acc = 0.0
+    if (ascii) {
+      val counts = new Array[Long](128)
+      i = 0
+      while (i < nb) { counts(text.getByte(i) & 0x7f) += 1; i += 1 }
+      n = nb.toLong
+      var c = 0
+      while (c < 128) {
+        if (counts(c) > 1) acc += counts(c) * Math.log(counts(c).toDouble)
+        c += 1
+      }
+    } else {
+      val s = text.toString
+      val counts = new java.util.HashMap[Integer, java.lang.Long]()
+      i = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        val prev = counts.get(cp)
+        counts.put(cp, if (prev == null) 1L else prev + 1L)
+        n += 1
+        i += Character.charCount(cp)
+      }
+      val it = counts.values().iterator()
+      while (it.hasNext) {
+        val c = it.next().longValue
+        if (c > 1) acc += c * Math.log(c.toDouble)
+      }
+    }
+    if (n == 0L) 0.0 else Math.log(n.toDouble) - acc / n
+  }
 }

@@ -42,6 +42,9 @@ package object functions {
 
   def jaccard64(a: Column, b: Column): Column =
     column(Jaccard64(expression(a), expression(b)))
+
+  def char_entropy(text: Column): Column =
+    column(CharEntropy(expression(text)))
 }
 
 package functions {
@@ -86,6 +89,7 @@ package functions {
       reg.createOrReplaceTempFunction("word_gram_stats",
         es => WordGramStats(es(0), intArg(es(1))), "scala_udf")
       reg.createOrReplaceTempFunction("jaccard64", es => Jaccard64(es(0), es(1)), "scala_udf")
+      reg.createOrReplaceTempFunction("char_entropy", es => CharEntropy(es(0)), "scala_udf")
     }
   }
 }

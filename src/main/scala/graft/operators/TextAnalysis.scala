@@ -496,6 +496,40 @@ object TextAnalysis {
        |FROM h ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- t13
+  /** t13: per-document codepoint ENTROPY gate — the CCNet-style
+    * gibberish filter: near-zero entropy is one repeated character,
+    * unusually high is random bytes; natural prose sits in a band.
+    * The entropy is a single-scan codegen kernel
+    * ([[graft.functions.CharEntropy]] — per-doc counts in a flat
+    * array, no explode, NO shuffle; the naive form shuffles every
+    * character of the corpus). Emitted rounded to 4 decimals, where
+    * the engines' ln/fold differences (~1e-13 relative) are orders of
+    * magnitude below the boundary. */
+  def t13Entropy(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(col("text").isNotNull && length(col("text")) > 0)
+      .select(col("doc_id"),
+        length(col("text")).as("n_chars"),
+        round(graft.functions.char_entropy(col("text")), 4).as("char_entropy"))
+      .withColumn("keep", col("char_entropy") >= 2.0 && col("char_entropy") <= 6.0)
+      .orderBy("doc_id")
+
+  val t13OracleSql: String =
+    """WITH chars AS (
+      |  SELECT doc_id, unnest(string_split(text, '')) AS ch
+      |  FROM documents WHERE text IS NOT NULL AND length(text) > 0
+      |), counts AS (
+      |  SELECT doc_id, ch, COUNT(*)::BIGINT AS c FROM chars GROUP BY doc_id, ch
+      |), agg AS (
+      |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+      |         ROUND(ln(SUM(c)) - SUM(c * ln(c)) / SUM(c), 4) AS char_entropy
+      |  FROM counts GROUP BY doc_id
+      |)
+      |SELECT doc_id, CAST(n AS INT) AS n_chars, char_entropy,
+      |       char_entropy >= 2.0 AND char_entropy <= 6.0 AS keep
+      |FROM agg ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_langid"      -> (t01LangId _),
     "t02_quality"     -> (t02Quality _),
@@ -508,7 +542,8 @@ object TextAnalysis {
     "t09_corpus_stats" -> (t09CorpusStats _),
     "t10_repetition"  -> (t10Repetition _),
     "t11_chunk"       -> (t11Chunk _),
-    "t12_blocklist"   -> (t12Blocklist _))
+    "t12_blocklist"   -> (t12Blocklist _),
+    "t13_entropy"     -> (t13Entropy _))
 
   /** t01's stopword-count heuristic is integer arithmetic over token
     * lists — DuckDB reproduces it exactly (list lambdas + the same
@@ -551,5 +586,6 @@ object TextAnalysis {
     "t09_corpus_stats" -> t09OracleSql,
     "t10_repetition" -> t10OracleSql,
     "t11_chunk"      -> t11OracleSql,
-    "t12_blocklist"  -> t12OracleSql)
+    "t12_blocklist"  -> t12OracleSql,
+    "t13_entropy"    -> t13OracleSql)
 }

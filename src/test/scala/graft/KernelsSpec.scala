@@ -133,4 +133,23 @@ class KernelsSpec extends AnyFunSuite {
       assert(got.toSeq == Seq(tot, dis, top), s"'$t' n=$n")
     }
   }
+
+  test("charEntropy: planted extremes and a brute per-codepoint recount") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def h(s: String) = Kernels.charEntropy(UTF8String.fromString(s))
+    assert(h("") == 0.0)
+    assert(h("aaaaaaa") == 0.0) // one symbol: zero entropy
+    // n distinct symbols: exactly ln n
+    assert(math.abs(h("abcdefgh") - math.log(8.0)) < 1e-12)
+    def brute(s: String): Double = {
+      val counts = s.codePoints().toArray.groupBy(identity).values.map(_.length.toLong)
+      val n = s.codePoints().count()
+      if (n == 0) 0.0
+      else math.log(n.toDouble) - counts.map(c => c * math.log(c.toDouble)).sum / n
+    }
+    for (t <- Seq("hello world", "the quick brown fox", "aabbccdd!!??11  ",
+        "ü über straße", "日本語テキスト", "mixed ascii と 日本語",
+        "😀😀 surrogate pairs 😁")) // pair = ONE symbol
+      assert(math.abs(h(t) - brute(t)) < 1e-12, s"'$t': ${h(t)} vs ${brute(t)}")
+  }
 }
