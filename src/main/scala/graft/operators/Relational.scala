@@ -790,6 +790,37 @@ object Relational {
       |       quantile_cont(l_quantity, 0.90) AS p90
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // ---------------------------------------------------------------- q48
+  /** Time-RANGE window frames — the interval-based moving aggregate
+    * (each event sees the same user's preceding hour): a RANGE frame
+    * over a numeric event-time key, where q34's frame is ROWS-based.
+    * Frame peers are defined by VALUE distance, so ties in ts are
+    * whole-peer-group inclusive on both engines (well-defined, unlike
+    * a ROWS frame under ties). One shuffle on the partition key; the
+    * running decimal sum is order-independent-exact. */
+  def q48RangeWindow(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+      .rangeBetween(-3600000000L, 0L) // one hour of µs, inclusive
+    Tables.events(s, d)
+      .withColumn("us", unix_micros(col("ts")))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        count(lit(1)).over(w).cast("int").as("n_prev_hour"),
+        round(sum(col("value").cast("decimal(28,10)")).over(w).cast("double"), 2)
+          .as("sum_prev_hour"))
+      .orderBy("event_id")
+  }
+
+  val q48OracleSql: String =
+    """SELECT event_id, user_id, ts,
+      |       CAST(COUNT(*) OVER w AS INT) AS n_prev_hour,
+      |       ROUND(CAST(SUM(CAST(value AS DECIMAL(28,10))) OVER w AS DOUBLE), 2)
+      |         AS sum_prev_hour
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -839,7 +870,8 @@ object Relational {
     "q44_setops_all"        -> (q44SetOpsAll _),
     "q45_window_distribution" -> (q45WindowDistribution _),
     "q46_histogram"         -> (q46Histogram _),
-    "q47_percentiles"       -> (q47Percentiles _))
+    "q47_percentiles"       -> (q47Percentiles _),
+    "q48_range_window"      -> (q48RangeWindow _))
 
   val oracleSql: Map[String, String] = Map(
     "q01_scan_project" ->
@@ -1128,5 +1160,6 @@ object Relational {
     "q44_setops_all" -> q44Sql,
     "q45_window_distribution" -> q45OracleSql,
     "q46_histogram"   -> q46OracleSql,
-    "q47_percentiles" -> q47OracleSql)
+    "q47_percentiles" -> q47OracleSql,
+    "q48_range_window" -> q48OracleSql)
 }
