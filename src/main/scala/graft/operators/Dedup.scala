@@ -522,6 +522,61 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  // ---------------------------------------------------------------- d11
+  /** Canonical selection: one KEEPER per near-dup cluster — the
+    * highest-quality member (t02's shared score; ties to the smallest
+    * doc_id), with singletons kept as their own cluster. This is the
+    * step that turns d06's cluster map into the deduplicated corpus a
+    * training pipeline actually emits: "drop near-dups, but keep the
+    * BEST copy, not an arbitrary one". Cluster map from d06's
+    * min-label propagation; docs without near-dup edges never enter
+    * that join — a broadcast of the (tiny) cluster map against the
+    * full scan assigns reps, then ONE hash exchange on cluster_rep
+    * ranks members. At 100 TB the cluster map stays small relative to
+    * the corpus (it has a row only per clustered doc), so the
+    * assignment stays a broadcast and the only shuffle is the
+    * rank's. */
+  def d11KeepBest(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val clusters = d06Clusters(s, d) // (doc_id, cluster_rep)
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), TextAnalysis.qualityScoreCol.as("quality_score"))
+    val withRep = docs
+      .join(broadcast(clusters), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_rep"), col("doc_id")).as("cluster_rep"),
+        col("quality_score"))
+    val w = Window.partitionBy("cluster_rep")
+      .orderBy(col("quality_score").desc, col("doc_id"))
+    withRep
+      .select(col("cluster_rep"), col("doc_id"), col("quality_score"),
+        row_number().over(w).as("rn"),
+        count(lit(1)).over(Window.partitionBy("cluster_rep")).cast("int")
+          .as("n_members"))
+      .filter(col("rn") === 1)
+      .select(col("cluster_rep"), col("doc_id").as("keep_id"),
+        col("quality_score"), col("n_members"))
+      .orderBy("cluster_rep")
+  }
+
+  val d11OracleSql: String =
+    s"""WITH RECURSIVE $clusterCtesSql,
+       |scored_docs AS (
+       |  SELECT d.doc_id,
+       |         COALESCE(c.cluster_rep, d.doc_id) AS cluster_rep,
+       |         ${graft.operators.TextAnalysis.qualityScoreSql} AS quality_score
+       |  FROM documents d LEFT JOIN clus c ON d.doc_id = c.doc_id
+       |),
+       |ranked AS (
+       |  SELECT cluster_rep, doc_id, quality_score,
+       |         ROW_NUMBER() OVER (PARTITION BY cluster_rep
+       |                            ORDER BY quality_score DESC, doc_id) AS rn,
+       |         CAST(COUNT(*) OVER (PARTITION BY cluster_rep) AS INT) AS n_members
+       |  FROM scored_docs
+       |)
+       |SELECT cluster_rep, doc_id AS keep_id, quality_score, n_members
+       |FROM ranked WHERE rn = 1 ORDER BY cluster_rep""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_dedup_exact"     -> (d01Exact _),
     "d02_dedup_minhash"   -> (d02Minhash _),
@@ -532,7 +587,8 @@ object Dedup {
     "d07_dedup_incremental" -> (d07Incremental _),
     "d08_decontaminate"   -> (d08Decontaminate _),
     "d09_containment"     -> (d09Containment _),
-    "d10_editdist"        -> (d10EditDistance _))
+    "d10_editdist"        -> (d10EditDistance _),
+    "d11_keep_best"       -> (d11KeepBest _))
 
   /** d04/d06 ARE oracle-checkable, via brute force: DuckDB computes
     * all-pairs 5-gram Jaccard (char n-grams == byte n-grams on this
@@ -584,8 +640,13 @@ object Dedup {
   /** Connected components of the brute-force pair graph by transitive
     * closure (recursive CTE) — clusters are small cliques, so the
     * closure stays tiny. Matches d06's min-label propagation. */
-  val d06OracleSql: String =
-    s"""WITH RECURSIVE ${bruteCtes("")},
+  /** Shared `WITH RECURSIVE` body ending in `clus(doc_id,
+    * cluster_rep)` — consumed by the d06 oracle and by the
+    * cluster-composing oracles (d11 canonical selection, p11
+    * leakage-safe split), so the closure definition cannot drift
+    * between them. */
+  private[operators] lazy val clusterCtesSql: String =
+    s"""${bruteCtes("")},
        |pairs AS (
        |  SELECT doc_a, doc_b FROM scored WHERE jaccard >= 0.8
        |),
@@ -598,9 +659,15 @@ object Dedup {
        |  SELECT s AS doc_id, t AS peer FROM edges
        |  UNION
        |  SELECT r.doc_id, e.t FROM reach r JOIN edges e ON r.peer = e.s
-       |)
-       |SELECT doc_id, LEAST(doc_id, MIN(peer)) AS cluster_rep
-       |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin
+       |),
+       |clus AS (
+       |  SELECT doc_id, LEAST(doc_id, MIN(peer)) AS cluster_rep
+       |  FROM reach GROUP BY doc_id
+       |)""".stripMargin
+
+  val d06OracleSql: String =
+    s"""WITH RECURSIVE $clusterCtesSql
+       |SELECT doc_id, cluster_rep FROM clus ORDER BY doc_id""".stripMargin
 
   /** d10 oracle: d04's brute-force pair set + DuckDB's own
     * levenshtein over the same 120-char heads (ASCII corpus: char
@@ -624,5 +691,6 @@ object Dedup {
     "d07_dedup_incremental" -> d07OracleSql,
     "d08_decontaminate"     -> d08OracleSql,
     "d09_containment"       -> d09OracleSql,
-    "d10_editdist"          -> d10OracleSql)
+    "d10_editdist"          -> d10OracleSql,
+    "d11_keep_best"         -> d11OracleSql)
 }

@@ -821,6 +821,108 @@ object Relational {
       |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
       |ORDER BY event_id""".stripMargin
 
+  // ---------------------------------------------------------------- q49
+  /** UNPIVOT (wide → long melt): per-returnflag aggregate unpivoted so
+    * each metric becomes a (metric, value) row — the reshape feeding
+    * metric stores and plotting layers. Spark's native `unpivot`
+    * expands in the PROJECT stage (an Expand node: no join, no
+    * shuffle beyond the upstream agg), exactly how the relational
+    * UNPIVOT should execute at scale — output rows = input rows ×
+    * n_metrics with zero exchanges added. */
+  def q49Unpivot(s: SparkSession, d: String): DataFrame = {
+    val agg = Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_price"),
+        // exact DECIMAL product per row (no double rounding), then sum
+        sum(dec(col("l_extendedprice")) * dec(col("l_discount")))
+          .cast("double").as("sum_disc"))
+    agg.unpivot(
+        Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_price"), col("sum_disc")),
+        "metric", "value")
+      .orderBy("l_returnflag", "metric")
+  }
+
+  val q49OracleSql: String =
+    """WITH a AS (
+      |  SELECT l_returnflag,
+      |         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |                  * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+      |           AS sum_disc
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, metric, value FROM (
+      |  SELECT l_returnflag, 'sum_qty'   AS metric, sum_qty   AS value FROM a
+      |  UNION ALL
+      |  SELECT l_returnflag, 'sum_price' AS metric, sum_price AS value FROM a
+      |  UNION ALL
+      |  SELECT l_returnflag, 'sum_disc'  AS metric, sum_disc  AS value FROM a)
+      |ORDER BY l_returnflag, metric""".stripMargin
+
+  // ---------------------------------------------------------------- q50
+  /** JSON field extraction over the events `props` column
+    * (semi-structured payloads are the norm for event streams):
+    * `get_json_object` runs per-row inside the scan stage — codegen,
+    * no shuffle — then one aggregation by event_type. At 100 TB the
+    * JSON parse cost is the scan's CPU bound; extracting the one
+    * needed path (instead of `from_json` with a full schema)
+    * materializes only the projected field. */
+  def q50JsonExtract(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .groupBy("event_type")
+      .agg(count(col("k")).as("n"),
+        min("k").as("min_k"),
+        max("k").as("max_k"),
+        sum("k").as("sum_k"),
+        count_distinct(pmod(col("k"), lit(10))).as("n_k_mod10"))
+      .orderBy("event_type")
+
+  val q50OracleSql: String =
+    """SELECT event_type,
+      |       COUNT(CAST(json_extract(props, '$.k') AS INT)) AS n,
+      |       MIN(CAST(json_extract(props, '$.k') AS INT)) AS min_k,
+      |       MAX(CAST(json_extract(props, '$.k') AS INT)) AS max_k,
+      |       CAST(SUM(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+      |       COUNT(DISTINCT CAST(json_extract(props, '$.k') AS INT) % 10) AS n_k_mod10
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q51
+  /** Conditional (FILTER-clause) aggregation: several differently-
+    * filtered aggregates of the SAME scan in ONE pass — the
+    * cohort-metrics shape that would otherwise be N self-joins. Each
+    * conditional aggregate is a when()-guarded partial, so the whole
+    * query is a single scan + single agg exchange; the SQL FILTER
+    * clause compiles to exactly this. */
+  def q51FilteredAgg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n_all"),
+        count(when(col("l_discount") > 0.05, 1)).as("n_highdisc"),
+        count(when(col("l_quantity") >= 25, 1)).as("n_bulk"),
+        dsum(when(col("l_discount") > 0.05, col("l_extendedprice")))
+          .as("rev_highdisc"),
+        dsum(when(col("l_quantity") >= 25, col("l_extendedprice")))
+          .as("rev_bulk"),
+        avg(when(col("l_tax").isNotNull, col("l_quantity"))).as("avg_qty_taxed"))
+      .orderBy("l_returnflag")
+
+  val q51OracleSql: String =
+    """SELECT l_returnflag,
+      |       COUNT(*) AS n_all,
+      |       COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_highdisc,
+      |       COUNT(*) FILTER (WHERE l_quantity >= 25) AS n_bulk,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+      |              FILTER (WHERE l_discount > 0.05) AS DOUBLE) AS rev_highdisc,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+      |              FILTER (WHERE l_quantity >= 25) AS DOUBLE) AS rev_bulk,
+      |       AVG(l_quantity) FILTER (WHERE l_tax IS NOT NULL) AS avg_qty_taxed
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -871,7 +973,10 @@ object Relational {
     "q45_window_distribution" -> (q45WindowDistribution _),
     "q46_histogram"         -> (q46Histogram _),
     "q47_percentiles"       -> (q47Percentiles _),
-    "q48_range_window"      -> (q48RangeWindow _))
+    "q48_range_window"      -> (q48RangeWindow _),
+    "q49_unpivot"           -> (q49Unpivot _),
+    "q50_json_extract"      -> (q50JsonExtract _),
+    "q51_filtered_agg"      -> (q51FilteredAgg _))
 
   val oracleSql: Map[String, String] = Map(
     "q01_scan_project" ->
@@ -1161,5 +1266,8 @@ object Relational {
     "q45_window_distribution" -> q45OracleSql,
     "q46_histogram"   -> q46OracleSql,
     "q47_percentiles" -> q47OracleSql,
-    "q48_range_window" -> q48OracleSql)
+    "q48_range_window" -> q48OracleSql,
+    "q49_unpivot"      -> q49OracleSql,
+    "q50_json_extract" -> q50OracleSql,
+    "q51_filtered_agg" -> q51OracleSql)
 }

@@ -398,6 +398,48 @@ object Sampling {
       |FROM ranked rk JOIN quota q ON rk.lang = q.lang
       |WHERE rk.rn <= q.qt ORDER BY rk.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- p11
+  /** Leakage-safe train/val/test split: near-dup CLUSTERS co-travel —
+    * every member of a d06 cluster gets the split of its cluster
+    * representative, so a near-duplicate of a training document can
+    * never land in the test set (the contamination p01's independent
+    * per-doc hash cannot rule out). Assignment is a pure function of
+    * cluster_rep (Knuth multiplicative hash mod 100 — SQL-expressible,
+    * so the oracle checks it end-to-end), hence stable under corpus
+    * growth for existing clusters. Plan shape: the cluster map is tiny
+    * relative to the corpus (one row per clustered doc), broadcast
+    * against the scan — no shuffle at all on the corpus side. */
+  def p11LeakSafeSplit(s: SparkSession, d: String): DataFrame = {
+    val clusters = Dedup.d06Clusters(s, d) // (doc_id, cluster_rep)
+    val bucket = pmod(
+      pmod(col("cluster_rep") * lit(2654435761L), lit(4294967296L)),
+      lit(100L))
+    Tables.documents(s, d)
+      .select("doc_id")
+      .join(broadcast(clusters), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_rep"), col("doc_id")).as("cluster_rep"))
+      .select(col("doc_id"), col("cluster_rep"),
+        when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+          .as("split"))
+      .orderBy("doc_id")
+  }
+
+  val p11OracleSql: String =
+    s"""WITH RECURSIVE ${Dedup.clusterCtesSql},
+       |rep AS (
+       |  SELECT d.doc_id, COALESCE(c.cluster_rep, d.doc_id) AS cluster_rep
+       |  FROM documents d LEFT JOIN clus c ON d.doc_id = c.doc_id
+       |)
+       |SELECT doc_id, cluster_rep,
+       |       CASE WHEN b < 90 THEN 'train'
+       |            WHEN b < 95 THEN 'val'
+       |            ELSE 'test' END AS split
+       |FROM (SELECT doc_id, cluster_rep,
+       |             cluster_rep * 2654435761 % 4294967296 % 100 AS b
+       |      FROM rep)
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_hash_split"        -> (p01HashSplit _),
     "p02_stratified_sample" -> (p02StratifiedSample _),
@@ -408,7 +450,8 @@ object Sampling {
     "p07_pack_sequences"    -> (p07PackSequences _),
     "p08_token_budget"      -> (p08TokenBudget _),
     "p09_quality_quantile"  -> (p09QualityQuantile _),
-    "p10_temperature_sample" -> (p10TemperatureSample _))
+    "p10_temperature_sample" -> (p10TemperatureSample _),
+    "p11_leak_safe_split"   -> (p11LeakSafeSplit _))
 
   // p01/p02 rows-only: engine-specific RNG/hash
   val oracleSql: Map[String, String] = Map(
@@ -419,5 +462,6 @@ object Sampling {
     "p07_pack_sequences" -> p07OracleSql,
     "p08_token_budget" -> p08OracleSql,
     "p09_quality_quantile" -> p09OracleSql,
-    "p10_temperature_sample" -> p10OracleSql)
+    "p10_temperature_sample" -> p10OracleSql,
+    "p11_leak_safe_split" -> p11OracleSql)
 }

@@ -974,4 +974,82 @@ class OperatorsSpec extends AnyFunSuite {
     }
     assert(cat.currentVersion("curated_docs") == v0 + 1)
   }
+
+  test("q49 unpivot: 3 metrics x flags, values equal the wide aggregate, Expand no join") {
+    val rows = Relational.q49Unpivot(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    val flags = rows.map(_._1).distinct
+    assert(rows.length == flags.length * 3, "long form must be flags x 3 metrics")
+    // melt must preserve values: sum_qty rows re-aggregate to the wide total
+    val wideQty = sources.Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag").sum("l_quantity").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    rows.filter(_._2 == "sum_qty").foreach { case (f, _, v) =>
+      assert(math.abs(v - wideQty(f)) < 1e-6, s"flag $f sum_qty must survive the melt")
+    }
+    // plan shape: unpivot is an Expand in the project stage — never a join
+    val plan = Relational.q49Unpivot(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), "unpivot must compile to Expand")
+    assert(!plan.contains("Join"), "unpivot must not introduce a join")
+  }
+
+  test("q50 json extract: every row parses, k bounded, one agg exchange") {
+    val rows = Relational.q50JsonExtract(spark, sf).collect()
+    val total = sources.Tables.events(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum == total,
+      "every props payload must yield a parsed k (COUNT(k) partitions the table)")
+    rows.foreach { r =>
+      assert(r.getInt(2) >= 0 && r.getInt(3) <= 99, "k is generated in [0,99]")
+    }
+  }
+
+  test("q51 filtered agg: conditional counts consistent and single-scan") {
+    val rows = Relational.q51FilteredAgg(spark, sf).collect()
+    rows.foreach { r =>
+      val (nAll, nHigh, nBulk) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nHigh <= nAll && nBulk <= nAll,
+        "filtered counts can never exceed the unfiltered count")
+    }
+    // all six aggregates come from ONE scan of lineitem — no self-join
+    val plan = Relational.q51FilteredAgg(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), "conditional aggregation must not self-join")
+    assert(plan.sliding("Scan parquet".length).count(_ == "Scan parquet") <= 1,
+      "one scan feeds every conditional aggregate")
+  }
+
+  test("d11 keep-best: one keeper per cluster, keeper maximizes quality, corpus partitioned") {
+    val kept = Dedup.d11KeepBest(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(kept.map(_._1).distinct.length == kept.length, "exactly one keeper per cluster")
+    assert(kept.map(_._4.toLong).sum == sources.Tables.documents(spark, sf).count(),
+      "cluster sizes must partition the corpus (singletons included)")
+    // keeper really is the max-quality member of its d06 cluster
+    val clusters = Dedup.d06Clusters(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val quality = TextAnalysis.t02Quality(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(7)).toMap
+    val byRep = clusters.groupBy(_._2)
+    val keptByRep = kept.map(k => k._1 -> k).toMap
+    byRep.foreach { case (rep, members) =>
+      val best = members.map(_._1).maxBy(id => (quality(id), -id))
+      val k = keptByRep(rep)
+      assert(quality(k._2) == quality(best),
+        s"cluster $rep keeper must have the max member quality")
+    }
+  }
+
+  test("p11 leak-safe split: near-dup clusters co-travel; p01 would split them") {
+    val split = Sampling.p11LeakSafeSplit(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(split.length == sources.Tables.documents(spark, sf).count().toInt)
+    // THE leak-safety property: every cluster lands in exactly one split
+    split.groupBy(_._2).foreach { case (rep, members) =>
+      assert(members.map(_._3).distinct.length == 1,
+        s"cluster $rep must not straddle train/val/test")
+    }
+    val dist = split.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(dist.keySet == Set("train", "val", "test") &&
+      dist("train") > dist("val") + dist("test"),
+      "the 90/5/5 buckets must all be populated, train dominant")
+  }
 }
