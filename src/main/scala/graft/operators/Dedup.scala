@@ -196,7 +196,20 @@ object Dedup {
     * graph diameter; near-dup graphs are unions of small cliques, so
     * it converges in 2-3 rounds. Each round is one shuffle
     * (join + groupBy min) — the large-graph-safe formulation. */
-  def d06Clusters(s: SparkSession, d: String): DataFrame = {
+  /** The converged cluster map (doc_id, cluster_rep), cached per
+    * (session, dataset): d06 presents it sorted, and the composing
+    * operators (d11 keep-best, p11 leak-safe split) broadcast it —
+    * the propagation loop runs once per session, exactly like the
+    * shared signature stage. A production pipeline materializes this
+    * map as a table right after dedup and every downstream split /
+    * selection job reads it. */
+  private[operators] def clusterMap(s: SparkSession, d: String): DataFrame =
+    FrameCache.getOrBuild(s, s"dedup/clusters|$d")(buildClusterMap(s, d))
+
+  def d06Clusters(s: SparkSession, d: String): DataFrame =
+    clusterMap(s, d).orderBy("doc_id")
+
+  private def buildClusterMap(s: SparkSession, d: String): DataFrame = {
     val pairs = verifiedPairs(s, d).select("doc_a", "doc_b")
     // symmetric edge list, materialized once: every propagation round
     // joins against it — without the checkpoint each round would
@@ -235,7 +248,6 @@ object Dedup {
     if (changed) throw new IllegalStateException(
       s"d06: min-label propagation did not converge in $rounds rounds")
     labels.select(col("doc_id"), col("label").as("cluster_rep"))
-      .orderBy("doc_id")
   }
 
   // ---------------------------------------------------------------- d07
@@ -538,7 +550,7 @@ object Dedup {
     * rank's. */
   def d11KeepBest(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val clusters = d06Clusters(s, d) // (doc_id, cluster_rep)
+    val clusters = clusterMap(s, d) // (doc_id, cluster_rep), session-cached
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), TextAnalysis.qualityScoreCol.as("quality_score"))
     val withRep = docs

@@ -923,6 +923,35 @@ object Relational {
       |       AVG(l_quantity) FILTER (WHERE l_tax IS NOT NULL) AS avg_qty_taxed
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // ---------------------------------------------------------------- q52
+  /** FULL OUTER join — the one join type the reference's AST lacks
+    * (ast.rs:69-74 stops at Right); completes the join family so a
+    * reconciliation query (rows present on either side, matched where
+    * possible) runs natively. Shuffled hash/merge join on the key;
+    * null-extended rows on both sides. Sort order pins NULLS FIRST
+    * explicitly — Spark and DuckDB default opposite null ordering. */
+  def q52JoinFull(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d)
+      .filter(col("c_acctbal") > 9000)
+      .select("c_custkey", "c_acctbal")
+    val ord = Tables.orders(s, d)
+      .filter(col("o_totalprice") > 400000)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+    cust.join(ord, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(col("c_custkey"), col("c_acctbal"),
+        col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("c_custkey").asc_nulls_first, col("o_orderkey").asc_nulls_first)
+  }
+
+  val q52OracleSql: String =
+    """SELECT c.c_custkey, c.c_acctbal, o.o_orderkey, o.o_totalprice
+      |FROM (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 9000) c
+      |FULL OUTER JOIN
+      |     (SELECT o_custkey, o_orderkey, o_totalprice FROM orders
+      |      WHERE o_totalprice > 400000) o
+      |  ON c.c_custkey = o.o_custkey
+      |ORDER BY c.c_custkey ASC NULLS FIRST, o.o_orderkey ASC NULLS FIRST""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -976,7 +1005,8 @@ object Relational {
     "q48_range_window"      -> (q48RangeWindow _),
     "q49_unpivot"           -> (q49Unpivot _),
     "q50_json_extract"      -> (q50JsonExtract _),
-    "q51_filtered_agg"      -> (q51FilteredAgg _))
+    "q51_filtered_agg"      -> (q51FilteredAgg _),
+    "q52_join_full"         -> (q52JoinFull _))
 
   val oracleSql: Map[String, String] = Map(
     "q01_scan_project" ->
@@ -1269,5 +1299,6 @@ object Relational {
     "q48_range_window" -> q48OracleSql,
     "q49_unpivot"      -> q49OracleSql,
     "q50_json_extract" -> q50OracleSql,
-    "q51_filtered_agg" -> q51OracleSql)
+    "q51_filtered_agg" -> q51OracleSql,
+    "q52_join_full"    -> q52OracleSql)
 }

@@ -1052,4 +1052,22 @@ class OperatorsSpec extends AnyFunSuite {
       dist("train") > dist("val") + dist("test"),
       "the 90/5/5 buckets must all be populated, train dominant")
   }
+
+  test("q52 full outer join: both sides fully represented, null-extended correctly") {
+    val rows = Relational.q52JoinFull(spark, sf).collect()
+    val cust = sources.Tables.customer(spark, sf)
+      .filter(col("c_acctbal") > 9000).select("c_custkey").collect()
+      .map(_.getLong(0)).toSet
+    val ords = sources.Tables.orders(spark, sf)
+      .filter(col("o_totalprice") > 400000).select("o_orderkey").collect()
+      .map(_.getLong(0)).toSet
+    val gotCust = rows.filter(!_.isNullAt(0)).map(_.getLong(0)).toSet
+    val gotOrds = rows.filter(!_.isNullAt(2)).map(_.getLong(2)).toSet
+    assert(gotCust == cust, "every filtered customer must appear (left side preserved)")
+    assert(gotOrds == ords, "every filtered order must appear (right side preserved)")
+    rows.foreach { r =>
+      assert(!(r.isNullAt(0) && r.isNullAt(2)),
+        "a row null on BOTH sides is impossible in a full outer join")
+    }
+  }
 }
