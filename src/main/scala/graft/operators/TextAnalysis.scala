@@ -530,6 +530,64 @@ object TextAnalysis {
       |       char_entropy >= 2.0 AND char_entropy <= 6.0 AS keep
       |FROM agg ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- t14
+  /** Corpus bigram language-model scoring — the CCNet/KenLM-style
+    * perplexity filter: score each document by the mean log-probability
+    * of its word bigrams under the bigram LM estimated from the corpus
+    * itself (p(w2|w1) = c(w1,w2)/c(w1)). Low scorers are boilerplate /
+    * keyword-stuffed / scrambled text that per-character heuristics
+    * (t02/t13) miss.
+    *
+    * Scale shape: bigram emission is `transform(sequence)` inside the
+    * scan stage (codegen, no shuffle); the two count tables are
+    * map-side-partial groupBys (the n_vocab / n_bigram_vocab result
+    * rows are tiny next to the corpus, and the 'the'-head skew lives
+    * in the partial agg, never a window buffer); probe joins hash on
+    * the count keys with AQE free to broadcast the vocab side. The
+    * per-doc mean rounds to 4 decimals — t13's precedent: engine
+    * ln/accumulation deltas sit ~1e9× below that boundary.
+    * A production run over 100 TB prunes the count tables (min-count
+    * threshold) exactly like KenLM pruning; the query shape is
+    * unchanged. */
+  def t14BigramLm(s: SparkSession, d: String): DataFrame = {
+    val toks = filter(split(lower(col("text")), " ", -1), t => t =!= "")
+    val pairs = Tables.documents(s, d)
+      .select(col("doc_id"), toks.as("l"))
+      .filter(size(col("l")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(l) - 1),
+           |  i -> struct(element_at(l, i) AS w1, element_at(l, i + 1) AS w2))"""
+          .stripMargin)).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c2 = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("n2"))
+    val c1 = pairs.groupBy("w1").agg(count(lit(1)).as("n1"))
+    pairs
+      .join(c2, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_bigrams"),
+        round(avg(log(col("n2").cast("double") / col("n1"))), 4).as("avg_logp"))
+      .orderBy("doc_id")
+  }
+
+  val t14OracleSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS l
+      |  FROM documents
+      |),
+      |pairs AS (
+      |  SELECT doc_id,
+      |         unnest([{'w1': l[i], 'w2': l[i+1]} for i in generate_series(1, len(l)-1)],
+      |                recursive := true)
+      |  FROM toks WHERE len(l) >= 2
+      |),
+      |c2 AS (SELECT w1, w2, COUNT(*) AS n2 FROM pairs GROUP BY 1, 2),
+      |c1 AS (SELECT w1, COUNT(*) AS n1 FROM pairs GROUP BY 1)
+      |SELECT p.doc_id, CAST(COUNT(*) AS INT) AS n_bigrams,
+      |       ROUND(AVG(LN(CAST(n2 AS DOUBLE) / n1)), 4) AS avg_logp
+      |FROM pairs p JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+      |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_langid"      -> (t01LangId _),
     "t02_quality"     -> (t02Quality _),
@@ -543,7 +601,8 @@ object TextAnalysis {
     "t10_repetition"  -> (t10Repetition _),
     "t11_chunk"       -> (t11Chunk _),
     "t12_blocklist"   -> (t12Blocklist _),
-    "t13_entropy"     -> (t13Entropy _))
+    "t13_entropy"     -> (t13Entropy _),
+    "t14_bigram_lm"   -> (t14BigramLm _))
 
   /** t01's stopword-count heuristic is integer arithmetic over token
     * lists — DuckDB reproduces it exactly (list lambdas + the same
@@ -587,5 +646,6 @@ object TextAnalysis {
     "t10_repetition" -> t10OracleSql,
     "t11_chunk"      -> t11OracleSql,
     "t12_blocklist"  -> t12OracleSql,
-    "t13_entropy"    -> t13OracleSql)
+    "t13_entropy"    -> t13OracleSql,
+    "t14_bigram_lm"  -> t14OracleSql)
 }

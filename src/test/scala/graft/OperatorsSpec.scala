@@ -1070,4 +1070,23 @@ class OperatorsSpec extends AnyFunSuite {
         "a row null on BOTH sides is impossible in a full outer join")
     }
   }
+
+  test("t14 bigram LM: logp nonpositive, bigram count = tokens-1, short docs excluded") {
+    import org.apache.spark.sql.functions.{filter => afilter, split => asplit, lower, size}
+    val rows = TextAnalysis.t14BigramLm(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getDouble(2) <= 0.0, "a bigram's corpus probability can never exceed 1")
+      assert(r.getInt(1) >= 1)
+    }
+    val toks = sources.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        size(afilter(asplit(lower(col("text")), " ", -1), t => t =!= "")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.foreach { r =>
+      assert(r.getInt(1) == toks(r.getLong(0)) - 1,
+        s"doc ${r.getLong(0)}: n_bigrams must be token count - 1")
+    }
+    assert(rows.map(_.getLong(0)).toSet == toks.filter(_._2 >= 2).keySet,
+      "exactly the docs with >= 2 tokens are scored")
+  }
 }
