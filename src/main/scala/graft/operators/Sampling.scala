@@ -440,6 +440,41 @@ object Sampling {
        |      FROM rep)
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- p12
+  /** Deterministic source INTERLEAVE — the training-order pass that
+    * feeds a balanced stream: position p of the epoch cycles the
+    * sources round-robin (pos = rank_within_source · n_sources +
+    * source_idx), so a consumer reading in pos order never sees a long
+    * run of one source, and the order is a pure function of the data
+    * (reprocessing-stable, unlike any RNG shuffle). Complements p06:
+    * p06 randomizes order, p12 balances it. One rank exchange per
+    * source partition; at 100 TB a handful of giant source partitions
+    * rank via [[Scale.saltedCapPerGroup]]'s two-phase pattern (or
+    * p07's bucketed prefix sum), query shape unchanged. The n_sources
+    * normalizer is a 1-row aggregate broadcast back (p09's pattern —
+    * never a window over the corpus). */
+  def p12Interleave(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+    val sidx = substring(col("source"), 4, 8).cast("int")
+    val ranked = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), sidx.as("sidx"),
+        (row_number().over(w) - 1).as("rk"))
+    val ns = ranked.agg((max(col("sidx")) + 1).as("ns"))
+    ranked.join(broadcast(ns))
+      .select((col("rk").cast("long") * col("ns") + col("sidx")).as("pos"),
+        col("doc_id"), col("source"))
+      .orderBy("pos")
+  }
+
+  val p12OracleSql: String =
+    """WITH n AS (SELECT MAX(CAST(SUBSTR(source, 4) AS INT)) + 1 AS ns FROM documents),
+      |r AS (SELECT doc_id, source, CAST(SUBSTR(source, 4) AS INT) AS sidx,
+      |        ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS rk
+      |      FROM documents)
+      |SELECT CAST(rk * n.ns + r.sidx AS BIGINT) AS pos, doc_id, source
+      |FROM r CROSS JOIN n ORDER BY pos""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_hash_split"        -> (p01HashSplit _),
     "p02_stratified_sample" -> (p02StratifiedSample _),
@@ -451,7 +486,8 @@ object Sampling {
     "p08_token_budget"      -> (p08TokenBudget _),
     "p09_quality_quantile"  -> (p09QualityQuantile _),
     "p10_temperature_sample" -> (p10TemperatureSample _),
-    "p11_leak_safe_split"   -> (p11LeakSafeSplit _))
+    "p11_leak_safe_split"   -> (p11LeakSafeSplit _),
+    "p12_interleave"        -> (p12Interleave _))
 
   // p01/p02 rows-only: engine-specific RNG/hash
   val oracleSql: Map[String, String] = Map(
@@ -463,5 +499,6 @@ object Sampling {
     "p08_token_budget" -> p08OracleSql,
     "p09_quality_quantile" -> p09OracleSql,
     "p10_temperature_sample" -> p10OracleSql,
-    "p11_leak_safe_split" -> p11OracleSql)
+    "p11_leak_safe_split" -> p11OracleSql,
+    "p12_interleave" -> p12OracleSql)
 }

@@ -1089,4 +1089,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(0)).toSet == toks.filter(_._2 >= 2).keySet,
       "exactly the docs with >= 2 tokens are scored")
   }
+
+  test("p12 interleave: positions unique, round-robin balanced while sources last") {
+    val rows = Sampling.p12Interleave(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(rows.map(_._1).distinct.length == rows.length, "positions must be unique")
+    assert(rows.map(_._1).sorted.sameElements(rows.map(_._1)), "emitted in pos order")
+    // while every source still has rows, each cycle of n_sources
+    // positions contains each source at most once
+    val nSrc = rows.map(_._3).distinct.length
+    val perSrc = rows.groupBy(_._3).view.mapValues(_.length).toMap
+    val fullCycles = perSrc.values.min
+    rows.filter(_._1 < fullCycles.toLong * nSrc)
+      .grouped(nSrc).foreach { cycle =>
+        assert(cycle.map(_._3).distinct.length == cycle.length,
+          "a cycle must never repeat a source while all sources have rows")
+      }
+  }
 }
