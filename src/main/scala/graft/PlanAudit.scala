@@ -32,7 +32,8 @@ object PlanAudit {
             && !name.contains("brute") && !name.contains("lsh")
             && !name.contains("batch") // s06: intended broadcast×corpus
             && !name.contains("filtered") // s07: intended one-row probe broadcast
-            && !name.contains("containment")) "⚠BNLJ" else "") // d09 short-doc probe
+            && !name.contains("containment") // d09 short-doc probe
+            && !name.contains("interleave")) "⚠BNLJ" else "") // p12: 1-row normalizer broadcast
           .filter(_.nonEmpty)
         println(f"$name%-24s ${ops.mkString(" ")} ${flags.mkString(" ")}")
       } catch {

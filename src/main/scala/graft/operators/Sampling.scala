@@ -460,8 +460,12 @@ object Sampling {
     val ranked = Tables.documents(s, d)
       .select(col("doc_id"), col("source"), sidx.as("sidx"),
         (row_number().over(w) - 1).as("rk"))
+    // the normalizer is ONE row — broadcast it to every task (the
+    // plan's BroadcastNestedLoopJoin over a 1-row build side is the
+    // intended scalar-broadcast shape, q28/s06's precedent, and is
+    // allowlisted in PlanAudit)
     val ns = ranked.agg((max(col("sidx")) + 1).as("ns"))
-    ranked.join(broadcast(ns))
+    ranked.crossJoin(broadcast(ns))
       .select((col("rk").cast("long") * col("ns") + col("sidx")).as("pos"),
         col("doc_id"), col("source"))
       .orderBy("pos")
