@@ -952,6 +952,49 @@ object Relational {
       |  ON c.c_custkey = o.o_custkey
       |ORDER BY c.c_custkey ASC NULLS FIRST, o.o_orderkey ASC NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- q53
+  /** RANGE (interval) JOIN — match each event to the time interval
+    * containing it, with NO shared equi-key between the sides (here:
+    * nightly maintenance windows 22:00–02:00 spanning midnight,
+    * derived per distinct event day). The naive formulation is a pure
+    * theta join — a nested-loop/cartesian that dies at scale. This is
+    * the BUCKETED interval join instead: each interval is exploded
+    * over every day-bucket it overlaps (`sequence(day, day+1)` — a
+    * window crossing midnight appears under both days), events carry
+    * their own day bucket, and the join becomes an EQUI join on the
+    * bucket with the range predicate as a residual filter. Each event
+    * has one bucket, so no post-join dedup is needed. At 100 TB the
+    * bucket key shuffles both sides hash-partitioned and candidate
+    * volume is |events| × (windows per bucket) — linear, never the
+    * |events|×|windows| product; bucket width tunes the residual
+    * selectivity exactly like any interval-tree granularity. */
+  def q53RangeJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        to_date(col("ts")).as("bucket"))
+    val win = Tables.events(s, d)
+      .select(to_date(col("ts")).as("day")).distinct()
+      .select(col("day"),
+        (col("day").cast("timestamp") + expr("INTERVAL 22 HOURS")).as("w_start"),
+        (col("day").cast("timestamp") + expr("INTERVAL 26 HOURS")).as("w_end"))
+      .select(explode(sequence(col("day"), date_add(col("day"), 1))).as("bucket"),
+        col("w_start"), col("w_end"))
+    ev.join(win, "bucket")
+      .filter(col("ts") >= col("w_start") && col("ts") < col("w_end"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("w_start"))
+      .orderBy("event_id")
+  }
+
+  val q53OracleSql: String =
+    """WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+      |win AS (SELECT day,
+      |               CAST(day AS TIMESTAMP) + INTERVAL 22 HOUR AS w_start,
+      |               CAST(day AS TIMESTAMP) + INTERVAL 26 HOUR AS w_end
+      |        FROM days)
+      |SELECT e.event_id, e.user_id, e.ts, w.w_start
+      |FROM events e JOIN win w ON e.ts >= w.w_start AND e.ts < w.w_end
+      |ORDER BY e.event_id""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1006,7 +1049,8 @@ object Relational {
     "q49_unpivot"           -> (q49Unpivot _),
     "q50_json_extract"      -> (q50JsonExtract _),
     "q51_filtered_agg"      -> (q51FilteredAgg _),
-    "q52_join_full"         -> (q52JoinFull _))
+    "q52_join_full"         -> (q52JoinFull _),
+    "q53_range_join"        -> (q53RangeJoin _))
 
   val oracleSql: Map[String, String] = Map(
     "q01_scan_project" ->
@@ -1300,5 +1344,6 @@ object Relational {
     "q49_unpivot"      -> q49OracleSql,
     "q50_json_extract" -> q50OracleSql,
     "q51_filtered_agg" -> q51OracleSql,
-    "q52_join_full"    -> q52OracleSql)
+    "q52_join_full"    -> q52OracleSql,
+    "q53_range_join"   -> q53OracleSql)
 }

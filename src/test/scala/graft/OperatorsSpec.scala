@@ -1106,4 +1106,36 @@ class OperatorsSpec extends AnyFunSuite {
           "a cycle must never repeat a source while all sources have rows")
       }
   }
+
+  test("q53 range join: bucketed equi-join plan (no NLJ), matches exactly the in-window events") {
+    val df = Relational.q53RangeJoin(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      "the interval join must be the bucketed EQUI join, never a theta nested loop")
+    val rows = df.collect()
+    def millis(v: Any): Long = v match {
+      case t: java.sql.Timestamp     => t.getTime
+      case t: java.time.LocalDateTime => t.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    }
+    rows.foreach { r =>
+      val ts = millis(r.getAs[Any]("ts"))
+      val ws = millis(r.getAs[Any]("w_start"))
+      assert(ts >= ws && ts < ws + 4L * 3600 * 1000,
+        s"event ${r.getLong(0)} must fall inside its 4-hour window")
+    }
+    // completeness: every band event COVERED BY an existing window is
+    // matched exactly once (a pre-2am event on the corpus's first day
+    // has no preceding day, hence no window — correctly unmatched)
+    import org.apache.spark.sql.functions.{hour, to_date, date_sub}
+    val days = sources.Tables.events(spark, sf)
+      .select(to_date(col("ts")).as("day")).distinct()
+      .collect().map(_.get(0).toString).toSet
+    val expected = sources.Tables.events(spark, sf)
+      .select(hour(col("ts")).as("h"), to_date(col("ts")).as("day"),
+        date_sub(to_date(col("ts")), 1).as("prev"))
+      .collect().count { r =>
+        r.getInt(0) >= 22 || (r.getInt(0) < 2 && days.contains(r.get(2).toString))
+      }
+    assert(rows.length == expected, "the range join must be complete, no dupes")
+  }
 }
