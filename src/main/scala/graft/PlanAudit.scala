@@ -33,7 +33,8 @@ object PlanAudit {
             && !name.contains("batch") // s06: intended broadcast×corpus
             && !name.contains("filtered") // s07: intended one-row probe broadcast
             && !name.contains("containment") // d09 short-doc probe
-            && !name.contains("interleave")) "⚠BNLJ" else "") // p12: 1-row normalizer broadcast
+            && !name.contains("interleave") // p12: 1-row normalizer broadcast
+            && !name.contains("heavy")) "⚠BNLJ" else "") // t15: 1-row sketch broadcast
           .filter(_.nonEmpty)
         println(f"$name%-24s ${ops.mkString(" ")} ${flags.mkString(" ")}")
       } catch {

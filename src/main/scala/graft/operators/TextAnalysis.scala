@@ -588,6 +588,37 @@ object TextAnalysis {
       |FROM pairs p JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
       |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- t15
+  /** Heavy-hitter estimation via a Count-Min sketch
+    * ([[graft.functions.SketchAgg]]) — the novel-sketch custom
+    * aggregate: the whole corpus folds into ONE Depth×Width counter
+    * grid (map-side partial grids add elementwise — commutative, so
+    * the sketch is bit-deterministic under any partitioning), then a
+    * fixed probe list of terms reads its estimates from the broadcast
+    * grid. Guarantees (spec-proven against exact counts): estimate ≥
+    * true count always; estimate ≤ true + εN. Engine-hash output ⇒
+    * rows-only for the driver, property-spec-verified like q23's HLL.
+    * At 100 TB: shuffle volume for the aggregation is one 32 KB grid
+    * per partition — frequency profiling with zero per-term state. */
+  def t15HeavyHitters(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.SketchAgg
+    val terms = Tables.documents(s, d)
+      .select(explode(filter(split(lower(col("text")), " ", -1), t => t =!= ""))
+        .as("term"))
+    val sketch = terms.agg(SketchAgg.cmsSketch(col("term")).as("cms"))
+    val probes = Seq("the", "and", "table", "query", "data", "stream",
+      "hash", "window", "join", "zebra")
+    import s.implicits._
+    val probeDf = probes.map { t =>
+      (t, (0 until SketchAgg.Depth).map(r => r * SketchAgg.Width + SketchAgg.pos(t, r)))
+    }.toDF("term", "idx")
+    probeDf.crossJoin(broadcast(sketch))
+      .select(col("term"),
+        array_min(transform(col("idx"), i => element_at(col("cms"), i + 1)))
+          .as("est_count"))
+      .orderBy("term")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_langid"      -> (t01LangId _),
     "t02_quality"     -> (t02Quality _),
@@ -602,7 +633,8 @@ object TextAnalysis {
     "t11_chunk"       -> (t11Chunk _),
     "t12_blocklist"   -> (t12Blocklist _),
     "t13_entropy"     -> (t13Entropy _),
-    "t14_bigram_lm"   -> (t14BigramLm _))
+    "t14_bigram_lm"   -> (t14BigramLm _),
+    "t15_heavy_hitters" -> (t15HeavyHitters _))
 
   /** t01's stopword-count heuristic is integer arithmetic over token
     * lists — DuckDB reproduces it exactly (list lambdas + the same

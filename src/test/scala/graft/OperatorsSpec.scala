@@ -1138,4 +1138,32 @@ class OperatorsSpec extends AnyFunSuite {
       }
     assert(rows.length == expected, "the range join must be complete, no dupes")
   }
+
+  test("t15 count-min sketch: estimate >= exact always, within eps*N, deterministic") {
+    import org.apache.spark.sql.functions.{explode, filter => afilter, split => asplit, lower}
+    val est = TextAnalysis.t15HeavyHitters(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = sources.Tables.documents(spark, sf)
+      .select(explode(afilter(asplit(lower(col("text")), " ", -1), t => t =!= ""))
+        .as("term"))
+      .groupBy("term").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totalTokens = exact.values.sum
+    est.foreach { case (term, e) =>
+      val t = exact.getOrElse(term, 0L)
+      assert(e >= t, s"'$term': CMS can only overcount (est $e < true $t)")
+      // per-row collision mass is bounded by N/Width; the min over
+      // Depth independent rows sits far inside 2x that bound
+      assert(e <= t + 2L * totalTokens / graft.functions.SketchAgg.Width,
+        s"'$term': est $e exceeds true $t + collision bound")
+    }
+    assert(est("zebra") == exact.getOrElse("zebra", 0L) ||
+      est("zebra") <= 2L * totalTokens / graft.functions.SketchAgg.Width,
+      "an absent probe reads only collision mass")
+    // elementwise-add merges are commutative: re-running under a
+    // different partitioning gives the identical sketch
+    val again = TextAnalysis.t15HeavyHitters(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == est, "the sketch must be bit-deterministic")
+  }
 }
