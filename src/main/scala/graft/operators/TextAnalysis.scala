@@ -600,15 +600,20 @@ object TextAnalysis {
     * rows-only for the driver, property-spec-verified like q23's HLL.
     * At 100 TB: shuffle volume for the aggregation is one 32 KB grid
     * per partition — frequency profiling with zero per-term state. */
-  def t15HeavyHitters(s: SparkSession, d: String): DataFrame = {
+  /** The term stream feeding the sketch — ONE definition shared by the
+    * batch t15 and the streaming st11 twin, so the tokenization cannot
+    * drift between them. */
+  private[graft] def termCol: Column =
+    explode(filter(split(lower(col("text")), " ", -1), t => t =!= "")).as("term")
+
+  /** Probe-side estimate read over a 1-row sketch frame (`cms`:
+    * Array[Long]) — shared by t15 and st11: positions are
+    * driver-computed with the SAME hash the aggregator uses. */
+  private[graft] def cmsProbeFrame(s: SparkSession, sketch: DataFrame): DataFrame = {
     import graft.functions.SketchAgg
-    val terms = Tables.documents(s, d)
-      .select(explode(filter(split(lower(col("text")), " ", -1), t => t =!= ""))
-        .as("term"))
-    val sketch = terms.agg(SketchAgg.cmsSketch(col("term")).as("cms"))
+    import s.implicits._
     val probes = Seq("the", "and", "table", "query", "data", "stream",
       "hash", "window", "join", "zebra")
-    import s.implicits._
     val probeDf = probes.map { t =>
       (t, (0 until SketchAgg.Depth).map(r => r * SketchAgg.Width + SketchAgg.pos(t, r)))
     }.toDF("term", "idx")
@@ -617,6 +622,13 @@ object TextAnalysis {
         array_min(transform(col("idx"), i => element_at(col("cms"), i + 1)))
           .as("est_count"))
       .orderBy("term")
+  }
+
+  def t15HeavyHitters(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.SketchAgg
+    val sketch = Tables.documents(s, d).select(termCol)
+      .agg(SketchAgg.cmsSketch(col("term")).as("cms"))
+    cmsProbeFrame(s, sketch)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -507,6 +507,38 @@ object StreamQueries {
     cat.scan("curated_stream").orderBy("text")
   }
 
+  /** st11: the Count-Min sketch maintained BY THE STREAMING ENGINE —
+    * the sketch's native habitat: a complete-mode global aggregation
+    * whose state IS the counter grid, updated per micro-batch by the
+    * same custom Aggregator the batch t15 uses. Because grid merges
+    * are commutative elementwise adds, the streamed sketch is
+    * BIT-IDENTICAL to the batch sketch — asserted by the StreamsSpec
+    * equality test, the strongest cross-engine check a sketch can
+    * offer (q23's HLL can only bound error; this is exact equality).
+    * Term source and probe read are shared with t15
+    * ([[graft.operators.TextAnalysis.termCol]] / `cmsProbeFrame`), so
+    * the twins cannot drift. */
+  def st11StreamSketch(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.SketchAgg
+    import graft.operators.TextAnalysis
+    val schema = s.read.parquet(s"$d/documents.parquet").schema
+    val stream = s.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(d)
+    val agg = stream.select(TextAnalysis.termCol)
+      .agg(SketchAgg.cmsSketch(col("term")).as("cms"))
+    withStatePartitions(s, 1) {
+      val q = agg.writeStream
+        .format("memory").queryName("graft_st11_sink")
+        .outputMode(OutputMode.Complete)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    TextAnalysis.cmsProbeFrame(s, s.table("graft_st11_sink"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st01_stream_window" -> (st01StreamWindow _),
     "st02_stream_state"  -> (st02StreamState _),
@@ -517,7 +549,8 @@ object StreamQueries {
     "st07_stream_ingest" -> (st07StreamIngest _),
     "st08_stream_topk"   -> (st08StreamTopk _),
     "st09_stream_curate" -> (st09StreamCurate _),
-    "st10_stream_curate_ingest" -> (st10StreamCurateIngest _))
+    "st10_stream_curate_ingest" -> (st10StreamCurateIngest _),
+    "st11_stream_sketch" -> (st11StreamSketch _))
 
   /** Same oracle as the batch twin: tumbling 1h windows aligned to the
     * epoch are exactly date_trunc('hour'). */

@@ -378,4 +378,13 @@ class StreamsSpec extends AnyFunSuite {
     assert(out.length == 1)
     assert(out(0).start_ts.getNanos == 123456000, s"got ${out(0).start_ts.getNanos}")
   }
+
+  test("st11 DRIVER QUERY: the streamed CMS sketch equals the batch sketch bit-for-bit") {
+    val streamed = graft.streaming.StreamQueries.st11StreamSketch(spark, TestSpark.sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq.sortBy(_._1)
+    val batch = graft.operators.TextAnalysis.t15HeavyHitters(spark, TestSpark.sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq.sortBy(_._1)
+    assert(streamed == batch,
+      "commutative grid merges make the streamed sketch exactly the batch sketch")
+  }
 }
