@@ -184,10 +184,125 @@ object Multimodal {
       .orderBy("doc_id", "frame_idx")
   }
 
+  // ------------------------------------------------------------ audio
+  /** Deterministic PCM WAV payload for a doc: a real 44-byte RIFF
+    * header (PCM, mono, 8 kHz, 16-bit) followed by little-endian int16
+    * samples with s(i) = ((doc_id·2654435761 + 1013904223·i) mod
+    * 65536) − 32768 — a parseable audio file whose sample array an SQL
+    * oracle regenerates with generate_series. */
+  private[graft] def wavPayload(docId: Long): Array[Byte] = {
+    val n = (docId % 2000 + 500).toInt
+    val dataLen = n * 2
+    val out = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1)            // PCM
+      .putShort(1)            // mono
+      .putInt(8000)           // sample rate
+      .putInt(8000 * 2)       // byte rate
+      .putShort(2)            // block align
+      .putShort(16)           // bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < n) {
+      out.putShort((((docId * 2654435761L + 1013904223L * i) % 65536) - 32768).toShort)
+      i += 1
+    }
+    out.array()
+  }
+
+  /** Decoded PCM audio: rate + the int16 sample array. */
+  private[graft] case class Wav(sampleRate: Int, samples: Array[Short])
+
+  /** REAL RIFF/WAVE parser — validates the RIFF magic, walks the chunk
+    * list (so a file with extra chunks before `data` still decodes),
+    * checks PCM/mono/16-bit in `fmt `, and reads the little-endian
+    * sample array from `data`. Malformed input raises. */
+  private[graft] def decodeWav(bytes: Array[Byte]): Wav = {
+    val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag(): String = {
+      val b = new Array[Byte](4); buf.get(b); new String(b, "US-ASCII")
+    }
+    require(tag() == "RIFF", "WAV: bad RIFF magic")
+    buf.getInt() // riff size
+    require(tag() == "WAVE", "WAV: not a WAVE file")
+    var rate = -1
+    var samples: Array[Short] = null
+    while (buf.remaining() >= 8 && (rate < 0 || samples == null)) {
+      val id = tag(); val len = buf.getInt()
+      id match {
+        case "fmt " =>
+          val fmt = buf.getShort(); val ch = buf.getShort()
+          rate = buf.getInt(); buf.getInt(); buf.getShort()
+          val bits = buf.getShort()
+          require(fmt == 1 && ch == 1 && bits == 16,
+            s"WAV: unsupported encoding (fmt=$fmt ch=$ch bits=$bits)")
+          buf.position(buf.position() + len - 16)
+        case "data" =>
+          require(rate > 0, "WAV: data chunk before fmt")
+          samples = new Array[Short](len / 2)
+          var i = 0
+          while (i < samples.length) { samples(i) = buf.getShort(); i += 1 }
+        case _ => buf.position(buf.position() + len) // skip unknown chunk
+      }
+    }
+    require(samples != null, "WAV: missing data chunk")
+    Wav(rate, samples)
+  }
+
+  /** m04: audio payloads → per-partition batch decode (REAL RIFF/PCM
+    * parse) → signal features: duration from the parsed rate, exact
+    * integer sum / absolute sum, and zero-crossing count — every
+    * column recomputed exactly by the DuckDB oracle. Same batch shape
+    * as m01: payload bytes never shuffle; a production decoder inits
+    * once per partition. */
+  def m04Audio(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val wav = decodeWav(wavPayload(id))
+        var sum = 0L; var sumAbs = 0L; var zc = 0
+        var i = 0
+        while (i < wav.samples.length) {
+          val v = wav.samples(i).toLong
+          sum += v; sumAbs += math.abs(v)
+          if (i > 0 && v * wav.samples(i - 1) < 0) zc += 1
+          i += 1
+        }
+        (id, wav.samples.length, wav.samples.length * 1000 / wav.sampleRate,
+          sum, sumAbs, zc)
+      })
+      .toDF("doc_id", "n_samples", "duration_ms", "sum_samples", "sum_abs",
+        "n_zero_cross")
+      .orderBy("doc_id")
+  }
+
+  val m04OracleSql: String =
+    """WITH p AS (SELECT doc_id, doc_id % 2000 + 500 AS n FROM documents),
+      |samp AS (
+      |  SELECT doc_id, i, ((doc_id * 2654435761 + 1013904223 * i) % 65536) - 32768 AS s
+      |  FROM p, LATERAL unnest(generate_series(0, n - 1)) AS t(i)
+      |),
+      |lagd AS (
+      |  SELECT doc_id, i, s, LAG(s) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+      |  FROM samp
+      |)
+      |SELECT doc_id,
+      |       CAST(COUNT(*) AS INT) AS n_samples,
+      |       CAST(COUNT(*) * 1000 // 8000 AS INT) AS duration_ms,
+      |       CAST(SUM(s) AS BIGINT) AS sum_samples,
+      |       CAST(SUM(ABS(s)) AS BIGINT) AS sum_abs,
+      |       CAST(SUM(CASE WHEN prev IS NOT NULL AND s * prev < 0 THEN 1 ELSE 0 END) AS INT)
+      |         AS n_zero_cross
+      |FROM lagd GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_multimodal"   -> (m01Multimodal _),
     "m02_resize"       -> (m02Resize _),
-    "m03_frame_sample" -> (m03FrameSample _))
+    "m03_frame_sample" -> (m03FrameSample _),
+    "m04_audio"        -> (m04Audio _))
 
   /** All three are oracle-exact: the pixel byte at index i is
     * (doc_id*31 + 7*i) mod 256, so DuckDB regenerates the array with
@@ -253,5 +368,6 @@ object Multimodal {
         |)
         |SELECT doc_id, CAST(fi AS INT) AS frame_idx,
         |       CAST(SUM((doc_id*31 + 7*i) % 256) AS BIGINT) AS frame_sum
-        |FROM px GROUP BY doc_id, fi ORDER BY doc_id, frame_idx""".stripMargin)
+        |FROM px GROUP BY doc_id, fi ORDER BY doc_id, frame_idx""".stripMargin,
+    "m04_audio" -> m04OracleSql)
 }

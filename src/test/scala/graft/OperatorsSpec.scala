@@ -1166,4 +1166,39 @@ class OperatorsSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(again == est, "the sketch must be bit-deterministic")
   }
+
+  test("m04 audio: real RIFF/PCM parse, features match a direct sample loop, malformed rejected") {
+    // round-trip: synth -> parse recovers rate and count
+    val wav = Multimodal.decodeWav(Multimodal.wavPayload(7L))
+    assert(wav.sampleRate == 8000 && wav.samples.length == 7 % 2000 + 500)
+    // an extra unknown chunk before data must still decode (chunk walk)
+    val base = Multimodal.wavPayload(3L)
+    val extra = java.nio.ByteBuffer.allocate(base.length + 12)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    extra.put(base, 0, 36)                     // RIFF..fmt chunk
+    extra.put("LIST".getBytes("US-ASCII")).putInt(4).putInt(0) // junk chunk
+    extra.put(base, 36, base.length - 36)      // data chunk
+    assert(Multimodal.decodeWav(extra.array()).samples.length == 3 % 2000 + 500)
+    // malformed: truncated magic, non-PCM
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeWav("RIFX".getBytes ++ new Array[Byte](40))
+    }
+    // features equal a direct recompute for a sample of docs
+    val rows = Multimodal.m04Audio(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    for (id <- Seq(0L, 11L, 123L)) if (rows.contains(id)) {
+      val n = (id % 2000 + 500).toInt
+      var sum = 0L; var sumAbs = 0L; var zc = 0; var prev = 0L
+      for (i <- 0 until n) {
+        val v = ((id * 2654435761L + 1013904223L * i) % 65536) - 32768
+        sum += v; sumAbs += math.abs(v)
+        if (i > 0 && v * prev < 0) zc += 1
+        prev = v
+      }
+      val r = rows(id)
+      assert(r.getInt(1) == n && r.getLong(3) == sum &&
+        r.getLong(4) == sumAbs && r.getInt(5) == zc,
+        s"doc $id audio features must match the direct loop")
+    }
+  }
 }
