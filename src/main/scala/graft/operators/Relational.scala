@@ -995,6 +995,50 @@ object Relational {
       |FROM events e JOIN win w ON e.ts >= w.w_start AND e.ts < w.w_end
       |ORDER BY e.event_id""".stripMargin
 
+  // ---------------------------------------------------------------- q54
+  /** NATIVE session windows — the engine's built-in `session_window`
+    * aggregation (dynamic-gap session assignment inside the aggregate
+    * operator) vs q26's manual lag+cumsum formulation: same sessions,
+    * two implementations, which is exactly what makes it worth
+    * grading — the built-in merges per-event [ts, ts+gap) ranges in
+    * ONE aggregation pass (no window function, no two-phase
+    * flag+cumsum), shuffling once on user_id. The session END differs
+    * by convention (built-in: last_ts + gap; q26: last_ts), so the
+    * comparable surface is (user, start, n, total). Boundary note:
+    * the built-in starts a new session at diff == gap exactly where
+    * the lag formulation keeps it — indistinguishable on
+    * µs-precision data. */
+  def q54SessionWindow(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).cast("int").as("n_events"),
+        round(sum(dec(col("value"))).cast("double"), 2).as("total_value"))
+      .select(col("user_id"), col("sw.start").as("start_ts"),
+        col("n_events"), col("total_value"))
+      .orderBy("user_id", "start_ts")
+
+  val q54OracleSql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, ts, value,
+      |         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+      |              THEN 1
+      |              WHEN LAG(epoch_us(ts)) OVER w IS NULL THEN 1
+      |              ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), numbered AS (
+      |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM flagged
+      |)
+      |SELECT user_id,
+      |       CAST(MIN(ts) AS TIMESTAMP) AS start_ts,
+      |       CAST(COUNT(*) AS INT) AS n_events,
+      |       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
+      |FROM numbered
+      |GROUP BY user_id, session_id
+      |ORDER BY user_id, start_ts""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1050,7 +1094,8 @@ object Relational {
     "q50_json_extract"      -> (q50JsonExtract _),
     "q51_filtered_agg"      -> (q51FilteredAgg _),
     "q52_join_full"         -> (q52JoinFull _),
-    "q53_range_join"        -> (q53RangeJoin _))
+    "q53_range_join"        -> (q53RangeJoin _),
+    "q54_session_window"    -> (q54SessionWindow _))
 
   val oracleSql: Map[String, String] = Map(
     "q01_scan_project" ->
@@ -1345,5 +1390,6 @@ object Relational {
     "q50_json_extract" -> q50OracleSql,
     "q51_filtered_agg" -> q51OracleSql,
     "q52_join_full"    -> q52OracleSql,
-    "q53_range_join"   -> q53OracleSql)
+    "q53_range_join"   -> q53OracleSql,
+    "q54_session_window" -> q54OracleSql)
 }

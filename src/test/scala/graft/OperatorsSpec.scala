@@ -1201,4 +1201,15 @@ class OperatorsSpec extends AnyFunSuite {
         s"doc $id audio features must match the direct loop")
     }
   }
+
+  test("q54 native session windows agree with q26's lag+cumsum sessionization") {
+    val native = Relational.q54SessionWindow(spark, sf).collect()
+      .map(r => (r.getLong(0), String.valueOf(r.get(1)), r.getInt(2).toLong,
+        math.round(r.getDouble(3) * 100))).toSet
+    val manual = Relational.q26Sessionize(spark, sf).collect()
+      .map(r => (r.getLong(0), String.valueOf(r.get(2)), r.getLong(4),
+        math.round(r.getDouble(5) * 100))).toSet
+    assert(native == manual,
+      "two session formulations (built-in merge vs lag+cumsum) must produce identical sessions")
+  }
 }
