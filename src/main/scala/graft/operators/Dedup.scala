@@ -621,7 +621,7 @@ object Dedup {
     * empty-sets-are-identical convention. ONE definition — the shingle
     * width and prefilter constants cannot drift between the three
     * oracles and the Scala kernel. */
-  private def bruteCtes(extraJoin: String): String =
+  private[operators] def bruteCtes(extraJoin: String): String =
     s"""sh AS (
        |  SELECT doc_id,
        |         list_distinct([text[i:i+4] for i in generate_series(1, len(text)-4)]) AS s

@@ -78,12 +78,68 @@ object Pipeline {
     cat.scan("curated_docs").orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- e03
+  /** e03: INCREMENTAL curation — the steady-state production run: a
+    * NEW batch (odd doc_ids, d07's convention) is gated, deduped
+    * within itself, and then checked for near-dups against the STORED
+    * corpus (even doc_ids) — only survivors come out, and nothing
+    * corpus-sized is recomputed: the corpus side is d07's stored
+    * signature table, the gates are scan predicates on the new batch
+    * only, the in-batch dedup shuffles survivors on an 8-byte hash,
+    * and the corpus check is an anti-join against d07's incremental
+    * match set (new-batch bands probing stored corpus bands — never a
+    * corpus self-join). At 100 TB/day of new data against an existing
+    * 100 TB corpus, per-run cost scales with the BATCH, not the
+    * corpus. */
+  def e03CurateIncremental(s: SparkSession, d: String): DataFrame = {
+    val gated = Tables.documents(s, d)
+      .filter(col("doc_id") % 2 =!= 0) // the new batch
+      .select(col("doc_id"), col("lang"), col("source"),
+        nTokensCol.cast("int").as("n_tokens"),
+        qualityScoreCol.as("quality_score"),
+        nBlockedCol.as("n_blocked"), xxhash64(col("text")).as("h"))
+      .filter(col("quality_score") >= qualityGate && col("n_blocked") === 0)
+    val deduped = gated
+      .withColumn("keeper", min("doc_id").over(Window.partitionBy("h")))
+      .filter(col("doc_id") === col("keeper"))
+    val corpusMatched = Dedup.d07Incremental(s, d)
+      .select(col("new_doc").as("doc_id")).distinct()
+    deduped.join(corpusMatched, Seq("doc_id"), "left_anti")
+      .select("doc_id", "lang", "source", "n_tokens", "quality_score")
+      .orderBy("doc_id")
+  }
+
+  /** Oracle: e01's gate/dedup stages restricted to the odd batch, then
+    * the brute-force cross-parity near-dup matches removed (d07's
+    * oracle restriction). */
+  val e03OracleSql: String =
+    s"""WITH ${Dedup.bruteCtes("\n   AND (a.doc_id % 2 = 0) != (b.doc_id % 2 = 0)")},
+       |matched AS (
+       |  SELECT DISTINCT CASE WHEN doc_b % 2 != 0 THEN doc_b ELSE doc_a END AS nd
+       |  FROM scored WHERE jaccard >= 0.8),
+       |q AS (
+       |  SELECT doc_id, lang, source, text,
+       |    $nTokensSql AS n_tokens,
+       |    $qualityScoreSql AS quality_score
+       |  FROM documents WHERE doc_id % 2 != 0),
+       |f AS (
+       |  SELECT * FROM q
+       |  WHERE quality_score >= $qualityGate
+       |    AND $nBlockedSql = 0),
+       |k AS (SELECT *, MIN(doc_id) OVER (PARTITION BY text) AS keeper FROM f)
+       |SELECT doc_id, lang, source, n_tokens, quality_score
+       |FROM k
+       |WHERE doc_id = keeper AND doc_id NOT IN (SELECT nd FROM matched)
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e01_curate" -> (e01Curate _),
-    "e02_curate_ingest" -> (e02CurateIngest _))
+    "e02_curate_ingest" -> (e02CurateIngest _),
+    "e03_curate_incremental" -> (e03CurateIncremental _))
 
   val oracleSql: Map[String, String] = Map(
     "e01_curate" -> e01OracleSql,
     // the ingested managed table must equal the curated set exactly
-    "e02_curate_ingest" -> e01OracleSql)
+    "e02_curate_ingest" -> e01OracleSql,
+    "e03_curate_incremental" -> e03OracleSql)
 }

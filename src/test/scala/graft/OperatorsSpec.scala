@@ -1212,4 +1212,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(native == manual,
       "two session formulations (built-in merge vs lag+cumsum) must produce identical sessions")
   }
+
+  test("e03 incremental curation: composes gates + in-batch dedup + corpus anti-join") {
+    val out = operators.Pipeline.queries("e03_curate_incremental")(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    assert(out.forall(_ % 2 != 0), "only new-batch (odd) docs can survive")
+    // survivors = (e01's gate+dedup applied to the odd batch) minus d07's matches
+    val e01Odd = operators.Pipeline.e01Curate(spark, sf).collect()
+      .map(_.getLong(0)).filter(_ % 2 != 0).toSet
+    val matched = Dedup.d07Incremental(spark, sf).collect().map(_.getLong(1)).toSet
+    // e01 dedups across the WHOLE corpus while e03 dedups within the
+    // batch - an odd doc whose duplicate keeper is even survives in
+    // e03 but not e01, so e03 ⊇ (e01∩odd)−matched and every extra has
+    // an even duplicate keeper
+    assert((e01Odd -- matched).subsetOf(out))
+    (out -- (e01Odd -- matched)).foreach { id =>
+      assert(!matched.contains(id), s"doc $id must not be corpus-matched")
+    }
+  }
 }
