@@ -39,7 +39,7 @@ import org.apache.spark.sql.types._
   */
 class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
 
-  import GraftSQL.{showTablesRe, showCreateRe, descRe, ctasRe, insertSelectRe, createRe, dropRe, insertRe, mergeRe, updateRe, deleteRe, compactRe, compactJournalRe, alterAddRe, alterDropRe, vacuumRe}
+  import GraftSQL.{showTablesRe, showCreateRe, descRe, ctasRe, insertSelectRe, createRe, dropRe, insertRe, mergeRe, updateRe, deleteRe, compactRe, compactJournalRe, alterAddRe, alterDropRe, vacuumRe, restoreRe}
 
   GraftSession.prepare(spark)
 
@@ -193,6 +193,12 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
         require(!readOnly, "read-only transaction")
         val v = catalog.compact(name)
         Seq(s"COMPACT TABLE $name -> v$v").toDF("status")
+
+      case restoreRe(name, ver) =>
+        require(txn.isEmpty, "RESTORE TABLE: not inside a transaction")
+        require(!readOnly, "read-only transaction")
+        val v = catalog.restore(name, ver.toInt)
+        Seq(s"RESTORE TABLE $name VERSION $ver -> v$v").toDF("status")
 
       case vacuumRe(name, keep) =>
         require(txn.isEmpty, "VACUUM: not inside a transaction")
@@ -771,6 +777,7 @@ object GraftSQL {
   private val alterAddRe  = raw"(?is)ALTER\s+TABLE\s+(\w+)\s+ADD\s+COLUMN\s+(.*)".r
   private val alterDropRe = raw"(?is)ALTER\s+TABLE\s+(\w+)\s+DROP\s+COLUMN\s+(\w+)\s*".r
   private val vacuumRe  = raw"(?is)VACUUM\s+(\w+)(?:\s+KEEP\s+(\d+))?\s*".r
+  private val restoreRe = raw"(?is)RESTORE\s+TABLE\s+(\w+)\s+VERSION\s+(\d+)\s*".r
 
 
   /** The reference's arithmetic substituted into one PARSED

@@ -1390,6 +1390,45 @@ class TableCatalog(spark: SparkSession, val root: String) {
       removed
     }
 
+  /** RESTORE to an earlier version: re-publishes that version's
+    * manifest (the SAME data dirs and stats) as a NEW current version —
+    * rollback with no data rewrite, the lakehouse time-travel write
+    * (Delta RESTORE semantics: history is preserved, the bad versions
+    * stay inspectable, and the restore itself is just one more
+    * version). At 100 TB the cost is metadata plus the RESTRICT/FK
+    * revalidation reads — never a table rewrite. The restored state is
+    * revalidated against TODAY's referential neighborhood: keys that
+    * vanish by restoring are RESTRICT-checked against referencing
+    * children (a restore must not orphan rows any more than a DELETE
+    * may), and restored FK values are re-checked against the current
+    * parents. Restoring to a vacuumed version errors. */
+  def restore(name: String, version: Int): Int = {
+    val cur = meta(name)
+    require(version >= 0 && version <= cur.version,
+      s"RESTORE $name: no version $version (current ${cur.version})")
+    if (version == cur.version) cur.version
+    else publishWithRetry(s"RESTORE $name") { () =>
+      val m = meta(name)
+      require(Files.exists(manifestPath(name, version)),
+        s"RESTORE $name: version $version was vacuumed")
+      val fp = fkFingerprint(name, m)
+      val restored = asOf(name, version)
+      for (pk <- m.primaryKey) {
+        val removedKeys = scan(name).select(col(pk)).distinct()
+          .join(restored.select(col(pk)).distinct(), Seq(pk), "left_anti")
+        restrictReferenced(name, removedKeys, referencingTables(name), scan, "RESTORE")
+      }
+      try validate(m, name, restored.cache())
+      finally restored.unpersist()
+      val dirs = readManifest(name, version)
+      val stats = readStats(name, version)
+      val ok = rootLock.synchronized {
+        fkFingerprint(name, meta(name)) == fp && claimPublish(name, m, dirs, stats)
+      }
+      if (ok) Some(m.version + 1) else None
+    }
+  }
+
   /** Physical layout: an indexed table is range-partitioned and sorted
     * on its indexed columns before writing, so each parquet file covers
     * a narrow, mostly-disjoint value range — what makes the per-file

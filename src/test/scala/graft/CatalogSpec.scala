@@ -1020,4 +1020,40 @@ class CatalogSpec extends AnyFunSuite {
     assert(cat.scan("m").orderBy("id").collect().map(_.getString(1)).toSeq
       == Seq("a", "b2", "c"))
   }
+
+  test("RESTORE: metadata-only rollback publishes an old manifest as a new version") {
+    val cat = freshCatalog()
+    cat.createTable("t", schema, primaryKey = Some("id"))
+    cat.insert("t", Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "name", "balance")) // v1
+    cat.insert("t", Seq((3L, "c", 3.0)).toDF("id", "name", "balance"))                 // v2
+    cat.delete("t", org.apache.spark.sql.functions.col("id") === 1L)                   // v3
+    assert(cat.currentVersion("t") == 3)
+    val v = cat.restore("t", 2)
+    assert(v == 4, "restore must publish a NEW version, preserving history")
+    assert(cat.scan("t").orderBy("id").collect().map(_.getLong(0)).toSeq ==
+      Seq(1L, 2L, 3L), "v4 must equal v2's content")
+    // the bad version stays inspectable (Delta RESTORE semantics)
+    assert(cat.asOf("t", 3).collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L))
+    // restoring the current version is a no-op
+    assert(cat.restore("t", 4) == 4)
+    // restoring past a vacuumed version errors loudly
+    cat.vacuum("t", keep = 1, graceMs = 0L)
+    intercept[IllegalArgumentException] { cat.restore("t", 1) }
+  }
+
+  test("RESTORE is RESTRICT-checked: cannot orphan referencing rows") {
+    val cat = freshCatalog()
+    cat.createTable("parent", StructType(Seq(StructField("id", LongType, nullable = false))),
+      primaryKey = Some("id"))
+    cat.insert("parent", Seq(Tuple1(1L)).toDF("id"))        // v1: only key 1
+    cat.insert("parent", Seq(Tuple1(2L)).toDF("id"))        // v2: keys 1,2
+    cat.createTable("child",
+      StructType(Seq(StructField("cid", LongType, nullable = false),
+        StructField("pid", LongType))),
+      primaryKey = Some("cid"), references = Map("pid" -> "parent"))
+    cat.insert("child", Seq((10L, 2L)).toDF("cid", "pid"))  // references key 2
+    // restoring parent to v1 would remove key 2 while child still points at it
+    intercept[IllegalArgumentException] { cat.restore("parent", 1) }
+    assert(cat.currentVersion("parent") == 2, "failed restore must not publish")
+  }
 }

@@ -828,4 +828,15 @@ class GraftSQLSpec extends AnyFunSuite {
     assert(g2.execute("SELECT v FROM kv ORDER BY id").collect().map(_.getString(0)).toSeq
       == Seq("one", "TWO", "THREE", "four"))
   }
+
+  test("RESTORE TABLE ... VERSION through SQL text: rollback without rewrite") {
+    val g = session()
+    g.execute("CREATE TABLE r (id INTEGER PRIMARY KEY, v STRING)")
+    g.execute("INSERT INTO r VALUES (1, 'a'), (2, 'b')") // v1
+    g.execute("DELETE FROM r WHERE id = 2")              // v2
+    val st = g.execute("RESTORE TABLE r VERSION 1").collect()(0).getString(0)
+    assert(st.contains("-> v3"), st)
+    val ids = g.execute("SELECT id FROM r ORDER BY id").collect().map(_.getLong(0)).toSeq
+    assert(ids == Seq(1L, 2L), "the deleted row must be back")
+  }
 }
