@@ -1039,6 +1039,35 @@ object Relational {
       |GROUP BY user_id, session_id
       |ORDER BY user_id, start_ts""".stripMargin
 
+  // ---------------------------------------------------------------- q55
+  /** ARGMAX / ARGMIN per group ("which order had the group's highest
+    * price") via STRUCT-ordered MAX/MIN — deliberately NOT the bare
+    * `max_by`/`arg_max` aggregates: under tied values those return an
+    * arbitrary row (partition-order-dependent — nondeterministic on a
+    * cluster and unverifiable against any oracle). A (value, key)
+    * struct makes the comparison a total order, so the result is
+    * deterministic under any partitioning — same single-pass, zero
+    * extra shuffle, and the fix every distributed argmax needs at any
+    * scale. */
+  def q55Argmax(s: SparkSession, d: String): DataFrame = {
+    val pk = struct(col("l_extendedprice").as("p"), col("l_orderkey").as("k"))
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(max(pk).as("mx"), min(pk).as("mn"))
+      .select(col("l_returnflag"),
+        col("mx.k").as("top_order"), col("mx.p").as("top_price"),
+        col("mn.k").as("bottom_order"), col("mn.p").as("bottom_price"))
+      .orderBy("l_returnflag")
+  }
+
+  val q55OracleSql: String =
+    """SELECT l_returnflag,
+      |       MAX({'p': l_extendedprice, 'k': l_orderkey}).k AS top_order,
+      |       MAX({'p': l_extendedprice, 'k': l_orderkey}).p AS top_price,
+      |       MIN({'p': l_extendedprice, 'k': l_orderkey}).k AS bottom_order,
+      |       MIN({'p': l_extendedprice, 'k': l_orderkey}).p AS bottom_price
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1095,7 +1124,8 @@ object Relational {
     "q51_filtered_agg"      -> (q51FilteredAgg _),
     "q52_join_full"         -> (q52JoinFull _),
     "q53_range_join"        -> (q53RangeJoin _),
-    "q54_session_window"    -> (q54SessionWindow _))
+    "q54_session_window"    -> (q54SessionWindow _),
+    "q55_argmax"            -> (q55Argmax _))
 
   val oracleSql: Map[String, String] = Map(
     "q01_scan_project" ->
@@ -1391,5 +1421,6 @@ object Relational {
     "q51_filtered_agg" -> q51OracleSql,
     "q52_join_full"    -> q52OracleSql,
     "q53_range_join"   -> q53OracleSql,
-    "q54_session_window" -> q54OracleSql)
+    "q54_session_window" -> q54OracleSql,
+    "q55_argmax"       -> q55OracleSql)
 }

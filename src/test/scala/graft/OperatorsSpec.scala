@@ -1230,4 +1230,20 @@ class OperatorsSpec extends AnyFunSuite {
       assert(!matched.contains(id), s"doc $id must not be corpus-matched")
     }
   }
+
+  test("q55 argmax: struct-ordered max is the tie-safe argmax, matches a direct scan") {
+    val rows = Relational.q55Argmax(spark, sf).collect()
+    val li = sources.Tables.lineitem(spark, sf)
+      .select("l_returnflag", "l_orderkey", "l_extendedprice").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    rows.foreach { r =>
+      val g = li.filter(_._1 == r.getString(0))
+      val top = g.maxBy(x => (x._3, x._2))
+      val bot = g.minBy(x => (x._3, x._2))
+      assert(r.getLong(1) == top._2 && r.getDouble(2) == top._3,
+        s"flag ${r.getString(0)}: top must be the (price, key)-max row")
+      assert(r.getLong(3) == bot._2 && r.getDouble(4) == bot._3,
+        s"flag ${r.getString(0)}: bottom must be the (price, key)-min row")
+    }
+  }
 }
