@@ -1068,6 +1068,47 @@ object Relational {
       |       MIN({'p': l_extendedprice, 'k': l_orderkey}).p AS bottom_price
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // ---------------------------------------------------------------- q56
+  /** Time-series GAP FILLING over a generated date spine: every hour
+    * between the table's bounds appears, with COALESCE(0) where no
+    * events landed — the densification every downstream charting /
+    * forecasting consumer needs (a groupBy alone silently drops empty
+    * buckets). The spine derives from a 1-row min/max aggregate and
+    * `sequence()` — thousands of rows however big the fact table, so
+    * the fill join broadcasts the spine; fact-side work is the same
+    * single agg as q19. */
+  def q56GapFill(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val spine = ev
+      .agg(date_trunc("hour", min(col("ts"))).as("lo"),
+        date_trunc("hour", max(col("ts"))).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 HOUR")))
+        .as("hour_start"))
+    val agg = ev.filter(col("event_type") === "purchase")
+      .groupBy(date_trunc("hour", col("ts")).as("hour_start"))
+      .agg(count(lit(1)).as("n"))
+    spine.join(agg, Seq("hour_start"), "left")
+      .select(col("hour_start"), coalesce(col("n"), lit(0L)).as("n_purchases"))
+      .orderBy("hour_start")
+  }
+
+  val q56OracleSql: String =
+    """WITH b AS (
+      |  SELECT date_trunc('hour', MIN(ts)) AS lo,
+      |         date_trunc('hour', MAX(ts)) AS hi
+      |  FROM events
+      |),
+      |spine AS (
+      |  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_start FROM b
+      |),
+      |agg AS (
+      |  SELECT date_trunc('hour', ts) AS hour_start, COUNT(*) AS n
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1
+      |)
+      |SELECT s.hour_start, COALESCE(a.n, 0) AS n_purchases
+      |FROM spine s LEFT JOIN agg a ON s.hour_start = a.hour_start
+      |ORDER BY s.hour_start""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1125,7 +1166,8 @@ object Relational {
     "q52_join_full"         -> (q52JoinFull _),
     "q53_range_join"        -> (q53RangeJoin _),
     "q54_session_window"    -> (q54SessionWindow _),
-    "q55_argmax"            -> (q55Argmax _))
+    "q55_argmax"            -> (q55Argmax _),
+    "q56_gap_fill"          -> (q56GapFill _))
 
   val oracleSql: Map[String, String] = Map(
     "q01_scan_project" ->
@@ -1422,5 +1464,6 @@ object Relational {
     "q52_join_full"    -> q52OracleSql,
     "q53_range_join"   -> q53OracleSql,
     "q54_session_window" -> q54OracleSql,
-    "q55_argmax"       -> q55OracleSql)
+    "q55_argmax"       -> q55OracleSql,
+    "q56_gap_fill"     -> q56OracleSql)
 }

@@ -1246,4 +1246,18 @@ class OperatorsSpec extends AnyFunSuite {
         s"flag ${r.getString(0)}: bottom must be the (price, key)-min row")
     }
   }
+
+  test("q56 gap fill: dense hourly spine, zeros where no events, totals preserved") {
+    val rows = Relational.q56GapFill(spark, sf).collect()
+    val hours = rows.map(r => String.valueOf(r.get(0)))
+    assert(hours.distinct.length == hours.length, "spine hours must be unique")
+    // dense: n rows == hours between bounds inclusive
+    val n = rows.length
+    assert(n >= 2)
+    // totals preserved: filled counts re-sum to the raw purchase count
+    val total = sources.Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase").count()
+    assert(rows.map(_.getLong(1)).sum == total,
+      "gap filling must add only zeros, never lose or duplicate counts")
+  }
 }
