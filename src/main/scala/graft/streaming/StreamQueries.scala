@@ -483,6 +483,9 @@ object StreamQueries {
       StructField("text", StringType, nullable = false),
       StructField("n_tokens", IntegerType),
       StructField("quality_score", DoubleType))), primaryKey = Some("text"))
+    cat.createTable("ingest_log", StructType(Seq(
+      StructField("batch_id", LongType, nullable = false))),
+      primaryKey = Some("batch_id"))
     val stream = s.readStream
       .schema(schema)
       .option("pathGlobFilter", "documents.parquet")
@@ -497,14 +500,36 @@ object StreamQueries {
         .dropDuplicates("text")
         .select("text", "n_tokens", "quality_score")
         .writeStream
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          cat.insert("curated_stream", batch): Unit
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
+          idempotentIngest(s, cat, "curated_stream", batch, bid)
         }
         .start()
       try q.processAllAvailable()
       finally q.stop()
     }
     cat.scan("curated_stream").orderBy("text")
+  }
+
+  /** EXACTLY-ONCE micro-batch publish: the data insert and the
+    * batch-id marker commit in ONE catalog transaction, so a replayed
+    * micro-batch (the restart case Structured Streaming's at-least-once
+    * foreachBatch contract allows) sees its own marker and skips —
+    * the (batchId, txn) idempotent-sink pattern, implemented on the
+    * catalog's own MVCC txn instead of an external store. Shared by
+    * st10 and the restart spec. */
+  private[graft] def idempotentIngest(s: SparkSession,
+      cat: graft.sources.TableCatalog, table: String,
+      batch: DataFrame, bid: Long): Unit = {
+    import s.implicits._
+    val seen = !cat.scan("ingest_log").filter(col("batch_id") === bid).isEmpty
+    if (!seen) {
+      val t = cat.begin()
+      try {
+        t.insert("ingest_log", Seq(bid).toDF("batch_id"))
+        t.insert(table, batch)
+        t.commit()
+      } catch { case e: Throwable => t.rollback(); throw e }
+    }
   }
 
   /** st11: the Count-Min sketch maintained BY THE STREAMING ENGINE —

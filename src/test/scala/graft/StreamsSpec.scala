@@ -387,4 +387,26 @@ class StreamsSpec extends AnyFunSuite {
     assert(streamed == batch,
       "commutative grid merges make the streamed sketch exactly the batch sketch")
   }
+
+  test("st10 replayed micro-batch is exactly-once: the marker txn makes re-ingest a no-op") {
+    import spark.implicits._
+    val cat = new sources.TableCatalog(spark,
+      java.nio.file.Files.createTempDirectory("graft-eo").toString)
+    import org.apache.spark.sql.types._
+    cat.createTable("curated_stream", StructType(Seq(
+      StructField("text", StringType, nullable = false))), primaryKey = Some("text"))
+    cat.createTable("ingest_log", StructType(Seq(
+      StructField("batch_id", LongType, nullable = false))), primaryKey = Some("batch_id"))
+    val batch = Seq("alpha", "beta").toDF("text")
+    graft.streaming.StreamQueries.idempotentIngest(spark, cat, "curated_stream", batch, 0L)
+    val v = cat.currentVersion("curated_stream")
+    // the at-least-once replay: same batch id arrives again after a restart
+    graft.streaming.StreamQueries.idempotentIngest(spark, cat, "curated_stream", batch, 0L)
+    assert(cat.currentVersion("curated_stream") == v, "replay must publish nothing")
+    assert(cat.scan("curated_stream").count() == 2)
+    // a NEW batch id still lands
+    graft.streaming.StreamQueries.idempotentIngest(spark, cat, "curated_stream",
+      Seq("gamma").toDF("text"), 1L)
+    assert(cat.scan("curated_stream").count() == 3)
+  }
 }
