@@ -1109,6 +1109,31 @@ object Relational {
       |FROM spine s LEFT JOIN agg a ON s.hour_start = a.hour_start
       |ORDER BY s.hour_start""".stripMargin
 
+  // ---------------------------------------------------------------- q57
+  /** CORRELATED scalar subquery in the SELECT list (per-row lookup:
+    * each customer's maximum order price, NULL where they have no
+    * orders) — the missing sibling of q28 (uncorrelated scalar) and
+    * q29 (correlated EXISTS). The naive reading is a per-row probe;
+    * Catalyst DECORRELATES it into one aggregate over orders plus a
+    * left outer join — the only plan that survives at scale — while
+    * the oracle runs the same correlated text directly. Written as SQL
+    * text because correlation is a parser-level feature the DataFrame
+    * API cannot express. */
+  def q57CorrelatedScalar(s: SparkSession, d: String): DataFrame =
+    GraftSession.withTempViews(s,
+      Seq("customer" -> Tables.customer(s, d), "orders" -> Tables.orders(s, d)))(
+      s.sql(q57Sql))
+
+  private val q57Sql: String =
+    """SELECT c_custkey, c_name,
+      |       (SELECT MAX(o_totalprice) FROM orders
+      |        WHERE o_custkey = c_custkey) AS max_order_price
+      |FROM customer
+      |WHERE c_acctbal > 5000
+      |ORDER BY c_custkey""".stripMargin
+
+  val q57OracleSql: String = q57Sql
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1167,7 +1192,8 @@ object Relational {
     "q53_range_join"        -> (q53RangeJoin _),
     "q54_session_window"    -> (q54SessionWindow _),
     "q55_argmax"            -> (q55Argmax _),
-    "q56_gap_fill"          -> (q56GapFill _))
+    "q56_gap_fill"          -> (q56GapFill _),
+    "q57_correlated_scalar" -> (q57CorrelatedScalar _))
 
   val oracleSql: Map[String, String] = Map(
     "q01_scan_project" ->
@@ -1465,5 +1491,6 @@ object Relational {
     "q53_range_join"   -> q53OracleSql,
     "q54_session_window" -> q54OracleSql,
     "q55_argmax"       -> q55OracleSql,
-    "q56_gap_fill"     -> q56OracleSql)
+    "q56_gap_fill"     -> q56OracleSql,
+    "q57_correlated_scalar" -> q57OracleSql)
 }

@@ -1260,4 +1260,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(1)).sum == total,
       "gap filling must add only zeros, never lose or duplicate counts")
   }
+
+  test("q57 correlated scalar subquery decorrelates to agg + left outer join") {
+    val df = Relational.queries("q57_correlated_scalar")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Join") && plan.contains("Aggregate")
+      || plan.contains("HashAggregate"),
+      "Catalyst must decorrelate - never a per-row probe")
+    val rows = df.collect()
+    // NULL where the customer has no orders; value = that customer's max
+    val maxByCust = sources.Tables.orders(spark, sf)
+      .groupBy("o_custkey").agg(org.apache.spark.sql.functions.max("o_totalprice"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.foreach { r =>
+      val ck = r.getLong(0)
+      maxByCust.get(ck) match {
+        case Some(m) => assert(!r.isNullAt(2) && r.getDouble(2) == m)
+        case None    => assert(r.isNullAt(2), s"customer $ck has no orders -> NULL")
+      }
+    }
+  }
 }
