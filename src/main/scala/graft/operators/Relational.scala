@@ -1134,6 +1134,37 @@ object Relational {
 
   val q57OracleSql: String = q57Sql
 
+  // ---------------------------------------------------------------- q58
+  /** FORWARD FILL (per-key LOCF imputation): gaps in a measure take
+    * the key's most recent observed value — `last_value(...,
+    * ignoreNulls)` over a running frame, q56's sibling for the other
+    * time-series repair (densify rows vs impute values). Values below
+    * the sensor floor (< 2) are the planted nulls; a key's leading
+    * nulls stay null (nothing to carry). One shuffle on user_id; the
+    * running frame streams each partition — no buffering beyond the
+    * frame cursor. Rounding pins the carried value to money precision
+    * so the carried double is bit-identical cross-engine. */
+  def q58ForwardFill(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val measured = when(col("value") < 2, lit(null)).otherwise(round(col("value"), 2))
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        measured.as("measured"),
+        last(measured, ignoreNulls = true).over(w).as("filled"))
+      .orderBy("event_id")
+  }
+
+  val q58OracleSql: String =
+    """SELECT event_id, user_id, ts,
+      |       CASE WHEN value < 2 THEN NULL ELSE ROUND(value, 2) END AS measured,
+      |       last_value(CASE WHEN value < 2 THEN NULL
+      |                       ELSE ROUND(value, 2) END IGNORE NULLS)
+      |         OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+      |FROM events ORDER BY event_id""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1193,7 +1224,8 @@ object Relational {
     "q54_session_window"    -> (q54SessionWindow _),
     "q55_argmax"            -> (q55Argmax _),
     "q56_gap_fill"          -> (q56GapFill _),
-    "q57_correlated_scalar" -> (q57CorrelatedScalar _))
+    "q57_correlated_scalar" -> (q57CorrelatedScalar _),
+    "q58_forward_fill"      -> (q58ForwardFill _))
 
   val oracleSql: Map[String, String] = Map(
     "q01_scan_project" ->
@@ -1492,5 +1524,6 @@ object Relational {
     "q54_session_window" -> q54OracleSql,
     "q55_argmax"       -> q55OracleSql,
     "q56_gap_fill"     -> q56OracleSql,
-    "q57_correlated_scalar" -> q57OracleSql)
+    "q57_correlated_scalar" -> q57OracleSql,
+    "q58_forward_fill" -> q58OracleSql)
 }

@@ -1280,4 +1280,30 @@ class OperatorsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("q58 forward fill: nulls take the key's most recent value; leading nulls stay") {
+    val rows = Relational.q58ForwardFill(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+    // recompute LOCF single-threaded per user in emission (event_id) order
+    // grouped by user: event_id order == (ts, event_id) order per user here?
+    // not guaranteed - so sort by nothing extra: rebuild from the raw table
+    val raw = sources.Tables.events(spark, sf)
+      .select("event_id", "user_id", "ts", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), String.valueOf(r.get(2)), r.getDouble(3)))
+    val expect = raw.groupBy(_._2).iterator.flatMap { case (_, g) =>
+      var carry: Option[Double] = None
+      g.sortBy(x => (x._3, x._1)).map { case (eid, _, _, v) =>
+        val m = if (v < 2) None else Some(math.round(v * 100) / 100.0)
+        if (m.isDefined) carry = m
+        eid -> ((m, carry))
+      }.iterator
+    }.toMap
+    rows.foreach { case (eid, _, m, f) =>
+      val (em, ef) = expect(eid)
+      assert(m == em && f == ef, s"event $eid: LOCF must match the direct recompute")
+    }
+    assert(rows.exists(r => r._3.isEmpty && r._4.isDefined), "some null was filled")
+  }
 }
