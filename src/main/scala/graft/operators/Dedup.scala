@@ -589,6 +589,67 @@ object Dedup {
        |SELECT cluster_rep, doc_id AS keep_id, quality_score, n_members
        |FROM ranked WHERE rn = 1 ORDER BY cluster_rep""".stripMargin
 
+  // ---------------------------------------------------------------- d12
+  /** REPEATED-SPAN REMOVAL (the RefinedWeb/CCNet "remove duplicated
+    * spans" pass — finer-grained than whole-doc dedup): each document
+    * is cut into consecutive 8-word segments, a segment occurring ≥ 2
+    * times corpus-wide is boilerplate, and every document is rewritten
+    * with its boilerplate segments deleted (survivors keep their
+    * original order).
+    *
+    * Scale shape: the corpus never reassembles through a shuffle. The
+    * per-doc segment array is computed in the scan (`transform` over a
+    * `sequence` — codegen, no explode of the rewrite path); only the
+    * COUNTING side explodes, and its exchange carries segment partials
+    * that map-side combine. The hot-span set (the only thing the
+    * rewrite needs) collapses to ONE array row broadcast back, so the
+    * rewrite is a second pure scan: filter each doc's array against
+    * the broadcast set. At 100 TB the hot set is bounded by how much
+    * boilerplate exists, not corpus size, and the segment-count
+    * exchange swaps its string key for xxhash64 (t07's pattern); here
+    * the string key keeps the DuckDB oracle exact. */
+  def d12SpanDedup(s: SparkSession, d: String): DataFrame = {
+    val segW = 8
+    val docs = Tables.documents(s, d).select(
+      col("doc_id"),
+      expr(s"""transform(sequence(0, cast(ceil(size(split(text, ' ')) / $segW.0)
+              |  as int) - 1),
+              |  i -> array_join(slice(split(text, ' '), i * $segW + 1, $segW), ' '))"""
+        .stripMargin).as("segs"))
+    val hot = docs.select(explode(col("segs")).as("seg"))
+      .groupBy("seg").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2)
+      .agg(collect_list(col("seg")).as("hot"))   // one row: the banned set
+    docs.crossJoin(broadcast(hot))
+      .select(col("doc_id"),
+        expr("array_join(filter(segs, x -> NOT array_contains(hot, x)), ' ')")
+          .as("cleaned"),
+        expr("cast(size(filter(segs, x -> array_contains(hot, x))) as bigint)")
+          .as("n_removed"))
+      .orderBy("doc_id")
+  }
+
+  val d12OracleSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+      |),
+      |segs AS (
+      |  SELECT doc_id, i,
+      |         array_to_string(words[i*8+1 : i*8+8], ' ') AS seg
+      |  FROM (SELECT doc_id, words,
+      |               unnest(generate_series(0,
+      |                 CAST(ceil(len(words) / 8.0) AS BIGINT) - 1)) AS i
+      |        FROM w)
+      |),
+      |hot AS (SELECT seg FROM segs GROUP BY seg HAVING COUNT(*) >= 2)
+      |SELECT s.doc_id,
+      |       COALESCE(string_agg(s.seg, ' ' ORDER BY s.i)
+      |                  FILTER (WHERE h.seg IS NULL), '') AS cleaned,
+      |       COUNT(*) FILTER (WHERE h.seg IS NOT NULL) AS n_removed
+      |FROM segs s LEFT JOIN hot h ON s.seg = h.seg
+      |GROUP BY s.doc_id
+      |ORDER BY s.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_dedup_exact"     -> (d01Exact _),
     "d02_dedup_minhash"   -> (d02Minhash _),
@@ -600,7 +661,8 @@ object Dedup {
     "d08_decontaminate"   -> (d08Decontaminate _),
     "d09_containment"     -> (d09Containment _),
     "d10_editdist"        -> (d10EditDistance _),
-    "d11_keep_best"       -> (d11KeepBest _))
+    "d11_keep_best"       -> (d11KeepBest _),
+    "d12_span_dedup"      -> (d12SpanDedup _))
 
   /** d04/d06 ARE oracle-checkable, via brute force: DuckDB computes
     * all-pairs 5-gram Jaccard (char n-grams == byte n-grams on this
@@ -704,5 +766,6 @@ object Dedup {
     "d08_decontaminate"     -> d08OracleSql,
     "d09_containment"       -> d09OracleSql,
     "d10_editdist"          -> d10OracleSql,
-    "d11_keep_best"         -> d11OracleSql)
+    "d11_keep_best"         -> d11OracleSql,
+    "d12_span_dedup"        -> d12OracleSql)
 }

@@ -1165,6 +1165,83 @@ object Relational {
       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
       |FROM events ORDER BY event_id""".stripMargin
 
+  // ---------------------------------------------------------------- q59
+  /** Statistical aggregates per group — covariance, correlation,
+    * standard deviation — computed from DECIMAL MOMENT SUMS rather
+    * than the engines' streaming `corr`/`stddev` aggregates. The
+    * built-ins update running moments whose floating-point result
+    * depends on partition merge ORDER (nondeterministic on a cluster,
+    * and engine-specific), while Σx, Σy, Σx², Σy², Σxy in DECIMAL are
+    * exact and order-independent; the closed-form finishers then run
+    * identical double arithmetic on identical inputs on both engines.
+    * Same single scan + single exchange of constant-size partials as
+    * any groupBy — the moment-sum trick costs nothing and is the only
+    * formulation that is bit-reproducible at 100 TB. */
+  def q59StatsAgg(s: SparkSession, d: String): DataFrame = {
+    val x = dec(col("l_quantity"))            // ≤ 50.00
+    val y = dec(col("l_extendedprice"))       // ≤ ~100k.00
+    val n  = count(lit(1)).cast("double")
+    val sx = sum(x).cast("double");  val sy  = sum(y).cast("double")
+    val sxx = sum(x * x).cast("double"); val syy = sum(y * y).cast("double")
+    val sxy = sum(x * y).cast("double")
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        round((sxy - sx * sy / n) / n, 4).as("covar_pop"),
+        round(sqrt((sxx - sx * sx / n) / (n - 1)), 6).as("stddev_qty"),
+        round((n * sxy - sx * sy) /
+          sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6).as("corr_qty_price"))
+      .orderBy("l_returnflag")
+  }
+
+  val q59OracleSql: String =
+    """SELECT l_returnflag,
+      |  ROUND((sxy - sx*sy/n) / n, 4)                     AS covar_pop,
+      |  ROUND(SQRT((sxx - sx*sx/n) / (n-1)), 6)           AS stddev_qty,
+      |  ROUND((n*sxy - sx*sy)
+      |        / SQRT((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) AS corr_qty_price
+      |FROM (
+      |  SELECT l_returnflag,
+      |         CAST(COUNT(*) AS DOUBLE) AS n,
+      |         CAST(SUM(x) AS DOUBLE) AS sx,  CAST(SUM(y) AS DOUBLE) AS sy,
+      |         CAST(SUM(x*x) AS DOUBLE) AS sxx, CAST(SUM(y*y) AS DOUBLE) AS syy,
+      |         CAST(SUM(x*y) AS DOUBLE) AS sxy
+      |  FROM (SELECT l_returnflag,
+      |               CAST(l_quantity AS DECIMAL(18,2)) AS x,
+      |               CAST(l_extendedprice AS DECIMAL(18,2)) AS y
+      |        FROM lineitem)
+      |  GROUP BY l_returnflag
+      |) ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------- q60
+  /** DETERMINISTIC MODE per group (the most frequent value; ties go to
+    * the smallest value) — the engines' own `mode()` aggregates pick
+    * an ARBITRARY row under ties (partition-order-dependent on a
+    * cluster, unverifiable against any oracle). Two aggregations:
+    * count per (group, value) — bounded cardinality, map-side partials
+    * collapse the scan — then q55's struct-order trick with the count
+    * NEGATED so one `min` expresses (count DESC, value ASC). No window
+    * function, no sort; the second aggregate's input is already tiny
+    * (distinct pairs, not rows) at any corpus size. */
+  def q60Mode(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .groupBy("c_nationkey", "c_mktsegment")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("c_nationkey")
+      .agg(min(struct((-col("cnt")).as("nc"), col("c_mktsegment").as("v")))
+        .as("m"))
+      .select(col("c_nationkey"), col("m.v").as("modal_segment"),
+        (-col("m.nc")).as("n_customers"))
+      .orderBy("c_nationkey")
+
+  val q60OracleSql: String =
+    """SELECT c_nationkey,
+      |       MIN({'nc': -cnt, 'v': c_mktsegment}).v  AS modal_segment,
+      |       -MIN({'nc': -cnt, 'v': c_mktsegment}).nc AS n_customers
+      |FROM (SELECT c_nationkey, c_mktsegment, COUNT(*) AS cnt
+      |      FROM customer GROUP BY 1, 2)
+      |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1225,7 +1302,9 @@ object Relational {
     "q55_argmax"            -> (q55Argmax _),
     "q56_gap_fill"          -> (q56GapFill _),
     "q57_correlated_scalar" -> (q57CorrelatedScalar _),
-    "q58_forward_fill"      -> (q58ForwardFill _))
+    "q58_forward_fill"      -> (q58ForwardFill _),
+    "q59_stats_agg"         -> (q59StatsAgg _),
+    "q60_mode"              -> (q60Mode _))
 
   val oracleSql: Map[String, String] = Map(
     "q01_scan_project" ->
@@ -1525,5 +1604,7 @@ object Relational {
     "q55_argmax"       -> q55OracleSql,
     "q56_gap_fill"     -> q56OracleSql,
     "q57_correlated_scalar" -> q57OracleSql,
-    "q58_forward_fill" -> q58OracleSql)
+    "q58_forward_fill" -> q58OracleSql,
+    "q59_stats_agg" -> q59OracleSql,
+    "q60_mode" -> q60OracleSql)
 }

@@ -1306,4 +1306,70 @@ class OperatorsSpec extends AnyFunSuite {
     }
     assert(rows.exists(r => r._3.isEmpty && r._4.isDefined), "some null was filled")
   }
+
+  test("q59 stats agg: moment-sum corr/stddev/covar match a direct recompute") {
+    val rows = Relational.q59StatsAgg(spark, sf).collect()
+    val li = sources.Tables.lineitem(spark, sf)
+      .select("l_returnflag", "l_quantity", "l_extendedprice").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    rows.foreach { r =>
+      val g = li.filter(_._1 == r.getString(0))
+      val n = g.length.toDouble
+      def r2(v: Double) = math.round(v * 100) / 100.0 // decimal(18,2) quantize
+      val sx = g.map(x => r2(x._2)).sum;  val sy = g.map(x => r2(x._3)).sum
+      val sxx = g.map(x => r2(x._2) * r2(x._2)).sum
+      val syy = g.map(x => r2(x._3) * r2(x._3)).sum
+      val sxy = g.map(x => r2(x._2) * r2(x._3)).sum
+      val covar = (sxy - sx * sy / n) / n
+      val corr = (n * sxy - sx * sy) /
+        math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+      assert(math.abs(r.getDouble(1) - covar) < 1e-2,
+        s"${r.getString(0)}: covar_pop")
+      assert(math.abs(r.getDouble(3) - corr) < 1e-4,
+        s"${r.getString(0)}: corr")
+    }
+  }
+
+  test("q60 mode: deterministic modal value with smallest-value tie break") {
+    val rows = Relational.q60Mode(spark, sf).collect()
+    val cust = sources.Tables.customer(spark, sf)
+      .select("c_nationkey", "c_mktsegment").collect()
+      .map(r => (r.getInt(0), r.getString(1)))
+    rows.foreach { r =>
+      val counts = cust.filter(_._1 == r.getInt(0)).groupBy(_._2)
+        .map { case (seg, xs) => (seg, xs.length) }
+      val best = counts.minBy { case (seg, c) => (-c, seg) }
+      assert(r.getString(1) == best._1 && r.getLong(2) == best._2.toLong,
+        s"nation ${r.getInt(0)}: mode must be (count desc, value asc) best")
+    }
+    assert(rows.length == cust.map(_._1).distinct.length)
+  }
+
+  test("d12 span dedup: cleaned docs match a direct recompute; hot set broadcast") {
+    val df = Dedup.d12SpanDedup(spark, sf)
+    val plan = GraftSession.explainPlan(df)
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("Broadcast"),
+      "hot-span set must broadcast, never shuffle the corpus:\n" + plan.take(600))
+    val rows = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    // direct single-threaded recompute of the same semantics
+    val docs = sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    def segsOf(t: String): Seq[String] =
+      t.split(" ", -1).grouped(8).map(_.mkString(" ")).toSeq
+    val counts = scala.collection.mutable.Map.empty[String, Int]
+    docs.foreach(d => segsOf(d._2).foreach(sg => counts(sg) = counts.getOrElse(sg, 0) + 1))
+    val expect = docs.map { case (id, t) =>
+      val segs = segsOf(t)
+      val (hot, kept) = segs.partition(sg => counts(sg) >= 2)
+      (id, kept.mkString(" "), hot.length.toLong)
+    }
+    assert(rows.length == expect.length)
+    rows.zip(expect).foreach { case (g, e) =>
+      assert(g == e, s"doc ${e._1}: span-dedup must match the recompute")
+    }
+    assert(rows.exists(_._3 > 0), "the corpus plants duplicated spans")
+    assert(rows.exists(_._3 == 0), "not every doc is boilerplate")
+  }
 }
