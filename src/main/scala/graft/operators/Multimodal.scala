@@ -298,11 +298,91 @@ object Multimodal {
       |         AS n_zero_cross
       |FROM lagd GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------ m05
+  /** Average-hash (aHash) bits for a decoded image: NN-resample to
+    * 8×8, per-cell gray = r+g+b (the sum ranks identically to the
+    * mean, no division rounding), bit = cell's gray strictly above the
+    * image mean — compared as `gray·64 > total` so the arithmetic is
+    * pure integers and bit-identical on any engine. Returned as a
+    * 64-char '0'/'1' string (hex packing would be equivalent; the bit
+    * string keeps the SQL oracle trivial). */
+  private[graft] def phashBits(bytes: Array[Byte]): String = {
+    val img = decodePpm(bytes)
+    val px = resampleNn(img, 8, 8)
+    val cells = new Array[Int](64)
+    var total = 0
+    var c = 0
+    while (c < 64) {
+      cells(c) = (px(c * 3) & 0xff) + (px(c * 3 + 1) & 0xff) + (px(c * 3 + 2) & 0xff)
+      total += cells(c); c += 1
+    }
+    val bits = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i < 64) { bits.append(if (cells(i) * 64 > total) '1' else '0'); i += 1 }
+    bits.toString
+  }
+
+  /** m05: PERCEPTUAL-HASH IMAGE DEDUP (the image-side twin of d01):
+    * every image reduces to its 64-bit aHash inside the scan-stage
+    * batch decode — payload bytes never shuffle — then the d01 shape
+    * groups on the hash (8-byte-equivalent key, map-side partials) to
+    * find duplicate assets; each doc reports its group's representative
+    * and size. The media seed is doc_id mod 97, so the synthetic
+    * library contains genuinely repeated assets at every scale factor
+    * (a real crawl's re-hosted images). At 100 TB the hash column is
+    * stored at ingest and this is a pure key groupBy; near-dup (small
+    * hamming distance) extends via d03's band blocking on the same
+    * bits. */
+  def m05ImageDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hashed = Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        (id, phashBits(ppmPayload(id % 97)))
+      }).toDF("doc_id", "phash")
+    val groups = hashed.groupBy("phash")
+      .agg(count(lit(1)).as("n_group"), min("doc_id").as("rep_id"))
+    hashed.join(groups, "phash")
+      .select("doc_id", "phash", "rep_id", "n_group")
+      .orderBy("doc_id")
+  }
+
+  val m05OracleSql: String =
+    """WITH m AS (
+      |  SELECT doc_id, doc_id % 97 AS sd,
+      |         CAST((doc_id % 97) % 64 + 16 AS INT) AS w,
+      |         CAST((doc_id % 97) % 48 + 16 AS INT) AS h
+      |  FROM documents
+      |), cells AS (
+      |  SELECT doc_id, sd, j,
+      |         ((((j // 8) * h // 8) * w + ((j % 8) * w // 8)) * 3) AS si
+      |  FROM m, LATERAL unnest(generate_series(0, 63)) AS t(j)
+      |), g AS (
+      |  SELECT doc_id, j,
+      |         (sd*31 + 7*si) % 256 + (sd*31 + 7*(si+1)) % 256
+      |           + (sd*31 + 7*(si+2)) % 256 AS gray
+      |  FROM cells
+      |), b AS (
+      |  SELECT doc_id, j,
+      |         CASE WHEN gray * 64 > SUM(gray) OVER (PARTITION BY doc_id)
+      |              THEN '1' ELSE '0' END AS bit
+      |  FROM g
+      |), p AS (
+      |  SELECT doc_id, string_agg(bit, '' ORDER BY j) AS phash
+      |  FROM b GROUP BY doc_id
+      |), grp AS (
+      |  SELECT phash, COUNT(*) AS n_group, MIN(doc_id) AS rep_id
+      |  FROM p GROUP BY phash
+      |)
+      |SELECT p.doc_id, p.phash, grp.rep_id, grp.n_group
+      |FROM p JOIN grp USING (phash)
+      |ORDER BY p.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_multimodal"   -> (m01Multimodal _),
     "m02_resize"       -> (m02Resize _),
     "m03_frame_sample" -> (m03FrameSample _),
-    "m04_audio"        -> (m04Audio _))
+    "m04_audio"        -> (m04Audio _),
+    "m05_image_dedup"  -> (m05ImageDedup _))
 
   /** All three are oracle-exact: the pixel byte at index i is
     * (doc_id*31 + 7*i) mod 256, so DuckDB regenerates the array with
@@ -369,5 +449,6 @@ object Multimodal {
         |SELECT doc_id, CAST(fi AS INT) AS frame_idx,
         |       CAST(SUM((doc_id*31 + 7*i) % 256) AS BIGINT) AS frame_sum
         |FROM px GROUP BY doc_id, fi ORDER BY doc_id, frame_idx""".stripMargin,
-    "m04_audio" -> m04OracleSql)
+    "m04_audio" -> m04OracleSql,
+    "m05_image_dedup" -> m05OracleSql)
 }

@@ -116,6 +116,50 @@ object StreamQueries {
     * batch/DuckDB sessionization exactly. */
   def st02StreamState(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    val out = withSentinelEventStream(s, d) { stream =>
+      val typed = stream
+        .select(col("user_id"), col("ts"), col("event_type"),
+          col("value").cast("double").as("value"))
+        .as[Streams.Event]
+      withStatePartitions(s, 8) {
+        val q = Streams.sessionize(typed, gapMinutes = 30, watermark = "10 minutes")
+          .writeStream.format("memory").queryName("graft_st02_sink")
+          .outputMode(OutputMode.Append)
+          .start()
+        try q.processAllAvailable()
+        finally q.stop() // the memory sink holds the rows
+      }
+      s.table("graft_st02_sink")
+        .filter(col("user_id") >= 0)
+        .select(col("user_id"), col("start_ts"), col("end_ts"), col("n_events"),
+          // values are money-like 2-decimal doubles; rounding removes the
+          // fp accumulation-order noise so the result is bit-stable
+          // against the oracle's exact DECIMAL sum
+          round(col("total_value"), 2).as("total_value"))
+        .orderBy("user_id", "start_ts")
+    }
+    out.getOrElse(
+      Seq.empty[(Long, java.sql.Timestamp, java.sql.Timestamp, Int, Double)]
+        .toDF("user_id", "start_ts", "end_ts", "n_events", "total_value"))
+  }
+
+  /** Bounded events staged as a watermark-drivable file stream: the
+    * source parquet byte-copied as chunk 0 plus two far-future
+    * single-row SENTINEL chunks, consumed two files per trigger —
+    * event-time timeouts and Append-mode session flushes fire against
+    * the PREVIOUS batch's watermark, so batch 1 (events + sentinel 1)
+    * advances the watermark past every real session and batch 2
+    * (sentinel 2) triggers the flush. Sentinels are written in the
+    * SAME ts encoding as the source file (ns-LONG vs µs-timestamp
+    * generations both ship; every chunk is read under the source
+    * schema), the stream is normalized through the shared
+    * [[Tables.normalizeTs]], and the sentinel rows carry user_id −1
+    * for the consumer to filter. Returns None when the events table is
+    * empty. Shared by st02 (custom keyed state) and st12 (native
+    * session windows); the staging dir is cleaned up after `body`. */
+  private def withSentinelEventStream[T](s: SparkSession, d: String)
+      (body: DataFrame => T): Option[T] = {
+    import s.implicits._
     import java.nio.file.{Files => JFiles, Paths => JPaths}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -130,9 +174,7 @@ object StreamQueries {
     // column
     val maxRow = Tables.normalizeTs(s.read.parquet(s"$d/events.parquet"))
       .agg(max(unix_micros(col("ts")))).head()
-    if (maxRow.isNullAt(0))
-      return Seq.empty[(Long, java.sql.Timestamp, java.sql.Timestamp, Int, Double)]
-        .toDF("user_id", "start_ts", "end_ts", "n_events", "total_value")
+    if (maxRow.isNullAt(0)) return None
     val maxUs = maxRow.getLong(0)
 
     // stage on tmpfs when the box has one — the staged copy is
@@ -140,82 +182,100 @@ object StreamQueries {
     val shm = JPaths.get("/dev/shm")
     val tmp =
       if (JFiles.isDirectory(shm) && JFiles.isWritable(shm))
-        JFiles.createTempDirectory(shm, "graft-st02")
-      else JFiles.createTempDirectory("graft-st02")
-    val streamDir = tmp.resolve("stream")
-    JFiles.createDirectories(streamDir)
-    // chunk 0 IS the source parquet, byte-copied — staging the stream
-    // must not pay a full Spark rewrite of the events table
-    val chunk0 = streamDir.resolve("chunk-0000.parquet")
-    JFiles.copy(JPaths.get(d, "events.parquet"), chunk0)
-    chunk0.toFile.setLastModified(1700000000000L)
-    // sentinels: single-row parquet files with ts in the SAME encoding
-    // as the source file — every chunk is read under rawSchema, so a
-    // sentinel in the wrong physical type would fail the whole stream
-    // (the columns absent from the file — event_id, props — read back
-    // as NULL under rawSchema)
-    def writeSentinel(offMs: Long, n: Int): Unit = {
-      val staging = tmp.resolve(s"chunk$n")
-      val sentinelUs = maxUs + offMs * 1000L
-      val secs = Math.floorDiv(sentinelUs, 1000000L)
-      val micros = Math.floorMod(sentinelUs, 1000000L)
-      val sentinelDf = tsType match {
-        case LongType => // ns-LONG generation: epoch-ns long
-          Seq((-1L, sentinelUs * 1000L, "sentinel", 0.0))
-            .toDF("user_id", "ts", "event_type", "value")
-        case TimestampNTZType => // µs tz-naive generation
-          Seq((-1L, java.time.LocalDateTime.ofEpochSecond(
-              secs, (micros * 1000L).toInt, java.time.ZoneOffset.UTC),
-            "sentinel", 0.0))
-            .toDF("user_id", "ts", "event_type", "value")
-        case _ => // µs UTC-adjusted timestamp
-          Seq((-1L, java.time.Instant.ofEpochSecond(secs, micros * 1000L),
-            "sentinel", 0.0))
-            .toDF("user_id", "ts", "event_type", "value")
-      }
-      sentinelDf.coalesce(1).write.parquet(staging.toString)
-      val listing = JFiles.list(staging)
-      val dest = streamDir.resolve(f"chunk-$n%04d.parquet")
-      try {
-        val part = listing.iterator()
-        while (part.hasNext) {
-          val p = part.next()
-          if (p.getFileName.toString.endsWith(".parquet")) JFiles.move(p, dest)
+        JFiles.createTempDirectory(shm, "graft-stg")
+      else JFiles.createTempDirectory("graft-stg")
+    try {
+      val streamDir = tmp.resolve("stream")
+      JFiles.createDirectories(streamDir)
+      // chunk 0 IS the source parquet, byte-copied — staging the stream
+      // must not pay a full Spark rewrite of the events table
+      val chunk0 = streamDir.resolve("chunk-0000.parquet")
+      JFiles.copy(JPaths.get(d, "events.parquet"), chunk0)
+      chunk0.toFile.setLastModified(1700000000000L)
+      // sentinels: single-row parquet files with ts in the SAME encoding
+      // as the source file — every chunk is read under rawSchema, so a
+      // sentinel in the wrong physical type would fail the whole stream
+      // (the columns absent from the file — event_id, props — read back
+      // as NULL under rawSchema)
+      def writeSentinel(offMs: Long, n: Int): Unit = {
+        val staging = tmp.resolve(s"chunk$n")
+        val sentinelUs = maxUs + offMs * 1000L
+        val secs = Math.floorDiv(sentinelUs, 1000000L)
+        val micros = Math.floorMod(sentinelUs, 1000000L)
+        val sentinelDf = tsType match {
+          case LongType => // ns-LONG generation: epoch-ns long
+            Seq((-1L, sentinelUs * 1000L, "sentinel", 0.0))
+              .toDF("user_id", "ts", "event_type", "value")
+          case TimestampNTZType => // µs tz-naive generation
+            Seq((-1L, java.time.LocalDateTime.ofEpochSecond(
+                secs, (micros * 1000L).toInt, java.time.ZoneOffset.UTC),
+              "sentinel", 0.0))
+              .toDF("user_id", "ts", "event_type", "value")
+          case _ => // µs UTC-adjusted timestamp
+            Seq((-1L, java.time.Instant.ofEpochSecond(secs, micros * 1000L),
+              "sentinel", 0.0))
+              .toDF("user_id", "ts", "event_type", "value")
         }
-      } finally listing.close() // a leaked Files.list holds a directory fd
-      dest.toFile.setLastModified(1700000000000L + n * 60000L) // source order
-    }
-    writeSentinel(86400000L, 1)  // + 1 day
-    writeSentinel(172800000L, 2) // + 2 days
+        sentinelDf.coalesce(1).write.parquet(staging.toString)
+        val listing = JFiles.list(staging)
+        val dest = streamDir.resolve(f"chunk-$n%04d.parquet")
+        try {
+          val part = listing.iterator()
+          while (part.hasNext) {
+            val p = part.next()
+            if (p.getFileName.toString.endsWith(".parquet")) JFiles.move(p, dest)
+          }
+        } finally listing.close() // a leaked Files.list holds a directory fd
+        dest.toFile.setLastModified(1700000000000L + n * 60000L) // source order
+      }
+      writeSentinel(86400000L, 1)  // + 1 day
+      writeSentinel(172800000L, 2) // + 2 days
 
-    val stream = Tables.normalizeTs(
+      val stream = Tables.normalizeTs(
         s.readStream.schema(rawSchema)
           .option("maxFilesPerTrigger", "2")
           .parquet(streamDir.toString))
-      .select(col("user_id"), col("ts"), col("event_type"),
-        col("value").cast("double").as("value"))
-      .as[Streams.Event]
-    withStatePartitions(s, 8) {
-      val q = Streams.sessionize(stream, gapMinutes = 30, watermark = "10 minutes")
-        .writeStream.format("memory").queryName("graft_st02_sink")
-        .outputMode(OutputMode.Append)
-        .start()
-      try q.processAllAvailable()
-      finally {
-        // the memory sink holds the rows; the staged stream files are done
-        try q.stop()
-        finally graft.sources.TableCatalog.deleteRecursively(tmp)
-      }
-    }
+      Some(body(stream))
+    } finally graft.sources.TableCatalog.deleteRecursively(tmp)
+  }
 
-    s.table("graft_st02_sink")
-      .filter(col("user_id") >= 0)
-      .select(col("user_id"), col("start_ts"), col("end_ts"), col("n_events"),
-        // values are money-like 2-decimal doubles; rounding removes the
-        // fp accumulation-order noise so the result is bit-stable
-        // against the oracle's exact DECIMAL sum
-        round(col("total_value"), 2).as("total_value"))
-      .orderBy("user_id", "start_ts")
+  /** st12: NATIVE session windows executed BY THE STREAMING ENGINE —
+    * the streaming twin of batch q54 (and the built-in alternative to
+    * st02's hand-rolled flatMapGroupsWithState): `session_window`
+    * aggregation under a watermark merges each user's events into
+    * dynamic gap-based sessions inside ONE stateful operator, and
+    * Append mode emits a session only once its window is closed past
+    * the watermark — the sentinel chunks drive the watermark past
+    * every real session (st02's staging, shared). State is one merged
+    * window per open session per user — not per event — the bound
+    * that holds at any stream volume. Result must equal the batch
+    * q54 / DuckDB lag+cumsum sessionization exactly. */
+  def st12StreamSessionWindow(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dec2 = (c: org.apache.spark.sql.Column) => c.cast("decimal(18,2)")
+    val out = withSentinelEventStream(s, d) { stream =>
+      val agg = stream
+        .withWatermark("ts", "10 minutes")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).cast("int").as("n_events"),
+          round(sum(dec2(col("value"))).cast("double"), 2).as("total_value"))
+        .select(col("user_id"), col("sw.start").as("start_ts"),
+          col("n_events"), col("total_value"))
+      withStatePartitions(s, 8) {
+        val q = agg.writeStream
+          .format("memory").queryName("graft_st12_sink")
+          .outputMode(OutputMode.Append)
+          .start()
+        try q.processAllAvailable()
+        finally q.stop()
+      }
+      s.table("graft_st12_sink")
+        .filter(col("user_id") >= 0)
+        .orderBy("user_id", "start_ts")
+    }
+    out.getOrElse(
+      Seq.empty[(Long, java.sql.Timestamp, Int, Double)]
+        .toDF("user_id", "start_ts", "n_events", "total_value"))
   }
 
   /** st03: streaming EXACT dedup at ingest — the streaming twin of the
@@ -575,7 +635,8 @@ object StreamQueries {
     "st08_stream_topk"   -> (st08StreamTopk _),
     "st09_stream_curate" -> (st09StreamCurate _),
     "st10_stream_curate_ingest" -> (st10StreamCurateIngest _),
-    "st11_stream_sketch" -> (st11StreamSketch _))
+    "st11_stream_sketch" -> (st11StreamSketch _),
+    "st12_stream_session_window" -> (st12StreamSessionWindow _))
 
   /** Same oracle as the batch twin: tumbling 1h windows aligned to the
     * epoch are exactly date_trunc('hour'). */
@@ -645,7 +706,10 @@ object StreamQueries {
     "st09_stream_curate" -> st09OracleSql,
     // the catalog scan after streaming ingest must equal the gated
     // distinct set exactly — same oracle as st09
-    "st10_stream_curate_ingest" -> st09OracleSql)
+    "st10_stream_curate_ingest" -> st09OracleSql,
+    // identical oracle to batch q54: the native streaming session
+    // windows must reproduce the lag+cumsum sessionization exactly
+    "st12_stream_session_window" -> graft.operators.Relational.q54OracleSql)
 
   private lazy val st09OracleSql: String =
     s"""WITH q AS (SELECT DISTINCT text FROM documents),

@@ -1202,6 +1202,33 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("m05 image dedup: planted duplicates group, hash tolerates minor noise") {
+    val rows = Multimodal.m05ImageDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // docs whose ids are 97 apart carry the SAME asset -> same hash + rep
+    val byId = rows.map(r => r._1 -> r).toMap
+    if (byId.contains(0L) && byId.contains(97L)) {
+      assert(byId(0L)._2 == byId(97L)._2 && byId(0L)._3 == byId(97L)._3,
+        "re-hosted assets (seed collision) must share hash and representative")
+      assert(byId(0L)._4 >= 2)
+    }
+    // group sizes partition the corpus
+    assert(rows.map(_._1).distinct.length == rows.length)
+    rows.groupBy(_._2).foreach { case (_, g) =>
+      assert(g.forall(_._4 == g.length), "n_group must equal the group's size")
+      assert(g.map(_._3).distinct.length == 1, "one representative per hash")
+      assert(g.map(_._3).head == g.map(_._1).min, "rep is the smallest doc_id")
+    }
+    // perceptual tolerance: nudging one pixel by 1 doesn't change the hash
+    val base = Multimodal.ppmPayload(5L)
+    val noisy = base.clone()
+    noisy(base.length - 1) = ((noisy(base.length - 1) + 1) & 0xff).toByte
+    assert(Multimodal.phashBits(base) == Multimodal.phashBits(noisy),
+      "aHash must be stable under a one-byte pixel nudge")
+    // but a structurally different image hashes differently
+    assert(Multimodal.phashBits(base) != Multimodal.phashBits(Multimodal.ppmPayload(6L)))
+  }
+
   test("q54 native session windows agree with q26's lag+cumsum sessionization") {
     val native = Relational.q54SessionWindow(spark, sf).collect()
       .map(r => (r.getLong(0), String.valueOf(r.get(1)), r.getInt(2).toLong,

@@ -228,6 +228,18 @@ class StreamsSpec extends AnyFunSuite {
     }
   }
 
+  test("st12 DRIVER QUERY: native streaming session windows equal batch q54") {
+    val streamed = graft.streaming.StreamQueries
+      .st12StreamSessionWindow(spark, TestSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getInt(2), r.getDouble(3)))
+    val batch = operators.Relational.q54SessionWindow(spark, TestSpark.sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getInt(2), r.getDouble(3)))
+    assert(streamed.length == batch.length,
+      s"session count: streamed ${streamed.length} vs batch ${batch.length}")
+    streamed.zip(batch).foreach { case (a, b) => assert(a == b, s"$a vs $b") }
+  }
+
   test("st03: streaming dedup emits each distinct document exactly once, across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
