@@ -1242,6 +1242,74 @@ object Relational {
       |      FROM customer GROUP BY 1, 2)
       |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
 
+  // ---------------------------------------------------------------- q61
+  /** DISTINCT COUNT OVER A WINDOW — "how many distinct order
+    * priorities has this row's customer ever used", attached to every
+    * row. Spark's window functions reject COUNT(DISTINCT) outright;
+    * the standard re-expression is `size(collect_set(...))` over the
+    * partition — one shuffle on the partition key, set state bounded
+    * by the distinct values (5 priorities), not the row count. The
+    * oracle runs DuckDB's native COUNT(DISTINCT ...) OVER, so the
+    * rewrite is proven equivalent, not just plausible. */
+  def q61WindowDistinct(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey")
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"),
+        size(collect_set(col("o_orderpriority")).over(w)).as("n_prios"))
+      .orderBy("o_orderkey")
+  }
+
+  val q61OracleSql: String =
+    """SELECT o_orderkey, o_custkey,
+      |       CAST(COUNT(DISTINCT o_orderpriority)
+      |              OVER (PARTITION BY o_custkey) AS INT) AS n_prios
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- q62
+  /** RATIO-TO-REPORT (percent of total): each nation's share of global
+    * revenue. The naive formulation windows `SUM() OVER ()` across the
+    * raw fact table — a single-partition trap at any scale. Here the
+    * corpus collapses FIRST (one groupBy to n_nation rows, map-side
+    * partials), and only the bounded aggregate flows through the
+    * empty-frame window — the total is computed over ≤ 25 rows however
+    * large the fact table. DECIMAL sums keep shares bit-stable. */
+  def q62RatioToReport(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rev = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(sum(dec(col("l_extendedprice")) * (oneDec - dec(col("l_discount"))))
+        .as("rev"))
+    // the DIVISION runs on doubles derived from the exact decimal sums
+    // (decimal÷decimal result scale differs between engines; identical
+    // doubles divide bit-identically)
+    rev
+      .select(col("n_name"), col("rev").cast("double").as("revenue"),
+        round(col("rev").cast("double") /
+          sum(col("rev")).over(Window.partitionBy()).cast("double"), 6)
+          .as("share"))
+      .orderBy("n_name")
+  }
+
+  val q62OracleSql: String =
+    """WITH rev AS (
+      |  SELECT n_name,
+      |         SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |             * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS rev
+      |  FROM lineitem
+      |  JOIN orders   ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation   ON c_nationkey = n_nationkey
+      |  GROUP BY n_name
+      |)
+      |SELECT n_name, CAST(rev AS DOUBLE) AS revenue,
+      |       ROUND(CAST(rev AS DOUBLE) / CAST(SUM(rev) OVER () AS DOUBLE), 6)
+      |         AS share
+      |FROM rev ORDER BY n_name""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1304,7 +1372,9 @@ object Relational {
     "q57_correlated_scalar" -> (q57CorrelatedScalar _),
     "q58_forward_fill"      -> (q58ForwardFill _),
     "q59_stats_agg"         -> (q59StatsAgg _),
-    "q60_mode"              -> (q60Mode _))
+    "q60_mode"              -> (q60Mode _),
+    "q61_window_distinct"   -> (q61WindowDistinct _),
+    "q62_ratio_to_report"   -> (q62RatioToReport _))
 
   val oracleSql: Map[String, String] = Map(
     "q01_scan_project" ->
@@ -1606,5 +1676,7 @@ object Relational {
     "q57_correlated_scalar" -> q57OracleSql,
     "q58_forward_fill" -> q58OracleSql,
     "q59_stats_agg" -> q59OracleSql,
-    "q60_mode" -> q60OracleSql)
+    "q60_mode" -> q60OracleSql,
+    "q61_window_distinct" -> q61OracleSql,
+    "q62_ratio_to_report" -> q62OracleSql)
 }

@@ -382,6 +382,65 @@ object Similarity {
       .orderBy(col("cos").desc, col("vec_id"))
   }
 
+  // ---------------------------------------------------------------- s09
+  /** MMR-DIVERSIFIED retrieval (Carbonell/Goldstein SIGIR 1998):
+    * relevance-only top-k returns near-duplicate neighbors; maximal
+    * marginal relevance greedily picks argmax λ·rel(i) − (1−λ)·max
+    * sim(i, selected), trading relevance against redundancy — the
+    * retrieval-diversity pass a RAG/training-data pipeline runs after
+    * ANN. Two stages with the two right execution homes: candidate
+    * generation is the DISTRIBUTED exact scan (s01's shape, top
+    * `MmrPool` by relevance); the greedy re-rank is inherently
+    * sequential (each pick depends on all prior picks) and runs
+    * driver-side over the FIXED-SIZE pool — `MmrPool` rows regardless
+    * of corpus size, the same corpus-size-independent driver work as
+    * IVF's k×dim centroid fold. Ties break on vec_id, so the
+    * selection is deterministic under any partitioning. Rows-only
+    * (greedy selection is not expressible in DuckDB SQL); the spec
+    * re-derives every pick from raw embeddings independently. */
+  private val MmrPool   = 30
+  private val MmrLambda = 0.7
+
+  private[operators] def cosineOf(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) {
+      dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+      nb += b(i).toDouble * b(i); i += 1
+    }
+    if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
+  }
+
+  def s09AnnMmr(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pool = Tables.embeddings(s, d)
+      .filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(probe(s, d)))
+      .select(col("vec_id"), cosine_sim(col("embedding"), col("qv")).as("rel"),
+        col("embedding"))
+      .orderBy(col("rel").desc, col("vec_id"))
+      .limit(MmrPool)
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getSeq[Float](2).toArray))
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Double)]
+    val chosen = scala.collection.mutable.Set.empty[Long]
+    val byId = pool.map(p => p._1 -> p._3).toMap
+    while (selected.length < K && chosen.size < pool.length) {
+      val best = pool.iterator.filterNot(p => chosen(p._1)).map { case (id, rel, v) =>
+        val red = if (chosen.isEmpty) 0.0
+          else chosen.iterator.map(cid => cosineOf(v, byId(cid))).max
+        (id, rel, MmrLambda * rel - (1 - MmrLambda) * red)
+      }.reduce((a, b) => if (b._3 > a._3 || (b._3 == a._3 && b._1 < a._1)) b else a)
+      selected += ((best._1, best._2, best._3))
+      chosen += best._1
+    }
+    selected.toSeq.zipWithIndex
+      .map { case ((id, rel, sc), i) =>
+        (i + 1, id, math.rint(rel * 1e4) / 1e4, math.rint(sc * 1e4) / 1e4)
+      }
+      .toDF("rank", "vec_id", "rel", "mmr_score")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_ann_brute" -> (s01BruteForce _),
     "s02_ann_lsh"   -> (s02LshAnn _),
@@ -390,7 +449,8 @@ object Similarity {
     "s05_quantize"  -> (s05Quantize _),
     "s06_ann_batch" -> (s06AnnBatch _),
     "s07_ann_filtered" -> (s07FilteredAnn _),
-    "s08_ann_rerank" -> (s08AnnRerank _))
+    "s08_ann_rerank" -> (s08AnnRerank _),
+    "s09_ann_mmr"   -> (s09AnnMmr _))
 
   val oracleSql: Map[String, String] = Map(
     "s01_ann_brute" ->

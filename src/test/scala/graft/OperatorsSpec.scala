@@ -804,6 +804,45 @@ class OperatorsSpec extends AnyFunSuite {
       s"coarse cut boundary too tight: ${coarse(49) - coarse(50)}")
   }
 
+  test("s09 MMR: every pick maximizes the objective; diversity not worse than top-k") {
+    val got = Similarity.queries("s09_ann_mmr")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(got.length == 10 && got.map(_._2).distinct.length == 10)
+    // independent recompute from the raw embeddings
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / math.sqrt(a.map(x => x * x).sum * b.map(x => x * x).sum)
+    }
+    val all = sources.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val q = all(0L)
+    val pool = all.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) => (id, cos(v, q)) }
+      .sortBy { case (id, rel) => (-rel, id) }.take(30)
+    // greedy re-derivation, pick by pick
+    var sel = Vector.empty[Long]
+    got.foreach { case (rank, id, _, _) =>
+      val best = pool.filterNot(p => sel.contains(p._1)).map { case (pid, rel) =>
+        val red = if (sel.isEmpty) 0.0 else sel.map(s => cos(all(pid), all(s))).max
+        (pid, 0.7 * rel - 0.3 * red)
+      }.minBy { case (pid, sc) => (-sc, pid) }
+      assert(id == best._1, s"rank $rank: MMR must pick the objective maximizer")
+      sel = sel :+ id
+    }
+    // diversity: the MMR set's mean pairwise similarity must not exceed
+    // the relevance-only top-k's
+    def meanPairSim(ids: Seq[Long]): Double = {
+      val ps = for (i <- ids.indices; j <- i + 1 until ids.length)
+        yield cos(all(ids(i)), all(ids(j)))
+      ps.sum / ps.length
+    }
+    val topk = pool.take(10).map(_._1)
+    assert(meanPairSim(got.map(_._2).toSeq) <= meanPairSim(topk) + 1e-12,
+      "MMR must not be less diverse than relevance-only retrieval")
+  }
+
   test("e01 curate equals the composition of t02 + t12 + exact dedup") {
     val out = operators.Pipeline.e01Curate(spark, sf).collect()
       .map(r => (r.getLong(0), r.getDouble(4)))
@@ -1370,6 +1409,39 @@ class OperatorsSpec extends AnyFunSuite {
         s"nation ${r.getInt(0)}: mode must be (count desc, value asc) best")
     }
     assert(rows.length == cust.map(_._1).distinct.length)
+  }
+
+  test("q61 window distinct: collect_set size equals a per-key distinct count") {
+    val rows = Relational.q61WindowDistinct(spark, sf).collect()
+    val orders = sources.Tables.orders(spark, sf)
+      .select("o_custkey", "o_orderpriority").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expect = orders.groupBy(_._1)
+      .map { case (k, xs) => k -> xs.map(_._2).distinct.length }
+    rows.foreach(r => assert(r.getInt(2) == expect(r.getLong(1)),
+      s"custkey ${r.getLong(1)}: distinct priority count"))
+  }
+
+  test("q62 ratio to report: shares sum to 1 and the window runs over the aggregate") {
+    val df = Relational.q62RatioToReport(spark, sf)
+    val rows = df.collect()
+    assert(math.abs(rows.map(_.getDouble(2)).sum - 1.0) < 1e-4,
+      "shares must sum to ~1")
+    assert(rows.length <= 25, "one row per nation")
+    // the global-total window must consume the aggregate, not the scan:
+    // the Window's child exchange carries n_nation rows (SinglePartition
+    // AFTER a HashAggregate), never the raw lineitem
+    val plan = df.queryExecution.executedPlan.toString
+    val winIdx = plan.indexOf("Window")
+    assert(winIdx >= 0)
+    // tree prints parent-first: the window's CHILD chain must be the
+    // single-partition exchange fed by the aggregate (corpus collapsed
+    // before anything single-partition)
+    assert(plan.indexOf("Exchange SinglePartition", winIdx) >= 0 &&
+      plan.indexOf("HashAggregate", winIdx) >
+        plan.indexOf("Exchange SinglePartition", winIdx),
+      "aggregate must collapse the corpus before the single-partition window:\n" +
+        plan.take(800))
   }
 
   test("d12 span dedup: cleaned docs match a direct recompute; hot set broadcast") {
