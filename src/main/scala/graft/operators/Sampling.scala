@@ -479,6 +479,55 @@ object Sampling {
       |SELECT CAST(rk * n.ns + r.sidx AS BIGINT) AS pos, doc_id, source
       |FROM r CROSS JOIN n ORDER BY pos""".stripMargin
 
+  // ---------------------------------------------------------------- p13
+  /** FRACTIONAL-WEIGHT UPSAMPLING — the mixing pass that repeats
+    * high-value data a NON-INTEGER number of times ("curated ×2.3,
+    * web ×0.7"): every doc gets floor(w) guaranteed copies plus one
+    * more with probability frac(w), decided by p05's arithmetic PRF —
+    * so reruns/retries replicate the exact same rows (a Bernoulli
+    * `rand()` draw would resample per attempt), per-class totals hit
+    * weight·n within one PRF quantum, and the realized copy count is a
+    * pure function of doc_id. The fan-out is `explode(sequence(...))`
+    * inside the scan stage — zero shuffle at any corpus size (t11's
+    * chunk shape); weights are tenths so all arithmetic stays integer
+    * and the DuckDB oracle is bit-exact. */
+  def p13Upsample(s: SparkSession, d: String): DataFrame = {
+    // weight in tenths per source class: curated 23 (×2.3), web 7 (×0.7)
+    val cls = when(substring(col("source"), 4, 8).cast("int") < 10, "web")
+      .otherwise("curated")
+    val wTenths = when(col("class") === "web", 7).otherwise(23)
+    val prf = (pmod(col("doc_id"), lit(2147483648L)) * lit(1103515245L)
+      + lit(12345L)) % lit(2147483648L)
+    Tables.documents(s, d)
+      .select(col("doc_id"), cls.as("class"))
+      .withColumn("n_copies",
+        (lit(wTenths) / 10).cast("int") +
+          when(prf < (wTenths % 10) * lit(214748364L), 1).otherwise(0))
+      .filter(col("n_copies") > 0)
+      .select(col("doc_id"), col("class"),
+        explode(sequence(lit(1), col("n_copies"))).as("copy"))
+      .orderBy("doc_id", "copy")
+  }
+
+  val p13OracleSql: String =
+    """WITH c AS (
+      |  SELECT doc_id,
+      |         CASE WHEN CAST(SUBSTR(source, 4) AS INT) < 10
+      |              THEN 'web' ELSE 'curated' END AS class,
+      |         ((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648 AS prf
+      |  FROM documents
+      |), n AS (
+      |  SELECT doc_id, class,
+      |         CASE WHEN class = 'web' THEN 7 ELSE 23 END // 10
+      |           + CASE WHEN prf < (CASE WHEN class = 'web' THEN 7 ELSE 23 END % 10)
+      |                        * 214748364 THEN 1 ELSE 0 END AS n_copies
+      |  FROM c
+      |)
+      |SELECT doc_id, class, CAST(u.copy AS INT) AS copy
+      |FROM n, LATERAL unnest(generate_series(1, n_copies)) AS u(copy)
+      |WHERE n_copies > 0
+      |ORDER BY doc_id, copy""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_hash_split"        -> (p01HashSplit _),
     "p02_stratified_sample" -> (p02StratifiedSample _),
@@ -491,7 +540,8 @@ object Sampling {
     "p09_quality_quantile"  -> (p09QualityQuantile _),
     "p10_temperature_sample" -> (p10TemperatureSample _),
     "p11_leak_safe_split"   -> (p11LeakSafeSplit _),
-    "p12_interleave"        -> (p12Interleave _))
+    "p12_interleave"        -> (p12Interleave _),
+    "p13_upsample"          -> (p13Upsample _))
 
   // p01/p02 rows-only: engine-specific RNG/hash
   val oracleSql: Map[String, String] = Map(
@@ -504,5 +554,6 @@ object Sampling {
     "p09_quality_quantile" -> p09OracleSql,
     "p10_temperature_sample" -> p10OracleSql,
     "p11_leak_safe_split" -> p11OracleSql,
-    "p12_interleave" -> p12OracleSql)
+    "p12_interleave" -> p12OracleSql,
+    "p13_upsample" -> p13OracleSql)
 }

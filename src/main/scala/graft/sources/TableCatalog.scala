@@ -1429,6 +1429,55 @@ class TableCatalog(spark: SparkSession, val root: String) {
     }
   }
 
+  /** ZERO-COPY CLONE (the lakehouse SHALLOW CLONE): `dst` becomes an
+    * independent table whose version 0 is `src`'s CURRENT snapshot —
+    * schema, constraints, and index stats carried over — without
+    * copying any data bytes: every parquet file is HARD-LINKED into
+    * the clone's own directory tree. Hard links (instead of the
+    * Delta-style cross-table path reference) preserve the catalog's
+    * ownership invariants: each table's manifests reference only its
+    * own dirs, so DROP or VACUUM of either side can never invalidate
+    * the other (the classic source-VACUUM-breaks-clones caveat does
+    * not exist here), and both tables stay independently relocatable.
+    * O(files) metadata operations at any table size; falls back to a
+    * byte copy per file only across filesystems. Clone then diverge:
+    * writes to either side are ordinary copy-on-write versions. */
+  def cloneTable(src: String, dst: String): Unit = rootLock.synchronized {
+    require(exists(src), s"no such table: $src")
+    require(!exists(dst), s"table already exists: $dst")
+    val m = meta(src)
+    Files.createDirectories(tableDir(dst).resolve("versions"))
+    Files.createDirectories(tableDir(dst).resolve("data"))
+    val dirs = readManifest(src, m.version)
+    val stats = readStats(src, m.version)
+    dirs.foreach { rel =>
+      val from = absTableDir(src).resolve(rel)
+      val to = absTableDir(dst).resolve(rel)
+      Files.createDirectories(to)
+      val listing = Files.list(from)
+      try {
+        val it = listing.iterator()
+        while (it.hasNext) {
+          val f = it.next()
+          if (Files.isRegularFile(f)) {
+            val t = to.resolve(f.getFileName.toString)
+            try Files.createLink(t, f)
+            catch {
+              // links unsupported (FS) or cross-device: degrade to copy
+              case _: UnsupportedOperationException |
+                   _: java.nio.file.FileSystemException =>
+                Files.copy(f, t): Unit
+            }
+          }
+        }
+      } finally listing.close()
+    }
+    writeManifest(dst, 0, dirs, stats)
+    writeMeta(dst, m.copy(version = 0))
+    journalRecord(Map(dst -> 0))
+    TableCatalog.ddlEpoch(root).incrementAndGet()
+  }
+
   /** Physical layout: an indexed table is range-partitioned and sorted
     * on its indexed columns before writing, so each parquet file covers
     * a narrow, mostly-disjoint value range — what makes the per-file

@@ -1056,4 +1056,37 @@ class CatalogSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { cat.restore("parent", 1) }
     assert(cat.currentVersion("parent") == 2, "failed restore must not publish")
   }
+
+  test("CLONE: zero-copy snapshot clone; sides diverge and neither breaks the other") {
+    val cat = freshCatalog()
+    cat.createTable("src", schema, primaryKey = Some("id"), indexes = Seq("id"))
+    cat.insert("src", Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "name", "balance"))
+    cat.insert("src", Seq((3L, "c", 3.0)).toDF("id", "name", "balance"))
+    cat.cloneTable("src", "dup")
+    // clone content == source's current snapshot, constraints carried
+    assert(cat.scan("dup").orderBy("id").collect().map(_.getLong(0)).toSeq ==
+      Seq(1L, 2L, 3L))
+    // PK carried over: a duplicate-key insert into the clone rejects
+    intercept[IllegalArgumentException] {
+      cat.insert("dup", Seq((1L, "x", 9.0)).toDF("id", "name", "balance"))
+    }
+    // zero-copy: the cloned parquet files are HARD LINKS (same inode)
+    val srcFile = java.nio.file.Files.walk(
+        java.nio.file.Paths.get(cat.root.toString, "src", "data"))
+      .iterator().asScala.find(p => p.toString.endsWith(".parquet")).get
+    assert(java.nio.file.Files.getAttribute(srcFile, "unix:nlink")
+      .asInstanceOf[Number].intValue >= 2,
+      "cloned data files must be hard links, not copies")
+    // divergence: writes to one side never appear on the other
+    cat.insert("dup", Seq((4L, "d", 4.0)).toDF("id", "name", "balance"))
+    cat.delete("src", col("id") === 1L)
+    assert(cat.scan("dup").count() == 4 && cat.scan("src").count() == 2)
+    // dropping the source leaves the clone fully readable (ownership:
+    // the clone's manifests reference only its own linked files)
+    cat.dropTable("src")
+    assert(cat.scan("dup").orderBy("id").collect().map(_.getLong(0)).toSeq ==
+      Seq(1L, 2L, 3L, 4L))
+    // cloning onto an existing name rejects
+    intercept[IllegalArgumentException] { cat.cloneTable("dup", "dup") }
+  }
 }

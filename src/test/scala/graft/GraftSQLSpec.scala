@@ -204,6 +204,24 @@ class GraftSQLSpec extends AnyFunSuite {
     g.execute("ROLLBACK")
   }
 
+  test("CLONE TABLE statement: zero-copy clone via SQL, then divergence") {
+    val g = session()
+    g.execute("CREATE TABLE orig (id INTEGER PRIMARY KEY, v INTEGER)")
+    g.execute("INSERT INTO orig VALUES (1, 10), (2, 20)")
+    val st = g.execute("CLONE TABLE orig AS copy2").collect()(0).getString(0)
+    assert(st.contains("copy2"), st)
+    assert(g.execute("SELECT count(*) AS n FROM copy2").collect()(0).getLong(0) == 2)
+    g.execute("INSERT INTO copy2 VALUES (3, 30)")
+    assert(g.execute("SELECT count(*) AS n FROM copy2").collect()(0).getLong(0) == 3)
+    assert(g.execute("SELECT count(*) AS n FROM orig").collect()(0).getLong(0) == 2)
+    // PK constraint travels with the clone
+    intercept[IllegalArgumentException] { g.execute("INSERT INTO copy2 VALUES (1, 99)") }
+    // rejected inside transactions (DDL is non-transactional here)
+    g.execute("BEGIN")
+    intercept[IllegalArgumentException] { g.execute("CLONE TABLE orig AS c3") }
+    g.execute("ROLLBACK")
+  }
+
   test("BEGIN while a transaction is open fails instead of leaking the staged txn") {
     val g = session()
     g.execute("CREATE TABLE nb (id INTEGER PRIMARY KEY)")

@@ -804,6 +804,37 @@ class OperatorsSpec extends AnyFunSuite {
       s"coarse cut boundary too tight: ${coarse(49) - coarse(50)}")
   }
 
+  test("p13 upsample: copy counts deterministic, contiguous, near weight*n per class") {
+    val rows = Sampling.queries("p13_upsample")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    // copies per doc are contiguous 1..n
+    rows.groupBy(_._1).foreach { case (id, g) =>
+      assert(g.map(_._3).sorted.sameElements(1 to g.length),
+        s"doc $id: copies must be 1..n")
+    }
+    // deterministic under rerun
+    val again = Sampling.queries("p13_upsample")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(rows.sorted.sameElements(again.sorted))
+    // per-class realized totals ≈ weight * class size (PRF law of large
+    // numbers at 500 docs: within 15%)
+    val classes = sources.Tables.documents(spark, sf)
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.getString(1).drop(3).toInt < 10) "web" else "curated")).toMap
+    val nWeb = classes.values.count(_ == "web")
+    val nCur = classes.size - nWeb
+    val gotWeb = rows.count(_._2 == "web")
+    val gotCur = rows.length - gotWeb
+    assert(math.abs(gotWeb - 0.7 * nWeb) <= 0.15 * nWeb + 3,
+      s"web: $gotWeb vs ${0.7 * nWeb}")
+    assert(math.abs(gotCur - 2.3 * nCur) <= 0.15 * nCur + 3,
+      s"curated: $gotCur vs ${2.3 * nCur}")
+    // every curated doc appears at least twice (floor of 2.3)
+    val curDocs = rows.filter(_._2 == "curated").groupBy(_._1)
+    assert(curDocs.values.forall(g => g.length == 2 || g.length == 3))
+  }
+
   test("s09 MMR: every pick maximizes the objective; diversity not worse than top-k") {
     val got = Similarity.queries("s09_ann_mmr")(spark, sf).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
