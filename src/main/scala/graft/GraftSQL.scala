@@ -39,7 +39,7 @@ import org.apache.spark.sql.types._
   */
 class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
 
-  import GraftSQL.{showTablesRe, showCreateRe, descRe, ctasRe, insertSelectRe, createRe, dropRe, insertRe, mergeRe, updateRe, deleteRe, compactRe, compactJournalRe, alterAddRe, alterDropRe, vacuumRe, restoreRe, cloneRe}
+  import GraftSQL.{showTablesRe, showCreateRe, showHistoryRe, descRe, ctasRe, insertSelectRe, createRe, dropRe, insertRe, mergeRe, updateRe, deleteRe, compactRe, compactJournalRe, alterAddRe, alterDropRe, vacuumRe, restoreRe, cloneRe}
 
   GraftSession.prepare(spark)
 
@@ -342,6 +342,9 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
 
       case showCreateRe(name) =>
         Seq(showCreate(name)).toDF("create_table")
+
+      case showHistoryRe(name) =>
+        catalog.history(name).orderBy("version")
 
       case descRe(name) =>
         val m = txn.map(_.metaOf(name)).getOrElse(catalog.meta(name))
@@ -760,6 +763,7 @@ object GraftSQL {
   // introspection (reference server.rs:126-127: ListTables/GetTable)
   private val showTablesRe = raw"(?is)SHOW\s+TABLES\s*".r
   private val showCreateRe = raw"(?is)SHOW\s+CREATE\s+TABLE\s+(\w+)\s*".r
+  private val showHistoryRe = raw"(?is)SHOW\s+HISTORY\s+(\w+)\s*".r
   private val descRe = raw"(?is)DESCRIBE\s+(\w+)\s*".r
   // CTAS / INSERT..SELECT (beyond the reference's VALUES-only DML)
   private val ctasRe = raw"(?is)CREATE\s+TABLE\s+(\w+)\s+AS\s+((?:SELECT|WITH)\b.*)".r

@@ -631,6 +631,30 @@ class TableCatalog(spark: SparkSession, val root: String) {
   def currentVersion(name: String): Int = meta(name).version
 
   /** Scan the current snapshot. */
+  /** Version history still on disk (DESCRIBE HISTORY, minimal form):
+    * one row per retained manifest — version, how many data dirs its
+    * snapshot comprises, row count, and whether it is current.
+    * Vacuumed versions disappear from the listing, exactly as they do
+    * from time travel. Row counts come from parquet footers (a
+    * metadata-only count plan), so listing history never scans data. */
+  def history(name: String): DataFrame = {
+    import spark.implicits._
+    val cur = currentVersion(name)
+    val listing = Files.list(tableDir(name).resolve("versions"))
+    val versions =
+      try listing.iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
+          s.stripPrefix("v").stripSuffix(".json").toInt }
+        .toSeq.sorted
+      finally listing.close()
+    versions.map { v =>
+      val dirs = readManifest(name, v)
+      val rows = if (dirs.isEmpty) 0L else asOf(name, v).count()
+      (v, dirs.length, rows, v == cur)
+    }.toDF("version", "n_dirs", "n_rows", "is_current")
+  }
+
   def scan(name: String): DataFrame = asOf(name, currentVersion(name))
 
   // Manifests store dirs and stat file paths RELATIVE to the table

@@ -624,6 +624,49 @@ object StreamQueries {
     TextAnalysis.cmsProbeFrame(s, s.table("graft_st11_sink"))
   }
 
+  /** st13: STREAMING MATERIALIZED VIEW into the lakehouse — the
+    * aggregate-upsert ingest pattern: a complete-mode per-user
+    * aggregation runs on the stream, and each micro-batch MERGEs the
+    * refreshed aggregate into a catalog table keyed on user_id (the
+    * CDC/upsert write path, vs st07/st10's append-only inserts).
+    * Every batch is one atomic MVCC version produced by the catalog's
+    * copy-on-write upsert — readers always see a consistent snapshot
+    * of the view, never a half-refreshed one. The sentinel staging
+    * (shared with st02/st12) forces MULTIPLE micro-batches, so rows
+    * merged in batch 1 are genuinely UPDATED by batch 2's refresh —
+    * the final scan must equal the batch aggregation exactly. */
+  def st13StreamAggUpsert(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val root = java.nio.file.Files.createTempDirectory("graft-st13").toString
+    val cat = new graft.sources.TableCatalog(s, root)
+    cat.createTable("user_stats", StructType(Seq(
+      StructField("user_id", LongType, nullable = false),
+      StructField("n_events", IntegerType),
+      StructField("total_value", DoubleType))), primaryKey = Some("user_id"))
+    val out = withSentinelEventStream(s, d) { stream =>
+      val agg = stream
+        .groupBy("user_id")
+        .agg(count(lit(1)).cast("int").as("n_events"),
+          round(sum(col("value").cast("decimal(18,2)")).cast("double"), 2)
+            .as("total_value"))
+      withStatePartitions(s, 8) {
+        val q = agg.writeStream
+          .outputMode(OutputMode.Complete)
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            cat.merge("user_stats", batch): Unit
+          }
+          .start()
+        try q.processAllAvailable()
+        finally q.stop()
+      }
+      cat.scan("user_stats").filter(col("user_id") >= 0).orderBy("user_id")
+    }
+    out.getOrElse {
+      import s.implicits._
+      Seq.empty[(Long, Int, Double)].toDF("user_id", "n_events", "total_value")
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st01_stream_window" -> (st01StreamWindow _),
     "st02_stream_state"  -> (st02StreamState _),
@@ -636,7 +679,8 @@ object StreamQueries {
     "st09_stream_curate" -> (st09StreamCurate _),
     "st10_stream_curate_ingest" -> (st10StreamCurateIngest _),
     "st11_stream_sketch" -> (st11StreamSketch _),
-    "st12_stream_session_window" -> (st12StreamSessionWindow _))
+    "st12_stream_session_window" -> (st12StreamSessionWindow _),
+    "st13_stream_agg_upsert" -> (st13StreamAggUpsert _))
 
   /** Same oracle as the batch twin: tumbling 1h windows aligned to the
     * epoch are exactly date_trunc('hour'). */
@@ -709,7 +753,14 @@ object StreamQueries {
     "st10_stream_curate_ingest" -> st09OracleSql,
     // identical oracle to batch q54: the native streaming session
     // windows must reproduce the lag+cumsum sessionization exactly
-    "st12_stream_session_window" -> graft.operators.Relational.q54OracleSql)
+    "st12_stream_session_window" -> graft.operators.Relational.q54OracleSql,
+    // the materialized view after all merges must equal the batch
+    // per-user aggregation (sentinel user filtered)
+    "st13_stream_agg_upsert" ->
+      """SELECT user_id, CAST(COUNT(*) AS INT) AS n_events,
+        |       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |         AS total_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)
 
   private lazy val st09OracleSql: String =
     s"""WITH q AS (SELECT DISTINCT text FROM documents),

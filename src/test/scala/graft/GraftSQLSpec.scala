@@ -204,6 +204,22 @@ class GraftSQLSpec extends AnyFunSuite {
     g.execute("ROLLBACK")
   }
 
+  test("SHOW HISTORY lists retained versions; vacuum prunes the listing") {
+    val g = session()
+    g.execute("CREATE TABLE ht (id INTEGER PRIMARY KEY, v INTEGER)")
+    g.execute("INSERT INTO ht VALUES (1, 10)")
+    g.execute("INSERT INTO ht VALUES (2, 20)")
+    g.execute("DELETE FROM ht WHERE id = 1")
+    val h = g.execute("SHOW HISTORY ht").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getBoolean(3)))
+    assert(h.map(_._1).toSeq == Seq(0, 1, 2, 3))
+    assert(h.count(_._4) == 1 && h.find(_._4).get._1 == 3)
+    assert(h.map(_._3).toSeq == Seq(0L, 1L, 2L, 1L), "row counts per version")
+    g.execute("VACUUM ht KEEP 1")
+    val h2 = g.execute("SHOW HISTORY ht").collect().map(_.getInt(0))
+    assert(h2.toSeq == Seq(3), "vacuumed versions must leave the history")
+  }
+
   test("CLONE TABLE statement: zero-copy clone via SQL, then divergence") {
     val g = session()
     g.execute("CREATE TABLE orig (id INTEGER PRIMARY KEY, v INTEGER)")

@@ -240,6 +240,24 @@ class StreamsSpec extends AnyFunSuite {
     streamed.zip(batch).foreach { case (a, b) => assert(a == b, s"$a vs $b") }
   }
 
+  test("st13 DRIVER QUERY: merged materialized view equals the batch per-user agg") {
+    val got = graft.streaming.StreamQueries
+      .st13StreamAggUpsert(spark, TestSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    val batch = sources.Tables.events(spark, TestSpark.sf)
+      .groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).cast("int").as("n"),
+        org.apache.spark.sql.functions.round(
+          org.apache.spark.sql.functions.sum(
+            org.apache.spark.sql.functions.col("value").cast("decimal(18,2)"))
+            .cast("double"), 2).as("t"))
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    assert(got.length == batch.length && got.sameElements(batch),
+      s"view rows ${got.length} vs batch ${batch.length}")
+  }
+
   test("st03: streaming dedup emits each distinct document exactly once, across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
