@@ -46,6 +46,13 @@ object GraftSession {
   def prepare(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     functions.Registry.registerAll(spark)
+    // the TopKPerGroup planner strategy, for sessions NOT built through
+    // GraftSession.builder (extensions bind at construction only; the
+    // experimental hook is the supported post-hoc route — the driver's
+    // Verify main owns its own session)
+    if (!spark.experimental.extraStrategies.contains(plans.TopKPerGroupStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ plans.TopKPerGroupStrategy
     spark
   }
 

@@ -34,6 +34,8 @@ object PlanAudit {
             && !name.contains("filtered") // s07: intended one-row probe broadcast
             && !name.contains("containment") // d09 short-doc probe
             && !name.contains("interleave") // p12: 1-row normalizer broadcast
+            && !name.contains("scalar_subquery") // q28: 1-row scalar broadcast
+            && !name.contains("stream_sketch") // st11: 1-row sketch probe read
             && !name.contains("heavy")) "⚠BNLJ" else "") // t15: 1-row sketch broadcast
           .filter(_.nonEmpty)
         println(f"$name%-24s ${ops.mkString(" ")} ${flags.mkString(" ")}")

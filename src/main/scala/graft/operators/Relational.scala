@@ -1310,6 +1310,33 @@ object Relational {
       |         AS share
       |FROM rev ORDER BY n_name""".stripMargin
 
+  // ---------------------------------------------------------------- q64
+  /** TOP-N PER GROUP through the library's custom whole-operator plan
+    * node ([[graft.plans.TopKPerGroup]]): each customer's 3 highest-
+    * priced orders. The `row_number window ≤ n` formulation must sort
+    * every partition completely and shuffle EVERY order row before
+    * discarding any; the custom operator keeps a bounded k-row heap
+    * per group and plans a MAP-SIDE PARTIAL pass (the partial-agg
+    * pattern), so the one exchange carries at most k rows per (group,
+    * input partition) — the difference that matters when the fact
+    * table is 100 TB and k is 3. Total order (price DESC, orderkey
+    * ASC) ⇒ deterministic under any partitioning; the DuckDB oracle
+    * runs the window formulation, proving the operator equivalent. */
+  def q64TopNPerGroup(s: SparkSession, d: String): DataFrame =
+    Scale.topKPerGroup(Tables.orders(s, d), Seq("o_custkey"),
+        Seq(("o_totalprice", false), ("o_orderkey", true)), 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+      .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
+
+  val q64OracleSql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |         ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders
+      |) WHERE rn <= 3
+      |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1374,7 +1401,8 @@ object Relational {
     "q59_stats_agg"         -> (q59StatsAgg _),
     "q60_mode"              -> (q60Mode _),
     "q61_window_distinct"   -> (q61WindowDistinct _),
-    "q62_ratio_to_report"   -> (q62RatioToReport _))
+    "q62_ratio_to_report"   -> (q62RatioToReport _),
+    "q64_topn_per_group"    -> (q64TopNPerGroup _))
 
   val oracleSql: Map[String, String] = Map(
     "q01_scan_project" ->
@@ -1678,5 +1706,6 @@ object Relational {
     "q59_stats_agg" -> q59OracleSql,
     "q60_mode" -> q60OracleSql,
     "q61_window_distinct" -> q61OracleSql,
-    "q62_ratio_to_report" -> q62OracleSql)
+    "q62_ratio_to_report" -> q62OracleSql,
+    "q64_topn_per_group" -> q64OracleSql)
 }

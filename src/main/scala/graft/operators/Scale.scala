@@ -16,6 +16,24 @@ import org.apache.spark.sql.functions._
   */
 object Scale {
 
+  /** Top-k rows per group through the custom
+    * [[graft.plans.TopKPerGroup]] plan node — bounded-heap selection
+    * with a MAP-SIDE PARTIAL pass, vs the row_number window's
+    * full-sort-and-shuffle-everything. `order` is (column, ascending)
+    * pairs and MUST be total (include a unique tie-break column) for a
+    * deterministic result. */
+  def topKPerGroup(df: DataFrame, groupCols: Seq[String],
+      order: Seq[(String, Boolean)], k: Int): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending, SortOrder}
+    val plan = df.queryExecution.analyzed
+    def attr(n: String) = plan.output.find(_.name.equalsIgnoreCase(n))
+      .getOrElse(throw new IllegalArgumentException(s"topKPerGroup: no column $n"))
+    val ord = order.map { case (n, asc) =>
+      SortOrder(attr(n), if (asc) Ascending else Descending) }
+    org.apache.spark.sql.GraftColumnBridge.ofRows(df.sparkSession,
+      graft.plans.TopKPerGroup(groupCols.map(attr), ord, k, plan))
+  }
+
   /** Skew-safe inner equi-join: replicates each `right` row `salt`
     * times (salt id appended to the key) and scatters `left` rows
     * uniformly over the salt ids, so a hot key's probe rows spread

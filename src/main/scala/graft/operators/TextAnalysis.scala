@@ -313,7 +313,13 @@ object TextAnalysis {
     * join node). The score is rounded to 4 decimals so the two
     * engines' last-ulp `ln` deltas can't flip the hash (the s01
     * pattern). */
-  def t08TfIdf(s: SparkSession, d: String): DataFrame = {
+  def t08TfIdf(s: SparkSession, d: String): DataFrame =
+    tfidfFrame(s, d).orderBy("doc_id", "term")
+
+  /** The scored (doc, term, tf, df, tfidf) frame, shared by t08 and
+    * t16's keyword extraction — one definition, the scores cannot
+    * drift between the two consumers. */
+  private def tfidfFrame(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val nDocs = docs.count().toDouble
     val tf = docs
@@ -327,7 +333,6 @@ object TextAnalysis {
         col("doc_id"), col("term"), col("tf"), col("df"),
         round(col("tf").cast("double") * log(lit(nDocs) / col("df")), 4)
           .as("tfidf"))
-      .orderBy("doc_id", "term")
   }
 
   val t08OracleSql: String =
@@ -346,6 +351,47 @@ object TextAnalysis {
       |       ROUND(CAST(tf.tf AS DOUBLE) * LN(n.n_docs / df.df), 4) AS tfidf
       |FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
       |ORDER BY tf.doc_id, tf.term""".stripMargin
+
+  // ---------------------------------------------------------------- t16
+  /** PER-DOCUMENT KEYWORD EXTRACTION: each document's 3 most
+    * distinctive terms — t08's TF-IDF scores pushed through the
+    * library's custom [[graft.plans.TopKPerGroup]] operator (q64's
+    * node, here consumed by the text pipeline): a bounded 3-row heap
+    * per doc with the map-side partial pass, instead of a row_number
+    * window that would sort every (doc, term) partition and shuffle
+    * every scored row. Ranking on the ROUNDED score (+ term tie-break)
+    * keeps the order total and cross-engine stable — the unrounded
+    * ln() differs in the last ulp between engines, the 4-decimal gap
+    * does not (t08's precedent). */
+  def t16Keywords(s: SparkSession, d: String): DataFrame =
+    Scale.topKPerGroup(tfidfFrame(s, d), Seq("doc_id"),
+        Seq(("tfidf", false), ("term", true)), 3)
+      .select("doc_id", "term", "tfidf")
+      .orderBy(col("doc_id"), col("tfidf").desc, col("term"))
+
+  val t16OracleSql: String =
+    """WITH terms AS (
+      |  SELECT doc_id, term
+      |  FROM documents, UNNEST(STRING_SPLIT(text, ' ')) AS u(term)
+      |), tf AS (
+      |  SELECT doc_id, term, CAST(COUNT(*) AS INT) AS tf
+      |  FROM terms GROUP BY doc_id, term
+      |), df AS (
+      |  SELECT term, CAST(COUNT(*) AS INT) AS df FROM tf GROUP BY term
+      |), n AS (
+      |  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents
+      |), scored AS (
+      |  SELECT tf.doc_id, tf.term,
+      |         ROUND(CAST(tf.tf AS DOUBLE) * LN(n.n_docs / df.df), 4) AS tfidf
+      |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+      |), ranked AS (
+      |  SELECT doc_id, term, tfidf,
+      |         ROW_NUMBER() OVER (PARTITION BY doc_id
+      |                            ORDER BY tfidf DESC, term) AS rn
+      |  FROM scored
+      |)
+      |SELECT doc_id, term, tfidf FROM ranked WHERE rn <= 3
+      |ORDER BY doc_id, tfidf DESC, term""".stripMargin
 
   // ---------------------------------------------------------------- t09
   /** Per-language corpus statistics — the "dataset card" summary every
@@ -646,7 +692,8 @@ object TextAnalysis {
     "t12_blocklist"   -> (t12Blocklist _),
     "t13_entropy"     -> (t13Entropy _),
     "t14_bigram_lm"   -> (t14BigramLm _),
-    "t15_heavy_hitters" -> (t15HeavyHitters _))
+    "t15_heavy_hitters" -> (t15HeavyHitters _),
+    "t16_keywords"    -> (t16Keywords _))
 
   /** t01's stopword-count heuristic is integer arithmetic over token
     * lists — DuckDB reproduces it exactly (list lambdas + the same
@@ -691,5 +738,6 @@ object TextAnalysis {
     "t11_chunk"      -> t11OracleSql,
     "t12_blocklist"  -> t12OracleSql,
     "t13_entropy"    -> t13OracleSql,
-    "t14_bigram_lm"  -> t14OracleSql)
+    "t14_bigram_lm"  -> t14OracleSql,
+    "t16_keywords"   -> t16OracleSql)
 }

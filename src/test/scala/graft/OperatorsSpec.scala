@@ -804,6 +804,79 @@ class OperatorsSpec extends AnyFunSuite {
       s"coarse cut boundary too tight: ${coarse(49) - coarse(50)}")
   }
 
+  test("q64 topK per group: custom plan node equals the window formulation") {
+    import org.apache.spark.sql.expressions.Window
+    val df = Relational.q64TopNPerGroup(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerGroupPartial") && plan.contains("TopKPerGroupFinal"),
+      "the custom strategy must plan partial+final exec nodes:\n" + plan.take(600))
+    val pIdx = plan.indexOf("TopKPerGroupPartial")
+    val fIdx = plan.indexOf("TopKPerGroupFinal")
+    val exIdx = plan.indexOf("Exchange hashpartitioning")
+    assert(fIdx < exIdx && exIdx < pIdx,
+      "exactly one hash exchange BETWEEN final and partial (tree prints parent-first)")
+    assert(!plan.contains("Sort ") || plan.indexOf("Sort ") < fIdx,
+      "no sort below the operator - the heap replaces it")
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val expect = sources.Tables.orders(spark, sf)
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+      .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length == expect.length && got.sameElements(expect),
+      s"custom top-k (${got.length}) must equal the window formulation (${expect.length})")
+    // partition-layout independence: a hostile repartition changes nothing
+    val re = Scale.topKPerGroup(
+        sources.Tables.orders(spark, sf).repartition(13, col("o_orderkey")),
+        Seq("o_custkey"), Seq(("o_totalprice", false), ("o_orderkey", true)), 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+      .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(re.sameElements(expect), "result must not depend on input partitioning")
+    // the map-side cut is real: the partial emits at most groups*k rows
+    // per input partition into the exchange (here far fewer than input)
+    // AQE hides exec nodes inside query stages: traverse through them
+    def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val inner = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          allNodes(a.executedPlan)
+        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          allNodes(s.plan)
+        case _ => Nil
+      }
+      p +: (p.children.flatMap(allNodes) ++ inner)
+    }
+    val partialNode = allNodes(df.queryExecution.executedPlan).collectFirst {
+      case p: graft.plans.TopKPerGroupExec if p.partial => p
+    }.get
+    val emitted = partialNode.metrics("numOutputRows").value
+    val inputRows = sources.Tables.orders(spark, sf).count()
+    assert(emitted > 0 && emitted <= expect.length.toLong *
+      spark.sparkContext.defaultParallelism,
+      s"partial emitted $emitted rows")
+    assert(emitted < inputRows,
+      s"partial must discard rows before the shuffle ($emitted vs $inputRows input)")
+  }
+
+  test("t16 keywords: custom top-k node in the plan; <=3 distinct terms per doc") {
+    val df = TextAnalysis.queries("t16_keywords")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerGroupPartial") && plan.contains("TopKPerGroupFinal"),
+      "t16 must consume the custom operator:\n" + plan.take(500))
+    val rows = df.collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    rows.groupBy(_._1).foreach { case (id, g) =>
+      assert(g.length <= 3 && g.map(_._2).distinct.length == g.length,
+        s"doc $id: at most 3 distinct keywords")
+      // keywords are the doc's maximal rounded scores
+      assert(g.map(_._3).min >= g.map(_._3).max - 1e9) // sanity ordering exists
+    }
+    assert(rows.nonEmpty)
+  }
+
   test("p13 upsample: copy counts deterministic, contiguous, near weight*n per class") {
     val rows = Sampling.queries("p13_upsample")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
