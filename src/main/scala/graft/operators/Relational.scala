@@ -1337,6 +1337,120 @@ object Relational {
       |) WHERE rn <= 3
       |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------- q65
+  /** MEDIAN ABSOLUTE DEVIATION per group — the robust outlier gate
+    * (MAD tolerates the very outliers a stddev threshold is skewed
+    * by). Inherently TWO aggregation passes — the deviations need the
+    * group's median first — composed as: exact per-group median
+    * (n_group rows) BROADCAST back onto the scan, then the second
+    * aggregate over |x − median|. Both exchanges carry constant-size
+    * partials; the broadcast join never shuffles the fact side. At
+    * 100 TB both `percentile` calls swap for `approx_percentile`
+    * (q47's sketch note) on an unchanged shape. */
+  def q65Mad(s: SparkSession, d: String): DataFrame = {
+    val med = Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(expr("percentile(l_extendedprice, 0.5)").as("med"))
+    Tables.lineitem(s, d)
+      .join(broadcast(med), "l_returnflag")
+      .groupBy("l_returnflag")
+      .agg(
+        round(first(col("med")), 4).as("median_price"),
+        round(expr("percentile(abs(l_extendedprice - med), 0.5)"), 4).as("mad"))
+      .orderBy("l_returnflag")
+  }
+
+  val q65OracleSql: String =
+    """WITH med AS (
+      |  SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS med
+      |  FROM lineitem GROUP BY l_returnflag
+      |)
+      |SELECT l.l_returnflag,
+      |       ROUND(ANY_VALUE(m.med), 4) AS median_price,
+      |       ROUND(quantile_cont(ABS(l.l_extendedprice - m.med), 0.5), 4) AS mad
+      |FROM lineitem l JOIN med m ON l.l_returnflag = m.l_returnflag
+      |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------- q66
+  /** FUNNEL analysis (conversion sequencing): for each user, the
+    * first click and the first purchase AFTER that click — did the
+    * funnel convert, and how long did it take. Pure conditional
+    * aggregation: min(ts) filtered per stage, the second stage's min
+    * conditioned on the first via a self-free two-aggregate compose —
+    * one scan, one exchange on user_id, no self-join (the naive
+    * events×events formulation explodes quadratically in events per
+    * user). */
+  def q66Funnel(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val firstClick = ev.filter(col("event_type") === "click")
+      .groupBy("user_id").agg(min(col("ts")).as("first_click"))
+    // purchases join the per-user click time (broadcast: one row per
+    // user — dimension-sized, not event-sized), keeping only later ones
+    val conv = ev.filter(col("event_type") === "purchase")
+      .join(broadcast(firstClick), "user_id")
+      .filter(col("ts") >= col("first_click"))
+      .groupBy("user_id")
+      .agg(min(col("ts")).as("first_purchase"))
+    firstClick.join(conv, Seq("user_id"), "left")
+      .select(col("user_id"), col("first_click"), col("first_purchase"),
+        col("first_purchase").isNotNull.as("converted"),
+        (unix_micros(col("first_purchase")) - unix_micros(col("first_click")))
+          .as("micros_to_convert"))
+      .orderBy("user_id")
+  }
+
+  val q66OracleSql: String =
+    """WITH fc AS (
+      |  SELECT user_id, MIN(ts) AS first_click FROM events
+      |  WHERE event_type = 'click' GROUP BY user_id
+      |), fp AS (
+      |  SELECT e.user_id, MIN(e.ts) AS first_purchase
+      |  FROM events e JOIN fc ON e.user_id = fc.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts >= fc.first_click
+      |  GROUP BY e.user_id
+      |)
+      |SELECT fc.user_id, fc.first_click, fp.first_purchase,
+      |       fp.first_purchase IS NOT NULL AS converted,
+      |       epoch_us(fp.first_purchase) - epoch_us(fc.first_click)
+      |         AS micros_to_convert
+      |FROM fc LEFT JOIN fp ON fc.user_id = fp.user_id
+      |ORDER BY fc.user_id""".stripMargin
+
+  // ---------------------------------------------------------------- q67
+  /** RETENTION / COHORT analysis: users grouped by their first-seen
+    * day, then "how many of each cohort were active N days later" —
+    * the engagement matrix every product-analytics deployment
+    * computes. The cohort map is one row per user (dimension-sized):
+    * it BROADCASTS back onto the event scan, so the fact table
+    * shuffles once, keyed on the (cohort, offset) pair with map-side
+    * partials; `count(distinct user)` swaps for q23's HLL sketch at
+    * 100 TB on an unchanged shape. */
+  def q67Retention(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val cohort = ev.groupBy("user_id")
+      .agg(date_trunc("day", min(col("ts"))).as("cohort_day"))
+    ev.select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .distinct()
+      .join(broadcast(cohort), "user_id")
+      .groupBy(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).as("day_offset"))
+      .agg(count_distinct(col("user_id")).as("n_active"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
+  val q67OracleSql: String =
+    """WITH cohort AS (
+      |  SELECT user_id, date_trunc('day', MIN(ts)) AS cohort_day
+      |  FROM events GROUP BY user_id
+      |), activity AS (
+      |  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+      |)
+      |SELECT c.cohort_day,
+      |       CAST(date_diff('day', c.cohort_day, a.day) AS INT) AS day_offset,
+      |       COUNT(DISTINCT a.user_id) AS n_active
+      |FROM activity a JOIN cohort c ON a.user_id = c.user_id
+      |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1402,7 +1516,10 @@ object Relational {
     "q60_mode"              -> (q60Mode _),
     "q61_window_distinct"   -> (q61WindowDistinct _),
     "q62_ratio_to_report"   -> (q62RatioToReport _),
-    "q64_topn_per_group"    -> (q64TopNPerGroup _))
+    "q64_topn_per_group"    -> (q64TopNPerGroup _),
+    "q65_mad"               -> (q65Mad _),
+    "q66_funnel"            -> (q66Funnel _),
+    "q67_retention"         -> (q67Retention _))
 
   val oracleSql: Map[String, String] = Map(
     "q01_scan_project" ->
@@ -1707,5 +1824,8 @@ object Relational {
     "q60_mode" -> q60OracleSql,
     "q61_window_distinct" -> q61OracleSql,
     "q62_ratio_to_report" -> q62OracleSql,
-    "q64_topn_per_group" -> q64OracleSql)
+    "q64_topn_per_group" -> q64OracleSql,
+    "q65_mad" -> q65OracleSql,
+    "q66_funnel" -> q66OracleSql,
+    "q67_retention" -> q67OracleSql)
 }

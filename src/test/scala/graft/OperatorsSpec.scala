@@ -862,6 +862,64 @@ class OperatorsSpec extends AnyFunSuite {
       s"partial must discard rows before the shuffle ($emitted vs $inputRows input)")
   }
 
+  test("q65 MAD: robust deviation matches a direct recompute") {
+    val rows = Relational.q65Mad(spark, sf).collect()
+    val li = sources.Tables.lineitem(spark, sf)
+      .select("l_returnflag", "l_extendedprice").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    def medianOf(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.length % 2 == 1) s(s.length / 2)
+      else {
+        // type-7 interpolation at the exact midpoint = plain average
+        (s(s.length / 2 - 1) + s(s.length / 2)) / 2
+      }
+    }
+    rows.foreach { r =>
+      val g = li.filter(_._1 == r.getString(0)).map(_._2).toSeq
+      val med = medianOf(g)
+      val mad = medianOf(g.map(x => math.abs(x - med)))
+      assert(math.abs(r.getDouble(1) - med) < 1e-3, s"${r.getString(0)} median")
+      assert(math.abs(r.getDouble(2) - mad) < 1e-3, s"${r.getString(0)} mad")
+    }
+  }
+
+  test("q66 funnel: conversion per user matches a direct event walk") {
+    val rows = Relational.q66Funnel(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getTimestamp(1), Option(r.getTimestamp(2)),
+        r.getBoolean(3))).toMap
+    val ev = sources.Tables.events(spark, sf)
+      .select("user_id", "event_type", "ts").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2)))
+    val byUser = ev.groupBy(_._1)
+    byUser.foreach { case (u, g) =>
+      val clicks = g.filter(_._2 == "click").map(_._3)
+      if (clicks.isEmpty) assert(!rows.contains(u), s"user $u: no click, no funnel row")
+      else {
+        val fc = clicks.min
+        val fp = g.filter(x => x._2 == "purchase" && !x._3.before(fc)).map(_._3)
+          .sorted.headOption
+        val (gfc, gfp, conv) = rows(u)
+        assert(gfc == fc && gfp == fp && conv == fp.isDefined,
+          s"user $u funnel mismatch")
+      }
+    }
+  }
+
+  test("q67 retention: day-0 actives equal the cohort size") {
+    val rows = Relational.q67Retention(spark, sf).collect()
+      .map(r => (String.valueOf(r.get(0)), r.getInt(1), r.getLong(2)))
+    val cohortSizes = sources.Tables.events(spark, sf)
+      .groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.date_trunc("day",
+        org.apache.spark.sql.functions.min(col("ts"))).as("c"))
+      .groupBy("c").count().collect()
+      .map(r => String.valueOf(r.get(0)) -> r.getLong(1)).toMap
+    val day0 = rows.filter(_._2 == 0).map(r => r._1 -> r._3).toMap
+    assert(day0 == cohortSizes, "every cohort member is active on their first day")
+    assert(rows.forall(_._2 >= 0), "activity can never precede the cohort day")
+  }
+
   test("t16 keywords: custom top-k node in the plan; <=3 distinct terms per doc") {
     val df = TextAnalysis.queries("t16_keywords")(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
