@@ -86,5 +86,15 @@ object FrameCache {
   def clear(): Unit = {
     frames.values.forEach(e => try e.df.unpersist() catch { case _: Throwable => () })
     frames.clear()
+    clearHooks.forEach(h => try h() catch { case _: Throwable => () })
   }
+
+  /** Callback run on every global [[clear]] — how non-frame caches
+    * that follow the same lifecycle (e.g. the streaming queries'
+    * staged sentinel directories) release their resources with the
+    * pipeline, without this module knowing about them. */
+  def onClear(hook: () => Unit): Unit = clearHooks.add(hook): Unit
+
+  private val clearHooks =
+    new java.util.concurrent.CopyOnWriteArrayList[() => Unit]()
 }

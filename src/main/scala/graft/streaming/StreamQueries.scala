@@ -155,18 +155,59 @@ object StreamQueries {
     * schema), the stream is normalized through the shared
     * [[Tables.normalizeTs]], and the sentinel rows carry user_id −1
     * for the consumer to filter. Returns None when the events table is
-    * empty. Shared by st02 (custom keyed state) and st12 (native
-    * session windows); the staging dir is cleaned up after `body`. */
+    * empty. Shared by st02 (custom keyed state), st12 (native session
+    * windows) and st13 (aggregate upsert); staged ONCE per (session,
+    * dataset) — the byte copy and the two sentinel writes are
+    * identical for every consumer, so the dir is cached like a
+    * FrameCache stage and released by `FrameCache.clear()` (or JVM
+    * exit — /dev/shm outlives the process). */
+  private val staged =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+  private val stagedHooks = new java.util.concurrent.atomic.AtomicBoolean(false)
+  private def dropStaged(): Unit = {
+    staged.values.forEach(p =>
+      try graft.sources.TableCatalog.deleteRecursively(p)
+      catch { case _: Throwable => () })
+    staged.clear()
+  }
+
   private def withSentinelEventStream[T](s: SparkSession, d: String)
       (body: DataFrame => T): Option[T] = {
-    import s.implicits._
-    import java.nio.file.{Files => JFiles, Paths => JPaths}
-    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    import java.nio.file.{Files => JFiles}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // ts arrives as ns-LONG or µs-timestamp depending on the testdata
     // generation (Tables.scala documents both); every extraction below
     // branches on the actual type instead of assuming one encoding
     val rawSchema = s.read.parquet(s"$d/events.parquet").schema
+    val key = graft.operators.FrameCache.sessionKey(s) + "|" + d
+    val cached = staged.get(key)
+    val tmp =
+      if (cached != null && JFiles.isDirectory(cached.resolve("stream"))) cached
+      else stageSentinels(s, d, rawSchema) match {
+        case None => return None // empty events table
+        case Some(t) =>
+          staged.put(key, t)
+          if (stagedHooks.compareAndSet(false, true)) {
+            graft.operators.FrameCache.onClear(() => dropStaged())
+            Runtime.getRuntime.addShutdownHook(new Thread(() => dropStaged()))
+          }
+          t
+      }
+    val stream = Tables.normalizeTs(
+      s.readStream.schema(rawSchema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(tmp.resolve("stream").toString))
+    Some(body(stream))
+  }
+
+  /** Builds the staged directory: source byte-copy + two sentinel
+    * chunks. None when the events table is empty. */
+  private def stageSentinels(s: SparkSession, d: String,
+      rawSchema: org.apache.spark.sql.types.StructType)
+      : Option[java.nio.file.Path] = {
+    import s.implicits._
+    import java.nio.file.{Files => JFiles, Paths => JPaths}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     val tsType = rawSchema("ts").dataType
 
     // max event time in µs, through the SAME normalization branch the
@@ -184,7 +225,7 @@ object StreamQueries {
       if (JFiles.isDirectory(shm) && JFiles.isWritable(shm))
         JFiles.createTempDirectory(shm, "graft-stg")
       else JFiles.createTempDirectory("graft-stg")
-    try {
+    locally {
       val streamDir = tmp.resolve("stream")
       JFiles.createDirectories(streamDir)
       // chunk 0 IS the source parquet, byte-copied — staging the stream
@@ -230,13 +271,8 @@ object StreamQueries {
       }
       writeSentinel(86400000L, 1)  // + 1 day
       writeSentinel(172800000L, 2) // + 2 days
-
-      val stream = Tables.normalizeTs(
-        s.readStream.schema(rawSchema)
-          .option("maxFilesPerTrigger", "2")
-          .parquet(streamDir.toString))
-      Some(body(stream))
-    } finally graft.sources.TableCatalog.deleteRecursively(tmp)
+    }
+    Some(tmp)
   }
 
   /** st12: NATIVE session windows executed BY THE STREAMING ENGINE —
