@@ -1451,6 +1451,27 @@ object Relational {
       |FROM activity a JOIN cohort c ON a.user_id = c.user_id
       |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin
 
+  // ---------------------------------------------------------------- q68
+  /** The 100 TB QUANTILE PATH, exercised rather than footnoted: q47's
+    * multi-quantile profile through `approx_percentile` — Spark's
+    * Greenwald-Khanna sketch, whose per-partition summaries MERGE (one
+    * exchange of constant-size sketches, like q23's HLL), where the
+    * exact `percentile` buffers every value per group. Rank error is
+    * bounded by 1/accuracy; the spec verifies the bound against the
+    * exact values. Rows-only: the sketch's exact output is
+    * engine-specific by nature (DuckDB's approx_quantile uses t-digest
+    * — same contract, different arithmetic). */
+  def q68ApproxPercentiles(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(expr(
+        "approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75, 0.9), 10000)")
+        .as("qs"))
+      .select(col("l_returnflag"),
+        col("qs")(0).as("p25"), col("qs")(1).as("p50"),
+        col("qs")(2).as("p75"), col("qs")(3).as("p90"))
+      .orderBy("l_returnflag")
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1519,7 +1540,8 @@ object Relational {
     "q64_topn_per_group"    -> (q64TopNPerGroup _),
     "q65_mad"               -> (q65Mad _),
     "q66_funnel"            -> (q66Funnel _),
-    "q67_retention"         -> (q67Retention _))
+    "q67_retention"         -> (q67Retention _),
+    "q68_approx_percentiles" -> (q68ApproxPercentiles _))
 
   val oracleSql: Map[String, String] = Map(
     "q01_scan_project" ->

@@ -393,6 +393,49 @@ object TextAnalysis {
       |SELECT doc_id, term, tfidf FROM ranked WHERE rn <= 3
       |ORDER BY doc_id, tfidf DESC, term""".stripMargin
 
+  // ---------------------------------------------------------------- t17
+  /** N-GRAM NOVELTY scoring — the curation signal between t10's
+    * intra-doc repetition and d08's cross-set contamination: what
+    * fraction of a document's word 8-grams appear NOWHERE else in the
+    * corpus. Low novelty = boilerplate/template text even when no
+    * single doc is a near-duplicate. The per-doc DISTINCT gram-hash
+    * sets come from the single-pass [[graft.functions.word_grams64]]
+    * codegen kernel (d08's — no dedup shuffle ever runs); the count
+    * exchange carries 8-byte hashes with map-side partials, and the
+    * count join keys on the same 8 bytes (corpus-sized on both sides —
+    * a shuffle join by necessity, AQE-planned; at 100 TB the gram
+    * count table is the stored inverted index d08's notes describe).
+    * Docs under 8 tokens have no 8-grams and drop out, exactly like
+    * the oracle. */
+  def t17Novelty(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.word_grams64
+    val grams = Tables.documents(s, d)
+      .select(col("doc_id"), explode(word_grams64(col("text"), 8)).as("gh"))
+    val counts = grams.groupBy("gh").agg(count(lit(1)).as("n"))
+    grams.join(counts, "gh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_grams"),
+        sum(when(col("n") === 1, 1).otherwise(0)).cast("int").as("n_unique"),
+        round(avg(when(col("n") === 1, 1.0).otherwise(0.0)), 4).as("novelty"))
+      .orderBy("doc_id")
+  }
+
+  val t17OracleSql: String =
+    """WITH toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+      |grams AS (
+      |  SELECT doc_id, ARRAY_TO_STRING(t[i:i+7], ' ') AS g
+      |  FROM toks, UNNEST(RANGE(1, LEN(t)-6)) AS r(i)
+      |  WHERE LEN(t) >= 8
+      |),
+      |dg AS (SELECT DISTINCT doc_id, g FROM grams),
+      |cnt AS (SELECT g, COUNT(*) AS n FROM dg GROUP BY g)
+      |SELECT dg.doc_id,
+      |       CAST(COUNT(*) AS INT) AS n_grams,
+      |       CAST(SUM(CASE WHEN cnt.n = 1 THEN 1 ELSE 0 END) AS INT) AS n_unique,
+      |       ROUND(AVG(CASE WHEN cnt.n = 1 THEN 1.0 ELSE 0.0 END), 4) AS novelty
+      |FROM dg JOIN cnt USING (g)
+      |GROUP BY dg.doc_id ORDER BY dg.doc_id""".stripMargin
+
   // ---------------------------------------------------------------- t09
   /** Per-language corpus statistics — the "dataset card" summary every
     * shipped training corpus publishes: doc counts, token volume, mean
@@ -693,7 +736,8 @@ object TextAnalysis {
     "t13_entropy"     -> (t13Entropy _),
     "t14_bigram_lm"   -> (t14BigramLm _),
     "t15_heavy_hitters" -> (t15HeavyHitters _),
-    "t16_keywords"    -> (t16Keywords _))
+    "t16_keywords"    -> (t16Keywords _),
+    "t17_novelty"     -> (t17Novelty _))
 
   /** t01's stopword-count heuristic is integer arithmetic over token
     * lists — DuckDB reproduces it exactly (list lambdas + the same
@@ -739,5 +783,6 @@ object TextAnalysis {
     "t12_blocklist"  -> t12OracleSql,
     "t13_entropy"    -> t13OracleSql,
     "t14_bigram_lm"  -> t14OracleSql,
-    "t16_keywords"   -> t16OracleSql)
+    "t16_keywords"   -> t16OracleSql,
+    "t17_novelty"    -> t17OracleSql)
 }

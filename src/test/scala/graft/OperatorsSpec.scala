@@ -920,6 +920,54 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rows.forall(_._2 >= 0), "activity can never precede the cohort day")
   }
 
+  test("q68 approx percentiles: GK sketch within its rank-error bound vs exact") {
+    val approx = Relational.q68ApproxPercentiles(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val li = sources.Tables.lineitem(spark, sf)
+      .select("l_returnflag", "l_extendedprice").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val targets = Seq(0.25, 0.5, 0.75, 0.9)
+    approx.foreach { case (flag, qs) =>
+      val vals = li.filter(_._1 == flag).map(_._2).sorted
+      val n = vals.length
+      qs.zip(targets).foreach { case (a, p) =>
+        // rank of the returned value must be within n/accuracy (+1 slack)
+        val rank = vals.count(_ <= a)
+        val err = n.toDouble / 10000 + 1
+        assert(math.abs(rank - p * n) <= err,
+          s"$flag p$p: approx $a has rank $rank of $n (target ${p * n} ± $err)")
+      }
+    }
+  }
+
+  test("t17 novelty: fractions match a direct gram recount; duplicates score low") {
+    val rows = TextAnalysis.queries("t17_novelty")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+    val docs = sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def gramsOf(t: String): Set[String] =
+      t.split(" ").sliding(8).filter(_.length == 8).map(_.mkString(" ")).toSet
+    val counts = scala.collection.mutable.Map.empty[String, Int]
+    docs.foreach(d => gramsOf(d._2).foreach(g => counts(g) = counts.getOrElse(g, 0) + 1))
+    val got = rows.map(r => r._1 -> r).toMap
+    docs.foreach { case (id, t) =>
+      val gs = gramsOf(t)
+      if (gs.isEmpty) assert(!got.contains(id), s"doc $id: <8 tokens drops out")
+      else {
+        val uniq = gs.count(g => counts(g) == 1)
+        val r = got(id)
+        assert(r._2 == gs.size && r._3 == uniq, s"doc $id gram counts")
+        assert(math.abs(r._4 - uniq.toDouble / gs.size) < 1e-3, s"doc $id novelty")
+      }
+    }
+    // the corpus plants shared boilerplate spans: novelty must spread
+    assert(rows.forall(r => r._4 >= 0.0 && r._4 <= 1.0))
+    assert(rows.exists(_._4 < 1.0), "shared grams exist (d12 finds hot spans)")
+    assert(rows.exists(_._4 > 0.0), "not every gram is boilerplate")
+  }
+
   test("t16 keywords: custom top-k node in the plan; <=3 distinct terms per doc") {
     val df = TextAnalysis.queries("t16_keywords")(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
