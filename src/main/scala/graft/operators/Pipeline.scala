@@ -132,14 +132,81 @@ object Pipeline {
        |WHERE doc_id = keeper AND doc_id NOT IN (SELECT nd FROM matched)
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- e04
+  /** e04: the FULL training-data materialization — quality gate +
+    * blocklist → exact dedup → SEQUENCE PACKING — composed as ONE
+    * Catalyst plan. This is the end state every stage in the library
+    * builds toward: gates run in the scan (rejects never leave their
+    * partition), survivors cross the one hash-keyed dedup exchange,
+    * and p07's distributed exclusive prefix sum assigns every
+    * surviving token its position in the packed 256-token training
+    * layout — per-bucket windows in parallel, only ≤32 bucket
+    * subtotals through the single-row stage. No stage materializes:
+    * Catalyst plans gate+dedup+pack globally, which is the argument
+    * for one engine instead of N tools with N round-trips. */
+  def e04CuratePack(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val bounds = docs.agg(min("doc_id"), max("doc_id")).head()
+    val (lo, hi) =
+      if (bounds.isNullAt(0)) (0L, 0L) else (bounds.getLong(0), bounds.getLong(1))
+    val span = math.max(1L, hi - lo + 1)
+    val bsz = math.max(1L, (span + 31) / 32)
+    val survivors = docs
+      .select(col("doc_id"), nTokensCol.cast("long").as("n_tokens"),
+        qualityScoreCol.as("quality_score"), nBlockedCol.as("n_blocked"),
+        xxhash64(col("text")).as("h"))
+      .filter(col("quality_score") >= qualityGate && col("n_blocked") === 0)
+      .withColumn("keeper", min("doc_id").over(Window.partitionBy("h")))
+      .filter(col("doc_id") === col("keeper"))
+      .select(col("doc_id"), col("n_tokens"),
+        ((col("doc_id") - lo) / bsz).cast("long").as("pid"))
+    val wPrev = Window.partitionBy("pid").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wPid = Window.orderBy("pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = survivors.groupBy("pid").agg(sum("n_tokens").as("bt"))
+      .select(col("pid"), coalesce(sum("bt").over(wPid), lit(0L)).as("pid_offset"))
+    survivors.join(broadcast(offsets), "pid")
+      .select(col("doc_id"), col("n_tokens"),
+        (coalesce(sum("n_tokens").over(wPrev), lit(0L)) + col("pid_offset"))
+          .as("tokens_before"))
+      .select(col("doc_id"), col("n_tokens"), col("tokens_before"),
+        shiftright(col("tokens_before"), 8).as("pack_id"))
+      .orderBy("doc_id")
+  }
+
+  val e04OracleSql: String =
+    s"""WITH q AS (
+       |  SELECT doc_id, text,
+       |    CAST($nTokensSql AS BIGINT) AS n_tokens,
+       |    $qualityScoreSql AS quality_score
+       |  FROM documents),
+       |f AS (
+       |  SELECT * FROM q
+       |  WHERE quality_score >= $qualityGate
+       |    AND $nBlockedSql = 0),
+       |k AS (SELECT *, MIN(doc_id) OVER (PARTITION BY text) AS keeper FROM f),
+       |surv AS (SELECT doc_id, n_tokens FROM k WHERE doc_id = keeper),
+       |c AS (
+       |  SELECT doc_id, n_tokens,
+       |         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |           AS tokens_before
+       |  FROM surv)
+       |SELECT doc_id, n_tokens, tokens_before,
+       |       tokens_before // 256 AS pack_id
+       |FROM c ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e01_curate" -> (e01Curate _),
     "e02_curate_ingest" -> (e02CurateIngest _),
-    "e03_curate_incremental" -> (e03CurateIncremental _))
+    "e03_curate_incremental" -> (e03CurateIncremental _),
+    "e04_curate_pack" -> (e04CuratePack _))
 
   val oracleSql: Map[String, String] = Map(
     "e01_curate" -> e01OracleSql,
     // the ingested managed table must equal the curated set exactly
     "e02_curate_ingest" -> e01OracleSql,
-    "e03_curate_incremental" -> e03OracleSql)
+    "e03_curate_incremental" -> e03OracleSql,
+    "e04_curate_pack" -> e04OracleSql)
 }

@@ -920,6 +920,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rows.forall(_._2 >= 0), "activity can never precede the cohort day")
   }
 
+  test("e04 curate+pack: survivor set equals e01; prefix sum exact over survivors") {
+    val rows = operators.Pipeline.e04CuratePack(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    val e01Ids = operators.Pipeline.e01Curate(spark, sf).collect()
+      .map(_.getLong(0)).sorted
+    assert(rows.map(_._1).sameElements(e01Ids),
+      "packing must run over exactly the curated survivor set")
+    // exclusive prefix sum in doc_id order
+    var acc = 0L
+    rows.foreach { case (id, n, before, pack) =>
+      assert(before == acc, s"doc $id: tokens_before must be the exclusive prefix")
+      assert(pack == before / 256, s"doc $id: pack id")
+      acc += n
+    }
+  }
+
   test("q68 approx percentiles: GK sketch within its rank-error bound vs exact") {
     val approx = Relational.q68ApproxPercentiles(spark, sf).collect()
       .map(r => r.getString(0) ->
