@@ -39,7 +39,7 @@ import org.apache.spark.sql.types._
   */
 class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
 
-  import GraftSQL.{showTablesRe, showCreateRe, showHistoryRe, descRe, ctasRe, insertSelectRe, createRe, dropRe, insertRe, mergeRe, updateRe, deleteRe, compactRe, compactJournalRe, alterAddRe, alterDropRe, vacuumRe, restoreRe, cloneRe}
+  import GraftSQL.{showTablesRe, showCreateRe, showHistoryRe, descRe, ctasRe, insertSelectRe, createRe, dropRe, insertRe, mergeRe, updateRe, deleteRe, compactRe, compactJournalRe, alterAddRe, alterDropRe, vacuumRe, restoreRe, cloneRe, createIndexRe}
 
   GraftSession.prepare(spark)
 
@@ -199,6 +199,12 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
         require(!readOnly, "read-only transaction")
         val v = catalog.restore(name, ver.toInt)
         Seq(s"RESTORE TABLE $name VERSION $ver -> v$v").toDF("status")
+
+      case createIndexRe(name, colName) =>
+        require(txn.isEmpty, "CREATE INDEX: not inside a transaction")
+        require(!readOnly, "read-only transaction")
+        val v = catalog.createIndex(name, colName)
+        Seq(s"CREATE INDEX $name($colName) -> v$v").toDF("status")
 
       case cloneRe(src, dst) =>
         require(txn.isEmpty, "CLONE TABLE: not inside a transaction")
@@ -789,6 +795,7 @@ object GraftSQL {
   private val vacuumRe  = raw"(?is)VACUUM\s+(\w+)(?:\s+KEEP\s+(\d+))?\s*".r
   private val restoreRe = raw"(?is)RESTORE\s+TABLE\s+(\w+)\s+VERSION\s+(\d+)\s*".r
   private val cloneRe   = raw"(?is)CLONE\s+TABLE\s+(\w+)\s+AS\s+(\w+)\s*".r
+  private val createIndexRe = raw"(?is)CREATE\s+INDEX\s+ON\s+(\w+)\s*\(\s*(\w+)\s*\)\s*".r
 
 
   /** The reference's arithmetic substituted into one PARSED

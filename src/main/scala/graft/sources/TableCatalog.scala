@@ -1363,6 +1363,33 @@ class TableCatalog(spark: SparkSession, val root: String) {
       rewriteAttempt(name, m, fp, scan(name), revalidate = false)
     }
 
+  /** POST-HOC secondary index (`CREATE INDEX ON t (col)`): two
+    * versions. First a metadata-only publish adds the column to the
+    * index set over the SAME data — sound immediately, because
+    * [[planFiles]] always reads files that lack stats, so scans just
+    * aren't selective yet. Then a [[compact]] rewrites the current
+    * snapshot range-partitioned and sorted on the (new) index columns
+    * and collects per-file min/max — the step that makes the index
+    * SELECTIVE, priced at one table rewrite exactly like building a
+    * B-tree over existing rows would be. Both steps are ordinary
+    * atomic version publishes; readers never block and time travel
+    * sees the pre-index layout. */
+  def createIndex(name: String, colName: String): Int = {
+    rootLock.synchronized {
+      val m = meta(name)
+      val f = m.schema.fields.find(_.name.equalsIgnoreCase(colName)).getOrElse(
+        throw new IllegalArgumentException(s"CREATE INDEX $name: no such column $colName"))
+      require(!m.indexes.exists(_.equalsIgnoreCase(f.name)),
+        s"CREATE INDEX $name: ${f.name} is already indexed")
+      require(indexable(f.dataType),
+        s"CREATE INDEX $name.${f.name}: unorderable type ${f.dataType}")
+      if (!claimPublish(name, m.copy(indexes = m.indexes :+ f.name),
+          readManifest(name, m.version), readStats(name, m.version)))
+        throw new WriteConflictException(s"CREATE INDEX $name: lost the publish race")
+    }
+    compact(name)
+  }
+
   /** MVCC garbage collection: retain the newest `keep` versions,
     * delete older manifests, and remove data dirs that no retained
     * manifest references. Time travel to a vacuumed version then

@@ -1057,6 +1057,32 @@ class CatalogSpec extends AnyFunSuite {
     assert(cat.currentVersion("parent") == 2, "failed restore must not publish")
   }
 
+  test("CREATE INDEX post-hoc: scans become file-pruned after the rebuild") {
+    val cat = freshCatalog()
+    cat.createTable("pt", schema, primaryKey = Some("id"))
+    // several appends = several data dirs, ids interleaved so that the
+    // UNSORTED layout cannot prune a range filter
+    cat.insert("pt", Seq((1L, "a", 1.0), (100L, "b", 2.0)).toDF("id", "name", "balance"))
+    cat.insert("pt", Seq((2L, "c", 3.0), (99L, "d", 4.0)).toDF("id", "name", "balance"))
+    cat.insert("pt", Seq((3L, "e", 5.0), (98L, "f", 6.0)).toDF("id", "name", "balance"))
+    val filt = col("id") >= 95L
+    val (keptBefore, allBefore) = cat.planFiles("pt", filt)
+    assert(keptBefore.size == allBefore.size, "no index -> nothing prunes")
+    val v = cat.createIndex("pt", "id")
+    assert(v == cat.currentVersion("pt"))
+    val (kept, all) = cat.planFiles("pt", filt)
+    assert(kept.size < all.size,
+      s"indexed+compacted layout must prune (kept ${kept.size} of ${all.size})")
+    // pruned scan still answers exactly
+    assert(cat.scan("pt", filt).collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(98L, 99L, 100L))
+    // double-create rejects; unknown column rejects
+    intercept[IllegalArgumentException] { cat.createIndex("pt", "id") }
+    intercept[IllegalArgumentException] { cat.createIndex("pt", "nope") }
+    // pre-index versions still time-travel
+    assert(cat.asOf("pt", 3).count() == 6)
+  }
+
   test("CLONE: zero-copy snapshot clone; sides diverge and neither breaks the other") {
     val cat = freshCatalog()
     cat.createTable("src", schema, primaryKey = Some("id"), indexes = Seq("id"))

@@ -204,6 +204,23 @@ class GraftSQLSpec extends AnyFunSuite {
     g.execute("ROLLBACK")
   }
 
+  test("CREATE INDEX statement: post-hoc index visible in DESCRIBE, scans pruned") {
+    val g = session()
+    g.execute("CREATE TABLE ixt (id INTEGER PRIMARY KEY, v INTEGER)")
+    g.execute("INSERT INTO ixt VALUES (1, 10), (100, 20)")
+    g.execute("INSERT INTO ixt VALUES (2, 30), (99, 40)")
+    val st = g.execute("CREATE INDEX ON ixt (v)").collect()(0).getString(0)
+    assert(st.contains("ixt(v)"), st)
+    val desc = g.execute("DESCRIBE ixt").collect()
+      .map(r => r.getString(0) -> r.getBoolean(5)).toMap
+    assert(desc("v"), "DESCRIBE must show v as indexed")
+    assert(g.execute("SELECT id FROM ixt WHERE v = 40").collect()
+      .map(_.getLong(0)).toSeq == Seq(99L))
+    g.execute("BEGIN")
+    intercept[IllegalArgumentException] { g.execute("CREATE INDEX ON ixt (id)") }
+    g.execute("ROLLBACK")
+  }
+
   test("SHOW HISTORY lists retained versions; vacuum prunes the listing") {
     val g = session()
     g.execute("CREATE TABLE ht (id INTEGER PRIMARY KEY, v INTEGER)")
