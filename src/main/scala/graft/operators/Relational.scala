@@ -1472,6 +1472,39 @@ object Relational {
         col("qs")(2).as("p75"), col("qs")(3).as("p90"))
       .orderBy("l_returnflag")
 
+  // ---------------------------------------------------------------- q69
+  /** SKEW-SAFE (salted) join as an end-to-end query: q07's
+    * revenue-by-priority join executed through [[Scale.saltedJoin]] —
+    * the dimension side replicated over 4 salt ids and the fact side
+    * scattered across them, so a single HOT KEY spreads over 4 tasks
+    * instead of stalling one (AQE's skew handling splits oversized
+    * PARTITIONS, not hot keys — salting is the lever when one key
+    * dominates). Inner-join semantics are identical by construction,
+    * which the q07-shaped oracle proves: the answer is bit-equal to
+    * the unsalted join. */
+  def q69SkewJoin(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    Scale.saltedJoin(li, o, "l_orderkey", salt = 4)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(dec(col("l_extendedprice")) * (oneDec - dec(col("l_discount"))))
+          .cast("double").as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q69OracleSql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n_lines,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+      |         AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderstatus = 'F'
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1541,7 +1574,8 @@ object Relational {
     "q65_mad"               -> (q65Mad _),
     "q66_funnel"            -> (q66Funnel _),
     "q67_retention"         -> (q67Retention _),
-    "q68_approx_percentiles" -> (q68ApproxPercentiles _))
+    "q68_approx_percentiles" -> (q68ApproxPercentiles _),
+    "q69_skew_join"         -> (q69SkewJoin _))
 
   val oracleSql: Map[String, String] = Map(
     "q01_scan_project" ->
@@ -1849,5 +1883,6 @@ object Relational {
     "q64_topn_per_group" -> q64OracleSql,
     "q65_mad" -> q65OracleSql,
     "q66_funnel" -> q66OracleSql,
-    "q67_retention" -> q67OracleSql)
+    "q67_retention" -> q67OracleSql,
+    "q69_skew_join" -> q69OracleSql)
 }

@@ -920,6 +920,17 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rows.forall(_._2 >= 0), "activity can never precede the cohort day")
   }
 
+  test("q69 skew join: salted plan shuffles on (key, salt); result equals plain join") {
+    val df = Relational.q69SkewJoin(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("__graft_salt"),
+      "the salt column must participate in the join:\n" + plan.take(500))
+    val got = df.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val plain = Relational.q07JoinInner(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.sameElements(plain), "salting must not change inner-join semantics")
+  }
+
   test("e04 curate+pack: survivor set equals e01; prefix sum exact over survivors") {
     val rows = operators.Pipeline.e04CuratePack(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))

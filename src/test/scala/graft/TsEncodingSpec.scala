@@ -132,6 +132,22 @@ class TsEncodingSpec extends AnyFunSuite {
     assert(a.size == 5) // 2 + 2 + 1 sessions
   }
 
+  test("st12 native session windows agree across encodings AND with batch q54") {
+    val a = canon(StreamQueries.st12StreamSessionWindow(spark, nsDir))
+    val b = canon(StreamQueries.st12StreamSessionWindow(spark, ntzDir))
+    assert(a == b)
+    val batch = canon(operators.Relational.q54SessionWindow(spark, ntzDir))
+    assert(a == batch)
+    assert(a.size == 5)
+  }
+
+  test("st13 aggregate upsert agrees across encodings") {
+    val a = canon(StreamQueries.st13StreamAggUpsert(spark, nsDir))
+    val b = canon(StreamQueries.st13StreamAggUpsert(spark, ntzDir))
+    assert(a == b)
+    assert(a.size == 3) // one row per user
+  }
+
   test("normalizeTs raises loudly on a non-nanosecond LongType ts") {
     // a hypothetical generation shipping raw µs longs must fail, not
     // silently divide into year-1970 timestamps
