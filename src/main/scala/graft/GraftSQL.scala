@@ -39,7 +39,7 @@ import org.apache.spark.sql.types._
   */
 class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
 
-  import GraftSQL.{showTablesRe, showCreateRe, showHistoryRe, descRe, ctasRe, insertSelectRe, createRe, dropRe, insertRe, mergeRe, updateRe, deleteRe, compactRe, compactJournalRe, alterAddRe, alterDropRe, vacuumRe, restoreRe, cloneRe, createIndexRe}
+  import GraftSQL.{showTablesRe, showCreateRe, showHistoryRe, descRe, ctasRe, insertSelectRe, createRe, dropRe, insertRe, mergeRe, updateRe, deleteRe, compactRe, compactJournalRe, alterAddRe, alterDropRe, vacuumRe, restoreRe, cloneRe, createIndexRe, dropIndexRe}
 
   GraftSession.prepare(spark)
 
@@ -205,6 +205,12 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
         require(!readOnly, "read-only transaction")
         val v = catalog.createIndex(name, colName)
         Seq(s"CREATE INDEX $name($colName) -> v$v").toDF("status")
+
+      case dropIndexRe(name, colName) =>
+        require(txn.isEmpty, "DROP INDEX: not inside a transaction")
+        require(!readOnly, "read-only transaction")
+        val v = catalog.dropIndex(name, colName)
+        Seq(s"DROP INDEX $name($colName) -> v$v").toDF("status")
 
       case cloneRe(src, dst) =>
         require(txn.isEmpty, "CLONE TABLE: not inside a transaction")
@@ -796,6 +802,7 @@ object GraftSQL {
   private val restoreRe = raw"(?is)RESTORE\s+TABLE\s+(\w+)\s+VERSION\s+(\d+)\s*".r
   private val cloneRe   = raw"(?is)CLONE\s+TABLE\s+(\w+)\s+AS\s+(\w+)\s*".r
   private val createIndexRe = raw"(?is)CREATE\s+INDEX\s+ON\s+(\w+)\s*\(\s*(\w+)\s*\)\s*".r
+  private val dropIndexRe = raw"(?is)DROP\s+INDEX\s+ON\s+(\w+)\s*\(\s*(\w+)\s*\)\s*".r
 
 
   /** The reference's arithmetic substituted into one PARSED

@@ -35,6 +35,7 @@ object PlanAudit {
             && !name.contains("containment") // d09 short-doc probe
             && !name.contains("interleave") // p12: 1-row normalizer broadcast
             && !name.contains("scalar_subquery") // q28: 1-row scalar broadcast
+            && !name.contains("knn") // s10: corpus×k-centroid probe ranking
             && !name.contains("stream_sketch") // st11: 1-row sketch probe read
             && !name.contains("heavy")) "⚠BNLJ" else "") // t15: 1-row sketch broadcast
           .filter(_.nonEmpty)

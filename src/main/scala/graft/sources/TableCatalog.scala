@@ -1529,6 +1529,21 @@ class TableCatalog(spark: SparkSession, val root: String) {
     TableCatalog.ddlEpoch(root).incrementAndGet()
   }
 
+  /** DROP INDEX: metadata-only — the column leaves the index set, so
+    * scans stop consulting its stats and future writes stop sorting on
+    * it. Existing manifests keep their (now-ignored) stats entries and
+    * old versions still time-travel; no data moves at any table size. */
+  def dropIndex(name: String, colName: String): Int = rootLock.synchronized {
+    val m = meta(name)
+    require(m.indexes.exists(_.equalsIgnoreCase(colName)),
+      s"DROP INDEX $name: $colName is not indexed")
+    if (!claimPublish(name,
+        m.copy(indexes = m.indexes.filterNot(_.equalsIgnoreCase(colName))),
+        readManifest(name, m.version), readStats(name, m.version)))
+      throw new WriteConflictException(s"DROP INDEX $name: lost the publish race")
+    m.version + 1
+  }
+
   /** Physical layout: an indexed table is range-partitioned and sorted
     * on its indexed columns before writing, so each parquet file covers
     * a narrow, mostly-disjoint value range — what makes the per-file

@@ -219,6 +219,14 @@ class GraftSQLSpec extends AnyFunSuite {
     g.execute("BEGIN")
     intercept[IllegalArgumentException] { g.execute("CREATE INDEX ON ixt (id)") }
     g.execute("ROLLBACK")
+    // DROP INDEX is metadata-only; DESCRIBE reflects it, data unchanged
+    val dst = g.execute("DROP INDEX ON ixt (v)").collect()(0).getString(0)
+    assert(dst.contains("ixt(v)"), dst)
+    val desc2 = g.execute("DESCRIBE ixt").collect()
+      .map(r => r.getString(0) -> r.getBoolean(5)).toMap
+    assert(!desc2("v"), "v no longer indexed")
+    assert(g.execute("SELECT count(*) AS n FROM ixt").collect()(0).getLong(0) == 4)
+    intercept[IllegalArgumentException] { g.execute("DROP INDEX ON ixt (v)") }
   }
 
   test("SHOW HISTORY lists retained versions; vacuum prunes the listing") {

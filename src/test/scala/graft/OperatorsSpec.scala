@@ -931,6 +931,41 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.sameElements(plain), "salting must not change inner-join semantics")
   }
 
+  test("s10 kNN graph: custom top-k node, no self edges, recall vs brute force") {
+    val df = Similarity.queries("s10_knn_graph")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerGroupPartial"),
+      "per-vector top-k must run through the custom node")
+    val edges = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(edges.forall(e => e._1 != e._2), "no self edges")
+    edges.groupBy(_._1).foreach { case (srcId, g) =>
+      assert(g.length <= 5, s"src $srcId: at most k neighbors")
+      assert(g.map(_._2).distinct.length == g.length, s"src $srcId: distinct dsts")
+    }
+    // recall vs the exact graph (brute force over the collected vectors)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / math.sqrt(a.map(x => x * x).sum * b.map(x => x * x).sum)
+    }
+    val all = sources.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    val ids = all.map(_._1)
+    val vecs = all.toMap
+    var hit = 0; var total = 0
+    val got = edges.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    ids.foreach { src =>
+      val exact = ids.filter(_ != src)
+        .map(o => (o, cos(vecs(src), vecs(o))))
+        .sortBy { case (o, c) => (-c, o) }.take(5).map(_._1).toSet
+      val approx = got.getOrElse(src, Set.empty)
+      hit += exact.count(approx); total += exact.size
+    }
+    val recall = hit.toDouble / total
+    assert(recall >= 0.5, s"kNN graph recall $recall below floor")
+    info(s"s10 kNN graph recall vs brute force: $recall")
+  }
+
   test("e04 curate+pack: survivor set equals e01; prefix sum exact over survivors") {
     val rows = operators.Pipeline.e04CuratePack(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
