@@ -31,7 +31,13 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   *
   * Determinism: callers must pass a TOTAL `order` (tie-break on a
   * unique column) — the heap keeps the k FIRST rows under that order,
-  * so the kept set is then partition-layout-independent. */
+  * so the kept set is then partition-layout-independent.
+  *
+  * Memory contract: O(groups·k) rows per task, no spill path — the
+  * same contract as Spark's own TakeOrderedAndProject (O(k)) scaled
+  * by group count. With more groups than fit, fall back to the window
+  * formulation; the common case this operator exists for (bounded
+  * groups, huge fact side) is exactly where the heap wins. */
 case class TopKPerGroup(
     groupExprs: Seq[Expression],
     order: Seq[SortOrder],
