@@ -114,7 +114,11 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
           .toDF("plan")
       }
       val verb = innerUp.split("\\s+").take(2).mkString(" ")
-      val dmlFrame: Option[DataFrame] = inner match {
+      // inside an open transaction the catalog's explain* constructors
+      // would read the PRE-txn state (or throw on a txn-created
+      // table) — keep the always-safe routing line there instead of
+      // explaining the wrong snapshot
+      val dmlFrame: Option[DataFrame] = if (txn.isDefined) None else inner match {
         case ctasRe(_, selectBody) => Some(runSelect(selectBody))
         case insertSelectRe(name, colList, selectBody) =>
           Some(catalog.explainInsert(name,

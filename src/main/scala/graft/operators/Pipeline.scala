@@ -70,7 +70,7 @@ object Pipeline {
     * e01's plan + one parquet write; the scan result must equal e01's
     * output exactly, which the same DuckDB oracle checks. */
   def e02CurateIngest(s: SparkSession, d: String): DataFrame = {
-    val root = java.nio.file.Files.createTempDirectory("graft-e02").toString
+    val root = graft.sources.TableCatalog.tempRoot("graft-e02")
     val cat = new graft.sources.TableCatalog(s, root)
     val curated = e01Curate(s, d)
     cat.createTable("curated_docs", curated.schema, primaryKey = Some("doc_id"))

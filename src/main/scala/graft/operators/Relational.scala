@@ -1004,10 +1004,13 @@ object Relational {
     * ONE aggregation pass (no window function, no two-phase
     * flag+cumsum), shuffling once on user_id. The session END differs
     * by convention (built-in: last_ts + gap; q26: last_ts), so the
-    * comparable surface is (user, start, n, total). Boundary note:
-    * the built-in starts a new session at diff == gap exactly where
-    * the lag formulation keeps it — indistinguishable on
-    * µs-precision data. */
+    * comparable surface is (user, start, n, total). Boundary
+    * semantics, EMPIRICALLY PINNED by the session_window-boundary
+    * spec: an event at EXACTLY last_ts + gap MERGES into the session
+    * (Spark treats the [ts, ts+gap] boundary inclusively), so the
+    * oracle's lag formulation splits on `diff > gap` — the same
+    * convention as q26, so the two formulations agree on every
+    * input, boundary included. */
   def q54SessionWindow(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))

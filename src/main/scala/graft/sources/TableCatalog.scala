@@ -635,8 +635,12 @@ class TableCatalog(spark: SparkSession, val root: String) {
     * one row per retained manifest — version, how many data dirs its
     * snapshot comprises, row count, and whether it is current.
     * Vacuumed versions disappear from the listing, exactly as they do
-    * from time travel. Row counts come from parquet footers (a
-    * metadata-only count plan), so listing history never scans data. */
+    * from time travel. Cost: the row counts are ONE footer-driven
+    * Spark count job per retained version (Spark's parquet count(*)
+    * reads row-group metadata, not data — but it is still O(versions)
+    * jobs, bounded by the VACUUM retention window). A production
+    * catalog records the row count IN the manifest at publish time
+    * and this becomes a pure file listing; the schema is the same. */
   def history(name: String): DataFrame = {
     import spark.implicits._
     val cur = currentVersion(name)
@@ -2106,6 +2110,31 @@ object TableCatalog {
     * statement) aborted with nothing published; retry against the new
     * current version. */
   class WriteConflictException(msg: String) extends IllegalStateException(msg)
+
+  /** EPHEMERAL catalog root: created now, deleted on
+    * `FrameCache.clear()` or JVM exit — the lifecycle the staged
+    * sentinel streams already use. The bounded verification/bench
+    * queries that build a catalog per run (st07/st10/st13/e02) go
+    * through here, so repeated rounds cannot accumulate orphan
+    * parquet trees under /tmp. Frames returned over such a catalog
+    * are only valid until the pipeline's clear — the same contract
+    * as the persisted FrameCache stages. */
+  def tempRoot(prefix: String): String = {
+    val p = Files.createTempDirectory(prefix)
+    tempRoots.add(p)
+    if (tempHooks.compareAndSet(false, true)) {
+      graft.operators.FrameCache.onClear(() => dropTempRoots())
+      Runtime.getRuntime.addShutdownHook(new Thread(() => dropTempRoots()))
+    }
+    p.toString
+  }
+  private val tempRoots =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[Path]()
+  private val tempHooks = new java.util.concurrent.atomic.AtomicBoolean(false)
+  private def dropTempRoots(): Unit = {
+    tempRoots.forEach(p => try deleteRecursively(p) catch { case _: Throwable => () })
+    tempRoots.clear()
+  }
 
   // one lock per normalized catalog root — every TableCatalog instance
   // over the same directory (in this JVM) shares it

@@ -473,7 +473,7 @@ object StreamQueries {
   def st07StreamIngest(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.types._
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val root = java.nio.file.Files.createTempDirectory("graft-st07").toString
+    val root = graft.sources.TableCatalog.tempRoot("graft-st07")
     val cat = new graft.sources.TableCatalog(s, root)
     cat.createTable("events_ingest", StructType(Seq(
       StructField("event_id", LongType, nullable = false),
@@ -573,7 +573,7 @@ object StreamQueries {
     import graft.operators.TextAnalysis
     import org.apache.spark.sql.types._
     val schema = s.read.parquet(s"$d/documents.parquet").schema
-    val root = java.nio.file.Files.createTempDirectory("graft-st10").toString
+    val root = graft.sources.TableCatalog.tempRoot("graft-st10")
     val cat = new graft.sources.TableCatalog(s, root)
     cat.createTable("curated_stream", StructType(Seq(
       StructField("text", StringType, nullable = false),
@@ -673,7 +673,7 @@ object StreamQueries {
     * the final scan must equal the batch aggregation exactly. */
   def st13StreamAggUpsert(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.types._
-    val root = java.nio.file.Files.createTempDirectory("graft-st13").toString
+    val root = graft.sources.TableCatalog.tempRoot("graft-st13")
     val cat = new graft.sources.TableCatalog(s, root)
     cat.createTable("user_stats", StructType(Seq(
       StructField("user_id", LongType, nullable = false),

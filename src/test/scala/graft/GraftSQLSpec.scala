@@ -310,6 +310,15 @@ class GraftSQLSpec extends AnyFunSuite {
     // multi-line EXPLAIN SELECT still plans
     val p3 = g.execute("EXPLAIN\nSELECT * FROM ex").collect()(0).getString(0)
     assert(p3.contains("Physical Plan"))
+    // inside an open txn, EXPLAIN DML must not throw on txn-created
+    // tables or explain the pre-txn snapshot: it keeps the routing line
+    g.execute("BEGIN")
+    g.execute("CREATE TABLE extxn (id INTEGER PRIMARY KEY)")
+    val p4 = g.execute("EXPLAIN INSERT INTO extxn VALUES (1)").collect()(0).getString(0)
+    assert(p4.contains("not executed") && !p4.contains("Physical Plan"), p4)
+    val p5 = g.execute("EXPLAIN UPDATE ex SET v = 0").collect()(0).getString(0)
+    assert(p5.contains("not executed") && !p5.contains("Physical Plan"), p5)
+    g.execute("ROLLBACK")
   }
 
   test("EXPLAIN DML returns the real would-be-written plan, never publishing") {

@@ -1541,6 +1541,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Multimodal.phashBits(base) != Multimodal.phashBits(Multimodal.ppmPayload(6L)))
   }
 
+  test("session_window boundary: an event at EXACTLY last+gap merges (inclusive)") {
+    // empirically pins the boundary convention the q54/st12 oracle
+    // encodes with `diff > gap`: Spark's session_window treats the
+    // [ts, ts+gap] boundary INCLUSIVELY, merging an exact-gap event —
+    // the same convention as q26's lag formulation, so the two agree
+    // on every input, boundary included. If a Spark upgrade ever
+    // flips this to end-exclusive, this spec fails before any oracle
+    // mismatch can.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, session_window, count, lit}
+    val t0 = 1700000000000000L
+    val ev = Seq(
+      (1L, t0),
+      (1L, t0 + 30L * 60 * 1000000), // EXACTLY +30 min -> merges
+      (1L, t0 + 30L * 60 * 1000000 + 1), // 1µs past the boundary of the
+                                         // EXTENDED window: still merges
+      (1L, t0 + 91L * 60 * 1000000)) // far past -> new session
+      .toDF("user_id", "us")
+      .select(col("user_id"),
+        org.apache.spark.sql.functions.timestamp_micros(col("us")).as("ts"))
+    val sessions = ev
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n")).collect()
+    assert(sessions.length == 2, s"got ${sessions.mkString(";")}")
+    assert(sessions.map(_.getLong(2)).sorted.toSeq == Seq(1L, 3L))
+  }
+
   test("q54 native session windows agree with q26's lag+cumsum sessionization") {
     val native = Relational.q54SessionWindow(spark, sf).collect()
       .map(r => (r.getLong(0), String.valueOf(r.get(1)), r.getInt(2).toLong,
