@@ -50,6 +50,15 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
   // would read the latest commit (non-repeatable reads, not the
   // snapshot MVCC semantics the reference gives)
   private var roVersions: Option[Map[String, Int]] = None
+  /** Session state observable by clients (the reference client varies
+    * its prompt by txn state — entanglesql.rs:215-219). */
+  def inTransaction: Boolean = txn.isDefined
+  def inReadOnly: Boolean = readOnly
+
+  /** Tables visible to the current session view (the reference
+    * client's !tables — entanglesql.rs:165-170). */
+  def visibleTables: Seq[String] = tableNames
+
   // views the last SELECT registered (observable registration scope)
   private[graft] var lastRegistered: Seq[String] = Nil
   // (kept files, total files) per table the last SELECT index-pruned —
@@ -114,29 +123,40 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
           .toDF("plan")
       }
       val verb = innerUp.split("\\s+").take(2).mkString(" ")
-      // inside an open transaction the catalog's explain* constructors
-      // would read the PRE-txn state (or throw on a txn-created
-      // table) — keep the always-safe routing line there instead of
-      // explaining the wrong snapshot
-      val dmlFrame: Option[DataFrame] = if (txn.isDefined) None else inner match {
+      // DML explain constructors dispatch through the OPEN TXN when one
+      // is active (reading the staged view — txn-created tables, staged
+      // dirs, metadata pinned at BEGIN), else through the published
+      // catalog, so EXPLAIN DML works in any context like the
+      // reference's Explain(Box<Statement>) (ast.rs:17). A READ ONLY /
+      // AS OF session keeps the routing line: the DML itself would be
+      // rejected there, so there is no would-be-written plan to show.
+      val exInsert: (String, DataFrame) => DataFrame =
+        txn.map(t => t.explainInsert _).getOrElse(catalog.explainInsert _)
+      val exUpdate: (String, Map[String, Column], Column) => DataFrame =
+        txn.map(t => t.explainUpdate _).getOrElse(catalog.explainUpdate _)
+      val exDelete: (String, Column) => DataFrame =
+        txn.map(t => t.explainDelete _).getOrElse(catalog.explainDelete _)
+      val exMerge: (String, DataFrame) => DataFrame =
+        txn.map(t => t.explainMerge _).getOrElse(catalog.explainMerge _)
+      val dmlFrame: Option[DataFrame] = if (readOnly) None else inner match {
         case ctasRe(_, selectBody) => Some(runSelect(selectBody))
         case insertSelectRe(name, colList, selectBody) =>
-          Some(catalog.explainInsert(name,
+          Some(exInsert(name,
             alignCols(runSelect(selectBody), colList, name, "INSERT",
               defaultToOwnColumns = true)))
         case insertRe(name, colList, valuesBody) =>
-          Some(catalog.explainInsert(name,
+          Some(exInsert(name,
             alignCols(referenceSql(s"SELECT * FROM VALUES $valuesBody"),
               colList, name, "INSERT")))
         case mergeRe(name, colList, valuesBody) =>
-          Some(catalog.explainMerge(name,
+          Some(exMerge(name,
             alignCols(referenceSql(s"SELECT * FROM VALUES $valuesBody"),
               colList, name, "MERGE")))
         case updateRe(name, body) =>
           val (sets, where) = parseUpdateBody(body)
-          Some(catalog.explainUpdate(name, sets, where))
+          Some(exUpdate(name, sets, where))
         case deleteRe(name, whereBody) =>
-          Some(catalog.explainDelete(name,
+          Some(exDelete(name,
             Option(whereBody).map(w => referenceExpr(w.trim)).getOrElse(lit(true))))
         case _ => None
       }

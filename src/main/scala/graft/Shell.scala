@@ -1,0 +1,166 @@
+package graft
+
+import java.io.{BufferedReader, InputStreamReader, PrintStream}
+
+import graft.sources.TableCatalog
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import scala.util.control.NonFatal
+
+/** Interactive SQL client over [[GraftSQL]] — the analog of the
+  * reference's `entanglesql` binary (/root/reference/src/bin/
+  * entanglesql.rs): a stdin REPL that accumulates input until a
+  * semicolon-terminated statement (entanglesql.rs:268-291's input
+  * validator), executes it, and prints rows pipe-separated with
+  * optional headers (entanglesql.rs:186-199). Meta commands mirror the
+  * reference's `!` surface (entanglesql.rs:88-171): `!headers on|off`,
+  * `!help`, `!status`, `!table <name>`, `!tables`, plus `!exit` for
+  * scripted use. The prompt tracks transaction state like the
+  * reference's (entanglesql.rs:215-219): `graft> ` idle, `graft:txn> `
+  * inside BEGIN, `graft@snapshot> ` inside READ ONLY / AS OF.
+  *
+  * Usage: `runMain graft.Shell <catalog-root> [-e "stmt; stmt"]`.
+  * With `-e` the statements run once and the process exits (the
+  * reference client's positional-command mode, entanglesql.rs:37-39);
+  * otherwise the REPL reads stdin until EOF.
+  *
+  * Deliberately NOT a network server: SURVEY §1 scopes wire plumbing
+  * out (Spark Connect / Thrift server are the production endpoints);
+  * this closes the reference's CLIENT surface — a human-usable SQL
+  * session over the engine — without protocol scope creep.
+  */
+object Shell {
+
+  /** One REPL session, parameterized over IO so a spec can script it.
+    * Returns when `in` is exhausted or `!exit` is read. */
+  def run(in: Iterator[String], out: PrintStream, g: GraftSQL,
+      interactive: Boolean = true): Unit = {
+    var headers = false
+    var buffer = new StringBuilder
+    var done = false
+
+    def prompt: String =
+      if (g.inTransaction) "graft:txn> "
+      else if (g.inReadOnly) "graft@snapshot> "
+      else if (buffer.nonEmpty) "graft...> " // continuation
+      else "graft> "
+
+    def render(df: DataFrame): Unit = {
+      if (headers) out.println(df.columns.mkString("|"))
+      // toLocalIterator would hold the session across prints; a client
+      // result set is human-scale — collect like the reference's
+      // row-stream drain (entanglesql.rs:193-198)
+      df.collect().foreach { row =>
+        out.println(row.toSeq.map {
+          case null => "NULL"
+          case true => "TRUE"
+          case false => "FALSE"
+          case v => v.toString
+        }.mkString("|"))
+      }
+    }
+
+    def meta(cmd: String): Unit = {
+      val parts = cmd.trim.split("\\s+").toSeq
+      (parts.head.toLowerCase, parts.tail) match {
+        case ("!headers", Seq("on"))  => headers = true; out.println("Headers enabled")
+        case ("!headers", Seq("off")) => headers = false; out.println("Headers disabled")
+        case ("!help", _) => out.println(
+          """Enter a SQL statement terminated by a semicolon (;) to execute it and display the result.
+            |The following commands are also available:
+            |
+            |    !headers <on|off>  Enable or disable column headers
+            |    !help              This help message
+            |    !status            Display engine status
+            |    !table [table]     Display table schema, if it exists
+            |    !tables            List tables
+            |    !exit              Leave the shell
+            |""".stripMargin)
+        case ("!status", _) =>
+          // the catalog analog of the reference's raft/MVCC status dump
+          // (entanglesql.rs:112-160): table count, published versions,
+          // bytes on disk, session txn state
+          val tables = g.visibleTables
+          val versions = tables.map(t =>
+            try g.catalog.currentVersion(t) catch { case NonFatal(_) => 0 }).sum
+          val bytes = dirBytes(java.nio.file.Paths.get(g.catalog.root))
+          val txnState =
+            if (g.inTransaction) "1 open txn"
+            else if (g.inReadOnly) "read-only snapshot" else "idle"
+          out.println(s"Catalog:  ${g.catalog.root} (${tables.size} tables, " +
+            s"$versions published versions)")
+          out.println(f"Storage:  ${bytes / 1e6}%.3f MB disk")
+          out.println(s"Session:  $txnState")
+        case ("!table", Seq(name)) => render(g.execute(s"SHOW CREATE TABLE $name"))
+        case ("!tables", _) => g.visibleTables.foreach(out.println)
+        case ("!exit" | "!quit", _) => done = true
+        case (c, _) => out.println(s"Error: Unknown command $c")
+      }
+    }
+
+    def drainStatements(): Unit = {
+      // complete statements end at top-level semicolons (outside string
+      // literals — the reference's lexer-based validator, 268-291);
+      // anything after the last one stays buffered as a partial
+      var text = buffer.toString
+      var masked = GraftSQL.maskStrings(text)
+      while (masked.contains(';')) {
+        val i = masked.indexOf(';')
+        val stmt = text.substring(0, i).trim
+        text = text.substring(i + 1)
+        masked = masked.substring(i + 1)
+        if (stmt.nonEmpty) {
+          try render(g.execute(stmt))
+          catch { case NonFatal(e) =>
+            out.println(s"Error: ${Option(e.getMessage).getOrElse(e.toString).linesIterator.next()}")
+          }
+        }
+      }
+      buffer = new StringBuilder(text.dropWhile(_ == '\n'))
+    }
+
+    if (interactive)
+      out.println(s"Connected to graft catalog at ${g.catalog.root}. " +
+        "Enter !help for instructions.")
+    while (!done && { if (interactive) out.print(prompt); in.hasNext }) {
+      val line = in.next()
+      if (buffer.isEmpty && line.trim.startsWith("!")) meta(line)
+      else if (line.trim.nonEmpty || buffer.nonEmpty) {
+        buffer.append(line).append('\n')
+        drainStatements()
+      }
+    }
+  }
+
+  private def dirBytes(p: java.nio.file.Path): Long =
+    if (!java.nio.file.Files.exists(p)) 0L
+    else {
+      val s = java.nio.file.Files.walk(p)
+      try s.filter(java.nio.file.Files.isRegularFile(_))
+        .mapToLong(f => try java.nio.file.Files.size(f) catch { case NonFatal(_) => 0L })
+        .sum()
+      finally s.close()
+    }
+
+  def main(args: Array[String]): Unit = {
+    val root = args.headOption.filterNot(_ == "-e").getOrElse("graft-data")
+    val oneShot = args.indexOf("-e") match {
+      case -1 => None
+      case i if i + 1 < args.length => Some(args(i + 1))
+      case _ => sys.error("-e requires an argument")
+    }
+    val spark = GraftSession.builder(
+      master = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .appName("graft-shell").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val g = new GraftSQL(spark, new TableCatalog(spark, root))
+    oneShot match {
+      case Some(cmds) =>
+        run(Iterator(if (cmds.trim.endsWith(";")) cmds else cmds + ";"),
+          System.out, g, interactive = false)
+      case None =>
+        val reader = new BufferedReader(new InputStreamReader(System.in))
+        run(Iterator.continually(reader.readLine()).takeWhile(_ != null), System.out, g)
+    }
+    spark.stop()
+  }
+}

@@ -1179,7 +1179,20 @@ object Relational {
     * identical double arithmetic on identical inputs on both engines.
     * Same single scan + single exchange of constant-size partials as
     * any groupBy — the moment-sum trick costs nothing and is the only
-    * formulation that is bit-reproducible at 100 TB. */
+    * formulation that is bit-reproducible at scale.
+    *
+    * Precision headroom, quantified (the honest 100 TB caveat): the
+    * decimal products here are DECIMAL(38,4) (18,2 × 18,2), so SUM
+    * saturates at 10³⁴. The largest term is y² ≈ 10¹⁰ (price ≤ ~100k),
+    * leaving ~10²⁴ rows of headroom per group — ten orders of
+    * magnitude beyond a 100 TB table (~10¹² rows), so overflow is not
+    * reachable at the target scale with these columns. It IS reachable
+    * with wider inputs (e.g. raw 10⁹-scale values squared → 10¹⁸/row →
+    * ~10¹⁶-row ceiling), and with ANSI mode off Spark would return
+    * NULL aggregates SILENTLY — so the spec asserts every published
+    * moment is non-null, and inputs wider than ~10⁵ should pre-scale
+    * (divide by a power of ten, multiply back in the finisher) rather
+    * than widen the decimal (38 digits is the physical cap). */
   def q59StatsAgg(s: SparkSession, d: String): DataFrame = {
     val x = dec(col("l_quantity"))            // ≤ 50.00
     val y = dec(col("l_extendedprice"))       // ≤ ~100k.00

@@ -26,8 +26,16 @@ object Scale {
       order: Seq[(String, Boolean)], k: Int): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending, SortOrder}
     val plan = df.queryExecution.analyzed
-    def attr(n: String) = plan.output.find(_.name.equalsIgnoreCase(n))
-      .getOrElse(throw new IllegalArgumentException(s"topKPerGroup: no column $n"))
+    // resolve by name over ALL matches: after a join the plan can carry
+    // two attributes with one name — silently binding the first could
+    // group or order on the wrong side's column with no error
+    def attr(n: String) = plan.output.filter(_.name.equalsIgnoreCase(n)) match {
+      case Seq(one) => one
+      case Seq() => throw new IllegalArgumentException(s"topKPerGroup: no column $n")
+      case many => throw new IllegalArgumentException(
+        s"topKPerGroup: ambiguous column $n (${many.size} attributes match — " +
+          "alias or select the intended one first)")
+    }
     val ord = order.map { case (n, asc) =>
       SortOrder(attr(n), if (asc) Ascending else Descending) }
     org.apache.spark.sql.GraftColumnBridge.ofRows(df.sparkSession,

@@ -33,11 +33,17 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * unique column) — the heap keeps the k FIRST rows under that order,
   * so the kept set is then partition-layout-independent.
   *
-  * Memory contract: O(groups·k) rows per task, no spill path — the
-  * same contract as Spark's own TakeOrderedAndProject (O(k)) scaled
-  * by group count. With more groups than fit, fall back to the window
-  * formulation; the common case this operator exists for (bounded
-  * groups, huge fact side) is exactly where the heap wins. */
+  * Memory contract: the PARTIAL pass caps its heap map at
+  * `spark.graft.topk.maxGroupsPerTask` distinct groups per task
+  * (default 1,048,576); rows of groups beyond the cap PASS THROUGH to
+  * the exchange unheaped — correctness is unaffected (the final pass
+  * re-selects exactly), only the map-side cut for those groups is
+  * lost, and the degradation is observable via the partial's
+  * `passThroughRows` SQLMetric. So the partial can never OOM on
+  * group cardinality; the final pass holds O(groups-per-task·k) rows,
+  * the same contract as Spark's own TakeOrderedAndProject (O(k))
+  * scaled by the post-exchange group count — with astronomically many
+  * groups, fall back to the window formulation. */
 case class TopKPerGroup(
     groupExprs: Seq[Expression],
     order: Seq[SortOrder],
@@ -56,8 +62,12 @@ case class TopKPerGroup(
 object TopKPerGroupStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerGroup(g, o, k, child) =>
-      TopKPerGroupExec(g, o, k, partial = false,
-        TopKPerGroupExec(g, o, k, partial = true, planLater(child))) :: Nil
+      // group-cardinality ceiling resolved at PLAN time so it is
+      // visible in the physical plan and stable for the whole query
+      val maxGroups = org.apache.spark.sql.internal.SQLConf.get
+        .getConfString("spark.graft.topk.maxGroupsPerTask", "1048576").toInt
+      TopKPerGroupExec(g, o, k, partial = false, maxGroups,
+        TopKPerGroupExec(g, o, k, partial = true, maxGroups, planLater(child))) :: Nil
     case _ => Nil
   }
 }
@@ -67,6 +77,7 @@ case class TopKPerGroupExec(
     order: Seq[SortOrder],
     k: Int,
     partial: Boolean,
+    maxGroups: Int,
     child: SparkPlan) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
@@ -80,17 +91,24 @@ case class TopKPerGroupExec(
     if (partial) "TopKPerGroupPartial" else "TopKPerGroupFinal"
 
   // observable evidence of the map-side cut: the partial's output rows
-  // (what the exchange will carry) vs its input
+  // (what the exchange will carry) vs its input; passThroughRows > 0
+  // means the group-cardinality ceiling degraded some groups to
+  // pass-through (correct, just uncut)
   override lazy val metrics = Map(
     "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
-      .createMetric(sparkContext, "output rows"))
+      .createMetric(sparkContext, "output rows"),
+    "passThroughRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "pass-through rows (group ceiling hit)"))
 
   override protected def doExecute(): RDD[InternalRow] = {
     val schema = child.output
     val groupLocal = groupExprs
     val orderLocal = order
     val kLocal = k
+    val partialLocal = partial
+    val maxGroupsLocal = maxGroups
     val outRows = metrics("numOutputRows") // bind OUTSIDE the closure
+    val passRows = metrics("passThroughRows")
     child.execute().mapPartitions { it =>
       val keyProj = UnsafeProjection.create(groupLocal, schema)
       val ord = RowOrdering.create(orderLocal, schema)
@@ -100,22 +118,34 @@ case class TopKPerGroupExec(
         override def compare(a: InternalRow, b: InternalRow): Int = ord.compare(b, a)
       }
       val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]
-      while (it.hasNext) {
-        val row = it.next()
+      import scala.jdk.CollectionConverters._
+      // STREAMING pass: heap absorption emits nothing; a row whose
+      // group would exceed the ceiling (partial only) is emitted
+      // immediately — never buffered — so task memory stays bounded at
+      // O(maxGroups·k) rows no matter the input's group cardinality.
+      // The final pass has no ceiling: it must select exactly (its
+      // per-task group count is already divided by the exchange).
+      val absorbed = it.flatMap { row =>
         val key = keyProj(row)
         var heap = heaps.get(key)
-        if (heap == null) {
-          heap = new java.util.PriorityQueue[InternalRow](kLocal, cmp)
-          heaps.put(key.copy(), heap)
-        }
-        if (heap.size < kLocal) heap.add(row.copy())
-        else if (ord.compare(row, heap.peek()) < 0) {
-          heap.poll(); heap.add(row.copy()): Unit
+        if (heap == null && partialLocal && heaps.size >= maxGroupsLocal) {
+          passRows.add(1); outRows.add(1)
+          Iterator.single(row) // degrade: final re-selects, still exact
+        } else {
+          if (heap == null) {
+            heap = new java.util.PriorityQueue[InternalRow](kLocal, cmp)
+            heaps.put(key.copy(), heap)
+          }
+          if (heap.size < kLocal) heap.add(row.copy())
+          else if (ord.compare(row, heap.peek()) < 0) {
+            heap.poll(); heap.add(row.copy()): Unit
+          }
+          Iterator.empty
         }
       }
-      import scala.jdk.CollectionConverters._
-      heaps.values().iterator().asScala.flatMap(_.iterator().asScala)
-        .map { r => outRows.add(1); r }
+      // ++ is by-name: the heap drain runs only after input exhausts
+      absorbed ++ heaps.values().iterator().asScala
+        .flatMap(_.iterator().asScala).map { r => outRows.add(1); r }
     }
   }
 }

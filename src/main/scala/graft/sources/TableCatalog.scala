@@ -1391,7 +1391,26 @@ class TableCatalog(spark: SparkSession, val root: String) {
           readManifest(name, m.version), readStats(name, m.version)))
         throw new WriteConflictException(s"CREATE INDEX $name: lost the publish race")
     }
-    compact(name)
+    // The metadata version above is already PUBLISHED (the index is
+    // sound — files without stats are always read); the compact below
+    // only makes it SELECTIVE. A concurrent publish landing between
+    // the two must therefore not surface as a CREATE INDEX failure
+    // with the table left indexed-but-unsorted: retry the rebuild
+    // against the new state, and if contention persists, report the
+    // true situation — index live, rebuild re-issuable via COMPACT.
+    var attempts = 0
+    while (true) {
+      try return compact(name)
+      catch { case e: WriteConflictException =>
+        attempts += 1
+        if (attempts >= 3) throw new WriteConflictException(
+          s"CREATE INDEX $name(${colName}): index metadata IS published " +
+            s"(scans are correct, not yet selective) but the sorting rebuild " +
+            s"kept losing publish races — re-issue `COMPACT TABLE $name` " +
+            s"(idempotent) to finish it. Last error: ${e.getMessage}")
+      }
+    }
+    -1 // unreachable
   }
 
   /** MVCC garbage collection: retain the newest `keep` versions,
@@ -1908,6 +1927,33 @@ class TableCatalog(spark: SparkSession, val root: String) {
       writeData(m, remaining, absTableDir(name).resolve(rel).toString)
       dirStats(rel) = collectStats(m, name, rel)
       staged(name) = (base, Seq(rel))
+    }
+
+    // ------------------------------------------- txn-aware EXPLAIN DML
+    // The reference's Explain(Box<Statement>) plans ANY statement in
+    // ANY context (ast.rs:17) — including DML inside an open
+    // transaction. These build the frame the staged verb WOULD write,
+    // through the SAME shared frame constructors the outer explain
+    // path uses, but reading the TXN VIEW (staged dirs, txn-created
+    // tables, metadata pinned at BEGIN) instead of the published
+    // snapshot. No validation, no write, no staging — a plan only.
+    def explainInsert(name: String, df: DataFrame): DataFrame = {
+      open(); visible(name)
+      applyDefaults(name, metaOf(name), df)
+    }
+    def explainUpdate(name: String, set0: Map[String, Column], where: Column): DataFrame = {
+      open(); visible(name)
+      val m = metaOf(name)
+      updatedFrame(m, resolveSetKeys(m, name, set0), where, scan(name))
+    }
+    def explainDelete(name: String, where: Column): DataFrame = {
+      open(); visible(name)
+      deletedFrame(scan(name), where)
+    }
+    def explainMerge(name: String, source: DataFrame): DataFrame = {
+      open(); visible(name)
+      val m = metaOf(name)
+      mergedFrame(m, name, source, scan(name), validate = false)
     }
 
     /** First-committer-wins publish: conflict-check every table (writes

@@ -310,15 +310,72 @@ class GraftSQLSpec extends AnyFunSuite {
     // multi-line EXPLAIN SELECT still plans
     val p3 = g.execute("EXPLAIN\nSELECT * FROM ex").collect()(0).getString(0)
     assert(p3.contains("Physical Plan"))
-    // inside an open txn, EXPLAIN DML must not throw on txn-created
-    // tables or explain the pre-txn snapshot: it keeps the routing line
+    // inside an open txn, EXPLAIN DML plans for real — against the
+    // TXN VIEW (reference Explain(Box<Statement>) plans any statement
+    // in any context, ast.rs:17) — and still executes nothing
     g.execute("BEGIN")
     g.execute("CREATE TABLE extxn (id INTEGER PRIMARY KEY)")
     val p4 = g.execute("EXPLAIN INSERT INTO extxn VALUES (1)").collect()(0).getString(0)
-    assert(p4.contains("not executed") && !p4.contains("Physical Plan"), p4)
+    assert(p4.contains("not executed") && p4.contains("Physical Plan"), p4)
     val p5 = g.execute("EXPLAIN UPDATE ex SET v = 0").collect()(0).getString(0)
-    assert(p5.contains("not executed") && !p5.contains("Physical Plan"), p5)
+    assert(p5.contains("not executed") && p5.contains("Physical Plan"), p5)
     g.execute("ROLLBACK")
+    // a READ ONLY session has no would-be-written plan: routing line
+    g.execute("BEGIN READ ONLY")
+    val p6 = g.execute("EXPLAIN DELETE FROM ex").collect()(0).getString(0)
+    assert(p6.contains("not executed") && !p6.contains("Physical Plan"), p6)
+    g.execute("COMMIT")
+    assert(g.execute("SELECT count(*) AS n FROM ex").collect()(0).getLong(0) == 1)
+  }
+
+  test("txn-aware EXPLAIN DML: plans reflect staged data on txn-created and txn-modified tables") {
+    val g = session()
+    g.execute("CREATE TABLE txe (id INTEGER PRIMARY KEY, v INTEGER)")
+    g.execute("INSERT INTO txe VALUES (1, 10), (2, 20)")
+    val v0 = g.catalog.currentVersion("txe")
+
+    g.execute("BEGIN")
+    // txn-MODIFIED table: stage a delete, then EXPLAIN UPDATE — the
+    // planned frame must read the staged dir (1 surviving row), not
+    // the published snapshot (2 rows)
+    g.execute("DELETE FROM txe WHERE id = 2")
+    val upTxt = g.execute("EXPLAIN UPDATE txe SET v = v + 1 WHERE id = 1")
+      .collect()(0).getString(0)
+    assert(upTxt.contains("not executed") && upTxt.contains("Physical Plan"), upTxt)
+    assert(upTxt.toUpperCase.contains("CASE WHEN"), upTxt)
+    // the staged-read claim, checked on the plan TEXT: the FileScan
+    // path must be the txn's staged dir (data/txn-<id>-<seq>), not the
+    // published snapshot's dir
+    assert(upTxt.contains("txn-"), upTxt)
+    assert(g.catalog.asOf("txe", v0).count() == 2)
+
+    // txn-CREATED table: EXPLAIN of every DML verb returns a real plan
+    g.execute("CREATE TABLE txnew (id INTEGER PRIMARY KEY, v INTEGER)")
+    g.execute("INSERT INTO txnew VALUES (7, 70)")
+    val insTxt = g.execute("EXPLAIN INSERT INTO txnew VALUES (8, 80)")
+      .collect()(0).getString(0)
+    assert(insTxt.contains("Physical Plan"), insTxt)
+    val mgTxt = g.execute("EXPLAIN MERGE INTO txnew VALUES (7, 99)")
+      .collect()(0).getString(0)
+    assert(mgTxt.contains("Physical Plan") && mgTxt.toLowerCase.contains("anti"), mgTxt)
+    val delTxt = g.execute("EXPLAIN DELETE FROM txnew WHERE id = 7")
+      .collect()(0).getString(0)
+    assert(delTxt.contains("Physical Plan") && delTxt.contains("Filter"), delTxt)
+
+    // EXPLAIN published nothing: COMMIT publishes exactly the staged
+    // writes, with the usual semantics
+    g.execute("COMMIT")
+    assert(g.execute("SELECT count(*) AS n FROM txe").collect()(0).getLong(0) == 1)
+    assert(g.execute("SELECT v FROM txe WHERE id = 1").collect()(0).getLong(0) == 10)
+    assert(g.execute("SELECT count(*) AS n FROM txnew").collect()(0).getLong(0) == 1)
+
+    // and ROLLBACK after explains leaves the world untouched
+    g.execute("BEGIN")
+    g.execute("DELETE FROM txe WHERE id = 1")
+    val d2 = g.execute("EXPLAIN DELETE FROM txe").collect()(0).getString(0)
+    assert(d2.contains("Physical Plan"), d2)
+    g.execute("ROLLBACK")
+    assert(g.execute("SELECT count(*) AS n FROM txe").collect()(0).getLong(0) == 1)
   }
 
   test("EXPLAIN DML returns the real would-be-written plan, never publishing") {

@@ -862,6 +862,78 @@ class OperatorsSpec extends AnyFunSuite {
       s"partial must discard rows before the shuffle ($emitted vs $inputRows input)")
   }
 
+  test("topK per group: group-cardinality ceiling degrades to pass-through, result unchanged") {
+    import org.apache.spark.sql.expressions.Window
+    // orders has ~1500 distinct custkeys at sf0.001 — a ceiling of 16
+    // forces nearly every group past the partial's heap map
+    def run(): Array[(Long, Long, Double)] = Scale.topKPerGroup(
+        sources.Tables.orders(spark, sf),
+        Seq("o_custkey"), Seq(("o_totalprice", false), ("o_orderkey", true)), 2)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+      .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expect = run() // default ceiling: no degradation
+    spark.conf.set("spark.graft.topk.maxGroupsPerTask", "16")
+    try {
+      // metrics live on the EXECUTED frame's plan — derive the sorted
+      // frame first and traverse that same frame after collecting it
+      val df = Scale.topKPerGroup(
+        sources.Tables.orders(spark, sf),
+        Seq("o_custkey"), Seq(("o_totalprice", false), ("o_orderkey", true)), 2)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
+      val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(got.sameElements(expect),
+        "ceiling degradation must not change the selected rows")
+      // the degradation is OBSERVABLE: pass-through rows were emitted
+      def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+        val inner = p match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            allNodes(a.executedPlan)
+          case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            allNodes(s.plan)
+          case _ => Nil
+        }
+        p +: (p.children.flatMap(allNodes) ++ inner)
+      }
+      val partialNode = allNodes(df.queryExecution.executedPlan).collectFirst {
+        case p: graft.plans.TopKPerGroupExec if p.partial => p
+      }.get
+      assert(partialNode.maxGroups == 16)
+      assert(partialNode.metrics("passThroughRows").value > 0,
+        "ceiling of 16 over ~1500 groups must record pass-through rows")
+    } finally spark.conf.unset("spark.graft.topk.maxGroupsPerTask")
+    // while a run under the DEFAULT ceiling records none
+    val clean = Relational.q64TopNPerGroup(spark, sf)
+    clean.collect()
+    def allNodes2(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val inner = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          allNodes2(a.executedPlan)
+        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          allNodes2(s.plan)
+        case _ => Nil
+      }
+      p +: (p.children.flatMap(allNodes2) ++ inner)
+    }
+    val cleanPartial = allNodes2(clean.queryExecution.executedPlan).collectFirst {
+      case p: graft.plans.TopKPerGroupExec if p.partial => p
+    }.get
+    assert(cleanPartial.metrics("passThroughRows").value == 0)
+  }
+
+  test("topK per group: ambiguous column names throw instead of binding the first match") {
+    val o = sources.Tables.orders(spark, sf).select("o_custkey", "o_orderkey", "o_totalprice")
+    // a self-join carries TWO o_totalprice attributes
+    val joined = o.join(o.withColumnRenamed("o_orderkey", "rhs_key"), Seq("o_custkey"))
+    val e = intercept[IllegalArgumentException] {
+      Scale.topKPerGroup(joined, Seq("o_custkey"), Seq(("o_totalprice", false)), 1)
+    }
+    assert(e.getMessage.contains("ambiguous"), e.getMessage)
+  }
+
   test("q65 MAD: robust deviation matches a direct recompute") {
     val rows = Relational.q65Mad(spark, sf).collect()
     val li = sources.Tables.lineitem(spark, sf)
@@ -1678,6 +1750,14 @@ class OperatorsSpec extends AnyFunSuite {
     val li = sources.Tables.lineitem(spark, sf)
       .select("l_returnflag", "l_quantity", "l_extendedprice").collect()
       .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    // decimal-overflow guard: with ANSI off a saturated DECIMAL(38,4)
+    // sum would come back as a SILENT NULL aggregate — every published
+    // moment must be non-null (headroom math in the q59 Scaladoc)
+    rows.foreach { r =>
+      (1 until r.length).foreach(i =>
+        assert(!r.isNullAt(i), s"${r.getString(0)}: null aggregate at column $i " +
+          "(decimal moment sum overflowed?)"))
+    }
     rows.foreach { r =>
       val g = li.filter(_._1 == r.getString(0))
       val n = g.length.toDouble

@@ -1,0 +1,107 @@
+package graft
+
+import java.io.{ByteArrayOutputStream, PrintStream}
+
+import graft.sources.TableCatalog
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scripted run of the [[Shell]] REPL — the reference's entanglesql
+  * client surface (/root/reference/src/bin/entanglesql.rs): statement
+  * accumulation to the semicolon, `!` meta commands, pipe-separated
+  * rows, txn-aware prompt, non-fatal errors. */
+class ShellSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  /** Output with the inline prompts removed (prompts print without a
+    * trailing newline, so results share their line). */
+  private def stripPrompts(out: String): String =
+    out.replaceAll("graft(:txn|@snapshot|\\.\\.\\.)?> ", "")
+
+  private def script(lines: String*): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-shell").toString
+    val g = new GraftSQL(spark, new TableCatalog(spark, dir))
+    val buf = new ByteArrayOutputStream()
+    Shell.run(lines.iterator, new PrintStream(buf, true, "UTF-8"), g)
+    buf.toString("UTF-8")
+  }
+
+  test("full session: DDL, DML, SELECT, meta commands, BEGIN/COMMIT, EXPLAIN") {
+    val out = script(
+      "CREATE TABLE movies (id INTEGER PRIMARY KEY, title STRING NOT NULL, rating FLOAT);",
+      "INSERT INTO movies VALUES (1, 'Heat', 8.3), (2, 'Ronin', 7.3);",
+      "!tables",
+      "!headers on",
+      // multi-line statement: complete only at the semicolon
+      "SELECT id, title, rating FROM movies",
+      "ORDER BY id;",
+      "!headers off",
+      // txn lifecycle with prompt state visible between statements
+      "BEGIN;",
+      "UPDATE movies SET rating = 9.9 WHERE id = 1;",
+      "SELECT rating FROM movies WHERE id = 1;",
+      "EXPLAIN DELETE FROM movies WHERE id = 2;",
+      "COMMIT;",
+      "SELECT rating FROM movies ORDER BY id;",
+      "!status",
+      "!table movies",
+      "!exit",
+      "SELECT should_never_run FROM movies;")
+
+    // banner + !tables
+    assert(out.contains("Connected to graft catalog"), out)
+    assert(out.linesIterator.exists(_.trim.endsWith("movies")), out)
+    // headers printed once enabled, pipe-separated rows
+    assert(out.contains("id|title|rating"), out)
+    assert(out.contains("1|Heat|8.3"), out)
+    assert(out.contains("2|Ronin|7.3"), out)
+    // prompt reflects txn state (reference entanglesql.rs:215-219)
+    assert(out.contains("graft:txn> "), out)
+    assert(out.contains("graft> "), out)
+    // read-your-writes inside the txn, then committed value visible
+    assert(out.contains("9.9"), out)
+    // txn-aware EXPLAIN DML shows a real plan, not just routing
+    assert(out.contains("Physical Plan"), out)
+    // !status reports the catalog analog of the reference status dump
+    assert(out.contains("1 tables") || out.contains("tables,"), out)
+    assert(out.contains("MB disk"), out)
+    // !table renders SHOW CREATE TABLE
+    assert(out.contains("CREATE TABLE movies"), out)
+    // !exit stops the REPL before the trailing statement
+    assert(!out.contains("should_never_run"), out)
+  }
+
+  test("errors are printed and do not kill the session; partial input buffers") {
+    val out = script(
+      "CREATE TABLE t (id INTEGER PRIMARY KEY);",
+      "INSERT INTO t VALUES (1);",
+      "SELECT nope FROM t;",          // analysis error → printed, session lives
+      "INSERT INTO t VALUES (1);",    // PK violation → printed, session lives
+      "!nosuch",                      // unknown meta command
+      "SELECT count(*) AS n",         // partial: continuation prompt
+      "FROM t;",
+      "SELECT 'semi ; inside literal' AS s FROM t;") // ; in a string must not split
+    val clean = stripPrompts(out)
+    val errs = clean.linesIterator.filter(_.startsWith("Error:")).toSeq
+    assert(errs.size == 3, out)
+    assert(out.contains("graft...> "), out) // continuation prompt appeared
+    assert(clean.linesIterator.contains("1"), out) // count survived the errors
+    assert(out.contains("semi ; inside literal"), out)
+  }
+
+  test("BEGIN READ ONLY snapshot prompt and rollback leave state intact") {
+    val out = script(
+      "CREATE TABLE r (id INTEGER PRIMARY KEY, v INTEGER);",
+      "INSERT INTO r VALUES (1, 10);",
+      "BEGIN READ ONLY;",
+      "SELECT v FROM r;",
+      "COMMIT;",
+      "BEGIN;",
+      "DELETE FROM r;",
+      "ROLLBACK;",
+      "SELECT count(*) AS n FROM r;")
+    assert(out.contains("graft@snapshot> "), out)
+    // the rollback preserved the row
+    assert(stripPrompts(out).linesIterator.toSeq.reverse
+      .dropWhile(_.trim.isEmpty).headOption.exists(_.trim == "1"), out)
+  }
+}
