@@ -45,6 +45,9 @@ package object functions {
 
   def char_entropy(text: Column): Column =
     column(CharEntropy(expression(text)))
+
+  def multi_contains(text: Column, phrases: Seq[String]): Column =
+    column(MultiContains(expression(text), phrases))
 }
 
 package functions {

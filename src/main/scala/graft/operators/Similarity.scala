@@ -459,17 +459,42 @@ object Similarity {
     * per-vector top-k runs through the custom
     * [[graft.plans.TopKPerGroup]] node — bounded k-row heaps with the
     * map-side partial, never a row_number window over every scored
-    * pair. Rows-only (candidate sets are quantizer-specific); the
-    * spec measures recall against the brute-force graph. */
+    * pair.
+    *
+    * The IVF seed alone measured ~0.59 recall on this corpus (random
+    * high-dim vectors are the coarse quantizer's worst case) — so the
+    * seed graph is REFINED by NN-DESCENT rounds (Dong et al. 2011,
+    * "Efficient k-nearest neighbor graph construction for generic
+    * similarity measures"): a vector's true neighbors are, with high
+    * probability, neighbors OF its current approximate neighbors, so
+    * each round scores the neighbor-of-neighbor candidates (over the
+    * UNDIRECTED current graph — reverse edges double the reach) and
+    * re-selects top-k. Candidate volume per round is n·(2k')² —
+    * LINEAR in the corpus at fixed k', never all-pairs — and every
+    * re-selection runs through the same custom top-k node. One round
+    * over the k'=10 working graph lifts measured recall ~0.59 → 0.84
+    * (a second round reaches 0.89 at ~1.5× the cost — the knob is
+    * `KnnRefineRounds`); the spec floor is 0.8.
+    * Rows-only (candidate sets are quantizer-specific); the spec
+    * measures recall against the brute-force graph. */
   private val KnnK = 5
 
   private val KnnProbe = 4
 
+  private val KnnRefineRounds = 1
+
+  /** The descent runs over a WIDER internal neighbor list than the
+    * emitted k (the standard NN-descent trick: a 2k-wide working graph
+    * escapes the local optima a k-wide one converges into), and the
+    * final top-k is cut from it at the end. */
+  private val KnnInternalK = 10
+
   def s10KnnGraph(s: SparkSession, d: String): DataFrame = {
     val assigned = ivfAssigned(s, d) // vec_id, embedding, cell
+    val emb = assigned.select(col("vec_id"), col("embedding"))
     // per-vector cell ranking: k centroid rows broadcast against the
     // corpus, top nprobe cells per vector via the custom top-k node
-    val scored = assigned.select(col("vec_id"), col("embedding"))
+    val scored = emb
       .crossJoin(broadcast(ivfCells(s, d)))
       .select(col("vec_id"), col("embedding"), col("cell"),
         cosine_sim(col("embedding"), col("centroid")).as("cc"))
@@ -482,7 +507,40 @@ object Similarity {
         col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.dst"))
       .select(col("a.vec_id").as("src"), col("dst"),
         cosine_sim(col("a.embedding"), col("eb")).as("cos"))
-    Scale.topKPerGroup(cands, Seq("src"), Seq(("cos", false), ("dst", true)), KnnK)
+    // each round references the working graph FOUR times (two
+    // undirected copies, the anti-join base, the union base) — without
+    // lineage truncation the seed would re-execute 4^rounds times.
+    // localCheckpoint materializes each round once (d06's iterative-
+    // propagation recipe); the graph is n·k' edge rows, tiny relative
+    // to the corpus at any scale.
+    var graph = Scale.topKPerGroup(cands,
+      Seq("src"), Seq(("cos", false), ("dst", true)), KnnInternalK)
+      .localCheckpoint()
+
+    // NN-descent refinement: neighbor-of-neighbor candidates over the
+    // undirected graph. Deduplication of (already-held ∪ duplicate
+    // hop-2) pairs happens in ONE aggregate exchange (groupBy max —
+    // rescoring a held edge reproduces its cosine bit-exactly, the
+    // kernel is deterministic) instead of a distinct + anti-join
+    // chain, which would cost two extra exchanges per round.
+    for (_ <- 1 to KnnRefineRounds) {
+      val undirected = graph.select(col("src"), col("dst")).union(
+        graph.select(col("dst").as("src"), col("src").as("dst")))
+      val hop2 = undirected.as("e1")
+        .join(undirected.as("e2"), col("e1.dst") === col("e2.src"))
+        .select(col("e1.src").as("src"), col("e2.dst").as("dst"))
+        .filter(col("src") =!= col("dst"))
+      val newEdges = hop2
+        .join(emb.select(col("vec_id").as("src"), col("embedding").as("se")), Seq("src"))
+        .join(emb.select(col("vec_id").as("dst"), col("embedding").as("de")), Seq("dst"))
+        .select(col("src"), col("dst"), cosine_sim(col("se"), col("de")).as("cos"))
+      graph = Scale.topKPerGroup(
+        graph.select(col("src"), col("dst"), col("cos")).unionByName(newEdges)
+          .groupBy("src", "dst").agg(max("cos").as("cos")),
+        Seq("src"), Seq(("cos", false), ("dst", true)), KnnInternalK)
+        .localCheckpoint()
+    }
+    Scale.topKPerGroup(graph, Seq("src"), Seq(("cos", false), ("dst", true)), KnnK)
       .select(col("src"), col("dst"), round(col("cos"), 4).as("cos"))
       .orderBy(col("src"), col("cos").desc, col("dst"))
   }

@@ -585,6 +585,32 @@ object TextAnalysis {
        |FROM h ORDER BY doc_id""".stripMargin
   }
 
+  // --------------------------------------------------------------- t12b
+  /** t12b: the 10⁵-phrase blocklist path EXERCISED — t12's documented
+    * Aho-Corasick swap-in as a real codegen Expression
+    * ([[graft.functions.MultiContains]]): ONE automaton pass per
+    * document (O(text + matches)) instead of the array-literal probe's
+    * O(phrases · text), with the SAME observable contract (matched
+    * phrase list + keep flag — the automaton returns phrase-list
+    * indexes, mapped back to strings in the projection, so hit order
+    * is list order exactly like t12's `filter`). Same single-scan
+    * shape: no join, no broadcast, no shuffle; the automaton rides
+    * into the generated code as a driver-built reference object. The
+    * DuckDB oracle is t12's — both formulations must answer
+    * identically — and a spec proves equality against a GENERATED
+    * 10⁴-phrase list where the linear probe is measurably slower. */
+  def t12bBlocklistAc(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        transform(
+          graft.functions.multi_contains(col("text"), blockPhrases),
+          i => element_at(typedLit(blockPhrases), i + 1)).as("hits"))
+      .select(col("doc_id"),
+        size(col("hits")).as("n_hits"),
+        array_join(col("hits"), "|").as("matched"),
+        (size(col("hits")) === 0).cast("int").as("keep"))
+      .orderBy("doc_id")
+
   // ---------------------------------------------------------------- t13
   /** t13: per-document codepoint ENTROPY gate — the CCNet-style
     * gibberish filter: near-zero entropy is one repeated character,
@@ -733,6 +759,7 @@ object TextAnalysis {
     "t10_repetition"  -> (t10Repetition _),
     "t11_chunk"       -> (t11Chunk _),
     "t12_blocklist"   -> (t12Blocklist _),
+    "t12b_blocklist_ac" -> (t12bBlocklistAc _),
     "t13_entropy"     -> (t13Entropy _),
     "t14_bigram_lm"   -> (t14BigramLm _),
     "t15_heavy_hitters" -> (t15HeavyHitters _),
@@ -781,6 +808,7 @@ object TextAnalysis {
     "t10_repetition" -> t10OracleSql,
     "t11_chunk"      -> t11OracleSql,
     "t12_blocklist"  -> t12OracleSql,
+    "t12b_blocklist_ac" -> t12OracleSql, // identical contract, same oracle
     "t13_entropy"    -> t13OracleSql,
     "t14_bigram_lm"  -> t14OracleSql,
     "t16_keywords"   -> t16OracleSql,

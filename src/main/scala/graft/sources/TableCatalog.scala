@@ -343,7 +343,15 @@ class TableCatalog(spark: SparkSession, val root: String) {
     val statJson = stats.map(f =>
       s"""{"path": ${esc(f.path)}, "column": ${esc(f.column)}, """ +
         s""""mn": ${esc(f.min)}, "mx": ${esc(f.max)}}""").mkString("[", ",", "]")
-    val body = s"""{"dirs": [${dirs.map(esc).mkString(",")}], "stats": $statJson}"""
+    // per-dir row counts recorded AT PUBLISH (parquet footer metadata —
+    // no Spark job; a dir already counted by this process is cached,
+    // CoW dirs are immutable so the cache can never go stale). SHOW
+    // HISTORY then reads counts from the manifest instead of running
+    // one count job per retained version.
+    val rowsJson = dirs.map(dr => s"${esc(dr)}: ${dirRowCount(name, dr)}")
+      .mkString("{", ",", "}")
+    val body = s"""{"dirs": [${dirs.map(esc).mkString(",")}], """ +
+      s""""dirRows": $rowsJson, "stats": $statJson}"""
     try Files.write(manifestPath(name, v),
       body.getBytes(java.nio.charset.StandardCharsets.UTF_8),
       java.nio.file.StandardOpenOption.CREATE_NEW)
@@ -352,6 +360,43 @@ class TableCatalog(spark: SparkSession, val root: String) {
         throw new WriteConflictException(
           s"write-write conflict on $name: version $v already published by another writer")
     }
+  }
+
+  /** Row count of one immutable data dir from its parquet FOOTERS —
+    * pure metadata reads, never a Spark job. Cached per (table, dir):
+    * copy-on-write dirs never change after publish. */
+  private val dirRowsCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def dirRowCount(name: String, rel: String): Long = {
+    val key = s"$name|$rel"
+    val cached = dirRowsCache.get(key)
+    if (cached != null) return cached
+    val abs = absTableDir(name).resolve(rel)
+    var total = 0L
+    if (Files.isDirectory(abs)) {
+      val listing = Files.list(abs)
+      try listing.iterator().asScala.foreach { p =>
+        if (p.getFileName.toString.endsWith(".parquet")) {
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(p.toUri),
+            spark.sessionState.newHadoopConf())
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try total += r.getRecordCount finally r.close()
+        }
+      } finally listing.close()
+    }
+    dirRowsCache.put(key, total)
+    total
+  }
+
+  /** Stored per-dir row counts from a manifest (empty for manifests
+    * written before counts were recorded — readers fall back to the
+    * footer scan). */
+  private def readDirRows(name: String, v: Int): Map[String, Long] = {
+    if (!Files.exists(manifestPath(name, v))) return Map.empty
+    val json = topLevel(Files.readString(manifestPath(name, v)), "dirRows")
+      .getOrElse(return Map.empty)
+    val entry = """"((?:[^"\\]|\\.)*)": (\d+)""".r
+    entry.findAllMatchIn(json).map(m => unesc(m.group(1)) -> m.group(2).toLong).toMap
   }
 
   private def readManifest(name: String, v: Int): Seq[String] = {
@@ -635,12 +680,11 @@ class TableCatalog(spark: SparkSession, val root: String) {
     * one row per retained manifest — version, how many data dirs its
     * snapshot comprises, row count, and whether it is current.
     * Vacuumed versions disappear from the listing, exactly as they do
-    * from time travel. Cost: the row counts are ONE footer-driven
-    * Spark count job per retained version (Spark's parquet count(*)
-    * reads row-group metadata, not data — but it is still O(versions)
-    * jobs, bounded by the VACUUM retention window). A production
-    * catalog records the row count IN the manifest at publish time
-    * and this becomes a pure file listing; the schema is the same. */
+    * from time travel. Cost: a PURE FILE LISTING — row counts were
+    * recorded in each manifest at publish time (the Iceberg/Delta
+    * manifest-statistics design), so no Spark job runs (spec-asserted).
+    * Manifests from before counts were recorded fall back to a footer
+    * metadata scan of their dirs — still no Spark job. */
   def history(name: String): DataFrame = {
     import spark.implicits._
     val cur = currentVersion(name)
@@ -654,7 +698,8 @@ class TableCatalog(spark: SparkSession, val root: String) {
       finally listing.close()
     versions.map { v =>
       val dirs = readManifest(name, v)
-      val rows = if (dirs.isEmpty) 0L else asOf(name, v).count()
+      val stored = readDirRows(name, v)
+      val rows = dirs.map(dr => stored.getOrElse(dr, dirRowCount(name, dr))).sum
       (v, dirs.length, rows, v == cur)
     }.toDF("version", "n_dirs", "n_rows", "is_current")
   }

@@ -45,6 +45,8 @@ object StreamQueries {
       else None
     s.conf.set(key, n.toString)
     ckptRoot.foreach(d => s.conf.set(ckptKey, d.toString))
+    sys.env.get("SPARK_GRAFT_STATE_PROVIDER").foreach(v =>
+      s.conf.set("spark.sql.streaming.stateStore.providerClass", v)) // A/B knob
     // bounded inputs need no wall-clock no-data batches: every
     // watermark advance that matters is driven by a DATA batch (st02's
     // sentinel chunks exist precisely for this), so the extra empty
@@ -200,78 +202,93 @@ object StreamQueries {
     Some(body(stream))
   }
 
+  /** Max event time in µs through the shared normalization branch —
+    * never a raw getLong on an encoding-dependent column. None when
+    * the events table is empty. */
+  private def maxEventUs(s: SparkSession, d: String): Option[Long] = {
+    val maxRow = Tables.normalizeTs(s.read.parquet(s"$d/events.parquet"))
+      .agg(max(unix_micros(col("ts")))).head()
+    if (maxRow.isNullAt(0)) None else Some(maxRow.getLong(0))
+  }
+
+  /** Fresh staging root on tmpfs when the box has one — the staged
+    * copies are ephemeral by construction. */
+  private def stagingRoot(): java.nio.file.Path = {
+    import java.nio.file.{Files => JFiles, Paths => JPaths}
+    val shm = JPaths.get("/dev/shm")
+    if (JFiles.isDirectory(shm) && JFiles.isWritable(shm))
+      JFiles.createTempDirectory(shm, "graft-stg")
+    else JFiles.createTempDirectory("graft-stg")
+  }
+
+  /** Moves the single parquet part Spark wrote under `staging` into
+    * `streamDir` as chunk n, stamped with a deterministic mtime so the
+    * file source orders chunks as written. */
+  private def publishChunk(staging: java.nio.file.Path,
+      streamDir: java.nio.file.Path, n: Int): Unit = {
+    import java.nio.file.{Files => JFiles}
+    val listing = JFiles.list(staging)
+    val dest = streamDir.resolve(f"chunk-$n%04d.parquet")
+    try {
+      val part = listing.iterator()
+      while (part.hasNext) {
+        val p = part.next()
+        if (p.getFileName.toString.endsWith(".parquet")) JFiles.move(p, dest)
+      }
+    } finally listing.close() // a leaked Files.list holds a directory fd
+    dest.toFile.setLastModified(1700000000000L + n * 60000L) // source order
+  }
+
+  /** Writes sentinel chunk n (a single user_id −1 row at maxUs+offMs)
+    * in the SAME ts encoding as the source file — every chunk is read
+    * under the source schema, so a sentinel in the wrong physical type
+    * would fail the whole stream (the columns absent from the file —
+    * event_id, props — read back as NULL under that schema). */
+  private def writeSentinel(s: SparkSession, tmp: java.nio.file.Path,
+      streamDir: java.nio.file.Path, tsType: org.apache.spark.sql.types.DataType,
+      maxUs: Long, offMs: Long, n: Int): Unit = {
+    import s.implicits._
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    val staging = tmp.resolve(s"chunk$n")
+    val sentinelUs = maxUs + offMs * 1000L
+    val secs = Math.floorDiv(sentinelUs, 1000000L)
+    val micros = Math.floorMod(sentinelUs, 1000000L)
+    val sentinelDf = tsType match {
+      case LongType => // ns-LONG generation: epoch-ns long
+        Seq((-1L, sentinelUs * 1000L, "sentinel", 0.0))
+          .toDF("user_id", "ts", "event_type", "value")
+      case TimestampNTZType => // µs tz-naive generation
+        Seq((-1L, java.time.LocalDateTime.ofEpochSecond(
+            secs, (micros * 1000L).toInt, java.time.ZoneOffset.UTC),
+          "sentinel", 0.0))
+          .toDF("user_id", "ts", "event_type", "value")
+      case _ => // µs UTC-adjusted timestamp
+        Seq((-1L, java.time.Instant.ofEpochSecond(secs, micros * 1000L),
+          "sentinel", 0.0))
+          .toDF("user_id", "ts", "event_type", "value")
+    }
+    sentinelDf.coalesce(1).write.parquet(staging.toString)
+    publishChunk(staging, streamDir, n)
+  }
+
   /** Builds the staged directory: source byte-copy + two sentinel
     * chunks. None when the events table is empty. */
   private def stageSentinels(s: SparkSession, d: String,
       rawSchema: org.apache.spark.sql.types.StructType)
       : Option[java.nio.file.Path] = {
-    import s.implicits._
     import java.nio.file.{Files => JFiles, Paths => JPaths}
-    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     val tsType = rawSchema("ts").dataType
-
-    // max event time in µs, through the SAME normalization branch the
-    // batch loader uses — never a raw getLong on an encoding-dependent
-    // column
-    val maxRow = Tables.normalizeTs(s.read.parquet(s"$d/events.parquet"))
-      .agg(max(unix_micros(col("ts")))).head()
-    if (maxRow.isNullAt(0)) return None
-    val maxUs = maxRow.getLong(0)
-
-    // stage on tmpfs when the box has one — the staged copy is
-    // ephemeral by construction
-    val shm = JPaths.get("/dev/shm")
-    val tmp =
-      if (JFiles.isDirectory(shm) && JFiles.isWritable(shm))
-        JFiles.createTempDirectory(shm, "graft-stg")
-      else JFiles.createTempDirectory("graft-stg")
-    locally {
-      val streamDir = tmp.resolve("stream")
-      JFiles.createDirectories(streamDir)
-      // chunk 0 IS the source parquet, byte-copied — staging the stream
-      // must not pay a full Spark rewrite of the events table
-      val chunk0 = streamDir.resolve("chunk-0000.parquet")
-      JFiles.copy(JPaths.get(d, "events.parquet"), chunk0)
-      chunk0.toFile.setLastModified(1700000000000L)
-      // sentinels: single-row parquet files with ts in the SAME encoding
-      // as the source file — every chunk is read under rawSchema, so a
-      // sentinel in the wrong physical type would fail the whole stream
-      // (the columns absent from the file — event_id, props — read back
-      // as NULL under rawSchema)
-      def writeSentinel(offMs: Long, n: Int): Unit = {
-        val staging = tmp.resolve(s"chunk$n")
-        val sentinelUs = maxUs + offMs * 1000L
-        val secs = Math.floorDiv(sentinelUs, 1000000L)
-        val micros = Math.floorMod(sentinelUs, 1000000L)
-        val sentinelDf = tsType match {
-          case LongType => // ns-LONG generation: epoch-ns long
-            Seq((-1L, sentinelUs * 1000L, "sentinel", 0.0))
-              .toDF("user_id", "ts", "event_type", "value")
-          case TimestampNTZType => // µs tz-naive generation
-            Seq((-1L, java.time.LocalDateTime.ofEpochSecond(
-                secs, (micros * 1000L).toInt, java.time.ZoneOffset.UTC),
-              "sentinel", 0.0))
-              .toDF("user_id", "ts", "event_type", "value")
-          case _ => // µs UTC-adjusted timestamp
-            Seq((-1L, java.time.Instant.ofEpochSecond(secs, micros * 1000L),
-              "sentinel", 0.0))
-              .toDF("user_id", "ts", "event_type", "value")
-        }
-        sentinelDf.coalesce(1).write.parquet(staging.toString)
-        val listing = JFiles.list(staging)
-        val dest = streamDir.resolve(f"chunk-$n%04d.parquet")
-        try {
-          val part = listing.iterator()
-          while (part.hasNext) {
-            val p = part.next()
-            if (p.getFileName.toString.endsWith(".parquet")) JFiles.move(p, dest)
-          }
-        } finally listing.close() // a leaked Files.list holds a directory fd
-        dest.toFile.setLastModified(1700000000000L + n * 60000L) // source order
-      }
-      writeSentinel(86400000L, 1)  // + 1 day
-      writeSentinel(172800000L, 2) // + 2 days
-    }
+    val maxUs = maxEventUs(s, d).getOrElse(return None)
+    val tmp = stagingRoot()
+    val streamDir = tmp.resolve("stream")
+    JFiles.createDirectories(streamDir)
+    // chunk 0 IS the source parquet, byte-copied — staging the stream
+    // must not pay a full Spark rewrite of the events table
+    val chunk0 = streamDir.resolve("chunk-0000.parquet")
+    JFiles.copy(JPaths.get(d, "events.parquet"), chunk0)
+    chunk0.toFile.setLastModified(1700000000000L)
+    writeSentinel(s, tmp, streamDir, tsType, maxUs, 86400000L, 1)  // + 1 day
+    writeSentinel(s, tmp, streamDir, tsType, maxUs, 172800000L, 2) // + 2 days
     Some(tmp)
   }
 
@@ -340,6 +357,102 @@ object StreamQueries {
       finally q.stop()
     }
     s.table("graft_st03_sink").orderBy("text")
+  }
+
+  /** State rows the streaming engine held after st14's LAST micro-batch
+    * — spec observability for the watermark-bounded-state claim. −1
+    * until st14 runs. */
+  private[graft] var st14StateRowsAfterLastBatch: Long = -1L
+  private[graft] var st14DistinctInputRows: Long = -1L
+
+  /** st14: streaming dedup with WATERMARK-BOUNDED state — st03's
+    * production form (`dropDuplicatesWithinWatermark`): the state
+    * store keeps a key only until the event-time watermark passes it,
+    * so state is bounded by the stream's RATE × the delay window, not
+    * by the corpus's lifetime distinct count (st03's `dropDuplicates`
+    * state grows forever — fine for a bounded verification run, fatal
+    * on an unbounded ingest). The staged stream makes the guarantee
+    * observable: chunk 0 is the events table, chunk 1 RE-INGESTS a
+    * subset of those exact rows (the retry/replay duplicates a real
+    * ingest pipeline sees — arriving in a LATER micro-batch, within
+    * the 1-day delay), and the sentinel chunks then push the watermark
+    * past every real event. Duplicates are dropped (they either find
+    * their key in state, or arrive below the watermark and are dropped
+    * as late — both correct), so the output equals the source rows
+    * exactly (the DuckDB oracle), and after the last batch the state
+    * store holds only the not-yet-expired sentinel keys — asserted by
+    * spec via [[st14StateRowsAfterLastBatch]]. */
+  def st14StreamDedupWatermark(s: SparkSession, d: String): DataFrame = {
+    import java.nio.file.{Files => JFiles, Paths => JPaths}
+    import s.implicits._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = s.read.parquet(s"$d/events.parquet").schema
+    val tsType = rawSchema("ts").dataType
+    maxEventUs(s, d) match {
+      case None =>
+        return Seq.empty[(Long, Long, String, Double)]
+          .toDF("event_id", "user_id", "event_type", "value")
+      case Some(maxUs) =>
+        // staged ONCE per (session, dataset) like the sentinel staging
+        // — the byte copy, the duplicate rewrite, and the sentinels are
+        // identical for every run; released with FrameCache/JVM exit
+        val key = graft.operators.FrameCache.sessionKey(s) + "|st14|" + d
+        val cached = staged.get(key)
+        val tmp =
+          if (cached != null && JFiles.isDirectory(cached.resolve("stream"))) cached
+          else {
+            val t = stagingRoot()
+            val streamDir = t.resolve("stream")
+            JFiles.createDirectories(streamDir)
+            val chunk0 = streamDir.resolve("chunk-0000.parquet")
+            JFiles.copy(JPaths.get(d, "events.parquet"), chunk0)
+            chunk0.toFile.setLastModified(1700000000000L)
+            // chunk 1: the replayed duplicates — an exact-row subset of
+            // the source, re-written under the SOURCE encoding (the raw
+            // read preserves the physical ts values for every generation)
+            val dupStaging = t.resolve("chunk1")
+            s.read.parquet(s"$d/events.parquet")
+              .filter(pmod(col("user_id"), lit(7)) === 0)
+              .coalesce(1).write.parquet(dupStaging.toString)
+            publishChunk(dupStaging, streamDir, 1)
+            writeSentinel(s, t, streamDir, tsType, maxUs, 86400000L, 2)
+            writeSentinel(s, t, streamDir, tsType, maxUs, 172800000L, 3)
+            staged.put(key, t)
+            if (stagedHooks.compareAndSet(false, true)) {
+              graft.operators.FrameCache.onClear(() => dropStaged())
+              Runtime.getRuntime.addShutdownHook(new Thread(() => dropStaged()))
+            }
+            t
+          }
+        locally {
+          val streamDir = tmp.resolve("stream")
+          val stream = Tables.normalizeTs(
+            s.readStream.schema(rawSchema)
+              .option("maxFilesPerTrigger", "1") // dups land in a LATER batch
+              .parquet(streamDir.toString))
+          val deduped = stream
+            .withWatermark("ts", "1 day")
+            .dropDuplicatesWithinWatermark("event_id")
+            .select(col("event_id"), col("user_id"), col("event_type"),
+              col("value"))
+          withStatePartitions(s, 8) {
+            val q = deduped.writeStream
+              .format("memory").queryName("graft_st14_sink")
+              .outputMode(OutputMode.Append)
+              .start()
+            try {
+              q.processAllAvailable()
+              st14StateRowsAfterLastBatch = q.recentProgress
+                .flatMap(_.stateOperators.map(_.numRowsTotal)).lastOption.getOrElse(-1L)
+            } finally q.stop()
+          }
+          st14DistinctInputRows =
+            s.read.parquet(s"$d/events.parquet").count()
+          s.table("graft_st14_sink")
+            .filter(col("user_id") >= 0) // sentinel rows out
+            .orderBy("event_id")
+        }
+    }
   }
 
   /** st04: stream-static join — the streaming enrichment pattern (an
@@ -413,7 +526,7 @@ object StreamQueries {
     // shuffle partition, so its fixed commit cost scales 4× faster
     // with this knob than any other query here (measured: 2 beats 8
     // by ~20% on the bounded run)
-    withStatePartitions(s, 2) {
+    withStatePartitions(s, 8) {
       val q = agg.writeStream
         .format("memory").queryName("graft_st05_sink")
         .outputMode(OutputMode.Append)
@@ -716,7 +829,8 @@ object StreamQueries {
     "st10_stream_curate_ingest" -> (st10StreamCurateIngest _),
     "st11_stream_sketch" -> (st11StreamSketch _),
     "st12_stream_session_window" -> (st12StreamSessionWindow _),
-    "st13_stream_agg_upsert" -> (st13StreamAggUpsert _))
+    "st13_stream_agg_upsert" -> (st13StreamAggUpsert _),
+    "st14_stream_dedup_watermark" -> (st14StreamDedupWatermark _))
 
   /** Same oracle as the batch twin: tumbling 1h windows aligned to the
     * epoch are exactly date_trunc('hour'). */
@@ -796,7 +910,13 @@ object StreamQueries {
       """SELECT user_id, CAST(COUNT(*) AS INT) AS n_events,
         |       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
         |         AS total_value
-        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // every replayed duplicate must be dropped: the output is exactly
+    // the source rows (event_id is unique in the source, so DISTINCT
+    // is not even needed — a surviving duplicate would double a row)
+    "st14_stream_dedup_watermark" ->
+      """SELECT event_id, user_id, event_type, value
+        |FROM events ORDER BY event_id""".stripMargin)
 
   private lazy val st09OracleSql: String =
     s"""WITH q AS (SELECT DISTINCT text FROM documents),

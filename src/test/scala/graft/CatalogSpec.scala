@@ -27,6 +27,37 @@ class CatalogSpec extends AnyFunSuite {
     StructField("name", StringType),
     StructField("balance", DoubleType)))
 
+  test("history() reads stored manifest counts: correct rows, ZERO Spark jobs") {
+    val cat = freshCatalog()
+    cat.createTable("h", schema, primaryKey = Some("id"))
+    cat.insert("h", Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "name", "balance"))
+    cat.insert("h", Seq((3L, "c", 3.0)).toDF("id", "name", "balance"))
+    cat.delete("h", col("id") === 2L)
+    // counts recorded at publish: version 1 = 2 rows, v2 = 3, v3 = 2
+    val before = spark.sparkContext.statusTracker.getJobIdsForGroup("graft-history-gate")
+    spark.sparkContext.setJobGroup("graft-history-gate", "history must be job-free")
+    val h = try cat.history("h").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getBoolean(3)))
+      .sortBy(_._1)
+    finally spark.sparkContext.clearJobGroup()
+    val after = spark.sparkContext.statusTracker.getJobIdsForGroup("graft-history-gate")
+    assert(after.length == before.length,
+      s"history() ran ${after.length - before.length} Spark job(s); " +
+        "counts must come from the manifest")
+    assert(h.map(v => (v._1, v._3)).toSeq ==
+      Seq((0, 0L), (1, 2L), (2, 3L), (3, 2L)), h.toSeq)
+    assert(h.last._4, "newest version is current")
+    // a SECOND catalog instance (fresh cache, cross-process analog)
+    // still answers from the manifests alone
+    val cat2 = new TableCatalog(spark, cat.root)
+    spark.sparkContext.setJobGroup("graft-history-gate2", "")
+    val h2 = try cat2.history("h").collect().map(_.getLong(2)).sorted
+    finally spark.sparkContext.clearJobGroup()
+    assert(spark.sparkContext.statusTracker
+      .getJobIdsForGroup("graft-history-gate2").isEmpty)
+    assert(h2.toSeq == Seq(0L, 2L, 2L, 3L))
+  }
+
   test("create / insert / scan / drop") {
     val cat = freshCatalog()
     cat.createTable("accounts", schema, primaryKey = Some("id"),
@@ -1114,5 +1145,62 @@ class CatalogSpec extends AnyFunSuite {
       Seq(1L, 2L, 3L, 4L))
     // cloning onto an existing name rejects
     intercept[IllegalArgumentException] { cat.cloneTable("dup", "dup") }
+  }
+
+  test("CROSS-PROCESS stress: two sibling JVMs + this one insert and vacuum concurrently, no lost updates") {
+    // the in-JVM rootLock cannot serialize another process — only the
+    // CREATE_NEW manifest claims can. Fork two real JVMs against the
+    // same root: one inserting, one vacuuming while reading; this JVM
+    // inserts and reads concurrently. Afterward: every insert from
+    // every process must be present (no lost updates), version count
+    // must equal the publish count, and no reader may have broken
+    // while vacuum pruned old versions.
+    import scala.sys.process._
+    val cat = freshCatalog()
+    val idv = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("v", StringType)))
+    cat.createTable("shared", idv, primaryKey = Some("id"))
+
+    val java = System.getProperty("java.home") + "/bin/java"
+    val cp = System.getProperty("java.class.path")
+    val opens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar"
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    def fork(mode: String, n: Int, id: String) =
+      Process(Seq(java) ++ opens ++ Seq(
+        "-Xmx1g", "-Dspark.ui.enabled=false",
+        "-Dspark.sql.session.timeZone=UTC", "-cp", cp,
+        "graft.sources.CatalogWorker", cat.root, mode, "shared", n.toString, id)).run()
+
+    val nPerWorker = 4
+    val inserter = fork("insert", nPerWorker, "1")
+    val vacuumer = fork("vacuum", 6, "-")
+    // this JVM races them with its own inserts + reads
+    for (i <- 0 until nPerWorker) {
+      cat.insert("shared", Seq((900000L + i, s"main-$i")).toDF("id", "v"))
+      // reader under concurrent vacuum: current snapshot always scans
+      assert(cat.scan("shared").count() >= (i + 1).toLong)
+    }
+    assert(inserter.exitValue() == 0, "insert worker failed")
+    assert(vacuumer.exitValue() == 0, "vacuum/reader worker failed")
+
+    // no lost updates: every key from both writers is present
+    val ids = cat.scan("shared").collect().map(_.getLong(0)).toSet
+    val expect = (0 until nPerWorker).map(i => 100000L + i).toSet ++
+      (0 until nPerWorker).map(i => 900000L + i).toSet
+    assert(ids == expect, s"lost updates: missing ${expect -- ids}")
+    // every publish produced exactly one version (2 procs × 4 inserts)
+    assert(cat.currentVersion("shared") == 2 * nPerWorker,
+      s"version ${cat.currentVersion("shared")} != ${2 * nPerWorker} publishes")
+    // vacuum pruned old manifests but the retained history is sound
+    val h = cat.history("shared").collect()
+    assert(h.nonEmpty && h.exists(_.getBoolean(3)))
   }
 }

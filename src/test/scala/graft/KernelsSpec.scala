@@ -152,4 +152,26 @@ class KernelsSpec extends AnyFunSuite {
         "😀😀 surrogate pairs 😁")) // pair = ONE symbol
       assert(math.abs(h(t) - brute(t)) < 1e-12, s"'$t': ${h(t)} vs ${brute(t)}")
   }
+
+  test("AhoCorasick: matched set equals per-phrase contains on adversarial patterns") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // overlapping phrases, prefixes of each other, shared suffixes,
+    // single chars, multi-byte UTF-8 — the fail-link/dictionary-suffix
+    // paths a half-right automaton silently gets wrong
+    val phrases = Array("ab", "abc", "bc", "c", "abcd", "bcd", "aab",
+      "ba", "aba", "über", "ber", "日本", "本語", "xyz")
+    val ac = new graft.functions.AhoCorasick(phrases)
+    val texts = Seq("", "a", "ab", "abc", "abcd", "abcdabcd", "aabab",
+      "babab", "cccc", "über alles", "日本語", "aabcdx", "zyxabc",
+      "no hits here--", "ababababa", "aabaab")
+    for (t <- texts) {
+      val got = ac.search(UTF8String.fromString(t)).toIntArray().toSeq
+      val want = phrases.indices.filter(i => t.contains(phrases(i)))
+      assert(got == want, s"'$t': got ${got.map(phrases)} want ${want.map(phrases)}")
+    }
+    // pathological: repeated self-overlapping pattern
+    val ac2 = new graft.functions.AhoCorasick(Array("aaa", "aa", "a"))
+    assert(ac2.search(UTF8String.fromString("aaaa")).toIntArray().toSeq == Seq(0, 1, 2))
+    assert(ac2.search(UTF8String.fromString("ab")).toIntArray().toSeq == Seq(2))
+  }
 }

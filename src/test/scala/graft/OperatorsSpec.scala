@@ -749,6 +749,62 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rows.exists(_._2 > 0), "corpus must exercise at least one hit")
   }
 
+  test("t12b AC blocklist: equals t12 on the shared list; 10⁴ generated phrases equal the literal probe and scan faster") {
+    // identical contract on the production list
+    val ac0 = TextAnalysis.queries("t12b_blocklist_ac")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3))).toSeq
+    val lit0 = TextAnalysis.t12Blocklist(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3))).toSeq
+    assert(ac0 == lit0, "AC and literal-probe formulations must answer identically")
+
+    // the scale claim, on a GENERATED 10⁴-phrase list: ~200 phrases
+    // are real substrings of corpus documents (guaranteed hits), the
+    // rest deterministic gibberish (guaranteed misses)
+    val docs = sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val planted = docs.filter(_._2.length > 40).take(200).zipWithIndex.map {
+      case ((_, t), i) =>
+        val off = (i * 13) % (t.length - 20)
+        t.substring(off, off + 12 + (i % 6))
+    }
+    val noise = (0 until 9800).map { i =>
+      val rnd = new scala.util.Random(i * 2654435761L)
+      (0 until 10 + rnd.nextInt(8)).map(_ => ('a' + rnd.nextInt(26)).toChar)
+        .mkString + "qzx" // suffix keeps accidental hits implausible
+    }
+    val phrases: Seq[String] = (planted ++ noise).distinct.toSeq
+    val corpus = sources.Tables.documents(spark, sf).select("doc_id", "text")
+    // replicated corpus for the TIMING comparison: per-query fixed cost
+    // (plan + codegen, ~0.5 s) would otherwise mask the per-byte
+    // asymptotics this spec exists to demonstrate
+    val timingCorpus = corpus.crossJoin(
+      spark.range(4).select(col("id").as("rep"))).select(col("text"))
+
+    import org.apache.spark.sql.functions.{filter => afilter, typedLit}
+    def acCol = graft.functions.multi_contains(col("text"), phrases)
+    def litCol = afilter(typedLit(phrases), p => col("text").contains(p))
+
+    // equality of the full matched sets
+    val acHits = corpus.select(col("doc_id"), acCol.as("h")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    val litHits = corpus.select(col("doc_id"), litCol.as("h")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).map(p => phrases.indexOf(p)).toSeq).toMap
+    assert(acHits == litHits, "matched sets must be identical at 10⁴ phrases")
+    assert(acHits.values.exists(_.nonEmpty), "planted phrases must hit")
+
+    // the complexity claim: O(text) automaton vs O(phrases·text) probe
+    def time(body: => Unit): Double = {
+      body // warm
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+    val tAc = time(timingCorpus.select(sum(size(acCol))).collect(): Unit)
+    val tLit = time(timingCorpus.select(sum(size(litCol))).collect(): Unit)
+    info(f"10k-phrase scan: AC $tAc%.3f s vs literal probe $tLit%.3f s (${tLit / tAc}%.1f×)")
+    assert(tLit / tAc >= 3.0,
+      f"AC must scan substantially faster at 10⁴ phrases ($tAc%.3f vs $tLit%.3f)")
+  }
+
   test("s07 filtered ANN: pre-filter exact over the allowed subset, predicate pushed") {
     val df = Similarity.queries("s07_ann_filtered")(spark, sf)
     val rows = df.collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
@@ -1034,7 +1090,8 @@ class OperatorsSpec extends AnyFunSuite {
       hit += exact.count(approx); total += exact.size
     }
     val recall = hit.toDouble / total
-    assert(recall >= 0.5, s"kNN graph recall $recall below floor")
+    // production floor: IVF seed (~0.59 alone) + 2 NN-descent rounds
+    assert(recall >= 0.8, s"kNN graph recall $recall below floor")
     info(s"s10 kNN graph recall vs brute force: $recall")
   }
 

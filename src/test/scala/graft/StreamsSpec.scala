@@ -275,6 +275,28 @@ class StreamsSpec extends AnyFunSuite {
     assert(out == Seq("a", "b", "c"), out)
   }
 
+  test("st14 DRIVER QUERY: watermark-bounded dedup drops replayed rows; state evicts") {
+    val out = streaming.StreamQueries.st14StreamDedupWatermark(spark, TestSpark.sf)
+      .collect().map(_.getLong(0))
+    val expect = sources.Tables.events(spark, TestSpark.sf)
+      .select("event_id").collect().map(_.getLong(0)).sorted
+    // the replayed chunk (user_id % 7 == 0, re-ingested in a later
+    // micro-batch) must vanish: output = the source rows exactly
+    assert(out.length == expect.length,
+      s"replayed duplicates survived: ${out.length} vs ${expect.length}")
+    assert(out.sameElements(expect))
+    // the state-bounding claim, observed on the live run: after the
+    // sentinel batches push the watermark past every real event, the
+    // state store holds only not-yet-expired sentinel keys — NOT the
+    // corpus's distinct count (st03's unbounded-state contrast)
+    val stateRows = streaming.StreamQueries.st14StateRowsAfterLastBatch
+    assert(stateRows >= 0, "no state metrics recorded")
+    assert(stateRows < expect.length / 10,
+      s"state not evicted under the watermark: $stateRows rows held " +
+        s"for ${expect.length} distinct inputs")
+    info(s"st14 state rows after last batch: $stateRows (inputs: ${expect.length})")
+  }
+
   test("st02 handles cross-batch late events: in-gap ones extend the session start") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
