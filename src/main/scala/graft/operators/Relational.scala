@@ -1521,6 +1521,54 @@ object Relational {
       |WHERE o_orderstatus = 'F'
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  // ---------------------------------------------------------------- q70
+  /** q70: TIME-WEIGHTED AVERAGE per (user, day) — the TWAP/telemetry
+    * aggregate: each observation is weighted by how long it was the
+    * CURRENT value (µs until the user's next event that day; the day's
+    * last observation carries no interval and drops out). Everything
+    * up to the final division is INTEGER/DECIMAL-exact — µs weights
+    * are integers, value·weight products are DECIMAL sums — so the
+    * emitted double is bit-identical on both engines regardless of
+    * partitioning (the q59 order-independence discipline). One shuffle
+    * on the (user, day) window key; the groupBy reuses it. */
+  def q70TimeWeightedAvg(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"), col("day"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        date_trunc("day", col("ts")).as("day"), col("value"))
+      .withColumn("wus", unix_micros(lead(col("ts"), 1).over(w)) -
+        unix_micros(col("ts")))
+      .filter(col("wus").isNotNull)
+      .groupBy("user_id", "day")
+      .agg(
+        count(lit(1)).cast("int").as("n_intervals"),
+        sum(col("wus")).as("observed_us"),
+        round(sum(dec(col("value")) * col("wus")).cast("double") /
+          sum(col("wus")), 4).as("twap"))
+      .orderBy("user_id", "day")
+  }
+
+  val q70OracleSql: String =
+    """WITH e AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value,
+      |         date_trunc('day', CAST(ts AS TIMESTAMP)) AS day
+      |  FROM events),
+      |w AS (
+      |  SELECT user_id, day, value,
+      |         epoch_us(LEAD(ts) OVER (PARTITION BY user_id, day
+      |                                 ORDER BY ts, event_id))
+      |           - epoch_us(ts) AS wus
+      |  FROM e)
+      |SELECT user_id, day,
+      |       CAST(COUNT(*) AS INT) AS n_intervals,
+      |       CAST(SUM(wus) AS BIGINT) AS observed_us,
+      |       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2)) * wus) AS DOUBLE)
+      |             / SUM(wus), 4) AS twap
+      |FROM w WHERE wus IS NOT NULL
+      |GROUP BY user_id, day ORDER BY user_id, day""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1591,7 +1639,8 @@ object Relational {
     "q66_funnel"            -> (q66Funnel _),
     "q67_retention"         -> (q67Retention _),
     "q68_approx_percentiles" -> (q68ApproxPercentiles _),
-    "q69_skew_join"         -> (q69SkewJoin _))
+    "q69_skew_join"         -> (q69SkewJoin _),
+    "q70_time_weighted_avg" -> (q70TimeWeightedAvg _))
 
   val oracleSql: Map[String, String] = Map(
     "q01_scan_project" ->
@@ -1900,5 +1949,6 @@ object Relational {
     "q65_mad" -> q65OracleSql,
     "q66_funnel" -> q66OracleSql,
     "q67_retention" -> q67OracleSql,
-    "q69_skew_join" -> q69OracleSql)
+    "q69_skew_join" -> q69OracleSql,
+    "q70_time_weighted_avg" -> q70OracleSql)
 }

@@ -528,6 +528,83 @@ object Sampling {
       |WHERE n_copies > 0
       |ORDER BY doc_id, copy""".stripMargin
 
+  // ---------------------------------------------------------------- p14
+  /** p14: CURRICULUM ordering — the easy-to-hard training schedule
+    * (Bengio et al. 2009): documents are staged by GLOBAL quality
+    * quartile (stage 0 = cleanest quartile first, stage 3 = the tail)
+    * and, within a stage, ordered by p05's arithmetic PRF so the
+    * schedule is deterministic and reprocessing-stable where a
+    * `rand()` shuffle is not. Every document gets its absolute
+    * training position: stage offset + PRF rank.
+    *
+    * Scale shape: the three quartile thresholds are ONE 1-row exact-
+    * percentile aggregate broadcast back (p09's pattern;
+    * `approx_percentile` swaps in at 100 TB); stage sizes for the
+    * offsets are a 4-row aggregate windowed over itself (4 rows at
+    * ANY corpus size); within-stage rank is one shuffle keyed on the
+    * stage — the salted two-phase form (p05 note) swaps in when one
+    * stage dominates. */
+  def p14Curriculum(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = Tables.documents(s, d)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), TextAnalysis.qualityScoreCol.as("q"))
+    val th = scored.agg(
+      percentile(col("q"), lit(0.25)).as("p25"),
+      percentile(col("q"), lit(0.50)).as("p50"),
+      percentile(col("q"), lit(0.75)).as("p75"))
+    val staged = scored.crossJoin(broadcast(th))
+      .select(col("doc_id"), col("q"),
+        when(col("q") >= col("p75"), 0)
+          .when(col("q") >= col("p50"), 1)
+          .when(col("q") >= col("p25"), 2)
+          .otherwise(3).as("stage"))
+      .withColumn("prf",
+        (pmod(col("doc_id"), lit(2147483648L)) * lit(1103515245L)
+          + lit(12345L)) % lit(2147483648L))
+    // stage offsets: exclusive running sum over the 4 stage counts
+    val offsets = staged.groupBy("stage").agg(count(lit(1)).as("cnt"))
+      .withColumn("offset",
+        coalesce(sum(col("cnt")).over(
+          Window.orderBy(col("stage"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("stage", "offset")
+    val w = Window.partitionBy(col("stage")).orderBy(col("prf"), col("doc_id"))
+    staged
+      .withColumn("rn", row_number().over(w))
+      .join(broadcast(offsets), "stage")
+      .select(col("doc_id"), col("stage"),
+        (col("offset") + col("rn")).as("position"))
+      .orderBy("position")
+  }
+
+  val p14OracleSql: String =
+    s"""WITH sc AS (
+       |  SELECT doc_id, ${graft.operators.TextAnalysis.qualityScoreSql} AS q
+       |  FROM documents WHERE text IS NOT NULL),
+       |th AS (
+       |  SELECT quantile_cont(q, 0.25) AS p25, quantile_cont(q, 0.50) AS p50,
+       |         quantile_cont(q, 0.75) AS p75 FROM sc),
+       |st AS (
+       |  SELECT doc_id,
+       |         CASE WHEN q >= p75 THEN 0 WHEN q >= p50 THEN 1
+       |              WHEN q >= p25 THEN 2 ELSE 3 END AS stage,
+       |         ((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648 AS prf
+       |  FROM sc CROSS JOIN th),
+       |ofs AS (
+       |  SELECT stage,
+       |         COALESCE(SUM(cnt) OVER (ORDER BY stage
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+       |  FROM (SELECT stage, COUNT(*) AS cnt FROM st GROUP BY stage)),
+       |rk AS (
+       |  SELECT doc_id, stage,
+       |         ROW_NUMBER() OVER (PARTITION BY stage ORDER BY prf, doc_id) AS rn
+       |  FROM st)
+       |SELECT rk.doc_id, CAST(rk.stage AS INT) AS stage,
+       |       CAST(off + rn AS BIGINT) AS position
+       |FROM rk JOIN ofs ON rk.stage = ofs.stage
+       |ORDER BY position""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_hash_split"        -> (p01HashSplit _),
     "p02_stratified_sample" -> (p02StratifiedSample _),
@@ -541,7 +618,8 @@ object Sampling {
     "p10_temperature_sample" -> (p10TemperatureSample _),
     "p11_leak_safe_split"   -> (p11LeakSafeSplit _),
     "p12_interleave"        -> (p12Interleave _),
-    "p13_upsample"          -> (p13Upsample _))
+    "p13_upsample"          -> (p13Upsample _),
+    "p14_curriculum"        -> (p14Curriculum _))
 
   // p01/p02 rows-only: engine-specific RNG/hash
   val oracleSql: Map[String, String] = Map(
@@ -555,5 +633,6 @@ object Sampling {
     "p10_temperature_sample" -> p10OracleSql,
     "p11_leak_safe_split" -> p11OracleSql,
     "p12_interleave" -> p12OracleSql,
-    "p13_upsample" -> p13OracleSql)
+    "p13_upsample" -> p13OracleSql,
+    "p14_curriculum" -> p14OracleSql)
 }

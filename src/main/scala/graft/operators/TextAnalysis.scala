@@ -764,7 +764,8 @@ object TextAnalysis {
     "t14_bigram_lm"   -> (t14BigramLm _),
     "t15_heavy_hitters" -> (t15HeavyHitters _),
     "t16_keywords"    -> (t16Keywords _),
-    "t17_novelty"     -> (t17Novelty _))
+    "t17_novelty"     -> (t17Novelty _),
+    "t18_dsir_importance" -> (t18DsirImportance _))
 
   /** t01's stopword-count heuristic is integer arithmetic over token
     * lists — DuckDB reproduces it exactly (list lambdas + the same
@@ -812,5 +813,69 @@ object TextAnalysis {
     "t13_entropy"    -> t13OracleSql,
     "t14_bigram_lm"  -> t14OracleSql,
     "t16_keywords"   -> t16OracleSql,
-    "t17_novelty"    -> t17OracleSql)
+    "t17_novelty"    -> t17OracleSql,
+    "t18_dsir_importance" -> t18OracleSql)
+
+  // ---------------------------------------------------------------- t18
+  /** t18: DSIR-style importance weighting (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling") — the
+    * domain-targeted data-selection pass: each raw document scores
+    * Σ_w c_w(doc)·(ln p̂_target(w) − ln p̂_raw(w)), the unigram
+    * log-likelihood ratio between a TARGET domain (here: source
+    * 'src0') and the full RAW pool, add-1 smoothed over the raw
+    * vocabulary; keep = score > 0 (looks more like the target than
+    * the pool). Complements t14 (absolute bigram perplexity) with the
+    * RELATIVE signal actual pretraining selection uses.
+    *
+    * Shape: per-(doc, term) counts collapse map-side; both unigram
+    * tables are vocabulary-sized aggregates joined back with AQE
+    * broadcast (at 100 TB they are the stored unigram LM tables, the
+    * t14 note); totals ride a 1-row aggregate. The corpus text never
+    * shuffles — terms do, as in t05/t08. 4-decimal rounding per the
+    * t13/t14 ln-delta precedent. */
+  def t18DsirImportance(s: SparkSession, d: String): DataFrame = {
+    val terms = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), termCol)
+    val docTerm = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
+    val raw = terms.groupBy("term").agg(count(lit(1)).as("cr"))
+    val tgt = terms.filter(col("source") === "src0")
+      .groupBy("term").agg(count(lit(1)).as("ct"))
+    val totals = raw.agg(
+      sum(col("cr")).as("nr"), count(lit(1)).as("v"))
+      .crossJoin(tgt.agg(sum(col("ct")).as("nt")))
+    val scored = docTerm
+      .join(raw, "term")
+      .join(tgt, Seq("term"), "left")
+      .crossJoin(broadcast(totals))
+      .groupBy("doc_id")
+      .agg(round(sum(
+        col("c") * (log((coalesce(col("ct"), lit(0L)) + lit(1.0)) /
+            (col("nt") + col("v"))) -
+          log((col("cr") + lit(1.0)) / (col("nr") + col("v"))))), 4)
+        .as("dsir_score"))
+    scored
+      .select(col("doc_id"), col("dsir_score"),
+        (col("dsir_score") > 0).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  lazy val t18OracleSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, source,
+      |         unnest(list_filter(string_split(lower(text), ' '), t -> t != '')) AS term
+      |  FROM documents),
+      |dt AS (SELECT doc_id, term, COUNT(*)::BIGINT AS c FROM toks GROUP BY 1, 2),
+      |raw AS (SELECT term, COUNT(*)::BIGINT AS cr FROM toks GROUP BY 1),
+      |tgt AS (SELECT term, COUNT(*)::BIGINT AS ct FROM toks WHERE source = 'src0' GROUP BY 1),
+      |tot AS (SELECT (SELECT SUM(cr) FROM raw) AS nr,
+      |               (SELECT COUNT(*) FROM raw) AS v,
+      |               (SELECT SUM(ct) FROM tgt) AS nt),
+      |sc AS (
+      |  SELECT doc_id,
+      |         ROUND(SUM(c * (ln((COALESCE(ct, 0) + 1.0) / (nt + v))
+      |                      - ln((cr + 1.0) / (nr + v)))), 4) AS dsir_score
+      |  FROM dt JOIN raw USING (term) LEFT JOIN tgt USING (term) CROSS JOIN tot
+      |  GROUP BY doc_id)
+      |SELECT doc_id, dsir_score, dsir_score > 0 AS keep
+      |FROM sc ORDER BY doc_id""".stripMargin
 }

@@ -1095,6 +1095,110 @@ class OperatorsSpec extends AnyFunSuite {
     info(s"s10 kNN graph recall vs brute force: $recall")
   }
 
+  test("s11 PQ ANN: recall vs exact, sound codes, partitioning-deterministic") {
+    val pq = Similarity.queries("s11_ann_pq")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val exact = Similarity.queries("s01_ann_brute")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    assert(pq.length == 10 && pq.map(_._1).distinct.length == 10)
+    val recall = pq.map(_._1).count(exact) / 10.0
+    assert(recall >= 0.8, s"PQ recall $recall below floor")
+    info(s"s11 PQ recall@10 vs exact: $recall")
+    // emitted cosines are the EXACT rerank values: every returned pair
+    // must carry the same cosine s01 would compute for it
+    val exactCos = sources.Tables.embeddings(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val q = exactCos(0L)
+    def cos(a: Array[Double]) = {
+      val dot = a.zip(q).map { case (x, y) => x * y }.sum
+      dot / math.sqrt(a.map(x => x * x).sum * q.map(x => x * x).sum)
+    }
+    pq.foreach { case (id, c) =>
+      assert(math.abs(c - cos(exactCos(id))) < 1e-3, s"vec $id cosine") }
+    // deterministic: a second run returns identical rows
+    val again = Similarity.queries("s11_ann_pq")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(pq.sameElements(again), "PQ result must be run-deterministic")
+  }
+
+  test("t18 DSIR: target-domain documents score higher than the pool") {
+    val rows = TextAnalysis.queries("t18_dsir_importance")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val bySource = sources.Tables.documents(spark, sf)
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val tgtScores = bySource.filter(_._2 == "src0").map(t => rows(t._1))
+    val rawScores = bySource.filterNot(_._2 == "src0").map(t => rows(t._1))
+    assert(tgtScores.nonEmpty && rawScores.nonEmpty)
+    // the importance weight must rank the target domain above the pool
+    // on average — that is its entire purpose
+    assert(tgtScores.sum / tgtScores.length > rawScores.sum / rawScores.length,
+      "src0 documents must average higher under the src0-target LLR")
+  }
+
+  test("q70 TWAP: per-user-day recompute matches; weights cover the observed span") {
+    val rows = Relational.queries("q70_time_weighted_avg")(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getTimestamp(1)), (r.getInt(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    val ev = sources.Tables.events(spark, sf)
+      .select("user_id", "ts", "event_id", "value").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3)))
+    val cal = java.util.Calendar.getInstance(java.util.TimeZone.getTimeZone("UTC"))
+    def dayOf(ts: java.sql.Timestamp): Long = {
+      cal.setTimeInMillis(ts.getTime)
+      cal.set(java.util.Calendar.HOUR_OF_DAY, 0); cal.set(java.util.Calendar.MINUTE, 0)
+      cal.set(java.util.Calendar.SECOND, 0); cal.set(java.util.Calendar.MILLISECOND, 0)
+      cal.getTimeInMillis
+    }
+    val grouped = ev.groupBy(e => (e._1, dayOf(e._2)))
+    var checked = 0
+    grouped.foreach { case ((u, day), es) if es.length >= 2 =>
+      def us(t: java.sql.Timestamp): Long =
+        (t.getTime / 1000) * 1000000L + t.getNanos / 1000 // full µs precision
+      val sorted = es.sortBy(e => (us(e._2), e._3))
+      val weights = sorted.sliding(2).map { case Array(a, b) =>
+        (math.round(a._4 * 100), us(b._2) - us(a._2)) }.toSeq
+      val twap = weights.map { case (v, w) => v.toDouble / 100 * w }.sum /
+        weights.map(_._2).sum
+      val key = rows.keys.find(k => k._1 == u && dayOf(k._2) == day)
+      assert(key.isDefined, s"missing ($u, $day)")
+      val (n, spanUs, t) = rows(key.get)
+      assert(n == es.length - 1, s"($u,$day) intervals")
+      assert(spanUs == weights.map(_._2).sum, s"($u,$day) observed span")
+      assert(math.abs(t - twap) < 1e-3, s"($u,$day) twap $t vs $twap")
+      checked += 1
+      case _ => ()
+    }
+    assert(checked > 10, s"only $checked groups checked")
+  }
+
+  test("p14 curriculum: positions are a permutation, stages strictly ordered easy-to-hard") {
+    val rows = Sampling.queries("p14_curriculum")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val n = rows.length
+    assert(rows.map(_._3).sorted.toSeq == (1L to n.toLong).toSeq,
+      "positions must be exactly 1..N")
+    // all of stage s comes before all of stage s+1
+    val maxPos = rows.groupBy(_._2).view.mapValues(_.map(_._3).max).toMap
+    val minPos = rows.groupBy(_._2).view.mapValues(_.map(_._3).min).toMap
+    val stages = rows.map(_._2).distinct.sorted
+    stages.sliding(2).foreach { case Array(a, b) =>
+      assert(maxPos(a) < minPos(b), s"stage $a must fully precede $b")
+      case _ => ()
+    }
+    // stage membership follows quality: every stage-0 doc scores >= any
+    // stage-1 doc, and so on down
+    val quality = sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), operators.TextAnalysis.qualityScoreCol.as("q"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    stages.sliding(2).foreach { case Array(a, b) =>
+      val aMin = rows.filter(_._2 == a).map(r => quality(r._1)).min
+      val bMax = rows.filter(_._2 == b).map(r => quality(r._1)).max
+      assert(aMin >= bMax, s"stage $a min quality $aMin < stage $b max $bMax")
+      case _ => ()
+    }
+  }
+
   test("e04 curate+pack: survivor set equals e01; prefix sum exact over survivors") {
     val rows = operators.Pipeline.e04CuratePack(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
