@@ -37,6 +37,8 @@ object PlanAudit {
             && !name.contains("scalar_subquery") // q28: 1-row scalar broadcast
             && !name.contains("knn") // s10: corpus×k-centroid probe ranking
             && !name.contains("stream_sketch") // st11: 1-row sketch probe read
+            && !name.contains("curriculum") // p14: 1-row quartile-threshold broadcast
+            && !name.contains("dsir") // t18: 1-row totals broadcast
             && !name.contains("heavy")) "⚠BNLJ" else "") // t15: 1-row sketch broadcast
           .filter(_.nonEmpty)
         println(f"$name%-24s ${ops.mkString(" ")} ${flags.mkString(" ")}")

@@ -93,6 +93,15 @@ package functions {
         es => WordGramStats(es(0), intArg(es(1))), "scala_udf")
       reg.createOrReplaceTempFunction("jaccard64", es => Jaccard64(es(0), es(1)), "scala_udf")
       reg.createOrReplaceTempFunction("char_entropy", es => CharEntropy(es(0)), "scala_udf")
+      // phrase list must be a FOLDABLE array literal: the automaton is
+      // built once at plan time, which is the whole point
+      reg.createOrReplaceTempFunction("multi_contains", es => {
+        require(es(1).foldable, "multi_contains: phrase list must be a literal array")
+        val arr = es(1).eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        val phrases = (0 until arr.numElements())
+          .map(i => arr.getUTF8String(i).toString)
+        MultiContains(es(0), phrases)
+      }, "scala_udf")
     }
   }
 }

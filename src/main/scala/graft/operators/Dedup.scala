@@ -655,7 +655,50 @@ object Dedup {
       |GROUP BY s.doc_id
       |ORDER BY s.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- d13
+  /** d13: SEMANTIC deduplication (Abbas et al. 2023, "SemDeDup: Data-
+    * efficient learning at web-scale through semantic deduplication"):
+    * remove embedding-space near-duplicates that exact and n-gram
+    * dedup miss (paraphrases, re-renders). The paper's exact shape:
+    * (1) cluster the corpus with a k-means coarse quantizer — the
+    * SHARED IVF assignment ([[Similarity.ivfAssigned]]; at 100 TB a
+    * stored cluster-id column written at ingest); (2) only WITHIN a
+    * cluster, score pairs — candidate volume Σ|cell|², bounded by the
+    * quantizer's cell occupancy, never corpus-quadratic (the paper
+    * runs exactly this at web scale); (3) for each pair with cosine ≥
+    * τ, KEEP the member with LOWER similarity to its cluster centroid
+    * (the paper's keep-the-edge-example rule — retains diversity where
+    * d11 keeps quality) and remove the other; tie → keep the lower
+    * vec_id. Removal is a pure per-pair rule (∃ a τ-neighbor that
+    * outranks you under (cent_sim asc, vec_id asc)) — deterministic
+    * and spec-recomputable. τ=0.4 marks the corpus's top semantic
+    * pairs; no near-identical pairs are planted in this synthetic
+    * embedding table (max pairwise cosine ≈ 0.48), so the threshold is
+    * set where the operator has observable work at every SF.
+    * Rows-only (the trained quantizer isn't SQL-derivable); the spec
+    * recomputes the removal set brute-force within clusters. */
+  private val SemTau = 0.4
+
+  def d13SemanticDedup(s: SparkSession, d: String): DataFrame = {
+    val withCent = Similarity.ivfAssigned(s, d)
+      .join(broadcast(Similarity.ivfCells(s, d)), "cell")
+      .select(col("vec_id"), col("embedding"), col("cell"),
+        cosine_sim(col("embedding"), col("centroid")).as("cent_sim"))
+    val pairs = withCent.as("a").join(withCent.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .filter(cosine_sim(col("a.embedding"), col("b.embedding")) >= SemTau)
+    val removed = pairs.select(
+      when(col("a.cent_sim") > col("b.cent_sim"), col("a.vec_id"))
+        .when(col("a.cent_sim") < col("b.cent_sim"), col("b.vec_id"))
+        .otherwise(greatest(col("a.vec_id"), col("b.vec_id"))).as("vec_id"))
+      .distinct()
+    withCent.join(removed, Seq("vec_id"), "left_semi")
+      .select(col("vec_id"), col("cell"), round(col("cent_sim"), 4).as("cent_sim"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d13_semantic_dedup"  -> (d13SemanticDedup _),
     "d01_dedup_exact"     -> (d01Exact _),
     "d02_dedup_minhash"   -> (d02Minhash _),
     "d03_dedup_simhash"   -> (d03Simhash _),

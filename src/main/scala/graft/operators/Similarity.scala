@@ -157,7 +157,7 @@ object Similarity {
   /** (cell, centroid) — the trained coarse quantizer, cached per
     * (session, dataset) like the signature frame: at 100 TB this is a
     * stored k-row table written at index-build time. */
-  private def ivfCells(s: SparkSession, d: String): DataFrame =
+  private[graft] def ivfCells(s: SparkSession, d: String): DataFrame =
     FrameCache.getOrBuild(s, s"ann/ivf_cells|$d") {
       import s.implicits._
       val cents = Ivf.train(
@@ -171,7 +171,7 @@ object Similarity {
   /** vec_id + embedding + cell: the corpus organized into inverted
     * lists (at scale: a table PARTITIONED BY cell — probe = partition
     * pruning). */
-  private def ivfAssigned(s: SparkSession, d: String): DataFrame =
+  private[graft] def ivfAssigned(s: SparkSession, d: String): DataFrame =
     FrameCache.getOrBuild(s, s"ann/ivf_assign|$d") {
       Ivf.assign(Tables.embeddings(s, d).select("vec_id", "embedding"),
         collectCents(ivfCells(s, d)))

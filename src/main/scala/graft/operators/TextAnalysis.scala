@@ -848,10 +848,12 @@ object TextAnalysis {
       .join(tgt, Seq("term"), "left")
       .crossJoin(broadcast(totals))
       .groupBy("doc_id")
-      .agg(round(sum(
+      // + 0.0 normalizes IEEE negative zero: a near-zero sum can round
+      // to -0.0 on one engine and +0.0 on the other (str-compare trap)
+      .agg((round(sum(
         col("c") * (log((coalesce(col("ct"), lit(0L)) + lit(1.0)) /
             (col("nt") + col("v"))) -
-          log((col("cr") + lit(1.0)) / (col("nr") + col("v"))))), 4)
+          log((col("cr") + lit(1.0)) / (col("nr") + col("v"))))), 4) + lit(0.0))
         .as("dsir_score"))
     scored
       .select(col("doc_id"), col("dsir_score"),
@@ -873,7 +875,7 @@ object TextAnalysis {
       |sc AS (
       |  SELECT doc_id,
       |         ROUND(SUM(c * (ln((COALESCE(ct, 0) + 1.0) / (nt + v))
-      |                      - ln((cr + 1.0) / (nr + v)))), 4) AS dsir_score
+      |                      - ln((cr + 1.0) / (nr + v)))), 4) + 0.0 AS dsir_score
       |  FROM dt JOIN raw USING (term) LEFT JOIN tgt USING (term) CROSS JOIN tot
       |  GROUP BY doc_id)
       |SELECT doc_id, dsir_score, dsir_score > 0 AS keep

@@ -816,6 +816,54 @@ object StreamQueries {
     }
   }
 
+  /** st15: streaming DSIR scoring at ingest — the streaming twin of
+    * batch t18 and the PRODUCTION shape of importance-resampling
+    * selection: the unigram LM tables are trained OFFLINE (here: the
+    * batch corpus aggregates, per-term log-likelihood-ratio weights
+    * precomputed and BROADCAST — at scale a stored LM table shipped to
+    * executors once, st04's stream-static pattern), and each arriving
+    * document pays only a stateless explode + broadcast lookup; the
+    * per-doc sum is the single stateful aggregation. Bounded run over
+    * the documents stream, hash-exact vs t18's DuckDB oracle. */
+  def st15StreamDsir(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.TextAnalysis
+    // static LM side, computed once (offline-training stand-in)
+    val terms = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), TextAnalysis.termCol)
+    val raw = terms.groupBy("term").agg(count(lit(1)).as("cr"))
+    val tgt = terms.filter(col("source") === "src0")
+      .groupBy("term").agg(count(lit(1)).as("ct"))
+    val tot = raw.agg(sum(col("cr")), count(lit(1))).head()
+    val (nr, v) = (tot.getLong(0), tot.getLong(1))
+    val nt = tgt.agg(sum(col("ct"))).head().getLong(0)
+    val lm = broadcast(raw.join(tgt, Seq("term"), "left")
+      .select(col("term"),
+        (log((coalesce(col("ct"), lit(0L)) + lit(1.0)) / lit((nt + v).toDouble)) -
+          log((col("cr") + lit(1.0)) / lit((nr + v).toDouble))).as("llr")))
+
+    val schema = s.read.parquet(s"$d/documents.parquet").schema
+    val stream = s.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(d)
+    val agg = stream
+      .select(col("doc_id"), TextAnalysis.termCol)
+      .join(lm, "term") // stateless broadcast lookup, no stream shuffle
+      .groupBy("doc_id")
+      .agg((round(sum(col("llr")), 4) + lit(0.0)).as("dsir_score"))
+    withStatePartitions(s, 8) {
+      val q = agg.writeStream
+        .format("memory").queryName("graft_st15_sink")
+        .outputMode(OutputMode.Complete)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    s.table("graft_st15_sink")
+      .select(col("doc_id"), col("dsir_score"), (col("dsir_score") > 0).as("keep"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st01_stream_window" -> (st01StreamWindow _),
     "st02_stream_state"  -> (st02StreamState _),
@@ -830,7 +878,8 @@ object StreamQueries {
     "st11_stream_sketch" -> (st11StreamSketch _),
     "st12_stream_session_window" -> (st12StreamSessionWindow _),
     "st13_stream_agg_upsert" -> (st13StreamAggUpsert _),
-    "st14_stream_dedup_watermark" -> (st14StreamDedupWatermark _))
+    "st14_stream_dedup_watermark" -> (st14StreamDedupWatermark _),
+    "st15_stream_dsir" -> (st15StreamDsir _))
 
   /** Same oracle as the batch twin: tumbling 1h windows aligned to the
     * epoch are exactly date_trunc('hour'). */
@@ -916,7 +965,10 @@ object StreamQueries {
     // is not even needed — a surviving duplicate would double a row)
     "st14_stream_dedup_watermark" ->
       """SELECT event_id, user_id, event_type, value
-        |FROM events ORDER BY event_id""".stripMargin)
+        |FROM events ORDER BY event_id""".stripMargin,
+    // identical oracle to batch t18: offline-trained LM tables scored
+    // over the stream must reproduce the batch importance weights
+    "st15_stream_dsir" -> graft.operators.TextAnalysis.t18OracleSql)
 
   private lazy val st09OracleSql: String =
     s"""WITH q AS (SELECT DISTINCT text FROM documents),

@@ -174,4 +174,18 @@ class KernelsSpec extends AnyFunSuite {
     assert(ac2.search(UTF8String.fromString("aaaa")).toIntArray().toSeq == Seq(0, 1, 2))
     assert(ac2.search(UTF8String.fromString("ab")).toIntArray().toSeq == Seq(2))
   }
+
+  test("multi_contains reachable from SQL with a literal phrase array") {
+    val spark = TestSpark.spark
+    val r = spark.sql(
+      "SELECT multi_contains('ab abc xyz', array('abc', 'zz', 'xyz')) AS m")
+      .head().getSeq[Int](0)
+    assert(r == Seq(0, 2))
+    // non-literal phrase list rejects loudly (the automaton is a
+    // plan-time artifact)
+    val e = intercept[Exception] {
+      spark.sql("SELECT multi_contains('x', array(cast(rand() AS STRING)))").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("literal"), e.getMessage)
+  }
 }

@@ -1095,6 +1095,40 @@ class OperatorsSpec extends AnyFunSuite {
     info(s"s10 kNN graph recall vs brute force: $recall")
   }
 
+  test("d13 SemDeDup: removal set equals a brute-force within-cluster recompute") {
+    val out = Dedup.queries("d13_semantic_dedup")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(out.nonEmpty, "τ must mark at least one semantic duplicate")
+    // brute force over the SAME cluster assignment (read back through
+    // the shared IVF frames — the spec checks the rule, not k-means)
+    val assigned = Similarity.ivfAssigned(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray, r.getInt(2)))
+    val cents = Similarity.ivfCells(spark, sf).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]) = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / math.sqrt(a.map(x => x * x).sum * b.map(x => x * x).sum)
+    }
+    val centSim = assigned.map { case (id, e, c) => id -> cos(e, cents(c)) }.toMap
+    val removed = scala.collection.mutable.Set[Long]()
+    assigned.groupBy(_._3).values.foreach { cell =>
+      for (Array(a, b) <- cell.sortBy(_._1).combinations(2).map(_.toArray)) {
+        if (cos(a._2, b._2) >= 0.4) {
+          val drop =
+            if (centSim(a._1) > centSim(b._1)) a._1
+            else if (centSim(a._1) < centSim(b._1)) b._1
+            else math.max(a._1, b._1)
+          removed += drop
+        }
+      }
+    }
+    assert(out.keySet == removed.toSet,
+      s"removal sets differ: extra=${out.keySet -- removed}, missing=${removed -- out.keySet}")
+    // the emitted cent_sim is the real centroid cosine
+    out.foreach { case (id, cell) =>
+      assert(assigned.find(_._1 == id).get._3 == cell, s"vec $id cell") }
+  }
+
   test("s11 PQ ANN: recall vs exact, sound codes, partitioning-deterministic") {
     val pq = Similarity.queries("s11_ann_pq")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getDouble(1)))

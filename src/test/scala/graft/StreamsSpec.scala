@@ -297,6 +297,15 @@ class StreamsSpec extends AnyFunSuite {
     info(s"st14 state rows after last batch: $stateRows (inputs: ${expect.length})")
   }
 
+  test("st15 DRIVER QUERY: streamed DSIR scores equal the batch t18 importance weights") {
+    val got = streaming.StreamQueries.st15StreamDsir(spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2))).toSeq
+    val want = operators.TextAnalysis.queries("t18_dsir_importance")(spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2))).toSeq
+    assert(got == want, "streamed scoring must equal the batch importance weights")
+    assert(got.exists(_._3) && got.exists(!_._3), "both verdicts present")
+  }
+
   test("st02 handles cross-batch late events: in-gap ones extend the session start") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
