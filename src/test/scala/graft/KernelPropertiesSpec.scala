@@ -138,4 +138,27 @@ class KernelPropertiesSpec extends AnyFunSuite {
       assert(distinct <= total && (total == 0 || top >= 1))
     }
   }
+
+  test("AhoCorasick equals per-phrase contains on 200 random (phrases, text) cases") {
+    // small alphabet on purpose: maximizes overlapping matches, shared
+    // prefixes/suffixes, and fail-link traversal — the paths a subtly
+    // wrong automaton gets away with on ordinary text
+    val word: Gen[String] =
+      Gen.chooseNum(1, 6).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    val phraseSet: Gen[Seq[String]] =
+      Gen.chooseNum(1, 12).flatMap(n => Gen.listOfN(n, word)).map(_.distinct)
+    val body: Gen[String] =
+      Gen.chooseNum(0, 60).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf('a', 'b', 'c', ' ')).map(_.mkString))
+    for (i <- 0 until 200) {
+      val phrases = phraseSet(Gen.Parameters.default, Seed(i.toLong)).get.toArray
+      val t = body(Gen.Parameters.default, Seed((i + 1000).toLong)).get
+      val ac = new graft.functions.AhoCorasick(phrases)
+      val got = ac.search(s(t)).toIntArray().toSeq
+      val want = phrases.indices.filter(j => t.contains(phrases(j)))
+      assert(got == want,
+        s"case $i: text='$t' phrases=${phrases.mkString(",")} got=$got want=$want")
+    }
+  }
 }
