@@ -576,6 +576,7 @@ object Similarity {
 
   private val pqCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[Array[Array[Float]]]]()
+  FrameCache.onClear(() => pqCache.clear()) // released with the frame caches
 
   private[operators] def pqCodebooks(s: SparkSession, d: String): Seq[Array[Array[Float]]] =
     pqCache.computeIfAbsent(FrameCache.sessionKey(s) + "|pq|" + d, _ => {

@@ -347,7 +347,15 @@ class TableCatalog(spark: SparkSession, val root: String) {
     // no Spark job; a dir already counted by this process is cached,
     // CoW dirs are immutable so the cache can never go stale). SHOW
     // HISTORY then reads counts from the manifest instead of running
-    // one count job per retained version.
+    // one count job per retained version. The PREVIOUS version's
+    // stored counts seed the cache first: publishes run inside
+    // rootLock, and without the seed a fresh process's first append
+    // would footer-scan every retained dir under the lock — an
+    // O(table-files) critical section; with it, only THIS publish's
+    // new dirs are scanned (one JSON read + O(new files)).
+    if (v > 0) readDirRows(name, v - 1).foreach { case (dr, n) =>
+      dirRowsCache.putIfAbsent(s"$name|$dr", n)
+    }
     val rowsJson = dirs.map(dr => s"${esc(dr)}: ${dirRowCount(name, dr)}")
       .mkString("{", ",", "}")
     val body = s"""{"dirs": [${dirs.map(esc).mkString(",")}], """ +
