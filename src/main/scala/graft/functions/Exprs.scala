@@ -282,3 +282,25 @@ case class RefPow(left: Expression, right: Expression) extends BinaryExpression 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
+
+/** One BPE merge pass over a token-array column — the per-round kernel
+  * of distributed BPE tokenizer training (t19): the (left, right) pair
+  * is a per-round literal, so codegen inlines a single
+  * [[Kernels.bpeMerge]] call per row. */
+case class BpeMerge(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.GraftTypes.AbstractType] =
+    Seq(ArrayType(StringType), StringType, StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "bpe_merge"
+  override protected def nullSafeEval(s: Any, a: Any, b: Any): Any =
+    Kernels.bpeMerge(s.asInstanceOf[ArrayData],
+      a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (s, a, b) => s"graft.functions.Kernels.bpeMerge($s, $a, $b)")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+}

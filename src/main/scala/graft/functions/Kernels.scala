@@ -390,4 +390,26 @@ object Kernels {
     }
     if (n == 0L) 0.0 else Math.log(n.toDouble) - acc / n
   }
+
+  /** One BPE merge step (Sennrich et al. 2016): replace each
+    * LEFT-TO-RIGHT, NON-OVERLAPPING adjacent occurrence of (a, b) in
+    * `seg` with their concatenation — "aaa" under merge (a,a) becomes
+    * ["aa","a"], the reference tokenizer semantics. Output strings are
+    * copies: the input's UTF8Strings may point into reused buffers. */
+  def bpeMerge(seg: ArrayData, a: UTF8String, b: UTF8String): ArrayData = {
+    val n = seg.numElements()
+    val out = new Array[AnyRef](n)
+    var i = 0
+    var k = 0
+    while (i < n) {
+      if (i + 1 < n && seg.getUTF8String(i).equals(a)
+          && seg.getUTF8String(i + 1).equals(b)) {
+        out(k) = UTF8String.concat(a, b); k += 1; i += 2
+      } else {
+        out(k) = seg.getUTF8String(i).clone(); k += 1; i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(out, k))
+  }
 }

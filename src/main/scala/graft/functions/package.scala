@@ -48,6 +48,9 @@ package object functions {
 
   def multi_contains(text: Column, phrases: Seq[String]): Column =
     column(MultiContains(expression(text), phrases))
+
+  def bpe_merge(seg: Column, left: Column, right: Column): Column =
+    column(BpeMerge(expression(seg), expression(left), expression(right)))
 }
 
 package functions {
@@ -93,6 +96,8 @@ package functions {
         es => WordGramStats(es(0), intArg(es(1))), "scala_udf")
       reg.createOrReplaceTempFunction("jaccard64", es => Jaccard64(es(0), es(1)), "scala_udf")
       reg.createOrReplaceTempFunction("char_entropy", es => CharEntropy(es(0)), "scala_udf")
+      reg.createOrReplaceTempFunction("bpe_merge",
+        es => BpeMerge(es(0), es(1), es(2)), "scala_udf")
       // phrase list must be a FOLDABLE array literal: the automaton is
       // built once at plan time, which is the whole point
       reg.createOrReplaceTempFunction("multi_contains", es => {

@@ -765,7 +765,8 @@ object TextAnalysis {
     "t15_heavy_hitters" -> (t15HeavyHitters _),
     "t16_keywords"    -> (t16Keywords _),
     "t17_novelty"     -> (t17Novelty _),
-    "t18_dsir_importance" -> (t18DsirImportance _))
+    "t18_dsir_importance" -> (t18DsirImportance _),
+    "t19_bpe_train"   -> (t19BpeTrain _))
 
   /** t01's stopword-count heuristic is integer arithmetic over token
     * lists — DuckDB reproduces it exactly (list lambdas + the same
@@ -859,6 +860,70 @@ object TextAnalysis {
       .select(col("doc_id"), col("dsir_score"),
         (col("dsir_score") > 0).as("keep"))
       .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------- t19
+  /** t19: BPE TOKENIZER TRAINING (Sennrich et al. 2016, "Neural
+    * machine translation of rare words with subword units") — learn
+    * the first `BpeMerges` byte-pair merges over the corpus, the
+    * vocabulary-construction pass every LLM pipeline runs before
+    * tokenizing anything. The distributed shape is the real one:
+    *
+    *  - the corpus collapses ONCE to a (word, freq) table — BPE
+    *    statistics are frequency-weighted over the word VOCABULARY,
+    *    so after this single corpus pass every round's cost is
+    *    vocabulary-bounded, not corpus-bounded;
+    *  - each round counts adjacent symbol pairs (scan-stage explode of
+    *    the segmentation arrays, map-side partial sums, ONE
+    *    vocabulary-keyed exchange), reads the argmax pair — one row —
+    *    to the driver, and applies it via the codegen
+    *    [[graft.functions.BpeMerge]] kernel with the pair as plan
+    *    literals (left-to-right non-overlapping, the reference
+    *    semantics: "aaa" + (a,a) → ["aa","a"]);
+    *  - the segmentation frame is localCheckpointed per round (the
+    *    d06/s10 iterative-lineage recipe) — it is vocabulary-sized,
+    *    so each checkpoint is tiny at any corpus scale.
+    *
+    * Ties break (count DESC, left ASC, right ASC) — fully
+    * deterministic, so the learned merge table is reproducible under
+    * any partitioning. Rows-only (iterative data-dependent rewrites
+    * aren't single-statement SQL); the spec re-derives the whole merge
+    * sequence from a driver-side reference implementation. */
+  private val BpeMerges = 10
+
+  def t19BpeTrain(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.bpe_merge
+    val words = Tables.documents(s, d)
+      .select(termCol)
+      .groupBy("term").agg(count(lit(1)).as("freq"))
+    // init segmentation: characters + the end-of-word marker. The
+    // frame is vocabulary-sized — coalesce keeps the 20 per-round
+    // stages from scheduling 32 near-empty tasks each (narrow, no
+    // shuffle; at production vocab sizes the knob goes UP instead)
+    var seg = words.select(col("freq"),
+      concat(split(col("term"), ""), array(lit("</w>"))).as("seg"))
+      .coalesce(8)
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    for (r <- 1 to BpeMerges) {
+      val best = seg
+        .filter(size(col("seg")) >= 2)
+        .select(col("freq"), explode(
+          transform(sequence(lit(0), size(col("seg")) - 2),
+            i => struct(element_at(col("seg"), i + 1).as("l"),
+              element_at(col("seg"), i + 2).as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("n"))
+        .orderBy(col("n").desc, col("l"), col("r"))
+        .head()
+      val (l, rr, n) = (best.getString(0), best.getString(1), best.getLong(2))
+      merges += ((r, l, rr, n))
+      seg = seg.select(col("freq"),
+        bpe_merge(col("seg"), lit(l), lit(rr)).as("seg"))
+        .localCheckpoint()
+    }
+    merges.toSeq.toDF("merge_rank", "left", "right", "pair_count")
   }
 
   lazy val t18OracleSql: String =

@@ -1095,6 +1095,52 @@ class OperatorsSpec extends AnyFunSuite {
     info(s"s10 kNN graph recall vs brute force: $recall")
   }
 
+  test("t19 BPE training: learned merges equal a reference driver-side implementation") {
+    val got = TextAnalysis.queries("t19_bpe_train")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got.length == 10 && got.map(_._1) == (1 to 10))
+    // reference BPE (Sennrich et al. 2016) over the same word-frequency
+    // table: greedy argmax pair, left-to-right non-overlapping merge
+    val words = sources.Tables.documents(spark, sf)
+      .select(operators.TextAnalysis.termCol).groupBy("term").count()
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    var segs: Seq[(Vector[String], Long)] =
+      words.map { case (w, f) => (w.map(_.toString).toVector :+ "</w>", f) }.toSeq
+    val expect = (1 to 10).map { rank =>
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+        .withDefaultValue(0L)
+      segs.foreach { case (seg, f) =>
+        seg.sliding(2).foreach {
+          case Seq(a, b) => counts((a, b)) += f
+          case _ => ()
+        }
+      }
+      val ((l, r), n) = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+      segs = segs.map { case (seg, f) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < seg.length) {
+          if (i + 1 < seg.length && seg(i) == l && seg(i + 1) == r) {
+            out += (l + r); i += 2
+          } else { out += seg(i); i += 1 }
+        }
+        (out.result(), f)
+      }
+      (rank, l, r, n)
+    }
+    assert(got == expect,
+      s"merge sequences differ:\n got=$got\n exp=$expect")
+    // the kernel's non-overlap semantics, directly
+    import org.apache.spark.unsafe.types.UTF8String
+    val merged = graft.functions.Kernels.bpeMerge(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array[Any](UTF8String.fromString("a"), UTF8String.fromString("a"),
+          UTF8String.fromString("a"))),
+      UTF8String.fromString("a"), UTF8String.fromString("a"))
+    assert((0 until merged.numElements())
+      .map(merged.getUTF8String(_).toString) == Seq("aa", "a"))
+  }
+
   test("d13 SemDeDup: removal set equals a brute-force within-cluster recompute") {
     val out = Dedup.queries("d13_semantic_dedup")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getInt(1))).toMap
