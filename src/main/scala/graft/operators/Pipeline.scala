@@ -197,16 +197,103 @@ object Pipeline {
        |       tokens_before // 256 AS pack_id
        |FROM c ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- e05
+  /** e05: the e04 materialization with DSIR DATA SELECTION composed in
+    * — gates + blocklist → importance keep (t18's target-vs-raw LLR >
+    * 0, the "select data that looks like the target domain" pass) →
+    * exact dedup → sequence packing, ONE Catalyst plan. The DSIR score
+    * is a pure function of `text`, so the keep filter commutes with
+    * the hash dedup (every duplicate carries the same score) and is
+    * applied BEFORE the dedup exchange — rejected docs never shuffle.
+    * The scoring subtree is [[TextAnalysis.dsirScoreFrame]] (shared
+    * with t18 — one definition); its vocabulary-sized LM tables ride
+    * broadcast joins, so composing selection in adds ZERO corpus-side
+    * exchanges beyond e04's: the doc_id-keyed score join is the only
+    * new shuffle, against an already-gated survivor set. */
+  def e05CurateSelectPack(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val bounds = docs.agg(min("doc_id"), max("doc_id")).head()
+    val (lo, hi) =
+      if (bounds.isNullAt(0)) (0L, 0L) else (bounds.getLong(0), bounds.getLong(1))
+    val span = math.max(1L, hi - lo + 1)
+    val bsz = math.max(1L, (span + 31) / 32)
+    val survivors = docs
+      .select(col("doc_id"), nTokensCol.cast("long").as("n_tokens"),
+        qualityScoreCol.as("quality_score"), nBlockedCol.as("n_blocked"),
+        xxhash64(col("text")).as("h"))
+      .filter(col("quality_score") >= qualityGate && col("n_blocked") === 0)
+      .join(TextAnalysis.dsirScoreFrame(s, d), "doc_id")
+      .filter(col("dsir_score") > 0) // the selection pass
+      .withColumn("keeper", min("doc_id").over(Window.partitionBy("h")))
+      .filter(col("doc_id") === col("keeper"))
+      .select(col("doc_id"), col("n_tokens"),
+        ((col("doc_id") - lo) / bsz).cast("long").as("pid"))
+    val wPrev = Window.partitionBy("pid").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wPid = Window.orderBy("pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = survivors.groupBy("pid").agg(sum("n_tokens").as("bt"))
+      .select(col("pid"), coalesce(sum("bt").over(wPid), lit(0L)).as("pid_offset"))
+    survivors.join(broadcast(offsets), "pid")
+      .select(col("doc_id"), col("n_tokens"),
+        (coalesce(sum("n_tokens").over(wPrev), lit(0L)) + col("pid_offset"))
+          .as("tokens_before"))
+      .select(col("doc_id"), col("n_tokens"), col("tokens_before"),
+        shiftright(col("tokens_before"), 8).as("pack_id"))
+      .orderBy("doc_id")
+  }
+
+  val e05OracleSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, source,
+       |         unnest(list_filter(string_split(lower(text), ' '), t -> t != '')) AS term
+       |  FROM documents),
+       |dt AS (SELECT doc_id, term, COUNT(*)::BIGINT AS c FROM toks GROUP BY 1, 2),
+       |raw AS (SELECT term, COUNT(*)::BIGINT AS cr FROM toks GROUP BY 1),
+       |tgt AS (SELECT term, COUNT(*)::BIGINT AS ct FROM toks WHERE source = 'src0' GROUP BY 1),
+       |tot AS (SELECT (SELECT SUM(cr) FROM raw) AS nr,
+       |               (SELECT COUNT(*) FROM raw) AS v,
+       |               (SELECT SUM(ct) FROM tgt) AS nt),
+       |dsir AS (
+       |  SELECT doc_id,
+       |         ROUND(SUM(c * (ln((COALESCE(ct, 0) + 1.0) / (nt + v))
+       |                      - ln((cr + 1.0) / (nr + v)))), 4) + 0.0 AS dsir_score
+       |  FROM dt JOIN raw USING (term) LEFT JOIN tgt USING (term) CROSS JOIN tot
+       |  GROUP BY doc_id),
+       |q AS (
+       |  SELECT doc_id, text,
+       |    CAST($nTokensSql AS BIGINT) AS n_tokens,
+       |    $qualityScoreSql AS quality_score
+       |  FROM documents),
+       |f AS (
+       |  SELECT q.* FROM q JOIN dsir USING (doc_id)
+       |  WHERE quality_score >= $qualityGate
+       |    AND $nBlockedSql = 0
+       |    AND dsir_score > 0),
+       |k AS (SELECT *, MIN(doc_id) OVER (PARTITION BY text) AS keeper FROM f),
+       |surv AS (SELECT doc_id, n_tokens FROM k WHERE doc_id = keeper),
+       |c AS (
+       |  SELECT doc_id, n_tokens,
+       |         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |           AS tokens_before
+       |  FROM surv)
+       |SELECT doc_id, n_tokens, tokens_before,
+       |       tokens_before // 256 AS pack_id
+       |FROM c ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e01_curate" -> (e01Curate _),
     "e02_curate_ingest" -> (e02CurateIngest _),
     "e03_curate_incremental" -> (e03CurateIncremental _),
-    "e04_curate_pack" -> (e04CuratePack _))
+    "e04_curate_pack" -> (e04CuratePack _),
+    "e05_curate_select_pack" -> (e05CurateSelectPack _))
 
   val oracleSql: Map[String, String] = Map(
     "e01_curate" -> e01OracleSql,
     // the ingested managed table must equal the curated set exactly
     "e02_curate_ingest" -> e01OracleSql,
     "e03_curate_incremental" -> e03OracleSql,
-    "e04_curate_pack" -> e04OracleSql)
+    "e04_curate_pack" -> e04OracleSql,
+    "e05_curate_select_pack" -> e05OracleSql)
 }

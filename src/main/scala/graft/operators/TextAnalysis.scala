@@ -834,7 +834,10 @@ object TextAnalysis {
     * t14 note); totals ride a 1-row aggregate. The corpus text never
     * shuffles — terms do, as in t05/t08. 4-decimal rounding per the
     * t13/t14 ln-delta precedent. */
-  def t18DsirImportance(s: SparkSession, d: String): DataFrame = {
+  /** (doc_id, dsir_score) — the scoring subtree, shared by t18 and the
+    * e05 pipeline composition (one definition, the gates-shared-exprs
+    * discipline). */
+  private[operators] def dsirScoreFrame(s: SparkSession, d: String): DataFrame = {
     val terms = Tables.documents(s, d)
       .select(col("doc_id"), col("source"), termCol)
     val docTerm = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
@@ -844,7 +847,7 @@ object TextAnalysis {
     val totals = raw.agg(
       sum(col("cr")).as("nr"), count(lit(1)).as("v"))
       .crossJoin(tgt.agg(sum(col("ct")).as("nt")))
-    val scored = docTerm
+    docTerm
       .join(raw, "term")
       .join(tgt, Seq("term"), "left")
       .crossJoin(broadcast(totals))
@@ -856,11 +859,13 @@ object TextAnalysis {
             (col("nt") + col("v"))) -
           log((col("cr") + lit(1.0)) / (col("nr") + col("v"))))), 4) + lit(0.0))
         .as("dsir_score"))
-    scored
+  }
+
+  def t18DsirImportance(s: SparkSession, d: String): DataFrame =
+    dsirScoreFrame(s, d)
       .select(col("doc_id"), col("dsir_score"),
         (col("dsir_score") > 0).as("keep"))
       .orderBy("doc_id")
-  }
 
   // ---------------------------------------------------------------- t19
   /** t19: BPE TOKENIZER TRAINING (Sennrich et al. 2016, "Neural

@@ -1095,6 +1095,27 @@ class OperatorsSpec extends AnyFunSuite {
     info(s"s10 kNN graph recall vs brute force: $recall")
   }
 
+  test("e05 curate+select+pack: survivors = e04 survivors ∩ DSIR keeps; prefix sum exact") {
+    val rows = operators.Pipeline.e05CurateSelectPack(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    val e04Ids = operators.Pipeline.e04CuratePack(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    val dsirKeeps = TextAnalysis.queries("t18_dsir_importance")(spark, sf)
+      .collect().filter(_.getBoolean(2)).map(_.getLong(0)).toSet
+    assert(rows.map(_._1).toSet == (e04Ids & dsirKeeps),
+      "selection must compose: e04's curated set intersected with DSIR keeps")
+    assert(rows.nonEmpty && rows.length < e04Ids.size,
+      "the DSIR pass must reject some of e04's survivors")
+    // exclusive prefix sum in doc_id order over the selected set
+    var acc = 0L
+    rows.foreach { case (_, n, before, pack) =>
+      assert(before == acc, "exclusive prefix sum")
+      assert(pack == before >> 8, "pack id = tokens_before / 256")
+      acc += n
+    }
+  }
+
   test("t19 BPE training: learned merges equal a reference driver-side implementation") {
     val got = TextAnalysis.queries("t19_bpe_train")(spark, sf).collect()
       .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
