@@ -1195,6 +1195,39 @@ object GraftSQL {
 
   /** The input with every quoted literal's CONTENT blanked out (quotes
     * kept) — for keyword detection that must not see inside strings. */
+  /** SQL comments (`-- …\n` and `/* … */`) blanked to spaces, string
+    * literals copied verbatim — LENGTH-PRESERVING, so indexes into the
+    * output address the same characters in the input. String-aware in
+    * one pass: a `--` inside a literal does not open a comment, and a
+    * quote inside a comment does not open a literal (the two states
+    * can't be layered as separate passes). An unterminated block
+    * comment blanks to end-of-input, which keeps a partial statement
+    * buffered in the shell until the comment's closing delimiter
+    * arrives. */
+  private[graft] def blankComments(s: String): String = {
+    val out = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      s(i) match {
+        case '\'' | '"' =>
+          val end = skipString(s, i)
+          out.append(s.substring(i, end))
+          i = end
+        case '-' if i + 1 < s.length && s(i + 1) == '-' =>
+          while (i < s.length && s(i) != '\n') { out += ' '; i += 1 }
+        case '/' if i + 1 < s.length && s(i + 1) == '*' =>
+          var open = true
+          while (i < s.length && open) {
+            if (s(i) == '*' && i + 1 < s.length && s(i + 1) == '/') {
+              out.append("  "); i += 2; open = false
+            } else { out += ' '; i += 1 }
+          }
+        case c => out += c; i += 1
+      }
+    }
+    out.toString
+  }
+
   private[graft] def maskStrings(s: String): String = {
     val out = new StringBuilder(s.length)
     var i = 0

@@ -99,14 +99,22 @@ object Shell {
 
     def drainStatements(): Unit = {
       // complete statements end at top-level semicolons (outside string
-      // literals — the reference's lexer-based validator, 268-291);
-      // anything after the last one stays buffered as a partial
+      // literals AND outside `--`/`/* */` comments — the reference's
+      // lexer-based validator, 268-291); anything after the last one
+      // stays buffered as a partial. Comments are blanked BEFORE string
+      // masking (a quote inside a comment must not open a literal), and
+      // the comment-blanked text is also what executes: comments are
+      // noise to every statement handler, and blanking is
+      // length-preserving so the split indexes line up across all
+      // three views.
       var text = buffer.toString
-      var masked = GraftSQL.maskStrings(text)
+      var noComments = GraftSQL.blankComments(text)
+      var masked = GraftSQL.maskStrings(noComments)
       while (masked.contains(';')) {
         val i = masked.indexOf(';')
-        val stmt = text.substring(0, i).trim
+        val stmt = noComments.substring(0, i).trim
         text = text.substring(i + 1)
+        noComments = noComments.substring(i + 1)
         masked = masked.substring(i + 1)
         if (stmt.nonEmpty) {
           try render(g.execute(stmt))

@@ -98,10 +98,22 @@ final class AhoCorasick(phrases: Array[String]) extends Serializable {
 
   def nPhrases: Int = phrases.length
 
+  /** Per-thread reusable seen-flags — one automaton instance is shared
+    * by every task in an executor (it ships as a codegen reference
+    * object), so the flag array is thread-local, allocated once per
+    * thread, and CLEARED SELECTIVELY after each row via the hit list.
+    * The per-row allocation is then sized to the ACTUAL match count
+    * (usually zero or a handful), not O(nPhrases): at the 10⁵-phrase
+    * production scale the previous per-row boolean array was ~100 KB
+    * of churn per document against a few real hits. */
+  @transient private lazy val foundTL: ThreadLocal[Array[Boolean]] =
+    ThreadLocal.withInitial(() => new Array[Boolean](phrases.length))
+
   /** Distinct matched phrase indexes, ascending. */
   def search(text: UTF8String): UnsafeArrayData = {
     val bytes = text.getBytes
-    val found = new Array[Boolean](phrases.length)
+    val found = foundTL.get()
+    var hits: Array[Int] = null // grown on demand; most rows match little
     var nFound = 0
     var st = 0
     var i = 0
@@ -113,14 +125,25 @@ final class AhoCorasick(phrases: Array[String]) extends Serializable {
       val out = outputs(st)
       var j = 0
       while (j < out.length) {
-        if (!found(out(j))) { found(out(j)) = true; nFound += 1 }
+        val p = out(j)
+        if (!found(p)) {
+          found(p) = true
+          if (hits == null) hits = new Array[Int](8)
+          else if (nFound == hits.length)
+            hits = java.util.Arrays.copyOf(hits, hits.length * 2)
+          hits(nFound) = p
+          nFound += 1
+        }
         j += 1
       }
       i += 1
     }
-    val res = new Array[Int](nFound)
-    var k = 0; var p = 0
-    while (p < phrases.length) { if (found(p)) { res(k) = p; k += 1 }; p += 1 }
+    if (nFound == 0) return UnsafeArrayData.fromPrimitiveArray(Array.emptyIntArray)
+    val res = java.util.Arrays.copyOf(hits, nFound)
+    java.util.Arrays.sort(res)
+    // reset ONLY the touched flags for the thread's next row
+    var k = 0
+    while (k < nFound) { found(hits(k)) = false; k += 1 }
     UnsafeArrayData.fromPrimitiveArray(res)
   }
 }

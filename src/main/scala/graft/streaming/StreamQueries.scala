@@ -363,7 +363,6 @@ object StreamQueries {
     * — spec observability for the watermark-bounded-state claim. −1
     * until st14 runs. */
   private[graft] var st14StateRowsAfterLastBatch: Long = -1L
-  private[graft] var st14DistinctInputRows: Long = -1L
 
   /** st14: streaming dedup with WATERMARK-BOUNDED state — st03's
     * production form (`dropDuplicatesWithinWatermark`): the state
@@ -446,8 +445,6 @@ object StreamQueries {
                 .flatMap(_.stateOperators.map(_.numRowsTotal)).lastOption.getOrElse(-1L)
             } finally q.stop()
           }
-          st14DistinctInputRows =
-            s.read.parquet(s"$d/events.parquet").count()
           s.table("graft_st14_sink")
             .filter(col("user_id") >= 0) // sentinel rows out
             .orderBy("event_id")
@@ -526,7 +523,7 @@ object StreamQueries {
     // shuffle partition, so its fixed commit cost scales 4× faster
     // with this knob than any other query here (measured: 2 beats 8
     // by ~20% on the bounded run)
-    withStatePartitions(s, 8) {
+    withStatePartitions(s, 2) {
       val q = agg.writeStream
         .format("memory").queryName("graft_st05_sink")
         .outputMode(OutputMode.Append)

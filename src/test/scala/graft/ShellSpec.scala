@@ -88,6 +88,28 @@ class ShellSpec extends AnyFunSuite {
     assert(out.contains("semi ; inside literal"), out)
   }
 
+  test("semicolons inside SQL comments do not split statements") {
+    val out = script(
+      "CREATE TABLE c (id INTEGER PRIMARY KEY, v STRING);",
+      // a `;` inside a line comment must NOT end the statement early
+      "INSERT INTO c VALUES (1, 'a') -- trailing note; with semicolon",
+      ";",
+      // block comment with a semicolon spanning the middle of a statement
+      "SELECT id /* not ; the end */, v FROM c;",
+      // a `--` INSIDE a string literal is data, not a comment opener
+      "SELECT '--not a comment;' AS s FROM c;",
+      // unterminated block comment buffers until its close arrives
+      "SELECT count(*) AS n FROM c /* open",
+      "still; open */;")
+    val clean = stripPrompts(out)
+    assert(!clean.contains("Error:"), out)
+    assert(clean.contains("1|a"), out)
+    assert(clean.contains("--not a comment;"), out)
+    assert(out.contains("graft...> "), out) // open comment kept buffering
+    assert(clean.linesIterator.toSeq.reverse
+      .dropWhile(_.trim.isEmpty).headOption.exists(_.trim == "1"), out)
+  }
+
   test("BEGIN READ ONLY snapshot prompt and rollback leave state intact") {
     val out = script(
       "CREATE TABLE r (id INTEGER PRIMARY KEY, v INTEGER);",
