@@ -51,6 +51,10 @@ package object functions {
 
   def bpe_merge(seg: Column, left: Column, right: Column): Column =
     column(BpeMerge(expression(seg), expression(left), expression(right)))
+
+  def bpe_encode(terms: Column, merges: Seq[(String, String)],
+      vocab: Seq[String], firstK: Int): Column =
+    column(BpeEncode(expression(terms), merges, vocab, firstK))
 }
 
 package functions {
@@ -98,6 +102,21 @@ package functions {
       reg.createOrReplaceTempFunction("char_entropy", es => CharEntropy(es(0)), "scala_udf")
       reg.createOrReplaceTempFunction("bpe_merge",
         es => BpeMerge(es(0), es(1), es(2)), "scala_udf")
+      // merge/vocab tables must be FOLDABLE array literals: the codec
+      // is compiled once at plan time (the multi_contains discipline)
+      reg.createOrReplaceTempFunction("bpe_encode", es => {
+        def strings(e: Expression, what: String): Seq[String] = {
+          require(e.foldable, s"bpe_encode: $what must be a literal array")
+          val arr = e.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          (0 until arr.numElements()).map(i => arr.getUTF8String(i).toString)
+        }
+        val lefts = strings(es(1), "merge lefts")
+        val rights = strings(es(2), "merge rights")
+        require(lefts.length == rights.length,
+          "bpe_encode: merge lefts/rights length mismatch")
+        BpeEncode(es(0), lefts.zip(rights), strings(es(3), "vocab"),
+          intArg(es(4)))
+      }, "scala_udf")
       // phrase list must be a FOLDABLE array literal: the automaton is
       // built once at plan time, which is the whole point
       reg.createOrReplaceTempFunction("multi_contains", es => {

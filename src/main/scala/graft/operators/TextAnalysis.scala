@@ -718,8 +718,14 @@ object TextAnalysis {
   /** The term stream feeding the sketch — ONE definition shared by the
     * batch t15 and the streaming st11 twin, so the tokenization cannot
     * drift between them. */
+  /** Per-document term ARRAY — the single tokenization definition t20's
+    * whole-document encoder shares with [[termCol]], so the corpus
+    * tokenizer cannot drift from the per-term stream. */
+  private[graft] def termsArrayCol: Column =
+    filter(split(lower(col("text")), " ", -1), t => t =!= "")
+
   private[graft] def termCol: Column =
-    explode(filter(split(lower(col("text")), " ", -1), t => t =!= "")).as("term")
+    explode(termsArrayCol).as("term")
 
   /** Probe-side estimate read over a 1-row sketch frame (`cms`:
     * Array[Long]) — shared by t15 and st11: positions are
@@ -766,7 +772,8 @@ object TextAnalysis {
     "t16_keywords"    -> (t16Keywords _),
     "t17_novelty"     -> (t17Novelty _),
     "t18_dsir_importance" -> (t18DsirImportance _),
-    "t19_bpe_train"   -> (t19BpeTrain _))
+    "t19_bpe_train"   -> (t19BpeTrain _),
+    "t20_tokenize"    -> (t20Tokenize _))
 
   /** t01's stopword-count heuristic is integer arithmetic over token
     * lists — DuckDB reproduces it exactly (list lambdas + the same
@@ -896,12 +903,26 @@ object TextAnalysis {
     * sequence from a driver-side reference implementation. */
   private val BpeMerges = 10
 
-  def t19BpeTrain(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
+  /** Trained merge table (rank, left, right, pair_count) PLUS the id
+    * vocabulary (sorted base code points, then `</w>`, then merge
+    * products in rank order) — memoized per (session, dataset) so t19
+    * (training) and t20 (corpus-wide apply) derive from ONE training
+    * run, the trained-tokenizer-as-asset shape a real pipeline has.
+    * Values are vocabulary-sized driver Seqs (tens of entries here,
+    * ~100 KB at a production 30k-merge vocabulary). */
+  private val bpeMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (Seq[(Int, String, String, Long)], Seq[String])]()
+
+  private[graft] def bpeAssets(
+      s: SparkSession, d: String): (Seq[(Int, String, String, Long)], Seq[String]) = {
+    val key = FrameCache.sessionKey(s) + "|" + d
+    val hit = bpeMemo.get(key)
+    if (hit != null) return hit
     import graft.functions.bpe_merge
     val words = Tables.documents(s, d)
       .select(termCol)
       .groupBy("term").agg(count(lit(1)).as("freq"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // init segmentation: characters + the end-of-word marker. The
     // frame is vocabulary-sized — coalesce keeps the 20 per-round
     // stages from scheduling 32 near-empty tasks each (narrow, no
@@ -928,7 +949,49 @@ object TextAnalysis {
         bpe_merge(col("seg"), lit(l), lit(rr)).as("seg"))
         .localCheckpoint()
     }
-    merges.toSeq.toDF("merge_rank", "left", "right", "pair_count")
+    // base vocabulary: every code point of the word table, sorted —
+    // a vocabulary-sized distinct, collected once alongside training
+    val baseChars = words
+      .select(explode(split(col("term"), "")).as("c")).distinct()
+      .orderBy("c").collect().map(_.getString(0)).toSeq
+    words.unpersist()
+    val vocab = baseChars ++ Seq("</w>") ++ merges.map(m => m._2 + m._3)
+    val computed = (merges.toSeq, vocab)
+    bpeMemo.putIfAbsent(key, computed)
+    computed
+  }
+
+  def t19BpeTrain(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    bpeAssets(s, d)._1.toDF("merge_rank", "left", "right", "pair_count")
+  }
+
+  // ---------------------------------------------------------------- t20
+  /** t20: CORPUS-WIDE BPE TOKENIZATION — apply t19's trained merge
+    * table to every document, the most-run pass of any LLM data
+    * pipeline. The whole ranked merge table + vocabulary compile into
+    * ONE codegen kernel call per document ([[graft.functions.BpeEncode]]
+    * — a plan reference object shipped once per executor), instead of
+    * one DataFrame pass per merge rank: at a production 30k-merge
+    * vocabulary that is 1 corpus scan, not 30k. Per (doc_id): the
+    * total BPE token count and the first [[TokenIdPrefix]] token ids
+    * (the bounded projection; full id streams are p07's packed-sequence
+    * writer's job). Zero tokenization drift by construction: the term
+    * array is [[termsArrayCol]], the SAME Column feeding t19's
+    * training stream. Rows-only (BPE apply is not single-statement
+    * SQL); the spec pins equality against a driver-side reference
+    * encoder and re-run bit-stability. */
+  private val TokenIdPrefix = 8
+
+  def t20Tokenize(s: SparkSession, d: String): DataFrame = {
+    val (merges, vocab) = bpeAssets(s, d)
+    val enc = graft.functions.bpe_encode(termsArrayCol,
+      merges.map(m => (m._2, m._3)), vocab, TokenIdPrefix)
+    Tables.documents(s, d)
+      .select(col("doc_id"), enc.as("e"))
+      .select(col("doc_id"), col("e.n_bpe_tokens").as("n_bpe_tokens"),
+        col("e.token_ids").as("token_ids"))
+      .orderBy("doc_id")
   }
 
   lazy val t18OracleSql: String =

@@ -1162,6 +1162,56 @@ class OperatorsSpec extends AnyFunSuite {
       .map(merged.getUTF8String(_).toString) == Seq("aa", "a"))
   }
 
+  test("t20 tokenization: counts and id prefixes equal a reference driver encoder; re-run bit-stable") {
+    val frame = TextAnalysis.queries("t20_tokenize")(spark, sf)
+    val got = frame.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Int](2).toList)).toSeq
+    assert(got.nonEmpty && got.forall(_._2 > 0), "every doc tokenizes to > 0 tokens")
+    // reference encoder: INDEPENDENT driver-side apply of the learned
+    // merge table (greedy rank-order passes, left-to-right
+    // non-overlapping) over the same whitespace tokenization
+    val (merges, vocab) = operators.TextAnalysis.bpeAssets(spark, sf)
+    val table = merges.map(m => (m._2, m._3))
+    val ids = scala.collection.mutable.Map[String, Int]()
+    vocab.zipWithIndex.foreach { case (t, i) => if (!ids.contains(t)) ids(t) = i }
+    def encodeWord(w: String): List[Int] = {
+      var seg: Vector[String] = w.map(_.toString).toVector :+ "</w>"
+      for ((l, r) <- table) {
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < seg.length) {
+          if (i + 1 < seg.length && seg(i) == l && seg(i + 1) == r) {
+            out += (l + r); i += 2
+          } else { out += seg(i); i += 1 }
+        }
+        seg = out.result()
+      }
+      seg.map(t => ids.getOrElse(t, -1)).toList
+    }
+    val expect = sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map { r =>
+        val toks = r.getString(1).toLowerCase.split(" ", -1).filter(_.nonEmpty)
+          .toList.flatMap(encodeWord)
+        (r.getLong(0), toks.length.toLong, toks.take(8))
+      }.toSeq.sortBy(_._1)
+    assert(got == expect, {
+      val diff = got.zip(expect).find { case (g, e) => g != e }
+      s"first mismatch: $diff"
+    })
+    // nothing fell out of the vocabulary (training and apply saw the
+    // same corpus, so every produced token must have an id)
+    assert(got.forall(!_._3.contains(-1)))
+    // re-tokenizing with the same table is bit-stable
+    val again = TextAnalysis.queries("t20_tokenize")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Int](2).toList)).toSeq
+    assert(again == got)
+    // the codec's non-overlap semantics, directly: "aaa" + (a,a) → aa|a
+    val codec = new graft.functions.BpeCodec(
+      Array(("a", "a")), Array("a", "</w>", "aa"), 8)
+    assert(codec.encodeWord("aaa").toList == List(2, 0, 1))
+  }
+
   test("d13 SemDeDup: removal set equals a brute-force within-cluster recompute") {
     val out = Dedup.queries("d13_semantic_dedup")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getInt(1))).toMap
