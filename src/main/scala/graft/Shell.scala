@@ -23,10 +23,9 @@ import scala.util.control.NonFatal
   * reference client's positional-command mode, entanglesql.rs:37-39);
   * otherwise the REPL reads stdin until EOF.
   *
-  * Deliberately NOT a network server: SURVEY §1 scopes wire plumbing
-  * out (Spark Connect / Thrift server are the production endpoints);
-  * this closes the reference's CLIENT surface — a human-usable SQL
-  * session over the engine — without protocol scope creep.
+  * This object is the CLIENT surface (a human-usable SQL session over
+  * the engine); the reference's server-socket surface is [[Server]],
+  * which loops this same statement engine per connection.
   */
 object Shell {
 
