@@ -77,7 +77,17 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"loadavg_before":"$loadBefore","loadavg_after":"${loadavg()}"}""")
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/bench_out.json")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"loadavg_before":"$loadBefore","loadavg_after":"${loadavg()}","out_file":"$outFile"}"""
+    // the COMPLETE artifact goes to a file: a 152-query JSON line can
+    // outgrow a captured-stdout ring buffer, and a truncated artifact
+    // can't support round-over-round comparisons
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outFile: $e")
+    }
+    println(json)
     operators.FrameCache.clear() // release shared signature frames
     spark.stop()
   }

@@ -550,8 +550,10 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
       metas.getOrElseUpdate(t, if (catalog.exists(t)) Some(catalog.meta(t)) else None)
     def hasCol(t: String, c: String): Boolean =
       metaOf(t).exists(_.schema.fieldNames.exists(_.equalsIgnoreCase(c)))
-    // cheap gate: no registered table is indexed → nothing to extract
-    if (!lastRegistered.exists(n => metaOf(n).exists(_.indexes.nonEmpty)))
+    // cheap gate: no registered catalog table → nothing to extract.
+    // (No index requirement: the manifest carries zone maps for every
+    // prunable column, so any table's conjuncts are worth extracting.)
+    if (!lastRegistered.exists(n => metaOf(n).isDefined))
       return Map.empty
 
     // leaf = one FROM-clause relation occurrence: the catalog table it
@@ -682,9 +684,7 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
     walk(plan)
 
     found.toMap.collect {
-      case (t, conjs)
-          if occurrences(t.toLowerCase) == 1 &&
-            conjs.exists { case (c, _) => metaOf(t).exists(_.indexes.contains(c)) } =>
+      case (t, conjs) if occurrences(t.toLowerCase) == 1 && conjs.nonEmpty =>
         t -> conjs.map(_._2).reduce(_ && _)
     }
   }

@@ -283,6 +283,44 @@ case class RefPow(left: Expression, right: Expression) extends BinaryExpression 
     copy(left = l, right = r)
 }
 
+/** Pack an array<int> of PQ codes into one BINARY value (one byte per
+  * code — s11's stored physical layout; see [[Kernels.packCodes]]). */
+case class PackCodes(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.GraftTypes.AbstractType] =
+    Seq(ArrayType(IntegerType))
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "pack_codes"
+  override protected def nullSafeEval(a: Any): Any =
+    Kernels.packCodes(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.Kernels.packCodes($a)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** ADC lookup sum over a packed PQ code column: the flattened
+  * (m·k)-double table is an expression parameter shipped as a codegen
+  * reference object (Seq equality keeps canonicalization structural). */
+case class PqAdc(child: Expression, lut: Seq[Double], k: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(k >= 1 && k <= 256, s"pq_adc: k must be in [1,256], got $k")
+  override def inputTypes: Seq[org.apache.spark.sql.GraftTypes.AbstractType] =
+    Seq(BinaryType)
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "pq_adc"
+  @transient private lazy val lutArr: Array[Double] = lut.toArray
+  override protected def nullSafeEval(a: Any): Any =
+    Kernels.pqAdc(a.asInstanceOf[Array[Byte]], lutArr, k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqLut", lutArr, "double[]")
+    defineCodeGen(ctx, ev, a => s"graft.functions.Kernels.pqAdc($a, $ref, $k)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** One BPE merge pass over a token-array column — the per-round kernel
   * of distributed BPE tokenizer training (t19): the (left, right) pair
   * is a per-round literal, so codegen inlines a single

@@ -391,6 +391,37 @@ object Kernels {
     if (n == 0L) 0.0 else Math.log(n.toDouble) - acc / n
   }
 
+  /** Pack an int code array into ONE binary value, one byte per code —
+    * the byte-aligned faiss PQ layout for k ≤ 256. Out-of-byte-range
+    * codes throw: silently truncating would corrupt the index. */
+  def packCodes(codes: ArrayData): Array[Byte] = {
+    val n = codes.numElements()
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      val v = codes.getInt(i)
+      if (v < 0 || v > 255)
+        throw new IllegalArgumentException(s"pack_codes: code $v outside byte range")
+      out(i) = v.toByte
+      i += 1
+    }
+    out
+  }
+
+  /** ADC lookup sum over a PACKED code column: Σ_j lut[j·k + code_j].
+    * The flattened (m·k)-double table ships once per executor as a
+    * codegen reference object — the coarse PQ scan does m array reads
+    * and adds per row, zero float math against any vector. */
+  def pqAdc(codes: Array[Byte], lut: Array[Double], k: Int): Double = {
+    var acc = 0.0
+    var j = 0
+    while (j < codes.length) {
+      acc += lut(j * k + (codes(j) & 0xFF))
+      j += 1
+    }
+    acc
+  }
+
   /** One BPE merge step (Sennrich et al. 2016): replace each
     * LEFT-TO-RIGHT, NON-OVERLAPPING adjacent occurrence of (a, b) in
     * `seg` with their concatenation — "aaa" under merge (a,a) becomes

@@ -55,6 +55,12 @@ package object functions {
   def bpe_encode(terms: Column, merges: Seq[(String, String)],
       vocab: Seq[String], firstK: Int): Column =
     column(BpeEncode(expression(terms), merges, vocab, firstK))
+
+  def pack_codes(codes: Column): Column =
+    column(PackCodes(expression(codes)))
+
+  def pq_adc(codes: Column, lut: Seq[Double], k: Int): Column =
+    column(PqAdc(expression(codes), lut, k))
 }
 
 package functions {
@@ -116,6 +122,14 @@ package functions {
           "bpe_encode: merge lefts/rights length mismatch")
         BpeEncode(es(0), lefts.zip(rights), strings(es(3), "vocab"),
           intArg(es(4)))
+      }, "scala_udf")
+      reg.createOrReplaceTempFunction("pack_codes", es => PackCodes(es(0)), "scala_udf")
+      // ADC table must be a FOLDABLE array literal — compiled into the
+      // plan once, like multi_contains' phrase list
+      reg.createOrReplaceTempFunction("pq_adc", es => {
+        require(es(1).foldable, "pq_adc: lookup table must be a literal array")
+        val arr = es(1).eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        PqAdc(es(0), arr.toDoubleArray().toSeq, intArg(es(2)))
       }, "scala_udf")
       // phrase list must be a FOLDABLE array literal: the automaton is
       // built once at plan time, which is the whole point

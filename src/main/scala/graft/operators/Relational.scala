@@ -550,15 +550,16 @@ object Relational {
 
   // ---------------------------------------------------------------- q36
   /** Exact percentile (median): `percentile` sorts within the
-    * aggregate — the exact form; production at 100 TB reaches for
-    * approx_percentile (t-digest) once per-group volumes explode, and
-    * q23 shows that sketch pattern. Integer-valued quantities make the
+    * aggregate — the exact form; production at 100 TB flips
+    * `spark.graft.percentile.approx=true` ([[Scale.pctl]]) and the
+    * SAME query shape runs on the mergeable approx_percentile sketch
+    * (spec-bounded rank error). Integer-valued quantities make the
     * interpolation arithmetic bit-identical across engines. */
   def q36Median(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .groupBy("l_returnflag")
       .agg(
-        percentile(col("l_quantity"), lit(0.5)).as("median_qty"),
+        Scale.pctl(s, col("l_quantity"), 0.5).as("median_qty"),
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
 
@@ -776,10 +777,10 @@ object Relational {
     Tables.lineitem(s, d)
       .groupBy("l_returnflag")
       .agg(count(lit(1)).as("n"),
-        percentile(col("l_quantity"), lit(0.25)).as("p25"),
-        percentile(col("l_quantity"), lit(0.5)).as("p50"),
-        percentile(col("l_quantity"), lit(0.75)).as("p75"),
-        percentile(col("l_quantity"), lit(0.9)).as("p90"))
+        Scale.pctl(s, col("l_quantity"), 0.25).as("p25"),
+        Scale.pctl(s, col("l_quantity"), 0.5).as("p50"),
+        Scale.pctl(s, col("l_quantity"), 0.75).as("p75"),
+        Scale.pctl(s, col("l_quantity"), 0.9).as("p90"))
       .orderBy("l_returnflag")
 
   val q47OracleSql: String =
@@ -1366,13 +1367,14 @@ object Relational {
   def q65Mad(s: SparkSession, d: String): DataFrame = {
     val med = Tables.lineitem(s, d)
       .groupBy("l_returnflag")
-      .agg(expr("percentile(l_extendedprice, 0.5)").as("med"))
+      .agg(Scale.pctl(s, col("l_extendedprice"), 0.5).as("med"))
     Tables.lineitem(s, d)
       .join(broadcast(med), "l_returnflag")
       .groupBy("l_returnflag")
       .agg(
         round(first(col("med")), 4).as("median_price"),
-        round(expr("percentile(abs(l_extendedprice - med), 0.5)"), 4).as("mad"))
+        round(Scale.pctl(s, abs(col("l_extendedprice") - col("med")), 0.5), 4)
+          .as("mad"))
       .orderBy("l_returnflag")
   }
 

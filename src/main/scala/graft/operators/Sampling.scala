@@ -324,7 +324,7 @@ object Sampling {
       .select(col("doc_id"), col("lang"),
         TextAnalysis.qualityScoreCol.as("quality_score"))
     val thresholds = scored.groupBy("lang")
-      .agg(percentile(col("quality_score"), lit(0.75)).as("lang_p75"))
+      .agg(Scale.pctl(s, col("quality_score"), 0.75).as("lang_p75"))
     scored.join(broadcast(thresholds), "lang")
       .filter(col("quality_score") >= col("lang_p75"))
       .select("doc_id", "lang", "quality_score", "lang_p75")
@@ -550,9 +550,9 @@ object Sampling {
       .filter(col("text").isNotNull)
       .select(col("doc_id"), TextAnalysis.qualityScoreCol.as("q"))
     val th = scored.agg(
-      percentile(col("q"), lit(0.25)).as("p25"),
-      percentile(col("q"), lit(0.50)).as("p50"),
-      percentile(col("q"), lit(0.75)).as("p75"))
+      Scale.pctl(s, col("q"), 0.25).as("p25"),
+      Scale.pctl(s, col("q"), 0.50).as("p50"),
+      Scale.pctl(s, col("q"), 0.75).as("p75"))
     val staged = scored.crossJoin(broadcast(th))
       .select(col("doc_id"), col("q"),
         when(col("q") >= col("p75"), 0)

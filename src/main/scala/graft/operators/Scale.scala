@@ -16,6 +16,27 @@ import org.apache.spark.sql.functions._
   */
 object Scale {
 
+  /** Percentile aggregate with an EXECUTABLE 100 TB mode. Default:
+    * exact `percentile` — the DuckDB-oracle-exact semantics the
+    * correctness gate needs, which buffers each group's value multiset
+    * (ObjectHashAggregate). With `spark.graft.percentile.approx=true`:
+    * the mergeable, bounded-memory `approx_percentile` sketch (rank
+    * error ≤ N/accuracy; accuracy from
+    * `spark.graft.percentile.accuracy`, default 10000) on the SAME
+    * query shape — the config-gated swap-in used by q36/q47/q65/p09/
+    * p14, so the documented scale claim is executable, not prose. The
+    * conf is read at plan-build time, like every other graft knob. */
+  def pctl(s: SparkSession, c: Column, p: Double): Column =
+    if (s.conf.get("spark.graft.percentile.approx", "false").toBoolean)
+      // cast: approx_percentile returns the INPUT type (it picks a real
+      // data value, no interpolation); exact percentile returns double.
+      // The two modes must agree on the output SCHEMA for the swap to
+      // be shape-preserving.
+      approx_percentile(c, lit(p),
+        lit(s.conf.get("spark.graft.percentile.accuracy", "10000").toInt))
+        .cast("double")
+    else percentile(c, lit(p))
+
   /** Top-k rows per group through the custom
     * [[graft.plans.TopKPerGroup]] plan node — bounded-heap selection
     * with a MAP-SIDE PARTIAL pass, vs the row_number window's

@@ -471,17 +471,28 @@ object Similarity {
     * UNDIRECTED current graph — reverse edges double the reach) and
     * re-selects top-k. Candidate volume per round is n·(2k')² —
     * LINEAR in the corpus at fixed k', never all-pairs — and every
-    * re-selection runs through the same custom top-k node. One round
-    * over the k'=10 working graph lifts measured recall ~0.59 → 0.84
-    * (a second round reaches 0.89 at ~1.5× the cost — the knob is
-    * `KnnRefineRounds`); the spec floor is 0.8.
-    * Rows-only (candidate sets are quantizer-specific); the spec
-    * measures recall against the brute-force graph. */
+    * re-selection runs through the same custom top-k node. Rounds are
+    * DATA-DRIVEN: descent iterates until the new-edge rate (refined
+    * edges absent from the previous graph, over total edges) drops
+    * below [[KnnConvergeEps]], capped at [[KnnMaxRefineRounds]] — the
+    * standard NN-descent early-termination rule (Dong et al. §2.3),
+    * so an easy corpus stops after one round and a hard one buys the
+    * extra recall automatically. Measured here: round 1 lifts recall
+    * ~0.59 → 0.84 with ~76% new edges (continue), round 2 reaches
+    * ~0.89 with the rate falling under the threshold (stop); spec
+    * floor 0.85. Rows-only (candidate sets are quantizer-specific);
+    * the spec measures recall against the brute-force graph and
+    * asserts the round count came from the convergence rule. */
   private val KnnK = 5
 
   private val KnnProbe = 4
 
-  private val KnnRefineRounds = 1
+  private val KnnMaxRefineRounds = 3
+  private val KnnConvergeEps = 0.15
+
+  /** Refine rounds the LAST s10 run actually executed — observability
+    * for the convergence rule (−1 until s10 runs). */
+  private[graft] var s10RefineRoundsRun: Int = -1
 
   /** The descent runs over a WIDER internal neighbor list than the
     * emitted k (the standard NN-descent trick: a 2k-wide working graph
@@ -523,23 +534,50 @@ object Similarity {
     // rescoring a held edge reproduces its cosine bit-exactly, the
     // kernel is deterministic) instead of a distinct + anti-join
     // chain, which would cost two extra exchanges per round.
-    for (_ <- 1 to KnnRefineRounds) {
+    var rounds = 0
+    var converged = false
+    while (rounds < KnnMaxRefineRounds && !converged) {
       val undirected = graph.select(col("src"), col("dst")).union(
         graph.select(col("dst").as("src"), col("src").as("dst")))
       val hop2 = undirected.as("e1")
         .join(undirected.as("e2"), col("e1.dst") === col("e2.src"))
         .select(col("e1.src").as("src"), col("e2.dst").as("dst"))
         .filter(col("src") =!= col("dst"))
-      val newEdges = hop2
+      // dedup the NARROW candidate pairs BEFORE fetching embeddings or
+      // scoring (the n·(2k')² hop-2 stream repeats pairs heavily), and
+      // drop already-held edges with a BROADCAST anti-join (the graph
+      // is n·k' rows — sub-MB at any corpus scale under the stored-
+      // graph sharding) — cosines then run once per genuinely new
+      // candidate, and the union below is disjoint by construction, so
+      // the re-selection feeds the top-k node with no dedup exchange.
+      val candPairs = hop2.distinct()
+        .join(broadcast(graph.select(col("src"), col("dst"))),
+          Seq("src", "dst"), "left_anti")
+      val newEdges = candPairs
         .join(emb.select(col("vec_id").as("src"), col("embedding").as("se")), Seq("src"))
         .join(emb.select(col("vec_id").as("dst"), col("embedding").as("de")), Seq("dst"))
         .select(col("src"), col("dst"), cosine_sim(col("se"), col("de")).as("cos"))
-      graph = Scale.topKPerGroup(
-        graph.select(col("src"), col("dst"), col("cos")).unionByName(newEdges)
-          .groupBy("src", "dst").agg(max("cos").as("cos")),
+      // the union is DISJOINT (anti-join above), so each refined edge
+      // knows its provenance: held = survived from the previous graph,
+      // !held = a fresh neighbor-of-neighbor discovery. The top-k node
+      // carries the marker through re-selection for free.
+      val refined = Scale.topKPerGroup(
+        graph.select(col("src"), col("dst"), col("cos"))
+          .withColumn("held", lit(true))
+          .unionByName(newEdges.withColumn("held", lit(false))),
         Seq("src"), Seq(("cos", false), ("dst", true)), KnnInternalK)
         .localCheckpoint()
+      // convergence probe: fresh-edge fraction straight off the
+      // checkpointed frame's provenance marker — one tiny aggregate
+      // over n·k' cached rows, no join.
+      val probe = refined.agg(count(lit(1)).as("total"),
+        count(when(!col("held"), 1)).as("fresh")).head()
+      val (total, fresh) = (probe.getLong(0), probe.getLong(1))
+      converged = total == 0 || fresh.toDouble / total < KnnConvergeEps
+      graph = refined.drop("held")
+      rounds += 1
     }
+    s10RefineRoundsRun = rounds
     Scale.topKPerGroup(graph, Seq("src"), Seq(("cos", false), ("dst", true)), KnnK)
       .select(col("src"), col("dst"), round(col("cos"), 4).as("cos"))
       .orderBy(col("src"), col("cos").desc, col("dst"))
@@ -550,13 +588,17 @@ object Similarity {
     * quantization for nearest neighbor search" — the faiss PQ layout):
     * each vector splits into m=8 subvectors of 8 dims, each subvector
     * quantized to one of k=32 per-subspace centroids, so a 64-float
-    * (256-byte) vector compresses to 8 five-bit codes — 5 bytes
-    * packed (51× smaller than floats; here stored unpacked for
-    * clarity). Query-time scoring is ADC (asymmetric distance
-    * computation): the probe precomputes, per subspace, the k dot
-    * products and centroid norms ONCE driver-side (m·k = 256 doubles —
-    * literals in the plan), and each row's coarse cosine is m table
-    * lookups + adds, NO float math against the vector itself.
+    * (256-byte) vector compresses to an 8-BYTE packed code column
+    * (BINARY, one byte per code — the byte-aligned faiss layout for
+    * k ≤ 256; 32× smaller than the floats. Bit-packing to 5 bits
+    * would shave 3 more bits per code at the price of unaligned
+    * decode — documented trade, not taken). Query-time scoring is ADC
+    * (asymmetric distance computation): the probe precomputes, per
+    * subspace, the k dot products and centroid norms ONCE driver-side
+    * (two flattened m·k-double tables riding the plan as codegen
+    * reference objects), and each row's coarse cosine is the
+    * [[graft.functions.PqAdc]] kernel — m byte-indexed table reads +
+    * adds, NO float math against the vector itself.
     * Measured recall@10 vs the exact scan: 0.9 at both unit SFs
     * (random vectors are PQ's worst case; spec floor 0.8).
     * At 100 TB the coarse scan reads the stored 8-byte code column —
@@ -588,15 +630,16 @@ object Similarity {
       }
     })
 
-  /** vec_id + embedding + the m nibble codes (at scale: the stored
-    * code column, written at ingest). */
-  private def pqCodes(s: SparkSession, d: String): DataFrame = {
+  /** vec_id + embedding + the PACKED m-byte code column (at scale: the
+    * stored BINARY code column, written at ingest — what the coarse
+    * scan reads instead of vectors). */
+  private[graft] def pqCodes(s: SparkSession, d: String): DataFrame = {
     val cbs = pqCodebooks(s, d)
     FrameCache.getOrBuild(s, s"ann/pq_codes|$d") {
       Tables.embeddings(s, d).select(col("vec_id"), col("embedding"),
-        array((0 until PqM).map(j =>
+        graft.functions.pack_codes(array((0 until PqM).map(j =>
           nearest_centroid(slice(col("embedding"), j * PqDsub + 1, PqDsub),
-            Ivf.centroidsLit(cbs(j)))): _*).as("codes"))
+            Ivf.centroidsLit(cbs(j)))): _*)).as("codes"))
     }
   }
 
@@ -606,21 +649,18 @@ object Similarity {
       .select("embedding").head().getSeq[Float](0).toArray
     val qNorm = math.sqrt(q.map(x => x.toDouble * x).sum)
     // ADC lookup tables, driver-side: dot(q_j, c) and |c|² per
-    // (subspace, centroid) — m·k doubles riding as plan literals
+    // (subspace, centroid) — two flattened m·k-double arrays indexed
+    // j·k + code_j by the PqAdc kernel over the packed byte column
     def sub(a: Array[Float], j: Int) = a.slice(j * PqDsub, (j + 1) * PqDsub)
-    val dotLut = (0 until PqM).map(j => cbs(j).map(c =>
-      sub(q, j).zip(c).map { case (x, y) => x.toDouble * y }.sum).toSeq)
-    val nrmLut = (0 until PqM).map(j => cbs(j).map(c =>
-      c.map(x => x.toDouble * x).sum).toSeq)
-    val dotLit = typedLit(dotLut)
-    val nrmLit = typedLit(nrmLut)
-    def adc(lut: org.apache.spark.sql.Column) = aggregate(
-      zip_with(col("codes"), lut, (c, t) => element_at(t, c + 1)),
-      lit(0.0), (acc, x) => acc + x)
+    val dotLut = (0 until PqM).flatMap(j => cbs(j).map(c =>
+      sub(q, j).zip(c).map { case (x, y) => x.toDouble * y }.sum))
+    val nrmLut = (0 until PqM).flatMap(j => cbs(j).map(c =>
+      c.map(x => x.toDouble * x).sum))
+    def adc(lut: Seq[Double]) = graft.functions.pq_adc(col("codes"), lut, PqK)
     pqCodes(s, d)
       .filter(col("vec_id") =!= 0)
       .withColumn("coarse",
-        adc(dotLit) / (lit(qNorm) * sqrt(greatest(adc(nrmLit), lit(1e-12)))))
+        adc(dotLut) / (lit(qNorm) * sqrt(greatest(adc(nrmLut), lit(1e-12)))))
       .orderBy(col("coarse").desc, col("vec_id"))
       .limit(PqCoarse) // fixed exact-kernel budget, corpus-independent
       .select(col("vec_id"),

@@ -722,33 +722,23 @@ class TableCatalog(spark: SparkSession, val root: String) {
     tableDir(name).toAbsolutePath.normalize
   private def resolveDirs(name: String, rels: Seq[String]): Seq[String] =
     rels.map(r => absTableDir(name).resolve(r).toString)
-  private def relativizeFile(name: String, fileUri: String): String = {
-    // input_file_name() yields Hadoop path strings that are not fully
-    // URI-encoded (a literal space makes `new URI` throw) — fall back
-    // to stripping the scheme textually so catalogs under such paths
-    // still collect index stats
-    val local =
-      try Paths.get(new java.net.URI(fileUri).getPath)
-      catch { case _: Exception =>
-        Paths.get(fileUri.stripPrefix("file:").replaceFirst("^//+", "/"))
-      }
-    absTableDir(name).relativize(local.toAbsolutePath.normalize).toString
-  }
-
   /** MVCC time travel: scan the table as of `version`. */
   def asOf(name: String, version: Int): DataFrame =
     frameOf(meta(name).schema, resolveDirs(name, readManifest(name, version)))
 
-  /** Index-pruned scan: the Spark-native analog of the reference's
+  /** Zone-map-pruned scan: the Spark-native analog of the reference's
     * `IndexLookup` / `KeyLookup` plan nodes (plan/mod.rs:77-92) and its
     * IndexLookup optimizer pass (plan/mod.rs:42). Simple range/equality
-    * conjuncts over indexed columns are extracted from `filter`
-    * driver-side and evaluated against the manifest's per-file min/max,
-    * so files that cannot contain matches are never handed to Spark —
-    * the scan is O(matching files), not O(table), before row-group
-    * pruning even starts. The full filter is still applied on top, so
-    * the result is exactly `scan(name).filter(filter)` for any
-    * predicate, prunable or not. */
+    * conjuncts over ANY prunable column — the manifest records per-file
+    * min/max for every numeric/string column at publish, straight from
+    * the parquet footers — are extracted from `filter` driver-side and
+    * evaluated against those zone maps, so files that cannot contain
+    * matches are never handed to Spark: the scan is O(matching files),
+    * not O(table), before row-group pruning even starts. A declared
+    * INDEX adds the sorted/clustered layout that makes ranges
+    * SELECTIVE (disjoint per-file ranges), not the eligibility. The
+    * full filter is still applied on top, so the result is exactly
+    * `scan(name).filter(filter)` for any predicate, prunable or not. */
   def scan(name: String, filter: Column): DataFrame = {
     val (kept, _) = planFiles(name, filter)
     frameOf(meta(name).schema, resolveDirs(name, kept)).filter(filter)
@@ -768,14 +758,14 @@ class TableCatalog(spark: SparkSession, val root: String) {
     * SOUNDNESS: the universe is the manifest's DIR list, never the
     * stats list — a dir with no stats (written by an older layout or a
     * path that skipped stats) contributes itself wholesale, and a file
-    * whose stats are null-markers (all-NULL indexed column) is always
-    * kept. Only a file with real stats that provably exclude the
-    * predicate is dropped. */
+    * whose stats are null-markers (all-NULL column, or untrustworthy
+    * footer statistics) is always kept. Only a file with real stats
+    * that provably exclude the predicate is dropped. */
   def planFiles(name: String, filter: Column): (Seq[String], Seq[String]) = {
     val m = meta(name)
     val dirs = readManifest(name, m.version)
     val stats = readStats(name, m.version)
-    if (m.indexes.isEmpty || stats.isEmpty) return (dirs, dirs)
+    if (stats.isEmpty) return (dirs, dirs)
     // universe: the ACTUAL parquet files on disk per dir (a driver-side
     // listing — what Spark's scan planning does anyway), never the
     // stats list: a dir whose stats cover only some files (older
@@ -790,15 +780,18 @@ class TableCatalog(spark: SparkSession, val root: String) {
       finally listing.close()
     }
     val allPaths = dirs.flatMap(expand)
-    // prune only on numeric/string indexed columns: their literal and
-    // stat encodings compare consistently (timestamp literals arrive
-    // as epoch micros, stats as formatted strings — those columns
-    // still get the sorted layout + parquet row-group stats, just no
-    // manifest pruning)
+    // prune on ANY numeric/string column — the manifest carries zone
+    // maps for all of them since they're free at publish (footer
+    // reads); an INDEX adds the sorted/clustered layout that makes
+    // ranges selective, not the eligibility. Timestamp literals arrive
+    // as epoch micros but stats as formatted strings — those columns
+    // still get the sorted layout + parquet row-group stats when
+    // indexed, just no manifest pruning.
     val ranges = extractRanges(filter)
       .flatMap { case (c: String, (lo, hi)) =>
-        if (!m.indexes.contains(c)) None
-        else m.schema(c).dataType match {
+        m.schema.fields.find(_.name == c).map(_.dataType) match {
+          case None => None
+          case Some(dt) => dt match {
           // numeric columns: prune only on NUMERIC literals — both
           // sides then compare via BigDecimal in cmpTyped, exactly as
           // the query does. A STRING literal is excluded: Spark
@@ -816,6 +809,7 @@ class TableCatalog(spark: SparkSession, val root: String) {
             val (l, h) = (lo.filter(_.isString), hi.filter(_.isString))
             if (l.isEmpty && h.isEmpty) None else Some(c -> (l, h))
           case _ => None
+          }
         }
       }
     if (ranges.isEmpty) return (allPaths, allPaths)
@@ -1637,28 +1631,121 @@ class TableCatalog(spark: SparkSession, val root: String) {
     out.write.mode("overwrite").parquet(dir)
   }
 
-  /** Per-file min/max of every indexed column, one small aggregate job
-    * over the freshly written dir. Paths stored table-relative. */
+  /** Columns whose manifest zone maps can soundly drive [[planFiles]]
+    * pruning: numerics (compared as BigDecimal) and strings (compared
+    * in unsigned UTF-8 byte order) — the two families whose literal
+    * and stat encodings [[cmpTyped]] compares exactly the way the
+    * query itself does. Timestamps/dates/binary still get the sorted
+    * layout + parquet row-group stats when indexed, just no manifest
+    * pruning (their stat rendering differs from literal encoding). */
+  private def prunableCols(m: TableMeta): Seq[(String, org.apache.spark.sql.types.DataType)] =
+    m.schema.fields.toSeq.collect {
+      case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]
+        || f.dataType == org.apache.spark.sql.types.StringType => f.name -> f.dataType
+    }
+
+  /** Per-file min/max ZONE MAPS for EVERY prunable column — not just
+    * declared indexes — read from the parquet FOOTERS the write just
+    * produced: column-chunk statistics already hold exact min/max per
+    * row group, so this is pure driver-side metadata IO, no Spark job
+    * (the [[dirRowCount]] machinery's template; the same pass feeds
+    * the dir's row count into [[dirRowsCache]], one footer open per
+    * file per publish). Values render in the same string forms
+    * [[cmpTyped]] compares at prune time. Paths stored table-relative.
+    *
+    * SOUNDNESS: a (file, column) whose footer stats are absent or
+    * untrustworthy (parquet-mr returns empty statistics for legacy
+    * binary sort orders), whose physical type is unexpected, or whose
+    * rendered values are incomparable (NaN) records the empty
+    * null-marker — [[planFiles]] always KEEPS such files. Truncated
+    * binary footer stats (writer-configured) stay sound: parquet
+    * truncates min down and max up, so they remain valid bounds. */
   private def collectStats(m: TableMeta, name: String, relDir: String): Seq[FileStat] = {
-    if (m.indexes.isEmpty) return Nil
-    val aggs = m.indexes.flatMap(c =>
-      Seq(min(col(c)).cast("string").as(s"mn_$c"), max(col(c)).cast("string").as(s"mx_$c")))
-    spark.read.schema(m.schema).parquet(absTableDir(name).resolve(relDir).toString)
-      .groupBy(input_file_name().as("path"))
-      .agg(aggs.head, aggs.tail: _*)
-      .collect()
-      .toSeq
-      .flatMap { r =>
-        val path = relativizeFile(name, r.getAs[String]("path"))
-        m.indexes.map { c =>
-          // null min/max (all-NULL column in this file) → empty-string
-          // marker: the file stays in the stats universe and is never
-          // pruned on this column
-          FileStat(path, c,
-            Option(r.getAs[String](s"mn_$c")).getOrElse(""),
-            Option(r.getAs[String](s"mx_$c")).getOrElse(""))
+    val cols = prunableCols(m)
+    if (cols.isEmpty) return Nil
+    val abs = absTableDir(name).resolve(relDir)
+    if (!Files.isDirectory(abs)) return Nil
+    val listing = Files.list(abs)
+    val files =
+      try listing.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+      finally listing.close()
+    var dirRows = 0L
+    val out = files.flatMap { p =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(p.toUri),
+        spark.sessionState.newHadoopConf())
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        dirRows += reader.getRecordCount
+        val blocks = reader.getFooter.getBlocks.asScala.toSeq
+        val rel = relDir + "/" + p.getFileName.toString
+        cols.map { case (c, dt) =>
+          // fold row-group chunk stats into one per-file range; any
+          // gap in any block → null-marker (file always read)
+          var mn: String = null
+          var mx: String = null
+          var sound = true
+          def less(a: String, b: String): Boolean =
+            cmpTyped(dt, a, b) match {
+              case Some(d) => d < 0
+              case None    => sound = false; false
+            }
+          blocks.foreach { b =>
+            if (sound) b.getColumns.asScala.find(_.getPath.toDotString == c) match {
+              case None => sound = false
+              case Some(cc) =>
+                val st = cc.getStatistics
+                if (st == null || st.isEmpty) sound = false
+                else if (st.hasNonNullValue) {
+                  (renderStat(dt, st.genericGetMin.asInstanceOf[AnyRef]),
+                      renderStat(dt, st.genericGetMax.asInstanceOf[AnyRef])) match {
+                    case (Some(lo), Some(hi)) =>
+                      if (mn == null || less(lo, mn)) mn = lo
+                      if (mx == null || less(mx, hi)) mx = hi
+                    case _ => sound = false
+                  }
+                } // all-NULL chunk: contributes no values, stays sound
+            }
+          }
+          if (!sound || mn == null) FileStat(rel, c, "", "")
+          else FileStat(rel, c, mn, mx)
         }
+      } finally reader.close()
+    }
+    dirRowsCache.put(s"$name|$relDir", dirRows)
+    out
+  }
+
+  /** One footer stat value rendered under the column's DECLARED Spark
+    * type, in the exact string form [[cmpTyped]] parses back. None for
+    * an unexpected physical representation (caller keeps the file). */
+  private def renderStat(
+      dt: org.apache.spark.sql.types.DataType, v: AnyRef): Option[String] = {
+    import org.apache.parquet.io.api.Binary
+    import org.apache.spark.sql.types._
+    dt match {
+      case d: DecimalType => v match {
+        // unscaled physical value → plain decimal string at the
+        // declared scale (INT32/INT64/FIXED_LEN_BYTE_ARRAY backings)
+        case i: java.lang.Integer => Some(new java.math.BigDecimal(
+          java.math.BigInteger.valueOf(i.longValue), d.scale).toPlainString)
+        case l: java.lang.Long => Some(new java.math.BigDecimal(
+          java.math.BigInteger.valueOf(l.longValue), d.scale).toPlainString)
+        case b: Binary => Some(new java.math.BigDecimal(
+          new java.math.BigInteger(b.getBytes), d.scale).toPlainString)
+        case _ => None
       }
+      case StringType => v match {
+        case b: Binary => Some(b.toStringUsingUTF8)
+        case _ => None
+      }
+      case _: NumericType => v match {
+        case n: java.lang.Number => Some(n.toString)
+        case _ => None
+      }
+      case _ => None
+    }
   }
 
   // ------------------------------------------------------------- txn

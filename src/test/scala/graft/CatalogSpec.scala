@@ -189,6 +189,56 @@ class CatalogSpec extends AnyFunSuite {
     assert(!dataDirs.exists(_.startsWith("txn-"))) // staged dirs deleted
   }
 
+  test("zone maps: NON-indexed columns prune files at scan; EXPLAIN surfaces it; sound under NULLs") {
+    val cat = freshCatalog()
+    val sc = StructType(Seq(
+      StructField("id", LongType), StructField("batch", StringType),
+      StructField("score", DoubleType),
+      StructField("price", DecimalType(10, 2))))
+    cat.createTable("zm", sc) // NO index anywhere
+    // time-ordered ingest: each append's ranges are naturally disjoint
+    for (b <- 0 until 4)
+      cat.insert("zm", spark.range(b * 1000L, (b + 1) * 1000L).select(
+        col("id"), lit(s"b$b").as("batch"), (col("id") * 0.5).as("score"),
+        (col("id") * 0.25).cast(DecimalType(10, 2)).as("price")))
+    // long, string, double, and decimal conjuncts all prune
+    for ((filt, expect) <- Seq(
+        (col("id") >= 3500L, 500L),
+        (col("batch") === "b2", 1000L),
+        (col("score") < lit(100.0), 200L),
+        (col("price") >= lit(BigDecimal("900.00")), 400L))) {
+      val (kept, all) = cat.planFiles("zm", filt)
+      assert(all.size > 1)
+      assert(kept.size < all.size,
+        s"zone maps must prune $filt: kept ${kept.size}/${all.size}")
+      assert(cat.scan("zm", filt).count() == expect, s"pruned $filt answers exactly")
+    }
+    // an all-NULL file is a null-marker: never pruned, still correct
+    cat.insert("zm", spark.range(4000L, 4100L).select(
+      col("id"), lit("b4").as("batch"), lit(null).cast(DoubleType).as("score"),
+      lit(null).cast(DecimalType(10, 2)).as("price")))
+    assert(cat.scan("zm", col("score") < lit(100.0)).count() == 200L)
+    assert(cat.scan("zm", col("score").isNull).count() == 100L)
+
+    // the SQL front surfaces the prune in EXPLAIN — without any index
+    val g = new GraftSQL(spark, cat)
+    val plan = g.execute("EXPLAIN SELECT id FROM zm WHERE id >= 3500")
+      .collect().map(_.getString(0)).mkString("\n")
+    val m = "IndexPrune: zm kept (\\d+)/(\\d+) files".r.findFirstMatchIn(plan)
+    assert(m.isDefined, s"EXPLAIN must surface the zone-map prune:\n$plan")
+    assert(m.get.group(1).toInt < m.get.group(2).toInt, plan)
+    assert(g.execute("SELECT count(*) AS n FROM zm WHERE id >= 3500")
+      .collect().head.getLong(0) == 600L)
+
+    // clustering via CREATE INDEX makes a CORRELATED non-indexed
+    // column selective after the sorted compact rewrite
+    cat.createIndex("zm", "id")
+    val (kept2, all2) = cat.planFiles("zm", col("score") < lit(100.0))
+    assert(kept2.size < all2.size,
+      s"post-compact layout must prune the correlated column: ${kept2.size}/${all2.size}")
+    assert(cat.scan("zm", col("score") < lit(100.0)).count() == 200L)
+  }
+
   test("secondary index: sorted layout + manifest min/max pruning reads fewer files") {
     val cat = freshCatalog()
     val sc = StructType(Seq(
@@ -1098,7 +1148,11 @@ class CatalogSpec extends AnyFunSuite {
     cat.insert("pt", Seq((3L, "e", 5.0), (98L, "f", 6.0)).toDF("id", "name", "balance"))
     val filt = col("id") >= 95L
     val (keptBefore, allBefore) = cat.planFiles("pt", filt)
-    assert(keptBefore.size == allBefore.size, "no index -> nothing prunes")
+    // zone maps prune even without an index (every prunable column gets
+    // footer min/max at publish) — but never below correctness
+    assert(keptBefore.size <= allBefore.size)
+    assert(cat.scan("pt", filt).collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(98L, 99L, 100L), "pre-index pruned scan answers exactly")
     val v = cat.createIndex("pt", "id")
     assert(v == cat.currentVersion("pt"))
     val (kept, all) = cat.planFiles("pt", filt)
