@@ -661,8 +661,10 @@ object Dedup {
     * remove embedding-space near-duplicates that exact and n-gram
     * dedup miss (paraphrases, re-renders). The paper's exact shape:
     * (1) cluster the corpus with a k-means coarse quantizer — the
-    * SHARED IVF assignment ([[Similarity.ivfAssigned]]; at 100 TB a
-    * stored cluster-id column written at ingest); (2) only WITHIN a
+    * SHARED IVF assignment ([[Similarity.ivfAssigned]]), written ONCE
+    * into a STORED cluster table at ingest ([[clusterTable]]) so the
+    * dedup query reads stored columns and evaluates no quantizer;
+    * (2) only WITHIN a
     * cluster, score pairs — candidate volume Σ|cell|², bounded by the
     * quantizer's cell occupancy, never corpus-quadratic (the paper
     * runs exactly this at web scale); (3) for each pair with cosine ≥
@@ -679,11 +681,33 @@ object Dedup {
     * recomputes the removal set brute-force within clusters. */
   private val SemTau = 0.4
 
+  /** The STORED cluster table (vec_id, embedding, cell, cent_sim) —
+    * SemDeDup's at-ingest artifact, the shape SURVEY §6 documents:
+    * cluster ids and centroid similarities are written ONCE when the
+    * corpus lands (cent_sim is a pure function of the frozen
+    * (embedding, centroid) pair), so the dedup query itself evaluates
+    * NO quantizer — its plan is a parquet scan of stored columns
+    * (spec-asserted: no nearest_centroid anywhere in the executed
+    * plan). Created on first use in the same per-(session, dataset)
+    * store as d07's signature table; doubles round-trip parquet
+    * bit-exactly, so the removal set is identical to the inline
+    * derivation. */
+  private def clusterTable(s: SparkSession, d: String): DataFrame =
+    sigStores.synchronized {
+      val cat = signatureStore(s, d)
+      if (!cat.exists("corpus_clusters")) {
+        val assigned = Similarity.ivfAssigned(s, d)
+          .join(broadcast(Similarity.ivfCells(s, d)), "cell")
+          .select(col("vec_id"), col("embedding"), col("cell"),
+            cosine_sim(col("embedding"), col("centroid")).as("cent_sim"))
+        cat.createTable("corpus_clusters", assigned.schema)
+        cat.insert("corpus_clusters", assigned)
+      }
+      cat.scan("corpus_clusters")
+    }
+
   def d13SemanticDedup(s: SparkSession, d: String): DataFrame = {
-    val withCent = Similarity.ivfAssigned(s, d)
-      .join(broadcast(Similarity.ivfCells(s, d)), "cell")
-      .select(col("vec_id"), col("embedding"), col("cell"),
-        cosine_sim(col("embedding"), col("centroid")).as("cent_sim"))
+    val withCent = clusterTable(s, d)
     val pairs = withCent.as("a").join(withCent.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
       .filter(cosine_sim(col("a.embedding"), col("b.embedding")) >= SemTau)

@@ -1297,7 +1297,15 @@ class OperatorsSpec extends AnyFunSuite {
   }
 
   test("d13 SemDeDup: removal set equals a brute-force within-cluster recompute") {
-    val out = Dedup.queries("d13_semantic_dedup")(spark, sf).collect()
+    val frame = Dedup.queries("d13_semantic_dedup")(spark, sf)
+    // the query runs from the STORED cluster table: its plan reads
+    // stored (cell, cent_sim) columns and evaluates NO quantizer
+    val plan = frame.queryExecution.executedPlan.toString
+    assert(!plan.contains("nearest_centroid"),
+      "d13 must not re-evaluate the quantizer on the corpus side")
+    assert(plan.contains("corpus_clusters"),
+      s"d13 must scan the stored cluster table:\n${plan.take(2000)}")
+    val out = frame.collect()
       .map(r => (r.getLong(0), r.getInt(1))).toMap
     assert(out.nonEmpty, "τ must mark at least one semantic duplicate")
     // brute force over the SAME cluster assignment (read back through
