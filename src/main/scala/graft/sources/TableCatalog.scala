@@ -819,7 +819,13 @@ class TableCatalog(spark: SparkSession, val root: String) {
         // empty min/max = null-marker (no non-null values seen): keep
         st.min.isEmpty || st.max.isEmpty || ranges.get(st.column).forall { case (lo, hi) =>
           val dt = m.schema(st.column).dataType
-          // an incomparable stat (NaN/Infinity text) yields None → keep
+          // an incomparable stat (NaN/Infinity text) yields None → keep.
+          // NaN soundness for float/double: Spark orders NaN ABOVE all
+          // values, so a NaN row satisfies any lower bound — but
+          // parquet-mr's float/double stats go through Math.min/max,
+          // which NaN POISONS (both stats become NaN once seen), so a
+          // NaN-holding file always renders incomparable and is kept
+          // (spec: "NaN past numeric max" in CatalogSpec)
           lo.forall(b =>
             cmpTyped(dt, st.max, b.value).forall(_ >= (if (b.inclusive) 0 else 1))) &&
           hi.forall(b =>

@@ -861,7 +861,49 @@ object StreamQueries {
       .orderBy("doc_id")
   }
 
+  /** State-operator count of st16's last run — spec observability for
+    * the statelessness claim (−1 until st16 runs). */
+  private[graft] var st16StateOperators: Int = -1
+
+  /** st16: STREAMING TOKENIZATION — the steady-state twin of t20 and
+    * the production serving shape of the tokenizer arc (t19 trains →
+    * t20 applies batch-wide → st16 applies AT INGEST): the merge
+    * table + vocabulary are trained OFFLINE ([[graft.operators
+    * .TextAnalysis.bpeAssets]], the stored-asset stand-in) and
+    * compiled into the same one-call [[graft.functions.BpeEncode]]
+    * kernel, so every arriving document pays one stateless codegen
+    * call — NO state store, NO stream shuffle, NO aggregation
+    * (spec-asserted from the engine's own progress: zero state
+    * operators). At 100 TB/day this is the highest-volume streaming
+    * pass a pipeline runs, and its per-doc cost is exactly the batch
+    * kernel's. Output hash-exact vs batch t20 on the bounded run. */
+  def st16StreamTokenize(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.TextAnalysis
+    val (merges, vocab) = TextAnalysis.bpeAssets(s, d) // offline-trained
+    val enc = graft.functions.bpe_encode(TextAnalysis.termsArrayCol,
+      merges.map(m => (m._2, m._3)), vocab, 8)
+    val schema = s.read.parquet(s"$d/documents.parquet").schema
+    val stream = s.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(d)
+    val toks = stream.select(col("doc_id"), enc.as("e"))
+      .select(col("doc_id"), col("e.n_bpe_tokens").as("n_bpe_tokens"),
+        col("e.token_ids").as("token_ids"))
+    val q = toks.writeStream
+      .format("memory").queryName("graft_st16_sink")
+      .outputMode(OutputMode.Append)
+      .start()
+    try {
+      q.processAllAvailable()
+      st16StateOperators = q.recentProgress
+        .map(_.stateOperators.length).maxOption.getOrElse(-1)
+    } finally q.stop()
+    s.table("graft_st16_sink").orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st16_stream_tokenize" -> (st16StreamTokenize _),
     "st01_stream_window" -> (st01StreamWindow _),
     "st02_stream_state"  -> (st02StreamState _),
     "st03_stream_dedup"  -> (st03StreamDedup _),

@@ -239,6 +239,63 @@ class CatalogSpec extends AnyFunSuite {
     assert(cat.scan("zm", col("score") < lit(100.0)).count() == 200L)
   }
 
+  test("zone maps: footer stat rendering is sound across types — negative decimals, NaN, non-BMP strings, boundaries") {
+    val cat = freshCatalog()
+    val sc = StructType(Seq(
+      StructField("id", LongType),
+      StructField("sm", ShortType),
+      StructField("fl", FloatType),
+      StructField("dbl", DoubleType),
+      StructField("big", DecimalType(30, 8)), // FIXED_LEN_BYTE_ARRAY backing
+      StructField("s", StringType)))
+    cat.createTable("zt", sc)
+    def batch(rows: Seq[(Long, Short, Float, Double, String, String)]) =
+      cat.insert("zt", rows.toDF("id", "sm", "fl", "dbl", "big", "s")
+        .select(col("id"), col("sm"), col("fl"), col("dbl"),
+          col("big").cast(DecimalType(30, 8)), col("s")))
+    // three disjoint batches; batch 2 carries NEGATIVE decimals (two's
+    // complement in the fixed-len backing) and batch 3 a NaN double
+    // and non-BMP strings (UTF-8 byte order beyond Java char order)
+    batch(Seq((1L, 10.toShort, 1.5f, 1.0, "-12345678.00000001", "apple"),
+              (2L, 20.toShort, 2.5f, 2.0, "-0.00000001", "banana")))
+    batch(Seq((3L, 30.toShort, 3.5f, 3.0, "0.00000001", "cherry"),
+              (4L, 40.toShort, 4.5f, 4.0, "99999999999999.00000001", "date")))
+    batch(Seq((5L, 50.toShort, 5.5f, Double.NaN, "5.0", "z😀moji"),
+              (6L, 60.toShort, 6.5f, 6.0, "6.0", "zzz")))
+
+    def check(filt: org.apache.spark.sql.Column, expectIds: Seq[Long],
+        expectPrune: Boolean, what: String): Unit = {
+      val (kept, all) = cat.planFiles("zt", filt)
+      if (expectPrune)
+        assert(kept.size < all.size, s"$what: no pruning (${kept.size}/${all.size})")
+      val got = cat.scan("zt", filt).select("id").collect().map(_.getLong(0)).sorted
+      assert(got.toSeq == expectIds, s"$what: got ${got.toSeq}")
+    }
+    // negative decimal bounds must compare SIGNED (a sign-blind byte
+    // compare would prune the matching batch away)
+    check(col("big") < lit(BigDecimal("-1.0")), Seq(1L), expectPrune = true, "neg decimal")
+    check(col("big") >= lit(BigDecimal("99999999999999.0")), Seq(4L),
+      expectPrune = true, "huge decimal")
+    // short (INT32-backed) and float render/compare numerically
+    check(col("sm") >= 50, Seq(5L, 6L), expectPrune = true, "short")
+    check(col("fl") < lit(2.0f), Seq(1L), expectPrune = true, "float")
+    // the NaN-holding file must NEVER be pruned away wrongly. Spark
+    // orders NaN ABOVE every double, so the NaN row satisfies any
+    // lower bound — including one past the file's numeric max (the
+    // killer case: stats that ignored NaN would wrongly prune here;
+    // parquet's NaN-poisoned min/max render incomparable and keep it)
+    check(col("dbl") >= 6.0, Seq(5L, 6L), expectPrune = false, "NaN above bound")
+    check(col("dbl") >= 7.0, Seq(5L), expectPrune = false, "NaN past numeric max")
+    check(col("dbl") < 2.5, Seq(1L, 2L), expectPrune = false, "NaN below bound")
+    // string pruning in UTF-8 byte order: the emoji sorts AFTER "z"
+    // byte-wise, so > "y" must keep batch 3 and prune batch 1
+    check(col("s") > lit("y"), Seq(5L, 6L), expectPrune = true, "non-BMP string")
+    // boundary inclusivity: batch 1's id range is [1,2] — `> 2` must
+    // drop it, `>= 2` must read it
+    check(col("id") > 2L, Seq(3L, 4L, 5L, 6L), expectPrune = true, "exclusive bound")
+    check(col("id") >= 2L, Seq(2L, 3L, 4L, 5L, 6L), expectPrune = true, "inclusive bound")
+  }
+
   test("secondary index: sorted layout + manifest min/max pruning reads fewer files") {
     val cat = freshCatalog()
     val sc = StructType(Seq(

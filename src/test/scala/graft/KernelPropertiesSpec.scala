@@ -23,6 +23,32 @@ class KernelPropertiesSpec extends AnyFunSuite {
   private def samples[A](g: Gen[A]): Seq[A] =
     (0 until 100).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
 
+  /** Fragments that compose adversarial SQL-ish input: quotes,
+    * comment openers/closers, semicolons, escapes — the shapes the
+    * shell's statement splitter must never mis-lex. */
+  private val sqlFrag: Gen[String] = Gen.oneOf(
+    Gen.const("'a;b'"), Gen.const("\"x--y\""), Gen.const("-- c;\n"),
+    Gen.const("/* b ; */"), Gen.const(";"), Gen.const("SELECT 1"),
+    Gen.const("'it''s'"), Gen.const("'\\';'"), Gen.const("--\n"),
+    Gen.const("/*"), Gen.const("*/"), Gen.const("\n"),
+    Gen.alphaNumStr.map(_.take(8)))
+  private val sqlish: Gen[String] =
+    Gen.listOf(sqlFrag).map(_.mkString(" "))
+
+  test("comment blanking is length-preserving, idempotent, and leaves strings intact") {
+    for (t <- samples(sqlish)) {
+      val b = GraftSQL.blankComments(t)
+      assert(b.length == t.length, s"length changed for <$t>")
+      assert(GraftSQL.blankComments(b) == b, s"not idempotent for <$t>")
+      // blanking only ever replaces characters with spaces
+      assert(b.zip(t).forall { case (nc, oc) => nc == oc || nc == ' ' },
+        s"non-space rewrite for <$t>")
+      // string masking composes: the masked view is the same length
+      // too, so shell split indexes always line up across all views
+      assert(GraftSQL.maskStrings(b).length == t.length)
+    }
+  }
+
   test("jaccard is symmetric, bounded, and 1 on self") {
     for ((a, b) <- samples(text).zip(samples(text).reverse)) {
       val (sa, sb) = (Kernels.shingles64(s(a), 3), Kernels.shingles64(s(b), 3))

@@ -297,6 +297,17 @@ class StreamsSpec extends AnyFunSuite {
     info(s"st14 state rows after last batch: $stateRows (inputs: ${expect.length})")
   }
 
+  test("st16 DRIVER QUERY: streamed tokenization equals batch t20; zero state operators") {
+    val got = streaming.StreamQueries.st16StreamTokenize(spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Int](2).toList)).toSeq
+    val want = operators.TextAnalysis.queries("t20_tokenize")(spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Int](2).toList)).toSeq
+    assert(got == want, "streamed tokenization must equal the batch t20 output")
+    // the stream is STATELESS: one kernel call per doc, no state store
+    assert(streaming.StreamQueries.st16StateOperators == 0,
+      s"expected zero state operators, saw ${streaming.StreamQueries.st16StateOperators}")
+  }
+
   test("st15 DRIVER QUERY: streamed DSIR scores equal the batch t18 importance weights") {
     val got = streaming.StreamQueries.st15StreamDsir(spark, TestSpark.sf)
       .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2))).toSeq
