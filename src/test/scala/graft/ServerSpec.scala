@@ -86,6 +86,44 @@ class ServerSpec extends AnyFunSuite {
     }
   }
 
+  test("stress: concurrent clients on distinct PKs all land under optimistic retry") {
+    val root = java.nio.file.Files.createTempDirectory("graft-server-mt").toString
+    val srv = new Server(spark, root, 0).start()
+    try {
+      val c0 = new Client(srv.boundPort)
+      assert(c0.exec("CREATE TABLE m (id INTEGER PRIMARY KEY, who STRING);").head
+        .contains("CREATE TABLE m"))
+      c0.close()
+      // 4 clients × 3 inserts each, truly concurrent: every statement
+      // must land (non-txn inserts serialize under optimistic retry),
+      // no response may be an error, and per-connection sessions must
+      // not cross-bind state under parallel execution
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration._
+      val results = Await.result(Future.sequence((0 until 4).map { ci =>
+        Future {
+          val c = new Client(srv.boundPort)
+          try (0 until 3).map { i =>
+            c.exec(s"INSERT INTO m VALUES (${ci * 10 + i}, 'c$ci');").head
+          } finally c.close()
+        }
+      }), 120.seconds)
+      val flat = results.flatten
+      assert(flat.size == 12 && flat.forall(_.startsWith("INSERT")),
+        s"some concurrent inserts failed: $flat")
+      val c1 = new Client(srv.boundPort)
+      try {
+        assert(c1.exec("SELECT count(*) AS n FROM m;").head == "12")
+        assert(c1.exec(
+          "SELECT count(DISTINCT who) AS w FROM m;").head == "4")
+      } finally c1.close()
+    } finally {
+      srv.close()
+      graft.sources.TableCatalog.deleteRecursively(java.nio.file.Paths.get(root))
+    }
+  }
+
   test("a dropped connection rolls back its open transaction") {
     val root = java.nio.file.Files.createTempDirectory("graft-server-rb").toString
     val srv = new Server(spark, root, 0).start()
