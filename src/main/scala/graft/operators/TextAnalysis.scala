@@ -913,6 +913,10 @@ object TextAnalysis {
   private val bpeMemo = new java.util.concurrent.ConcurrentHashMap[
     String, (Seq[(Int, String, String, Long)], Seq[String])]()
 
+  /** Spark rounds the last (uncached) t19 training run paid —
+    * observability for the batched-merge claim (−1 until it trains). */
+  private[graft] var t19TrainRounds: Int = -1
+
   private[graft] def bpeAssets(
       s: SparkSession, d: String): (Seq[(Int, String, String, Long)], Seq[String]) = {
     val key = FrameCache.sessionKey(s) + "|" + d
@@ -931,9 +935,43 @@ object TextAnalysis {
       concat(split(col("term"), ""), array(lit("</w>"))).as("seg"))
       .coalesce(8)
       .localCheckpoint()
+    // base vocabulary: every code point of the word table, sorted —
+    // a vocabulary-sized distinct, collected once alongside training.
+    // Also the training loop's CURRENT symbol set (base + products so
+    // far), which the batch-safety rule consults.
+    val baseChars = words
+      .select(explode(split(col("term"), "")).as("c")).distinct()
+      .orderBy("c").collect().map(_.getString(0)).toSeq
+    val currentSymbols = scala.collection.mutable.Set[String](baseChars: _*)
+    currentSymbols += "</w>"
+
+    // BATCHED training rounds: each round counts pairs ONCE, then
+    // accepts a greedy PREFIX of the (count DESC, l, r)-sorted
+    // candidates that is PROVABLY equal to applying them sequentially
+    // with recounts between — so a 30k-merge vocabulary no longer pays
+    // 30k Spark rounds, and the learned table is BIT-IDENTICAL to the
+    // sequential reference (the spec's merge-sequence equality is the
+    // proof). A candidate joins the batch only when sequential
+    // selection could not have diverged:
+    //  (1) no earlier candidate was rejected (a skipped pair stays in
+    //      play for the sequential recount);
+    //  (2) its symbols are disjoint from every accepted pair's symbols
+    //      AND products (applying accepted merges then cannot change
+    //      its count);
+    //  (3) its product is not an existing symbol (else an existing
+    //      pair's count could INCREASE through newly-minted symbols);
+    //  (4) its count STRICTLY exceeds every other collected pair that
+    //      interacts with the accepted symbols or its own (post-merge
+    //      counts of interacting pairs only fall, and new pairs are
+    //      bounded by the old interacting counts — strict dominance
+    //      also kills the equal-count lexicographic-flip case), and
+    //      strictly exceeds the collection tail bound when truncated.
+    // The batch is applied as ONE chained kernel pass + ONE checkpoint.
     val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
-    for (r <- 1 to BpeMerges) {
-      val best = seg
+    t19TrainRounds = 0
+    while (merges.size < BpeMerges) {
+      val topK = 256
+      val cand = seg
         .filter(size(col("seg")) >= 2)
         .select(col("freq"), explode(
           transform(sequence(lit(0), size(col("seg")) - 2),
@@ -942,18 +980,57 @@ object TextAnalysis {
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(sum(col("freq")).as("n"))
         .orderBy(col("n").desc, col("l"), col("r"))
-        .head()
-      val (l, rr, n) = (best.getString(0), best.getString(1), best.getLong(2))
-      merges += ((r, l, rr, n))
-      seg = seg.select(col("freq"),
-        bpe_merge(col("seg"), lit(l), lit(rr)).as("seg"))
-        .localCheckpoint()
+        .limit(topK)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      if (cand.isEmpty) {
+        // corpus fully collapsed before reaching the merge budget
+        t19TrainRounds += 1
+        bpeMemo.putIfAbsent(key, (merges.toSeq,
+          baseChars ++ Seq("</w>") ++ merges.map(m => m._2 + m._3)))
+        words.unpersist()
+        return bpeMemo.get(key)
+      }
+      val tailBound = if (cand.length == topK) cand.last._3 else 0L
+      val accepted = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+      val batchSyms = scala.collection.mutable.Set[String]()
+      var open = true
+      for ((l, r, n) <- cand if open && merges.size + accepted.size < BpeMerges) {
+        val ok =
+          if (accepted.isEmpty) true
+          else {
+            val mySyms = Set(l, r)
+            val touched = batchSyms ++ mySyms
+            (mySyms & batchSyms).isEmpty &&
+              !currentSymbols.contains(l + r) &&
+              n > tailBound &&
+              cand.forall { case (ql, qr, qn) =>
+                val qSyms = Set(ql, qr)
+                val interacts = (qSyms & touched).nonEmpty
+                val isAcceptedOrSelf =
+                  (ql == l && qr == r) || accepted.exists(a => a._1 == ql && a._2 == qr)
+                !interacts || isAcceptedOrSelf || qn < n
+              }
+          }
+        if (ok) {
+          accepted += ((l, r, n))
+          batchSyms += l; batchSyms += r; batchSyms += (l + r)
+          // a product colliding with an EXISTING symbol can inflate
+          // other pairs' counts through newly-minted symbols — no
+          // later batch member can be proven safe, close the batch
+          if (currentSymbols.contains(l + r)) open = false
+        } else open = false
+      }
+      var segCol: Column = col("seg")
+      accepted.foreach { case (l, r, _) =>
+        segCol = bpe_merge(segCol, lit(l), lit(r)) }
+      seg = seg.select(col("freq"), segCol.as("seg")).localCheckpoint()
+      accepted.foreach { case (l, r, n) =>
+        merges += ((merges.size + 1, l, r, n))
+        currentSymbols += (l + r)
+      }
+      t19TrainRounds += 1
     }
-    // base vocabulary: every code point of the word table, sorted —
-    // a vocabulary-sized distinct, collected once alongside training
-    val baseChars = words
-      .select(explode(split(col("term"), "")).as("c")).distinct()
-      .orderBy("c").collect().map(_.getString(0)).toSeq
     words.unpersist()
     val vocab = baseChars ++ Seq("</w>") ++ merges.map(m => m._2 + m._3)
     val computed = (merges.toSeq, vocab)

@@ -1158,6 +1158,13 @@ class OperatorsSpec extends AnyFunSuite {
     }
     assert(got == expect,
       s"merge sequences differ:\n got=$got\n exp=$expect")
+    // the batched trainer paid FEWER Spark rounds than merges while
+    // producing the sequential reference's exact table (asserted just
+    // above) — the proof the batch-safety rule is both sound and live
+    val rounds = operators.TextAnalysis.t19TrainRounds
+    assert(rounds >= 1 && rounds < 10,
+      s"batching must beat one-round-per-merge on this corpus (rounds=$rounds)")
+    info(s"t19 batched training: $rounds Spark rounds for 10 merges")
     // the kernel's non-overlap semantics, directly
     import org.apache.spark.unsafe.types.UTF8String
     val merged = graft.functions.Kernels.bpeMerge(
