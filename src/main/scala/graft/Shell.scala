@@ -18,10 +18,14 @@ import scala.util.control.NonFatal
   * reference's (entanglesql.rs:215-219): `graft> ` idle, `graft:txn> `
   * inside BEGIN, `graft@snapshot> ` inside READ ONLY / AS OF.
   *
-  * Usage: `runMain graft.Shell <catalog-root> [-e "stmt; stmt"]`.
-  * With `-e` the statements run once and the process exits (the
-  * reference client's positional-command mode, entanglesql.rs:37-39);
-  * otherwise the REPL reads stdin until EOF.
+  * Usage: `runMain graft.Shell <catalog-root> [-e "stmt; stmt"]`, or
+  * `runMain graft.Shell --connect host:port [-e …]` to run as a THIN
+  * REMOTE CLIENT against a running [[Server]] (the reference client's
+  * actual operation — entanglesql.rs connects over TCP and the
+  * session, transactions included, lives server-side; no local Spark
+  * starts in this mode). With `-e` the statements run once and the
+  * process exits (entanglesql.rs:37-39); otherwise input reads stdin
+  * until EOF.
   *
   * This object is the CLIENT surface (a human-usable SQL session over
   * the engine); the reference's server-socket surface is [[Server]],
@@ -148,26 +152,64 @@ object Shell {
       finally s.close()
     }
 
+  /** Remote-client mode: pipe `in` lines to a [[Server]] socket and
+    * print its responses — the reference client's connect-to-server
+    * operation (entanglesql.rs connects over TCP; the session,
+    * transactions included, lives server-side). Reader thread drains
+    * responses concurrently so a large result streams while the next
+    * statement is being typed; returns when the server closes. */
+  def connect(host: String, port: Int, in: Iterator[String],
+      out: PrintStream): Unit = {
+    val sock = new java.net.Socket(host, port)
+    val fromServer = new BufferedReader(
+      new InputStreamReader(sock.getInputStream, "UTF-8"))
+    val toServer = new java.io.PrintWriter(
+      new java.io.OutputStreamWriter(sock.getOutputStream, "UTF-8"), true)
+    val pump = new Thread(() =>
+      try Iterator.continually(fromServer.readLine()).takeWhile(_ != null)
+        .foreach(out.println)
+      catch { case NonFatal(_) => () }, "graft-client-pump")
+    pump.setDaemon(true)
+    pump.start()
+    try in.foreach(toServer.println)
+    finally {
+      try sock.shutdownOutput() catch { case NonFatal(_) => () }
+      pump.join(30000) // drain the tail of the server's responses
+      try sock.close() catch { case NonFatal(_) => () }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
-    val root = args.headOption.filterNot(_ == "-e").getOrElse("graft-data")
     val oneShot = args.indexOf("-e") match {
       case -1 => None
       case i if i + 1 < args.length => Some(args(i + 1))
       case _ => sys.error("-e requires an argument")
     }
+    def inputLines: Iterator[String] = oneShot match {
+      case Some(cmds) =>
+        Iterator(if (cmds.trim.endsWith(";")) cmds else cmds + ";")
+      case None =>
+        val reader = new BufferedReader(new InputStreamReader(System.in))
+        Iterator.continually(reader.readLine()).takeWhile(_ != null)
+    }
+    // --connect host:port → thin remote client, NO local Spark at all
+    // (the whole point of the server split: the client is a socket)
+    args.indexOf("--connect") match {
+      case i if i >= 0 && i + 1 < args.length =>
+        val Array(h, p) = args(i + 1).split(":", 2)
+        connect(h, p.toInt, inputLines, System.out)
+        return
+      case i if i >= 0 => sys.error("--connect requires host:port")
+      case _ =>
+    }
+    val root = args.headOption.filterNot(a => a == "-e" || a == "--connect")
+      .getOrElse("graft-data")
     val spark = GraftSession.builder(
       master = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
       .appName("graft-shell").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val g = new GraftSQL(spark, new TableCatalog(spark, root))
-    oneShot match {
-      case Some(cmds) =>
-        run(Iterator(if (cmds.trim.endsWith(";")) cmds else cmds + ";"),
-          System.out, g, interactive = false)
-      case None =>
-        val reader = new BufferedReader(new InputStreamReader(System.in))
-        run(Iterator.continually(reader.readLine()).takeWhile(_ != null), System.out, g)
-    }
+    run(inputLines, System.out, g, interactive = oneShot.isEmpty)
     spark.stop()
   }
 }

@@ -110,6 +110,28 @@ class ShellSpec extends AnyFunSuite {
       .dropWhile(_.trim.isEmpty).headOption.exists(_.trim == "1"), out)
   }
 
+  test("--connect mode: thin client drives a live Server socket, txn included") {
+    val root = java.nio.file.Files.createTempDirectory("graft-shell-conn").toString
+    val srv = new Server(spark, root, 0).start()
+    try {
+      val buf = new ByteArrayOutputStream()
+      Shell.connect("127.0.0.1", srv.boundPort, Iterator(
+        "CREATE TABLE ct (id INTEGER PRIMARY KEY, v STRING);",
+        "BEGIN;",
+        "INSERT INTO ct VALUES (1, 'remote');",
+        "COMMIT;",
+        "SELECT v FROM ct;"), new PrintStream(buf, true, "UTF-8"))
+      val out = buf.toString("UTF-8")
+      assert(out.contains("CREATE TABLE ct"), out)
+      assert(out.contains("BEGIN") && out.contains("COMMIT"), out)
+      assert(out.linesIterator.contains("remote"), out)
+      assert(!out.contains("Error:"), out)
+    } finally {
+      srv.close()
+      graft.sources.TableCatalog.deleteRecursively(java.nio.file.Paths.get(root))
+    }
+  }
+
   test("BEGIN READ ONLY snapshot prompt and rollback leave state intact") {
     val out = script(
       "CREATE TABLE r (id INTEGER PRIMARY KEY, v INTEGER);",
