@@ -489,16 +489,22 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
     // (rewritten) the analyzer
     val plan = spark.sessionState.sqlParser.parsePlan(s)
     lastPruned = Map.empty
-    // pruning reads the CURRENT manifest, so it applies only to the
-    // plain (unpinned) session — a txn/AS OF/READ ONLY session reads
-    // older versions whose file set the current stats don't describe
+    // pruning applies to the plain session (current manifest) AND to
+    // pinned READ ONLY / AS OF sessions (each manifest stores its own
+    // zone maps, so the pinned version prunes against ITS stats). A
+    // write txn stays unpruned: its reads merge staged dirs the
+    // manifest doesn't describe, and that path stays single-sourced.
     val prunes: Map[String, org.apache.spark.sql.Column] =
-      if (txn.isEmpty && roVersions.isEmpty) indexPrunes(plan)
+      if (txn.isEmpty) indexPrunes(plan)
       else Map.empty
     val bindings = lastRegistered.map { n =>
       n -> (prunes.get(n) match {
         case Some(f) =>
-          val (kept, all) = catalog.planFiles(n, f)
+          val (kept, all) = roVersions match {
+            case Some(vs) => catalog.planFilesAt(n,
+              vs.getOrElse(n, sys.error(s"no such table in snapshot: $n")), f)
+            case None => catalog.planFiles(n, f)
+          }
           lastPruned += n -> ((kept.size, all.size))
           catalog.scanFiles(n, kept)
         case None => currentScan(n)

@@ -761,10 +761,17 @@ class TableCatalog(spark: SparkSession, val root: String) {
     * whose stats are null-markers (all-NULL column, or untrustworthy
     * footer statistics) is always kept. Only a file with real stats
     * that provably exclude the predicate is dropped. */
-  def planFiles(name: String, filter: Column): (Seq[String], Seq[String]) = {
+  def planFiles(name: String, filter: Column): (Seq[String], Seq[String]) =
+    planFilesAt(name, meta(name).version, filter)
+
+  /** [[planFiles]] against a PINNED version's manifest + stats — every
+    * manifest stores its own zone maps, so time-travel / READ ONLY
+    * reads prune exactly like current ones (the read schema is the
+    * current one, matching [[asOf]]'s contract). */
+  def planFilesAt(name: String, version: Int, filter: Column): (Seq[String], Seq[String]) = {
     val m = meta(name)
-    val dirs = readManifest(name, m.version)
-    val stats = readStats(name, m.version)
+    val dirs = readManifest(name, version)
+    val stats = readStats(name, version)
     if (stats.isEmpty) return (dirs, dirs)
     // universe: the ACTUAL parquet files on disk per dir (a driver-side
     // listing — what Spark's scan planning does anyway), never the

@@ -239,6 +239,28 @@ class CatalogSpec extends AnyFunSuite {
     assert(cat.scan("zm", col("score") < lit(100.0)).count() == 200L)
   }
 
+  test("zone maps prune pinned READ ONLY reads against the PINNED version's stats") {
+    val cat = freshCatalog()
+    val g = new GraftSQL(spark, cat)
+    cat.createTable("zmv", StructType(Seq(StructField("id", LongType))))
+    for (b <- 0 until 3)
+      cat.insert("zmv", spark.range(b * 1000L, (b + 1) * 1000L).toDF("id"))
+    g.execute("BEGIN READ ONLY")
+    // a concurrent append lands AFTER the pin: the snapshot must
+    // neither read it nor prune against its manifest
+    cat.insert("zmv", spark.range(3000L, 4000L).toDF("id"))
+    val plan = g.execute("EXPLAIN SELECT id FROM zmv WHERE id >= 2500")
+      .collect().map(_.getString(0)).mkString("\n")
+    val m = "IndexPrune: zmv kept (\\d+)/(\\d+) files".r.findFirstMatchIn(plan)
+    assert(m.isDefined, s"pinned read must surface the prune:\n${plan.take(1500)}")
+    assert(m.get.group(1).toInt < m.get.group(2).toInt, plan)
+    assert(g.execute("SELECT count(*) AS n FROM zmv WHERE id >= 2500")
+      .collect().head.getLong(0) == 500L, "pinned read leaked the post-pin append")
+    g.execute("COMMIT")
+    assert(g.execute("SELECT count(*) AS n FROM zmv WHERE id >= 2500")
+      .collect().head.getLong(0) == 1500L, "current read must see the append")
+  }
+
   test("zone maps: footer stat rendering is sound across types — negative decimals, NaN, non-BMP strings, boundaries") {
     val cat = freshCatalog()
     val sc = StructType(Seq(
