@@ -773,7 +773,8 @@ object TextAnalysis {
     "t17_novelty"     -> (t17Novelty _),
     "t18_dsir_importance" -> (t18DsirImportance _),
     "t19_bpe_train"   -> (t19BpeTrain _),
-    "t20_tokenize"    -> (t20Tokenize _))
+    "t20_tokenize"    -> (t20Tokenize _),
+    "t21_ppl_bucket"  -> (t21PerplexityBucket _))
 
   /** t01's stopword-count heuristic is integer arithmetic over token
     * lists — DuckDB reproduces it exactly (list lambdas + the same
@@ -822,7 +823,8 @@ object TextAnalysis {
     "t14_bigram_lm"  -> t14OracleSql,
     "t16_keywords"   -> t16OracleSql,
     "t17_novelty"    -> t17OracleSql,
-    "t18_dsir_importance" -> t18OracleSql)
+    "t18_dsir_importance" -> t18OracleSql,
+    "t21_ppl_bucket" -> t21OracleSql)
 
   // ---------------------------------------------------------------- t18
   /** t18: DSIR-style importance weighting (Xie et al. 2023, "Data
@@ -1090,4 +1092,93 @@ object TextAnalysis {
       |  GROUP BY doc_id)
       |SELECT doc_id, dsir_score, dsir_score > 0 AS keep
       |FROM sc ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- t21
+  /** t21: CCNet-style PERPLEXITY BUCKETING (Wenzek et al. 2020,
+    * "CCNet: Extracting High Quality Monolingual Datasets from Web
+    * Crawl Data") — the model-based quality gate the big web-crawl
+    * pipelines actually ship: train a bigram LM on a TRUSTED slice
+    * (CCNet uses Wikipedia; here the stand-in is `lang='en' AND
+    * source IN ('src0','src1')`), score EVERY document's perplexity
+    * against it, and split the corpus into head/middle/tail tertiles.
+    * Unlike t14 (the LM is self-trained on the full corpus, so every
+    * bigram is seen), scoring against a held-out LM needs smoothing:
+    * add-1 over the trusted vocabulary, P(w2|w1) = (n2+1)/(n1+V) with
+    * unseen counts coalesced to 0 — a document the trusted model has
+    * never seen words from still gets a finite (large) perplexity.
+    *
+    * Scale shape (the t18 discipline): the LM tables are aggregates
+    * of the TRUSTED slice only — vocabulary-sized, AQE-broadcast when
+    * they fit, graceful shuffle join when they don't; V rides a 1-row
+    * broadcast. The corpus pays one explode-join-agg pass; its text
+    * never shuffles, bigram terms do (as in t05/t08). The tertile
+    * thresholds are the p09/p14 pattern — a 1-row exact-percentile
+    * aggregate ([[Scale.pctl]], so `spark.graft.percentile.approx`
+    * swaps in the mergeable sketch at 100 TB) broadcast back for a
+    * stateless comparison — NOT a global NTILE window, which would
+    * funnel every row through one partition. 4-decimal rounding on
+    * ppl per the t13/t14/t18 ln-precision precedent. */
+  def t21PerplexityBucket(s: SparkSession, d: String): DataFrame = {
+    val pairsOf = (df: DataFrame) => df
+      .select(col("doc_id"), termsArrayCol.as("l"))
+      .filter(size(col("l")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(l) - 1),
+           |  i -> struct(element_at(l, i) AS w1, element_at(l, i + 1) AS w2))"""
+          .stripMargin)).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val docs = Tables.documents(s, d)
+    val tp = pairsOf(docs.filter(col("lang") === "en" &&
+      col("source").isin("src0", "src1")))
+    val c2 = tp.groupBy("w1", "w2").agg(count(lit(1)).as("n2"))
+    val c1 = tp.groupBy("w1").agg(count(lit(1)).as("n1"))
+    val v = tp.agg(countDistinct(col("w2")).as("v"))
+    val scored = pairsOf(docs)
+      .join(c2, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .crossJoin(broadcast(v))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_bigrams"),
+        (round(exp(-avg(log(
+          (coalesce(col("n2"), lit(0L)) + lit(1)).cast("double") /
+            (coalesce(col("n1"), lit(0L)) + col("v")).cast("double")))), 4)
+          + lit(0.0)).as("ppl"))
+    val th = broadcast(scored.agg(
+      Scale.pctl(s, col("ppl"), 1.0 / 3).as("t1"),
+      Scale.pctl(s, col("ppl"), 2.0 / 3).as("t2")))
+    scored.crossJoin(th)
+      .select(col("doc_id"), col("n_bigrams"), col("ppl"),
+        when(col("ppl") <= col("t1"), "head")
+          .when(col("ppl") <= col("t2"), "middle")
+          .otherwise("tail").as("bucket"))
+      .orderBy("doc_id")
+  }
+
+  lazy val t21OracleSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, lang, source,
+      |         list_filter(string_split(lower(text), ' '), x -> x <> '') AS l
+      |  FROM documents
+      |),
+      |pairs AS (
+      |  SELECT doc_id, lang, source,
+      |         unnest([{'w1': l[i], 'w2': l[i+1]} for i in generate_series(1, len(l)-1)],
+      |                recursive := true)
+      |  FROM toks WHERE len(l) >= 2
+      |),
+      |tp AS (SELECT w1, w2 FROM pairs WHERE lang = 'en' AND source IN ('src0', 'src1')),
+      |c2 AS (SELECT w1, w2, COUNT(*) AS n2 FROM tp GROUP BY 1, 2),
+      |c1 AS (SELECT w1, COUNT(*) AS n1 FROM tp GROUP BY 1),
+      |vv AS (SELECT COUNT(DISTINCT w2) AS v FROM tp),
+      |scored AS (
+      |  SELECT p.doc_id, CAST(COUNT(*) AS INT) AS n_bigrams,
+      |         ROUND(EXP(-AVG(LN(CAST(COALESCE(n2, 0) + 1 AS DOUBLE) /
+      |                           CAST(COALESCE(n1, 0) + v AS DOUBLE)))), 4) + 0.0 AS ppl
+      |  FROM pairs p LEFT JOIN c2 USING (w1, w2) LEFT JOIN c1 USING (w1) CROSS JOIN vv
+      |  GROUP BY p.doc_id
+      |),
+      |th AS (SELECT quantile_cont(ppl, 1.0/3) AS t1, quantile_cont(ppl, 2.0/3) AS t2 FROM scored)
+      |SELECT doc_id, n_bigrams, ppl,
+      |       CASE WHEN ppl <= t1 THEN 'head' WHEN ppl <= t2 THEN 'middle' ELSE 'tail' END AS bucket
+      |FROM scored CROSS JOIN th ORDER BY doc_id""".stripMargin
 }

@@ -1395,6 +1395,27 @@ class OperatorsSpec extends AnyFunSuite {
       "src0 documents must average higher under the src0-target LLR")
   }
 
+  test("t21 perplexity buckets: tertiles partition the corpus and order by ppl") {
+    val rows = TextAnalysis.queries("t21_ppl_bucket")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(2), r.getString(3)))
+    // every scored doc lands in exactly one bucket, all three in use
+    val byBucket = rows.groupBy(_._3).view.mapValues(_.map(_._2)).toMap
+    assert(byBucket.keySet == Set("head", "middle", "tail"), byBucket.keySet)
+    // the buckets are ppl-ordered: no head doc is more perplexing than
+    // any middle doc, none of middle worse than any tail doc — the
+    // threshold-comparison assignment's defining property
+    assert(byBucket("head").max <= byBucket("middle").min)
+    assert(byBucket("middle").max <= byBucket("tail").min)
+    // tertile thresholds keep the split roughly balanced (ties at a
+    // boundary may shift a few docs — allow a wide band, not a wobble)
+    val n = rows.length
+    byBucket.values.foreach(b =>
+      assert(b.length > n / 6 && b.length < n / 2, s"unbalanced: ${byBucket.view.mapValues(_.length).toMap}"))
+    // a doc the trusted LM has never seen a single bigram of still
+    // scores finite: the add-1 smoothing contract
+    assert(rows.forall(r => !r._2.isNaN && !r._2.isInfinite && r._2 > 0))
+  }
+
   test("q70 TWAP: per-user-day recompute matches; weights cover the observed span") {
     val rows = Relational.queries("q70_time_weighted_avg")(spark, sf).collect()
       .map(r => ((r.getLong(0), r.getTimestamp(1)), (r.getInt(2), r.getLong(3), r.getDouble(4))))
