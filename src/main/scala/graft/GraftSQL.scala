@@ -212,11 +212,14 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
         val g = catalog.compactJournal()
         Seq(s"COMPACT JOURNAL -> g$g").toDF("status")
 
-      case compactRe(name) =>
+      case compactRe(name, orderBy) =>
         require(txn.isEmpty, "COMPACT TABLE: not inside a transaction")
         require(!readOnly, "read-only transaction")
-        val v = catalog.compact(name)
-        Seq(s"COMPACT TABLE $name -> v$v").toDF("status")
+        val cols = Option(orderBy).toSeq
+          .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+        val v = catalog.compact(name, cols)
+        val suffix = if (cols.isEmpty) "" else s" ORDER BY ${cols.mkString(", ")}"
+        Seq(s"COMPACT TABLE $name$suffix -> v$v").toDF("status")
 
       case restoreRe(name, ver) =>
         require(txn.isEmpty, "RESTORE TABLE: not inside a transaction")
@@ -823,7 +826,9 @@ object GraftSQL {
   private val deleteRe = raw"(?is)DELETE\s+FROM\s+(\w+)(?:\s+WHERE(?![A-Za-z0-9_])\s*(.*))?\s*".r
   // maintenance statements (beyond the reference surface — the
   // lakehouse operations an append-heavy managed table needs)
-  private val compactRe = raw"(?is)COMPACT\s+TABLE\s+(\w+)\s*".r
+  // optional ORDER BY = clustered rewrite (zone-map selectivity on
+  // non-indexed columns — the lakehouse OPTIMIZE-with-clustering form)
+  private val compactRe = raw"(?is)COMPACT\s+TABLE\s+(\w+)(?:\s+ORDER\s+BY\s+([\w\s,]+?))?\s*".r
   private val compactJournalRe = raw"(?is)COMPACT\s+JOURNAL\s*".r
   // metadata-only schema evolution (beyond the reference surface)
   private val alterAddRe  = raw"(?is)ALTER\s+TABLE\s+(\w+)\s+ADD\s+COLUMN\s+(.*)".r

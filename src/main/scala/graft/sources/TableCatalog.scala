@@ -1291,12 +1291,13 @@ class TableCatalog(spark: SparkSession, val root: String) {
     * row-preserving rewrites (compaction), where the rows already
     * satisfied every constraint when first published. */
   private def rewriteAttempt(name: String, m: TableMeta, fp: Map[String, Long],
-      df: DataFrame, revalidate: Boolean = true): Option[Int] = {
+      df: DataFrame, revalidate: Boolean = true,
+      layoutOverride: Seq[String] = Nil): Option[Int] = {
     val next = m.version + 1
     val rel = s"data/snap-$next-${TableCatalog.freshSuffix()}"
     try {
       if (revalidate) validate(m, name, df.cache())
-      writeData(m, df, absTableDir(name).resolve(rel).toString)
+      writeData(m, df, absTableDir(name).resolve(rel).toString, layoutOverride)
     } finally df.unpersist() // a failed validation must not leak cache
     val stats = collectStats(m, name, rel)
     val ok =
@@ -1419,12 +1420,30 @@ class TableCatalog(spark: SparkSession, val root: String) {
     * Rows are bit-identical (no validation re-run — they already
     * satisfied every constraint when first published); history stays
     * time-travelable; concurrent writers win races normally (the
-    * compactor retries or gives up like any optimistic writer). */
-  def compact(name: String): Int =
+    * compactor retries or gives up like any optimistic writer).
+    *
+    * `orderBy` (SQL: `COMPACT TABLE t ORDER BY c1, c2`) CLUSTERS the
+    * rewrite on arbitrary columns instead of the index set — the
+    * OPTIMIZE-with-clustering lever of the lakehouse formats: since
+    * EVERY numeric/string column gets manifest zone maps at publish,
+    * sorting the data on a hot filter column makes its per-file ranges
+    * disjoint, i.e. makes [[planFiles]] SELECTIVE on it, without
+    * declaring an index (no metadata change; a later plain COMPACT
+    * restores the index-sorted layout). Pruning soundness never
+    * depends on layout — clustering only changes how MUCH is skipped. */
+  def compact(name: String, orderBy: Seq[String] = Nil): Int =
     publishWithRetry(s"COMPACT $name") { () =>
       val m = meta(name)
+      val layout = orderBy.map { c =>
+        val f = m.schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
+          throw new IllegalArgumentException(s"COMPACT $name ORDER BY: no such column $c"))
+        require(indexable(f.dataType),
+          s"COMPACT $name ORDER BY ${f.name}: unorderable type ${f.dataType}")
+        f.name
+      }
       val fp = fkFingerprint(name, m)
-      rewriteAttempt(name, m, fp, scan(name), revalidate = false)
+      rewriteAttempt(name, m, fp, scan(name), revalidate = false,
+        layoutOverride = layout)
     }
 
   /** POST-HOC secondary index (`CREATE INDEX ON t (col)`): two
@@ -1633,11 +1652,13 @@ class TableCatalog(spark: SparkSession, val root: String) {
     * min/max stats selective. (The clustered-storage analog of the
     * reference's B-tree secondary index: on immutable columnar files,
     * an index IS sort order + zone metadata.) */
-  private def writeData(m: TableMeta, df: DataFrame, dir: String): Unit = {
+  private def writeData(m: TableMeta, df: DataFrame, dir: String,
+      layoutOverride: Seq[String] = Nil): Unit = {
+    val layout = if (layoutOverride.nonEmpty) layoutOverride else m.indexes
     val out =
-      if (m.indexes.isEmpty) df
+      if (layout.isEmpty) df
       else {
-        val cols = m.indexes.map(col)
+        val cols = layout.map(col)
         df.repartitionByRange(spark.sparkContext.defaultParallelism, cols: _*)
           .sortWithinPartitions(cols: _*)
       }

@@ -239,6 +239,33 @@ class CatalogSpec extends AnyFunSuite {
     assert(cat.scan("zm", col("score") < lit(100.0)).count() == 200L)
   }
 
+  test("COMPACT ORDER BY clusters a non-indexed column: zone maps turn selective, answer unchanged") {
+    val cat = freshCatalog()
+    val g = new GraftSQL(spark, cat)
+    cat.createTable("cl", StructType(Seq(
+      StructField("id", LongType), StructField("score", DoubleType))))
+    // three interleaved batches: every file spans the FULL score range,
+    // so a score predicate can prune nothing
+    for (b <- 0 until 3)
+      cat.insert("cl", spark.range(b * 1000L, (b + 1) * 1000L).toDF("id")
+        .withColumn("score", (col("id") % 100).cast("double")))
+    val pred = col("score") >= 90.0
+    val (k0, a0) = cat.planFiles("cl", pred)
+    assert(k0.size == a0.size, s"interleaved layout must not prune: ${k0.size}/${a0.size}")
+    val before = cat.scan("cl").filter(pred).agg(sum("id")).collect().head.getLong(0)
+    val st = g.execute("COMPACT TABLE cl ORDER BY score").collect().head.getString(0)
+    assert(st.contains("ORDER BY score"), st)
+    val (k1, a1) = cat.planFiles("cl", pred)
+    assert(a1.size > 1, "clustered rewrite must keep multiple files for pruning to mean anything")
+    assert(k1.size < a1.size, s"clustered layout must prune: kept ${k1.size}/${a1.size}")
+    assert(cat.scan("cl").filter(pred).agg(sum("id")).collect().head.getLong(0) == before,
+      "clustering must not change the answer")
+    // unknown columns refuse loudly, and the failed attempt publishes nothing
+    val v = cat.currentVersion("cl")
+    intercept[IllegalArgumentException](cat.compact("cl", Seq("nope")))
+    assert(cat.currentVersion("cl") == v)
+  }
+
   test("zone maps prune pinned READ ONLY reads against the PINNED version's stats") {
     val cat = freshCatalog()
     val g = new GraftSQL(spark, cat)
