@@ -774,7 +774,8 @@ object TextAnalysis {
     "t18_dsir_importance" -> (t18DsirImportance _),
     "t19_bpe_train"   -> (t19BpeTrain _),
     "t20_tokenize"    -> (t20Tokenize _),
-    "t21_ppl_bucket"  -> (t21PerplexityBucket _))
+    "t21_ppl_bucket"  -> (t21PerplexityBucket _),
+    "t22_nb_quality"  -> (t22NbQuality _))
 
   /** t01's stopword-count heuristic is integer arithmetic over token
     * lists — DuckDB reproduces it exactly (list lambdas + the same
@@ -824,7 +825,8 @@ object TextAnalysis {
     "t16_keywords"   -> t16OracleSql,
     "t17_novelty"    -> t17OracleSql,
     "t18_dsir_importance" -> t18OracleSql,
-    "t21_ppl_bucket" -> t21OracleSql)
+    "t21_ppl_bucket" -> t21OracleSql,
+    "t22_nb_quality" -> t22OracleSql)
 
   // ---------------------------------------------------------------- t18
   /** t18: DSIR-style importance weighting (Xie et al. 2023, "Data
@@ -1153,6 +1155,111 @@ object TextAnalysis {
           .otherwise("tail").as("bucket"))
       .orderBy("doc_id")
   }
+
+  // ---------------------------------------------------------------- t22
+  /** t22: fastText-style NAIVE-BAYES QUALITY CLASSIFIER (Joulin et al.
+    * 2016 "Bag of Tricks for Efficient Text Classification"; the
+    * GPT-3 pipeline's quality filter, Brown et al. 2020 Appendix A,
+    * trains exactly this shape against a trusted positive class) —
+    * the SUPERVISED complement to t21's generative perplexity gate:
+    * label the trusted slice positive (same stand-in slice as t21:
+    * `lang='en' AND source IN ('src0','src1')`), everything else
+    * negative, featurize as word unigrams + bigrams (fastText's
+    * signature feature set), train multinomial NB with add-1
+    * smoothing over the corpus feature vocabulary, and score every
+    * document with its log-odds
+    * ln(P(pos)/P(neg)) + Σ_f [ln P(f|pos) − ln P(f|neg)].
+    * NB is the right classifier HERE because training is a single
+    * counting aggregation — no gradient rounds, fully deterministic,
+    * so the whole train+score run is one DuckDB-checkable dataflow
+    * (an SGD fastText would be iteration-ordered and unverifiable).
+    *
+    * Scale shape (the t18/t21 discipline): the trained model IS the
+    * per-feature class-count table — vocabulary-sized, AQE-broadcast
+    * when it fits; totals and document priors ride 1-row broadcasts.
+    * The corpus pays one explode-join-agg pass; document text never
+    * shuffles, feature terms do (as in t05/t08/t21). At production
+    * vocabulary sizes the `feat` string key becomes fastText's hashed
+    * feature id ([[graft.functions.fingerprint64]] — 8 bytes/row
+    * through the shuffle instead of a string, collisions folded like
+    * fastText's 10M-bucket table); kept as the raw term here so the
+    * oracle can recompute the exact model. 4-decimal rounding on the
+    * ln-sum per the t13/t14/t18/t21 precedent; `pred_trusted`
+    * compares the ROUNDED score in both engines so the boundary can
+    * never hinge on sub-ulp float agreement. */
+  def t22NbQuality(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val posCol = col("lang") === "en" && col("source").isin("src0", "src1")
+    val base = docs.select(col("doc_id"), posCol.as("pos"),
+      termsArrayCol.as("l"))
+    val uni = base.select(col("doc_id"), col("pos"),
+      explode(col("l")).as("feat"))
+    val bi = base.filter(size(col("l")) >= 2)
+      .select(col("doc_id"), col("pos"), explode(expr(
+        """transform(sequence(1, size(l) - 1),
+           |  i -> concat(element_at(l, i), ' ', element_at(l, i + 1)))"""
+          .stripMargin)).as("feat"))
+    val feats = uni.unionAll(bi)
+    // the trained model: per-feature class counts (vocabulary-sized)
+    val ft = feats.groupBy("feat").agg(
+      sum(when(col("pos"), 1L).otherwise(0L)).as("np"),
+      sum(when(!col("pos"), 1L).otherwise(0L)).as("nn"))
+    val tot = ft.agg(sum("np").as("tp"), sum("nn").as("tn"),
+      count(lit(1)).as("v"))
+    val pri = docs.agg(
+      sum(when(posCol, 1L).otherwise(0L)).as("dp"),
+      sum(when(!posCol, 1L).otherwise(0L)).as("dn"))
+    val llr =
+      log((col("np") + lit(1)).cast("double") /
+        (col("tp") + col("v")).cast("double")) -
+      log((col("nn") + lit(1)).cast("double") /
+        (col("tn") + col("v")).cast("double"))
+    feats.join(ft, "feat") // total: ft was built from these same rows
+      .crossJoin(broadcast(tot))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_feats"), sum(llr).as("llr"))
+      .crossJoin(broadcast(pri))
+      .select(col("doc_id"), col("n_feats"),
+        (round(log(col("dp").cast("double") / col("dn").cast("double"))
+          + col("llr"), 4) + lit(0.0)).as("nb_score"))
+      .withColumn("pred_trusted", col("nb_score") > 0)
+      .orderBy("doc_id")
+  }
+
+  lazy val t22OracleSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, (lang = 'en' AND source IN ('src0', 'src1')) AS pos,
+      |         list_filter(string_split(lower(text), ' '), x -> x <> '') AS l
+      |  FROM documents
+      |),
+      |feats AS (
+      |  SELECT doc_id, pos, unnest(l) AS feat FROM toks
+      |  UNION ALL
+      |  SELECT doc_id, pos,
+      |         unnest([l[i] || ' ' || l[i+1] for i in generate_series(1, len(l)-1)]) AS feat
+      |  FROM toks WHERE len(l) >= 2
+      |),
+      |ft AS (SELECT feat,
+      |              SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS np,
+      |              SUM(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS nn
+      |       FROM feats GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(np) AS BIGINT) AS tp, CAST(SUM(nn) AS BIGINT) AS tn,
+      |               COUNT(*) AS v FROM ft),
+      |pri AS (SELECT SUM(CASE WHEN lang = 'en' AND source IN ('src0', 'src1')
+      |                        THEN 1 ELSE 0 END) AS dp,
+      |               SUM(CASE WHEN NOT (lang = 'en' AND source IN ('src0', 'src1'))
+      |                        THEN 1 ELSE 0 END) AS dn
+      |        FROM documents),
+      |sc AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS INT) AS n_feats,
+      |         SUM(LN(CAST(np + 1 AS DOUBLE) / CAST(tp + v AS DOUBLE))
+      |           - LN(CAST(nn + 1 AS DOUBLE) / CAST(tn + v AS DOUBLE))) AS llr
+      |  FROM feats JOIN ft USING (feat) CROSS JOIN tot
+      |  GROUP BY doc_id)
+      |SELECT doc_id, n_feats,
+      |       ROUND(LN(CAST(dp AS DOUBLE) / dn) + llr, 4) + 0.0 AS nb_score,
+      |       (ROUND(LN(CAST(dp AS DOUBLE) / dn) + llr, 4) + 0.0) > 0 AS pred_trusted
+      |FROM sc CROSS JOIN pri ORDER BY doc_id""".stripMargin
 
   lazy val t21OracleSql: String =
     """WITH toks AS (

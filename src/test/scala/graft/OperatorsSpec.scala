@@ -1416,6 +1416,52 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rows.forall(r => !r._2.isNaN && !r._2.isInfinite && r._2 > 0))
   }
 
+  test("t22 NB classifier: separates the trusted slice; scores match an independent driver NB") {
+    val rows = TextAnalysis.queries("t22_nb_quality")(spark, sf)
+      .collect().map(r => (r.getLong(0), (r.getInt(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    val docs = sources.Tables.documents(spark, sf)
+      .select("doc_id", "lang", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    // independent driver-side NB: same featurization, same smoothing,
+    // no Spark expressions involved
+    def featsOf(text: String): Seq[String] = {
+      val toks = text.toLowerCase.split(" ", -1).filter(_.nonEmpty).toSeq
+      toks ++ toks.sliding(2).collect { case Seq(a, b) => s"$a $b" }
+    }
+    val isPos = (l: String, s: String) => l == "en" && (s == "src0" || s == "src1")
+    val np = collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    val nn = collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    docs.foreach { case (_, l, s, t) =>
+      val m = if (isPos(l, s)) np else nn
+      featsOf(t).foreach(f => m(f) += 1)
+    }
+    val v = (np.keySet ++ nn.keySet).size
+    val (tp, tn) = (np.values.sum, nn.values.sum)
+    val dp = docs.count(d => isPos(d._2, d._3)).toDouble
+    val dn = docs.length - dp
+    var checked = 0
+    docs.foreach { case (id, _, _, t) =>
+      val fs = featsOf(t)
+      if (fs.nonEmpty) {
+        val score = math.log(dp / dn) + fs.map(f =>
+          math.log((np(f) + 1.0) / (tp + v)) - math.log((nn(f) + 1.0) / (tn + v))).sum
+        val (nf, got, pred) = rows(id)
+        assert(nf == fs.length, s"doc $id: n_feats $nf vs ${fs.length}")
+        assert(math.abs(got - score) < 1e-3, s"doc $id: $got vs $score")
+        assert(pred == (got > 0))
+        checked += 1
+      }
+    }
+    assert(checked > docs.length / 2)
+    // the classifier's purpose: the trusted slice averages higher
+    val (pos, neg) = docs.filter(d => rows.contains(d._1))
+      .partition(d => isPos(d._2, d._3))
+    assert(pos.nonEmpty && neg.nonEmpty)
+    assert(pos.map(d => rows(d._1)._2).sum / pos.length >
+      neg.map(d => rows(d._1)._2).sum / neg.length,
+      "trusted documents must average a higher NB log-odds")
+  }
+
   test("q70 TWAP: per-user-day recompute matches; weights cover the observed span") {
     val rows = Relational.queries("q70_time_weighted_avg")(spark, sf).collect()
       .map(r => ((r.getLong(0), r.getTimestamp(1)), (r.getInt(2), r.getLong(3), r.getDouble(4))))
