@@ -605,6 +605,54 @@ object Sampling {
        |FROM rk JOIN ofs ON rk.stage = ofs.stage
        |ORDER BY position""".stripMargin
 
+  // ---------------------------------------------------------------- p15
+  /** p15: PARETO-ACCEPTANCE selection over the t22 classifier score —
+    * GPT-3's documented filtering rule verbatim (Brown et al. 2020,
+    * Appendix A: "kept documents if np.random.pareto(α) >
+    * 1 − document_score", α = 9): instead of a hard threshold, every
+    * document gets a heavy-tailed acceptance draw, so low-scoring
+    * documents still enter the corpus at a small, principled rate —
+    * the diversity-preserving soft filter the hard p09 quantile gate
+    * cannot express. `document_score` is the NB posterior
+    * σ(nb_score); the Pareto draw inverts numpy's Lomax CDF,
+    * (1−u)^(−1/α) − 1, with u the DETERMINISTIC p10 LCG uniform —
+    * reprocessing-stable and DuckDB-recomputable end-to-end where an
+    * RNG would be neither. Composes t22's [[TextAnalysis.nbScored]]
+    * frame directly (the e05/p11 cross-operator precedent): one
+    * definition of the classifier, zero drift.
+    *
+    * Scale shape: inherits t22's (model = vocabulary-sized broadcast
+    * table; corpus text never shuffles); the acceptance rule itself
+    * is a stateless per-row expression — zero additional exchanges.
+    * Draw and score are 4-dp rounded BEFORE the comparison in both
+    * engines, so keep-membership can never hinge on sub-ulp libm
+    * agreement (the t13/t21 precedent applied to a boundary). */
+  def p15ParetoSelect(s: SparkSession, d: String): DataFrame = {
+    val prf = (pmod(col("doc_id"), lit(2147483648L)) * lit(1103515245L)
+      + lit(54321L)) % lit(2147483648L)
+    val u = prf.cast("double") / lit(2147483648.0)
+    val draw = round(pow(lit(1.0) - u, lit(-1.0 / 9.0)) - lit(1.0), 4) + lit(0.0)
+    val score = round(lit(1.0) / (lit(1.0) + exp(-col("nb_score"))), 4) + lit(0.0)
+    TextAnalysis.nbScored(s, d)
+      .select(col("doc_id"), col("nb_score"),
+        score.as("doc_score"), draw.as("pareto_draw"))
+      .withColumn("keep", col("pareto_draw") > lit(1.0) - col("doc_score"))
+      .orderBy("doc_id")
+  }
+
+  val p15OracleSql: String =
+    s"""WITH ${graft.operators.TextAnalysis.nbCtesSql},
+       |dr AS (
+       |  SELECT doc_id, nb_score,
+       |         ROUND(1.0 / (1.0 + EXP(-nb_score)), 4) + 0.0 AS doc_score,
+       |         ROUND(POWER(1.0 - (((doc_id % 2147483648) * 1103515245 + 54321)
+       |                 % 2147483648) / 2147483648.0, -1.0 / 9.0) - 1.0, 4) + 0.0
+       |           AS pareto_draw
+       |  FROM nbsc)
+       |SELECT doc_id, nb_score, doc_score, pareto_draw,
+       |       pareto_draw > 1.0 - doc_score AS keep
+       |FROM dr ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_hash_split"        -> (p01HashSplit _),
     "p02_stratified_sample" -> (p02StratifiedSample _),
@@ -619,7 +667,8 @@ object Sampling {
     "p11_leak_safe_split"   -> (p11LeakSafeSplit _),
     "p12_interleave"        -> (p12Interleave _),
     "p13_upsample"          -> (p13Upsample _),
-    "p14_curriculum"        -> (p14Curriculum _))
+    "p14_curriculum"        -> (p14Curriculum _),
+    "p15_pareto_select"     -> (p15ParetoSelect _))
 
   // p01/p02 rows-only: engine-specific RNG/hash
   val oracleSql: Map[String, String] = Map(
@@ -634,5 +683,6 @@ object Sampling {
     "p11_leak_safe_split" -> p11OracleSql,
     "p12_interleave" -> p12OracleSql,
     "p13_upsample" -> p13OracleSql,
-    "p14_curriculum" -> p14OracleSql)
+    "p14_curriculum" -> p14OracleSql,
+    "p15_pareto_select" -> p15OracleSql)
 }

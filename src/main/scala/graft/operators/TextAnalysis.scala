@@ -1187,7 +1187,11 @@ object TextAnalysis {
     * ln-sum per the t13/t14/t18/t21 precedent; `pred_trusted`
     * compares the ROUNDED score in both engines so the boundary can
     * never hinge on sub-ulp float agreement. */
-  def t22NbQuality(s: SparkSession, d: String): DataFrame = {
+  /** The trained-and-scored NB frame (doc_id, n_feats, nb_score) —
+    * shared by t22 and p15's Pareto selection (Sampling.scala), the
+    * [[Dedup.clusterMap]] cross-operator precedent: ONE definition of
+    * the classifier, zero drift between the scorer and its consumer. */
+  private[graft] def nbScored(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val posCol = col("lang") === "en" && col("source").isin("src0", "src1")
     val base = docs.select(col("doc_id"), posCol.as("pos"),
@@ -1222,12 +1226,18 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_feats"),
         (round(log(col("dp").cast("double") / col("dn").cast("double"))
           + col("llr"), 4) + lit(0.0)).as("nb_score"))
-      .withColumn("pred_trusted", col("nb_score") > 0)
-      .orderBy("doc_id")
   }
 
-  lazy val t22OracleSql: String =
-    """WITH toks AS (
+  def t22NbQuality(s: SparkSession, d: String): DataFrame =
+    nbScored(s, d)
+      .withColumn("pred_trusted", col("nb_score") > 0)
+      .orderBy("doc_id")
+
+  /** t22's train+score dataflow as DuckDB CTEs ending in
+    * `nbsc(doc_id, n_feats, nb_score)` — shared with p15's oracle
+    * (the [[Dedup.clusterCtesSql]] precedent). */
+  private[graft] lazy val nbCtesSql: String =
+    """toks AS (
       |  SELECT doc_id, (lang = 'en' AND source IN ('src0', 'src1')) AS pos,
       |         list_filter(string_split(lower(text), ' '), x -> x <> '') AS l
       |  FROM documents
@@ -1255,11 +1265,16 @@ object TextAnalysis {
       |         SUM(LN(CAST(np + 1 AS DOUBLE) / CAST(tp + v AS DOUBLE))
       |           - LN(CAST(nn + 1 AS DOUBLE) / CAST(tn + v AS DOUBLE))) AS llr
       |  FROM feats JOIN ft USING (feat) CROSS JOIN tot
-      |  GROUP BY doc_id)
-      |SELECT doc_id, n_feats,
-      |       ROUND(LN(CAST(dp AS DOUBLE) / dn) + llr, 4) + 0.0 AS nb_score,
-      |       (ROUND(LN(CAST(dp AS DOUBLE) / dn) + llr, 4) + 0.0) > 0 AS pred_trusted
-      |FROM sc CROSS JOIN pri ORDER BY doc_id""".stripMargin
+      |  GROUP BY doc_id),
+      |nbsc AS (
+      |  SELECT doc_id, n_feats,
+      |         ROUND(LN(CAST(dp AS DOUBLE) / dn) + llr, 4) + 0.0 AS nb_score
+      |  FROM sc CROSS JOIN pri)""".stripMargin
+
+  lazy val t22OracleSql: String =
+    s"""WITH $nbCtesSql
+       |SELECT doc_id, n_feats, nb_score, nb_score > 0 AS pred_trusted
+       |FROM nbsc ORDER BY doc_id""".stripMargin
 
   lazy val t21OracleSql: String =
     """WITH toks AS (

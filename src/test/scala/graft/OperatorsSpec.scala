@@ -1605,6 +1605,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rows.nonEmpty)
   }
 
+  test("p15 Pareto selection: rule holds row-wise; acceptance is score-monotone in aggregate") {
+    val rows = Sampling.queries("p15_pareto_select")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3), r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, score, draw, keep) =>
+      // the GPT-3 rule verbatim, on the engine's own rounded columns
+      assert(keep == (draw > 1.0 - score), s"doc $id")
+      assert(draw >= 0.0 && score >= 0.0 && score <= 1.0, s"doc $id")
+      // a draw past the whole score range keeps unconditionally
+      if (draw > 1.0) assert(keep, s"doc $id: draw $draw must keep")
+    }
+    // heavy-tailed draws actually occur (P(draw > 0.1) ≈ 0.42/doc)
+    assert(rows.map(_._3).max > 0.1)
+    // the soft filter is still a filter: high-score docs are accepted
+    // at a strictly higher rate than low-score docs
+    val (hi, lo) = rows.partition(_._2 >= 0.5)
+    if (hi.nonEmpty && lo.nonEmpty) {
+      val rate = (g: Array[(Long, Double, Double, Boolean)]) =>
+        g.count(_._4).toDouble / g.length
+      assert(rate(hi) > rate(lo),
+        s"acceptance must favor high scores: ${rate(hi)} vs ${rate(lo)}")
+    }
+  }
+
   test("p13 upsample: copy counts deterministic, contiguous, near weight*n per class") {
     val rows = Sampling.queries("p13_upsample")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
