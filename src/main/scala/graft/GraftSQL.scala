@@ -39,7 +39,7 @@ import org.apache.spark.sql.types._
   */
 class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
 
-  import GraftSQL.{showTablesRe, showCreateRe, showHistoryRe, descRe, ctasRe, insertSelectRe, createRe, dropRe, insertRe, mergeRe, updateRe, deleteRe, compactRe, compactJournalRe, alterAddRe, alterDropRe, vacuumRe, restoreRe, cloneRe, createIndexRe, dropIndexRe}
+  import GraftSQL.{showTablesRe, showCreateRe, showHistoryRe, descRe, ctasRe, insertSelectRe, createRe, dropRe, insertRe, mergeRe, updateRe, deleteRe, compactRe, zorderRe, compactJournalRe, alterAddRe, alterDropRe, vacuumRe, restoreRe, cloneRe, createIndexRe, dropIndexRe}
 
   GraftSession.prepare(spark)
 
@@ -211,6 +211,14 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
         require(!readOnly, "read-only transaction")
         val g = catalog.compactJournal()
         Seq(s"COMPACT JOURNAL -> g$g").toDF("status")
+
+      case zorderRe(name, zcols) =>
+        require(txn.isEmpty, "COMPACT TABLE: not inside a transaction")
+        require(!readOnly, "read-only transaction")
+        val cols = zcols.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val v = catalog.compact(name, cols, zorder = true)
+        Seq(s"COMPACT TABLE $name ZORDER BY (${cols.mkString(", ")}) -> v$v")
+          .toDF("status")
 
       case compactRe(name, orderBy) =>
         require(txn.isEmpty, "COMPACT TABLE: not inside a transaction")
@@ -829,6 +837,8 @@ object GraftSQL {
   // optional ORDER BY = clustered rewrite (zone-map selectivity on
   // non-indexed columns — the lakehouse OPTIMIZE-with-clustering form)
   private val compactRe = raw"(?is)COMPACT\s+TABLE\s+(\w+)(?:\s+ORDER\s+BY\s+([\w\s,]+?))?\s*".r
+  // Delta-style multi-column clustering: COMPACT TABLE t ZORDER BY (a, b)
+  private val zorderRe = raw"(?is)COMPACT\s+TABLE\s+(\w+)\s+ZORDER\s+BY\s*\(([\w\s,]+)\)\s*".r
   private val compactJournalRe = raw"(?is)COMPACT\s+JOURNAL\s*".r
   // metadata-only schema evolution (beyond the reference surface)
   private val alterAddRe  = raw"(?is)ALTER\s+TABLE\s+(\w+)\s+ADD\s+COLUMN\s+(.*)".r

@@ -1430,21 +1430,83 @@ class TableCatalog(spark: SparkSession, val root: String) {
     * disjoint, i.e. makes [[planFiles]] SELECTIVE on it, without
     * declaring an index (no metadata change; a later plain COMPACT
     * restores the index-sorted layout). Pruning soundness never
-    * depends on layout — clustering only changes how MUCH is skipped. */
-  def compact(name: String, orderBy: Seq[String] = Nil): Int =
+    * depends on layout — clustering only changes how MUCH is skipped.
+    *
+    * `zorder = true` (SQL: `COMPACT TABLE t ZORDER BY (c1, c2)`)
+    * clusters on the MORTON interleaving of the columns instead of
+    * their lexicographic order — the Delta/Iceberg OPTIMIZE ZORDER
+    * lever: a linear sort makes only its LEADING column's per-file
+    * ranges disjoint; bit-interleaving quantile-bucket ids gives every
+    * participating column locality, so zone maps prune on EACH of
+    * them. Bucket boundaries come from one `percentile_approx`
+    * aggregate (approximation affects only how evenly tiles fill,
+    * never pruning soundness — manifest stats are collected from the
+    * REAL written values either way); the computed key is dropped
+    * before the write, so the snapshot's schema and rows are
+    * bit-identical to a plain compact. */
+  def compact(name: String, orderBy: Seq[String] = Nil,
+      zorder: Boolean = false): Int =
     publishWithRetry(s"COMPACT $name") { () =>
       val m = meta(name)
+      val verb = if (zorder) "ZORDER BY" else "ORDER BY"
       val layout = orderBy.map { c =>
         val f = m.schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
-          throw new IllegalArgumentException(s"COMPACT $name ORDER BY: no such column $c"))
+          throw new IllegalArgumentException(s"COMPACT $name $verb: no such column $c"))
         require(indexable(f.dataType),
-          s"COMPACT $name ORDER BY ${f.name}: unorderable type ${f.dataType}")
+          s"COMPACT $name $verb ${f.name}: unorderable type ${f.dataType}")
         f.name
       }
       val fp = fkFingerprint(name, m)
-      rewriteAttempt(name, m, fp, scan(name), revalidate = false,
-        layoutOverride = layout)
+      val base = scan(name)
+      val (df, layoutCols) =
+        if (!zorder) (base, layout)
+        else {
+          require(layout.size >= 2 && layout.size <= 5,
+            s"COMPACT $name ZORDER BY: needs 2-5 columns (1 column = ORDER BY)")
+          (base.withColumn(TableCatalog.ZCol, zOrderKey(base, m, layout)),
+            Seq(TableCatalog.ZCol))
+        }
+      rewriteAttempt(name, m, fp, df, revalidate = false,
+        layoutOverride = layoutCols)
     }
+
+  /** The Morton (Z-order) sort key over `cols`: each column is rank-
+    * normalized into 64 quantile buckets (ONE `percentile_approx`
+    * aggregate over the snapshot — a 1-row, driver-bounded fold of
+    * 63·k doubles, the IVF-centroid precedent), then the 6-bit bucket
+    * ids are bit-interleaved so adjacent key ranges are axis-aligned
+    * TILES of the value space rather than slabs of the leading
+    * column. Quantile (not uniform-width) buckets keep tiles evenly
+    * filled under skew. Bucket lookup is a codegen'd 63-comparison
+    * filter over the boundary literal per row — O(1) per row, no join;
+    * NULLs land in bucket 0 (first tile), mirroring NULLS FIRST. */
+  private def zOrderKey(df: DataFrame, m: TableMeta, cols: Seq[String]): Column = {
+    val B = 64
+    val numeric = cols.map { c =>
+      m.schema(m.schema.fieldIndex(c)).dataType match {
+        case _: org.apache.spark.sql.types.NumericType => col(c).cast("double")
+        case org.apache.spark.sql.types.DateType =>
+          col(c).cast("timestamp").cast("double")
+        case org.apache.spark.sql.types.TimestampType => col(c).cast("double")
+        case other => throw new IllegalArgumentException(
+          s"ZORDER BY $c: no order-preserving numeric surrogate for $other")
+      }
+    }
+    val pcts = array((1 until B).map(i => lit(i.toDouble / B)): _*)
+    val aggs = numeric.zipWithIndex.map { case (nc, i) =>
+      percentile_approx(nc, pcts, lit(10000)).as(s"b$i") }
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val k = cols.size
+    val buckets = numeric.zipWithIndex.map { case (nc, i) =>
+      val bnds = Option(row.getSeq[Double](i)).getOrElse(Seq.empty[Double])
+      if (bnds.isEmpty) lit(0) // all-NULL column: one tile
+      else size(filter(typedLit(bnds), b => b <= nc))
+    }
+    buckets.zipWithIndex.flatMap { case (b, i) =>
+      (0 until 6).map(j =>
+        shiftleft(shiftright(b, j).bitwiseAND(lit(1)), j * k + i))
+    }.reduce(_ + _).cast("long")
+  }
 
   /** POST-HOC secondary index (`CREATE INDEX ON t (col)`): two
     * versions. First a metadata-only publish adds the column to the
@@ -1662,7 +1724,9 @@ class TableCatalog(spark: SparkSession, val root: String) {
         df.repartitionByRange(spark.sparkContext.defaultParallelism, cols: _*)
           .sortWithinPartitions(cols: _*)
       }
-    out.write.mode("overwrite").parquet(dir)
+    // a computed clustering key (ZORDER) orders the write but is not
+    // part of the table: drop is a no-op for every other layout
+    out.drop(TableCatalog.ZCol).write.mode("overwrite").parquet(dir)
   }
 
   /** Columns whose manifest zone maps can soundly drive [[planFiles]]
@@ -2330,6 +2394,10 @@ object TableCatalog {
     * statement) aborted with nothing published; retry against the new
     * current version. */
   class WriteConflictException(msg: String) extends IllegalStateException(msg)
+
+  /** Name of the transient Morton-key column a ZORDER compact sorts
+    * by; never written (dropped by [[TableCatalog.writeData]]). */
+  private[sources] val ZCol = "__graft_zorder"
 
   /** EPHEMERAL catalog root: created now, deleted on
     * `FrameCache.clear()` or JVM exit — the lifecycle the staged

@@ -266,6 +266,49 @@ class CatalogSpec extends AnyFunSuite {
     assert(cat.currentVersion("cl") == v)
   }
 
+  test("COMPACT ZORDER BY: both interleaved columns prune; linear ORDER BY only its leader") {
+    val cat = freshCatalog()
+    val g = new GraftSQL(spark, cat)
+    cat.createTable("zo", StructType(Seq(
+      StructField("id", LongType), StructField("x", LongType),
+      StructField("y", LongType))))
+    // a 100x100 grid where x and y are independent: every file of any
+    // id-ordered batch spans the FULL range of both columns
+    for (b <- 0 until 3)
+      cat.insert("zo", spark.range(b * 4000L, (b + 1) * 4000L).toDF("id")
+        .withColumn("x", col("id") % 100)
+        .withColumn("y", expr("id div 100") % 100))
+    val predX = col("x") >= 90L
+    val predY = col("y") >= 90L
+    val sums = () => (
+      cat.scan("zo").filter(predX).agg(sum("id")).collect().head.getLong(0),
+      cat.scan("zo").filter(predY).agg(sum("id")).collect().head.getLong(0))
+    val before = sums()
+    // linear clustering: the leading column prunes, the other cannot
+    cat.compact("zo", Seq("x"))
+    val (kx0, ax0) = cat.planFiles("zo", predX)
+    val (ky0, ay0) = cat.planFiles("zo", predY)
+    assert(kx0.size < ax0.size, s"ORDER BY x must prune x: ${kx0.size}/${ax0.size}")
+    assert(ky0.size == ay0.size, s"ORDER BY x must NOT prune y: ${ky0.size}/${ay0.size}")
+    // Morton clustering: BOTH columns prune, and the answer is unchanged
+    val st = g.execute("COMPACT TABLE zo ZORDER BY (x, y)")
+      .collect().head.getString(0)
+    assert(st.contains("ZORDER BY (x, y)"), st)
+    val (kx1, ax1) = cat.planFiles("zo", predX)
+    val (ky1, ay1) = cat.planFiles("zo", predY)
+    assert(ax1.size > 3, s"need multiple files for pruning to mean anything: ${ax1.size}")
+    assert(kx1.size < ax1.size, s"ZORDER must prune x: ${kx1.size}/${ax1.size}")
+    assert(ky1.size < ay1.size, s"ZORDER must prune y: ${ky1.size}/${ay1.size}")
+    assert(sums() == before, "clustering must not change any answer")
+    // the transient Morton key never reaches the table
+    assert(cat.scan("zo").columns.toSet == Set("id", "x", "y"))
+    // fewer than 2 columns or a non-numeric surrogate refuses loudly
+    intercept[IllegalArgumentException](cat.compact("zo", Seq("x"), zorder = true))
+    val v = cat.currentVersion("zo")
+    intercept[IllegalArgumentException](cat.compact("zo", Seq("x", "nope"), zorder = true))
+    assert(cat.currentVersion("zo") == v, "a refused ZORDER publishes nothing")
+  }
+
   test("zone maps prune pinned READ ONLY reads against the PINNED version's stats") {
     val cat = freshCatalog()
     val g = new GraftSQL(spark, cat)
