@@ -1187,45 +1187,72 @@ object TextAnalysis {
     * ln-sum per the t13/t14/t18/t21 precedent; `pred_trusted`
     * compares the ROUNDED score in both engines so the boundary can
     * never hinge on sub-ulp float agreement. */
+  /** The positive-class (trusted-slice) membership test — ONE
+    * definition for training and the prior. */
+  private[graft] def nbPosCol: Column =
+    col("lang") === "en" && col("source").isin("src0", "src1")
+
+  /** Per-document NB feature stream (doc_id[, carry...], feat): word
+    * unigrams ++ bigrams built as ONE array expression and exploded
+    * once — no self-union, so the SAME definition featurizes a
+    * STREAMING frame (st17) without scanning the source twice. The
+    * size guard matters: Spark's `sequence(1, 0)` counts DOWN, so an
+    * unguarded bigram transform would fabricate null bigrams for
+    * 1-token documents. */
+  private[graft] def nbFeats(df: DataFrame, carry: Seq[String] = Nil): DataFrame = {
+    val head = col("doc_id") +: carry.map(col)
+    df.select(head :+ termsArrayCol.as("l"): _*)
+      .select(head :+ explode(expr(
+        """concat(l, CASE WHEN size(l) >= 2
+          |  THEN transform(sequence(1, size(l) - 1),
+          |    i -> concat(element_at(l, i), ' ', element_at(l, i + 1)))
+          |  ELSE CAST(array() AS ARRAY<STRING>) END)""".stripMargin)).as("feat"): _*)
+  }
+
+  /** The TRAINED classifier, materialized: a per-feature log-odds
+    * weight table w(f) = ln((n_pos+1)/(N_pos+V)) − ln((n_neg+1)/(N_neg+V))
+    * (vocabulary-sized, [[FrameCache]]-shared across t22/p15/st17 —
+    * the stored-asset precedent: at 100 TB the table trains once and
+    * ships to executors as a stored table) plus the log prior
+    * ln(d_pos/d_neg) (one 2-number aggregate per call). Scoring is
+    * then prior + Σ w(f) over a document's feature occurrences — the
+    * lookup the streaming twin pays statelessly. Class totals are
+    * driver-bounded folds (5 longs — the IVF-centroid precedent);
+    * the class-count table localCheckpoints so the corpus explode
+    * runs ONCE, not once per downstream action (the t19 recipe). */
+  private[graft] def nbModel(s: SparkSession, d: String): (DataFrame, Double) = {
+    val docs = Tables.documents(s, d)
+    val weights = FrameCache.getOrBuild(s, "nbweights|" + d) {
+      val feats = nbFeats(docs.withColumn("pos", nbPosCol), Seq("pos"))
+      val ft = feats.groupBy("feat").agg(
+        sum(when(col("pos"), 1L).otherwise(0L)).as("np"),
+        sum(when(!col("pos"), 1L).otherwise(0L)).as("nn"))
+        .localCheckpoint()
+      val t = ft.agg(sum("np"), sum("nn"), count(lit(1))).head()
+      val (tp, tn, v) = (t.getLong(0), t.getLong(1), t.getLong(2))
+      ft.select(col("feat"),
+        (log((col("np") + lit(1)).cast("double") / lit((tp + v).toDouble)) -
+         log((col("nn") + lit(1)).cast("double") / lit((tn + v).toDouble))).as("w"))
+    }
+    val p = docs.agg(
+      sum(when(nbPosCol, 1L).otherwise(0L)),
+      sum(when(!nbPosCol, 1L).otherwise(0L))).head()
+    (weights, math.log(p.getLong(0).toDouble / p.getLong(1).toDouble))
+  }
+
   /** The trained-and-scored NB frame (doc_id, n_feats, nb_score) —
     * shared by t22 and p15's Pareto selection (Sampling.scala), the
     * [[Dedup.clusterMap]] cross-operator precedent: ONE definition of
-    * the classifier, zero drift between the scorer and its consumer. */
+    * the classifier, zero drift between the scorer and its consumers.
+    * The weight join is vocabulary-sized (AQE broadcasts it when it
+    * fits); document text never shuffles. */
   private[graft] def nbScored(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-    val posCol = col("lang") === "en" && col("source").isin("src0", "src1")
-    val base = docs.select(col("doc_id"), posCol.as("pos"),
-      termsArrayCol.as("l"))
-    val uni = base.select(col("doc_id"), col("pos"),
-      explode(col("l")).as("feat"))
-    val bi = base.filter(size(col("l")) >= 2)
-      .select(col("doc_id"), col("pos"), explode(expr(
-        """transform(sequence(1, size(l) - 1),
-           |  i -> concat(element_at(l, i), ' ', element_at(l, i + 1)))"""
-          .stripMargin)).as("feat"))
-    val feats = uni.unionAll(bi)
-    // the trained model: per-feature class counts (vocabulary-sized)
-    val ft = feats.groupBy("feat").agg(
-      sum(when(col("pos"), 1L).otherwise(0L)).as("np"),
-      sum(when(!col("pos"), 1L).otherwise(0L)).as("nn"))
-    val tot = ft.agg(sum("np").as("tp"), sum("nn").as("tn"),
-      count(lit(1)).as("v"))
-    val pri = docs.agg(
-      sum(when(posCol, 1L).otherwise(0L)).as("dp"),
-      sum(when(!posCol, 1L).otherwise(0L)).as("dn"))
-    val llr =
-      log((col("np") + lit(1)).cast("double") /
-        (col("tp") + col("v")).cast("double")) -
-      log((col("nn") + lit(1)).cast("double") /
-        (col("tn") + col("v")).cast("double"))
-    feats.join(ft, "feat") // total: ft was built from these same rows
-      .crossJoin(broadcast(tot))
+    val (w, prior) = nbModel(s, d)
+    nbFeats(Tables.documents(s, d))
+      .join(w, "feat") // total: w was trained on these same rows
       .groupBy("doc_id")
-      .agg(count(lit(1)).cast("int").as("n_feats"), sum(llr).as("llr"))
-      .crossJoin(broadcast(pri))
-      .select(col("doc_id"), col("n_feats"),
-        (round(log(col("dp").cast("double") / col("dn").cast("double"))
-          + col("llr"), 4) + lit(0.0)).as("nb_score"))
+      .agg(count(lit(1)).cast("int").as("n_feats"),
+        (round(sum(col("w")) + lit(prior), 4) + lit(0.0)).as("nb_score"))
   }
 
   def t22NbQuality(s: SparkSession, d: String): DataFrame =

@@ -902,8 +902,47 @@ object StreamQueries {
     s.table("graft_st16_sink").orderBy("doc_id")
   }
 
+  /** st17: STREAMING QUALITY CLASSIFICATION — the streaming twin of
+    * batch t22 and the production serving shape of the supervised
+    * quality gate (t22 trains → st17 scores AT INGEST): the NB weight
+    * table is trained OFFLINE ([[graft.operators.TextAnalysis
+    * .nbModel]], the stored-asset stand-in) and BROADCAST, so each
+    * arriving document pays a stateless featurize + lookup (st04's
+    * stream-static pattern — no stream shuffle for the model); the
+    * per-doc weight sum is the single stateful aggregation, exactly
+    * st15's shape. The featurization is the SAME single-explode
+    * Column as batch training — zero feature drift between the model
+    * and the stream it scores. Bounded run over the documents
+    * stream, hash-exact vs t22's DuckDB oracle. */
+  def st17StreamClassify(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.TextAnalysis
+    val (w, prior) = TextAnalysis.nbModel(s, d) // offline-trained
+    val schema = s.read.parquet(s"$d/documents.parquet").schema
+    val stream = s.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(d)
+    val agg = TextAnalysis.nbFeats(stream)
+      .join(broadcast(w), "feat") // stateless broadcast lookup
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_feats"),
+        (round(sum(col("w")) + lit(prior), 4) + lit(0.0)).as("nb_score"))
+    withStatePartitions(s, 8) {
+      val q = agg.writeStream
+        .format("memory").queryName("graft_st17_sink")
+        .outputMode(OutputMode.Complete)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    s.table("graft_st17_sink")
+      .withColumn("pred_trusted", col("nb_score") > 0)
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st16_stream_tokenize" -> (st16StreamTokenize _),
+    "st17_stream_classify" -> (st17StreamClassify _),
     "st01_stream_window" -> (st01StreamWindow _),
     "st02_stream_state"  -> (st02StreamState _),
     "st03_stream_dedup"  -> (st03StreamDedup _),
@@ -1007,7 +1046,9 @@ object StreamQueries {
         |FROM events ORDER BY event_id""".stripMargin,
     // identical oracle to batch t18: offline-trained LM tables scored
     // over the stream must reproduce the batch importance weights
-    "st15_stream_dsir" -> graft.operators.TextAnalysis.t18OracleSql)
+    "st15_stream_dsir" -> graft.operators.TextAnalysis.t18OracleSql,
+    // the batch twin's oracle verbatim: same columns, same model
+    "st17_stream_classify" -> graft.operators.TextAnalysis.t22OracleSql)
 
   private lazy val st09OracleSql: String =
     s"""WITH q AS (SELECT DISTINCT text FROM documents),

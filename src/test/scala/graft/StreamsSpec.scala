@@ -317,6 +317,15 @@ class StreamsSpec extends AnyFunSuite {
     assert(got.exists(_._3) && got.exists(!_._3), "both verdicts present")
   }
 
+  test("st17 DRIVER QUERY: streamed NB classification equals batch t22 bit-for-bit") {
+    val got = streaming.StreamQueries.st17StreamClassify(spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getBoolean(3))).toSeq
+    val want = operators.TextAnalysis.queries("t22_nb_quality")(spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getBoolean(3))).toSeq
+    assert(got == want, "streamed classification must equal the batch t22 output")
+    assert(got.exists(_._4) && got.exists(!_._4), "both verdicts present")
+  }
+
   test("st02 handles cross-batch late events: in-gap ones extend the session start") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
