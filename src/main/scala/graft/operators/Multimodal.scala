@@ -377,12 +377,93 @@ object Multimodal {
       |FROM p JOIN grp USING (phash)
       |ORDER BY p.doc_id""".stripMargin
 
+  // ------------------------------------------------------------ m06
+  /** Energy-envelope fingerprint for a decoded PCM clip — the audio
+    * analog of m05's aHash (the Haitsma-Kalker/Philips fingerprint
+    * family reduced to its integer core): split the clip into 64
+    * equal windows (tail remainder truncated so window size is a pure
+    * function of length), per-window energy = Σ|sample|, bit = window
+    * energy strictly above the clip mean, compared as `e·64 > total`
+    * so the arithmetic is pure integers and bit-identical on any
+    * engine. 64-char '0'/'1' string like m05 (keeps the SQL oracle
+    * trivial). */
+  private[graft] def audioFpBits(bytes: Array[Byte]): String = {
+    val wav = decodeWav(bytes)
+    val w = wav.samples.length / 64
+    val energies = new Array[Long](64)
+    var total = 0L
+    var k = 0
+    while (k < 64) {
+      var e = 0L
+      var i = k * w
+      val end = i + w
+      while (i < end) { e += math.abs(wav.samples(i).toLong); i += 1 }
+      energies(k) = e; total += e; k += 1
+    }
+    val bits = new java.lang.StringBuilder(64)
+    var j = 0
+    while (j < 64) { bits.append(if (energies(j) * 64 > total) '1' else '0'); j += 1 }
+    bits.toString
+  }
+
+  /** m06: PERCEPTUAL AUDIO DEDUP (the audio-side twin of m05,
+    * completing the multimodal dedup story image+audio): every clip
+    * reduces to its 64-bit energy-envelope fingerprint inside the
+    * scan-stage batch decode — payload bytes never shuffle — then the
+    * d01 shape groups on the fingerprint to find re-hosted assets.
+    * The media seed is doc_id mod 89 (co-prime with m05's 97, so
+    * image and audio duplicate classes differ), giving genuinely
+    * repeated clips at every scale factor. At 100 TB the fingerprint
+    * is a stored column at ingest and this is a pure key groupBy;
+    * near-dup (small hamming distance) extends via d03's band
+    * blocking on the same bits. */
+  def m06AudioDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hashed = Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        (id, audioFpBits(wavPayload(id % 89)))
+      }).toDF("doc_id", "afp")
+    val groups = hashed.groupBy("afp")
+      .agg(count(lit(1)).as("n_group"), min("doc_id").as("rep_id"))
+    hashed.join(groups, "afp")
+      .select("doc_id", "afp", "rep_id", "n_group")
+      .orderBy("doc_id")
+  }
+
+  val m06OracleSql: String =
+    """WITH p AS (
+      |  SELECT doc_id, doc_id % 89 AS sd, (doc_id % 89) % 2000 + 500 AS n
+      |  FROM documents
+      |), samp AS (
+      |  SELECT doc_id, n // 64 AS w, i,
+      |         ABS(((sd * 2654435761 + 1013904223 * i) % 65536) - 32768) AS a
+      |  FROM p, LATERAL unnest(generate_series(0, (n // 64) * 64 - 1)) AS t(i)
+      |), win AS (
+      |  SELECT doc_id, i // w AS k, SUM(a) AS e
+      |  FROM samp GROUP BY doc_id, i // w
+      |), b AS (
+      |  SELECT doc_id, k,
+      |         CASE WHEN e * 64 > SUM(e) OVER (PARTITION BY doc_id)
+      |              THEN '1' ELSE '0' END AS bit
+      |  FROM win
+      |), fp AS (
+      |  SELECT doc_id, string_agg(bit, '' ORDER BY k) AS afp
+      |  FROM b GROUP BY doc_id
+      |), grp AS (
+      |  SELECT afp, COUNT(*) AS n_group, MIN(doc_id) AS rep_id
+      |  FROM fp GROUP BY afp
+      |)
+      |SELECT fp.doc_id, fp.afp, grp.rep_id, grp.n_group
+      |FROM fp JOIN grp USING (afp)
+      |ORDER BY fp.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_multimodal"   -> (m01Multimodal _),
     "m02_resize"       -> (m02Resize _),
     "m03_frame_sample" -> (m03FrameSample _),
     "m04_audio"        -> (m04Audio _),
-    "m05_image_dedup"  -> (m05ImageDedup _))
+    "m05_image_dedup"  -> (m05ImageDedup _),
+    "m06_audio_dedup"  -> (m06AudioDedup _))
 
   /** All three are oracle-exact: the pixel byte at index i is
     * (doc_id*31 + 7*i) mod 256, so DuckDB regenerates the array with
@@ -450,5 +531,6 @@ object Multimodal {
         |       CAST(SUM((doc_id*31 + 7*i) % 256) AS BIGINT) AS frame_sum
         |FROM px GROUP BY doc_id, fi ORDER BY doc_id, frame_idx""".stripMargin,
     "m04_audio" -> m04OracleSql,
-    "m05_image_dedup" -> m05OracleSql)
+    "m05_image_dedup" -> m05OracleSql,
+    "m06_audio_dedup" -> m06OracleSql)
 }

@@ -2124,6 +2124,44 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Multimodal.phashBits(base) != Multimodal.phashBits(Multimodal.ppmPayload(6L)))
   }
 
+  test("m06 audio dedup: planted clips group by seed; envelope bits match construction") {
+    val rows = Multimodal.m06AudioDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // docs whose ids are 89 apart carry the SAME clip -> same fp + rep
+    val byId = rows.map(r => r._1 -> r).toMap
+    if (byId.contains(0L) && byId.contains(89L)) {
+      assert(byId(0L)._2 == byId(89L)._2 && byId(0L)._3 == byId(89L)._3,
+        "re-hosted clips (seed collision) must share fingerprint and representative")
+      assert(byId(0L)._4 >= 2)
+    }
+    // groups partition the corpus with min-id representatives
+    assert(rows.map(_._1).distinct.length == rows.length)
+    rows.groupBy(_._2).foreach { case (_, g) =>
+      assert(g.forall(_._4 == g.length), "n_group must equal the group's size")
+      assert(g.map(_._3).distinct.length == 1 && g.map(_._3).head == g.map(_._1).min)
+    }
+    // construction unit: a clip that is silence then full-scale must
+    // fingerprint as 32 quiet bits then 32 loud bits
+    val n = 640 // w = 10
+    val buf = java.nio.ByteBuffer.allocate(44 + n * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + n * 2)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(16000).putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(n * 2)
+    for (i <- 0 until n) buf.putShort(if (i < n / 2) 0 else 10000)
+    assert(Multimodal.audioFpBits(buf.array()) == "0" * 32 + "1" * 32)
+    // envelope robustness: a one-sample nudge doesn't flip any bit
+    val base = Multimodal.wavPayload(5L)
+    val noisy = base.clone()
+    noisy(45) = (noisy(45) + 1).toByte // first data byte, +1 amplitude
+    assert(Multimodal.audioFpBits(base) == Multimodal.audioFpBits(noisy),
+      "envelope fingerprint must be stable under a one-sample nudge")
+    // but a different clip fingerprints differently
+    assert(Multimodal.audioFpBits(base) != Multimodal.audioFpBits(Multimodal.wavPayload(6L)))
+  }
+
   test("session_window boundary: an event at EXACTLY last+gap merges (inclusive)") {
     // empirically pins the boundary convention the q54/st12 oracle
     // encodes with `diff > gap`: Spark's session_window treats the
