@@ -1488,6 +1488,15 @@ class TableCatalog(spark: SparkSession, val root: String) {
         case org.apache.spark.sql.types.DateType =>
           col(c).cast("timestamp").cast("double")
         case org.apache.spark.sql.types.TimestampType => col(c).cast("double")
+        case org.apache.spark.sql.types.StringType =>
+          // order-preserving surrogate: first 7 bytes, big-endian,
+          // zero-padded — the SAME unsigned UTF-8 byte order the zone
+          // maps compare strings in (cmpTyped), truncated to 56 bits
+          // (exact in double). Longer shared prefixes collapse into
+          // one bucket, which only coarsens the tiling, never the
+          // pruning soundness.
+          conv(rpad(hex(substring(col(c), 1, 7)), 14, "0"), 16, 10)
+            .cast("double")
         case other => throw new IllegalArgumentException(
           s"ZORDER BY $c: no order-preserving numeric surrogate for $other")
       }

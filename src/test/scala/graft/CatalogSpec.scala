@@ -271,13 +271,15 @@ class CatalogSpec extends AnyFunSuite {
     val g = new GraftSQL(spark, cat)
     cat.createTable("zo", StructType(Seq(
       StructField("id", LongType), StructField("x", LongType),
-      StructField("y", LongType))))
+      StructField("y", LongType), StructField("s", StringType))))
     // a 100x100 grid where x and y are independent: every file of any
-    // id-ordered batch spans the FULL range of both columns
+    // id-ordered batch spans the FULL range of both columns; s mirrors
+    // y as a string (its order = unsigned byte order, zero-padded)
     for (b <- 0 until 3)
       cat.insert("zo", spark.range(b * 4000L, (b + 1) * 4000L).toDF("id")
         .withColumn("x", col("id") % 100)
-        .withColumn("y", expr("id div 100") % 100))
+        .withColumn("y", expr("id div 100") % 100)
+        .withColumn("s", concat(lit("k"), lpad((expr("id div 100") % 100).cast("string"), 2, "0"))))
     val predX = col("x") >= 90L
     val predY = col("y") >= 90L
     val sums = () => (
@@ -301,7 +303,15 @@ class CatalogSpec extends AnyFunSuite {
     assert(ky1.size < ay1.size, s"ZORDER must prune y: ${ky1.size}/${ay1.size}")
     assert(sums() == before, "clustering must not change any answer")
     // the transient Morton key never reaches the table
-    assert(cat.scan("zo").columns.toSet == Set("id", "x", "y"))
+    assert(cat.scan("zo").columns.toSet == Set("id", "x", "y", "s"))
+    // STRING columns z-cluster through the order-preserving byte-prefix
+    // surrogate: both the numeric and the string dimension prune
+    cat.compact("zo", Seq("x", "s"), zorder = true)
+    val (kx2, ax2) = cat.planFiles("zo", predX)
+    val (ks2, as2) = cat.planFiles("zo", col("s") >= "k90")
+    assert(kx2.size < ax2.size, s"ZORDER must prune x: ${kx2.size}/${ax2.size}")
+    assert(ks2.size < as2.size, s"ZORDER must prune the string dim: ${ks2.size}/${as2.size}")
+    assert(sums() == before, "string clustering must not change any answer")
     // fewer than 2 columns or a non-numeric surrogate refuses loudly
     intercept[IllegalArgumentException](cat.compact("zo", Seq("x"), zorder = true))
     val v = cat.currentVersion("zo")
