@@ -1214,8 +1214,6 @@ object GraftSQL {
     s
   }
 
-  /** The input with every quoted literal's CONTENT blanked out (quotes
-    * kept) — for keyword detection that must not see inside strings. */
   /** SQL comments (`-- …\n` and `/* … */`) blanked to spaces, string
     * literals copied verbatim — LENGTH-PRESERVING, so indexes into the
     * output address the same characters in the input. String-aware in
@@ -1225,6 +1223,28 @@ object GraftSQL {
     * comment blanks to end-of-input, which keeps a partial statement
     * buffered in the shell until the comment's closing delimiter
     * arrives. */
+  /** True when `s` ends inside an UNTERMINATED block comment (string
+    * literals respected) — the one case where all-comment shell
+    * residue is still a partial: its body continues on the next
+    * line, so the buffer must not be cleared. */
+  private[graft] def inOpenBlockComment(s: String): Boolean = {
+    var i = 0
+    var open = false
+    while (i < s.length) {
+      if (open) {
+        if (s(i) == '*' && i + 1 < s.length && s(i + 1) == '/') { open = false; i += 2 }
+        else i += 1
+      } else s(i) match {
+        case '\'' | '"' => i = skipString(s, i)
+        case '-' if i + 1 < s.length && s(i + 1) == '-' =>
+          while (i < s.length && s(i) != '\n') i += 1
+        case '/' if i + 1 < s.length && s(i + 1) == '*' => open = true; i += 2
+        case _ => i += 1
+      }
+    }
+    open
+  }
+
   private[graft] def blankComments(s: String): String = {
     val out = new StringBuilder(s.length)
     var i = 0
@@ -1249,6 +1269,8 @@ object GraftSQL {
     out.toString
   }
 
+  /** The input with every quoted literal's CONTENT blanked out (quotes
+    * kept) — for keyword detection that must not see inside strings. */
   private[graft] def maskStrings(s: String): String = {
     val out = new StringBuilder(s.length)
     var i = 0

@@ -126,7 +126,14 @@ object Shell {
           }
         }
       }
-      buffer = new StringBuilder(text.dropWhile(_ == '\n'))
+      // residue that is nothing but comments/whitespace (a trailing
+      // `-- note` after the last semicolon) is COMPLETE, not a partial:
+      // keeping it would wedge the prompt in continuation mode and
+      // shadow `!` meta commands until a stray semicolon arrived
+      buffer =
+        if (noComments.trim.isEmpty && !GraftSQL.inOpenBlockComment(text))
+          new StringBuilder
+        else new StringBuilder(text.dropWhile(_ == '\n'))
     }
 
     if (interactive)

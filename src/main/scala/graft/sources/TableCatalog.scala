@@ -279,6 +279,12 @@ class TableCatalog(spark: SparkSession, val root: String) {
       references: Map[String, String] = Map.empty,
       indexes: Seq[String] = Nil): Unit = rootLock.synchronized {
     require(!exists(name), s"table already exists: $name")
+    // the transient ZORDER key name is reserved: writeData drops it
+    // unconditionally after clustering, so a user column by this name
+    // (case-insensitive — Spark resolution is) would silently vanish
+    schema.fieldNames.foreach(c =>
+      require(!c.equalsIgnoreCase(TableCatalog.ZCol),
+        s"$name.$c: reserved column name"))
     validateDefaults(name, defaults)
     references.foreach { case (c, t) =>
       val parent = fkTargetMeta(t)
@@ -381,12 +387,12 @@ class TableCatalog(spark: SparkSession, val root: String) {
     val abs = absTableDir(name).resolve(rel)
     var total = 0L
     if (Files.isDirectory(abs)) {
+      val conf = spark.sessionState.newHadoopConf() // one clone per dir, not per file
       val listing = Files.list(abs)
       try listing.iterator().asScala.foreach { p =>
         if (p.getFileName.toString.endsWith(".parquet")) {
           val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-            new org.apache.hadoop.fs.Path(p.toUri),
-            spark.sessionState.newHadoopConf())
+            new org.apache.hadoop.fs.Path(p.toUri), conf)
           val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
           try total += r.getRecordCount finally r.close()
         }
@@ -877,14 +883,34 @@ class TableCatalog(spark: SparkSession, val root: String) {
     * text — incomparable, caller keeps the file), strings in unsigned
     * UTF-8 byte order — the order Spark's min/max used to produce the
     * stats (Java's compareTo is UTF-16 code-unit order, which
-    * disagrees for supplementary characters and would prune wrongly). */
+    * disagrees for supplementary characters and would prune wrongly).
+    *
+    * Numeric comparisons answer only when EXACT decimal comparison and
+    * DOUBLE-space comparison (the stat widened the way Spark widens
+    * the COLUMN: float→double through the float's exact value, wide
+    * integrals/decimals through their lossy double image) AGREE on the
+    * sign — disagreement means the verdict depends on which numeric
+    * space Spark evaluates the predicate in (it compares a float
+    * column to a double literal in double space, where 0.1f becomes
+    * 0.10000000149…; a bigint column to a fractional literal likewise,
+    * where 2⁶³−1 rounds up), and a file must never be pruned on the
+    * space the engine is NOT using. None → kept, so the ambiguity only
+    * costs selectivity, never soundness. */
   private def cmpTyped(
       dt: org.apache.spark.sql.types.DataType, a: String, b: String): Option[Int] = {
     import org.apache.spark.sql.types._
     dt match {
       case _: NumericType =>
-        try Some(BigDecimal(a).compare(BigDecimal(b)))
-        catch { case _: NumberFormatException => None }
+        try {
+          val exact = BigDecimal(a).compare(BigDecimal(b))
+          val statD = dt match {
+            case FloatType  => a.toFloat.toDouble
+            case DoubleType => a.toDouble
+            case _          => BigDecimal(a).toDouble
+          }
+          val dbl = java.lang.Double.compare(statD, BigDecimal(b).toDouble)
+          if (Integer.signum(exact) == Integer.signum(dbl)) Some(exact) else None
+        } catch { case _: NumberFormatException => None }
       case _ =>
         val (ba, bb) = (a.getBytes("UTF-8"), b.getBytes("UTF-8"))
         var i = 0
@@ -1325,6 +1351,8 @@ class TableCatalog(spark: SparkSession, val root: String) {
       val m = meta(name)
       require(!m.schema.fieldNames.exists(_.equalsIgnoreCase(field.name)),
         s"ALTER TABLE $name: column ${field.name} already exists")
+      require(!field.name.equalsIgnoreCase(TableCatalog.ZCol),
+        s"ALTER TABLE $name: ${field.name} is a reserved column name")
       require(field.nullable,
         s"ALTER TABLE $name ADD COLUMN ${field.name}: must be nullable (existing rows have no value)")
       // the DEFAULT must actually cast to the column type — otherwise
@@ -1489,12 +1517,16 @@ class TableCatalog(spark: SparkSession, val root: String) {
           col(c).cast("timestamp").cast("double")
         case org.apache.spark.sql.types.TimestampType => col(c).cast("double")
         case org.apache.spark.sql.types.StringType =>
-          // order-preserving surrogate: first 7 bytes, big-endian,
+          // order-preserving surrogate: first 7 BYTES, big-endian,
           // zero-padded — the SAME unsigned UTF-8 byte order the zone
-          // maps compare strings in (cmpTyped), truncated to 56 bits
-          // (exact in double). Longer shared prefixes collapse into
-          // one bucket, which only coarsens the tiling, never the
-          // pruning soundness.
+          // maps compare strings in (cmpTyped). substring counts
+          // CHARS (≥7 bytes for multi-byte text); rpad TRUNCATES the
+          // hex back to exactly 14 digits = 7 bytes. The double cast
+          // rounds the 56-bit value to a 53-bit mantissa — rounding
+          // is monotone, so order is weakly preserved; strings
+          // differing only in the low ~3 bits (or past byte 7)
+          // collapse into one bucket, which only coarsens the tiling,
+          // never the pruning soundness.
           conv(rpad(hex(substring(col(c), 1, 7)), 14, "0"), 16, 10)
             .cast("double")
         case other => throw new IllegalArgumentException(
@@ -1778,10 +1810,10 @@ class TableCatalog(spark: SparkSession, val root: String) {
         .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
       finally listing.close()
     var dirRows = 0L
+    val conf = spark.sessionState.newHadoopConf() // one clone per publish, not per file
     val out = files.flatMap { p =>
       val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-        new org.apache.hadoop.fs.Path(p.toUri),
-        spark.sessionState.newHadoopConf())
+        new org.apache.hadoop.fs.Path(p.toUri), conf)
       val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
       try {
         dirRows += reader.getRecordCount

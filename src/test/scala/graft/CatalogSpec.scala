@@ -319,6 +319,39 @@ class CatalogSpec extends AnyFunSuite {
     assert(cat.currentVersion("zo") == v, "a refused ZORDER publishes nothing")
   }
 
+  test("zone maps never prune on numeric-space ambiguity: float vs double literal, bigint vs fractional") {
+    val cat = freshCatalog()
+    cat.createTable("amb", StructType(Seq(
+      StructField("id", LongType), StructField("fl", FloatType),
+      StructField("big", LongType))))
+    import spark.implicits._
+    // 0.1f widens to 0.10000000149… in double space, so the row DOES
+    // satisfy fl > 0.1 (double literal) even though the footer stat
+    // "0.1" compares EQUAL to the literal as exact decimals — the
+    // exact-decimal prune would silently lose the row
+    cat.insert("amb", Seq((1L, 0.1f, Long.MaxValue), (2L, 0.05f, 5L))
+      .toDF("id", "fl", "big"))
+    assert(cat.scan("amb").filter(col("fl") > 0.1).count() == 1L,
+      "the 0.1f row must survive: Spark evaluates the predicate in double space")
+    val (k1, a1) = cat.planFiles("amb", col("fl") > 0.1)
+    assert(k1.nonEmpty, s"the ambiguous 0.1f file must be kept: ${k1.size}/${a1.size}")
+    // Long.MaxValue's double image rounds UP to 2^63, so it satisfies
+    // big >= 9.223372036854776e18 in double space while the exact
+    // decimal comparison says it does not
+    assert(cat.scan("amb").filter(col("big") >= 9.223372036854776e18).count() == 1L,
+      "the 2^63-1 row must survive the fractional-literal comparison")
+    val (k2, a2) = cat.planFiles("amb", col("big") >= 9.223372036854776e18)
+    assert(k2.nonEmpty, s"the ambiguous 2^63-1 file must be kept: ${k2.size}/${a2.size}")
+    // unambiguous comparisons still prune: both numeric spaces agree
+    val (k3, a3) = cat.planFiles("amb", col("fl") > 1.0)
+    assert(k3.isEmpty && a3.nonEmpty, "agreeing bound must still prune")
+    // the transient ZORDER key name is reserved at DDL time
+    intercept[IllegalArgumentException](cat.createTable("bad", StructType(Seq(
+      StructField("__graft_zorder", LongType)))))
+    intercept[IllegalArgumentException](
+      cat.addColumn("amb", StructField("__GRAFT_ZORDER", LongType)))
+  }
+
   test("zone maps prune pinned READ ONLY reads against the PINNED version's stats") {
     val cat = freshCatalog()
     val g = new GraftSQL(spark, cat)

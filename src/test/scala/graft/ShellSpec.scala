@@ -110,6 +110,26 @@ class ShellSpec extends AnyFunSuite {
       .dropWhile(_.trim.isEmpty).headOption.exists(_.trim == "1"), out)
   }
 
+  test("trailing comment after a semicolon completes the statement; meta commands stay live") {
+    val out = script(
+      "SELECT 1 AS one; -- trailing note",
+      // the all-comment residue must NOT leave the shell in
+      // continuation mode: the next `!` line is a meta command
+      "!headers off",
+      "SELECT 2 AS two;",
+      // an OPEN block comment after the semicolon is still a partial
+      "SELECT 3 AS three; /* open",
+      "close */ SELECT 4 AS four;")
+    val clean = stripPrompts(out)
+    assert(!clean.contains("Error:"), out)
+    assert(clean.linesIterator.exists(_.trim == "1"), out)
+    // `!headers off` executed as a meta command, so no header line
+    // precedes the `2` result
+    assert(!clean.contains("two"), out)
+    assert(clean.linesIterator.exists(_.trim == "2"), out)
+    assert(clean.linesIterator.exists(_.trim == "4"), out)
+  }
+
   test("--connect mode: thin client drives a live Server socket, txn included") {
     val root = java.nio.file.Files.createTempDirectory("graft-shell-conn").toString
     val srv = new Server(spark, root, 0).start()
