@@ -775,7 +775,8 @@ object TextAnalysis {
     "t19_bpe_train"   -> (t19BpeTrain _),
     "t20_tokenize"    -> (t20Tokenize _),
     "t21_ppl_bucket"  -> (t21PerplexityBucket _),
-    "t22_nb_quality"  -> (t22NbQuality _))
+    "t22_nb_quality"  -> (t22NbQuality _),
+    "t23_gopher_rules" -> (t23GopherRules _))
 
   /** t01's stopword-count heuristic is integer arithmetic over token
     * lists — DuckDB reproduces it exactly (list lambdas + the same
@@ -826,7 +827,8 @@ object TextAnalysis {
     "t17_novelty"    -> t17OracleSql,
     "t18_dsir_importance" -> t18OracleSql,
     "t21_ppl_bucket" -> t21OracleSql,
-    "t22_nb_quality" -> t22OracleSql)
+    "t22_nb_quality" -> t22OracleSql,
+    "t23_gopher_rules" -> t23OracleSql)
 
   // ---------------------------------------------------------------- t18
   /** t18: DSIR-style importance weighting (Xie et al. 2023, "Data
@@ -1187,6 +1189,80 @@ object TextAnalysis {
     * ln-sum per the t13/t14/t18/t21 precedent; `pred_trusted`
     * compares the ROUNDED score in both engines so the boundary can
     * never hinge on sub-ulp float agreement. */
+  // ---------------------------------------------------------------- t23
+  /** t23: GOPHER QUALITY RULES (Rae et al. 2021, table A1 — the named
+    * heuristic filter battery MassiveText shipped and every major
+    * web-crawl pipeline since has copied): per document, the
+    * word-level rule set — word count ∈ [50, 100k], mean word length
+    * ∈ [3, 10], symbol-to-word ratio ('#' + '…') ≤ 0.1, ≥ 80% of
+    * words contain an alphabetic character, ≥ 2 of Gopher's eight
+    * stopwords — each rule SURFACED as its own column (the
+    * observability production filters need: which rule killed a doc)
+    * plus the conjunctive keep. The paper's line-shape rules
+    * (bullet/ellipsis line ratios) are omitted, not stubbed: this
+    * corpus has no newlines, so they would be constant columns
+    * pretending coverage. Complements t02 (structural score) and
+    * t21/t22 (model-based gates) as the RULE-BASED first stage of the
+    * standard quality cascade.
+    *
+    * Shape: a single scan of pure column expressions over the token
+    * array — no shuffle, no join, no aggregate; the filter runs at
+    * scan speed at any corpus size. Ratios compare on 4-dp ROUNDED
+    * values in both engines (the t13 precedent at a boundary). */
+  def t23GopherRules(s: SparkSession, d: String): DataFrame = {
+    val gopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val docs = Tables.documents(s, d)
+    val l = termsArrayCol
+    val n = size(l)
+    val den = greatest(n, lit(1)).cast("double")
+    val wlSum = aggregate(l, lit(0), (a, x) => a + length(x))
+    val meanWl = round(wlSum.cast("double") / den, 4) + lit(0.0)
+    val nHash = length(col("text")) -
+      length(regexp_replace(col("text"), "#", ""))
+    val nEllipsis = (length(col("text")) -
+      length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / lit(3)
+    val symRatio = round((nHash + nEllipsis).cast("double") / den, 4) + lit(0.0)
+    val nAlpha = size(filter(l, x => regexp_count(x, lit("[a-z]")) > 0))
+    val alphaFrac = round(nAlpha.cast("double") / den, 4) + lit(0.0)
+    val nStop = size(filter(l, x => array_contains(typedLit(gopherStops), x)))
+    docs.select(col("doc_id"), n.as("n_words"), meanWl.as("mean_word_len"),
+        symRatio.as("symbol_ratio"), alphaFrac.as("alpha_frac"),
+        nStop.as("n_stop"))
+      .withColumn("keep",
+        col("n_words").between(50, 100000) &&
+        col("mean_word_len").between(3.0, 10.0) &&
+        col("symbol_ratio") <= 0.1 &&
+        col("alpha_frac") >= 0.8 &&
+        col("n_stop") >= 2)
+      .orderBy("doc_id")
+  }
+
+  lazy val t23OracleSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, text,
+      |         list_filter(string_split(lower(text), ' '), x -> x <> '') AS l
+      |  FROM documents
+      |), m AS (
+      |  SELECT doc_id,
+      |    CAST(len(l) AS INT) AS n_words,
+      |    ROUND(CAST(COALESCE(list_sum(list_transform(l, x -> length(x))), 0) AS DOUBLE)
+      |          / GREATEST(len(l), 1), 4) + 0.0 AS mean_word_len,
+      |    ROUND(CAST((length(text) - length(replace(text, '#', '')))
+      |             + (length(text) - length(replace(text, '...', ''))) // 3 AS DOUBLE)
+      |          / GREATEST(len(l), 1), 4) + 0.0 AS symbol_ratio,
+      |    ROUND(CAST(len(list_filter(l, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+      |          / GREATEST(len(l), 1), 4) + 0.0 AS alpha_frac,
+      |    CAST(len(list_filter(l, x -> list_contains(
+      |      ['the','be','to','of','and','that','have','with'], x))) AS INT) AS n_stop
+      |  FROM toks)
+      |SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac, n_stop,
+      |       (n_words BETWEEN 50 AND 100000
+      |        AND mean_word_len BETWEEN 3.0 AND 10.0
+      |        AND symbol_ratio <= 0.1
+      |        AND alpha_frac >= 0.8
+      |        AND n_stop >= 2) AS keep
+      |FROM m ORDER BY doc_id""".stripMargin
+
   /** The positive-class (trusted-slice) membership test — ONE
     * definition for training and the prior. */
   private[graft] def nbPosCol: Column =

@@ -1462,6 +1462,35 @@ class OperatorsSpec extends AnyFunSuite {
       "trusted documents must average a higher NB log-odds")
   }
 
+  test("t23 Gopher rules: every rule column matches a driver recompute; keep is their conjunction") {
+    val rows = TextAnalysis.queries("t23_gopher_rules")(spark, sf)
+      .collect().map(r => (r.getLong(0),
+        (r.getInt(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getInt(5), r.getBoolean(6)))).toMap
+    val stops = Set("the", "be", "to", "of", "and", "that", "have", "with")
+    val docs = sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(docs.nonEmpty && docs.length == rows.size)
+    docs.foreach { case (id, text) =>
+      val l = text.toLowerCase.split(" ", -1).filter(_.nonEmpty).toSeq
+      val den = math.max(l.size, 1).toDouble
+      // Spark round() = HALF_UP over the double's decimal rendering
+      def r4(x: Double) = java.math.BigDecimal.valueOf(x)
+        .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue + 0.0
+      val mean = r4(l.map(_.length).sum / den)
+      val sym = r4((text.count(_ == '#') +
+        "\\.\\.\\.".r.findAllIn(text).length) / den)
+      val alpha = r4(l.count(_.exists(c => c >= 'a' && c <= 'z')) / den)
+      val nStop = l.count(stops)
+      val (gn, gm, gs, ga, gst, gk) = rows(id)
+      assert(gn == l.size && gm == mean && gs == sym && ga == alpha && gst == nStop,
+        s"doc $id: ($gn,$gm,$gs,$ga,$gst) vs (${l.size},$mean,$sym,$alpha,$nStop)")
+      assert(gk == (l.size >= 50 && l.size <= 100000 && mean >= 3.0 && mean <= 10.0
+        && sym <= 0.1 && alpha >= 0.8 && nStop >= 2), s"doc $id keep")
+    }
+    // the filter filters: both verdicts occur on the corpus
+    assert(rows.values.exists(_._6) && rows.values.exists(!_._6))
+  }
+
   test("q70 TWAP: per-user-day recompute matches; weights cover the observed span") {
     val rows = Relational.queries("q70_time_weighted_avg")(spark, sf).collect()
       .map(r => ((r.getLong(0), r.getTimestamp(1)), (r.getInt(2), r.getLong(3), r.getDouble(4))))
