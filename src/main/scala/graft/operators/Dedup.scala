@@ -721,7 +721,102 @@ object Dedup {
       .orderBy("vec_id")
   }
 
+  // ---------------------------------------------------------------- d14
+  /** d14: exact SUBSTRING deduplication (Lee et al. 2021,
+    * "Deduplicating Training Data Makes Language Models Better" —
+    * ExactSubstr): remove every word-span of width [[SubK]] that
+    * occurs MORE THAN ONCE anywhere in the corpus, at ANY alignment.
+    * This is the pass d12 approximates with stride-[[SubK]] windows:
+    * d12 misses a duplicated span that straddles its fixed window
+    * boundaries (a copy shifted by one word is invisible to it),
+    * while d14 anchors on STRIDE-1 shingles, so a repeated run of
+    * ≥ SubK words is caught at every offset; overlapping hits merge
+    * into maximal covered islands per document (the paper's
+    * remove-the-span semantics). Convention: every occurrence of a
+    * corpus-repeated span is removed (d12's symmetric rule — the
+    * paper's keep-one variant is a rank filter on the hit with the
+    * globally smallest (doc_id, p), noted, not silently chosen).
+    *
+    * Scale shape: the paper builds a corpus suffix array; the
+    * distributed equivalent is this anchor pipeline — the stride-1
+    * shingle fan-out happens inside the scan stage (posexplode of a
+    * computed array, codegen); the counting exchange map-side
+    * combines on the shingle key (at 100 TB the key becomes
+    * xxhash64(seg) — 8 bytes through the shuffle, t07's pattern;
+    * here the string keeps the DuckDB oracle exact); the hot set
+    * (count ≥ 2 — bounded by how much DUPLICATED text exists, not
+    * corpus size) joins back as a broadcast hash probe; hit start
+    * positions ride ONE doc_id-keyed exchange and expand to the
+    * covered index set per doc (|hits|·SubK ints, doc-bounded).
+    * The per-word `array_contains(covered, i)` probe is O(|covered|)
+    * — at production doc lengths the kept-set is computed by one
+    * merge scan over (sorted hits, words); here the array form keeps
+    * the plan a pure column expression. */
+  private val SubK = 8
+
+  def d14SubstringDedup(s: SparkSession, d: String): DataFrame = {
+    val w = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("words"))
+    val sh = w.select(col("doc_id"),
+        posexplode(expr(
+          s"""CASE WHEN size(words) >= $SubK THEN
+             |  transform(sequence(1, size(words) - ${SubK - 1}),
+             |    p -> array_join(slice(words, p, $SubK), ' '))
+             |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin))
+          .as(Seq("i", "seg")))
+      .select(col("doc_id"), (col("i") + 1).as("p"), col("seg"))
+    val hot = sh.groupBy("seg").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2).select("seg")
+    val hits = sh.join(broadcast(hot), Seq("seg"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("p"))).as("ps"))
+    w.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("words"),
+        expr(s"""array_distinct(flatten(transform(coalesce(ps,
+             |  CAST(array() AS ARRAY<INT>)),
+             |  p -> sequence(p, p + ${SubK - 1}))))""".stripMargin)
+          .as("covered"))
+      .select(col("doc_id"),
+        expr("array_join(filter(words, (x, i) -> NOT array_contains(covered, i + 1)), ' ')")
+          .as("cleaned"),
+        expr("size(covered)").cast("long").as("n_removed"))
+      .orderBy("doc_id")
+  }
+
+  val d14OracleSql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+       |),
+       |sh AS (
+       |  SELECT doc_id, unnest(generate_series(1, len(words) - ${SubK - 1})) AS p,
+       |         words
+       |  FROM w WHERE len(words) >= $SubK
+       |),
+       |sh2 AS (
+       |  SELECT doc_id, p,
+       |         array_to_string(words[p : p + ${SubK - 1}], ' ') AS seg
+       |  FROM sh
+       |),
+       |hot AS (SELECT seg FROM sh2 GROUP BY seg HAVING COUNT(*) >= 2),
+       |hits AS (
+       |  SELECT s.doc_id,
+       |         flatten(list_transform(list_sort(list(s.p)),
+       |                                p -> generate_series(p, p + ${SubK - 1}))) AS cov0
+       |  FROM sh2 s JOIN hot h USING (seg) GROUP BY s.doc_id
+       |),
+       |cov AS (
+       |  SELECT w.doc_id, w.words,
+       |         list_distinct(COALESCE(h.cov0, [])) AS covered
+       |  FROM w LEFT JOIN hits h USING (doc_id)
+       |)
+       |SELECT doc_id,
+       |       COALESCE(array_to_string(list_filter(words,
+       |         (x, i) -> NOT list_contains(covered, i)), ' '), '') AS cleaned,
+       |       CAST(len(covered) AS BIGINT) AS n_removed
+       |FROM cov ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d14_substring_dedup" -> (d14SubstringDedup _),
     "d13_semantic_dedup"  -> (d13SemanticDedup _),
     "d01_dedup_exact"     -> (d01Exact _),
     "d02_dedup_minhash"   -> (d02Minhash _),
@@ -839,5 +934,6 @@ object Dedup {
     "d09_containment"       -> d09OracleSql,
     "d10_editdist"          -> d10OracleSql,
     "d11_keep_best"         -> d11OracleSql,
-    "d12_span_dedup"        -> d12OracleSql)
+    "d12_span_dedup"        -> d12OracleSql,
+    "d14_substring_dedup"   -> d14OracleSql)
 }

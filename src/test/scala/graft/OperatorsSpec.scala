@@ -2429,4 +2429,51 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rows.exists(_._3 > 0), "the corpus plants duplicated spans")
     assert(rows.exists(_._3 == 0), "not every doc is boilerplate")
   }
+
+  test("d14 substring dedup: stride-1 recompute matches; catches at least d12's aligned hot mass") {
+    val df = Dedup.d14SubstringDedup(spark, sf)
+    val plan = GraftSession.explainPlan(df)
+    assert(plan.contains("Broadcast"),
+      "hot-shingle set must broadcast, never shuffle the corpus:\n" + plan.take(600))
+    val rows = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    val docs = sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    // direct single-threaded recompute: stride-1 width-8 shingles,
+    // corpus-hot anchors, per-doc covered-island removal
+    def shingles(t: String): Seq[(Int, String)] = {
+      val ws = t.split(" ", -1)
+      if (ws.length < 8) Seq.empty
+      else (1 to ws.length - 7).map(p => (p, ws.slice(p - 1, p + 7).mkString(" ")))
+    }
+    val counts = scala.collection.mutable.Map.empty[String, Int]
+    docs.foreach(d => shingles(d._2).foreach { case (_, sg) =>
+      counts(sg) = counts.getOrElse(sg, 0) + 1
+    })
+    val expect = docs.map { case (id, t) =>
+      val ws = t.split(" ", -1)
+      val cov = shingles(t).filter(x => counts(x._2) >= 2)
+        .flatMap(x => x._1 until (x._1 + 8)).toSet
+      val kept = ws.zipWithIndex.collect { case (w0, i) if !cov.contains(i + 1) => w0 }
+      (id, kept.mkString(" "), cov.size.toLong)
+    }
+    assert(rows.length == expect.length)
+    rows.zip(expect).foreach { case (g, e) =>
+      assert(g == e, s"doc ${e._1}: substring-dedup must match the recompute")
+    }
+    assert(rows.exists(_._3 > 0), "the corpus plants duplicated spans")
+    assert(rows.exists(_._3 == 0), "not every doc is boilerplate")
+    // any FULL-width segment d12 removes is a repeated stride-1 shingle
+    // too, so d14's covered word mass is >= d12's full-width segment
+    // mass; at most ONE removed segment per doc (the tail) is
+    // sub-width, hence the (r - 1) * 8 floor
+    val d12 = Dedup.d12SpanDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    rows.foreach { case (id, _, n14) =>
+      val floor = math.max(0L, (d12(id) - 1) * 8)
+      assert(n14 >= floor,
+        s"doc $id: d14 covered $n14 words but d12 removed ${d12(id)} aligned segments")
+    }
+  }
 }
