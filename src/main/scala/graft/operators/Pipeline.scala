@@ -210,13 +210,38 @@ object Pipeline {
     * broadcast joins, so composing selection in adds ZERO corpus-side
     * exchanges beyond e04's: the doc_id-keyed score join is the only
     * new shuffle, against an already-gated survivor set. */
-  def e05CurateSelectPack(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
+  /** p07's distributed exclusive prefix sum over a survivor set
+    * (doc_id, n_tokens [, carry...]): ≤32 doc_id-range buckets run
+    * their windows in PARALLEL; only the ≤32 bucket subtotals cross
+    * the single-row global stage; then 256-token pack ids. Shared by
+    * e05/e06 — one packer definition, zero drift. `docs` supplies the
+    * doc_id bounds (the full table, so bucket ranges are stable
+    * whatever the upstream gates kept). */
+  private def packPrefix(docs: DataFrame, survivors: DataFrame,
+      carry: Seq[String] = Nil): DataFrame = {
     val bounds = docs.agg(min("doc_id"), max("doc_id")).head()
     val (lo, hi) =
       if (bounds.isNullAt(0)) (0L, 0L) else (bounds.getLong(0), bounds.getLong(1))
     val span = math.max(1L, hi - lo + 1)
     val bsz = math.max(1L, (span + 31) / 32)
+    val withPid = survivors
+      .withColumn("pid", ((col("doc_id") - lo) / bsz).cast("long"))
+    val wPrev = Window.partitionBy("pid").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wPid = Window.orderBy("pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = withPid.groupBy("pid").agg(sum("n_tokens").as("bt"))
+      .select(col("pid"), coalesce(sum("bt").over(wPid), lit(0L)).as("pid_offset"))
+    withPid.join(broadcast(offsets), "pid")
+      .withColumn("tokens_before",
+        coalesce(sum("n_tokens").over(wPrev), lit(0L)) + col("pid_offset"))
+      .withColumn("pack_id", shiftright(col("tokens_before"), 8))
+      .select((Seq("doc_id") ++ carry ++
+        Seq("n_tokens", "tokens_before", "pack_id")).map(col): _*)
+  }
+
+  def e05CurateSelectPack(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
     val survivors = docs
       .select(col("doc_id"), nTokensCol.cast("long").as("n_tokens"),
         qualityScoreCol.as("quality_score"), nBlockedCol.as("n_blocked"),
@@ -226,21 +251,8 @@ object Pipeline {
       .filter(col("dsir_score") > 0) // the selection pass
       .withColumn("keeper", min("doc_id").over(Window.partitionBy("h")))
       .filter(col("doc_id") === col("keeper"))
-      .select(col("doc_id"), col("n_tokens"),
-        ((col("doc_id") - lo) / bsz).cast("long").as("pid"))
-    val wPrev = Window.partitionBy("pid").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val wPid = Window.orderBy("pid")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = survivors.groupBy("pid").agg(sum("n_tokens").as("bt"))
-      .select(col("pid"), coalesce(sum("bt").over(wPid), lit(0L)).as("pid_offset"))
-    survivors.join(broadcast(offsets), "pid")
-      .select(col("doc_id"), col("n_tokens"),
-        (coalesce(sum("n_tokens").over(wPrev), lit(0L)) + col("pid_offset"))
-          .as("tokens_before"))
-      .select(col("doc_id"), col("n_tokens"), col("tokens_before"),
-        shiftright(col("tokens_before"), 8).as("pack_id"))
-      .orderBy("doc_id")
+      .select(col("doc_id"), col("n_tokens"))
+    packPrefix(docs, survivors).orderBy("doc_id")
   }
 
   val e05OracleSql: String =
@@ -282,7 +294,125 @@ object Pipeline {
        |       tokens_before // 256 AS pack_id
        |FROM c ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- e06
+  /** e06: the FULL QUALITY CASCADE, composed — the exact three-stage
+    * filter architecture the production web-crawl pipelines describe
+    * (MassiveText/Gopher → CCNet → GPT-3), then dedup, then pack, as
+    * ONE Catalyst plan:
+    *   1. RULE stage — Gopher's heuristic battery (t23's shared
+    *      metric/keep columns) runs INSIDE the scan: rejects never
+    *      leave their input partition;
+    *   2. CLASSIFIER stage — t22's trained NB log-odds gate
+    *      (nb_score > 0), a per-doc score frame joined on doc_id;
+    *   3. LM stage — t21's CCNet perplexity tertiles with CORPUS-wide
+    *      thresholds, keeping head+middle (the bucket rides along for
+    *      mixture observability downstream);
+    *   4. exact dedup on the 8-byte content hash (d01's keeper rule);
+    *   5. p07's distributed prefix-sum pack into the 256-token layout.
+    * Stage order is the cheap-to-expensive discipline: the scan-stage
+    * rule filter shrinks the corpus before anything shuffles. The
+    * stage-2/3 score frames are per-doc aggregates of the SAME corpus
+    * — at 100 TB they are the stored at-ingest columns (st17 scores
+    * the stream as it lands; t21/t22 write score tables once), so the
+    * cascade's steady-state cost is three stored-column filters + the
+    * survivors-only dedup exchange + the ≤32-subtotal pack stage.
+    * Every Gopher survivor has ≥ 50 words, hence ≥ 2 tokens, hence a
+    * perplexity row — the stage-3 inner join is lossless by
+    * construction, not by luck. */
+  def e06QualityCascadePack(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val gated = docs
+      .select(Seq(col("doc_id"), col("text"),
+        nTokensCol.cast("long").as("n_tokens")) ++
+        TextAnalysis.gopherMetricCols: _*)
+      .filter(TextAnalysis.gopherKeepCol)
+      .select(col("doc_id"), col("n_tokens"), xxhash64(col("text")).as("h"))
+    val nbKeep = TextAnalysis.nbScored(s, d)
+      .filter(col("nb_score") > 0).select("doc_id")
+    val pplKeep = TextAnalysis.pplBucketFrame(s, d)
+      .filter(col("bucket") =!= "tail").select(col("doc_id"), col("bucket"))
+    val surv = gated.join(nbKeep, "doc_id").join(pplKeep, "doc_id")
+      .withColumn("keeper", min("doc_id").over(Window.partitionBy("h")))
+      .filter(col("doc_id") === col("keeper"))
+      .select("doc_id", "bucket", "n_tokens")
+    packPrefix(docs, surv, carry = Seq("bucket")).orderBy("doc_id")
+  }
+
+  /** Oracle: the same five stages — t23's gopher metrics, t22's NB
+    * CTE chain ([[TextAnalysis.nbCtesSql]], the shared definition),
+    * t21's smoothed-LM tertiles, text-window dedup, serial prefix
+    * sum. */
+  val e06OracleSql: String =
+    s"""WITH ${TextAnalysis.nbCtesSql},
+       |g AS (
+       |  SELECT doc_id, text, lang, source,
+       |         list_filter(string_split(lower(text), ' '), x -> x <> '') AS l
+       |  FROM documents
+       |),
+       |gm AS (
+       |  SELECT doc_id,
+       |    CAST(len(l) AS INT) AS n_words,
+       |    ROUND(CAST(COALESCE(list_sum(list_transform(l, x -> length(x))), 0) AS DOUBLE)
+       |          / GREATEST(len(l), 1), 4) + 0.0 AS mean_word_len,
+       |    ROUND(CAST((length(text) - length(replace(text, '#', '')))
+       |             + (length(text) - length(replace(text, '...', ''))) // 3 AS DOUBLE)
+       |          / GREATEST(len(l), 1), 4) + 0.0 AS symbol_ratio,
+       |    ROUND(CAST(len(list_filter(l, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+       |          / GREATEST(len(l), 1), 4) + 0.0 AS alpha_frac,
+       |    CAST(len(list_filter(l, x -> list_contains(
+       |      ['the','be','to','of','and','that','have','with'], x))) AS INT) AS n_stop
+       |  FROM g),
+       |gk AS (
+       |  SELECT doc_id FROM gm
+       |  WHERE n_words BETWEEN 50 AND 100000
+       |    AND mean_word_len BETWEEN 3.0 AND 10.0
+       |    AND symbol_ratio <= 0.1
+       |    AND alpha_frac >= 0.8
+       |    AND n_stop >= 2),
+       |pp AS (
+       |  SELECT doc_id, lang, source,
+       |         unnest([{'w1': l[i], 'w2': l[i+1]} for i in generate_series(1, len(l)-1)],
+       |                recursive := true)
+       |  FROM g WHERE len(l) >= 2),
+       |tpb AS (SELECT w1, w2 FROM pp WHERE lang = 'en' AND source IN ('src0', 'src1')),
+       |c2b AS (SELECT w1, w2, COUNT(*) AS n2 FROM tpb GROUP BY 1, 2),
+       |c1b AS (SELECT w1, COUNT(*) AS n1 FROM tpb GROUP BY 1),
+       |vvb AS (SELECT COUNT(DISTINCT w2) AS v FROM tpb),
+       |pplsc AS (
+       |  SELECT p.doc_id,
+       |         ROUND(EXP(-AVG(LN(CAST(COALESCE(n2, 0) + 1 AS DOUBLE) /
+       |                           CAST(COALESCE(n1, 0) + v AS DOUBLE)))), 4) + 0.0 AS ppl
+       |  FROM pp p LEFT JOIN c2b USING (w1, w2) LEFT JOIN c1b USING (w1) CROSS JOIN vvb
+       |  GROUP BY p.doc_id),
+       |thb AS (SELECT quantile_cont(ppl, 1.0/3) AS t1,
+       |               quantile_cont(ppl, 2.0/3) AS t2 FROM pplsc),
+       |bk AS (
+       |  SELECT doc_id, CASE WHEN ppl <= t1 THEN 'head'
+       |                      WHEN ppl <= t2 THEN 'middle'
+       |                      ELSE 'tail' END AS bucket
+       |  FROM pplsc CROSS JOIN thb),
+       |q AS (SELECT doc_id, text, CAST($nTokensSql AS BIGINT) AS n_tokens FROM documents),
+       |surv AS (
+       |  SELECT q.doc_id, q.text, q.n_tokens, bk.bucket
+       |  FROM q
+       |  JOIN gk USING (doc_id)
+       |  JOIN (SELECT doc_id FROM nbsc WHERE nb_score > 0) nk USING (doc_id)
+       |  JOIN bk USING (doc_id)
+       |  WHERE bk.bucket <> 'tail'),
+       |k AS (SELECT *, MIN(doc_id) OVER (PARTITION BY text) AS keeper FROM surv),
+       |sv AS (SELECT doc_id, bucket, n_tokens FROM k WHERE doc_id = keeper),
+       |c AS (
+       |  SELECT doc_id, bucket, n_tokens,
+       |         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |           AS tokens_before
+       |  FROM sv)
+       |SELECT doc_id, bucket, n_tokens, tokens_before,
+       |       tokens_before // 256 AS pack_id
+       |FROM c ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e06_quality_cascade_pack" -> (e06QualityCascadePack _),
     "e01_curate" -> (e01Curate _),
     "e02_curate_ingest" -> (e02CurateIngest _),
     "e03_curate_incremental" -> (e03CurateIncremental _),
@@ -295,5 +425,6 @@ object Pipeline {
     "e02_curate_ingest" -> e01OracleSql,
     "e03_curate_incremental" -> e03OracleSql,
     "e04_curate_pack" -> e04OracleSql,
-    "e05_curate_select_pack" -> e05OracleSql)
+    "e05_curate_select_pack" -> e05OracleSql,
+    "e06_quality_cascade_pack" -> e06OracleSql)
 }

@@ -1122,7 +1122,14 @@ object TextAnalysis {
     * stateless comparison — NOT a global NTILE window, which would
     * funnel every row through one partition. 4-decimal rounding on
     * ppl per the t13/t14/t18 ln-precision precedent. */
-  def t21PerplexityBucket(s: SparkSession, d: String): DataFrame = {
+  def t21PerplexityBucket(s: SparkSession, d: String): DataFrame =
+    pplBucketFrame(s, d).orderBy("doc_id")
+
+  /** t21's scored-and-bucketed frame (doc_id, n_bigrams, ppl, bucket),
+    * unordered — shared with e06's cascade (zero drift; the tertile
+    * thresholds stay CORPUS-wide, CCNet's convention, regardless of
+    * what the consumer later filters). */
+  private[graft] def pplBucketFrame(s: SparkSession, d: String): DataFrame = {
     val pairsOf = (df: DataFrame) => df
       .select(col("doc_id"), termsArrayCol.as("l"))
       .filter(size(col("l")) >= 2)
@@ -1155,7 +1162,6 @@ object TextAnalysis {
         when(col("ppl") <= col("t1"), "head")
           .when(col("ppl") <= col("t2"), "middle")
           .otherwise("tail").as("bucket"))
-      .orderBy("doc_id")
   }
 
   // ---------------------------------------------------------------- t22
@@ -1209,9 +1215,10 @@ object TextAnalysis {
     * array — no shuffle, no join, no aggregate; the filter runs at
     * scan speed at any corpus size. Ratios compare on 4-dp ROUNDED
     * values in both engines (the t13 precedent at a boundary). */
-  def t23GopherRules(s: SparkSession, d: String): DataFrame = {
+  /** The five Gopher rule metrics as named columns over `text` — ONE
+    * definition consumed by t23 and e06's cascade (zero drift). */
+  private[graft] def gopherMetricCols: Seq[Column] = {
     val gopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
-    val docs = Tables.documents(s, d)
     val l = termsArrayCol
     val n = size(l)
     val den = greatest(n, lit(1)).cast("double")
@@ -1225,17 +1232,24 @@ object TextAnalysis {
     val nAlpha = size(filter(l, x => regexp_count(x, lit("[a-z]")) > 0))
     val alphaFrac = round(nAlpha.cast("double") / den, 4) + lit(0.0)
     val nStop = size(filter(l, x => array_contains(typedLit(gopherStops), x)))
-    docs.select(col("doc_id"), n.as("n_words"), meanWl.as("mean_word_len"),
-        symRatio.as("symbol_ratio"), alphaFrac.as("alpha_frac"),
-        nStop.as("n_stop"))
-      .withColumn("keep",
-        col("n_words").between(50, 100000) &&
-        col("mean_word_len").between(3.0, 10.0) &&
-        col("symbol_ratio") <= 0.1 &&
-        col("alpha_frac") >= 0.8 &&
-        col("n_stop") >= 2)
-      .orderBy("doc_id")
+    Seq(n.as("n_words"), meanWl.as("mean_word_len"),
+      symRatio.as("symbol_ratio"), alphaFrac.as("alpha_frac"),
+      nStop.as("n_stop"))
   }
+
+  /** The conjunctive keep over the NAMED metric columns. */
+  private[graft] def gopherKeepCol: Column =
+    col("n_words").between(50, 100000) &&
+      col("mean_word_len").between(3.0, 10.0) &&
+      col("symbol_ratio") <= 0.1 &&
+      col("alpha_frac") >= 0.8 &&
+      col("n_stop") >= 2
+
+  def t23GopherRules(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id") +: gopherMetricCols: _*)
+      .withColumn("keep", gopherKeepCol)
+      .orderBy("doc_id")
 
   lazy val t23OracleSql: String =
     """WITH toks AS (

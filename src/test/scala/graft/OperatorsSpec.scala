@@ -1123,6 +1123,38 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("e06 quality cascade: equals the intersection of its three stage queries; pack exact") {
+    val rows = operators.Pipeline.e06QualityCascadePack(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    val gopher = TextAnalysis.t23GopherRules(spark, sf)
+      .filter(col("keep")).select("doc_id").collect().map(_.getLong(0)).toSet
+    val nb = TextAnalysis.t22NbQuality(spark, sf)
+      .filter(col("pred_trusted")).select("doc_id").collect().map(_.getLong(0)).toSet
+    val ppl = TextAnalysis.t21PerplexityBucket(spark, sf)
+      .filter(col("bucket") =!= "tail").select("doc_id", "bucket").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val docs = sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1)))
+    val passAll = docs.filter(x => gopher(x._1) && nb(x._1) && ppl.contains(x._1))
+    val keepers = passAll.groupBy(_._2).map { case (_, g) => g.map(_._1).min }.toSet
+    val expectIds = passAll.map(_._1).filter(keepers).sorted
+    assert(rows.map(_._1).toSeq == expectIds.toSeq,
+      "cascade survivors must be exactly gopher ∩ NB ∩ non-tail, text-deduped")
+    rows.foreach { case (id, b, _, _, _) =>
+      assert(ppl(id) == b, s"doc $id: bucket must ride through from t21")
+    }
+    assert(rows.nonEmpty, "the cascade keeps something")
+    assert(rows.length < docs.length, "the cascade rejects something")
+    // exclusive prefix sum in doc_id order over the survivor set
+    var acc = 0L
+    rows.foreach { case (_, _, n, before, pack) =>
+      assert(before == acc, "exclusive prefix sum")
+      assert(pack == before >> 8, "pack id = tokens_before / 256")
+      acc += n
+    }
+  }
+
   test("t19 BPE training: learned merges equal a reference driver-side implementation") {
     val got = TextAnalysis.queries("t19_bpe_train")(spark, sf).collect()
       .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
