@@ -457,7 +457,85 @@ object Multimodal {
       |FROM fp JOIN grp USING (afp)
       |ORDER BY fp.doc_id""".stripMargin
 
+  // ------------------------------------------------------------ m07
+  /** m07: SCENE DETECTION — the standard video-curation pass (cut
+    * detection by inter-frame difference, the classic shot-boundary
+    * method every frame-dedup/sampling pipeline runs before choosing
+    * keyframes): treat the decoded pixel array as m03's sequence of
+    * 192-byte frames, compute the sum of absolute byte differences
+    * between consecutive frames, declare a CUT where the difference
+    * exceeds [[SceneCutThresh]], and emit one row per resulting scene
+    * (doc_id, scene_idx, start_frame, scene_frames) — the segmentation
+    * a real pipeline feeds into per-scene keyframe sampling (m03) and
+    * perceptual dedup (m05). On this payload the difference signal is
+    * fully deterministic (byte i = (doc_id·31+7i) mod 256, so
+    * consecutive-frame deltas are +64 mod 256 — the wrap count varies
+    * by frame and the threshold sits between the two observed bands),
+    * which keeps the operator oracle-exact like m01-m06.
+    *
+    * Scale shape: same as m03 — per-partition batch decode, payload
+    * bytes never shuffle, each doc reduces to its scene rows (a
+    * doc-bounded handful) before the output sort. */
+  private[graft] val SceneCutThresh = 18500L
+
+  def m07SceneDetect(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val frameLen = 192
+    mediaFrames(s, d).flatMap { case (id, bytes) =>
+      val img = decodePpm(bytes)
+      val nFrames = img.pixels.length / frameLen
+      val cuts = (1 until nFrames).filter { f =>
+        var diff = 0L
+        var i = 0
+        while (i < frameLen) {
+          diff += math.abs((img.pixels(f * frameLen + i) & 0xff) -
+            (img.pixels((f - 1) * frameLen + i) & 0xff))
+          i += 1
+        }
+        diff > SceneCutThresh
+      }
+      val starts = 0 +: cuts
+      val ends = cuts :+ nFrames
+      starts.zip(ends).zipWithIndex.map { case ((st, en), idx) =>
+        (id, idx, st, en - st)
+      }
+    }.toDF("doc_id", "scene_idx", "start_frame", "scene_frames")
+      .orderBy("doc_id", "scene_idx")
+  }
+
+  val m07OracleSql: String =
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |         CAST(doc_id % 64 + 16 AS INT) AS w,
+       |         CAST(doc_id % 48 + 16 AS INT) AS h
+       |  FROM documents
+       |), nf AS (
+       |  SELECT doc_id, (w*h*3) // 192 AS n_frames FROM m
+       |), px AS (
+       |  SELECT doc_id, unnest(generate_series(192, n_frames*192 - 1)) AS i
+       |  FROM nf WHERE n_frames >= 2
+       |), df AS (
+       |  SELECT doc_id, i // 192 AS f,
+       |         SUM(ABS((doc_id*31 + 7*i) % 256 - (doc_id*31 + 7*(i-192)) % 256)) AS diff
+       |  FROM px GROUP BY 1, 2
+       |), starts AS (
+       |  SELECT doc_id, CAST(0 AS BIGINT) AS start_frame FROM nf WHERE n_frames >= 1
+       |  UNION ALL
+       |  SELECT doc_id, f FROM df WHERE diff > ${SceneCutThresh}
+       |), seg AS (
+       |  SELECT doc_id, start_frame,
+       |         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY start_frame) - 1 AS scene_idx,
+       |         LEAD(start_frame) OVER (PARTITION BY doc_id ORDER BY start_frame) AS next_start
+       |  FROM starts
+       |)
+       |SELECT seg.doc_id, CAST(scene_idx AS INT) AS scene_idx,
+       |       CAST(start_frame AS INT) AS start_frame,
+       |       CAST(COALESCE(next_start, nf.n_frames) - start_frame AS INT) AS scene_frames
+       |FROM seg JOIN nf USING (doc_id)
+       |ORDER BY doc_id, scene_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m07_scene_detect" -> (m07SceneDetect _),
     "m01_multimodal"   -> (m01Multimodal _),
     "m02_resize"       -> (m02Resize _),
     "m03_frame_sample" -> (m03FrameSample _),
@@ -532,5 +610,6 @@ object Multimodal {
         |FROM px GROUP BY doc_id, fi ORDER BY doc_id, frame_idx""".stripMargin,
     "m04_audio" -> m04OracleSql,
     "m05_image_dedup" -> m05OracleSql,
-    "m06_audio_dedup" -> m06OracleSql)
+    "m06_audio_dedup" -> m06OracleSql,
+    "m07_scene_detect" -> m07OracleSql)
 }

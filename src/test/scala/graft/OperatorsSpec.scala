@@ -2223,6 +2223,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Multimodal.audioFpBits(base) != Multimodal.audioFpBits(Multimodal.wavPayload(6L)))
   }
 
+  test("m07 scene detect: scenes partition the frame range; cuts match a direct diff recompute") {
+    val rows = Multimodal.m07SceneDetect(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    val byDoc = rows.groupBy(_._1)
+    byDoc.foreach { case (id, scenes) =>
+      val sorted = scenes.sortBy(_._2)
+      // driver recompute of the same segmentation from the raw payload
+      val img = Multimodal.decodePpm(Multimodal.ppmPayload(id))
+      val nFrames = img.pixels.length / 192
+      val cuts = (1 until nFrames).filter { f =>
+        (0 until 192).map(i => math.abs((img.pixels(f * 192 + i) & 0xff) -
+          (img.pixels((f - 1) * 192 + i) & 0xff))).sum > 18500
+      }
+      val expect = ((0 +: cuts).zip(cuts :+ nFrames)).zipWithIndex
+        .map { case ((st, en), idx) => (id, idx, st, en - st) }
+      assert(sorted.toSeq == expect, s"doc $id: scene segmentation must match recompute")
+      // partition property: contiguous, starts at 0, covers all frames
+      assert(sorted.head._3 == 0 && sorted.map(_._4).sum == nFrames)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._3 + a._4 == b._3, "scenes must be contiguous")
+        case _ =>
+      }
+    }
+    assert(byDoc.exists(_._2.length >= 2), "some doc has multiple scenes")
+    assert(byDoc.exists(_._2.length == 1), "some doc is a single take")
+  }
+
   test("session_window boundary: an event at EXACTLY last+gap merges (inclusive)") {
     // empirically pins the boundary convention the q54/st12 oracle
     // encodes with `diff > gap`: Spark's session_window treats the
