@@ -41,6 +41,7 @@ object PlanAudit {
             && !name.contains("dsir") // t18: 1-row totals broadcast
             && !name.contains("select_pack") // e05: t18's 1-row totals via dsirScoreFrame
             && !name.contains("ppl_bucket") // t21: 1-row V + tertile-threshold broadcasts
+            && !name.contains("cascade") // e06: t21's 1-row V/threshold broadcasts ride along
             && !name.contains("heavy")) "⚠BNLJ" else "") // t15: 1-row sketch broadcast
           .filter(_.nonEmpty)
         println(f"$name%-24s ${ops.mkString(" ")} ${flags.mkString(" ")}")

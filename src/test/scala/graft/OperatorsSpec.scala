@@ -1155,6 +1155,21 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("e07 stored-score cascade: row-identical to e06; the plan reads stored columns only") {
+    val e7 = operators.Pipeline.e07CascadeStored(spark, sf)
+    val plan = GraftSession.explainPlan(e7)
+    assert(!plan.contains("Generate"),
+      "no feature explode on the stored path:\n" + plan.take(400))
+    assert(!plan.toLowerCase.contains("percentile"),
+      "no threshold aggregate on the stored path")
+    assert(!plan.contains("documents.parquet"),
+      "the recurring cascade must not rescan the corpus")
+    val a = e7.collect().map(_.toSeq).toSeq
+    val b = operators.Pipeline.e06QualityCascadePack(spark, sf).collect().map(_.toSeq).toSeq
+    assert(a == b, "stored-score cascade must reproduce e06 exactly")
+    assert(a.nonEmpty)
+  }
+
   test("t19 BPE training: learned merges equal a reference driver-side implementation") {
     val got = TextAnalysis.queries("t19_bpe_train")(spark, sf).collect()
       .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
