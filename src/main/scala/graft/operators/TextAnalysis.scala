@@ -1141,9 +1141,14 @@ object TextAnalysis {
     val docs = Tables.documents(s, d)
     val tp = pairsOf(docs.filter(col("lang") === "en" &&
       col("source").isin("src0", "src1")))
+    // c1 and V are pure ROLLUPS of the bigram table: n1(w1) = Σ_w2 n2
+    // and V = |distinct w2 in c2| — so the trusted-slice explode runs
+    // ONCE (localCheckpoint pins it; the t19/s10 recipe) instead of
+    // three times for three aggregations over the same fan-out
     val c2 = tp.groupBy("w1", "w2").agg(count(lit(1)).as("n2"))
-    val c1 = tp.groupBy("w1").agg(count(lit(1)).as("n1"))
-    val v = tp.agg(countDistinct(col("w2")).as("v"))
+      .localCheckpoint()
+    val c1 = c2.groupBy("w1").agg(sum("n2").as("n1"))
+    val v = c2.agg(countDistinct(col("w2")).as("v"))
     val scored = pairsOf(docs)
       .join(c2, Seq("w1", "w2"), "left")
       .join(c1, Seq("w1"), "left")
