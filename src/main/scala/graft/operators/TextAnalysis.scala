@@ -674,8 +674,12 @@ object TextAnalysis {
            |  i -> struct(element_at(l, i) AS w1, element_at(l, i + 1) AS w2))"""
           .stripMargin)).as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    // c1 is a pure ROLLUP of the bigram table (n1(w1) = Σ_w2 n2), so
+    // the corpus explode runs twice (c2 + the scoring join), not three
+    // times — the t21 recipe; localCheckpoint pins the vocab-sized c2
     val c2 = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("n2"))
-    val c1 = pairs.groupBy("w1").agg(count(lit(1)).as("n1"))
+      .localCheckpoint()
+    val c1 = c2.groupBy("w1").agg(sum("n2").as("n1"))
     pairs
       .join(c2, Seq("w1", "w2"))
       .join(c1, Seq("w1"))
@@ -853,6 +857,15 @@ object TextAnalysis {
   private[operators] def dsirScoreFrame(s: SparkSession, d: String): DataFrame = {
     val terms = Tables.documents(s, d)
       .select(col("doc_id"), col("source"), termCol)
+    // NOTE on shape: two tighter fusions were measured and REJECTED
+    // here (the st15 prelude DOES use the fused single-aggregation
+    // form, where separate driver ACTIONS would otherwise re-run the
+    // explode): (a) deriving both LM tables from the doc-term table
+    // trades two explodes for paying the doc-term shuffle twice
+    // (t18 0.59 s → ~1.0 s at sf0.1); (b) fusing raw+tgt into one
+    // aggregation left t18 flat but cost the e05 composition ~25%
+    // (1.8 s → 2.27 s A/B at equal load). The three map-side-combined
+    // aggregations below each shuffle only vocabulary-sized rows.
     val docTerm = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
     val raw = terms.groupBy("term").agg(count(lit(1)).as("cr"))
     val tgt = terms.filter(col("source") === "src0")

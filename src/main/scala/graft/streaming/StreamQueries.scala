@@ -825,17 +825,20 @@ object StreamQueries {
   def st15StreamDsir(s: SparkSession, d: String): DataFrame = {
     import graft.operators.TextAnalysis
     // static LM side, computed once (offline-training stand-in)
+    // ONE exploded aggregation carries both counts (the t18/t21 rollup
+    // recipe); localCheckpoint pins it because the totals job and the
+    // broadcast build are separate ACTIONS that would each re-run the
+    // corpus explode otherwise
     val terms = Tables.documents(s, d)
       .select(col("doc_id"), col("source"), TextAnalysis.termCol)
-    val raw = terms.groupBy("term").agg(count(lit(1)).as("cr"))
-    val tgt = terms.filter(col("source") === "src0")
-      .groupBy("term").agg(count(lit(1)).as("ct"))
-    val tot = raw.agg(sum(col("cr")), count(lit(1))).head()
-    val (nr, v) = (tot.getLong(0), tot.getLong(1))
-    val nt = tgt.agg(sum(col("ct"))).head().getLong(0)
-    val lm = broadcast(raw.join(tgt, Seq("term"), "left")
+    val lm0 = terms.groupBy("term").agg(count(lit(1)).as("cr"),
+        sum(when(col("source") === "src0", 1L).otherwise(0L)).as("ct"))
+      .localCheckpoint()
+    val tot = lm0.agg(sum(col("cr")), count(lit(1)), sum(col("ct"))).head()
+    val (nr, v, nt) = (tot.getLong(0), tot.getLong(1), tot.getLong(2))
+    val lm = broadcast(lm0
       .select(col("term"),
-        (log((coalesce(col("ct"), lit(0L)) + lit(1.0)) / lit((nt + v).toDouble)) -
+        (log((col("ct") + lit(1.0)) / lit((nt + v).toDouble)) -
           log((col("cr") + lit(1.0)) / lit((nr + v).toDouble))).as("llr")))
 
     val schema = s.read.parquet(s"$d/documents.parquet").schema
