@@ -31,6 +31,30 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
     copy(left = l, right = r)
 }
 
+/** s12's certified SQ8 cosine upper bound against a fixed probe. The
+  * probe is an expression parameter (Seq equality keeps plan
+  * canonicalization structural) compiled to a float[] reference object
+  * at codegen — shipped once per executor, like [[BpeEncode]]'s codec.
+  * Its norm and abs-sum fold driver-side into plan literals. */
+case class Sq8CosUb(child: Expression, q: Seq[Float]) extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.GraftTypes.AbstractType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "sq8_cos_ub"
+  @transient private lazy val qArr = q.toArray
+  @transient private lazy val qNorm = math.sqrt(qArr.map(x => x.toDouble * x).sum)
+  @transient private lazy val qAbsSum = qArr.map(x => math.abs(x.toDouble)).sum
+  override protected def nullSafeEval(a: Any): Any =
+    Kernels.sq8CosUb(a.asInstanceOf[ArrayData], qArr, qNorm, qAbsSum)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("sq8Probe", qArr, "float[]")
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.Kernels.sq8CosUb($a, $ref, ${qNorm}D, ${qAbsSum}D)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 case class DotProduct(left: Expression, right: Expression) extends BinaryExpression with ImplicitCastInputTypes {
   override def inputTypes: Seq[org.apache.spark.sql.GraftTypes.AbstractType] = Seq(ArrayType(FloatType), ArrayType(FloatType))
   override def dataType: DataType = DoubleType

@@ -40,6 +40,40 @@ object Kernels {
     if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
   }
 
+  /** CERTIFIED upper bound on cosine(v, q) through v's own SQ8
+    * quantization (s12's lossless range-search prefilter). Pass 1
+    * finds the row's affine params (mn, span) and ‖v‖; pass 2
+    * accumulates the decoded-code · q dot. Per component the decode
+    * is off by at most span/508 (half a quantization step, since
+    * |round(t) − t| ≤ 0.5), so
+    * `dot(v,q) ≤ coarse + (span/508)·Σ|qᵢ|`; dividing by ‖q‖‖v‖
+    * bounds the cosine from above. qNorm/qAbsSum are precomputed
+    * driver-side from the same probe array. */
+  def sq8CosUb(v: ArrayData, q: Array[Float], qNorm: Double, qAbsSum: Double): Double = {
+    val n = math.min(v.numElements(), q.length)
+    var mn = Double.PositiveInfinity; var mx = Double.NegativeInfinity
+    var ss = 0.0
+    var i = 0
+    while (i < n) {
+      val x = v.getFloat(i).toDouble
+      if (x < mn) mn = x
+      if (x > mx) mx = x
+      ss += x * x
+      i += 1
+    }
+    val span = math.max(mx - mn, 1e-12)
+    var coarse = 0.0
+    i = 0
+    while (i < n) {
+      val x = v.getFloat(i).toDouble
+      val dec = mn + Math.round((x - mn) * 254.0 / span) * span / 254.0
+      coarse += dec * q(i)
+      i += 1
+    }
+    (coarse + span / 508.0 * qAbsSum) /
+      (qNorm * math.max(math.sqrt(ss), 1e-12))
+  }
+
   /** Dot product of two float vectors. */
   def dot(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())

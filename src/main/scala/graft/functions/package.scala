@@ -13,6 +13,9 @@ package object functions {
   def dot_product(a: Column, b: Column): Column =
     column(DotProduct(expression(a), expression(b)))
 
+  def sq8_cos_ub(v: Column, q: Seq[Float]): Column =
+    column(Sq8CosUb(expression(v), q))
+
   def hyperplane_sig(v: Column, bits: Int, seed: Long): Column =
     column(HyperplaneSig(expression(v), bits, seed))
 

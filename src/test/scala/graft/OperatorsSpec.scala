@@ -1427,6 +1427,42 @@ class OperatorsSpec extends AnyFunSuite {
       "every packed code must be a valid centroid id")
   }
 
+  test("s12 range search: certified bound sound on every row, real pruning, set = brute force") {
+    val bounds = Similarity.s12CertifiedBounds(spark, sf).collect()
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      dot / math.sqrt(na * nb)
+    }
+    // soundness: the SQ8 upper bound dominates the true cosine on EVERY
+    // corpus row — this is what makes the prefilter lossless
+    val trueCos = bounds.map { r =>
+      val c = cos(r.getSeq[Float](1).toArray, r.getSeq[Float](2).toArray)
+      assert(r.getDouble(3) >= c - 1e-12,
+        s"certified bound violated for vec ${r.getLong(0)}: ${r.getDouble(3)} < $c")
+      (r.getLong(0), c)
+    }
+    // the bound must actually prune: candidates paying the exact kernel
+    // are a small fraction of the corpus (the point of the coarse pass)
+    val cut = Similarity.RangeTau - 5e-5 - 1e-9
+    val survivors = bounds.count(_.getDouble(3) >= cut)
+    info(s"s12 certified candidates: $survivors/${bounds.length}")
+    assert(survivors < bounds.length / 10,
+      s"prefilter kept $survivors of ${bounds.length} — bound too loose")
+    // emitted set == brute-force threshold set on the rounded contract
+    val got = Similarity.queries("s12_range_search")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val brute = trueCos
+      .map { case (id, c) =>
+        (id, BigDecimal(c).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+      .filter(_._2 >= Similarity.RangeTau)
+    assert(got.nonEmpty && got.toSet == brute.toSet,
+      s"range result ${got.toSet} != brute force ${brute.toSet}")
+  }
+
   test("t18 DSIR: target-domain documents score higher than the pool") {
     val rows = TextAnalysis.queries("t18_dsir_importance")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
