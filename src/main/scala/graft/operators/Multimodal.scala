@@ -306,16 +306,26 @@ object Multimodal {
     * pure integers and bit-identical on any engine. Returned as a
     * 64-char '0'/'1' string (hex packing would be equivalent; the bit
     * string keeps the SQL oracle trivial). */
-  private[graft] def phashBits(bytes: Array[Byte]): String = {
+  /** The 64 per-cell gray sums (r+g+b) of the 8×8 NN-resample — the
+    * integer visual descriptor under m05's aHash bits, and m08's
+    * image-side embedding. */
+  private[graft] def cellGrays(bytes: Array[Byte]): Array[Int] = {
     val img = decodePpm(bytes)
     val px = resampleNn(img, 8, 8)
     val cells = new Array[Int](64)
-    var total = 0
     var c = 0
     while (c < 64) {
       cells(c) = (px(c * 3) & 0xff) + (px(c * 3 + 1) & 0xff) + (px(c * 3 + 2) & 0xff)
-      total += cells(c); c += 1
+      c += 1
     }
+    cells
+  }
+
+  private[graft] def phashBits(bytes: Array[Byte]): String = {
+    val cells = cellGrays(bytes)
+    var total = 0
+    var c = 0
+    while (c < 64) { total += cells(c); c += 1 }
     val bits = new java.lang.StringBuilder(64)
     var i = 0
     while (i < 64) { bits.append(if (cells(i) * 64 > total) '1' else '0'); i += 1 }
@@ -534,8 +544,78 @@ object Multimodal {
        |FROM seg JOIN nf USING (doc_id)
        |ORDER BY doc_id, scene_idx""".stripMargin
 
+  // ------------------------------------------------------------ m08
+  /** m08: IMAGE-TEXT PAIR FILTERING — the LAION curation gate
+    * (Schuhmann 2021: keep a crawled (image, caption) pair only when
+    * the CLIP image-embedding · text-embedding cosine clears a
+    * threshold; LAION-400M shipped 0.3 and dropped ~90% of the
+    * crawl). The Spark-side plumbing is the production shape
+    * end-to-end: an image-side feature vector computed INSIDE the
+    * scan-stage batch decode (payload bytes never shuffle — only the
+    * 64-dim descriptor leaves the partition), joined on doc_id to the
+    * stored text-side embedding table, one cosine kernel per pair, a
+    * threshold verdict per pair. Only the ENCODERS are stand-ins
+    * (this container has no ML runtime): the image embedding is the
+    * real decode's 8×8 gray-cell descriptor (m05's integer visual
+    * descriptor, a genuine downsampled-luminance feature) and the
+    * text embedding is the embeddings table keyed by doc_id — swap
+    * both for CLIP towers and nothing about the plan changes.
+    *
+    * Every pair is emitted with its score and verdict (which-pair-
+    * was-dropped observability, t23's per-rule pattern) rather than
+    * pre-filtered, so the oracle checks kept AND dropped rows. At
+    * 100 TB both descriptor columns are stored at ingest and the
+    * query is a co-partitioned join + one fused kernel per row; the
+    * keep fraction here is ~20% (τ=0.10 on this data — LAION's 0.3
+    * rescaled to the stand-in encoders' score distribution). */
+  private[graft] val PairTau = 0.10
+
+  def m08PairFilter(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ivecs = Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        // partition = batch: a real CLIP tower would init once here
+        (id, cellGrays(ppmPayload(id)).map(_.toFloat))
+      }).toDF("doc_id", "ivec")
+    val tvecs = Tables.embeddings(s, d)
+      .select(col("vec_id").as("doc_id"), col("embedding").as("tvec"))
+    ivecs.join(tvecs, "doc_id")
+      .select(col("doc_id"),
+        round(graft.functions.cosine_sim(col("ivec"), col("tvec")), 4)
+          .as("align_score"))
+      .withColumn("kept", col("align_score") >= PairTau)
+      .orderBy("doc_id")
+  }
+
+  val m08OracleSql: String =
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |         CAST(doc_id % 64 + 16 AS INT) AS w,
+       |         CAST(doc_id % 48 + 16 AS INT) AS h
+       |  FROM documents
+       |), cells AS (
+       |  SELECT doc_id, j,
+       |         ((((j // 8) * h // 8) * w + ((j % 8) * w // 8)) * 3) AS si
+       |  FROM m, LATERAL unnest(generate_series(0, 63)) AS t(j)
+       |), g AS (
+       |  SELECT doc_id, j,
+       |         CAST((doc_id*31 + 7*si) % 256 + (doc_id*31 + 7*(si+1)) % 256
+       |           + (doc_id*31 + 7*(si+2)) % 256 AS DOUBLE) AS gray
+       |  FROM cells
+       |), iv AS (
+       |  SELECT doc_id, list(gray ORDER BY j) AS ivec FROM g GROUP BY doc_id
+       |), sc AS (
+       |  SELECT iv.doc_id,
+       |         ROUND(list_cosine_similarity(iv.ivec,
+       |           list_transform(e.embedding, x -> CAST(x AS DOUBLE))), 4) AS align_score
+       |  FROM iv JOIN embeddings e ON iv.doc_id = e.vec_id
+       |)
+       |SELECT doc_id, align_score, align_score >= ${PairTau} AS kept
+       |FROM sc ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m07_scene_detect" -> (m07SceneDetect _),
+    "m08_pair_filter"  -> (m08PairFilter _),
     "m01_multimodal"   -> (m01Multimodal _),
     "m02_resize"       -> (m02Resize _),
     "m03_frame_sample" -> (m03FrameSample _),
@@ -611,5 +691,6 @@ object Multimodal {
     "m04_audio" -> m04OracleSql,
     "m05_image_dedup" -> m05OracleSql,
     "m06_audio_dedup" -> m06OracleSql,
-    "m07_scene_detect" -> m07OracleSql)
+    "m07_scene_detect" -> m07OracleSql,
+    "m08_pair_filter" -> m08OracleSql)
 }

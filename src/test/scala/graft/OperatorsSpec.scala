@@ -2301,6 +2301,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(byDoc.exists(_._2.length == 1), "some doc is a single take")
   }
 
+  test("m08 pair filter: scores match a driver recompute; keep rate real; verdict consistent") {
+    val rows = Multimodal.queries("m08_pair_filter")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2)))
+    assert(rows.nonEmpty)
+    // pair coverage: one row per doc that has a text embedding
+    val tvecs = sources.Tables.embeddings(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val docIds = sources.Tables.documents(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(rows.map(_._1).toSet == docIds.intersect(tvecs.keySet))
+    // every pair's score = cosine(decoded 8x8 gray descriptor, stored
+    // text embedding), recomputed independently from the raw payload
+    rows.foreach { case (id, score, kept) =>
+      val ivec = Multimodal.cellGrays(Multimodal.ppmPayload(id)).map(_.toDouble)
+      val tvec = tvecs(id).map(_.toDouble)
+      val dot = ivec.zip(tvec).map { case (a, b) => a * b }.sum
+      val c = dot / math.sqrt(ivec.map(x => x * x).sum * tvec.map(x => x * x).sum)
+      val expect = BigDecimal(c).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(score - expect) < 1e-9, s"doc $id: $score != $expect")
+      assert(kept == (score >= Multimodal.PairTau), s"doc $id verdict")
+    }
+    // the gate must actually gate: keeps some, drops some
+    val kept = rows.count(_._3)
+    assert(kept > 0 && kept < rows.length,
+      s"keep rate ${kept}/${rows.length} must be strictly between 0 and 1")
+  }
+
   test("session_window boundary: an event at EXACTLY last+gap merges (inclusive)") {
     // empirically pins the boundary convention the q54/st12 oracle
     // encodes with `diff > gap`: Spark's session_window treats the
