@@ -780,7 +780,8 @@ object TextAnalysis {
     "t20_tokenize"    -> (t20Tokenize _),
     "t21_ppl_bucket"  -> (t21PerplexityBucket _),
     "t22_nb_quality"  -> (t22NbQuality _),
-    "t23_gopher_rules" -> (t23GopherRules _))
+    "t23_gopher_rules" -> (t23GopherRules _),
+    "t24_fertility"   -> (t24Fertility _))
 
   /** t01's stopword-count heuristic is integer arithmetic over token
     * lists — DuckDB reproduces it exactly (list lambdas + the same
@@ -1088,6 +1089,43 @@ object TextAnalysis {
       .select(col("doc_id"), col("e.n_bpe_tokens").as("n_bpe_tokens"),
         col("e.token_ids").as("token_ids"))
       .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------- t24
+  /** t24: TOKENIZER FERTILITY audit — per (lang, source): document,
+    * word, character and BPE-token totals, fertility (BPE tokens per
+    * word) and chars-per-token. The multilingual tokenizer-equity
+    * pass (Petrov 2023, "Language Model Tokenizers Introduce
+    * Unfairness"): a tokenizer trained on one language's distribution
+    * inflates other languages' token counts, which silently skews
+    * both training-mixture shares and serving cost — this rollup is
+    * how a pipeline SEES that before committing a vocabulary.
+    *
+    * One corpus scan: the trained [[graft.functions.BpeEncode]]
+    * kernel (t20's reference-object compile, firstK=1 — count only,
+    * no id array) runs inside the scan next to the word/char columns,
+    * then ONE map-side-combined aggregation to (lang × source)-many
+    * rows. Zero tokenizer drift: the term array is [[termsArrayCol]],
+    * the same Column t19 trained on and t20 applies. Rows-only (the
+    * counts need the trained merge table); the spec re-derives every
+    * group from t20's per-doc output and pins fertility ≥ 1 (a word
+    * encodes to at least one token). */
+  def t24Fertility(s: SparkSession, d: String): DataFrame = {
+    val (merges, vocab) = bpeAssets(s, d)
+    val enc = graft.functions.bpe_encode(termsArrayCol,
+      merges.map(m => (m._2, m._3)), vocab, 1)
+    Tables.documents(s, d)
+      .select(col("lang"), col("source"), col("n_chars"),
+        size(termsArrayCol).cast("long").as("words"),
+        enc.getField("n_bpe_tokens").as("bpe"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("words").as("n_words"),
+        sum("bpe").as("n_bpe_tokens"),
+        sum("n_chars").as("n_chars"),
+        round(sum("bpe") / sum("words"), 4).as("fertility"),
+        round(sum("n_chars") / sum("bpe"), 4).as("chars_per_token"))
+      .orderBy("lang", "source")
   }
 
   lazy val t18OracleSql: String =

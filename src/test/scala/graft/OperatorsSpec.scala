@@ -2301,6 +2301,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(byDoc.exists(_._2.length == 1), "some doc is a single take")
   }
 
+  test("t24 fertility: groups re-derive from t20's per-doc encode; fertility >= 1") {
+    val got = TextAnalysis.queries("t24_fertility")(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+         r.getDouble(6), r.getDouble(7)))).toMap
+    // independent derivation: t20's per-doc token counts + the raw
+    // documents table, folded driver-side
+    val perDoc = TextAnalysis.queries("t20_tokenize")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val docs = sources.Tables.documents(spark, sf)
+      .select("doc_id", "lang", "source", "n_chars", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3),
+        r.getString(4).toLowerCase.split(" ", -1).count(_.nonEmpty).toLong))
+    val expect = docs.groupBy(d => (d._2, d._3)).map { case (k, ds) =>
+      val words = ds.map(_._5).sum
+      val bpe = ds.map(d => perDoc(d._1)).sum
+      val chars = ds.map(_._4).sum
+      def r4(x: Double) =
+        BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      k -> (ds.length.toLong, words, bpe, chars,
+        r4(bpe.toDouble / words), r4(chars.toDouble / bpe))
+    }
+    assert(got == expect, "fertility rollup must re-derive from t20 + documents")
+    // a word encodes to >= 1 BPE token, so fertility >= 1 everywhere
+    assert(got.values.forall(_._5 >= 1.0))
+  }
+
   test("m08 pair filter: scores match a driver recompute; keep rate real; verdict consistent") {
     val rows = Multimodal.queries("m08_pair_filter")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2)))
