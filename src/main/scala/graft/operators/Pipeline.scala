@@ -224,8 +224,17 @@ object Pipeline {
       if (bounds.isNullAt(0)) (0L, 0L) else (bounds.getLong(0), bounds.getLong(1))
     val span = math.max(1L, hi - lo + 1)
     val bsz = math.max(1L, (span + 31) / 32)
+    // the survivor frame feeds TWO consumers (the ≤32-row subtotal
+    // aggregate and the offset-join probe), whose exchanges differ, so
+    // Catalyst would re-run the whole upstream cascade for each —
+    // measured 2× on e06, whose survivors subtree carries the NB + LM
+    // scoring (7.7 → 3.9 s at sf0.1). localCheckpoint pins the
+    // survivor-sized rows once (the t19/s10/d06 recipe); the
+    // materialized set is bounded by the pack OUTPUT itself, so this
+    // holds at any corpus scale.
     val withPid = survivors
       .withColumn("pid", ((col("doc_id") - lo) / bsz).cast("long"))
+      .localCheckpoint()
     val wPrev = Window.partitionBy("pid").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
     val wPid = Window.orderBy("pid")
