@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.sources.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -474,9 +474,126 @@ object Pipeline {
     packPrefix(scores, surv, carry = Seq("bucket")).orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- e08
+  /** e08: the cascade FUNNEL REPORT — documents and tokens surviving
+    * each gate of e06's cascade, one row per stage (ingested → gopher
+    * → NB classifier → perplexity → dedup). t23 gives which-RULE
+    * observability inside the gopher gate; this is which-STAGE
+    * observability across the whole pipeline — the number a data team
+    * actually watches when tuning gates ("the NB gate kills 40%; is
+    * that intended?"), and the datasheet row a curated-corpus release
+    * publishes.
+    *
+    * Runs from e07's STORED score table: ONE scan computing the four
+    * cumulative stage flags as plain column conjunctions, the dedup
+    * keeper flag via one window over the stored hash, then a single
+    * map-side-combined aggregate down to 5 rows (stack-reshaped).
+    * Unlike e07 the window runs over ALL rows, not survivors-only —
+    * the report counts what dedup WOULD keep among stage-3 survivors,
+    * and a funnel is a one-off observability query, not the recurring
+    * materialization. */
+  def e08FunnelReport(s: SparkSession, d: String): DataFrame = {
+    val flagged = scoreTable(s, d)
+      .withColumn("s1", col("gopher_keep"))
+      .withColumn("s2", col("s1") && col("nb_score") > 0)
+      .withColumn("s3", col("s2") && col("bucket").isNotNull &&
+        col("bucket") =!= "tail")
+      .withColumn("s4", col("s3") && col("doc_id") ===
+        min(when(col("s3"), col("doc_id"))).over(Window.partitionBy("h")))
+    def d_(c: Column) = sum(when(c, 1L).otherwise(0L))
+    def t_(c: Column) = sum(when(c, col("n_tokens")).otherwise(0L))
+    flagged.agg(
+        count(lit(1)).as("d0"), sum("n_tokens").as("t0"),
+        d_(col("s1")).as("d1"), t_(col("s1")).as("t1"),
+        d_(col("s2")).as("d2"), t_(col("s2")).as("t2"),
+        d_(col("s3")).as("d3"), t_(col("s3")).as("t3"),
+        d_(col("s4")).as("d4"), t_(col("s4")).as("t4"))
+      .select(expr(
+        """stack(5,
+          |  0, 'ingested',      d0, t0,
+          |  1, 'gopher',        d1, t1,
+          |  2, 'nb_classifier', d2, t2,
+          |  3, 'perplexity',    d3, t3,
+          |  4, 'dedup',         d4, t4)
+          |AS (stage_idx, stage, n_docs, n_tokens)""".stripMargin))
+      .orderBy("stage_idx")
+  }
+
+  /** Oracle: e06's own CTE chain, counted per stage. */
+  val e08OracleSql: String =
+    s"""WITH ${TextAnalysis.nbCtesSql},
+       |g AS (
+       |  SELECT doc_id, text, lang, source,
+       |         list_filter(string_split(lower(text), ' '), x -> x <> '') AS l
+       |  FROM documents
+       |),
+       |gm AS (
+       |  SELECT doc_id,
+       |    CAST(len(l) AS INT) AS n_words,
+       |    ROUND(CAST(COALESCE(list_sum(list_transform(l, x -> length(x))), 0) AS DOUBLE)
+       |          / GREATEST(len(l), 1), 4) + 0.0 AS mean_word_len,
+       |    ROUND(CAST((length(text) - length(replace(text, '#', '')))
+       |             + (length(text) - length(replace(text, '...', ''))) // 3 AS DOUBLE)
+       |          / GREATEST(len(l), 1), 4) + 0.0 AS symbol_ratio,
+       |    ROUND(CAST(len(list_filter(l, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+       |          / GREATEST(len(l), 1), 4) + 0.0 AS alpha_frac,
+       |    CAST(len(list_filter(l, x -> list_contains(
+       |      ['the','be','to','of','and','that','have','with'], x))) AS INT) AS n_stop
+       |  FROM g),
+       |gk AS (
+       |  SELECT doc_id FROM gm
+       |  WHERE n_words BETWEEN 50 AND 100000
+       |    AND mean_word_len BETWEEN 3.0 AND 10.0
+       |    AND symbol_ratio <= 0.1
+       |    AND alpha_frac >= 0.8
+       |    AND n_stop >= 2),
+       |pp AS (
+       |  SELECT doc_id, lang, source,
+       |         unnest([{'w1': l[i], 'w2': l[i+1]} for i in generate_series(1, len(l)-1)],
+       |                recursive := true)
+       |  FROM g WHERE len(l) >= 2),
+       |tpb AS (SELECT w1, w2 FROM pp WHERE lang = 'en' AND source IN ('src0', 'src1')),
+       |c2b AS (SELECT w1, w2, COUNT(*) AS n2 FROM tpb GROUP BY 1, 2),
+       |c1b AS (SELECT w1, COUNT(*) AS n1 FROM tpb GROUP BY 1),
+       |vvb AS (SELECT COUNT(DISTINCT w2) AS v FROM tpb),
+       |pplsc AS (
+       |  SELECT p.doc_id,
+       |         ROUND(EXP(-AVG(LN(CAST(COALESCE(n2, 0) + 1 AS DOUBLE) /
+       |                           CAST(COALESCE(n1, 0) + v AS DOUBLE)))), 4) + 0.0 AS ppl
+       |  FROM pp p LEFT JOIN c2b USING (w1, w2) LEFT JOIN c1b USING (w1) CROSS JOIN vvb
+       |  GROUP BY p.doc_id),
+       |thb AS (SELECT quantile_cont(ppl, 1.0/3) AS t1,
+       |               quantile_cont(ppl, 2.0/3) AS t2 FROM pplsc),
+       |bk AS (
+       |  SELECT doc_id, CASE WHEN ppl <= t1 THEN 'head'
+       |                      WHEN ppl <= t2 THEN 'middle'
+       |                      ELSE 'tail' END AS bucket
+       |  FROM pplsc CROSS JOIN thb),
+       |q AS (SELECT doc_id, text, CAST($nTokensSql AS BIGINT) AS n_tokens FROM documents),
+       |st1 AS (SELECT q.* FROM q JOIN gk USING (doc_id)),
+       |st2 AS (SELECT st1.* FROM st1
+       |        JOIN (SELECT doc_id FROM nbsc WHERE nb_score > 0) nk USING (doc_id)),
+       |st3 AS (SELECT st2.* FROM st2 JOIN bk USING (doc_id) WHERE bk.bucket <> 'tail'),
+       |st4 AS (SELECT * FROM (
+       |          SELECT *, MIN(doc_id) OVER (PARTITION BY text) AS keeper FROM st3)
+       |        WHERE doc_id = keeper)
+       |SELECT * FROM (
+       |  SELECT CAST(0 AS INT) AS stage_idx, 'ingested' AS stage,
+       |         COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens FROM q
+       |  UNION ALL
+       |  SELECT 1, 'gopher', COUNT(*), CAST(SUM(n_tokens) AS BIGINT) FROM st1
+       |  UNION ALL
+       |  SELECT 2, 'nb_classifier', COUNT(*), CAST(SUM(n_tokens) AS BIGINT) FROM st2
+       |  UNION ALL
+       |  SELECT 3, 'perplexity', COUNT(*), CAST(SUM(n_tokens) AS BIGINT) FROM st3
+       |  UNION ALL
+       |  SELECT 4, 'dedup', COUNT(*), CAST(SUM(n_tokens) AS BIGINT) FROM st4
+       |) ORDER BY stage_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e06_quality_cascade_pack" -> (e06QualityCascadePack _),
     "e07_cascade_stored" -> (e07CascadeStored _),
+    "e08_funnel_report" -> (e08FunnelReport _),
     "e01_curate" -> (e01Curate _),
     "e02_curate_ingest" -> (e02CurateIngest _),
     "e03_curate_incremental" -> (e03CurateIncremental _),
@@ -492,5 +609,6 @@ object Pipeline {
     "e05_curate_select_pack" -> e05OracleSql,
     "e06_quality_cascade_pack" -> e06OracleSql,
     // the stored-score cascade must reproduce e06 exactly
-    "e07_cascade_stored" -> e06OracleSql)
+    "e07_cascade_stored" -> e06OracleSql,
+    "e08_funnel_report" -> e08OracleSql)
 }

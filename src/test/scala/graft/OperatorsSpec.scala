@@ -2301,6 +2301,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(byDoc.exists(_._2.length == 1), "some doc is a single take")
   }
 
+  test("e08 funnel: stages monotone; final stage equals e07's materialized set") {
+    val rows = Pipeline.queries("e08_funnel_report")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(0, 1, 2, 3, 4))
+    // a gate can only drop: docs and tokens non-increasing down the funnel
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b._3 <= a._3 && b._4 <= a._4, s"stage ${b._2} grew vs ${a._2}")
+      case _ =>
+    }
+    assert(rows.head._3 > rows.last._3, "the cascade must actually drop documents")
+    // the report's dedup row IS e07's materialization, counted
+    val packed = Pipeline.queries("e07_cascade_stored")(spark, sf).collect()
+    assert(rows.last._3 == packed.length.toLong,
+      s"funnel dedup docs ${rows.last._3} != e07 rows ${packed.length}")
+    assert(rows.last._4 == packed.map(_.getLong(2)).sum,
+      "funnel dedup tokens != e07 token sum")
+  }
+
   test("t24 fertility: groups re-derive from t20's per-doc encode; fertility >= 1") {
     val got = TextAnalysis.queries("t24_fertility")(spark, sf).collect()
       .map(r => ((r.getString(0), r.getString(1)),
