@@ -905,6 +905,52 @@ object StreamQueries {
     s.table("graft_st16_sink").orderBy("doc_id")
   }
 
+  private[graft] var st18StateOperators: Int = -1
+
+  /** st18: STREAMING IMAGE-TEXT PAIR FILTERING — the streaming twin
+    * of batch m08 and the serving shape of the LAION gate: a crawler
+    * scores each (image, caption) pair AS IT LANDS and drops
+    * misaligned pairs before they ever reach storage. Entirely
+    * STATELESS (st16's class): the image-side descriptor is computed
+    * per arriving row inside the stream's own partition (the real P6
+    * decode — payload bytes never shuffle), the text embedding joins
+    * via a BROADCAST stream-static lookup (st04's pattern), the
+    * verdict is a per-row expression — no state store, no stream
+    * shuffle, no aggregation (zero state operators asserted from the
+    * engine's own progress). Output hash-exact vs m08's DuckDB oracle
+    * on the live run. */
+  def st18StreamPairFilter(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Multimodal
+    import s.implicits._
+    val tvecs = broadcast(Tables.embeddings(s, d)
+      .select(col("vec_id").as("doc_id"), col("embedding").as("tvec")))
+    val schema = s.read.parquet(s"$d/documents.parquet").schema
+    val stream = s.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(d)
+    val scored = stream.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        // partition = batch: a real CLIP tower would init once here
+        (id, Multimodal.cellGrays(Multimodal.ppmPayload(id)).map(_.toFloat))
+      }).toDF("doc_id", "ivec")
+      .join(tvecs, "doc_id")
+      .select(col("doc_id"),
+        round(graft.functions.cosine_sim(col("ivec"), col("tvec")), 4)
+          .as("align_score"))
+      .withColumn("kept", col("align_score") >= Multimodal.PairTau)
+    val q = scored.writeStream
+      .format("memory").queryName("graft_st18_sink")
+      .outputMode(OutputMode.Append)
+      .start()
+    try {
+      q.processAllAvailable()
+      st18StateOperators = q.recentProgress
+        .map(_.stateOperators.length).maxOption.getOrElse(-1)
+    } finally q.stop()
+    s.table("graft_st18_sink").orderBy("doc_id")
+  }
+
   /** st17: STREAMING QUALITY CLASSIFICATION — the streaming twin of
     * batch t22 and the production serving shape of the supervised
     * quality gate (t22 trains → st17 scores AT INGEST): the NB weight
@@ -946,6 +992,7 @@ object StreamQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st16_stream_tokenize" -> (st16StreamTokenize _),
     "st17_stream_classify" -> (st17StreamClassify _),
+    "st18_stream_pair_filter" -> (st18StreamPairFilter _),
     "st01_stream_window" -> (st01StreamWindow _),
     "st02_stream_state"  -> (st02StreamState _),
     "st03_stream_dedup"  -> (st03StreamDedup _),
@@ -1051,7 +1098,8 @@ object StreamQueries {
     // over the stream must reproduce the batch importance weights
     "st15_stream_dsir" -> graft.operators.TextAnalysis.t18OracleSql,
     // the batch twin's oracle verbatim: same columns, same model
-    "st17_stream_classify" -> graft.operators.TextAnalysis.t22OracleSql)
+    "st17_stream_classify" -> graft.operators.TextAnalysis.t22OracleSql,
+    "st18_stream_pair_filter" -> graft.operators.Multimodal.m08OracleSql)
 
   private lazy val st09OracleSql: String =
     s"""WITH q AS (SELECT DISTINCT text FROM documents),

@@ -308,6 +308,18 @@ class StreamsSpec extends AnyFunSuite {
       s"expected zero state operators, saw ${streaming.StreamQueries.st16StateOperators}")
   }
 
+  test("st18 DRIVER QUERY: streamed pair filtering equals batch m08; zero state operators") {
+    val got = streaming.StreamQueries.st18StreamPairFilter(spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2))).toSeq
+    val want = operators.Multimodal.queries("m08_pair_filter")(spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2))).toSeq
+    assert(got == want, "streamed pair scoring must equal the batch m08 output")
+    assert(got.exists(_._3) && got.exists(!_._3), "both verdicts present")
+    // stateless: descriptor + broadcast lookup + verdict, no state store
+    assert(streaming.StreamQueries.st18StateOperators == 0,
+      s"expected zero state operators, saw ${streaming.StreamQueries.st18StateOperators}")
+  }
+
   test("st15 DRIVER QUERY: streamed DSIR scores equal the batch t18 importance weights") {
     val got = streaming.StreamQueries.st15StreamDsir(spark, TestSpark.sf)
       .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2))).toSeq
