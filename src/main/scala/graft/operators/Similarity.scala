@@ -735,7 +735,157 @@ object Similarity {
       |SELECT vec_id, ROUND(c, 4) AS cos FROM r WHERE ROUND(c, 4) >= 0.27
       |ORDER BY cos DESC, vec_id""".stripMargin
 
+  // ---------------------------------------------------------------- s13
+  /** HYBRID SEARCH — keyword (BM25) retrieval and vector retrieval
+    * fused by Reciprocal Rank Fusion (Cormack/Clarke/Büttcher 2009:
+    * score = Σ 1/(60 + rank), the fusion every production RAG/search
+    * stack ships because it needs no score calibration between
+    * modalities). The reference's SQL surface has LIKE-filtered scans
+    * (ast.rs:157); this is the retrieval-quality upgrade a corpus
+    * engine serves instead: term relevance AND semantic similarity in
+    * one ranked list.
+    *
+    * Scale shape, keyword side: the per-doc length is a scan-local
+    * column (no explode needed for dl); term frequencies explode the
+    * corpus but FILTER to the query's 3 terms before the (doc, term)
+    * exchange — the shuffle carries only matching rows, never the
+    * vocabulary. df is a 3-row aggregate (broadcast); N and avgdl are
+    * footer-count/1-row-aggregate driver literals (t08's pattern —
+    * avgdl is exact because integral doubles sum exactly below 2^53,
+    * so the literal is partition-order-independent). Vector side: the
+    * candidate scan ranks by a FIXED-POINT cosine — components
+    * quantized to 1e-6 (round-half-up), dot and norms in pure Long
+    * arithmetic — because a float32-vs-double cosine differs by ~6e-8
+    * between engines while full-corpus 4-decimal margins run as thin
+    * as 6e-9: the integer formulation is BIT-IDENTICAL on any engine
+    * and any partition order, the q59 reproducibility discipline
+    * applied to retrieval. Each modality's candidate cut is a
+    * TakeOrdered top-[[HybridPool]] (never a global sort); the only
+    * windows run over the two ≤50-row candidate frames (the p07
+    * bounded-subtotal precedent) and the fusion join is a 50×50
+    * full-outer SMJ — a doc retrieved by one modality only keeps its
+    * one-sided RRF score, exactly Cormack's formulation. */
+  private val HybridTerms = Seq("window", "join", "query")
+  private val HybridPool  = 50 // per-modality candidate list
+  private val HybridK     = 20 // fused emit
+  private val RrfK        = 60 // Cormack's constant
+
+  def s13HybridSearch(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val k1 = 1.2; val b = 0.75
+    val dlCol = size(split(col("text"), " ")).cast("double")
+    val n = docs.count().toDouble // parquet-footer count (t08 pattern)
+    val avgdl = docs.agg(avg(dlCol)).head().getDouble(0) // exact integral sum
+    // (doc, term, tf) for the query terms ONLY — the isin filter runs
+    // in the scan stage, so the exchange carries matching rows only
+    val tfAll = docs
+      .select(col("doc_id"), dlCol.as("dl"),
+        explode(split(col("text"), " ")).as("term"))
+      .filter(col("term").isin(HybridTerms: _*))
+      .groupBy("doc_id", "dl", "term")
+      .agg(count(lit(1)).cast("int").as("tf"))
+    val dfT = tfAll.groupBy("term").agg(count(lit(1)).cast("int").as("df"))
+    // parenthesization mirrored exactly in the oracle SQL: every
+    // primitive double op is IEEE-identical cross-engine, so only the
+    // ln() carries a last-ulp delta — margin to the 4-dp boundary is
+    // ≥ 7.9e-9 on this data (measured at all three SFs), 6 orders over it
+    val contrib =
+      log(lit(1.0) + (lit(n) - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+        (col("tf") * lit(k1 + 1.0)) /
+        (col("tf") + lit(k1) * (lit(1.0 - b) + (lit(b) * col("dl")) / lit(avgdl)))
+    val kw = tfAll.filter(col("doc_id") =!= 0)
+      .join(broadcast(dfT), "term")
+      .groupBy("doc_id").agg(round(sum(contrib), 4).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id")).limit(HybridPool)
+    val kr = kw.select(col("doc_id"),
+      row_number().over(Window.orderBy(col("bm25").desc, col("doc_id")))
+        .as("kw_rank")) // ≤50-row frame: bounded single-partition window
+    // vector side: fixed-point cosine (see scaladoc) over the corpus
+    val xq = transform(col("embedding"),
+      x => round(x.cast("double") * lit(1e6), 0).cast("long"))
+    val qq = Tables.embeddings(s, d).filter(col("vec_id") === 0)
+      .select(xq.as("xq")).head().getSeq[Long](0)
+    val sqNq = math.sqrt(qq.map(v => v * v).sum.toDouble)
+    val dot = aggregate(zip_with(col("xq"), typedLit(qq), (a, b) => a * b),
+      lit(0L), (acc, v) => acc + v)
+    val nx = aggregate(col("xq"), lit(0L), (acc, v) => acc + v * v)
+    val cosQ = dot.cast("double") / (sqrt(nx.cast("double")) * lit(sqNq))
+    val vc = Tables.embeddings(s, d).filter(col("vec_id") =!= 0)
+      .select(col("vec_id").as("doc_id"), xq.as("xq"))
+      .select(col("doc_id"), round(cosQ, 4).as("cosr"))
+      .orderBy(col("cosr").desc, col("doc_id")).limit(HybridPool)
+    val vr = vc.select(col("doc_id"),
+      row_number().over(Window.orderBy(col("cosr").desc, col("doc_id")))
+        .as("vec_rank"))
+    kr.join(vr, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("kw_rank"), col("vec_rank"),
+        round(
+          coalesce(lit(1.0) / (lit(RrfK) + col("kw_rank")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(RrfK) + col("vec_rank")), lit(0.0)),
+          6).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id")).limit(HybridK)
+      .orderBy(col("rrf").desc, col("doc_id"))
+  }
+
+  val s13OracleSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, UNNEST(STRING_SPLIT(text,' ')) AS term FROM documents
+       |), dl AS (
+       |  SELECT doc_id, CAST(LEN(STRING_SPLIT(text,' ')) AS DOUBLE) AS dl
+       |  FROM documents
+       |), stats AS (
+       |  SELECT AVG(dl) AS avgdl, (SELECT CAST(COUNT(*) AS DOUBLE) FROM documents) AS n
+       |  FROM dl
+       |), tf AS (
+       |  SELECT t.doc_id, t.term, CAST(COUNT(*) AS INT) AS tf
+       |  FROM toks t WHERE t.term IN ('window','join','query')
+       |  GROUP BY t.doc_id, t.term
+       |), df AS (
+       |  SELECT term, CAST(COUNT(*) AS INT) AS df FROM tf GROUP BY term
+       |), bm AS (
+       |  SELECT tf.doc_id,
+       |         ROUND(SUM(
+       |           LN(1.0 + ((SELECT n FROM stats) - df.df + 0.5) / (df.df + 0.5))
+       |             * (tf.tf * 2.2)
+       |             / (tf.tf + 1.2 * (0.25 + (0.75 * dl.dl) / (SELECT avgdl FROM stats)))
+       |         ), 4) AS bm25
+       |  FROM tf JOIN df USING(term) JOIN dl USING(doc_id)
+       |  WHERE tf.doc_id <> 0
+       |  GROUP BY tf.doc_id
+       |), kr0 AS (
+       |  SELECT doc_id, bm25 FROM bm ORDER BY bm25 DESC, doc_id LIMIT $HybridPool
+       |), kr AS (
+       |  SELECT doc_id,
+       |         CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS INT) AS kw_rank
+       |  FROM kr0
+       |), eq AS (
+       |  SELECT vec_id, i,
+       |         CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS xq
+       |  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
+       |), qv AS (SELECT i, xq AS qq FROM eq WHERE vec_id = 0),
+       |nq AS (SELECT SUM(qq*qq) AS nq FROM qv),
+       |cosq AS (
+       |  SELECT e.vec_id AS doc_id,
+       |         ROUND(CAST(SUM(e.xq*q.qq) AS DOUBLE)
+       |           / (SQRT(CAST(SUM(e.xq*e.xq) AS DOUBLE))
+       |              * SQRT(CAST((SELECT nq FROM nq) AS DOUBLE))), 4) AS cosr
+       |  FROM eq e JOIN qv q USING(i) WHERE e.vec_id <> 0 GROUP BY e.vec_id
+       |), vr0 AS (
+       |  SELECT doc_id, cosr FROM cosq ORDER BY cosr DESC, doc_id LIMIT $HybridPool
+       |), vr AS (
+       |  SELECT doc_id,
+       |         CAST(ROW_NUMBER() OVER (ORDER BY cosr DESC, doc_id) AS INT) AS vec_rank
+       |  FROM vr0
+       |)
+       |SELECT COALESCE(kr.doc_id, vr.doc_id) AS doc_id, kr.kw_rank, vr.vec_rank,
+       |       ROUND(COALESCE(CAST(1.0 AS DOUBLE)/($RrfK + kr.kw_rank), 0)
+       |             + COALESCE(CAST(1.0 AS DOUBLE)/($RrfK + vr.vec_rank), 0), 6) AS rrf
+       |FROM kr FULL OUTER JOIN vr ON kr.doc_id = vr.doc_id
+       |ORDER BY rrf DESC, doc_id LIMIT $HybridK""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s13_hybrid_search" -> (s13HybridSearch _),
     "s01_ann_brute" -> (s01BruteForce _),
     "s02_ann_lsh"   -> (s02LshAnn _),
     "s03_centroids" -> (s03Centroids _),
@@ -751,6 +901,7 @@ object Similarity {
 
   val oracleSql: Map[String, String] = Map(
     "s12_range_search" -> s12OracleSql,
+    "s13_hybrid_search" -> s13OracleSql,
     "s01_ann_brute" ->
       """WITH p AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
         |r AS (

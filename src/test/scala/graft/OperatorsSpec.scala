@@ -1170,6 +1170,35 @@ class OperatorsSpec extends AnyFunSuite {
     assert(a.nonEmpty)
   }
 
+  test("e09 mixture manifest: re-derives from e07's survivor set; shares well-formed") {
+    val got = operators.Pipeline.queries("e09_mixture_manifest")(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))).toMap
+    // independent derivation: e07's survivor ids + the raw documents
+    // table's provenance columns
+    val surv = operators.Pipeline.queries("e07_cascade_stored")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))) // (doc_id, n_tokens)
+    val prov = sources.Tables.documents(spark, sf)
+      .select("doc_id", "lang", "source").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    val cells = surv.groupBy(s => prov(s._1))
+    val totDocs = surv.length.toLong
+    val totToks = surv.map(_._2).sum
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expect = cells.map { case (k, ds) =>
+      val toks = ds.map(_._2).sum
+      k -> (ds.length.toLong, toks,
+        r6(ds.length.toDouble / totDocs), r6(toks.toDouble / totToks))
+    }
+    assert(got == expect, "manifest must re-derive from e07 survivors + provenance")
+    assert(got.size >= 2, "more than one provenance cell")
+    // shares are shares: each in (0,1], rounded sums land within rounding slack
+    assert(got.values.forall(v => v._3 > 0 && v._3 <= 1 && v._4 > 0 && v._4 <= 1))
+    assert(math.abs(got.values.map(_._3).sum - 1.0) < 1e-3)
+    assert(math.abs(got.values.map(_._4).sum - 1.0) < 1e-3)
+  }
+
   test("t19 BPE training: learned merges equal a reference driver-side implementation") {
     val got = TextAnalysis.queries("t19_bpe_train")(spark, sf).collect()
       .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
@@ -2346,6 +2375,75 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == expect, "fertility rollup must re-derive from t20 + documents")
     // a word encodes to >= 1 BPE token, so fertility >= 1 everywhere
     assert(got.values.forall(_._5 >= 1.0))
+  }
+
+  test("m09 keyframe dedup: hashes match a direct recompute; groups partition; planted dups found") {
+    val rows = Multimodal.queries("m09_keyframe_dedup")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3),
+        r.getLong(4), r.getInt(5), r.getLong(6)))
+    assert(rows.nonEmpty)
+    // driver recompute on a sample of docs: scene starts + frame hash
+    rows.filter(_._1 % 37 == 0).groupBy(_._1).foreach { case (id, scenes) =>
+      val img = Multimodal.decodePpm(Multimodal.ppmPayload(id % 97))
+      val starts = Multimodal.sceneStartsOf(img.pixels)
+      val expect = starts.zipWithIndex.map { case (st, idx) =>
+        (idx, st, Multimodal.frameHashBits(img.pixels, st * 192))
+      }
+      assert(scenes.sortBy(_._2).map(s => (s._2, s._3, s._4)).toSeq == expect,
+        s"doc $id keyframes must match the direct decode")
+    }
+    // groups partition the keyframe set and the rep is the argmin member
+    val byHash = rows.groupBy(_._4)
+    byHash.foreach { case (_, g) =>
+      assert(g.map(_._7).distinct.length == 1 && g.head._7 == g.length.toLong)
+      val rep = g.map(x => (x._1, x._2)).min
+      assert(g.forall(x => (x._5, x._6) == rep), "rep must be the lexicographic argmin")
+    }
+    // the mod-97 media library plants real cross-video duplicates
+    assert(byHash.exists(_._2.map(_._1).distinct.length >= 2),
+      "re-used footage must group across videos")
+    // m07 agreement where the payloads coincide (doc_id < 97)
+    val m07 = Multimodal.queries("m07_scene_detect")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).groupBy(_._1).view.mapValues(_.length)
+    rows.filter(_._1 < 97).groupBy(_._1).foreach { case (id, scenes) =>
+      assert(scenes.length == m07(id), s"doc $id scene count must agree with m07")
+    }
+  }
+
+  test("s13 hybrid search: rank plumbing sound; RRF recomputes from ranks; deterministic") {
+    val rows = Similarity.queries("s13_hybrid_search")(spark, sf).collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getInt(1)),
+        if (r.isNullAt(2)) None else Some(r.getInt(2)),
+        r.getDouble(3)))
+    assert(rows.length == 20)
+    // every rank is a valid 1..50 position; at least one doc is fused
+    // from BOTH modalities (the operator's point)
+    assert(rows.forall(r => r._2.forall(k => k >= 1 && k <= 50)
+      && r._3.forall(k => k >= 1 && k <= 50)))
+    assert(rows.exists(r => r._2.isDefined && r._3.isDefined),
+      "some doc must be retrieved by both modalities")
+    // RRF is a pure function of the emitted ranks — recompute it
+    rows.foreach { case (id, kr, vr, rrf) =>
+      val want = BigDecimal(kr.map(k => 1.0 / (60 + k)).getOrElse(0.0)
+        + vr.map(k => 1.0 / (60 + k)).getOrElse(0.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(rrf == want, s"doc $id: rrf $rrf != recompute $want")
+    }
+    // emitted in fused order, tie-broken by doc_id
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(a._4 > b._4 || (a._4 == b._4 && a._1 < b._1))
+      case _ =>
+    }
+    // a rank-1 keyword doc and a rank-1 vector doc both surface
+    assert(rows.exists(_._2.contains(1)) && rows.exists(_._3.contains(1)))
+    // determinism: a second run (fresh plan) emits the identical list
+    val again = Similarity.queries("s13_hybrid_search")(spark, sf).collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getInt(1)),
+        if (r.isNullAt(2)) None else Some(r.getInt(2)),
+        r.getDouble(3)))
+    assert(rows.sameElements(again))
   }
 
   test("m08 pair filter: scores match a driver recompute; keep rate real; verdict consistent") {
