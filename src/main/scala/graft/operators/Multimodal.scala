@@ -488,24 +488,34 @@ object Multimodal {
     * doc-bounded handful) before the output sort. */
   private[graft] val SceneCutThresh = 18500L
 
+  /** Scene start frames of a decoded pixel array under m07's cut rule
+    * (frame 0 + every frame whose abs-diff to its predecessor exceeds
+    * [[SceneCutThresh]]) — shared by m07's segmentation and m09's
+    * keyframe extraction so the two can never disagree on boundaries. */
+  private[graft] def sceneStartsOf(pixels: Array[Byte]): IndexedSeq[Int] = {
+    val frameLen = 192
+    val nFrames = pixels.length / frameLen
+    val cuts = (1 until nFrames).filter { f =>
+      var diff = 0L
+      var i = 0
+      while (i < frameLen) {
+        diff += math.abs((pixels(f * frameLen + i) & 0xff) -
+          (pixels((f - 1) * frameLen + i) & 0xff))
+        i += 1
+      }
+      diff > SceneCutThresh
+    }
+    0 +: cuts
+  }
+
   def m07SceneDetect(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val frameLen = 192
     mediaFrames(s, d).flatMap { case (id, bytes) =>
       val img = decodePpm(bytes)
       val nFrames = img.pixels.length / frameLen
-      val cuts = (1 until nFrames).filter { f =>
-        var diff = 0L
-        var i = 0
-        while (i < frameLen) {
-          diff += math.abs((img.pixels(f * frameLen + i) & 0xff) -
-            (img.pixels((f - 1) * frameLen + i) & 0xff))
-          i += 1
-        }
-        diff > SceneCutThresh
-      }
-      val starts = 0 +: cuts
-      val ends = cuts :+ nFrames
+      val starts = sceneStartsOf(img.pixels)
+      val ends = starts.drop(1) :+ nFrames
       starts.zip(ends).zipWithIndex.map { case ((st, en), idx) =>
         (id, idx, st, en - st)
       }
@@ -613,9 +623,126 @@ object Multimodal {
        |SELECT doc_id, align_score, align_score >= ${PairTau} AS kept
        |FROM sc ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------ m09
+  /** aHash bits of ONE 192-byte frame (64 RGB pixels) at `off` in a
+    * decoded pixel array — m05's integer aHash rule applied at frame
+    * granularity (a frame is already 8×8-sized, so no resample):
+    * gray = r+g+b per pixel, bit = `gray·64 > frame total` (pure
+    * integers, bit-identical on any engine). */
+  private[graft] def frameHashBits(px: Array[Byte], off: Int): String = {
+    val grays = new Array[Int](64)
+    var total = 0
+    var j = 0
+    while (j < 64) {
+      val i = off + j * 3
+      grays(j) = (px(i) & 0xff) + (px(i + 1) & 0xff) + (px(i + 2) & 0xff)
+      total += grays(j)
+      j += 1
+    }
+    val bits = new java.lang.StringBuilder(64)
+    var k = 0
+    while (k < 64) { bits.append(if (grays(k) * 64 > total) '1' else '0'); k += 1 }
+    bits.toString
+  }
+
+  /** m09: KEYFRAME DEDUP — the pass that completes the video-curation
+    * arc (m03 samples frames → m07 segments scenes → m09 dedups the
+    * library at SCENE granularity): each scene contributes its first
+    * frame as the keyframe, the keyframe reduces to a 64-bit perceptual
+    * hash ([[frameHashBits]], m05's aHash rule at frame granularity),
+    * and the d01 groupBy on the hash finds re-used footage ACROSS
+    * videos — intros, stock clips, re-uploads — that whole-file or
+    * whole-image dedup (m05) cannot see because the containers differ.
+    * The representative is the lexicographically first (doc, scene)
+    * carrying the hash, encoded as one integer key (doc·1024+scene —
+    * scene counts are ≤78 on any payload here) so a single MIN
+    * expresses the argmin with no struct-ordering dependence.
+    *
+    * Scale shape: segmentation + hashing happen INSIDE the scan-stage
+    * batch decode (payload bytes never shuffle — each video reduces to
+    * its scene-count-bounded hash rows); the dedup exchange carries
+    * (64-bit hash, doc, scene) only, map-side combined. The media seed
+    * is doc_id mod 97 (m05's library), so genuinely duplicated scenes
+    * exist at every SF. At 100 TB keyframe hashes are stored columns
+    * written at ingest and this is a pure key groupBy; near-dup
+    * (hamming ≤ 3) extends via d03's band blocking on the same bits. */
+  def m09KeyframeDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val frameLen = 192
+    val kf = Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions(_.flatMap { id =>
+        val img = decodePpm(ppmPayload(id % 97))
+        sceneStartsOf(img.pixels).zipWithIndex.map { case (st, idx) =>
+          (id, idx, st, frameHashBits(img.pixels, st * frameLen))
+        }
+      }).toDF("doc_id", "scene_idx", "start_frame", "kf_hash")
+    val groups = kf.groupBy("kf_hash")
+      .agg(count(lit(1)).as("n_group"),
+        min(col("doc_id") * 1024 + col("scene_idx")).as("rep_key"))
+    kf.join(groups, "kf_hash")
+      .select(col("doc_id"), col("scene_idx"), col("start_frame"), col("kf_hash"),
+        shiftright(col("rep_key"), 10).as("rep_doc"),
+        (col("rep_key") % 1024).cast("int").as("rep_scene"),
+        col("n_group"))
+      .orderBy("doc_id", "scene_idx")
+  }
+
+  val m09OracleSql: String =
+    s"""WITH m AS (
+       |  SELECT doc_id, doc_id % 97 AS sd,
+       |         CAST((doc_id % 97) % 64 + 16 AS INT) AS w,
+       |         CAST((doc_id % 97) % 48 + 16 AS INT) AS h
+       |  FROM documents
+       |), nf AS (
+       |  SELECT doc_id, sd, (w*h*3) // 192 AS n_frames FROM m
+       |), px AS (
+       |  SELECT doc_id, sd, unnest(generate_series(192, n_frames*192 - 1)) AS i
+       |  FROM nf WHERE n_frames >= 2
+       |), df AS (
+       |  SELECT doc_id, i // 192 AS f,
+       |         SUM(ABS((sd*31 + 7*i) % 256 - (sd*31 + 7*(i-192)) % 256)) AS diff
+       |  FROM px GROUP BY 1, 2
+       |), starts AS (
+       |  SELECT doc_id, CAST(0 AS BIGINT) AS start_frame FROM nf
+       |  UNION ALL
+       |  SELECT doc_id, f FROM df WHERE diff > ${SceneCutThresh}
+       |), seg AS (
+       |  SELECT doc_id, start_frame,
+       |         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY start_frame) - 1
+       |           AS scene_idx
+       |  FROM starts
+       |), g AS (
+       |  SELECT s.doc_id, s.scene_idx, s.start_frame, t.j,
+       |         (m.sd*31 + 7*(s.start_frame*192 + t.j*3)) % 256
+       |           + (m.sd*31 + 7*(s.start_frame*192 + t.j*3 + 1)) % 256
+       |           + (m.sd*31 + 7*(s.start_frame*192 + t.j*3 + 2)) % 256 AS gray
+       |  FROM seg s JOIN m USING (doc_id),
+       |       LATERAL unnest(generate_series(0, 63)) AS t(j)
+       |), b AS (
+       |  SELECT doc_id, scene_idx, start_frame, j,
+       |         CASE WHEN gray * 64 > SUM(gray) OVER (PARTITION BY doc_id, scene_idx)
+       |              THEN '1' ELSE '0' END AS bit
+       |  FROM g
+       |), kf AS (
+       |  SELECT doc_id, CAST(scene_idx AS INT) AS scene_idx,
+       |         CAST(start_frame AS INT) AS start_frame,
+       |         string_agg(bit, '' ORDER BY j) AS kf_hash
+       |  FROM b GROUP BY doc_id, scene_idx, start_frame
+       |), grp AS (
+       |  SELECT kf_hash, COUNT(*) AS n_group,
+       |         MIN(doc_id * 1024 + scene_idx) AS rep_key
+       |  FROM kf GROUP BY kf_hash
+       |)
+       |SELECT kf.doc_id, kf.scene_idx, kf.start_frame, kf.kf_hash,
+       |       grp.rep_key // 1024 AS rep_doc,
+       |       CAST(grp.rep_key % 1024 AS INT) AS rep_scene, grp.n_group
+       |FROM kf JOIN grp USING (kf_hash)
+       |ORDER BY kf.doc_id, kf.scene_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m07_scene_detect" -> (m07SceneDetect _),
     "m08_pair_filter"  -> (m08PairFilter _),
+    "m09_keyframe_dedup" -> (m09KeyframeDedup _),
     "m01_multimodal"   -> (m01Multimodal _),
     "m02_resize"       -> (m02Resize _),
     "m03_frame_sample" -> (m03FrameSample _),
@@ -692,5 +819,6 @@ object Multimodal {
     "m05_image_dedup" -> m05OracleSql,
     "m06_audio_dedup" -> m06OracleSql,
     "m07_scene_detect" -> m07OracleSql,
-    "m08_pair_filter" -> m08OracleSql)
+    "m08_pair_filter" -> m08OracleSql,
+    "m09_keyframe_dedup" -> m09OracleSql)
 }
