@@ -989,8 +989,97 @@ object StreamQueries {
       .orderBy("doc_id")
   }
 
+  /** st19: STREAMING SEQUENCE PACKING — the stateful twin of p07 and
+    * the last streaming ingest stage a training pipeline runs: as
+    * documents land, each is assigned its absolute position in the
+    * token stream (tokens_before → pack_id/pack_offset for a 256-token
+    * bin), so sequences are packed INCREMENTALLY instead of by a batch
+    * repack over the whole corpus. The state per source is ONE long
+    * (the source's running token total — [[Streams]]-style
+    * flatMapGroupsWithState): bounded by the number of sources, not by
+    * volume or time, so an unbounded ingest runs forever (st14's state
+    * contract). Packing is per SOURCE here — the production shape,
+    * since streams interleave arrivals across sources and a global
+    * cursor would serialize them; p07 remains the global batch repack.
+    * Within a micro-batch the group's rows are ordered by doc_id
+    * before the prefix walk, making the assignment deterministic and
+    * (on this bounded one-batch run) exactly the per-source batch
+    * prefix sum the DuckDB oracle computes; the cross-batch carry is
+    * proven by a two-batch MemoryStream spec. Pack arithmetic is
+    * shift/mod on the power-of-two budget — bit-exact on both
+    * engines. */
+  /** The st19 packing operator on any (doc_id, source, n_tokens)
+    * stream — split out so the two-batch MemoryStream spec can drive
+    * the CROSS-batch state carry the bounded driver run can't show.
+    * State per source = one Long (the running token cursor); within a
+    * micro-batch the group sorts by doc_id before the prefix walk. */
+  private[graft] def packStream(
+      rows: org.apache.spark.sql.Dataset[(Long, String, Long)]): DataFrame = {
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_._2)
+      .flatMapGroupsWithState[Long, (Long, String, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (src, it, state) =>
+          var cursor = state.getOption.getOrElse(0L)
+          val out = it.toSeq.sortBy(_._1).map { case (id, _, n) =>
+            val before = cursor
+            cursor += n
+            (id, src, n, before)
+          }
+          state.update(cursor)
+          out.iterator
+      }
+      .toDF("doc_id", "source", "n_tokens", "tokens_before")
+  }
+
+  def st19StreamPack(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val schema = s.read.parquet(s"$d/documents.parquet").schema
+    val stream = s.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(d)
+    val rows = stream
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),  col("source"),
+        graft.operators.TextAnalysis.nTokensCol.cast("long").as("n_tokens"))
+      .as[(Long, String, Long)]
+    val packed = packStream(rows)
+    withStatePartitions(s, 8) {
+      val q = packed.writeStream
+        .format("memory").queryName("graft_st19_sink")
+        .outputMode(OutputMode.Append)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    s.table("graft_st19_sink")
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("tokens_before"),
+        shiftright(col("tokens_before"), 8).as("pack_id"),
+        (col("tokens_before") % 256).as("pack_offset"))
+      .orderBy("doc_id")
+  }
+
+  val st19OracleSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, source,
+       |         CAST(${graft.operators.TextAnalysis.nTokensSql} AS BIGINT) AS n_tokens
+       |  FROM documents WHERE text IS NOT NULL
+       |), c AS (
+       |  SELECT doc_id, source, n_tokens,
+       |         CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |           AS tokens_before
+       |  FROM t)
+       |SELECT doc_id, source, n_tokens, tokens_before,
+       |       tokens_before // 256 AS pack_id,
+       |       tokens_before % 256 AS pack_offset
+       |FROM c ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st16_stream_tokenize" -> (st16StreamTokenize _),
+    "st19_stream_pack" -> (st19StreamPack _),
     "st17_stream_classify" -> (st17StreamClassify _),
     "st18_stream_pair_filter" -> (st18StreamPairFilter _),
     "st01_stream_window" -> (st01StreamWindow _),
@@ -1099,7 +1188,11 @@ object StreamQueries {
     "st15_stream_dsir" -> graft.operators.TextAnalysis.t18OracleSql,
     // the batch twin's oracle verbatim: same columns, same model
     "st17_stream_classify" -> graft.operators.TextAnalysis.t22OracleSql,
-    "st18_stream_pair_filter" -> graft.operators.Multimodal.m08OracleSql)
+    "st18_stream_pair_filter" -> graft.operators.Multimodal.m08OracleSql,
+    // per-source batch prefix sum: the bounded one-batch stream run
+    // must assign exactly these positions (cross-batch carry is the
+    // MemoryStream spec's job)
+    "st19_stream_pack" -> st19OracleSql)
 
   private lazy val st09OracleSql: String =
     s"""WITH q AS (SELECT DISTINCT text FROM documents),

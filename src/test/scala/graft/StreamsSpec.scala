@@ -308,6 +308,47 @@ class StreamsSpec extends AnyFunSuite {
       s"expected zero state operators, saw ${streaming.StreamQueries.st16StateOperators}")
   }
 
+  test("st19 DRIVER QUERY: streamed packing equals the per-source batch prefix sum") {
+    val got = streaming.StreamQueries.queries("st19_stream_pack")(spark, TestSpark.sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    // independent driver recompute: per-source prefix sum in doc_id order
+    val docs = sources.Tables.documents(spark, TestSpark.sf)
+      .filter("text IS NOT NULL").select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        (r.getString(2).count(_ == ' ') + 1).toLong))
+    val want = docs.groupBy(_._2).toSeq.flatMap { case (src, ds) =>
+      ds.sortBy(_._1).foldLeft((0L, Seq.empty[(Long, String, Long, Long, Long, Long)])) {
+        case ((cur, acc), (id, _, n)) =>
+          (cur + n, acc :+ (id, src, n, cur, cur >> 8, cur % 256))
+      }._2
+    }.sortBy(_._1)
+    assert(got == want, "streamed packing must equal the per-source batch prefix sum")
+  }
+
+  test("st19 cross-batch carry: the source cursor persists in state between micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[(Long, String, Long)]
+    val packed = streaming.StreamQueries.packStream(src.toDS())
+    val q = packed.writeStream.format("memory").queryName("st19_carry")
+      .outputMode(OutputMode.Append).start()
+    try {
+      src.addData((10L, "X", 3L), (11L, "X", 5L), (20L, "Y", 7L))
+      q.processAllAvailable()
+      src.addData((12L, "X", 2L), (21L, "Y", 1L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("st19_carry").collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    // batch 1: X packs 10 (0) then 11 (3); Y packs 20 (0)
+    assert(out(10L) == 0L && out(11L) == 3L && out(20L) == 0L)
+    // batch 2 CONTINUES each source's cursor from state: X held 8, Y held 7
+    assert(out(12L) == 8L, s"X cursor must carry across batches, got ${out(12L)}")
+    assert(out(21L) == 7L, s"Y cursor must carry across batches, got ${out(21L)}")
+  }
+
   test("st18 DRIVER QUERY: streamed pair filtering equals batch m08; zero state operators") {
     val got = streaming.StreamQueries.st18StreamPairFilter(spark, TestSpark.sf)
       .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2))).toSeq
