@@ -435,12 +435,14 @@ object Pipeline {
   private def scoreTable(s: SparkSession, d: String): DataFrame =
     FrameCache.getOrBuild(s, s"e07/scores|$d") {
       val docs = Tables.documents(s, d)
-      val base = docs.select(Seq(col("doc_id"),
+      // lang/source ride along: ingest metadata the e09 manifest
+      // groups on — stored once like every other score column
+      val base = docs.select(Seq(col("doc_id"), col("lang"), col("source"),
           nTokensCol.cast("long").as("n_tokens"),
           xxhash64(col("text")).as("h")) ++
           TextAnalysis.gopherMetricCols: _*)
         .withColumn("gopher_keep", TextAnalysis.gopherKeepCol)
-        .select("doc_id", "n_tokens", "h", "gopher_keep")
+        .select("doc_id", "lang", "source", "n_tokens", "h", "gopher_keep")
       val scored = base
         .join(TextAnalysis.nbScored(s, d).select("doc_id", "nb_score"),
           Seq("doc_id"), "left")
@@ -590,7 +592,113 @@ object Pipeline {
        |  SELECT 4, 'dedup', COUNT(*), CAST(SUM(n_tokens) AS BIGINT) FROM st4
        |) ORDER BY stage_idx""".stripMargin
 
+  // ---------------------------------------------------------------- e09
+  /** e09: the MIXTURE MANIFEST — the per-(lang, source) composition of
+    * the cascade's FINAL dataset (e07's survivors): document and token
+    * counts and each cell's share of the total. This is the datasheet
+    * table a curated-corpus release publishes (what the model will
+    * actually see, by provenance) and the number mixture tuning (p05)
+    * and tokenizer-equity audits (t24) take as input — e08 reports the
+    * funnel BY STAGE, e09 reports the survivors BY PROVENANCE.
+    *
+    * Runs from e07's STORED score table (lang/source are stored score
+    * columns like every gate input): one scan → the survivor filter +
+    * dedup-keeper window → ONE map-side-combined aggregate down to
+    * (lang × source)-many rows. The share denominators follow q62's
+    * discipline — aggregate FIRST, then an empty-frame window over the
+    * ≤|lang×source| group rows, never a SinglePartition pass over the
+    * corpus. Shares divide exact Longs in double — bit-identical on
+    * both engines. */
+  def e09MixtureManifest(s: SparkSession, d: String): DataFrame = {
+    val surv = scoreTable(s, d)
+      .filter(col("gopher_keep") && col("nb_score") > 0 &&
+        col("bucket") =!= "tail")
+      .withColumn("keeper", min("doc_id").over(Window.partitionBy("h")))
+      .filter(col("doc_id") === col("keeper"))
+    val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    surv.groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+      .select(col("lang"), col("source"), col("n_docs"), col("n_tokens"),
+        round(col("n_docs") / sum("n_docs").over(w), 6).as("doc_share"),
+        round(col("n_tokens") / sum("n_tokens").over(w), 6).as("token_share"))
+      .orderBy("lang", "source")
+  }
+
+  /** Oracle: e06's CTE chain with lang/source carried through, grouped
+    * by provenance. */
+  val e09OracleSql: String =
+    s"""WITH ${TextAnalysis.nbCtesSql},
+       |g AS (
+       |  SELECT doc_id, text, lang, source,
+       |         list_filter(string_split(lower(text), ' '), x -> x <> '') AS l
+       |  FROM documents
+       |),
+       |gm AS (
+       |  SELECT doc_id,
+       |    CAST(len(l) AS INT) AS n_words,
+       |    ROUND(CAST(COALESCE(list_sum(list_transform(l, x -> length(x))), 0) AS DOUBLE)
+       |          / GREATEST(len(l), 1), 4) + 0.0 AS mean_word_len,
+       |    ROUND(CAST((length(text) - length(replace(text, '#', '')))
+       |             + (length(text) - length(replace(text, '...', ''))) // 3 AS DOUBLE)
+       |          / GREATEST(len(l), 1), 4) + 0.0 AS symbol_ratio,
+       |    ROUND(CAST(len(list_filter(l, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+       |          / GREATEST(len(l), 1), 4) + 0.0 AS alpha_frac,
+       |    CAST(len(list_filter(l, x -> list_contains(
+       |      ['the','be','to','of','and','that','have','with'], x))) AS INT) AS n_stop
+       |  FROM g),
+       |gk AS (
+       |  SELECT doc_id FROM gm
+       |  WHERE n_words BETWEEN 50 AND 100000
+       |    AND mean_word_len BETWEEN 3.0 AND 10.0
+       |    AND symbol_ratio <= 0.1
+       |    AND alpha_frac >= 0.8
+       |    AND n_stop >= 2),
+       |pp AS (
+       |  SELECT doc_id, lang, source,
+       |         unnest([{'w1': l[i], 'w2': l[i+1]} for i in generate_series(1, len(l)-1)],
+       |                recursive := true)
+       |  FROM g WHERE len(l) >= 2),
+       |tpb AS (SELECT w1, w2 FROM pp WHERE lang = 'en' AND source IN ('src0', 'src1')),
+       |c2b AS (SELECT w1, w2, COUNT(*) AS n2 FROM tpb GROUP BY 1, 2),
+       |c1b AS (SELECT w1, COUNT(*) AS n1 FROM tpb GROUP BY 1),
+       |vvb AS (SELECT COUNT(DISTINCT w2) AS v FROM tpb),
+       |pplsc AS (
+       |  SELECT p.doc_id,
+       |         ROUND(EXP(-AVG(LN(CAST(COALESCE(n2, 0) + 1 AS DOUBLE) /
+       |                           CAST(COALESCE(n1, 0) + v AS DOUBLE)))), 4) + 0.0 AS ppl
+       |  FROM pp p LEFT JOIN c2b USING (w1, w2) LEFT JOIN c1b USING (w1) CROSS JOIN vvb
+       |  GROUP BY p.doc_id),
+       |thb AS (SELECT quantile_cont(ppl, 1.0/3) AS t1,
+       |               quantile_cont(ppl, 2.0/3) AS t2 FROM pplsc),
+       |bk AS (
+       |  SELECT doc_id, CASE WHEN ppl <= t1 THEN 'head'
+       |                      WHEN ppl <= t2 THEN 'middle'
+       |                      ELSE 'tail' END AS bucket
+       |  FROM pplsc CROSS JOIN thb),
+       |q AS (SELECT doc_id, text, lang, source,
+       |             CAST($nTokensSql AS BIGINT) AS n_tokens FROM documents),
+       |surv AS (
+       |  SELECT q.doc_id, q.text, q.lang, q.source, q.n_tokens
+       |  FROM q
+       |  JOIN gk USING (doc_id)
+       |  JOIN (SELECT doc_id FROM nbsc WHERE nb_score > 0) nk USING (doc_id)
+       |  JOIN bk USING (doc_id)
+       |  WHERE bk.bucket <> 'tail'),
+       |k AS (SELECT *, MIN(doc_id) OVER (PARTITION BY text) AS keeper FROM surv),
+       |sv AS (SELECT lang, source, n_tokens FROM k WHERE doc_id = keeper),
+       |agg AS (
+       |  SELECT lang, source, COUNT(*) AS n_docs,
+       |         CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+       |  FROM sv GROUP BY lang, source)
+       |SELECT lang, source, n_docs, n_tokens,
+       |       ROUND(CAST(n_docs AS DOUBLE) / CAST(SUM(n_docs) OVER () AS DOUBLE), 6)
+       |         AS doc_share,
+       |       ROUND(CAST(n_tokens AS DOUBLE) / CAST(SUM(n_tokens) OVER () AS DOUBLE), 6)
+       |         AS token_share
+       |FROM agg ORDER BY lang, source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e09_mixture_manifest" -> (e09MixtureManifest _),
     "e06_quality_cascade_pack" -> (e06QualityCascadePack _),
     "e07_cascade_stored" -> (e07CascadeStored _),
     "e08_funnel_report" -> (e08FunnelReport _),
@@ -610,5 +718,6 @@ object Pipeline {
     "e06_quality_cascade_pack" -> e06OracleSql,
     // the stored-score cascade must reproduce e06 exactly
     "e07_cascade_stored" -> e06OracleSql,
-    "e08_funnel_report" -> e08OracleSql)
+    "e08_funnel_report" -> e08OracleSql,
+    "e09_mixture_manifest" -> e09OracleSql)
 }
