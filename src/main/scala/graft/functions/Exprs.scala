@@ -345,6 +345,36 @@ case class PqAdc(child: Expression, lut: Seq[Double], k: Int)
     copy(child = c)
 }
 
+/** Bloom-filter membership probe over a LONG (hash) column: the filter
+  * — built once driver-side by Spark's own distributed sketch
+  * aggregation (`df.stat.bloomFilter`, org.apache.spark.util.sketch) —
+  * ships as a codegen reference object, so the per-row cost is k hash
+  * probes into a task-local bit array: no join, no shuffle, no
+  * broadcast relation. The contract the consumers rely on: NO FALSE
+  * NEGATIVES — a miss CERTIFIES non-membership (d15's prune
+  * soundness, the s12 certified-bound discipline); hits carry the
+  * configured false-positive rate and must go through exact
+  * verification. Reference-object equality is identity — each built
+  * filter is one plan's literal, like PqAdc's lookup tables. */
+case class BloomMightContain(child: Expression,
+    filter: org.apache.spark.util.sketch.BloomFilter)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.GraftTypes.AbstractType] =
+    Seq(LongType)
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "bloom_might_contain"
+  override protected def nullSafeEval(a: Any): Any =
+    filter.mightContainLong(a.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloom", filter,
+      classOf[org.apache.spark.util.sketch.BloomFilter].getName)
+    defineCodeGen(ctx, ev, a => s"$ref.mightContainLong($a)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** One BPE merge pass over a token-array column — the per-round kernel
   * of distributed BPE tokenizer training (t19): the (left, right) pair
   * is a per-round literal, so codegen inlines a single

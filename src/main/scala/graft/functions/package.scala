@@ -64,6 +64,10 @@ package object functions {
 
   def pq_adc(codes: Column, lut: Seq[Double], k: Int): Column =
     column(PqAdc(expression(codes), lut, k))
+
+  def bloom_might_contain(v: Column,
+      bf: org.apache.spark.util.sketch.BloomFilter): Column =
+    column(BloomMightContain(expression(v), bf))
 }
 
 package functions {

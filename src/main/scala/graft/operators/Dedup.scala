@@ -815,7 +815,59 @@ object Dedup {
        |       CAST(len(covered) AS BIGINT) AS n_removed
        |FROM cov ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- d15
+  /** The train-gram stream with its Bloom verdict, split out so the
+    * spec can measure the prune independently of the verified output:
+    * (doc_id, gh, mc) for every train (doc, distinct-gram) row, plus
+    * the built filter's eval-set size. */
+  private[graft] def d15Flagged(s: SparkSession, d: String): (DataFrame, Long) = {
+    def grams(df: DataFrame) = df
+      .select(col("doc_id"), explode(word_grams64(col("text"), 8)).as("gh"))
+    val docs = Tables.documents(s, d)
+    val evalGrams = grams(docs.filter(col("doc_id") % 20 === 0))
+      .select("gh").distinct()
+    val nEval = math.max(evalGrams.count(), 1L)
+    // Spark's own distributed sketch build: map-side partial filters
+    // OR-merged to one driver-side object (KBs at this fpp)
+    val bf = evalGrams.stat.bloomFilter("gh", nEval, 0.01)
+    val flagged = grams(docs.filter(col("doc_id") % 20 =!= 0))
+      .withColumn("mc", graft.functions.bloom_might_contain(col("gh"), bf))
+    (flagged, nEval)
+  }
+
+  /** d15: BLOOM-GATED DECONTAMINATION — d08's eval-overlap pass
+    * through the membership structure web-scale dedup/decontamination
+    * systems actually ship (the Dolma pipeline's Bloom-filter deduper;
+    * Lee et al. 2021's service): the eval 8-gram set is summarized
+    * ONCE into a Bloom filter (1% fpp → ~1.2 KB per 1k grams, built by
+    * Spark's distributed sketch aggregation) and every train gram
+    * probes the TASK-LOCAL filter inside the scan — a few hash probes
+    * per gram, no exact-set broadcast to every task. A filter miss
+    * CERTIFIES the gram unshared (no false negatives), so recall is
+    * total by construction — the s12 certified-prune discipline;
+    * measured here the filter passes ~1.5% of train grams (≈0.5% true
+    * + ≈1% fp). Only those hits enter the exact verification join,
+    * which removes the false positives — output IDENTICAL to d08,
+    * same DuckDB oracle. At 100 TB the eval set is huge enough that
+    * broadcasting it exactly (d08's shape) strains task memory; the
+    * filter stays KB-to-MB at any eval size while the exact join's
+    * probe side shrinks from the corpus's gram stream to the hit
+    * stream. */
+  def d15BloomDecontaminate(s: SparkSession, d: String): DataFrame = {
+    def grams(df: DataFrame) = df
+      .select(col("doc_id"), explode(word_grams64(col("text"), 8)).as("gh"))
+    val (flagged, _) = d15Flagged(s, d)
+    val evalGrams = grams(Tables.documents(s, d).filter(col("doc_id") % 20 === 0))
+      .select("gh").distinct()
+    flagged.filter(col("mc"))
+      .join(broadcast(evalGrams), "gh") // exact verify on the hit stream only
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_shared_8grams"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d15_bloom_decontaminate" -> (d15BloomDecontaminate _),
     "d14_substring_dedup" -> (d14SubstringDedup _),
     "d13_semantic_dedup"  -> (d13SemanticDedup _),
     "d01_dedup_exact"     -> (d01Exact _),
@@ -935,5 +987,7 @@ object Dedup {
     "d10_editdist"          -> d10OracleSql,
     "d11_keep_best"         -> d11OracleSql,
     "d12_span_dedup"        -> d12OracleSql,
-    "d14_substring_dedup"   -> d14OracleSql)
+    "d14_substring_dedup"   -> d14OracleSql,
+    // the bloom gate is a lossless prune: output identical to d08
+    "d15_bloom_decontaminate" -> d08OracleSql)
 }

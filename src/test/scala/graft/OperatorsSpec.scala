@@ -571,6 +571,32 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("d15 bloom decontamination: identical to d08; prune sound (no false negatives) and effective") {
+    val got = Dedup.queries("d15_bloom_decontaminate")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSeq
+    val want = Dedup.queries("d08_decontaminate")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(got == want, "the bloom gate must be a lossless prune: output == d08")
+    assert(got.nonEmpty, "contamination exists on this corpus")
+    // prune observability on the flagged gram stream
+    val (flagged, _) = Dedup.d15Flagged(spark, sf)
+    val agg = flagged.agg(
+      org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)),
+      org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.when(col("mc"), 1L).otherwise(0L))).head()
+    val (nTrain, nHits) = (agg.getLong(0), agg.getLong(1))
+    // soundness: every truly-shared (doc, gram) row is a filter hit —
+    // otherwise d15 would have lost it before exact verification; the
+    // equality above already implies it, but assert the count relation
+    val nTrue = got.map(_._2.toLong).sum
+    assert(nHits >= nTrue, s"false negatives: $nHits hits < $nTrue true shared grams")
+    // effectiveness: ≈0.5% true + ≈1% fp on this corpus; generous cap
+    assert(nHits < nTrain / 20,
+      s"filter passed $nHits of $nTrain grams — prune not effective")
+    info(s"d15 prune: $nHits of $nTrain train grams reach the exact join " +
+      f"(${100.0 * nHits / nTrain}%.2f%%, $nTrue truly shared)")
+  }
+
   test("d08 decontaminate matches a brute-force 8-gram overlap scan") {
     val texts = sources.Tables.documents(spark, sf)
       .select("doc_id", "text").collect()
