@@ -697,7 +697,99 @@ object Pipeline {
        |         AS token_share
        |FROM agg ORDER BY lang, source""".stripMargin
 
+  // ---------------------------------------------------------------- e10
+  /** The staged snapshot history e10 diffs: a catalog table whose
+    * version chain replays a dataset's life — v1 bulk load (doc_id % 7
+    * ≠ 3), v2 late-arrival insert (the % 7 = 3 docs), v3 takedown
+    * delete (doc_id % 11 = 5 — the GDPR/opt-out pass), v4 in-place
+    * correction (UPDATE prefixing text where doc_id % 13 = 6). Built
+    * once per (session, dataset), the pqCache/sigStore pattern. */
+  private val snapStores =
+    new java.util.concurrent.ConcurrentHashMap[String, (graft.sources.TableCatalog, Int)]()
+  FrameCache.onClear(() => snapStores.clear()) // dirs die with tempRoot's hooks
+
+  private def snapshotStore(s: SparkSession, d: String): (graft.sources.TableCatalog, Int) =
+    snapStores.computeIfAbsent(FrameCache.sessionKey(s) + "|e10|" + d, _ => {
+      val docs = Tables.documents(s, d).select("doc_id", "lang", "source", "text")
+      val root = graft.sources.TableCatalog.tempRoot("graft-e10")
+      val cat = new graft.sources.TableCatalog(s, root)
+      cat.createTable("docs_snap", docs.schema, primaryKey = Some("doc_id"))
+      val v1 = cat.insert("docs_snap", docs.filter(col("doc_id") % 7 =!= 3))
+      cat.insert("docs_snap", docs.filter(col("doc_id") % 7 === 3))
+      cat.delete("docs_snap", col("doc_id") % 11 === 5)
+      cat.update("docs_snap",
+        Map("text" -> concat(lit("edited "), col("text"))),
+        col("doc_id") % 13 === 6)
+      (cat, v1)
+    })
+
+  /** e10: SNAPSHOT DIFF — what changed between two versions of a
+    * managed dataset (the lakehouse CDC/table_changes query, computed
+    * from MVCC snapshots): each doc that was ADDED, REMOVED, or
+    * CHANGED between the bulk-load version and the current one, with
+    * its token count on each side. This is the audit a curated-corpus
+    * release publishes next to e09's manifest ("what moved since the
+    * last release") and the input an incremental re-train consumes —
+    * and it makes the catalog's time travel a QUERY operator, not just
+    * a DDL feature (cat_timetravel's reader surface).
+    *
+    * Shape: TWO snapshot scans of the SAME table (asOf v1, current)
+    * full-outer-joined on the primary key; presence flags classify
+    * add/remove, a null-safe text compare classifies change, unchanged
+    * rows drop. At 100 TB the two snapshots share almost all their
+    * parquet files (copy-on-write), so the production fast path diffs
+    * the MANIFESTS first and row-diffs only the files that differ —
+    * this query is that row-level kernel; the join is one exchange
+    * keyed on the PK, and at ingest-bucketed layout it is co-located. */
+  def e10SnapshotDiff(s: SparkSession, d: String): DataFrame = {
+    val (cat, v1) = snapshotStore(s, d)
+    def side(df: DataFrame, tag: String) = df.select(
+      col("doc_id"), lit(true).as(s"in_$tag"), col("text").as(s"t_$tag"),
+      nTokensCol.cast("long").as(s"n_tokens_$tag"))
+    val old = side(cat.asOf("docs_snap", v1), "old")
+    val cur = side(cat.scan("docs_snap"), "new")
+    old.join(cur, Seq("doc_id"), "full_outer")
+      .filter(col("in_old").isNull || col("in_new").isNull ||
+        !(col("t_old") <=> col("t_new")))
+      .select(col("doc_id"),
+        when(col("in_old").isNull, "added")
+          .when(col("in_new").isNull, "removed")
+          .otherwise("changed").as("status"),
+        col("n_tokens_old"), col("n_tokens_new"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle: replay the same version chain set-algebraically over the
+    * raw documents table. Presence is keyed on the join sides' doc_id
+    * (NOT text nullability — null-text docs exist), change on
+    * IS DISTINCT FROM. */
+  val e10OracleSql: String =
+    s"""WITH v1 AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 3
+       |), cur AS (
+       |  SELECT doc_id,
+       |         CASE WHEN doc_id % 13 = 6 THEN 'edited ' || text ELSE text END AS text
+       |  FROM documents WHERE doc_id % 11 <> 5
+       |), o AS (
+       |  SELECT doc_id, TRUE AS in_old, text AS t_old,
+       |         CAST($nTokensSql AS BIGINT) AS n_tokens_old
+       |  FROM v1
+       |), n AS (
+       |  SELECT doc_id, TRUE AS in_new, text AS t_new,
+       |         CAST($nTokensSql AS BIGINT) AS n_tokens_new
+       |  FROM cur
+       |)
+       |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+       |       CASE WHEN in_old IS NULL THEN 'added'
+       |            WHEN in_new IS NULL THEN 'removed'
+       |            ELSE 'changed' END AS status,
+       |       n_tokens_old, n_tokens_new
+       |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+       |WHERE in_old IS NULL OR in_new IS NULL OR t_old IS DISTINCT FROM t_new
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e10_snapshot_diff" -> (e10SnapshotDiff _),
     "e09_mixture_manifest" -> (e09MixtureManifest _),
     "e06_quality_cascade_pack" -> (e06QualityCascadePack _),
     "e07_cascade_stored" -> (e07CascadeStored _),
@@ -719,5 +811,6 @@ object Pipeline {
     // the stored-score cascade must reproduce e06 exactly
     "e07_cascade_stored" -> e06OracleSql,
     "e08_funnel_report" -> e08OracleSql,
-    "e09_mixture_manifest" -> e09OracleSql)
+    "e09_mixture_manifest" -> e09OracleSql,
+    "e10_snapshot_diff" -> e10OracleSql)
 }

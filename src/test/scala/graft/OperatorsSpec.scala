@@ -1225,6 +1225,38 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(got.values.map(_._4).sum - 1.0) < 1e-3)
   }
 
+  test("e10 snapshot diff: statuses re-derive from the version-chain rules; all three present") {
+    val got = operators.Pipeline.queries("e10_snapshot_diff")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    // the staged chain's rules, replayed driver-side
+    val idText = sources.Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1)))
+    val ids = idText.map(_._1)
+    val expect = idText.flatMap { case (id, text) =>
+      val inOld = id % 7 != 3
+      val inNew = id % 11 != 5
+      (inOld, inNew) match {
+        case (false, true) => Some(id -> "added")
+        case (true, false) => Some(id -> "removed")
+        // a null-text doc "edited" stays null: unchanged, absent
+        case (true, true) if id % 13 == 6 && text != null => Some(id -> "changed")
+        case _ => None // unchanged or added-then-deleted: absent
+      }
+    }.toMap
+    assert(got == expect, "diff must replay the staged version chain exactly")
+    assert(Set("added", "removed", "changed").subsetOf(got.values.toSet))
+    // a doc both late-added and taken down appears NOWHERE (never in
+    // either compared snapshot)
+    val ghost = ids.find(id => id % 7 == 3 && id % 11 == 5)
+    ghost.foreach(id => assert(!got.contains(id), s"ghost doc $id must be absent"))
+    // token deltas: changed docs gained exactly one token ('edited ' prefix)
+    val changedRow = operators.Pipeline.queries("e10_snapshot_diff")(spark, sf)
+      .filter("status = 'changed' AND n_tokens_old IS NOT NULL").collect()
+    assert(changedRow.nonEmpty)
+    changedRow.foreach(r =>
+      assert(r.getLong(3) == r.getLong(2) + 1, s"edit must add one token: $r"))
+  }
+
   test("t19 BPE training: learned merges equal a reference driver-side implementation") {
     val got = TextAnalysis.queries("t19_bpe_train")(spark, sf).collect()
       .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
