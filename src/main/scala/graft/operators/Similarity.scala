@@ -735,6 +735,57 @@ object Similarity {
       |SELECT vec_id, ROUND(c, 4) AS cos FROM r WHERE ROUND(c, 4) >= 0.27
       |ORDER BY cos DESC, vec_id""".stripMargin
 
+  // ---------------------------------------------------------------- s14
+  /** Quantizer trained on the CORPUS half only (even vec_ids — the
+    * "index build"), cached per (session, dataset): s14's stored
+    * centroid table. The new batch must never influence it, or the
+    * incremental-equals-rebuild claim would be circular. */
+  private val s14Cache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Float]]]()
+  FrameCache.onClear(() => s14Cache.clear())
+
+  private[graft] def s14Cents(s: SparkSession, d: String): Array[Array[Float]] =
+    s14Cache.computeIfAbsent(FrameCache.sessionKey(s) + "|s14|" + d, _ =>
+      Ivf.train(Tables.embeddings(s, d).filter(col("vec_id") % 2 === 0)
+        .select("vec_id", "embedding"), IvfK, IvfIters))
+
+  /** The corpus half's stored inverted lists under [[s14Cents]]. */
+  private[graft] def s14CorpusAssigned(s: SparkSession, d: String): DataFrame =
+    FrameCache.getOrBuild(s, s"ann/s14_corpus|$d") {
+      Ivf.assign(Tables.embeddings(s, d).filter(col("vec_id") % 2 === 0)
+        .select("vec_id", "embedding"), s14Cents(s, d))
+    }
+
+  /** s14: INCREMENTAL INDEX ADD — vector-index maintenance without a
+    * rebuild (d07's incremental discipline on the serving side): the
+    * IVF quantizer and the corpus's inverted lists are STORED (built
+    * once, even vec_ids); a NEW embedding batch (odd vec_ids) is added
+    * by assigning each new vector to its nearest FROZEN centroid — one
+    * scan of the batch, the corpus untouched, cost O(batch) at any
+    * corpus size — and the merged index serves queries immediately.
+    * Because IVF assignment is a pure per-vector function of the
+    * frozen centroids, ADD-then-query is provably IDENTICAL to a full
+    * rebuild under the same quantizer (spec-asserted bit-exact, merged
+    * lists vs whole-set assignment) — the reason FAISS's IVF `add()`
+    * needs no retraining. Drift is the operational caveat: a batch
+    * distribution shift degrades recall until the next retrain
+    * (s04/s11's build path); the spec pins recall vs the exact scan.
+    * At 100 TB: the new batch appends into the cell-partitioned stored
+    * table (d07's stored-signature shape), probes keep pruning to
+    * nprobe partitions. */
+  def s14AnnAdd(s: SparkSession, d: String): DataFrame = {
+    val cents = s14Cents(s, d)
+    // the ADD: only the new batch evaluates the quantizer kernel
+    val added = Ivf.assign(Tables.embeddings(s, d)
+      .filter(col("vec_id") % 2 =!= 0).select("vec_id", "embedding"), cents)
+    val merged = s14CorpusAssigned(s, d).union(added)
+    val q = Tables.embeddings(s, d).filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).toArray
+    Ivf.topK(merged.filter(col("vec_id") =!= 0), cents, q, IvfNprobe, K)
+      .select(col("vec_id"), round(col("cos"), 4).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+  }
+
   // ---------------------------------------------------------------- s13
   /** HYBRID SEARCH — keyword (BM25) retrieval and vector retrieval
     * fused by Reciprocal Rank Fusion (Cormack/Clarke/Büttcher 2009:
@@ -886,6 +937,7 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s13_hybrid_search" -> (s13HybridSearch _),
+    "s14_ann_add" -> (s14AnnAdd _),
     "s01_ann_brute" -> (s01BruteForce _),
     "s02_ann_lsh"   -> (s02LshAnn _),
     "s03_centroids" -> (s03Centroids _),

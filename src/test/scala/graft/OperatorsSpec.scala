@@ -2468,6 +2468,47 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("s14 incremental add: merged lists bit-equal a full rebuild; new vectors searchable; recall floor") {
+    val cents = Similarity.s14Cents(spark, sf)
+    val all = sources.Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    // add-then-merge must equal assigning the whole set under the same
+    // frozen quantizer — the no-retrain-needed claim, bit-exact
+    val merged = Similarity.s14CorpusAssigned(spark, sf)
+      .union(Similarity.Ivf.assign(
+        all.filter(col("vec_id") % 2 =!= 0), cents))
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val rebuilt = Similarity.Ivf.assign(all, cents)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(merged == rebuilt, "incremental add must equal a full rebuild")
+    // the served query: deterministic, and the late-added (odd) vectors
+    // are first-class results
+    val got = Similarity.queries("s14_ann_add")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == Similarity.queries("s14_ann_add")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+    assert(got.exists(_._1 % 2 != 0), "an added vector must be retrievable")
+    // the served answer is EXACTLY what a full rebuild would serve —
+    // the operator's actual claim (recall itself is the quantizer's
+    // property, owned by s04's planted-cluster floor)
+    val q0 = sources.Tables.embeddings(spark, sf).filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val rebuildServed = Similarity.Ivf.topK(
+        Similarity.Ivf.assign(all, cents).filter(col("vec_id") =!= 0),
+        cents, q0, 4, 10)
+      .collect().map(r => (r.getLong(0),
+        BigDecimal(r.getDouble(1)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .sortBy(x => (-x._2, x._1)).toSeq
+    assert(got == rebuildServed, "add-then-serve must equal rebuild-then-serve")
+    // recall vs the exact scan: uniform random vectors are IVF's worst
+    // case (no cluster structure — chance is nprobe/k = 0.25); assert
+    // above-chance, the planted-cluster recall floor lives in s04's spec
+    val exact = Similarity.queries("s01_ann_brute")(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    val recall = got.map(_._1).count(exact) / 10.0
+    info(s"s14 recall@10 vs exact: $recall (chance 0.25 on structureless data)")
+    assert(recall >= 0.3, s"recall below chance band: $recall")
+  }
+
   test("s13 hybrid search: rank plumbing sound; RRF recomputes from ranks; deterministic") {
     val rows = Similarity.queries("s13_hybrid_search")(spark, sf).collect()
       .map(r => (r.getLong(0),
