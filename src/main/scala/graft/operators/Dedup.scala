@@ -819,20 +819,30 @@ object Dedup {
   /** The train-gram stream with its Bloom verdict, split out so the
     * spec can measure the prune independently of the verified output:
     * (doc_id, gh, mc) for every train (doc, distinct-gram) row, plus
-    * the built filter's eval-set size. */
+    * the built filter's bit size (the task-resident memory bound). */
+  /** The eval-set Bloom filter, built ONCE per (session, dataset) —
+    * the stored-asset discipline (bpeAssets/nbModel): at production
+    * the filter is written when the eval set publishes and every
+    * decontamination run just loads it. */
+  private val bloomCache = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.util.sketch.BloomFilter]()
+  FrameCache.onClear(() => bloomCache.clear())
+
+  private def d15Filter(s: SparkSession, d: String): org.apache.spark.util.sketch.BloomFilter =
+    bloomCache.computeIfAbsent(FrameCache.sessionKey(s) + "|d15|" + d, _ => {
+      val evalGrams = Tables.documents(s, d).filter(col("doc_id") % 20 === 0)
+        .select(explode(word_grams64(col("text"), 8)).as("gh")).distinct()
+      // Spark's own distributed sketch build: map-side partial filters
+      // OR-merged to one driver-side object (KBs at this fpp)
+      evalGrams.stat.bloomFilter("gh", math.max(evalGrams.count(), 1L), 0.01)
+    })
+
   private[graft] def d15Flagged(s: SparkSession, d: String): (DataFrame, Long) = {
-    def grams(df: DataFrame) = df
+    val bf = d15Filter(s, d)
+    val flagged = Tables.documents(s, d).filter(col("doc_id") % 20 =!= 0)
       .select(col("doc_id"), explode(word_grams64(col("text"), 8)).as("gh"))
-    val docs = Tables.documents(s, d)
-    val evalGrams = grams(docs.filter(col("doc_id") % 20 === 0))
-      .select("gh").distinct()
-    val nEval = math.max(evalGrams.count(), 1L)
-    // Spark's own distributed sketch build: map-side partial filters
-    // OR-merged to one driver-side object (KBs at this fpp)
-    val bf = evalGrams.stat.bloomFilter("gh", nEval, 0.01)
-    val flagged = grams(docs.filter(col("doc_id") % 20 =!= 0))
       .withColumn("mc", graft.functions.bloom_might_contain(col("gh"), bf))
-    (flagged, nEval)
+    (flagged, bf.bitSize())
   }
 
   /** d15: BLOOM-GATED DECONTAMINATION — d08's eval-overlap pass

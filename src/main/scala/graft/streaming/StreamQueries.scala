@@ -1012,7 +1012,11 @@ object StreamQueries {
     * stream — split out so the two-batch MemoryStream spec can drive
     * the CROSS-batch state carry the bounded driver run can't show.
     * State per source = one Long (the running token cursor); within a
-    * micro-batch the group sorts by doc_id before the prefix walk. */
+    * micro-batch the group sorts by doc_id before the prefix walk —
+    * the sort buffers one (source × micro-batch) slice of 16-byte-ish
+    * tuples, bounded by trigger sizing (the knob that already bounds
+    * every stateful operator's per-batch input), never by stream
+    * lifetime. */
   private[graft] def packStream(
       rows: org.apache.spark.sql.Dataset[(Long, String, Long)]): DataFrame = {
     import org.apache.spark.sql.streaming.GroupStateTimeout
