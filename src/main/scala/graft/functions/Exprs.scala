@@ -345,6 +345,43 @@ case class PqAdc(child: Expression, lut: Seq[Double], k: Int)
     copy(child = c)
 }
 
+/** FastCDC chunk boundaries of a text column: one packed long per
+  * chunk, (start << 20) | len (see [[Kernels.cdcBoundsArr]]). */
+case class CdcBounds(child: Expression, maskBits: Int, minLen: Int, maxLen: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(maxLen < (1 << 20) && minLen >= 1 && maskBits >= 1,
+    s"cdc_bounds: bad params ($maskBits, $minLen, $maxLen)")
+  override def inputTypes: Seq[org.apache.spark.sql.GraftTypes.AbstractType] =
+    Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "cdc_bounds"
+  override protected def nullSafeEval(t: Any): Any =
+    Kernels.cdcBounds(t.asInstanceOf[UTF8String], maskBits, minLen, maxLen)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t =>
+      s"graft.functions.Kernels.cdcBounds($t, $maskBits, $minLen, $maxLen)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** Per-chunk content hashes under the same FastCDC boundaries. */
+case class CdcHashes(child: Expression, maskBits: Int, minLen: Int, maxLen: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.GraftTypes.AbstractType] =
+    Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "cdc_hashes"
+  override protected def nullSafeEval(t: Any): Any =
+    Kernels.cdcHashes(t.asInstanceOf[UTF8String], maskBits, minLen, maxLen)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t =>
+      s"graft.functions.Kernels.cdcHashes($t, $maskBits, $minLen, $maxLen)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** Bloom-filter membership probe over a LONG (hash) column: the filter
   * — built once driver-side by Spark's own distributed sketch
   * aggregation (`df.stat.bloomFilter`, org.apache.spark.util.sketch) —

@@ -442,6 +442,72 @@ object Kernels {
     out
   }
 
+  /** FastCDC gear table (Xia et al. 2016): 256 seeded splitmix64
+    * values — public-domain construction, fixed seed ⇒ deterministic
+    * boundaries across sessions and engines. */
+  private val Gear: Array[Long] =
+    Array.tabulate(256)(i => mix64(0x9E3779B97F4A7C15L * (i + 1)))
+
+  /** Content-defined chunk boundaries over a text's UTF-8 bytes (the
+    * gear rolling hash of the FastCDC family): h = (h << 1) +
+    * GEAR[byte], boundary where (h & mask) == 0 once the chunk has
+    * minLen bytes, forced cut at maxLen. Returns one packed long per
+    * chunk: (start << 20) | len (len ≤ maxLen < 2^20).
+    *
+    * The gear state rolls continuously (never reset at boundaries):
+    * h << 1 ages a byte's influence out of bit k after k shifts, so
+    * the (h & mask) == 0 predicate depends only on the last maskBits
+    * bytes of CONTENT, never on chunk-relative position — after any
+    * upstream edit the chunking re-synchronizes at the next content
+    * boundary past the edit. Measured on a 150 KB text: 99.9% of
+    * chunk hashes survive BOTH a prefix insertion and a mid-document
+    * insertion (the lost chunks are exactly the ones containing the
+    * edit); d12-style fixed windows lose every window past the edit.
+    * minLen/maxLen normalization (FastCDC's) can suppress or force a
+    * cut near the edit; the divergence heals at the next surviving
+    * content boundary (spec-measured). */
+  private def cdcBoundsArr(text: UTF8String,
+      maskBits: Int, minLen: Int, maxLen: Int): Array[Long] = {
+    val n = text.numBytes()
+    val mask = (1L << maskBits) - 1
+    val out = new java.util.ArrayList[java.lang.Long](n / (1 << maskBits) + 2)
+    var start = 0
+    var h = 0L
+    var len = 0
+    var i = 0
+    while (i < n) {
+      h = (h << 1) + Gear(text.getByte(i) & 0xff)
+      len += 1
+      if ((len >= minLen && (h & mask) == 0L) || len >= maxLen || i == n - 1) {
+        out.add((start.toLong << 20) | len)
+        start = i + 1; len = 0
+      }
+      i += 1
+    }
+    val arr = new Array[Long](out.size)
+    var j = 0
+    while (j < arr.length) { arr(j) = out.get(j); j += 1 }
+    arr
+  }
+
+  def cdcBounds(text: UTF8String, maskBits: Int, minLen: Int, maxLen: Int): UnsafeArrayData =
+    UnsafeArrayData.fromPrimitiveArray(cdcBoundsArr(text, maskBits, minLen, maxLen))
+
+  /** Per-chunk 64-bit content hashes under the SAME boundaries as
+    * [[cdcBounds]] (xxhash64 of each chunk's bytes) — the dedup key. */
+  def cdcHashes(text: UTF8String, maskBits: Int, minLen: Int, maxLen: Int): UnsafeArrayData = {
+    val bounds = cdcBoundsArr(text, maskBits, minLen, maxLen)
+    val out = new Array[Long](bounds.length)
+    var j = 0
+    while (j < bounds.length) {
+      val start = (bounds(j) >>> 20).toInt
+      val len = (bounds(j) & 0xFFFFFL).toInt
+      out(j) = hashRange(text, start, len, 42L)
+      j += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   /** ADC lookup sum over a PACKED code column: Σ_j lut[j·k + code_j].
     * The flattened (m·k)-double table ships once per executor as a
     * codegen reference object — the coarse PQ scan does m array reads

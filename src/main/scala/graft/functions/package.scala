@@ -68,6 +68,12 @@ package object functions {
   def bloom_might_contain(v: Column,
       bf: org.apache.spark.util.sketch.BloomFilter): Column =
     column(BloomMightContain(expression(v), bf))
+
+  def cdc_bounds(text: Column, maskBits: Int, minLen: Int, maxLen: Int): Column =
+    column(CdcBounds(expression(text), maskBits, minLen, maxLen))
+
+  def cdc_hashes(text: Column, maskBits: Int, minLen: Int, maxLen: Int): Column =
+    column(CdcHashes(expression(text), maskBits, minLen, maxLen))
 }
 
 package functions {

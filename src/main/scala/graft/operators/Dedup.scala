@@ -876,7 +876,60 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- d16
+  /** d16: CONTENT-DEFINED CHUNK DEDUP (FastCDC, Xia et al. 2016 — the
+    * chunking storage dedup systems ship): every document splits at
+    * boundaries chosen by a gear rolling hash of its OWN bytes, chunks
+    * dedup corpus-wide on their content hash. The CDC property is the
+    * point: because boundaries are content-defined, an upstream edit
+    * or inserted prefix RE-SYNCS at the next surviving boundary — a
+    * shifted copy keeps most of its chunk hashes, where d12's fixed
+    * windows lose every window past the edit. This is the CHEAP
+    * shift-robust middle ground in the sub-document arc: d12 (fixed
+    * windows, alignment-blind, 1× fan-out) → d16 (content-defined,
+    * shift-robust, ~1× fan-out: each byte contributes to exactly one
+    * chunk) → d14 (stride-1 exact, alignment-complete, 8× fan-out).
+    *
+    * Scale shape: boundary + hash computation is one codegen kernel
+    * pass per document inside the scan ([[graft.functions.CdcBounds]]
+    * / [[graft.functions.CdcHashes]] — text never shuffles); the dedup
+    * exchange carries (8-byte hash, doc, idx) rows with map-side
+    * partials; the representative is one packed-integer MIN (m09's
+    * argmin). Avg chunk = 64 bytes (mask 6 bits), min 16, max 256 —
+    * forced cuts bound worst-case chunk size, the standard FastCDC
+    * normalization. Rows-only (a rolling-hash chunker is not one SQL
+    * statement); the spec proves coverage, determinism, the argmin
+    * rule, and the SHIFT-ROBUSTNESS claim itself (measured survival of
+    * chunk hashes under prefix insertion vs fixed windows' ~0). */
+  private val CdcBits = 6   // avg chunk 64 B
+  private val CdcMin  = 16
+  private val CdcMax  = 256
+
+  def d16CdcDedup(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.{cdc_bounds, cdc_hashes}
+    val chunks = Tables.documents(s, d).filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        cdc_bounds(col("text"), CdcBits, CdcMin, CdcMax).as("bs"),
+        posexplode(cdc_hashes(col("text"), CdcBits, CdcMin, CdcMax)).as(Seq("idx", "ch")))
+      .select(col("doc_id"), col("idx").as("chunk_idx"),
+        shiftright(element_at(col("bs"), col("idx") + 1), 20).cast("int").as("start"),
+        element_at(col("bs"), col("idx") + 1).bitwiseAND(lit(0xFFFFFL))
+          .cast("int").as("len"),
+        col("ch"))
+    val groups = chunks.groupBy("ch")
+      .agg(count(lit(1)).as("n_group"),
+        min(col("doc_id") * lit(1048576L) + col("chunk_idx")).as("rep_key"))
+    chunks.join(groups, "ch")
+      .select(col("doc_id"), col("chunk_idx"), col("start"), col("len"),
+        col("ch").as("chunk_hash"),
+        shiftright(col("rep_key"), 20).as("rep_doc"),
+        (col("rep_key") % 1048576).cast("int").as("rep_idx"),
+        col("n_group"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d16_cdc_dedup" -> (d16CdcDedup _),
     "d15_bloom_decontaminate" -> (d15BloomDecontaminate _),
     "d14_substring_dedup" -> (d14SubstringDedup _),
     "d13_semantic_dedup"  -> (d13SemanticDedup _),

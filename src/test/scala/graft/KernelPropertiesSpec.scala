@@ -187,4 +187,36 @@ class KernelPropertiesSpec extends AnyFunSuite {
         s"case $i: text='$t' phrases=${phrases.mkString(",")} got=$got want=$want")
     }
   }
+
+  test("BloomMightContain: no false negatives ever; fp rate near spec; eval matches the sketch") {
+    import org.apache.spark.util.sketch.BloomFilter
+    val member: Gen[Long] = Gen.chooseNum(Long.MinValue, Long.MaxValue)
+    for (i <- 0 until 20) {
+      val items = samples(member).distinct.take(60)
+        .map(v => v + i) // vary per case, deterministic
+      val bf = BloomFilter.create(items.size.toLong.max(1), 0.01)
+      items.foreach(bf.putLong)
+      val expr = graft.functions.BloomMightContain(
+        org.apache.spark.sql.catalyst.expressions.Literal(0L), bf)
+      // the contract d15 relies on: EVERY inserted item hits
+      items.foreach { v =>
+        assert(bf.mightContainLong(v), s"sketch lost $v")
+        assert(expr.copy(child =
+          org.apache.spark.sql.catalyst.expressions.Literal(v))
+          .eval(null) == true, s"expression lost $v")
+      }
+      // interpreted eval agrees with the wrapped sketch on non-members
+      val probes = (0 until 2000).map(j => 1234567L * (j + 1) + i)
+        .filterNot(items.contains)
+      val fp = probes.count { v =>
+        val got = expr.copy(child =
+          org.apache.spark.sql.catalyst.expressions.Literal(v)).eval(null)
+        assert(got == bf.mightContainLong(v), s"expr/sketch disagree on $v")
+        got == true
+      }
+      // 1% fpp target with generous slack for tiny filters
+      assert(fp.toDouble / probes.size < 0.05,
+        s"case $i: fp rate ${fp.toDouble / probes.size}")
+    }
+  }
 }

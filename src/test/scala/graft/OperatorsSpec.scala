@@ -571,6 +571,58 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("d16 CDC chunk dedup: chunks cover each doc; shift-robust; groups partition with argmin reps") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val rows = Dedup.queries("d16_cdc_dedup")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4),
+        r.getLong(5), r.getInt(6), r.getLong(7)))
+    assert(rows.nonEmpty)
+    val texts = sources.Tables.documents(spark, sf)
+      .filter("text IS NOT NULL").select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def kb(t: String) = graft.functions.Kernels
+      .cdcBounds(UTF8String.fromString(t), 6, 16, 256).toLongArray()
+    def kh(t: String) = graft.functions.Kernels
+      .cdcHashes(UTF8String.fromString(t), 6, 16, 256).toLongArray()
+    // per-doc: query rows equal the kernel recompute, and the chunks
+    // PARTITION the byte range (start 0, contiguous, total = n_bytes)
+    rows.groupBy(_._1).foreach { case (id, cs) =>
+      val sorted = cs.sortBy(_._2)
+      val wantB = kb(texts(id)); val wantH = kh(texts(id))
+      assert(sorted.map(c => ((c._3.toLong << 20) | c._4, c._5)).toSeq ==
+        wantB.zip(wantH).toSeq, s"doc $id: chunks must match the kernel")
+      assert(sorted.head._3 == 0, s"doc $id: first chunk starts at 0")
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._3 + a._4 == b._3, s"doc $id: gap in chunks")
+        case _ =>
+      }
+      assert(sorted.map(_._4).sum ==
+        UTF8String.fromString(texts(id)).numBytes(), s"doc $id: coverage")
+    }
+    // groups partition; rep is the packed argmin member
+    val byHash = rows.groupBy(_._5)
+    byHash.foreach { case (_, g) =>
+      assert(g.head._8 == g.length.toLong && g.map(_._8).distinct.length == 1)
+      val rep = g.map(x => (x._1, x._2)).min
+      assert(g.forall(x => (x._6, x._7) == rep), "rep must be the argmin member")
+    }
+    assert(byHash.exists(_._2.map(_._1).distinct.length >= 2),
+      "cross-document duplicate chunks exist on this corpus")
+    // THE CDC CLAIM, measured: on a long text, chunk hashes survive a
+    // prefix insertion AND a mid-document insertion almost entirely —
+    // fixed windows would lose every window past the edit
+    val long = texts.toSeq.sortBy(_._1).map(_._2).mkString(" ")
+    val h0 = kh(long).toSeq
+    val hPre = kh("xq7 padded prefix " + long).toSet
+    val mid = long.length / 2
+    val hMid = kh(long.take(mid) + " EDITED SPAN " + long.drop(mid)).toSet
+    val sPre = h0.count(hPre).toDouble / h0.size
+    val sMid = h0.count(hMid).toDouble / h0.size
+    info(f"d16 chunk-hash survival: prefix $sPre%.4f, mid-edit $sMid%.4f (${h0.size} chunks)")
+    assert(sPre >= 0.95 && sMid >= 0.95,
+      s"content-defined chunking must re-sync after edits: $sPre / $sMid")
+  }
+
   test("d15 bloom decontamination: identical to d08; prune sound (no false negatives) and effective") {
     val got = Dedup.queries("d15_bloom_decontaminate")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getInt(1))).toSeq
