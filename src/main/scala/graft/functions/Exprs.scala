@@ -368,6 +368,10 @@ case class CdcBounds(child: Expression, maskBits: Int, minLen: Int, maxLen: Int)
 /** Per-chunk content hashes under the same FastCDC boundaries. */
 case class CdcHashes(child: Expression, maskBits: Int, minLen: Int, maxLen: Int)
     extends UnaryExpression with ImplicitCastInputTypes {
+  // same guard as CdcBounds: the shared kernel packs (start << 20) | len,
+  // so an unvalidated maxLen ≥ 2^20 would corrupt the extraction silently
+  require(maxLen < (1 << 20) && minLen >= 1 && maskBits >= 1,
+    s"cdc_hashes: bad params ($maskBits, $minLen, $maxLen)")
   override def inputTypes: Seq[org.apache.spark.sql.GraftTypes.AbstractType] =
     Seq(StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)

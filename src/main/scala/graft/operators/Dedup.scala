@@ -832,9 +832,14 @@ object Dedup {
     bloomCache.computeIfAbsent(FrameCache.sessionKey(s) + "|d15|" + d, _ => {
       val evalGrams = Tables.documents(s, d).filter(col("doc_id") % 20 === 0)
         .select(explode(word_grams64(col("text"), 8)).as("gh")).distinct()
-      // Spark's own distributed sketch build: map-side partial filters
-      // OR-merged to one driver-side object (KBs at this fpp)
-      evalGrams.stat.bloomFilter("gh", math.max(evalGrams.count(), 1L), 0.01)
+      // one eval-side derivation, two driver actions: persist across
+      // the sizing count and the sketch build, then release
+      evalGrams.persist()
+      try
+        // Spark's own distributed sketch build: map-side partial
+        // filters OR-merged to one driver-side object (KBs at this fpp)
+        evalGrams.stat.bloomFilter("gh", math.max(evalGrams.count(), 1L), 0.01)
+      finally evalGrams.unpersist()
     })
 
   private[graft] def d15Flagged(s: SparkSession, d: String): (DataFrame, Long) = {
@@ -916,14 +921,17 @@ object Dedup {
         element_at(col("bs"), col("idx") + 1).bitwiseAND(lit(0xFFFFFL))
           .cast("int").as("len"),
         col("ch"))
+    // rep = lexicographic argmin as a STRUCT min (no packed-integer
+    // width assumption: m09's packing relies on a documented scene
+    // bound, but a chunk index is only bounded by document size)
     val groups = chunks.groupBy("ch")
       .agg(count(lit(1)).as("n_group"),
-        min(col("doc_id") * lit(1048576L) + col("chunk_idx")).as("rep_key"))
+        min(struct(col("doc_id"), col("chunk_idx"))).as("rep"))
     chunks.join(groups, "ch")
       .select(col("doc_id"), col("chunk_idx"), col("start"), col("len"),
         col("ch").as("chunk_hash"),
-        shiftright(col("rep_key"), 20).as("rep_doc"),
-        (col("rep_key") % 1048576).cast("int").as("rep_idx"),
+        col("rep.doc_id").as("rep_doc"),
+        col("rep.chunk_idx").as("rep_idx"),
         col("n_group"))
       .orderBy("doc_id", "chunk_idx")
   }

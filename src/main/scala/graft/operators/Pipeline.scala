@@ -351,9 +351,13 @@ object Pipeline {
     * CTE chain ([[TextAnalysis.nbCtesSql]], the shared definition),
     * t21's smoothed-LM tertiles, text-window dedup, serial prefix
     * sum. */
-  val e06OracleSql: String =
-    s"""WITH ${TextAnalysis.nbCtesSql},
-       |g AS (
+  /** The cascade's GATE CTE chain — gopher metrics (gm/gk), the
+    * trusted-slice bigram LM with perplexity tertiles (pp..bk) — as
+    * one string shared VERBATIM by the e06/e07, e08 and e09 oracles
+    * (the nbCtesSql precedent): one definition, so the three oracles
+    * can never drift on what the "same" cascade keeps. */
+  private val cascadeCtesSql: String =
+    s"""|g AS (
        |  SELECT doc_id, text, lang, source,
        |         list_filter(string_split(lower(text), ' '), x -> x <> '') AS l
        |  FROM documents
@@ -399,7 +403,11 @@ object Pipeline {
        |  SELECT doc_id, CASE WHEN ppl <= t1 THEN 'head'
        |                      WHEN ppl <= t2 THEN 'middle'
        |                      ELSE 'tail' END AS bucket
-       |  FROM pplsc CROSS JOIN thb),
+       |  FROM pplsc CROSS JOIN thb)""".stripMargin
+
+  val e06OracleSql: String =
+    s"""WITH ${TextAnalysis.nbCtesSql},
+       |$cascadeCtesSql,
        |q AS (SELECT doc_id, text, CAST($nTokensSql AS BIGINT) AS n_tokens FROM documents),
        |surv AS (
        |  SELECT q.doc_id, q.text, q.n_tokens, bk.bucket
@@ -524,53 +532,7 @@ object Pipeline {
   /** Oracle: e06's own CTE chain, counted per stage. */
   val e08OracleSql: String =
     s"""WITH ${TextAnalysis.nbCtesSql},
-       |g AS (
-       |  SELECT doc_id, text, lang, source,
-       |         list_filter(string_split(lower(text), ' '), x -> x <> '') AS l
-       |  FROM documents
-       |),
-       |gm AS (
-       |  SELECT doc_id,
-       |    CAST(len(l) AS INT) AS n_words,
-       |    ROUND(CAST(COALESCE(list_sum(list_transform(l, x -> length(x))), 0) AS DOUBLE)
-       |          / GREATEST(len(l), 1), 4) + 0.0 AS mean_word_len,
-       |    ROUND(CAST((length(text) - length(replace(text, '#', '')))
-       |             + (length(text) - length(replace(text, '...', ''))) // 3 AS DOUBLE)
-       |          / GREATEST(len(l), 1), 4) + 0.0 AS symbol_ratio,
-       |    ROUND(CAST(len(list_filter(l, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
-       |          / GREATEST(len(l), 1), 4) + 0.0 AS alpha_frac,
-       |    CAST(len(list_filter(l, x -> list_contains(
-       |      ['the','be','to','of','and','that','have','with'], x))) AS INT) AS n_stop
-       |  FROM g),
-       |gk AS (
-       |  SELECT doc_id FROM gm
-       |  WHERE n_words BETWEEN 50 AND 100000
-       |    AND mean_word_len BETWEEN 3.0 AND 10.0
-       |    AND symbol_ratio <= 0.1
-       |    AND alpha_frac >= 0.8
-       |    AND n_stop >= 2),
-       |pp AS (
-       |  SELECT doc_id, lang, source,
-       |         unnest([{'w1': l[i], 'w2': l[i+1]} for i in generate_series(1, len(l)-1)],
-       |                recursive := true)
-       |  FROM g WHERE len(l) >= 2),
-       |tpb AS (SELECT w1, w2 FROM pp WHERE lang = 'en' AND source IN ('src0', 'src1')),
-       |c2b AS (SELECT w1, w2, COUNT(*) AS n2 FROM tpb GROUP BY 1, 2),
-       |c1b AS (SELECT w1, COUNT(*) AS n1 FROM tpb GROUP BY 1),
-       |vvb AS (SELECT COUNT(DISTINCT w2) AS v FROM tpb),
-       |pplsc AS (
-       |  SELECT p.doc_id,
-       |         ROUND(EXP(-AVG(LN(CAST(COALESCE(n2, 0) + 1 AS DOUBLE) /
-       |                           CAST(COALESCE(n1, 0) + v AS DOUBLE)))), 4) + 0.0 AS ppl
-       |  FROM pp p LEFT JOIN c2b USING (w1, w2) LEFT JOIN c1b USING (w1) CROSS JOIN vvb
-       |  GROUP BY p.doc_id),
-       |thb AS (SELECT quantile_cont(ppl, 1.0/3) AS t1,
-       |               quantile_cont(ppl, 2.0/3) AS t2 FROM pplsc),
-       |bk AS (
-       |  SELECT doc_id, CASE WHEN ppl <= t1 THEN 'head'
-       |                      WHEN ppl <= t2 THEN 'middle'
-       |                      ELSE 'tail' END AS bucket
-       |  FROM pplsc CROSS JOIN thb),
+       |$cascadeCtesSql,
        |q AS (SELECT doc_id, text, CAST($nTokensSql AS BIGINT) AS n_tokens FROM documents),
        |st1 AS (SELECT q.* FROM q JOIN gk USING (doc_id)),
        |st2 AS (SELECT st1.* FROM st1
@@ -628,53 +590,7 @@ object Pipeline {
     * by provenance. */
   val e09OracleSql: String =
     s"""WITH ${TextAnalysis.nbCtesSql},
-       |g AS (
-       |  SELECT doc_id, text, lang, source,
-       |         list_filter(string_split(lower(text), ' '), x -> x <> '') AS l
-       |  FROM documents
-       |),
-       |gm AS (
-       |  SELECT doc_id,
-       |    CAST(len(l) AS INT) AS n_words,
-       |    ROUND(CAST(COALESCE(list_sum(list_transform(l, x -> length(x))), 0) AS DOUBLE)
-       |          / GREATEST(len(l), 1), 4) + 0.0 AS mean_word_len,
-       |    ROUND(CAST((length(text) - length(replace(text, '#', '')))
-       |             + (length(text) - length(replace(text, '...', ''))) // 3 AS DOUBLE)
-       |          / GREATEST(len(l), 1), 4) + 0.0 AS symbol_ratio,
-       |    ROUND(CAST(len(list_filter(l, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
-       |          / GREATEST(len(l), 1), 4) + 0.0 AS alpha_frac,
-       |    CAST(len(list_filter(l, x -> list_contains(
-       |      ['the','be','to','of','and','that','have','with'], x))) AS INT) AS n_stop
-       |  FROM g),
-       |gk AS (
-       |  SELECT doc_id FROM gm
-       |  WHERE n_words BETWEEN 50 AND 100000
-       |    AND mean_word_len BETWEEN 3.0 AND 10.0
-       |    AND symbol_ratio <= 0.1
-       |    AND alpha_frac >= 0.8
-       |    AND n_stop >= 2),
-       |pp AS (
-       |  SELECT doc_id, lang, source,
-       |         unnest([{'w1': l[i], 'w2': l[i+1]} for i in generate_series(1, len(l)-1)],
-       |                recursive := true)
-       |  FROM g WHERE len(l) >= 2),
-       |tpb AS (SELECT w1, w2 FROM pp WHERE lang = 'en' AND source IN ('src0', 'src1')),
-       |c2b AS (SELECT w1, w2, COUNT(*) AS n2 FROM tpb GROUP BY 1, 2),
-       |c1b AS (SELECT w1, COUNT(*) AS n1 FROM tpb GROUP BY 1),
-       |vvb AS (SELECT COUNT(DISTINCT w2) AS v FROM tpb),
-       |pplsc AS (
-       |  SELECT p.doc_id,
-       |         ROUND(EXP(-AVG(LN(CAST(COALESCE(n2, 0) + 1 AS DOUBLE) /
-       |                           CAST(COALESCE(n1, 0) + v AS DOUBLE)))), 4) + 0.0 AS ppl
-       |  FROM pp p LEFT JOIN c2b USING (w1, w2) LEFT JOIN c1b USING (w1) CROSS JOIN vvb
-       |  GROUP BY p.doc_id),
-       |thb AS (SELECT quantile_cont(ppl, 1.0/3) AS t1,
-       |               quantile_cont(ppl, 2.0/3) AS t2 FROM pplsc),
-       |bk AS (
-       |  SELECT doc_id, CASE WHEN ppl <= t1 THEN 'head'
-       |                      WHEN ppl <= t2 THEN 'middle'
-       |                      ELSE 'tail' END AS bucket
-       |  FROM pplsc CROSS JOIN thb),
+       |$cascadeCtesSql,
        |q AS (SELECT doc_id, text, lang, source,
        |             CAST($nTokensSql AS BIGINT) AS n_tokens FROM documents),
        |surv AS (
