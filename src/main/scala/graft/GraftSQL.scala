@@ -1257,11 +1257,16 @@ object GraftSQL {
         case '-' if i + 1 < s.length && s(i + 1) == '-' =>
           while (i < s.length && s(i) != '\n') { out += ' '; i += 1 }
         case '/' if i + 1 < s.length && s(i + 1) == '*' =>
+          // `/*+ ... */` is an OPTIMIZER HINT, not a comment: the
+          // blanked text is what executes (Shell/Server), so blanking
+          // it would silently strip join hints. Copied verbatim —
+          // still length-preserving and idempotent.
+          val isHint = i + 2 < s.length && s(i + 2) == '+'
           var open = true
           while (i < s.length && open) {
             if (s(i) == '*' && i + 1 < s.length && s(i + 1) == '/') {
-              out.append("  "); i += 2; open = false
-            } else { out += ' '; i += 1 }
+              out.append(if (isHint) "*/" else "  "); i += 2; open = false
+            } else { out += (if (isHint) s(i) else ' '); i += 1 }
           }
         case c => out += c; i += 1
       }

@@ -365,23 +365,28 @@ case class CdcBounds(child: Expression, maskBits: Int, minLen: Int, maxLen: Int)
     copy(child = c)
 }
 
-/** Per-chunk content hashes under the same FastCDC boundaries. */
-case class CdcHashes(child: Expression, maskBits: Int, minLen: Int, maxLen: Int)
+/** ONE chunker pass per document: array of (packed, hash) structs —
+  * packed = the CdcBounds (start << 20) | len encoding, hash = the
+  * chunk's xxhash64 content hash. The d16 query consumes this instead
+  * of separate bounds/hashes columns so the boundary scan runs once. */
+case class CdcChunks(child: Expression, maskBits: Int, minLen: Int, maxLen: Int)
     extends UnaryExpression with ImplicitCastInputTypes {
-  // same guard as CdcBounds: the shared kernel packs (start << 20) | len,
-  // so an unvalidated maxLen ≥ 2^20 would corrupt the extraction silently
+  // same guard as CdcBounds: the kernel packs (start << 20) | len, so
+  // an unvalidated maxLen ≥ 2^20 would corrupt the extraction silently
   require(maxLen < (1 << 20) && minLen >= 1 && maskBits >= 1,
-    s"cdc_hashes: bad params ($maskBits, $minLen, $maxLen)")
+    s"cdc_chunks: bad params ($maskBits, $minLen, $maxLen)")
   override def inputTypes: Seq[org.apache.spark.sql.GraftTypes.AbstractType] =
     Seq(StringType)
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("packed", LongType, nullable = false),
+    StructField("ch", LongType, nullable = false))), containsNull = false)
   override def nullIntolerant: Boolean = true
-  override def prettyName: String = "cdc_hashes"
+  override def prettyName: String = "cdc_chunks"
   override protected def nullSafeEval(t: Any): Any =
-    Kernels.cdcHashes(t.asInstanceOf[UTF8String], maskBits, minLen, maxLen)
+    Kernels.cdcChunks(t.asInstanceOf[UTF8String], maskBits, minLen, maxLen)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, t =>
-      s"graft.functions.Kernels.cdcHashes($t, $maskBits, $minLen, $maxLen)")
+      s"graft.functions.Kernels.cdcChunks($t, $maskBits, $minLen, $maxLen)")
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
 }

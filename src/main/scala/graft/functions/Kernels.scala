@@ -508,6 +508,23 @@ object Kernels {
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 
+  /** ONE chunker pass emitting both views: array of (packed bound,
+    * content hash) structs — what the d16 query consumes, so the
+    * boundary scan runs once per document instead of once per view. */
+  def cdcChunks(text: UTF8String, maskBits: Int, minLen: Int, maxLen: Int): ArrayData = {
+    val bounds = cdcBoundsArr(text, maskBits, minLen, maxLen)
+    val rows = new Array[Any](bounds.length)
+    var j = 0
+    while (j < bounds.length) {
+      val start = (bounds(j) >>> 20).toInt
+      val len = (bounds(j) & 0xFFFFFL).toInt
+      rows(j) = org.apache.spark.sql.catalyst.InternalRow(
+        bounds(j), hashRange(text, start, len, 42L))
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
+  }
+
   /** ADC lookup sum over a PACKED code column: Σ_j lut[j·k + code_j].
     * The flattened (m·k)-double table ships once per executor as a
     * codegen reference object — the coarse PQ scan does m array reads

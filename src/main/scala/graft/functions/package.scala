@@ -72,8 +72,8 @@ package object functions {
   def cdc_bounds(text: Column, maskBits: Int, minLen: Int, maxLen: Int): Column =
     column(CdcBounds(expression(text), maskBits, minLen, maxLen))
 
-  def cdc_hashes(text: Column, maskBits: Int, minLen: Int, maxLen: Int): Column =
-    column(CdcHashes(expression(text), maskBits, minLen, maxLen))
+  def cdc_chunks(text: Column, maskBits: Int, minLen: Int, maxLen: Int): Column =
+    column(CdcChunks(expression(text), maskBits, minLen, maxLen))
 }
 
 package functions {

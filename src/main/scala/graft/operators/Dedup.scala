@@ -281,31 +281,43 @@ object Dedup {
       sigStores.values.foreach(c => deleteDir(c.root))))
   }
 
-  // builds serialized under one lock: TrieMap.getOrElseUpdate may
-  // evaluate a racing builder twice and discard the loser — here the
-  // loser would be a fully-written store directory nothing ever sweeps
-  private def signatureStore(s: SparkSession, d: String): graft.sources.TableCatalog =
+  /** PER-KEY build locks (not one global lock): a cluster-table build
+    * on one dataset must not stall a signature lookup on another —
+    * the contention shape the TCP server's concurrent sessions
+    * produce. Within a key only ONE builder ever runs, so no losing
+    * store directory is orphaned. */
+  private val storeLocks =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Object]()
+
+  private def signatureStore(s: SparkSession, d: String): graft.sources.TableCatalog = {
+    // drop stores bound to stopped sessions (their frames are useless
+    // and the next live session would shadow them anyway) — a short
+    // map+file critical section, no Spark jobs
     sigStores.synchronized {
-      // drop stores bound to stopped sessions (their frames are useless
-      // and the next live session would shadow them anyway)
       sigStores.filterInPlace { case ((owner, _), cat) =>
         val live = !owner.sparkContext.isStopped
         if (!live) deleteDir(cat.root)
         live
       }
-      sigStores.getOrElseUpdate((s, d), {
-        val root = java.nio.file.Files.createTempDirectory("graft-sigstore-").toString
-        val cat = new graft.sources.TableCatalog(s, root)
-        val corpus = Tables.documents(s, d)
-          .filter(col("doc_id") % 2 === 0)
-          .select(col("doc_id"),
-            minhash_sig(col("text"), ShingleN, MinhashK, Seed).as("sig"),
-            shingles64(col("text"), ShingleN).as("sh"))
-        cat.createTable("corpus_signatures", corpus.schema)
-        cat.insert("corpus_signatures", corpus)
-        cat
-      })
     }
+    val key = (s, d)
+    sigStores.get(key).getOrElse {
+      storeLocks.computeIfAbsent(key, _ => new Object).synchronized {
+        sigStores.getOrElseUpdate(key, {
+          val root = java.nio.file.Files.createTempDirectory("graft-sigstore-").toString
+          val cat = new graft.sources.TableCatalog(s, root)
+          val corpus = Tables.documents(s, d)
+            .filter(col("doc_id") % 2 === 0)
+            .select(col("doc_id"),
+              minhash_sig(col("text"), ShingleN, MinhashK, Seed).as("sig"),
+              shingles64(col("text"), ShingleN).as("sh"))
+          cat.createTable("corpus_signatures", corpus.schema)
+          cat.insert("corpus_signatures", corpus)
+          cat
+        })
+      }
+    }
+  }
 
   /** INCREMENTAL near-dup: dedup a NEW batch against an EXISTING
     * corpus — the shape a continuously-ingesting 100 TB pipeline
@@ -692,9 +704,12 @@ object Dedup {
     * store as d07's signature table; doubles round-trip parquet
     * bit-exactly, so the removal set is identical to the inline
     * derivation. */
-  private def clusterTable(s: SparkSession, d: String): DataFrame =
-    sigStores.synchronized {
-      val cat = signatureStore(s, d)
+  private def clusterTable(s: SparkSession, d: String): DataFrame = {
+    val cat = signatureStore(s, d)
+    // same PER-KEY lock as the store build: d13 and d07 on one dataset
+    // serialize with each other (they share the catalog), other
+    // datasets and sessions proceed in parallel
+    storeLocks.computeIfAbsent((s, d), _ => new Object).synchronized {
       if (!cat.exists("corpus_clusters")) {
         val assigned = Similarity.ivfAssigned(s, d)
           .join(broadcast(Similarity.ivfCells(s, d)), "cell")
@@ -703,8 +718,9 @@ object Dedup {
         cat.createTable("corpus_clusters", assigned.schema)
         cat.insert("corpus_clusters", assigned)
       }
-      cat.scan("corpus_clusters")
     }
+    cat.scan("corpus_clusters")
+  }
 
   def d13SemanticDedup(s: SparkSession, d: String): DataFrame = {
     val withCent = clusterTable(s, d)
@@ -777,8 +793,12 @@ object Dedup {
              |  p -> sequence(p, p + ${SubK - 1}))))""".stripMargin)
           .as("covered"))
       .select(col("doc_id"),
-        expr("array_join(filter(words, (x, i) -> NOT array_contains(covered, i + 1)), ' ')")
-          .as("cleaned"),
+        // coalesce mirrors the oracle: a null-text doc keeps an EMPTY
+        // cleaned string, not NULL (none exist in the canonical data,
+        // but the pair must agree on any input)
+        coalesce(
+          expr("array_join(filter(words, (x, i) -> NOT array_contains(covered, i + 1)), ' ')"),
+          lit("")).as("cleaned"),
         expr("size(covered)").cast("long").as("n_removed"))
       .orderBy("doc_id")
   }
@@ -824,12 +844,12 @@ object Dedup {
     * the stored-asset discipline (bpeAssets/nbModel): at production
     * the filter is written when the eval set publishes and every
     * decontamination run just loads it. */
-  private val bloomCache = new java.util.concurrent.ConcurrentHashMap[
-    String, org.apache.spark.util.sketch.BloomFilter]()
+  private val bloomCache =
+    new KeyedMemo[org.apache.spark.util.sketch.BloomFilter]()
   FrameCache.onClear(() => bloomCache.clear())
 
   private def d15Filter(s: SparkSession, d: String): org.apache.spark.util.sketch.BloomFilter =
-    bloomCache.computeIfAbsent(FrameCache.sessionKey(s) + "|d15|" + d, _ => {
+    bloomCache.getOrBuild(FrameCache.sessionKey(s) + "|d15|" + d) {
       val evalGrams = Tables.documents(s, d).filter(col("doc_id") % 20 === 0)
         .select(explode(word_grams64(col("text"), 8)).as("gh")).distinct()
       // one eval-side derivation, two driver actions: persist across
@@ -840,7 +860,7 @@ object Dedup {
         // filters OR-merged to one driver-side object (KBs at this fpp)
         evalGrams.stat.bloomFilter("gh", math.max(evalGrams.count(), 1L), 0.01)
       finally evalGrams.unpersist()
-    })
+    }
 
   private[graft] def d15Flagged(s: SparkSession, d: String): (DataFrame, Long) = {
     val bf = d15Filter(s, d)
@@ -911,16 +931,16 @@ object Dedup {
   private val CdcMax  = 256
 
   def d16CdcDedup(s: SparkSession, d: String): DataFrame = {
-    import graft.functions.{cdc_bounds, cdc_hashes}
+    import graft.functions.cdc_chunks
+    // ONE chunker pass per doc ([[graft.functions.CdcChunks]] emits
+    // (packed bound, hash) structs together), exploded in the scan
     val chunks = Tables.documents(s, d).filter(col("text").isNotNull)
       .select(col("doc_id"),
-        cdc_bounds(col("text"), CdcBits, CdcMin, CdcMax).as("bs"),
-        posexplode(cdc_hashes(col("text"), CdcBits, CdcMin, CdcMax)).as(Seq("idx", "ch")))
+        posexplode(cdc_chunks(col("text"), CdcBits, CdcMin, CdcMax)).as(Seq("idx", "c")))
       .select(col("doc_id"), col("idx").as("chunk_idx"),
-        shiftright(element_at(col("bs"), col("idx") + 1), 20).cast("int").as("start"),
-        element_at(col("bs"), col("idx") + 1).bitwiseAND(lit(0xFFFFFL))
-          .cast("int").as("len"),
-        col("ch"))
+        shiftright(col("c.packed"), 20).cast("int").as("start"),
+        col("c.packed").bitwiseAND(lit(0xFFFFFL)).cast("int").as("len"),
+        col("c.ch").as("ch"))
     // rep = lexicographic argmin as a STRUCT min (no packed-integer
     // width assumption: m09's packing relies on a documented scene
     // bound, but a chunk index is only bounded by document size)

@@ -98,3 +98,29 @@ object FrameCache {
   private val clearHooks =
     new java.util.concurrent.CopyOnWriteArrayList[() => Unit]()
 }
+
+/** Per-key memoization for trained assets whose builders run Spark
+  * jobs (quantizer training, Bloom-filter builds, staged snapshot
+  * chains): the build runs under a PER-KEY lock — never inside a
+  * ConcurrentHashMap mapping function (whose bin lock would stall
+  * unrelated keys behind a multi-second build — the contention the
+  * TCP server's concurrent sessions actually produce) and never twice
+  * for one key (a losing duplicate build would waste a full training
+  * run, or orphan a store directory). Builders must not call back
+  * into the same memo (per-key locks don't nest); calling INTO
+  * [[FrameCache.getOrBuild]] from a builder is fine — that ordering
+  * is one-way across the codebase. */
+final class KeyedMemo[V <: AnyRef] {
+  private val map = new java.util.concurrent.ConcurrentHashMap[String, V]()
+  private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  def getOrBuild(key: String)(build: => V): V = {
+    val hit = map.get(key)
+    if (hit != null) hit
+    else locks.computeIfAbsent(key, _ => new Object).synchronized {
+      val again = map.get(key)
+      if (again != null) again
+      else { val built = build; map.put(key, built); built }
+    }
+  }
+  def clear(): Unit = { map.clear(); locks.clear() }
+}

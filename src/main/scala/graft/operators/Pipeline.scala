@@ -473,14 +473,22 @@ object Pipeline {
     * 100 TB pipeline actually re-runs when gates are tuned: the
     * expensive passes happened once at ingest. Result is
     * row-identical to e06 (same DuckDB oracle). */
-  def e07CascadeStored(s: SparkSession, d: String): DataFrame = {
-    val scores = scoreTable(s, d)
-    val surv = scores
+  /** The cascade's SURVIVOR rule over the stored score table — gate
+    * conjunction + dedup-keeper window — as one definition shared by
+    * e07 (materialization) and e09 (mixture manifest), the Spark-side
+    * twin of the oracles' shared [[cascadeCtesSql]]: a gate tweak
+    * cannot make the manifest describe a different dataset than the
+    * one e07 packs. Keeps every stored column; consumers project. */
+  private def cascadeSurvivors(scores: DataFrame): DataFrame =
+    scores
       .filter(col("gopher_keep") && col("nb_score") > 0 &&
         col("bucket") =!= "tail")
       .withColumn("keeper", min("doc_id").over(Window.partitionBy("h")))
       .filter(col("doc_id") === col("keeper"))
-      .select("doc_id", "bucket", "n_tokens")
+
+  def e07CascadeStored(s: SparkSession, d: String): DataFrame = {
+    val scores = scoreTable(s, d)
+    val surv = cascadeSurvivors(scores).select("doc_id", "bucket", "n_tokens")
     packPrefix(scores, surv, carry = Seq("bucket")).orderBy("doc_id")
   }
 
@@ -572,11 +580,7 @@ object Pipeline {
     * corpus. Shares divide exact Longs in double — bit-identical on
     * both engines. */
   def e09MixtureManifest(s: SparkSession, d: String): DataFrame = {
-    val surv = scoreTable(s, d)
-      .filter(col("gopher_keep") && col("nb_score") > 0 &&
-        col("bucket") =!= "tail")
-      .withColumn("keeper", min("doc_id").over(Window.partitionBy("h")))
-      .filter(col("doc_id") === col("keeper"))
+    val surv = cascadeSurvivors(scoreTable(s, d))
     val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     surv.groupBy("lang", "source")
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
@@ -620,12 +624,11 @@ object Pipeline {
     * delete (doc_id % 11 = 5 — the GDPR/opt-out pass), v4 in-place
     * correction (UPDATE prefixing text where doc_id % 13 = 6). Built
     * once per (session, dataset), the pqCache/sigStore pattern. */
-  private val snapStores =
-    new java.util.concurrent.ConcurrentHashMap[String, (graft.sources.TableCatalog, Int)]()
+  private val snapStores = new KeyedMemo[(graft.sources.TableCatalog, Int)]()
   FrameCache.onClear(() => snapStores.clear()) // dirs die with tempRoot's hooks
 
   private def snapshotStore(s: SparkSession, d: String): (graft.sources.TableCatalog, Int) =
-    snapStores.computeIfAbsent(FrameCache.sessionKey(s) + "|e10|" + d, _ => {
+    snapStores.getOrBuild(FrameCache.sessionKey(s) + "|e10|" + d) {
       val docs = Tables.documents(s, d).select("doc_id", "lang", "source", "text")
       val root = graft.sources.TableCatalog.tempRoot("graft-e10")
       val cat = new graft.sources.TableCatalog(s, root)
@@ -637,7 +640,7 @@ object Pipeline {
         Map("text" -> concat(lit("edited "), col("text"))),
         col("doc_id") % 13 === 6)
       (cat, v1)
-    })
+    }
 
   /** e10: SNAPSHOT DIFF — what changed between two versions of a
     * managed dataset (the lakehouse CDC/table_changes query, computed

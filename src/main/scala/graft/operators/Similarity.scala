@@ -492,7 +492,7 @@ object Similarity {
 
   /** Refine rounds the LAST s10 run actually executed — observability
     * for the convergence rule (−1 until s10 runs). */
-  private[graft] var s10RefineRoundsRun: Int = -1
+  @volatile private[graft] var s10RefineRoundsRun: Int = -1
 
   /** The descent runs over a WIDER internal neighbor list than the
     * emitted k (the standard NN-descent trick: a 2k-wide working graph
@@ -616,19 +616,18 @@ object Similarity {
   private val PqK      = 32
   private val PqCoarse = 100
 
-  private val pqCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Seq[Array[Array[Float]]]]()
+  private val pqCache = new KeyedMemo[Seq[Array[Array[Float]]]]()
   FrameCache.onClear(() => pqCache.clear()) // released with the frame caches
 
   private[operators] def pqCodebooks(s: SparkSession, d: String): Seq[Array[Array[Float]]] =
-    pqCache.computeIfAbsent(FrameCache.sessionKey(s) + "|pq|" + d, _ => {
+    pqCache.getOrBuild(FrameCache.sessionKey(s) + "|pq|" + d) {
       val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
       (0 until PqM).map { j =>
         Ivf.train(emb.select(col("vec_id"),
           slice(col("embedding"), j * PqDsub + 1, PqDsub).as("embedding")),
           PqK, IvfIters)
       }
-    })
+    }
 
   /** vec_id + embedding + the PACKED m-byte code column (at scale: the
     * stored BINARY code column, written at ingest — what the coarse
@@ -740,14 +739,14 @@ object Similarity {
     * "index build"), cached per (session, dataset): s14's stored
     * centroid table. The new batch must never influence it, or the
     * incremental-equals-rebuild claim would be circular. */
-  private val s14Cache =
-    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Float]]]()
+  private val s14Cache = new KeyedMemo[Array[Array[Float]]]()
   FrameCache.onClear(() => s14Cache.clear())
 
   private[graft] def s14Cents(s: SparkSession, d: String): Array[Array[Float]] =
-    s14Cache.computeIfAbsent(FrameCache.sessionKey(s) + "|s14|" + d, _ =>
+    s14Cache.getOrBuild(FrameCache.sessionKey(s) + "|s14|" + d) {
       Ivf.train(Tables.embeddings(s, d).filter(col("vec_id") % 2 === 0)
-        .select("vec_id", "embedding"), IvfK, IvfIters))
+        .select("vec_id", "embedding"), IvfK, IvfIters)
+    }
 
   /** The corpus half's stored inverted lists under [[s14Cents]]. */
   private[graft] def s14CorpusAssigned(s: SparkSession, d: String): DataFrame =

@@ -935,7 +935,7 @@ object TextAnalysis {
 
   /** Spark rounds the last (uncached) t19 training run paid —
     * observability for the batched-merge claim (−1 until it trains). */
-  private[graft] var t19TrainRounds: Int = -1
+  @volatile private[graft] var t19TrainRounds: Int = -1
 
   private[graft] def bpeAssets(
       s: SparkSession, d: String): (Seq[(Int, String, String, Long)], Seq[String]) = {

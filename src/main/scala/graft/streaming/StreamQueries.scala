@@ -362,7 +362,7 @@ object StreamQueries {
   /** State rows the streaming engine held after st14's LAST micro-batch
     * — spec observability for the watermark-bounded-state claim. −1
     * until st14 runs. */
-  private[graft] var st14StateRowsAfterLastBatch: Long = -1L
+  @volatile private[graft] var st14StateRowsAfterLastBatch: Long = -1L
 
   /** st14: streaming dedup with WATERMARK-BOUNDED state — st03's
     * production form (`dropDuplicatesWithinWatermark`): the state
@@ -866,7 +866,7 @@ object StreamQueries {
 
   /** State-operator count of st16's last run — spec observability for
     * the statelessness claim (−1 until st16 runs). */
-  private[graft] var st16StateOperators: Int = -1
+  @volatile private[graft] var st16StateOperators: Int = -1
 
   /** st16: STREAMING TOKENIZATION — the steady-state twin of t20 and
     * the production serving shape of the tokenizer arc (t19 trains →
@@ -905,7 +905,7 @@ object StreamQueries {
     s.table("graft_st16_sink").orderBy("doc_id")
   }
 
-  private[graft] var st18StateOperators: Int = -1
+  @volatile private[graft] var st18StateOperators: Int = -1
 
   /** st18: STREAMING IMAGE-TEXT PAIR FILTERING — the streaming twin
     * of batch m08 and the serving shape of the LAION gate: a crawler

@@ -35,6 +35,19 @@ class KernelPropertiesSpec extends AnyFunSuite {
   private val sqlish: Gen[String] =
     Gen.listOf(sqlFrag).map(_.mkString(" "))
 
+  test("comment blanking preserves optimizer hints verbatim") {
+    val withHint = "SELECT /*+ BROADCAST(t) */ * FROM t -- note\nJOIN u ON a = b"
+    val blanked = GraftSQL.blankComments(withHint)
+    assert(blanked.contains("/*+ BROADCAST(t) */"),
+      "a hint is semantics, not a comment — it must reach the executed text")
+    assert(!blanked.contains("note"), "real comments still blank")
+    assert(blanked.length == withHint.length)
+    // a plain block comment still blanks even when a hint precedes it
+    val both = "/*+ MERGE(x) */ SELECT 1 /* gone */"
+    val b2 = GraftSQL.blankComments(both)
+    assert(b2.contains("/*+ MERGE(x) */") && !b2.contains("gone"))
+  }
+
   test("comment blanking is length-preserving, idempotent, and leaves strings intact") {
     for (t <- samples(sqlish)) {
       val b = GraftSQL.blankComments(t)
