@@ -345,33 +345,13 @@ case class PqAdc(child: Expression, lut: Seq[Double], k: Int)
     copy(child = c)
 }
 
-/** FastCDC chunk boundaries of a text column: one packed long per
-  * chunk, (start << 20) | len (see [[Kernels.cdcBoundsArr]]). */
-case class CdcBounds(child: Expression, maskBits: Int, minLen: Int, maxLen: Int)
-    extends UnaryExpression with ImplicitCastInputTypes {
-  require(maxLen < (1 << 20) && minLen >= 1 && maskBits >= 1,
-    s"cdc_bounds: bad params ($maskBits, $minLen, $maxLen)")
-  override def inputTypes: Seq[org.apache.spark.sql.GraftTypes.AbstractType] =
-    Seq(StringType)
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def nullIntolerant: Boolean = true
-  override def prettyName: String = "cdc_bounds"
-  override protected def nullSafeEval(t: Any): Any =
-    Kernels.cdcBounds(t.asInstanceOf[UTF8String], maskBits, minLen, maxLen)
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, t =>
-      s"graft.functions.Kernels.cdcBounds($t, $maskBits, $minLen, $maxLen)")
-  override protected def withNewChildInternal(c: Expression): Expression =
-    copy(child = c)
-}
-
 /** ONE chunker pass per document: array of (packed, hash) structs —
-  * packed = the CdcBounds (start << 20) | len encoding, hash = the
+  * packed = the kernel's (start << 20) | len bound encoding, hash = the
   * chunk's xxhash64 content hash. The d16 query consumes this instead
   * of separate bounds/hashes columns so the boundary scan runs once. */
 case class CdcChunks(child: Expression, maskBits: Int, minLen: Int, maxLen: Int)
     extends UnaryExpression with ImplicitCastInputTypes {
-  // same guard as CdcBounds: the kernel packs (start << 20) | len, so
+  // guard: the kernel packs (start << 20) | len, so
   // an unvalidated maxLen ≥ 2^20 would corrupt the extraction silently
   require(maxLen < (1 << 20) && minLen >= 1 && maskBits >= 1,
     s"cdc_chunks: bad params ($maskBits, $minLen, $maxLen)")

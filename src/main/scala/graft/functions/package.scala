@@ -69,9 +69,6 @@ package object functions {
       bf: org.apache.spark.util.sketch.BloomFilter): Column =
     column(BloomMightContain(expression(v), bf))
 
-  def cdc_bounds(text: Column, maskBits: Int, minLen: Int, maxLen: Int): Column =
-    column(CdcBounds(expression(text), maskBits, minLen, maxLen))
-
   def cdc_chunks(text: Column, maskBits: Int, minLen: Int, maxLen: Int): Column =
     column(CdcChunks(expression(text), maskBits, minLen, maxLen))
 }

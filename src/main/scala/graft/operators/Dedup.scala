@@ -916,8 +916,8 @@ object Dedup {
     * chunk) → d14 (stride-1 exact, alignment-complete, 8× fan-out).
     *
     * Scale shape: boundary + hash computation is one codegen kernel
-    * pass per document inside the scan ([[graft.functions.CdcBounds]]
-    * / [[graft.functions.CdcHashes]] — text never shuffles); the dedup
+    * pass per document inside the scan ([[graft.functions.CdcChunks]]
+    * — text never shuffles); the dedup
     * exchange carries (8-byte hash, doc, idx) rows with map-side
     * partials; the representative is one packed-integer MIN (m09's
     * argmin). Avg chunk = 64 bytes (mask 6 bits), min 16, max 256 —
