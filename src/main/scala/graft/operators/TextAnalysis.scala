@@ -1086,8 +1086,11 @@ object TextAnalysis {
       merges.map(m => (m._2, m._3)), vocab, TokenIdPrefix)
     Tables.documents(s, d)
       .select(col("doc_id"), enc.as("e"))
+      // token_ids joins to one CSV STRING so every driver-visible column
+      // is scalar-sortable (the dump harness sorts rows by value); the
+      // full typed id stream stays internal to p07's packing path
       .select(col("doc_id"), col("e.n_bpe_tokens").as("n_bpe_tokens"),
-        col("e.token_ids").as("token_ids"))
+        concat_ws(",", col("e.token_ids")).as("token_ids"))
       .orderBy("doc_id")
   }
 

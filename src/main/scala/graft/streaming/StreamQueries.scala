@@ -890,9 +890,11 @@ object StreamQueries {
       .schema(schema)
       .option("pathGlobFilter", "documents.parquet")
       .parquet(d)
+    // token_ids projected to t20's CSV STRING form so the two outputs
+    // stay hash-identical and every driver-visible column is scalar
     val toks = stream.select(col("doc_id"), enc.as("e"))
       .select(col("doc_id"), col("e.n_bpe_tokens").as("n_bpe_tokens"),
-        col("e.token_ids").as("token_ids"))
+        concat_ws(",", col("e.token_ids")).as("token_ids"))
     val q = toks.writeStream
       .format("memory").queryName("graft_st16_sink")
       .outputMode(OutputMode.Append)

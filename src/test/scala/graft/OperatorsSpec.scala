@@ -1441,8 +1441,12 @@ class OperatorsSpec extends AnyFunSuite {
 
   test("t20 tokenization: counts and id prefixes equal a reference driver encoder; re-run bit-stable") {
     val frame = TextAnalysis.queries("t20_tokenize")(spark, sf)
+    // token_ids is the CSV STRING projection (scalar-sortable for the
+    // driver dump); parse it back to ids for the reference comparison
+    def parseIds(s: String): List[Int] =
+      if (s.isEmpty) Nil else s.split(",", -1).map(_.toInt).toList
     val got = frame.collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Int](2).toList)).toSeq
+      .map(r => (r.getLong(0), r.getLong(1), parseIds(r.getString(2)))).toSeq
     assert(got.nonEmpty && got.forall(_._2 > 0), "every doc tokenizes to > 0 tokens")
     // reference encoder: INDEPENDENT driver-side apply of the learned
     // merge table (greedy rank-order passes, left-to-right
@@ -1481,7 +1485,7 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.forall(!_._3.contains(-1)))
     // re-tokenizing with the same table is bit-stable
     val again = TextAnalysis.queries("t20_tokenize")(spark, sf).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Int](2).toList)).toSeq
+      .map(r => (r.getLong(0), r.getLong(1), parseIds(r.getString(2)))).toSeq
     assert(again == got)
     // the codec's non-overlap semantics, directly: "aaa" + (a,a) → aa|a
     val codec = new graft.functions.BpeCodec(

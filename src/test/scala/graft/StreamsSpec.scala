@@ -299,9 +299,9 @@ class StreamsSpec extends AnyFunSuite {
 
   test("st16 DRIVER QUERY: streamed tokenization equals batch t20; zero state operators") {
     val got = streaming.StreamQueries.st16StreamTokenize(spark, TestSpark.sf)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Int](2).toList)).toSeq
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
     val want = operators.TextAnalysis.queries("t20_tokenize")(spark, TestSpark.sf)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Int](2).toList)).toSeq
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
     assert(got == want, "streamed tokenization must equal the batch t20 output")
     // the stream is STATELESS: one kernel call per doc, no state store
     assert(streaming.StreamQueries.st16StateOperators == 0,
