@@ -39,7 +39,7 @@ import org.apache.spark.sql.types._
   */
 class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
 
-  import GraftSQL.{showTablesRe, showCreateRe, showHistoryRe, descRe, ctasRe, insertSelectRe, createRe, dropRe, insertRe, mergeRe, updateRe, deleteRe, compactRe, zorderRe, compactJournalRe, alterAddRe, alterDropRe, vacuumRe, restoreRe, cloneRe, createIndexRe, dropIndexRe}
+  import GraftSQL.{showTablesRe, showCreateRe, showHistoryRe, descRe, ctasRe, insertSelectRe, createRe, dropRe, insertRe, mergeRe, mergeUsingRe, updateRe, deleteRe, compactRe, zorderRe, compactJournalRe, alterAddRe, alterDropRe, vacuumRe, restoreRe, cloneRe, createIndexRe, dropIndexRe}
 
   GraftSession.prepare(spark)
 
@@ -148,6 +148,11 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
           Some(exInsert(name,
             alignCols(referenceSql(s"SELECT * FROM VALUES $valuesBody"),
               colList, name, "INSERT")))
+        case mergeUsingRe(name, tAlias, rest) =>
+          val (src, ta, sa, cond, matched, ins) = parseMergeUsing(name, tAlias, rest)
+          val exMergeUsing = txn.map(t => t.explainMergeUsing _)
+            .getOrElse(catalog.explainMergeUsing _)
+          Some(exMergeUsing(name, src, ta, sa, cond, matched, ins))
         case mergeRe(name, colList, valuesBody) =>
           Some(exMerge(name,
             alignCols(referenceSql(s"SELECT * FROM VALUES $valuesBody"),
@@ -349,6 +354,15 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
         }
         Seq(s"INSERT ${df.count()}").toDF("status")
 
+      case mergeUsingRe(name, tAlias, rest) =>
+        require(!readOnly, "read-only transaction")
+        val (src, ta, sa, cond, matched, ins) = parseMergeUsing(name, tAlias, rest)
+        txn match {
+          case Some(t) => t.mergeUsing(name, src, ta, sa, cond, matched, ins)
+          case None    => catalog.mergeUsing(name, src, ta, sa, cond, matched, ins)
+        }
+        Seq(s"MERGE INTO $name USING").toDF("status")
+
       case mergeRe(name, colList, valuesBody) =>
         require(!readOnly, "read-only transaction")
         val df = alignCols(referenceSql(s"SELECT * FROM VALUES $valuesBody"),
@@ -476,6 +490,124 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
     }.toMap
     val where = whereBody.map(w => referenceExpr(w.trim)).getOrElse(lit(true))
     (sets, where)
+  }
+
+  /** Parse the clause-form MERGE body (everything after `USING`) and
+    * build its ingredients — ONE parse shared by the executing path
+    * and EXPLAIN MERGE. `rest` is `<table>|(<subquery>) [AS] [alias]
+    * ON <cond> WHEN [NOT] MATCHED THEN <action> ...`. Returns the
+    * resolved source frame (the session's snapshot view — a txn sees
+    * its staged state, READ ONLY its pinned versions), the two
+    * aliases, the ON condition, the matched action and the
+    * not-matched insert map. At most one clause of each kind (the
+    * multi-clause `WHEN MATCHED AND <cond>` cascade is out of scope —
+    * documented, not silently misparsed: extra clauses error). */
+  private def parseMergeUsing(name: String, tAlias0: String, rest: String)
+      : (DataFrame, String, String, Column,
+         Option[graft.sources.TableCatalog.MergeAction],
+         Option[Map[String, Column]]) = {
+    import graft.sources.TableCatalog.MergeAction
+    val tAlias = Option(tAlias0).getOrElse(name)
+    val t = rest.trim
+    // ---- source spec: a visible table or a parenthesized subquery
+    val (source, sAlias, afterSrc): (DataFrame, String, String) =
+      if (t.startsWith("(")) {
+        // paren-count over a string-masked copy: a ')' inside a
+        // literal must not close the subquery
+        val masked = GraftSQL.maskStrings(t)
+        var depth = 0; var close = -1; var i = 0
+        while (close < 0 && i < masked.length) {
+          masked(i) match {
+            case '(' => depth += 1
+            case ')' => depth -= 1; if (depth == 0) close = i
+            case _ =>
+          }
+          i += 1
+        }
+        require(close > 0, s"MERGE INTO $name: unbalanced subquery parens")
+        val sub = t.substring(1, close).trim
+        require(sub.toUpperCase.startsWith("SELECT") || sub.toUpperCase.startsWith("WITH"),
+          s"MERGE INTO $name: USING (...) must wrap a SELECT")
+        val tailRe = raw"(?is)\s*(?:AS\s+)?(\w+)\s+(.*)".r
+        t.substring(close + 1) match {
+          case tailRe(a, after) =>
+            require(!a.equalsIgnoreCase("ON"),
+              s"MERGE INTO $name: USING (...) needs an alias before ON")
+            (runSelect(sub), a, after)
+          case other => throw new IllegalArgumentException(
+            s"MERGE INTO $name: USING (...) needs an alias: ${other.take(40)}")
+        }
+      } else {
+        val tailRe = raw"(?is)(\w+)(?:\s+AS)?\s+(?:(\w+)\s+)?(ON(?![A-Za-z0-9_]).*)".r
+        t match {
+          case tailRe(srcName, a, after) =>
+            (currentScan(srcName), Option(a).getOrElse(srcName), after)
+          case other => throw new IllegalArgumentException(
+            s"MERGE INTO $name: cannot parse USING source: ${other.take(40)}")
+        }
+      }
+    // ---- ON <cond> up to the first WHEN clause (quote-masked find)
+    val onRe = raw"(?is)\s*ON(?![A-Za-z0-9_])\s+(.*)".r
+    val condAndClauses = afterSrc match {
+      case onRe(c) => c
+      case other => throw new IllegalArgumentException(
+        s"MERGE INTO $name: expected ON <condition>: ${other.take(40)}")
+    }
+    val clauseRe = raw"(?i)WHEN\s+(NOT\s+)?MATCHED\s+THEN(?![A-Za-z0-9_])".r
+    val maskedCc = GraftSQL.maskStrings(condAndClauses)
+    val heads = clauseRe.findAllMatchIn(maskedCc).toList
+    require(heads.nonEmpty, s"MERGE INTO $name: at least one WHEN clause required")
+    val cond = referenceExpr(condAndClauses.substring(0, heads.head.start).trim)
+    // ---- WHEN clause bodies (original text between clause heads)
+    var matched: Option[MergeAction] = None
+    var insert: Option[Map[String, Column]] = None
+    val updateSetRe = raw"(?is)\s*UPDATE\s+SET\s+(.*?)\s*".r
+    val insertValsRe = raw"(?is)\s*INSERT\s*(?:\(([^)]*)\)\s*)?VALUES\s*\((.*)\)\s*".r
+    val insertStarRe = raw"(?is)\s*INSERT\s+\*\s*".r
+    heads.zipWithIndex.foreach { case (h, k) =>
+      val end = if (k + 1 < heads.length) heads(k + 1).start else condAndClauses.length
+      val body = condAndClauses.substring(h.end, end)
+      val isNot = h.group(1) != null
+      if (isNot) {
+        require(insert.isEmpty,
+          s"MERGE INTO $name: duplicate WHEN NOT MATCHED clause")
+        insert = Some(body match {
+          case insertStarRe() =>
+            // Delta-style INSERT *: every SOURCE column maps by name
+            // (a source column the target lacks errors; target columns
+            // the source lacks take defaults/NULL)
+            source.columns.map(c =>
+              c -> org.apache.spark.sql.functions.col(s"$sAlias.$c")).toMap
+          case insertValsRe(colList, exprs) =>
+            val vals = splitTopLevel(exprs, ',').map(e => referenceExpr(e.trim))
+            val cols = Option(colList) match {
+              case Some(cl) => cl.split(",").map(_.trim).toSeq
+              case None =>
+                txn.map(_.metaOf(name)).getOrElse(catalog.meta(name))
+                  .schema.fieldNames.toSeq
+            }
+            require(cols.length == vals.length,
+              s"MERGE INTO $name: INSERT arity ${vals.length} values vs ${cols.length} columns")
+            cols.zip(vals).toMap
+          case other => throw new IllegalArgumentException(
+            s"MERGE INTO $name: WHEN NOT MATCHED THEN expects INSERT: ${other.trim.take(40)}")
+        })
+      } else {
+        require(matched.isEmpty,
+          s"MERGE INTO $name: duplicate WHEN MATCHED clause")
+        matched = Some(body match {
+          case b if b.trim.equalsIgnoreCase("DELETE") => MergeAction.Delete
+          case updateSetRe(setBody) =>
+            MergeAction.Update(splitTopLevel(setBody, ',').map { a =>
+              val Array(key, v) = a.split("=", 2)
+              key.trim -> referenceExpr(v.trim)
+            }.toMap)
+          case other => throw new IllegalArgumentException(
+            s"MERGE INTO $name: WHEN MATCHED THEN expects UPDATE SET or DELETE: ${other.trim.take(40)}")
+        })
+      }
+    }
+    (source, tAlias, sAlias, cond, matched, insert)
   }
 
   /** A SELECT/WITH under the session's snapshot view bindings.
@@ -827,6 +959,11 @@ object GraftSQL {
   // MERGE INTO t VALUES ...: upsert on the primary key (beyond the
   // reference surface — the lakehouse MERGE, VALUES-source form)
   private val mergeRe  = raw"(?is)MERGE\s+INTO\s+(\w+)\s*(?:\(([^)]*)\)\s*)?VALUES\s*(.*)".r
+  // MERGE INTO t [AS] [a] USING ... — the clause form (source spec,
+  // ON and WHEN clauses parsed quote-aware in parseMergeUsing, not
+  // here: the source can be a parenthesized subquery)
+  private val mergeUsingRe =
+    raw"(?is)MERGE\s+INTO\s+(\w+)(?:\s+AS)?\s+(?:(\w+)\s+)?USING\s+(.*)".r
   // SET/WHERE split happens quote-aware in splitAtTopLevelWhere, NOT in
   // the regex: a lazy (.*?)\s+WHERE would cut the SET body at a 'where'
   // inside a string literal

@@ -1219,10 +1219,10 @@ class TableCatalog(spark: SparkSession, val root: String) {
     * (Spark's own resolver is) — and every key must resolve: a typo'd
     * column must error, not silently no-op. */
   private def resolveSetKeys(m: TableMeta, name: String,
-      set: Map[String, Column]): Map[String, Column] =
+      set: Map[String, Column], verb: String = "UPDATE"): Map[String, Column] =
     set.map { case (k, v) =>
       val f = m.schema.fields.find(_.name.equalsIgnoreCase(k))
-        .getOrElse(throw new IllegalArgumentException(s"UPDATE $name: no such column $k"))
+        .getOrElse(throw new IllegalArgumentException(s"$verb $name: no such column $k"))
       f.name -> v
     }
 
@@ -1435,6 +1435,116 @@ class TableCatalog(spark: SparkSession, val root: String) {
     current
       .join(aligned.select(col(pk)), Seq(pk), "left_anti")
       .unionByName(aligned)
+  }
+
+  /** Clause-form `MERGE INTO t [AS a] USING src [AS b] ON cond WHEN
+    * MATCHED THEN UPDATE SET ... | DELETE / WHEN NOT MATCHED THEN
+    * INSERT ...` — the lakehouse MERGE users actually write (the
+    * reference has no MERGE at all; its mutation surface stops at
+    * INSERT/UPDATE/DELETE, mutation.rs). One copy-on-write snapshot
+    * version; the same optimistic fingerprint-checked publish as
+    * UPDATE/DELETE; RESTRICT semantics when the matched action
+    * removes or re-keys a referenced primary key. */
+  def mergeUsing(name: String, source: DataFrame, tAlias: String,
+      sAlias: String, cond: Column,
+      matched: Option[TableCatalog.MergeAction],
+      insert: Option[Map[String, Column]]): Int =
+    publishWithRetry(s"MERGE INTO $name") { () =>
+      val m = meta(name)
+      val fp = fkFingerprint(name, m)
+      mergeUsingRestrict(m, name, scan(name), source, tAlias, sAlias,
+        cond, matched, referencingTables(name), scan)
+      rewriteAttempt(name, m, fp, mergeUsingFrame(m, name, scan(name),
+        source, tAlias, sAlias, cond, matched, insert))
+    }
+
+  def explainMergeUsing(name: String, source: DataFrame, tAlias: String,
+      sAlias: String, cond: Column,
+      matched: Option[TableCatalog.MergeAction],
+      insert: Option[Map[String, Column]]): DataFrame = {
+    val m = meta(name)
+    mergeUsingFrame(m, name, scan(name), source, tAlias, sAlias, cond,
+      matched, insert, validate = false)
+  }
+
+  /** FK RESTRICT for the clause form, shared by the unstaged and txn
+    * paths: a matched DELETE (or a matched UPDATE that changes the
+    * primary key) removes keys other tables may reference. */
+  private def mergeUsingRestrict(m: TableMeta, name: String,
+      current: DataFrame, source: DataFrame, tAlias: String, sAlias: String,
+      cond: Column, matched: Option[TableCatalog.MergeAction],
+      refs: Seq[(String, String)], resolve: String => DataFrame): Unit =
+    for (pk <- m.primaryKey) {
+      val tgt = current.alias(tAlias)
+      val src = source.alias(sAlias)
+      val removed: Option[DataFrame] = matched match {
+        case Some(TableCatalog.MergeAction.Delete) =>
+          Some(tgt.join(src, cond, "left_semi")
+            .select(col(s"$tAlias.$pk").as(pk)).distinct())
+        case Some(TableCatalog.MergeAction.Update(set0)) =>
+          val set = resolveSetKeys(m, name, set0, "MERGE INTO")
+          set.get(pk).map { v =>
+            tgt.join(src, cond, "inner")
+              .filter(!(v.cast(m.schema(pk).dataType) <=> col(s"$tAlias.$pk")))
+              .select(col(s"$tAlias.$pk").as(pk)).distinct()
+          }
+        case _ => None
+      }
+      removed.foreach(k => restrictReferenced(name, k, refs, resolve, "MERGE"))
+    }
+
+  /** The snapshot frame a clause-form MERGE would publish — ONE
+    * definition shared by [[mergeUsing]], [[Txn.mergeUsing]] and both
+    * EXPLAIN paths. Shape: target rows with no source match survive
+    * unchanged; matched rows are rewritten per the matched action
+    * (UPDATE projects SET expressions over the joined row; DELETE
+    * drops them; no matched clause keeps them); source rows with no
+    * target match are inserted (missing columns take defaults/NULL —
+    * the INSERT alignment rule). SET/INSERT expressions may reference
+    * both aliases. Standard MERGE cardinality rule enforced when a
+    * matched clause exists: a target row matching multiple source rows
+    * errors (which update would win is undefined). Every branch is a
+    * join keyed by the ON condition — at scale this is one shuffle (or
+    * a broadcast when the source is small), never row-at-a-time. */
+  private def mergeUsingFrame(m: TableMeta, name: String, current: DataFrame,
+      source: DataFrame, tAlias: String, sAlias: String, cond: Column,
+      matched: Option[TableCatalog.MergeAction],
+      insert: Option[Map[String, Column]],
+      validate: Boolean = true): DataFrame = {
+    require(matched.nonEmpty || insert.nonEmpty,
+      s"MERGE INTO $name: at least one WHEN clause required")
+    val tgt = current.alias(tAlias)
+    val src = source.alias(sAlias)
+    def tcol(f: String): Column = col(s"$tAlias.$f")
+    if (validate && matched.nonEmpty) {
+      val rid = "__graft_merge_rid"
+      val withRid = current.withColumn(rid, monotonically_increasing_id())
+        .alias(tAlias)
+      require(withRid.join(src, cond, "inner").groupBy(tcol(rid)).count()
+        .filter(col("count") > 1).isEmpty,
+        s"MERGE INTO $name: a target row matches multiple source rows")
+    }
+    val kept = matched match {
+      // no matched clause: every target row survives as-is (no join)
+      case None => current
+      case Some(_) => tgt.join(src, cond, "left_anti")
+        .select(m.schema.fieldNames.map(f => tcol(f).as(f)): _*)
+    }
+    val updated = matched.collect {
+      case TableCatalog.MergeAction.Update(set0) =>
+        val set = resolveSetKeys(m, name, set0, "MERGE INTO")
+        tgt.join(src, cond, "inner").select(m.schema.fields.map { f =>
+          set.get(f.name).map(_.cast(f.dataType).as(f.name))
+            .getOrElse(tcol(f.name).as(f.name))
+        }: _*)
+    }
+    val inserted = insert.map { ins =>
+      val resolved = resolveSetKeys(m, name, ins, "MERGE INTO")
+      val fresh = src.join(tgt, cond, "left_anti")
+        .select(resolved.toSeq.map { case (c, e) => e.as(c) }: _*)
+      applyDefaults(name, m, fresh)
+    }
+    (Seq(kept) ++ updated.toSeq ++ inserted.toSeq).reduce(_ unionByName _)
   }
 
   /** OPTIMIZE / compaction: rewrite the CURRENT snapshot's rows into
@@ -2189,6 +2299,44 @@ class TableCatalog(spark: SparkSession, val root: String) {
       staged(name) = (base, Seq(rel))
     }
 
+    /** Staged clause-form MERGE (USING source): same semantics as the
+      * unstaged [[TableCatalog.mergeUsing]] (shared
+      * [[mergeUsingFrame]]), against the txn view, with FK RESTRICT
+      * against the txn's referencing-table view. */
+    def mergeUsing(name: String, source: DataFrame, tAlias: String,
+        sAlias: String, cond: Column,
+        matched: Option[TableCatalog.MergeAction],
+        insert: Option[Map[String, Column]]): Unit = {
+      open(); visible(name)
+      if (createdTables.contains(name)) {
+        stagedCat.mergeUsing(name, source, tAlias, sAlias, cond, matched, insert)
+        return
+      }
+      val m = pinnedMetaOf(name)
+      val base = baseOf(name)
+      mergeUsingRestrict(m, name, scan(name), source, tAlias, sAlias,
+        cond, matched, refsOf(name), scan)
+      val merged = mergeUsingFrame(m, name, scan(name), source, tAlias,
+        sAlias, cond, matched, insert)
+      val rel = freshDir(name)
+      try {
+        validate(m, name, merged.cache(), scan)
+        writeData(m, merged, absTableDir(name).resolve(rel).toString)
+      } finally merged.unpersist()
+      dirStats(rel) = collectStats(m, name, rel)
+      staged(name) = (base, Seq(rel))
+    }
+
+    def explainMergeUsing(name: String, source: DataFrame, tAlias: String,
+        sAlias: String, cond: Column,
+        matched: Option[TableCatalog.MergeAction],
+        insert: Option[Map[String, Column]]): DataFrame = {
+      open(); visible(name)
+      val m = metaOf(name)
+      mergeUsingFrame(m, name, scan(name), source, tAlias, sAlias, cond,
+        matched, insert, validate = false)
+    }
+
     /** Staged copy-on-write DELETE with FK RESTRICT against the txn
       * view of every referencing table. */
     def delete(name: String, where: Column): Unit = {
@@ -2435,6 +2583,13 @@ object TableCatalog {
     * statement) aborted with nothing published; retry against the new
     * current version. */
   class WriteConflictException(msg: String) extends IllegalStateException(msg)
+
+  /** The WHEN MATCHED action of a clause-form MERGE (USING source). */
+  sealed trait MergeAction
+  object MergeAction {
+    final case class Update(set: Map[String, Column]) extends MergeAction
+    case object Delete extends MergeAction
+  }
 
   /** Name of the transient Morton-key column a ZORDER compact sorts
     * by; never written (dropped by [[TableCatalog.writeData]]). */

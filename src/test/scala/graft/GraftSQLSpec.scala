@@ -955,6 +955,104 @@ class GraftSQLSpec extends AnyFunSuite {
       == Seq("one", "TWO", "THREE", "four"))
   }
 
+  test("MERGE INTO ... USING: all three clause kinds, table and subquery sources") {
+    val g = session()
+    g.execute("CREATE TABLE tgt (id INTEGER PRIMARY KEY, v STRING, n INTEGER DEFAULT 0)")
+    g.execute("INSERT INTO tgt VALUES (1, 'one', 10), (2, 'two', 20), (3, 'three', 30)")
+    g.execute("CREATE TABLE src (id INTEGER PRIMARY KEY, v STRING)")
+    g.execute("INSERT INTO src VALUES (2, 'TWO'), (3, 'THREE'), (4, 'four')")
+
+    // UPDATE + INSERT, table source, both aliases, expr over both sides
+    g.execute("""MERGE INTO tgt t USING src s ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET v = s.v, n = t.n + 1
+      WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)""")
+    val rows = g.execute("SELECT id, v, n FROM tgt ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(rows == Seq((1L, "one", 10L), (2L, "TWO", 21L), (3L, "THREE", 31L),
+      (4L, "four", 0L)), s"got $rows") // unmatched kept, matched updated, new inserted w/ DEFAULT
+
+    // DELETE-only clause, subquery source
+    g.execute("""MERGE INTO tgt t USING (SELECT id FROM src WHERE id = 4) s
+      ON t.id = s.id WHEN MATCHED THEN DELETE""")
+    assert(g.execute("SELECT id FROM tgt ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+
+    // INSERT-only clause (matched rows untouched) + INSERT * by-name form
+    g.execute("""MERGE INTO tgt USING (SELECT id + 10 AS id, upper(v) AS v, 7 AS n
+      FROM src) s ON tgt.id = s.id WHEN NOT MATCHED THEN INSERT *""")
+    val after = g.execute("SELECT id, v, n FROM tgt ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(after == Seq((1L, "one", 10L), (2L, "TWO", 21L), (3L, "THREE", 31L),
+      (12L, "TWO", 7L), (13L, "THREE", 7L), (14L, "FOUR", 7L)), s"got $after")
+
+    // cardinality rule: a target row matching two source rows errors
+    g.execute("CREATE TABLE dup (k INTEGER, v STRING)")
+    g.execute("INSERT INTO dup VALUES (1, 'a'), (1, 'b')")
+    intercept[Exception] { g.execute(
+      """MERGE INTO tgt t USING dup d ON t.id = d.k
+        WHEN MATCHED THEN UPDATE SET v = d.v""") }
+    // and the failed merge published nothing
+    assert(g.execute("SELECT count(*) AS c FROM tgt").collect()(0).getLong(0) == 6)
+  }
+
+  test("MERGE INTO ... USING inside a txn: staged, EXPLAIN'd, first-committer-wins") {
+    val g = session()
+    g.execute("CREATE TABLE kv2 (id INTEGER PRIMARY KEY, v STRING)")
+    g.execute("INSERT INTO kv2 VALUES (1, 'one'), (2, 'two')")
+    g.execute("CREATE TABLE delta (id INTEGER PRIMARY KEY, v STRING)")
+    g.execute("INSERT INTO delta VALUES (2, 'TWO'), (5, 'five')")
+
+    g.execute("BEGIN")
+    // EXPLAIN inside the txn plans the staged frame without executing
+    val plan = g.execute("""EXPLAIN MERGE INTO kv2 t USING delta s ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET v = s.v
+      WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)""")
+      .collect()(0).getString(0)
+    assert(plan.contains("Join") || plan.contains("Union"), plan)
+    assert(g.execute("SELECT count(*) AS c FROM kv2").collect()(0).getLong(0) == 2,
+      "EXPLAIN must not execute")
+    g.execute("""MERGE INTO kv2 t USING delta s ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET v = s.v
+      WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)""")
+    // staged: a second session sees the pre-merge state
+    val g2 = new GraftSQL(spark, g.catalog)
+    assert(g2.execute("SELECT count(*) AS c FROM kv2").collect()(0).getLong(0) == 2)
+    g.execute("COMMIT")
+    assert(g2.execute("SELECT v FROM kv2 ORDER BY id").collect()
+      .map(_.getString(0)).toSeq == Seq("one", "TWO", "five"))
+
+    // first-committer-wins: a conflicting merge in a stale txn aborts
+    g.execute("BEGIN")
+    g.execute("""MERGE INTO kv2 t USING delta s ON t.id = s.id
+      WHEN MATCHED THEN DELETE""")
+    g2.execute("UPDATE kv2 SET v = 'clash' WHERE id = 1") // moves the version
+    intercept[Exception] { g.execute("COMMIT") }
+    assert(g2.execute("SELECT count(*) AS c FROM kv2").collect()(0).getLong(0) == 3,
+      "the aborted txn's staged delete must not publish")
+  }
+
+  test("MERGE INTO ... USING: FK RESTRICT on matched DELETE; malformed clauses error") {
+    val g = session()
+    g.execute("CREATE TABLE parent (id INTEGER PRIMARY KEY, v STRING)")
+    g.execute("INSERT INTO parent VALUES (1, 'a'), (2, 'b')")
+    g.execute("CREATE TABLE child (cid INTEGER PRIMARY KEY, pid INTEGER REFERENCES parent)")
+    g.execute("INSERT INTO child VALUES (10, 1)")
+    g.execute("CREATE TABLE hits (id INTEGER PRIMARY KEY)")
+    g.execute("INSERT INTO hits VALUES (1)")
+    intercept[Exception] { g.execute(
+      """MERGE INTO parent p USING hits h ON p.id = h.id
+        WHEN MATCHED THEN DELETE""") } // id=1 still referenced by child
+    assert(g.execute("SELECT count(*) AS c FROM parent").collect()(0).getLong(0) == 2)
+    // loud parse errors, never silent misparse
+    intercept[Exception] { g.execute(
+      "MERGE INTO parent p USING hits h ON p.id = h.id") } // no WHEN clause
+    intercept[Exception] { g.execute(
+      "MERGE INTO parent p USING (SELECT * FROM hits) ON p.id = id WHEN MATCHED THEN DELETE") } // no alias
+    intercept[Exception] { g.execute(
+      """MERGE INTO parent p USING hits h ON p.id = h.id
+        WHEN MATCHED THEN UPDATE SET nosuch = 1""") } // unknown SET column
+  }
+
   test("RESTORE TABLE ... VERSION through SQL text: rollback without rewrite") {
     val g = session()
     g.execute("CREATE TABLE r (id INTEGER PRIMARY KEY, v STRING)")
