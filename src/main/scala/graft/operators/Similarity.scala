@@ -785,6 +785,96 @@ object Similarity {
       .orderBy(col("cos").desc, col("vec_id"))
   }
 
+  // ---------------------------------------------------------------- s15
+  /** s15: IVF+PQ — the production faiss serving composition (IVFPQ):
+    * s04's coarse quantizer prunes the corpus to `nprobe` inverted
+    * lists, s11's packed PQ codes score ONLY those lists' rows by ADC
+    * (m byte-indexed table reads per row — no float math against the
+    * vector), and a fixed [[PqCoarse]] exact rerank restores s01's
+    * emit contract. This is what a billion-vector index actually
+    * runs: neither s04's full-precision cosine inside probed cells
+    * nor s11's whole-corpus code scan, but cells × codes.
+    *
+    * One serving table ([[ivfPqFrame]]): vec_id + cell + 8-byte codes
+    * + embedding, built in ONE corpus scan (cell assignment and code
+    * packing are both per-row kernels over the same row — no join of
+    * two index tables). At 100 TB it is a table PARTITIONED BY cell
+    * with the BINARY code column stored next to the id: probing is
+    * partition pruning, the ADC pass reads ~9 bytes/row of the probed
+    * ~nprobe/k corpus fraction, and the embedding column is fetched
+    * only for the fixed rerank candidates. Rows-only (trained
+    * quantizer + codebooks aren't SQL-derivable); the spec pins
+    * recall ≥ 0.8 vs s01, candidate containment in the probed cells,
+    * and the cell-pruning filter in the executed plan. */
+  // Deeper than s04's 4-of-16: PQ's lossy scoring compounds with cell
+  // pruning, and the shared fixture is near-orthogonal noise — the
+  // regime where cell pruning honestly degrades toward nprobe/k
+  // sampling (measured on it: recall 0.6/0.7/1.0 at nprobe 6/8/10).
+  // On clustered data (IVF's actual regime, s04's planted spec) small
+  // nprobe holds; the knob trades probed fraction for recall.
+  private val IvfPqNprobe = 10
+
+  /** vec_id + cell + packed codes + embedding — the IVFPQ serving
+    * table (ONE scan: both kernels are per-row functions). */
+  private[graft] def ivfPqFrame(s: SparkSession, d: String): DataFrame = {
+    val cents = collectCents(ivfCells(s, d))
+    val cbs = pqCodebooks(s, d)
+    FrameCache.getOrBuild(s, s"ann/ivfpq|$d") {
+      Tables.embeddings(s, d).select(col("vec_id"), col("embedding"),
+        nearest_centroid(col("embedding"), Ivf.centroidsLit(cents)).as("cell"),
+        graft.functions.pack_codes(array((0 until PqM).map(j =>
+          nearest_centroid(slice(col("embedding"), j * PqDsub + 1, PqDsub),
+            Ivf.centroidsLit(cbs(j)))): _*)).as("codes"))
+    }
+  }
+
+  /** The nprobe cell ids for the fixed probe — split out so the spec
+    * can assert candidate containment against the same ranking. */
+  private[graft] def ivfPqProbedCells(s: SparkSession, d: String): Seq[Int] = {
+    val cents = collectCents(ivfCells(s, d))
+    val q = Tables.embeddings(s, d).filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val qa = UnsafeArrayData.fromPrimitiveArray(q)
+    cents.zipWithIndex
+      .map { case (c, i) => (i, Kernels.cosine(qa, UnsafeArrayData.fromPrimitiveArray(c))) }
+      .sortBy { case (i, cos) => (-cos, i) }
+      .take(IvfPqNprobe).map(_._1).toSeq
+  }
+
+  /** The ADC-scored coarse frame over the probed cells only — the
+    * piece the plan spec audits for the cell-pruning filter. */
+  private[graft] def s15CoarseFrame(s: SparkSession, d: String): DataFrame = {
+    val cbs = pqCodebooks(s, d)
+    val q = Tables.embeddings(s, d).filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val qNorm = math.sqrt(q.map(x => x.toDouble * x).sum)
+    def sub(a: Array[Float], j: Int) = a.slice(j * PqDsub, (j + 1) * PqDsub)
+    val dotLut = (0 until PqM).flatMap(j => cbs(j).map(c =>
+      sub(q, j).zip(c).map { case (x, y) => x.toDouble * y }.sum))
+    val nrmLut = (0 until PqM).flatMap(j => cbs(j).map(c =>
+      c.map(x => x.toDouble * x).sum))
+    def adc(lut: Seq[Double]) = graft.functions.pq_adc(col("codes"), lut, PqK)
+    ivfPqFrame(s, d)
+      .filter(col("cell").isin(ivfPqProbedCells(s, d): _*)) // partition prune
+      .filter(col("vec_id") =!= 0)
+      .withColumn("coarse",
+        adc(dotLut) / (lit(qNorm) * sqrt(greatest(adc(nrmLut), lit(1e-12)))))
+  }
+
+  def s15IvfPq(s: SparkSession, d: String): DataFrame = {
+    val q = Tables.embeddings(s, d).filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).toArray
+    s15CoarseFrame(s, d)
+      .orderBy(col("coarse").desc, col("vec_id"))
+      .limit(PqCoarse) // fixed exact-rerank budget, corpus-independent
+      .select(col("vec_id"),
+        cosine_sim(col("embedding"), typedLit(q.toSeq)).as("raw"))
+      .orderBy(col("raw").desc, col("vec_id"))
+      .limit(K)
+      .select(col("vec_id"), round(col("raw"), 4).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+  }
+
   // ---------------------------------------------------------------- s13
   /** HYBRID SEARCH — keyword (BM25) retrieval and vector retrieval
     * fused by Reciprocal Rank Fusion (Cormack/Clarke/Büttcher 2009:
@@ -948,7 +1038,8 @@ object Similarity {
     "s09_ann_mmr"   -> (s09AnnMmr _),
     "s10_knn_graph" -> (s10KnnGraph _),
     "s11_ann_pq"    -> (s11AnnPq _),
-    "s12_range_search" -> (s12RangeSearch _))
+    "s12_range_search" -> (s12RangeSearch _),
+    "s15_ann_ivfpq" -> (s15IvfPq _))
 
   val oracleSql: Map[String, String] = Map(
     "s12_range_search" -> s12OracleSql,

@@ -1570,6 +1570,48 @@ class OperatorsSpec extends AnyFunSuite {
       "every packed code must be a valid centroid id")
   }
 
+  test("s15 IVFPQ: recall vs exact, candidates confined to probed cells, plan prunes on cell") {
+    val got = Similarity.queries("s15_ann_ivfpq")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val exact = Similarity.queries("s01_ann_brute")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    assert(got.length == 10 && got.map(_._1).distinct.length == 10)
+    val recall = got.map(_._1).count(exact) / 10.0
+    assert(recall >= 0.8, s"IVFPQ recall $recall below floor")
+    info(s"s15 IVFPQ recall@10 vs exact: $recall")
+    // the coarse stage scans ONLY the probed inverted lists: every
+    // scored candidate's cell is one of the nprobe probed cells, and
+    // the probed fraction is a strict subset of the corpus
+    val probed = Similarity.ivfPqProbedCells(spark, sf).toSet
+    val coarseCells = Similarity.s15CoarseFrame(spark, sf)
+      .select("cell").distinct().collect().map(_.getInt(0)).toSet
+    assert(coarseCells.subsetOf(probed),
+      s"coarse candidates leaked outside probed cells: ${coarseCells -- probed}")
+    val allCells = Similarity.ivfPqFrame(spark, sf)
+      .select("cell").distinct().count()
+    assert(probed.size < allCells,
+      "probing must prune cells (nprobe < populated cells)")
+    // the executed plan carries the cell-pruning filter (at scale:
+    // partition pruning on the cell-partitioned serving table)
+    val plan = GraftSession.explainPlan(Similarity.s15CoarseFrame(spark, sf))
+    assert(plan.contains("cell#") && (plan.contains(" IN ") || plan.contains("IN (")),
+      s"plan must filter on cell membership:\n${plan.take(800)}")
+    // emitted cosines are the EXACT rerank values (s01's contract)
+    val exactCos = sources.Tables.embeddings(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val q15 = exactCos(0L)
+    def cos15(a: Array[Double]) = {
+      val dot = a.zip(q15).map { case (x, y) => x * y }.sum
+      dot / math.sqrt(a.map(x => x * x).sum * q15.map(x => x * x).sum)
+    }
+    got.foreach { case (id, c) =>
+      assert(math.abs(c - cos15(exactCos(id))) < 1e-3, s"vec $id cosine") }
+    // run-deterministic
+    val again = Similarity.queries("s15_ann_ivfpq")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.sameElements(again), "IVFPQ result must be run-deterministic")
+  }
+
   test("s12 range search: certified bound sound on every row, real pruning, set = brute force") {
     val bounds = Similarity.s12CertifiedBounds(spark, sf).collect()
     def cos(a: Array[Float], b: Array[Float]): Double = {
