@@ -480,6 +480,48 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("d17 incremental clusters: merged map equals the full d06 recompute; corpus side stored-only") {
+    val got = Dedup.queries("d17_incremental_clusters")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // EXACTNESS: the incremental merge must equal corpus-wide label
+    // propagation over corpus+batch — i.e. d06's full map, row for row
+    val want = Dedup.queries("d06_dedup_clusters")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == want, {
+      val g = got.toSet; val w = want.toSet
+      s"merged map diverged from full recompute: extra=${(g -- w).take(5)} missing=${(w -- g).take(5)}"
+    })
+    // d07's discipline on the delta frames: the new-vs-corpus plan
+    // reads the STORED signature table and the STORED cluster map —
+    // raw document text is scanned only by new-batch (odd) subtrees
+    val (nc, nn) = Dedup.d17DeltaFrames(spark, sf)
+    val ncPlan = nc.queryExecution.executedPlan.toString // full file paths
+    assert(ncPlan.contains("corpus_signatures"),
+      "d17 delta must read the stored corpus signature table")
+    assert(ncPlan.contains("corpus_cluster_map"),
+      "d17 delta must read the stored cluster map, not rebuild it")
+    for ((plan, label) <- Seq((ncPlan, "nc"), (nn.queryExecution.executedPlan.toString, "nn"))) {
+      // every document scan is a new-batch subtree: Catalyst renders
+      // the odd filter as NOT ((doc_id % 2) = 0), so an even (corpus)
+      // filter is a parity comparison NOT preceded by NOT — there must
+      // be none (the corpus side is stored-only)
+      val evenComparisons = "% 2\\) = 0".r.findAllIn(plan).size
+      val oddFilters = "NOT \\(\\(doc_id#\\d+L % 2\\) = 0".r.findAllIn(plan).size
+      assert(evenComparisons == oddFilters,
+        s"$label: plan must not scan corpus-side documents " +
+          s"($evenComparisons parity comparisons, $oddFilters odd):\n${plan.take(1500)}")
+      val textScans = plan.linesIterator
+        .count(l => l.contains("FileScan") && l.contains("text#"))
+      assert(textScans == 0 || oddFilters > 0,
+        s"$label: text scans must be odd-batch-filtered:\n${plan.take(1500)}")
+    }
+    // and the published output frame reads the stored map (untouched
+    // clusters pass through it, never through a rebuild)
+    val outPlan = Dedup.queries("d17_incremental_clusters")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(outPlan.contains("corpus_cluster_map"), outPlan.take(1500))
+  }
+
   test("t07 normalize: exchange keyed on the 8-byte hash, counts exact per canonical") {
     val df = TextAnalysis.t07Normalize(spark, sf)
     // the wide exchange routes on the derived xxhash64 column, never
@@ -2643,6 +2685,60 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rows.sameElements(again))
   }
 
+  test("e11 multimodal curate: one decode feeds gate+dedup; equals composing the stages; single media scan") {
+    val frame = Multimodal.queries("e11_multimodal_curate")(spark, sf)
+    val rows = frame.collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5))).toSeq
+    assert(rows.nonEmpty, "the gate must keep a real fraction")
+    // composition equality: gate scores and verdicts from a driver
+    // recompute of the same descriptor + stored embedding cosine,
+    // dedup groups from the kept set's hashes
+    val emb = sources.Tables.embeddings(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val docIds = sources.Tables.documents(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / math.sqrt(a.map(x => x * x).sum * b.map(x => x * x).sum)
+    }
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val keptRef = docIds.filter(emb.contains).flatMap { id =>
+      val cells = Multimodal.cellGrays(Multimodal.ppmPayload(id % 97))
+      val score = r4(cos(cells.map(_.toDouble), emb(id)))
+      if (score >= 0.10)
+        Some((id, score, Multimodal.phashBitsOfCells(cells)))
+      else None
+    }
+    val grpRef = keptRef.groupBy(_._3).map { case (h, g) =>
+      h -> (g.length.toLong, g.map(_._1).min) }
+    val expect = keptRef.map { case (id, sc, h) =>
+      val (n, rep) = grpRef(h)
+      (id, sc, h, rep, n, id == rep)
+    }.toSeq.sortBy(_._1)
+    assert(rows == expect, {
+      val diff = rows.zip(expect).find { case (g, e) => g != e }
+      s"sizes ${rows.length}/${expect.length}, first mismatch: $diff"
+    })
+    // both stages have observable work
+    assert(rows.exists(!_._6), "the dedup stage must drop at least one kept asset")
+    assert(rows.length < docIds.length, "the gate must drop at least one asset")
+    // SINGLE DECODE / SINGLE SCAN: the plan scans documents once (one
+    // object stage computes descriptor AND hash), embeddings once.
+    // Fresh frame: an EXECUTED AQE plan prints materialized query
+    // stages with their subtrees repeated, inflating scan counts.
+    val plan = Multimodal.queries("e11_multimodal_curate")(spark, sf)
+      .queryExecution.executedPlan.toString
+    def scansOf(name: String) =
+      plan.linesIterator.count(l => l.contains("FileScan") && l.contains(name))
+    assert(scansOf("documents.parquet") == 1,
+      s"media must be scanned exactly once:\n${plan.take(1200)}")
+    assert(scansOf("embeddings.parquet") == 1,
+      s"the text-embedding table must be scanned exactly once")
+    assert(plan.linesIterator.count(_.contains("MapPartitions")) == 1,
+      "exactly one scan-stage decode pass")
+  }
+
   test("m08 pair filter: scores match a driver recompute; keep rate real; verdict consistent") {
     val rows = Multimodal.queries("m08_pair_filter")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2)))
@@ -2953,6 +3049,123 @@ class OperatorsSpec extends AnyFunSuite {
       val floor = math.max(0L, (d12(id) - 1) * 8)
       assert(n14 >= floor,
         s"doc $id: d14 covered $n14 words but d12 removed ${d12(id)} aligned segments")
+    }
+  }
+
+  test("PlanAudit flags: exact-name BNLJ allowlist, count-exact, seeded wrong plans flag") {
+    def bnljPlan(n: Int) =
+      (1 to n).map(_ => "BroadcastNestedLoopJoin BuildRight").mkString("\n")
+    // an allowed query at its justified count: clean
+    assert(PlanAudit.auditFlags("s01_ann_brute", bnljPlan(2)).isEmpty)
+    // a SECOND accidental BNLJ inside an allowed query still flags
+    assert(PlanAudit.auditFlags("s01_ann_brute", bnljPlan(4)).exists(_.contains("BNLJ")))
+    // an unlisted query with any BNLJ flags — including names the old
+    // substring allowlist would have silently exempted
+    assert(PlanAudit.auditFlags("d99_new_query", bnljPlan(2)).nonEmpty)
+    assert(PlanAudit.auditFlags("d17_cascade_x", bnljPlan(2)).nonEmpty)
+    assert(PlanAudit.auditFlags("x_dsir_like", bnljPlan(2)).nonEmpty)
+    // an allowed query that LOSES its justified broadcast also flags
+    // (a silent plan regression to SMJ would change the count to 0)
+    assert(PlanAudit.auditFlags("t21_ppl_bucket", bnljPlan(0)).nonEmpty)
+    // cartesian: only the intended cross join is exempt (seeded plan
+    // keeps q10's pinned BNLJ count so only the cartesian rule decides)
+    assert(PlanAudit.auditFlags("q10_join_cross",
+      bnljPlan(2) + "\nCartesianProduct").isEmpty)
+    assert(PlanAudit.auditFlags("q11_join_multiway", "CartesianProduct")
+      .contains("⚠CARTESIAN"))
+    // word-start counting: ObjectHashAggregate is not a HashAggregate
+    assert(PlanAudit.countOf("ObjectHashAggregate", "HashAggregate") == 0)
+    assert(PlanAudit.countOf("HashAggregate ObjectHashAggregate", "HashAggregate") == 1)
+  }
+
+  test("t25 line dedup: driver recompute matches; intra-doc dups removed; drop gate fires correctly") {
+    import spark.implicits._
+    val rows = TextAnalysis.queries("t25_line_dedup")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getBoolean(4), r.getString(5))).toSeq
+    // single-threaded recompute of the 12-word reflow + hot-line rule
+    val docs = sources.Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    def reflow(t: String): Seq[String] = {
+      val ws = t.split(" ", -1)
+      (0 until math.ceil(ws.length / 12.0).toInt)
+        .map(i => ws.slice(i * 12, i * 12 + 12).mkString(" "))
+    }
+    val counts = scala.collection.mutable.Map.empty[String, Int]
+    docs.foreach(d => reflow(d._2).foreach(l => counts(l) = counts.getOrElse(l, 0) + 1))
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expect = docs.map { case (id, t) =>
+      val lines = reflow(t)
+      val kept = lines.filter(counts(_) < 2)
+      val nRem = lines.length - kept.length
+      val frac = nRem.toDouble / lines.length
+      (id, lines.length.toLong, nRem.toLong, r4(frac), frac < 0.3, kept.mkString(" "))
+    }.sortBy(_._1).toSeq
+    assert(rows == expect, {
+      val diff = rows.zip(expect).find { case (g, e) => g != e }
+      s"first mismatch: $diff"
+    })
+    assert(rows.exists(_._3 > 0), "the corpus must surface duplicated lines")
+    // the BOTH-copies rule and the drop gate, on a planted corpus:
+    // doc 100 repeats one line intra-doc; docs 200/201 share a line
+    val boiler = (1 to 12).map(i => s"b$i").mkString(" ")
+    def uniq(tag: String) = (1 to 12).map(i => s"$tag$i").mkString(" ")
+    val planted = Seq(
+      (100L, Seq(boiler, boiler, uniq("x")).mkString(" ")), // 2/3 removed -> drop
+      (200L, Seq(boiler, uniq("y"), uniq("z"), uniq("w")).mkString(" ")), // 1/4 -> keep
+      (201L, Seq(uniq("q"), boiler, uniq("r"), uniq("t")).mkString(" "))) // 1/4 -> keep
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        org.apache.spark.sql.functions.expr(
+          """transform(sequence(0, cast(ceil(size(split(text, ' ')) / 12.0)
+            |  as int) - 1),
+            |  i -> array_join(slice(split(text, ' '), i * 12 + 1, 12), ' '))"""
+            .stripMargin).as("lines"))
+    val p = TextAnalysis.t25Pipeline(planted).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(4), r.getString(5))).toMap
+    assert(p(100L) == ((2L, false, uniq("x"))),
+      s"intra-doc copies must BOTH go and the doc must drop: ${p(100L)}")
+    assert(p(200L)._1 == 1L && p(200L)._2, s"doc 200: ${p(200L)}")
+    assert(p(201L)._1 == 1L && p(201L)._2, s"doc 201: ${p(201L)}")
+  }
+
+  test("d14 hostile-corpus guard: oversized hot set degrades broadcast to shuffle, answers unchanged") {
+    import spark.implicits._
+    // planted boilerplate-heavy corpus: a site-wide template shared by
+    // many docs makes the hot set large relative to the corpus
+    val template = (1 to 30).map(i => s"boiler$i").mkString(" ")
+    val docs = (0L until 40L).map { i =>
+      val unique = (1 to 10).map(j => s"u${i}w$j").mkString(" ")
+      (i, s"$template $unique")
+    }.toDF("doc_id", "text")
+    val conf = "spark.graft.substr.hotBroadcastLimit"
+    val prev = spark.conf.getOption(conf)
+    try {
+      // default path (limit far above the hot count): broadcast probe
+      spark.conf.unset(conf)
+      val base = Dedup.d14Pipeline(spark, docs)
+      // the INNER join is the hot-segment probe (the LeftOuter hits
+      // join is doc-keyed and rightly broadcasts in both paths)
+      assert(GraftSession.explainPlan(base).contains("BroadcastHashJoin Inner"),
+        "under the limit the hot probe must broadcast")
+      val want = base.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+      // hostile path: limit below the planted hot-set size — the probe
+      // must leave the broadcast for a shuffle join
+      spark.conf.set(conf, "4")
+      val guarded = Dedup.d14Pipeline(spark, docs)
+      val plan = GraftSession.explainPlan(guarded)
+      assert(!plan.contains("BroadcastHashJoin Inner"),
+        s"above the limit the hot probe must not broadcast:\n${plan.take(1200)}")
+      assert(plan.contains("ShuffledHashJoin Inner") || plan.contains("SortMergeJoin Inner"),
+        s"the guard must engage a shuffle join:\n${plan.take(1200)}")
+      val got = guarded.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+      assert(got == want, "the guard must not change answers")
+      assert(want.forall(_._3 >= 30), "every doc's template must be removed")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(conf, v)
+        case None => spark.conf.unset(conf)
+      }
     }
   }
 }
