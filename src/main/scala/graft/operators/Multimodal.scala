@@ -321,8 +321,13 @@ object Multimodal {
     cells
   }
 
-  private[graft] def phashBits(bytes: Array[Byte]): String = {
-    val cells = cellGrays(bytes)
+  private[graft] def phashBits(bytes: Array[Byte]): String =
+    phashBitsOfCells(cellGrays(bytes))
+
+  /** The aHash bit string from an already-computed cell-gray vector —
+    * split out so e11's single decode feeds both the descriptor and
+    * the hash without decoding twice. */
+  private[graft] def phashBitsOfCells(cells: Array[Int]): String = {
     var total = 0
     var c = 0
     while (c < 64) { total += cells(c); c += 1 }
@@ -739,7 +744,100 @@ object Multimodal {
        |FROM kf JOIN grp USING (kf_hash)
        |ORDER BY kf.doc_id, kf.scene_idx""".stripMargin
 
+  // ------------------------------------------------------------ e11
+  /** e11: the IMAGE pipeline composed end-to-end as ONE Catalyst plan —
+    * what e06 is for text (decode → m08's pair gate → m05's hash dedup
+    * → survivors manifest). The production property is the SINGLE
+    * DECODE: both the pair-gate descriptor (the 64-cell gray vector)
+    * and the dedup hash (its aHash bits) come out of one scan-stage
+    * batch decode per asset — payload bytes never shuffle, never
+    * decode twice (spec-asserted: the plan scans documents ONCE,
+    * embeddings once, and runs one object stage). Stage order is the
+    * cascade's: the alignment gate runs FIRST (cheap descriptor
+    * cosine against the stored text embedding), dedup groups only the
+    * KEPT rows (the d01 groupBy on the hash), and each kept row
+    * reports its group's representative + a survivor verdict — the
+    * curated-library manifest with which-asset-was-dropped
+    * observability. Media library = m05's (doc_id mod 97), so
+    * genuinely duplicated assets exist at every SF; the text side is
+    * the stored embeddings table (m08's stand-in contract: swap the
+    * descriptor for a CLIP tower and the plan is unchanged). */
+  def e11MultimodalCurate(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val feats = Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val cells = cellGrays(ppmPayload(id % 97)) // ONE decode
+        (id, cells.map(_.toFloat), phashBitsOfCells(cells))
+      }).toDF("doc_id", "ivec", "phash")
+    val tvecs = Tables.embeddings(s, d)
+      .select(col("vec_id").as("doc_id"), col("embedding").as("tvec"))
+    val kept = feats.join(tvecs, "doc_id")
+      .select(col("doc_id"),
+        round(graft.functions.cosine_sim(col("ivec"), col("tvec")), 4)
+          .as("align_score"),
+        col("phash"))
+      .filter(col("align_score") >= PairTau) // the gate runs first
+    // group stats as a WINDOW over the kept rows (not a groupBy +
+    // self-join, which would duplicate the decode subtree and scan the
+    // media twice): one phash-keyed exchange, keys are hash-fine so no
+    // skew, and the single-decode property holds in the plan
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("phash")
+    kept
+      .withColumn("rep_id", min("doc_id").over(w))
+      .withColumn("n_group", count(lit(1)).over(w))
+      .select(col("doc_id"), col("align_score"), col("phash"),
+        col("rep_id"), col("n_group"),
+        (col("doc_id") === col("rep_id")).as("survivor"))
+      .orderBy("doc_id")
+  }
+
+  val e11OracleSql: String =
+    s"""WITH m AS (
+       |  SELECT doc_id, doc_id % 97 AS sd,
+       |         CAST((doc_id % 97) % 64 + 16 AS INT) AS w,
+       |         CAST((doc_id % 97) % 48 + 16 AS INT) AS h
+       |  FROM documents
+       |), cells AS (
+       |  SELECT doc_id, sd, j,
+       |         ((((j // 8) * h // 8) * w + ((j % 8) * w // 8)) * 3) AS si
+       |  FROM m, LATERAL unnest(generate_series(0, 63)) AS t(j)
+       |), g AS (
+       |  SELECT doc_id, j,
+       |         (sd*31 + 7*si) % 256 + (sd*31 + 7*(si+1)) % 256
+       |           + (sd*31 + 7*(si+2)) % 256 AS gray
+       |  FROM cells
+       |), iv AS (
+       |  SELECT doc_id, list(CAST(gray AS DOUBLE) ORDER BY j) AS ivec
+       |  FROM g GROUP BY doc_id
+       |), b AS (
+       |  SELECT doc_id, j,
+       |         CASE WHEN gray * 64 > SUM(gray) OVER (PARTITION BY doc_id)
+       |              THEN '1' ELSE '0' END AS bit
+       |  FROM g
+       |), ph AS (
+       |  SELECT doc_id, string_agg(bit, '' ORDER BY j) AS phash
+       |  FROM b GROUP BY doc_id
+       |), kept AS (
+       |  SELECT iv.doc_id,
+       |         ROUND(list_cosine_similarity(iv.ivec,
+       |           list_transform(e.embedding, x -> CAST(x AS DOUBLE))), 4) AS align_score,
+       |         ph.phash
+       |  FROM iv
+       |  JOIN embeddings e ON iv.doc_id = e.vec_id
+       |  JOIN ph ON iv.doc_id = ph.doc_id
+       |  WHERE ROUND(list_cosine_similarity(iv.ivec,
+       |          list_transform(e.embedding, x -> CAST(x AS DOUBLE))), 4) >= ${PairTau}
+       |), grp AS (
+       |  SELECT phash, COUNT(*) AS n_group, MIN(doc_id) AS rep_id
+       |  FROM kept GROUP BY phash
+       |)
+       |SELECT k.doc_id, k.align_score, k.phash, grp.rep_id, grp.n_group,
+       |       (k.doc_id = grp.rep_id) AS survivor
+       |FROM kept k JOIN grp USING (phash)
+       |ORDER BY k.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e11_multimodal_curate" -> (e11MultimodalCurate _),
     "m07_scene_detect" -> (m07SceneDetect _),
     "m08_pair_filter"  -> (m08PairFilter _),
     "m09_keyframe_dedup" -> (m09KeyframeDedup _),
@@ -757,6 +855,7 @@ object Multimodal {
     * header length (9 + digits(w) + digits(h)) bit-for-bit. SUMs cast
     * to BIGINT (DuckDB sums integers into HUGEINT). */
   val oracleSql: Map[String, String] = Map(
+    "e11_multimodal_curate" -> e11OracleSql,
     "m01_multimodal" ->
       """WITH m AS (
         |  SELECT doc_id,

@@ -756,7 +756,93 @@ object TextAnalysis {
     cmsProbeFrame(s, sketch)
   }
 
+  // ---------------------------------------------------------------- t25
+  /** t25: LINE-level dedup removal with the DOC-level drop gate — the
+    * RefinedWeb "remove duplicated lines, drop heavily-deduplicated
+    * documents" pass (Penedo et al. 2023, §MacroData Refinement: line
+    * dedup runs between the repetition flags (t10) and the span passes
+    * (d12/d14); a document losing too much of itself to dedup is
+    * boilerplate and leaves the corpus entirely). Rule: a line
+    * occurring ≥ 2 times corpus-wide (intra- OR inter-document —
+    * both copies go) is removed from every document; a document whose
+    * removed-line fraction is ≥ [[LineDropFrac]] is flagged keep=false.
+    *
+    * Line convention: production corpora pass `split(text, '\n')`;
+    * the synthetic fixture is single-line, so the driver query uses
+    * the documented 12-word reflow (the same derived-segment
+    * convention as d12's spans, at line granularity) — the operator
+    * itself ([[t25Pipeline]]) takes the line array as a Column and is
+    * splitter-agnostic.
+    *
+    * Scale shape = d12's: line fan-out in the scan (posexplode,
+    * codegen), map-side-combined counting exchange on the line key
+    * (xxhash64 at 100 TB), hot set (bounded by duplicated text volume)
+    * broadcast back as a hash probe, reassembly one doc_id-keyed
+    * exchange. The doc gate is a pure per-row projection after the
+    * reassembly aggregate — no extra pass. */
+  private val LineW = 12
+  private val LineDropFrac = 0.3
+
+  def t25LineDedup(s: SparkSession, d: String): DataFrame =
+    t25Pipeline(Tables.documents(s, d).select(col("doc_id"),
+      expr(s"""transform(sequence(0, cast(ceil(size(split(text, ' ')) / $LineW.0)
+              |  as int) - 1),
+              |  i -> array_join(slice(split(text, ' '), i * $LineW + 1, $LineW), ' '))"""
+        .stripMargin).as("lines")))
+
+  /** The splitter-agnostic pass over (doc_id, lines array). */
+  private[graft] def t25Pipeline(docLines: DataFrame): DataFrame = {
+    val lines = docLines.select(col("doc_id"),
+      posexplode(col("lines")).as(Seq("pos", "line")))
+    val hot = lines.groupBy("line").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2)
+      .select(col("line"), lit(true).as("is_hot"))
+    lines.join(broadcast(hot), Seq("line"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        count(col("is_hot")).as("n_removed"),
+        array_join(transform(
+          array_sort(collect_list(when(col("is_hot").isNull,
+            struct(col("pos"), col("line"))))),
+          x => x("line")), " ").as("cleaned"))
+      .select(col("doc_id"), col("n_lines"), col("n_removed"),
+        round(col("n_removed") / col("n_lines"), 4).as("removed_frac"),
+        (col("n_removed") / col("n_lines") < LineDropFrac).as("keep"),
+        col("cleaned"))
+      .orderBy("doc_id")
+  }
+
+  val t25OracleSql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+       |),
+       |segs AS (
+       |  SELECT doc_id, i,
+       |         array_to_string(words[i*$LineW+1 : i*$LineW+$LineW], ' ') AS line
+       |  FROM (SELECT doc_id, words,
+       |               unnest(generate_series(0,
+       |                 CAST(ceil(len(words) / $LineW.0) AS BIGINT) - 1)) AS i
+       |        FROM w)
+       |),
+       |hot AS (SELECT line FROM segs GROUP BY line HAVING COUNT(*) >= 2),
+       |agg AS (
+       |  SELECT s.doc_id,
+       |         COUNT(*) AS n_lines,
+       |         COUNT(*) FILTER (WHERE h.line IS NOT NULL) AS n_removed,
+       |         COALESCE(string_agg(s.line, ' ' ORDER BY s.i)
+       |                    FILTER (WHERE h.line IS NULL), '') AS cleaned
+       |  FROM segs s LEFT JOIN hot h ON s.line = h.line
+       |  GROUP BY s.doc_id
+       |)
+       |SELECT doc_id, n_lines, n_removed,
+       |       ROUND(CAST(n_removed AS DOUBLE) / n_lines, 4) AS removed_frac,
+       |       (CAST(n_removed AS DOUBLE) / n_lines < $LineDropFrac) AS keep,
+       |       cleaned
+       |FROM agg ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t25_line_dedup"  -> (t25LineDedup _),
     "t01_langid"      -> (t01LangId _),
     "t02_quality"     -> (t02Quality _),
     "t03_tokens"      -> (t03Tokens _),
@@ -814,6 +900,7 @@ object TextAnalysis {
        |FROM sc ORDER BY doc_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "t25_line_dedup" -> t25OracleSql,
     "t01_langid"     -> t01OracleSql,
     "t02_quality"    -> t02OracleSql,
     "t03_tokens"     -> t03OracleSql,
