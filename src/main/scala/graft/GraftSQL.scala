@@ -39,7 +39,7 @@ import org.apache.spark.sql.types._
   */
 class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
 
-  import GraftSQL.{showTablesRe, showCreateRe, showHistoryRe, descRe, ctasRe, insertSelectRe, createRe, dropRe, insertRe, mergeRe, mergeUsingRe, updateRe, deleteRe, compactRe, zorderRe, compactJournalRe, alterAddRe, alterDropRe, vacuumRe, restoreRe, cloneRe, createIndexRe, dropIndexRe}
+  import GraftSQL.{showTablesRe, showCreateRe, showHistoryRe, descRe, ctasRe, createViewRe, dropViewRe, insertSelectRe, createRe, dropRe, insertRe, mergeRe, mergeUsingRe, updateRe, deleteRe, compactRe, zorderRe, compactJournalRe, alterAddRe, alterDropRe, vacuumRe, restoreRe, cloneRe, createIndexRe, dropIndexRe}
 
   GraftSession.prepare(spark)
 
@@ -294,8 +294,27 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
           parseDefault(colDef))
         Seq(s"ALTER TABLE $name ADD COLUMN $cname").toDF("status")
 
+      case createViewRe(orReplace, name, selectBody) =>
+        // views are session state, not catalog state: legal in any
+        // session mode (incl. READ ONLY — they write nothing)
+        require(!tableNames.exists(_.equalsIgnoreCase(name)),
+          s"CREATE VIEW $name: a table with this name exists")
+        require(orReplace != null || !viewDefs.keys.exists(_.equalsIgnoreCase(name)),
+          s"CREATE VIEW $name: view exists (use CREATE OR REPLACE VIEW)")
+        runSelect(selectBody) // eager validation: a broken body errors NOW
+        viewDefs(name) = selectBody
+        Seq(s"CREATE VIEW $name").toDF("status")
+
+      case dropViewRe(name) =>
+        require(viewDefs.remove(name).isDefined
+          || viewDefs.keys.find(_.equalsIgnoreCase(name)).exists(k => viewDefs.remove(k).isDefined),
+          s"DROP VIEW $name: no such view")
+        Seq(s"DROP VIEW $name").toDF("status")
+
       case ctasRe(name, selectBody) =>
         require(!readOnly, "read-only transaction")
+        require(!viewDefs.keys.exists(_.equalsIgnoreCase(name)),
+          s"CREATE TABLE $name: a session view with this name exists")
         val df = runSelect(selectBody)
         txn match {
           case Some(t) => t.createTable(name, df.schema); t.insert(name, df)
@@ -329,6 +348,8 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
 
       case createRe(name, colsBody) =>
         require(!readOnly, "read-only transaction")
+        require(!viewDefs.keys.exists(_.equalsIgnoreCase(name)),
+          s"CREATE TABLE $name: a session view with this name exists")
         createTable(name, colsBody)
         Seq(s"CREATE TABLE $name").toDF("status")
 
@@ -620,7 +641,16 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
     * returned frame stays valid, and no txn-private snapshot lingers
     * in the session's shared temp-view namespace for another GraftSQL
     * to resolve. */
-  private def runSelect(s: String): DataFrame = {
+  private def runSelect(s: String): DataFrame = runSelect(s, Set.empty)
+
+  /** Session-scoped SQL views: name → definition TEXT. A view is
+    * re-evaluated per query against the session's CURRENT snapshot
+    * bindings (txn staging / READ ONLY pins apply at evaluation time),
+    * read-only and non-versioned — it lives in this GraftSQL instance
+    * only, never in the catalog (SHOW TABLES lists tables only). */
+  private val viewDefs = scala.collection.mutable.LinkedHashMap.empty[String, String]
+
+  private def runSelect(s: String, expanding: Set[String]): DataFrame = {
     // table detection runs over a string-MASKED copy: a table name
     // appearing only inside a string literal ('orders were late') must
     // not register a spurious snapshot view
@@ -628,6 +658,15 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
     lastRegistered = tableNames
       .filter(n => ("(?i)\\b" + java.util.regex.Pattern.quote(n) + "\\b")
         .r.findFirstIn(masked).isDefined)
+    // referenced session views expand recursively (a view may stack on
+    // another view); the `expanding` set breaks definition cycles loudly
+    val viewBindings = viewDefs.keys.toSeq
+      .filter(n => ("(?i)\\b" + java.util.regex.Pattern.quote(n) + "\\b")
+        .r.findFirstIn(masked).isDefined)
+      .map { n =>
+        require(!expanding.contains(n), s"circular view definition: $n")
+        n -> runSelect(viewDefs(n), expanding + n)
+      }
     // parse ONCE: the same tree feeds the index-prune extraction and
     // (rewritten) the analyzer
     val plan = spark.sessionState.sqlParser.parsePlan(s)
@@ -653,7 +692,7 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
         case None => currentScan(n)
       })
     }
-    GraftSession.withTempViews(spark, bindings)(
+    GraftSession.withTempViews(spark, bindings ++ viewBindings)(
       GraftColumnBridge.ofRows(spark, GraftSQL.refArithmeticPlan(plan)))
   }
 
@@ -952,6 +991,10 @@ object GraftSQL {
   private val descRe = raw"(?is)DESCRIBE\s+(\w+)\s*".r
   // CTAS / INSERT..SELECT (beyond the reference's VALUES-only DML)
   private val ctasRe = raw"(?is)CREATE\s+TABLE\s+(\w+)\s+AS\s+((?:SELECT|WITH)\b.*)".r
+  // session-scoped SQL views (read-only, non-versioned — see viewDefs)
+  private val createViewRe =
+    raw"(?is)CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+(\w+)\s+AS\s+((?:SELECT|WITH)\b.*)".r
+  private val dropViewRe = raw"(?is)DROP\s+VIEW\s+(\w+)\s*".r
   private val insertSelectRe = raw"(?is)INSERT\s+INTO\s+(\w+)\s*(?:\(([^)]*)\)\s*)?((?:SELECT|WITH)\b.*)".r
   private val createRe = raw"(?is)CREATE\s+TABLE\s+(\w+)\s*\((.*)\)\s*".r
   private val dropRe   = raw"(?is)DROP\s+TABLE\s+(\w+)\s*".r
@@ -1396,14 +1439,20 @@ object GraftSQL {
         case '/' if i + 1 < s.length && s(i + 1) == '*' =>
           // `/*+ ... */` is an OPTIMIZER HINT, not a comment: the
           // blanked text is what executes (Shell/Server), so blanking
-          // it would silently strip join hints. Copied verbatim —
-          // still length-preserving and idempotent.
+          // it would silently strip join hints. Kept — but quote chars
+          // and semicolons INSIDE the hint blank to spaces (length-
+          // preserving): a stray quote would open a phantom string in
+          // the statement splitter's maskStrings and a ';' would split
+          // the statement mid-hint, and no real hint carries either.
           val isHint = i + 2 < s.length && s(i + 2) == '+'
           var open = true
           while (i < s.length && open) {
             if (s(i) == '*' && i + 1 < s.length && s(i + 1) == '/') {
               out.append(if (isHint) "*/" else "  "); i += 2; open = false
-            } else { out += (if (isHint) s(i) else ' '); i += 1 }
+            } else {
+              val keep = isHint && s(i) != '\'' && s(i) != '"' && s(i) != ';'
+              out += (if (keep) s(i) else ' '); i += 1
+            }
           }
         case c => out += c; i += 1
       }

@@ -8,6 +8,48 @@ import org.apache.spark.sql.SparkSession
   *   sbt "runMain graft.PlanAudit /root/testdata/sf0.1"
   */
 object PlanAudit {
+
+  /** EXACT-name BroadcastNestedLoopJoin allowlist with the EXPECTED
+    * occurrence count per query (as counted by the word-start regex
+    * over the formatted plan — the tree and its detail section each
+    * list an operator once, so counts are 2× the node count). A query
+    * not listed must show ZERO; a listed query must show EXACTLY its
+    * justified count, so a second accidental BNLJ inside an allowed
+    * query still flags — and a renamed/new query is never silently
+    * exempt (the old substring matching would have exempted any future
+    * `*_cascade_*` name). Each entry's justification is inline. */
+  private[graft] val ExpectedBnlj: Map[String, Int] = Map(
+    "d09_containment" -> 2,     // short-doc probe broadcast (K=64 hot fallback)
+    "p12_interleave" -> 2,      // 1-row normalizer broadcast
+    "p14_curriculum" -> 4,      // 1-row quartile-threshold broadcasts
+    "q10_join_cross" -> 2,      // an intended CROSS JOIN
+    "q28_scalar_subquery" -> 2, // 1-row scalar-subquery broadcast
+    "s01_ann_brute" -> 2,       // 1-row probe vector × corpus (the exact baseline)
+    "s06_ann_batch" -> 2,       // intended 10-probe batch × corpus broadcast
+    "s07_ann_filtered" -> 2,    // 1-row probe broadcast after the pushed filter
+    "st11_stream_sketch" -> 2,  // 1-row sketch probe read
+    "t15_heavy_hitters" -> 2,   // 1-row sketch broadcast
+    "t18_dsir_importance" -> 4, // 1-row corpus-totals broadcasts
+    "t21_ppl_bucket" -> 6)      // 1-row V + tertile-threshold broadcasts
+
+  // word-start match: a bare substring count would report a phantom
+  // HashAggregate for every ObjectHashAggregate (and an Exchange for
+  // every BroadcastExchange)
+  private[graft] def countOf(plan: String, op: String): Int =
+    ("(?<![A-Za-z])" + op).r.findAllMatchIn(plan).size
+
+  /** The audit flags for one (query name, formatted plan) — split out
+    * so the spec can seed a wrong plan and prove it flags. */
+  private[graft] def auditFlags(name: String, plan: String): Seq[String] = {
+    val bnlj = countOf(plan, "BroadcastNestedLoopJoin")
+    val expected = ExpectedBnlj.getOrElse(name, 0)
+    Seq(
+      if (countOf(plan, "CartesianProduct") > 0 && name != "q10_join_cross")
+        "⚠CARTESIAN" else "",
+      if (bnlj != expected) s"⚠BNLJ($bnlj≠$expected)" else "")
+      .filter(_.nonEmpty)
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val spark = GraftSession.create(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
@@ -20,31 +62,10 @@ object PlanAudit {
       try {
         val plan = GraftSession.explainPlan(fn(spark, dir))
         val ops = interesting.flatMap { op =>
-          // word-start match: a bare substring count would report a
-          // phantom HashAggregate for every ObjectHashAggregate (and
-          // an Exchange for every BroadcastExchange)
-          val c = ("(?<![A-Za-z])" + op).r.findAllMatchIn(plan).size
+          val c = countOf(plan, op)
           if (c > 0) Some(s"$op×$c") else None
         }
-        val flags = Seq(
-          if (plan.contains("CartesianProduct") && !name.contains("cross")) "⚠CARTESIAN" else "",
-          if (plan.contains("BroadcastNestedLoopJoin") && !name.contains("cross")
-            && !name.contains("brute") && !name.contains("lsh")
-            && !name.contains("batch") // s06: intended broadcast×corpus
-            && !name.contains("filtered") // s07: intended one-row probe broadcast
-            && !name.contains("containment") // d09 short-doc probe
-            && !name.contains("interleave") // p12: 1-row normalizer broadcast
-            && !name.contains("scalar_subquery") // q28: 1-row scalar broadcast
-            && !name.contains("knn") // s10: corpus×k-centroid probe ranking
-            && !name.contains("stream_sketch") // st11: 1-row sketch probe read
-            && !name.contains("curriculum") // p14: 1-row quartile-threshold broadcast
-            && !name.contains("dsir") // t18: 1-row totals broadcast
-            && !name.contains("select_pack") // e05: t18's 1-row totals via dsirScoreFrame
-            && !name.contains("ppl_bucket") // t21: 1-row V + tertile-threshold broadcasts
-            && !name.contains("cascade") // e06: t21's 1-row V/threshold broadcasts ride along
-            && !name.contains("heavy")) "⚠BNLJ" else "") // t15: 1-row sketch broadcast
-          .filter(_.nonEmpty)
-        println(f"$name%-24s ${ops.mkString(" ")} ${flags.mkString(" ")}")
+        println(f"$name%-24s ${ops.mkString(" ")} ${auditFlags(name, plan).mkString(" ")}")
       } catch {
         case e: Throwable =>
           val msg = Option(e.getMessage).getOrElse(e.getClass.getName)

@@ -107,9 +107,14 @@ object FrameCache {
   * TCP server's concurrent sessions actually produce) and never twice
   * for one key (a losing duplicate build would waste a full training
   * run, or orphan a store directory). Builders must not call back
-  * into the same memo (per-key locks don't nest); calling INTO
-  * [[FrameCache.getOrBuild]] from a builder is fine — that ordering
-  * is one-way across the codebase. */
+  * into the same memo (per-key locks don't nest). LOCK ORDER
+  * INVARIANT: a [[FrameCache.getOrBuild]] builder MAY call a
+  * KeyedMemo (s14CorpusAssigned does — the FrameCache monitor is then
+  * held across the memo build, so a slow build stalls other FrameCache
+  * misses, acceptable for the bounded trained assets here); a
+  * KeyedMemo builder MUST NOT call FrameCache.getOrBuild — that
+  * reversed ordering against the codebase's existing direction is the
+  * ABBA deadlock. One direction only, and this is the direction. */
 final class KeyedMemo[V <: AnyRef] {
   private val map = new java.util.concurrent.ConcurrentHashMap[String, V]()
   private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()

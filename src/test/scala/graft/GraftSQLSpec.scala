@@ -1053,6 +1053,45 @@ class GraftSQLSpec extends AnyFunSuite {
         WHEN MATCHED THEN UPDATE SET nosuch = 1""") } // unknown SET column
   }
 
+  test("CREATE/DROP VIEW: session-scoped, stacked, EXPLAIN'd, current-snapshot semantics") {
+    val g = session()
+    g.execute("CREATE TABLE base (id INTEGER PRIMARY KEY, v INTEGER)")
+    g.execute("INSERT INTO base VALUES (1, 10), (2, 20), (3, 30)")
+    g.execute("CREATE VIEW big AS SELECT id, v FROM base WHERE v >= 20")
+    assert(g.execute("SELECT count(*) AS c FROM big").collect()(0).getLong(0) == 2)
+    // stacked views + expressions through the reference dialect
+    g.execute("CREATE VIEW big2 AS SELECT id, v / 2 AS h FROM big")
+    assert(g.execute("SELECT sum(h) AS s FROM big2").collect()(0).getLong(0) == 25)
+    // EXPLAIN through a view plans without executing
+    val plan = g.execute("EXPLAIN SELECT * FROM big2 WHERE id = 2")
+      .collect()(0).getString(0)
+    assert(plan.contains("Physical Plan"), plan.take(200))
+    // a view is NON-VERSIONED: it re-reads the CURRENT snapshot
+    g.execute("INSERT INTO base VALUES (4, 40)")
+    assert(g.execute("SELECT count(*) AS c FROM big").collect()(0).getLong(0) == 3)
+    // session scope: a second session over the same catalog cannot see it
+    val g2 = new GraftSQL(spark, g.catalog)
+    intercept[Exception] { g2.execute("SELECT * FROM big").collect() }
+    // name hygiene: no table shadowing, duplicate needs OR REPLACE
+    intercept[Exception] { g.execute("CREATE VIEW base AS SELECT 1 AS x") }
+    intercept[Exception] { g.execute("CREATE VIEW big AS SELECT 1 AS x") }
+    g.execute("CREATE OR REPLACE VIEW big AS SELECT id, v FROM base WHERE v >= 40")
+    assert(g.execute("SELECT count(*) AS c FROM big").collect()(0).getLong(0) == 1)
+    intercept[Exception] { g.execute("CREATE TABLE big (id INTEGER)") }
+    // read-only surface: DML against a view fails (not a catalog table)
+    intercept[Exception] { g.execute("INSERT INTO big2 VALUES (9, 9)") }
+    // DROP removes only the session definition
+    g.execute("DROP VIEW big2")
+    intercept[Exception] { g.execute("SELECT * FROM big2").collect() }
+    intercept[Exception] { g.execute("DROP VIEW big2") }
+    assert(g.execute("SELECT count(*) AS c FROM base").collect()(0).getLong(0) == 4)
+    // views work inside READ ONLY (they write nothing) and see the pin
+    g.execute("BEGIN READ ONLY")
+    g.execute("CREATE VIEW ro AS SELECT count(*) AS c FROM base")
+    assert(g.execute("SELECT c FROM ro").collect()(0).getLong(0) == 4)
+    g.execute("COMMIT")
+  }
+
   test("RESTORE TABLE ... VERSION through SQL text: rollback without rewrite") {
     val g = session()
     g.execute("CREATE TABLE r (id INTEGER PRIMARY KEY, v STRING)")

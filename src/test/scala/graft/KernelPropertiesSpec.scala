@@ -46,6 +46,18 @@ class KernelPropertiesSpec extends AnyFunSuite {
     val both = "/*+ MERGE(x) */ SELECT 1 /* gone */"
     val b2 = GraftSQL.blankComments(both)
     assert(b2.contains("/*+ MERGE(x) */") && !b2.contains("gone"))
+    // splitter safety: a quote or ';' INSIDE a hint blanks to a space
+    // (length-preserving) — otherwise the statement splitter would open
+    // a phantom string literal or split the statement mid-hint
+    val hostile = "SELECT /*+ it's; a trap */ 1; SELECT 2"
+    val b3 = GraftSQL.blankComments(hostile)
+    assert(b3.length == hostile.length)
+    assert(!b3.contains("'") || b3.indexOf("'") > b3.indexOf("*/"),
+      s"quote inside a hint must blank: <$b3>")
+    assert(b3.indexOf(';') == hostile.indexOf("1;") + 1,
+      s"the only top-level ';' must be the statement terminator: <$b3>")
+    // the hint's WORDS still reach the executed text
+    assert(b3.contains("a trap") && b3.contains("/*+"))
   }
 
   test("comment blanking is length-preserving, idempotent, and leaves strings intact") {
