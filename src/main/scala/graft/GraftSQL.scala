@@ -516,18 +516,16 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
   /** Parse the clause-form MERGE body (everything after `USING`) and
     * build its ingredients — ONE parse shared by the executing path
     * and EXPLAIN MERGE. `rest` is `<table>|(<subquery>) [AS] [alias]
-    * ON <cond> WHEN [NOT] MATCHED THEN <action> ...`. Returns the
-    * resolved source frame (the session's snapshot view — a txn sees
-    * its staged state, READ ONLY its pinned versions), the two
-    * aliases, the ON condition, the matched action and the
-    * not-matched insert map. At most one clause of each kind (the
-    * multi-clause `WHEN MATCHED AND <cond>` cascade is out of scope —
-    * documented, not silently misparsed: extra clauses error). */
+    * ON <cond> WHEN [NOT] MATCHED [AND <cond>] THEN <action> ...`.
+    * Returns the resolved source frame (the session's snapshot view —
+    * a txn sees its staged state, READ ONLY its pinned versions), the
+    * two aliases, the ON condition, and the ORDERED matched / insert
+    * clause lists (first-match-wins — the SQL:2003/Delta cascade). */
   private def parseMergeUsing(name: String, tAlias0: String, rest: String)
       : (DataFrame, String, String, Column,
-         Option[graft.sources.TableCatalog.MergeAction],
-         Option[Map[String, Column]]) = {
-    import graft.sources.TableCatalog.MergeAction
+         Seq[graft.sources.TableCatalog.MergeClause],
+         Seq[graft.sources.TableCatalog.InsertClause]) = {
+    import graft.sources.TableCatalog.{InsertClause, MergeAction, MergeClause}
     val tAlias = Option(tAlias0).getOrElse(name)
     val t = rest.trim
     // ---- source spec: a visible table or a parenthesized subquery
@@ -574,25 +572,37 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
       case other => throw new IllegalArgumentException(
         s"MERGE INTO $name: expected ON <condition>: ${other.take(40)}")
     }
-    val clauseRe = raw"(?i)WHEN\s+(NOT\s+)?MATCHED\s+THEN(?![A-Za-z0-9_])".r
+    val clauseRe = raw"(?i)WHEN\s+(NOT\s+)?MATCHED(?![A-Za-z0-9_])".r
+    val thenRe = raw"(?i)(?<![A-Za-z0-9_])THEN(?![A-Za-z0-9_])".r
     val maskedCc = GraftSQL.maskStrings(condAndClauses)
     val heads = clauseRe.findAllMatchIn(maskedCc).toList
     require(heads.nonEmpty, s"MERGE INTO $name: at least one WHEN clause required")
     val cond = referenceExpr(condAndClauses.substring(0, heads.head.start).trim)
-    // ---- WHEN clause bodies (original text between clause heads)
-    var matched: Option[MergeAction] = None
-    var insert: Option[Map[String, Column]] = None
+    // ---- WHEN clause bodies (original text between clause heads);
+    // each clause: optional `AND <cond>` (quote-masked THEN search —
+    // the condition may contain strings/parens), then the action
+    val matched = Seq.newBuilder[MergeClause]
+    val insert = Seq.newBuilder[InsertClause]
     val updateSetRe = raw"(?is)\s*UPDATE\s+SET\s+(.*?)\s*".r
     val insertValsRe = raw"(?is)\s*INSERT\s*(?:\(([^)]*)\)\s*)?VALUES\s*\((.*)\)\s*".r
     val insertStarRe = raw"(?is)\s*INSERT\s+\*\s*".r
+    val andRe = raw"(?is)\s*AND\s+(.*)".r
     heads.zipWithIndex.foreach { case (h, k) =>
       val end = if (k + 1 < heads.length) heads(k + 1).start else condAndClauses.length
-      val body = condAndClauses.substring(h.end, end)
+      val thenM = thenRe.findFirstMatchIn(maskedCc.substring(h.end, end))
+        .getOrElse(throw new IllegalArgumentException(
+          s"MERGE INTO $name: WHEN clause missing THEN"))
+      val between = condAndClauses.substring(h.end, h.end + thenM.start)
+      val body = condAndClauses.substring(h.end + thenM.end, end)
+      val clauseCond: Option[Column] = between.trim match {
+        case "" => None
+        case andRe(c) => Some(referenceExpr(c.trim))
+        case other => throw new IllegalArgumentException(
+          s"MERGE INTO $name: expected AND <condition> before THEN: ${other.take(40)}")
+      }
       val isNot = h.group(1) != null
       if (isNot) {
-        require(insert.isEmpty,
-          s"MERGE INTO $name: duplicate WHEN NOT MATCHED clause")
-        insert = Some(body match {
+        insert += InsertClause(clauseCond, body match {
           case insertStarRe() =>
             // Delta-style INSERT *: every SOURCE column maps by name
             // (a source column the target lacks errors; target columns
@@ -614,9 +624,7 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
             s"MERGE INTO $name: WHEN NOT MATCHED THEN expects INSERT: ${other.trim.take(40)}")
         })
       } else {
-        require(matched.isEmpty,
-          s"MERGE INTO $name: duplicate WHEN MATCHED clause")
-        matched = Some(body match {
+        matched += MergeClause(clauseCond, body match {
           case b if b.trim.equalsIgnoreCase("DELETE") => MergeAction.Delete
           case updateSetRe(setBody) =>
             MergeAction.Update(splitTopLevel(setBody, ',').map { a =>
@@ -628,7 +636,7 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
         })
       }
     }
-    (source, tAlias, sAlias, cond, matched, insert)
+    (source, tAlias, sAlias, cond, matched.result(), insert.result())
   }
 
   /** A SELECT/WITH under the session's snapshot view bindings.

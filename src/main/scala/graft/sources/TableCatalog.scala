@@ -1438,17 +1438,21 @@ class TableCatalog(spark: SparkSession, val root: String) {
   }
 
   /** Clause-form `MERGE INTO t [AS a] USING src [AS b] ON cond WHEN
-    * MATCHED THEN UPDATE SET ... | DELETE / WHEN NOT MATCHED THEN
-    * INSERT ...` — the lakehouse MERGE users actually write (the
-    * reference has no MERGE at all; its mutation surface stops at
-    * INSERT/UPDATE/DELETE, mutation.rs). One copy-on-write snapshot
-    * version; the same optimistic fingerprint-checked publish as
-    * UPDATE/DELETE; RESTRICT semantics when the matched action
-    * removes or re-keys a referenced primary key. */
+    * MATCHED [AND c] THEN UPDATE SET ... | DELETE ... WHEN NOT MATCHED
+    * [AND c] THEN INSERT ...` — the full lakehouse MERGE users actually
+    * write, including multi-clause cascades (the reference has no
+    * MERGE at all; its mutation surface stops at INSERT/UPDATE/DELETE,
+    * mutation.rs). Clauses of each kind apply in statement order,
+    * first-match-wins; a matched row hitting no clause survives
+    * unchanged; an unmatched source row hitting no insert clause is
+    * not inserted. One copy-on-write snapshot version; the same
+    * optimistic fingerprint-checked publish as UPDATE/DELETE; RESTRICT
+    * semantics when a reachable matched action removes or re-keys a
+    * referenced primary key. */
   def mergeUsing(name: String, source: DataFrame, tAlias: String,
       sAlias: String, cond: Column,
-      matched: Option[TableCatalog.MergeAction],
-      insert: Option[Map[String, Column]]): Int =
+      matched: Seq[TableCatalog.MergeClause],
+      insert: Seq[TableCatalog.InsertClause]): Int =
     publishWithRetry(s"MERGE INTO $name") { () =>
       val m = meta(name)
       val fp = fkFingerprint(name, m)
@@ -1460,56 +1464,72 @@ class TableCatalog(spark: SparkSession, val root: String) {
 
   def explainMergeUsing(name: String, source: DataFrame, tAlias: String,
       sAlias: String, cond: Column,
-      matched: Option[TableCatalog.MergeAction],
-      insert: Option[Map[String, Column]]): DataFrame = {
+      matched: Seq[TableCatalog.MergeClause],
+      insert: Seq[TableCatalog.InsertClause]): DataFrame = {
     val m = meta(name)
     mergeUsingFrame(m, name, scan(name), source, tAlias, sAlias, cond,
       matched, insert, validate = false)
   }
 
+  /** First-match-wins gate for clause k: its own condition holds
+    * (null-safe — a NULL condition is no-match) and no earlier
+    * clause's does. An absent condition is always-true (and makes
+    * later clauses unreachable, the standard rule). */
+  private def clauseGate(conds: Seq[Option[Column]], k: Int): Column = {
+    def holds(c: Option[Column]) = c.map(x => coalesce(x, lit(false))).getOrElse(lit(true))
+    conds.take(k).foldLeft(holds(conds(k)))((acc, prev) => acc && !holds(prev))
+  }
+
   /** FK RESTRICT for the clause form, shared by the unstaged and txn
-    * paths: a matched DELETE (or a matched UPDATE that changes the
-    * primary key) removes keys other tables may reference. */
+    * paths: any reachable matched DELETE (or matched UPDATE that
+    * changes the primary key) removes keys other tables may reference —
+    * each clause's removed-key set is computed under its own
+    * first-match-wins gate. */
   private def mergeUsingRestrict(m: TableMeta, name: String,
       current: DataFrame, source: DataFrame, tAlias: String, sAlias: String,
-      cond: Column, matched: Option[TableCatalog.MergeAction],
+      cond: Column, matched: Seq[TableCatalog.MergeClause],
       refs: Seq[(String, String)], resolve: String => DataFrame): Unit =
-    for (pk <- m.primaryKey) {
+    for (pk <- m.primaryKey if matched.nonEmpty) {
       val tgt = current.alias(tAlias)
       val src = source.alias(sAlias)
-      val removed: Option[DataFrame] = matched match {
-        case Some(TableCatalog.MergeAction.Delete) =>
-          Some(tgt.join(src, cond, "left_semi")
+      val joined = tgt.join(src, cond, "inner")
+      val conds = matched.map(_.cond)
+      val removed: Seq[DataFrame] = matched.zipWithIndex.flatMap {
+        case (TableCatalog.MergeClause(_, TableCatalog.MergeAction.Delete), k) =>
+          Some(joined.filter(clauseGate(conds, k))
             .select(col(s"$tAlias.$pk").as(pk)).distinct())
-        case Some(TableCatalog.MergeAction.Update(set0)) =>
+        case (TableCatalog.MergeClause(_, TableCatalog.MergeAction.Update(set0)), k) =>
           val set = resolveSetKeys(m, name, set0, "MERGE INTO")
           set.get(pk).map { v =>
-            tgt.join(src, cond, "inner")
-              .filter(!(v.cast(m.schema(pk).dataType) <=> col(s"$tAlias.$pk")))
+            joined.filter(clauseGate(conds, k)
+                && !(v.cast(m.schema(pk).dataType) <=> col(s"$tAlias.$pk")))
               .select(col(s"$tAlias.$pk").as(pk)).distinct()
           }
-        case _ => None
       }
-      removed.foreach(k => restrictReferenced(name, k, refs, resolve, "MERGE"))
+      removed.reduceOption(_ unionByName _)
+        .foreach(k => restrictReferenced(name, k, refs, resolve, "MERGE"))
     }
 
   /** The snapshot frame a clause-form MERGE would publish — ONE
     * definition shared by [[mergeUsing]], [[Txn.mergeUsing]] and both
     * EXPLAIN paths. Shape: target rows with no source match survive
-    * unchanged; matched rows are rewritten per the matched action
-    * (UPDATE projects SET expressions over the joined row; DELETE
-    * drops them; no matched clause keeps them); source rows with no
-    * target match are inserted (missing columns take defaults/NULL —
-    * the INSERT alignment rule). SET/INSERT expressions may reference
-    * both aliases. Standard MERGE cardinality rule enforced when a
-    * matched clause exists: a target row matching multiple source rows
-    * errors (which update would win is undefined). Every branch is a
-    * join keyed by the ON condition — at scale this is one shuffle (or
-    * a broadcast when the source is small), never row-at-a-time. */
+    * unchanged; each matched row takes the FIRST matched clause whose
+    * condition holds (UPDATE projects its SET expressions over the
+    * joined row; DELETE drops it; no clause matching keeps it); each
+    * unmatched source row takes the first insert clause whose
+    * condition holds (missing columns take defaults/NULL — the INSERT
+    * alignment rule) or is not inserted. Conditions and SET/INSERT
+    * expressions may reference both aliases. Standard MERGE
+    * cardinality rule enforced when any matched clause exists: a
+    * target row matching multiple source rows errors (which clause
+    * evaluation would win is undefined). Every branch is a join keyed
+    * by the ON condition — at scale one shuffle (or a broadcast when
+    * the source is small), never row-at-a-time; the per-clause
+    * branches are filters over that one join's rows. */
   private def mergeUsingFrame(m: TableMeta, name: String, current: DataFrame,
       source: DataFrame, tAlias: String, sAlias: String, cond: Column,
-      matched: Option[TableCatalog.MergeAction],
-      insert: Option[Map[String, Column]],
+      matched: Seq[TableCatalog.MergeClause],
+      insert: Seq[TableCatalog.InsertClause],
       validate: Boolean = true): DataFrame = {
     require(matched.nonEmpty || insert.nonEmpty,
       s"MERGE INTO $name: at least one WHEN clause required")
@@ -1524,27 +1544,39 @@ class TableCatalog(spark: SparkSession, val root: String) {
         .filter(col("count") > 1).isEmpty,
         s"MERGE INTO $name: a target row matches multiple source rows")
     }
-    val kept = matched match {
-      // no matched clause: every target row survives as-is (no join)
-      case None => current
-      case Some(_) => tgt.join(src, cond, "left_anti")
+    val kept =
+      if (matched.isEmpty) current // no matched clause: target untouched, no join
+      else tgt.join(src, cond, "left_anti")
         .select(m.schema.fieldNames.map(f => tcol(f).as(f)): _*)
-    }
-    val updated = matched.collect {
-      case TableCatalog.MergeAction.Update(set0) =>
+    val mConds = matched.map(_.cond)
+    val joined = if (matched.isEmpty) null else tgt.join(src, cond, "inner")
+    val matchedParts: Seq[DataFrame] = matched.zipWithIndex.flatMap {
+      case (TableCatalog.MergeClause(_, TableCatalog.MergeAction.Update(set0)), k) =>
         val set = resolveSetKeys(m, name, set0, "MERGE INTO")
-        tgt.join(src, cond, "inner").select(m.schema.fields.map { f =>
+        Some(joined.filter(clauseGate(mConds, k)).select(m.schema.fields.map { f =>
           set.get(f.name).map(_.cast(f.dataType).as(f.name))
             .getOrElse(tcol(f.name).as(f.name))
-        }: _*)
+        }: _*))
+      case (TableCatalog.MergeClause(_, TableCatalog.MergeAction.Delete), _) =>
+        None // the clause's rows simply leave the snapshot
+    } ++ (if (matched.isEmpty) Nil else {
+      // matched rows hitting NO clause survive unchanged
+      val anyGate = mConds.map(c => c.map(x => coalesce(x, lit(false)))
+        .getOrElse(lit(true))).reduce(_ || _)
+      Seq(joined.filter(!anyGate)
+        .select(m.schema.fieldNames.map(f => tcol(f).as(f)): _*))
+    })
+    val iConds = insert.map(_.cond)
+    val notMatched =
+      if (insert.isEmpty) null else src.join(tgt, cond, "left_anti")
+    val insertedParts: Seq[DataFrame] = insert.zipWithIndex.map {
+      case (TableCatalog.InsertClause(_, ins), k) =>
+        val resolved = resolveSetKeys(m, name, ins, "MERGE INTO")
+        val fresh = notMatched.filter(clauseGate(iConds, k))
+          .select(resolved.toSeq.map { case (c, e) => e.as(c) }: _*)
+        applyDefaults(name, m, fresh)
     }
-    val inserted = insert.map { ins =>
-      val resolved = resolveSetKeys(m, name, ins, "MERGE INTO")
-      val fresh = src.join(tgt, cond, "left_anti")
-        .select(resolved.toSeq.map { case (c, e) => e.as(c) }: _*)
-      applyDefaults(name, m, fresh)
-    }
-    (Seq(kept) ++ updated.toSeq ++ inserted.toSeq).reduce(_ unionByName _)
+    (Seq(kept) ++ matchedParts ++ insertedParts).reduce(_ unionByName _)
   }
 
   /** OPTIMIZE / compaction: rewrite the CURRENT snapshot's rows into
@@ -2305,8 +2337,8 @@ class TableCatalog(spark: SparkSession, val root: String) {
       * against the txn's referencing-table view. */
     def mergeUsing(name: String, source: DataFrame, tAlias: String,
         sAlias: String, cond: Column,
-        matched: Option[TableCatalog.MergeAction],
-        insert: Option[Map[String, Column]]): Unit = {
+        matched: Seq[TableCatalog.MergeClause],
+        insert: Seq[TableCatalog.InsertClause]): Unit = {
       open(); visible(name)
       if (createdTables.contains(name)) {
         stagedCat.mergeUsing(name, source, tAlias, sAlias, cond, matched, insert)
@@ -2329,8 +2361,8 @@ class TableCatalog(spark: SparkSession, val root: String) {
 
     def explainMergeUsing(name: String, source: DataFrame, tAlias: String,
         sAlias: String, cond: Column,
-        matched: Option[TableCatalog.MergeAction],
-        insert: Option[Map[String, Column]]): DataFrame = {
+        matched: Seq[TableCatalog.MergeClause],
+        insert: Seq[TableCatalog.InsertClause]): DataFrame = {
       open(); visible(name)
       val m = metaOf(name)
       mergeUsingFrame(m, name, scan(name), source, tAlias, sAlias, cond,
@@ -2590,6 +2622,16 @@ object TableCatalog {
     final case class Update(set: Map[String, Column]) extends MergeAction
     case object Delete extends MergeAction
   }
+
+  /** One `WHEN MATCHED [AND cond] THEN <action>` clause. Clauses apply
+    * in statement order, first-match-wins (the SQL:2003 / Delta rule);
+    * a NULL condition is no-match (null-safe gating). */
+  final case class MergeClause(cond: Option[Column], action: MergeAction)
+
+  /** One `WHEN NOT MATCHED [AND cond] THEN INSERT ...` clause — same
+    * ordered first-match-wins rule over the unmatched source rows; a
+    * source row matching no insert clause is not inserted. */
+  final case class InsertClause(cond: Option[Column], values: Map[String, Column])
 
   /** Name of the transient Morton-key column a ZORDER compact sorts
     * by; never written (dropped by [[TableCatalog.writeData]]). */

@@ -995,6 +995,40 @@ class GraftSQLSpec extends AnyFunSuite {
     assert(g.execute("SELECT count(*) AS c FROM tgt").collect()(0).getLong(0) == 6)
   }
 
+  test("MERGE INTO ... USING multi-clause cascade: AND conditions, first-match-wins, no-clause rows survive") {
+    val g = session()
+    g.execute("CREATE TABLE inv (id INTEGER PRIMARY KEY, qty INTEGER, state STRING)")
+    g.execute("INSERT INTO inv VALUES (1, 5, 'live'), (2, 0, 'live'), (3, 7, 'live'), (4, 3, 'hold')")
+    g.execute("CREATE TABLE upd (id INTEGER PRIMARY KEY, delta INTEGER)")
+    g.execute("INSERT INTO upd VALUES (1, -5), (2, 4), (4, 1), (8, 9), (9, -1)")
+    // cascade: zeroed rows DELETE; live rows take the delta; 'hold'
+    // rows match NO clause and must survive untouched; inserts split
+    // by a source-side condition, negatives not inserted
+    g.execute("""MERGE INTO inv t USING upd s ON t.id = s.id
+      WHEN MATCHED AND t.qty + s.delta <= 0 THEN DELETE
+      WHEN MATCHED AND t.state = 'live' THEN UPDATE SET qty = t.qty + s.delta
+      WHEN NOT MATCHED AND s.delta > 0 THEN INSERT (id, qty, state) VALUES (s.id, s.delta, 'new')
+      WHEN NOT MATCHED THEN INSERT (id, qty, state) VALUES (s.id, 0, 'rejected')""")
+    val rows = g.execute("SELECT id, qty, state FROM inv ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(rows == Seq(
+      (2L, 4L, "live"),     // second clause (first's cond false: 0+4 > 0)
+      (3L, 7L, "live"),     // matched by no source row: untouched
+      (4L, 3L, "hold"),     // matched, hits NO clause (not live, qty+1 > 0): survives
+      (8L, 9L, "new"),      // first insert clause (delta > 0)
+      (9L, 0L, "rejected")  // second insert clause (first's cond false)
+    ), s"got $rows")        // id 1 deleted by the first clause (5-5 <= 0)
+    // first-match-wins ORDER matters: an unconditional clause first
+    // makes later clauses unreachable
+    g.execute("""MERGE INTO inv t USING upd s ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET state = 'touched'
+      WHEN MATCHED AND t.qty > 0 THEN DELETE""")
+    val after = g.execute("SELECT id, state FROM inv ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(after == Seq((2L, "touched"), (3L, "live"), (4L, "touched"),
+      (8L, "touched"), (9L, "touched")), s"got $after")
+  }
+
   test("MERGE INTO ... USING inside a txn: staged, EXPLAIN'd, first-committer-wins") {
     val g = session()
     g.execute("CREATE TABLE kv2 (id INTEGER PRIMARY KEY, v STRING)")
