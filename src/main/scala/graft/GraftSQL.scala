@@ -302,6 +302,10 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
         require(orReplace != null || !viewDefs.keys.exists(_.equalsIgnoreCase(name)),
           s"CREATE VIEW $name: view exists (use CREATE OR REPLACE VIEW)")
         runSelect(selectBody) // eager validation: a broken body errors NOW
+        // OR REPLACE must replace the case-INSENSITIVE match (Spark's
+        // resolver is) — a differently-cased re-create would otherwise
+        // leave the stale definition behind to resurface after a DROP
+        viewDefs.keys.find(_.equalsIgnoreCase(name)).foreach(viewDefs.remove)
         viewDefs(name) = selectBody
         Seq(s"CREATE VIEW $name").toDF("status")
 
@@ -379,10 +383,13 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
         require(!readOnly, "read-only transaction")
         val (src, ta, sa, cond, matched, ins) = parseMergeUsing(name, tAlias, rest)
         txn match {
-          case Some(t) => t.mergeUsing(name, src, ta, sa, cond, matched, ins)
-          case None    => catalog.mergeUsing(name, src, ta, sa, cond, matched, ins)
+          case Some(t) =>
+            t.mergeUsing(name, src, ta, sa, cond, matched, ins)
+            Seq(s"MERGE INTO $name (staged)").toDF("status")
+          case None =>
+            val v = catalog.mergeUsing(name, src, ta, sa, cond, matched, ins)
+            Seq(s"MERGE INTO $name -> v$v").toDF("status")
         }
-        Seq(s"MERGE INTO $name USING").toDF("status")
 
       case mergeRe(name, colList, valuesBody) =>
         require(!readOnly, "read-only transaction")
@@ -573,7 +580,6 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
         s"MERGE INTO $name: expected ON <condition>: ${other.take(40)}")
     }
     val clauseRe = raw"(?i)WHEN\s+(NOT\s+)?MATCHED(?![A-Za-z0-9_])".r
-    val thenRe = raw"(?i)(?<![A-Za-z0-9_])THEN(?![A-Za-z0-9_])".r
     val maskedCc = GraftSQL.maskStrings(condAndClauses)
     val heads = clauseRe.findAllMatchIn(maskedCc).toList
     require(heads.nonEmpty, s"MERGE INTO $name: at least one WHEN clause required")
@@ -589,11 +595,12 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
     val andRe = raw"(?is)\s*AND\s+(.*)".r
     heads.zipWithIndex.foreach { case (h, k) =>
       val end = if (k + 1 < heads.length) heads(k + 1).start else condAndClauses.length
-      val thenM = thenRe.findFirstMatchIn(maskedCc.substring(h.end, end))
+      val (thenStart, thenEnd) = GraftSQL
+        .topLevelThen(maskedCc.substring(h.end, end))
         .getOrElse(throw new IllegalArgumentException(
           s"MERGE INTO $name: WHEN clause missing THEN"))
-      val between = condAndClauses.substring(h.end, h.end + thenM.start)
-      val body = condAndClauses.substring(h.end + thenM.end, end)
+      val between = condAndClauses.substring(h.end, h.end + thenStart)
+      val body = condAndClauses.substring(h.end + thenEnd, end)
       val clauseCond: Option[Column] = between.trim match {
         case "" => None
         case andRe(c) => Some(referenceExpr(c.trim))
@@ -663,7 +670,7 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
     // appearing only inside a string literal ('orders were late') must
     // not register a spurious snapshot view
     val masked = GraftSQL.maskStrings(s)
-    lastRegistered = tableNames
+    val referencedTables = tableNames
       .filter(n => ("(?i)\\b" + java.util.regex.Pattern.quote(n) + "\\b")
         .r.findFirstIn(masked).isDefined)
     // referenced session views expand recursively (a view may stack on
@@ -675,6 +682,11 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
         require(!expanding.contains(n), s"circular view definition: $n")
         n -> runSelect(viewDefs(n), expanding + n)
       }
+    // set the instance state AFTER view expansion: the nested
+    // runSelect calls above overwrite it, and a query mixing a direct
+    // table with a view over OTHER tables would otherwise lose its own
+    // table bindings (and index-prune against the wrong table set)
+    lastRegistered = referencedTables
     // parse ONCE: the same tree feeds the index-prune extraction and
     // (rewritten) the analyzer
     val plan = spark.sessionState.sqlParser.parsePlan(s)
@@ -1485,6 +1497,28 @@ object GraftSQL {
       }
     }
     out.toString
+  }
+
+  /** The first TOP-LEVEL `THEN` keyword in string-masked text — the
+    * clause THEN of a MERGE WHEN clause, skipping any THEN inside
+    * parentheses (subqueries) or inside a CASE ... END expression in
+    * the clause's AND condition. Returns (start, end) offsets. */
+  private[graft] def topLevelThen(masked: String): Option[(Int, Int)] = {
+    var depth = 0
+    var caseDepth = 0
+    val tok = raw"(?i)[A-Za-z_][A-Za-z0-9_]*|\(|\)".r
+    tok.findAllMatchIn(masked).foreach { m =>
+      m.matched match {
+        case "(" => depth += 1
+        case ")" => depth -= 1
+        case w if w.equalsIgnoreCase("case") => caseDepth += 1
+        case w if w.equalsIgnoreCase("end") && caseDepth > 0 => caseDepth -= 1
+        case w if w.equalsIgnoreCase("then") && depth == 0 && caseDepth == 0 =>
+          return Some((m.start, m.end))
+        case _ =>
+      }
+    }
+    None
   }
 
   /** Split on `sep` ignoring separators inside parens and single- OR

@@ -790,18 +790,6 @@ object Dedup {
     * the plan a pure column expression. */
   private val SubK = 8
 
-  /** Hot-set rows above which the duplicated-segment probe leaves the
-    * broadcast for a shuffle join (`spark.graft.substr.hotBroadcastLimit`).
-    * The hot set is bounded by how much DUPLICATED text exists, not
-    * corpus size — but on a boilerplate-heavy web crawl that bound IS
-    * the failure mode (site-wide templates can make it GBs), so the
-    * guard is structural, not advisory: the set is materialized once
-    * (it feeds the join either way), its row count read from the
-    * materialization for free, and above the limit the hit probe
-    * becomes a shuffle-hash join on the segment key (at 100 TB the key
-    * is xxhash64(seg) — 8 bytes through the exchange). */
-  private val HotBroadcastLimitConf = "spark.graft.substr.hotBroadcastLimit"
-
   def d14SubstringDedup(s: SparkSession, d: String): DataFrame =
     d14Pipeline(s, Tables.documents(s, d).select("doc_id", "text"))
 
@@ -817,17 +805,12 @@ object Dedup {
              |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin))
           .as(Seq("i", "seg")))
       .select(col("doc_id"), (col("i") + 1).as("p"), col("seg"))
-    // materialize the hot set ONCE (eager local checkpoint — d06's
-    // pattern): it feeds the join either way, and the materialization
-    // makes the guard's row count a metadata read, not a recompute
+    // the hot probe goes through the SHARED hostile-corpus guard
+    // ([[Scale.hotGuardedJoin]]): broadcast under
+    // spark.graft.hotBroadcastLimit rows, shuffle-hash join above it
     val hot = sh.groupBy("seg").agg(count(lit(1)).as("n"))
       .filter(col("n") >= 2).select("seg")
-      .localCheckpoint()
-    val limit = s.conf.get(HotBroadcastLimitConf, "10000000").toLong
-    val probe =
-      if (hot.count() <= limit) sh.join(broadcast(hot), Seq("seg"))
-      else sh.join(hot.hint("shuffle_hash"), Seq("seg")) // hostile corpus
-    val hits = probe
+    val hits = Scale.hotGuardedJoin(s, sh, hot, Seq("seg"), "inner")
       .groupBy("doc_id")
       .agg(sort_array(collect_list(col("p"))).as("ps"))
     w.join(hits, Seq("doc_id"), "left")

@@ -37,6 +37,26 @@ object Scale {
         .cast("double")
     else percentile(c, lit(p))
 
+  /** Hot-set probe join with the HOSTILE-CORPUS guard shared by
+    * d14/t25 (and any future duplicated-content probe): the hot frame
+    * is bounded by how much DUPLICATED content exists, not corpus
+    * size — but a boilerplate-heavy web crawl makes exactly that bound
+    * the failure mode (site-wide templates can push it to GBs), so the
+    * broadcast is gated structurally, never assumed. The hot frame is
+    * materialized ONCE (eager local checkpoint — it feeds the join
+    * either way, and makes the guard's row count a metadata read); at
+    * or under `spark.graft.hotBroadcastLimit` rows (default 10M) it
+    * broadcasts, above it the probe degrades to a shuffle-hash join
+    * (at 100 TB the join key is an 8-byte hash, so the fallback
+    * exchange is bytes-per-row cheap). */
+  def hotGuardedJoin(s: SparkSession, probe: DataFrame, hot: DataFrame,
+      keys: Seq[String], joinType: String): DataFrame = {
+    val hotM = hot.localCheckpoint()
+    val limit = s.conf.get("spark.graft.hotBroadcastLimit", "10000000").toLong
+    if (hotM.count() <= limit) probe.join(broadcast(hotM), keys, joinType)
+    else probe.join(hotM.hint("shuffle_hash"), keys, joinType)
+  }
+
   /** Top-k rows per group through the custom
     * [[graft.plans.TopKPerGroup]] plan node — bounded-heap selection
     * with a MAP-SIDE PARTIAL pass, vs the row_number window's

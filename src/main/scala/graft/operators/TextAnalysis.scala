@@ -784,20 +784,25 @@ object TextAnalysis {
   private val LineDropFrac = 0.3
 
   def t25LineDedup(s: SparkSession, d: String): DataFrame =
-    t25Pipeline(Tables.documents(s, d).select(col("doc_id"),
+    t25Pipeline(s, Tables.documents(s, d).select(col("doc_id"),
       expr(s"""transform(sequence(0, cast(ceil(size(split(text, ' ')) / $LineW.0)
               |  as int) - 1),
               |  i -> array_join(slice(split(text, ' '), i * $LineW + 1, $LineW), ' '))"""
         .stripMargin).as("lines")))
 
-  /** The splitter-agnostic pass over (doc_id, lines array). */
-  private[graft] def t25Pipeline(docLines: DataFrame): DataFrame = {
+  /** The splitter-agnostic pass over (doc_id, lines array). The hot
+    * probe goes through the SHARED hostile-corpus guard
+    * ([[Scale.hotGuardedJoin]] — d14's discipline): broadcast under
+    * `spark.graft.hotBroadcastLimit` rows, shuffle-hash join above it,
+    * because a boilerplate-heavy crawl makes the duplicated-line set
+    * exactly the thing that outgrows a broadcast. */
+  private[graft] def t25Pipeline(s: SparkSession, docLines: DataFrame): DataFrame = {
     val lines = docLines.select(col("doc_id"),
       posexplode(col("lines")).as(Seq("pos", "line")))
     val hot = lines.groupBy("line").agg(count(lit(1)).as("n"))
       .filter(col("n") >= 2)
       .select(col("line"), lit(true).as("is_hot"))
-    lines.join(broadcast(hot), Seq("line"), "left")
+    Scale.hotGuardedJoin(s, lines, hot, Seq("line"), "left")
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_lines"),

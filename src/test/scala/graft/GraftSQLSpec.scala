@@ -1027,6 +1027,14 @@ class GraftSQLSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1))).toSeq
     assert(after == Seq((2L, "touched"), (3L, "live"), (4L, "touched"),
       (8L, "touched"), (9L, "touched")), s"got $after")
+    // a CASE WHEN ... THEN inside a clause's AND condition must not be
+    // mistaken for the clause's THEN (top-level THEN scan)
+    g.execute("""MERGE INTO inv t USING upd s ON t.id = s.id
+      WHEN MATCHED AND t.qty = CASE WHEN s.delta > 0 THEN 4 ELSE -99 END
+        THEN UPDATE SET state = 'case-hit'""")
+    val caseHit = g.execute("SELECT id FROM inv WHERE state = 'case-hit'")
+      .collect().map(_.getLong(0)).toSeq
+    assert(caseHit == Seq(2L), s"got $caseHit") // qty=4, delta=+4 -> CASE=4
   }
 
   test("MERGE INTO ... USING inside a txn: staged, EXPLAIN'd, first-committer-wins") {
@@ -1124,6 +1132,35 @@ class GraftSQLSpec extends AnyFunSuite {
     g.execute("CREATE VIEW ro AS SELECT count(*) AS c FROM base")
     assert(g.execute("SELECT c FROM ro").collect()(0).getLong(0) == 4)
     g.execute("COMMIT")
+  }
+
+  test("views mixed with direct tables: the outer query's table bindings survive view expansion") {
+    val g = session()
+    g.execute("CREATE TABLE ta (id INTEGER PRIMARY KEY, v INTEGER)")
+    g.execute("INSERT INTO ta VALUES (1, 100), (2, 200)")
+    g.execute("CREATE TABLE tb (id INTEGER PRIMARY KEY, w INTEGER)")
+    g.execute("INSERT INTO tb VALUES (1, 7), (2, 9)")
+    g.execute("CREATE VIEW vb AS SELECT id, w FROM tb")
+    // the view expands over tb while the outer query references ta
+    // directly — the nested expansion must not clobber the outer
+    // query's registered table set
+    val rows = g.execute(
+      "SELECT ta.id, ta.v, vb.w FROM ta JOIN vb ON ta.id = vb.id ORDER BY ta.id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows == Seq((1L, 100L, 7L), (2L, 200L, 9L)), s"got $rows")
+  }
+
+  test("CREATE OR REPLACE VIEW replaces case-insensitively; DROP kills the only definition") {
+    val g = session()
+    g.execute("CREATE TABLE src9 (id INTEGER PRIMARY KEY, w INTEGER)")
+    g.execute("INSERT INTO src9 VALUES (1, 100)")
+    g.execute("CREATE VIEW myv AS SELECT id, w FROM src9")
+    g.execute("CREATE OR REPLACE VIEW MYV AS SELECT id, w + 1 AS w FROM src9")
+    assert(g.execute("SELECT w FROM myv").collect()(0).getLong(0) == 101,
+      "the replacement must win regardless of case")
+    g.execute("DROP VIEW MYV")
+    // the stale pre-replace definition must NOT resurface
+    intercept[Exception] { g.execute("SELECT w FROM myv").collect() }
   }
 
   test("RESTORE TABLE ... VERSION through SQL text: rollback without rewrite") {

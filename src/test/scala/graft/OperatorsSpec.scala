@@ -3121,12 +3121,29 @@ class OperatorsSpec extends AnyFunSuite {
             |  as int) - 1),
             |  i -> array_join(slice(split(text, ' '), i * 12 + 1, 12), ' '))"""
             .stripMargin).as("lines"))
-    val p = TextAnalysis.t25Pipeline(planted).collect()
+    val p = TextAnalysis.t25Pipeline(spark, planted).collect()
       .map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(4), r.getString(5))).toMap
     assert(p(100L) == ((2L, false, uniq("x"))),
       s"intra-doc copies must BOTH go and the doc must drop: ${p(100L)}")
     assert(p(200L)._1 == 1L && p(200L)._2, s"doc 200: ${p(200L)}")
     assert(p(201L)._1 == 1L && p(201L)._2, s"doc 201: ${p(201L)}")
+    // the SHARED hostile-corpus guard applies here too: below the
+    // limit the hot probe degrades to a shuffle join, answers unchanged
+    val conf = "spark.graft.hotBroadcastLimit"
+    val prev = spark.conf.getOption(conf)
+    try {
+      spark.conf.set(conf, "0")
+      val guarded = TextAnalysis.t25Pipeline(spark, planted)
+      val plan = GraftSession.explainPlan(guarded)
+      assert(!plan.contains("BroadcastHashJoin LeftOuter"),
+        s"above the limit the hot probe must not broadcast:\n${plan.take(900)}")
+      val g = guarded.collect()
+        .map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(4), r.getString(5))).toMap
+      assert(g == p, "the guard must not change answers")
+    } finally prev match {
+      case Some(v) => spark.conf.set(conf, v)
+      case None => spark.conf.unset(conf)
+    }
   }
 
   test("d14 hostile-corpus guard: oversized hot set degrades broadcast to shuffle, answers unchanged") {
@@ -3138,7 +3155,7 @@ class OperatorsSpec extends AnyFunSuite {
       val unique = (1 to 10).map(j => s"u${i}w$j").mkString(" ")
       (i, s"$template $unique")
     }.toDF("doc_id", "text")
-    val conf = "spark.graft.substr.hotBroadcastLimit"
+    val conf = "spark.graft.hotBroadcastLimit"
     val prev = spark.conf.getOption(conf)
     try {
       // default path (limit far above the hot count): broadcast probe
