@@ -149,10 +149,14 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
             alignCols(referenceSql(s"SELECT * FROM VALUES $valuesBody"),
               colList, name, "INSERT")))
         case mergeUsingRe(name, tAlias, rest) =>
-          val (src, ta, sa, cond, matched, ins) = parseMergeUsing(name, tAlias, rest)
-          val exMergeUsing = txn.map(t => t.explainMergeUsing _)
-            .getOrElse(catalog.explainMergeUsing _)
-          Some(exMergeUsing(name, src, ta, sa, cond, matched, ins))
+          val (src, ta, sa, cond, matched, ins, bySrc) =
+            parseMergeUsing(name, tAlias, rest)
+          Some(txn match {
+            case Some(t) =>
+              t.explainMergeUsing(name, src, ta, sa, cond, matched, ins, bySrc)
+            case None =>
+              catalog.explainMergeUsing(name, src, ta, sa, cond, matched, ins, bySrc)
+          })
         case mergeRe(name, colList, valuesBody) =>
           Some(exMerge(name,
             alignCols(referenceSql(s"SELECT * FROM VALUES $valuesBody"),
@@ -381,13 +385,14 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
 
       case mergeUsingRe(name, tAlias, rest) =>
         require(!readOnly, "read-only transaction")
-        val (src, ta, sa, cond, matched, ins) = parseMergeUsing(name, tAlias, rest)
+        val (src, ta, sa, cond, matched, ins, bySrc) =
+          parseMergeUsing(name, tAlias, rest)
         txn match {
           case Some(t) =>
-            t.mergeUsing(name, src, ta, sa, cond, matched, ins)
+            t.mergeUsing(name, src, ta, sa, cond, matched, ins, bySrc)
             Seq(s"MERGE INTO $name (staged)").toDF("status")
           case None =>
-            val v = catalog.mergeUsing(name, src, ta, sa, cond, matched, ins)
+            val v = catalog.mergeUsing(name, src, ta, sa, cond, matched, ins, bySrc)
             Seq(s"MERGE INTO $name -> v$v").toDF("status")
         }
 
@@ -531,7 +536,8 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
   private def parseMergeUsing(name: String, tAlias0: String, rest: String)
       : (DataFrame, String, String, Column,
          Seq[graft.sources.TableCatalog.MergeClause],
-         Seq[graft.sources.TableCatalog.InsertClause]) = {
+         Seq[graft.sources.TableCatalog.InsertClause],
+         Seq[graft.sources.TableCatalog.MergeClause]) = {
     import graft.sources.TableCatalog.{InsertClause, MergeAction, MergeClause}
     val tAlias = Option(tAlias0).getOrElse(name)
     val t = rest.trim
@@ -579,7 +585,11 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
       case other => throw new IllegalArgumentException(
         s"MERGE INTO $name: expected ON <condition>: ${other.take(40)}")
     }
-    val clauseRe = raw"(?i)WHEN\s+(NOT\s+)?MATCHED(?![A-Za-z0-9_])".r
+    // heads capture the clause family: WHEN MATCHED / WHEN NOT MATCHED
+    // [BY TARGET] (insert) / WHEN NOT MATCHED BY SOURCE (target rows
+    // with no source match — Delta's third family)
+    val clauseRe =
+      raw"(?i)WHEN\s+(NOT\s+)?MATCHED(\s+BY\s+(SOURCE|TARGET))?(?![A-Za-z0-9_])".r
     val maskedCc = GraftSQL.maskStrings(condAndClauses)
     val heads = clauseRe.findAllMatchIn(maskedCc).toList
     require(heads.nonEmpty, s"MERGE INTO $name: at least one WHEN clause required")
@@ -589,6 +599,7 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
     // the condition may contain strings/parens), then the action
     val matched = Seq.newBuilder[MergeClause]
     val insert = Seq.newBuilder[InsertClause]
+    val bySource = Seq.newBuilder[MergeClause]
     val updateSetRe = raw"(?is)\s*UPDATE\s+SET\s+(.*?)\s*".r
     val insertValsRe = raw"(?is)\s*INSERT\s*(?:\(([^)]*)\)\s*)?VALUES\s*\((.*)\)\s*".r
     val insertStarRe = raw"(?is)\s*INSERT\s+\*\s*".r
@@ -608,7 +619,25 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
           s"MERGE INTO $name: expected AND <condition> before THEN: ${other.take(40)}")
       }
       val isNot = h.group(1) != null
-      if (isNot) {
+      val byWord = Option(h.group(3)).map(_.toUpperCase)
+      require(isNot || byWord.isEmpty,
+        s"MERGE INTO $name: BY ${byWord.getOrElse("")} is only valid after NOT MATCHED")
+      def matchedAction(family: String): MergeAction = body match {
+        case b if b.trim.equalsIgnoreCase("DELETE") => MergeAction.Delete
+        case updateSetRe(setBody) =>
+          MergeAction.Update(splitTopLevel(setBody, ',').map { a =>
+            val Array(key, v) = a.split("=", 2)
+            key.trim -> referenceExpr(v.trim)
+          }.toMap)
+        case other => throw new IllegalArgumentException(
+          s"MERGE INTO $name: $family THEN expects UPDATE SET or DELETE: ${other.trim.take(40)}")
+      }
+      if (isNot && byWord.contains("SOURCE")) {
+        // target rows with NO source match — conditions and SET
+        // expressions see the target alias only (no source row exists)
+        bySource += MergeClause(clauseCond,
+          matchedAction("WHEN NOT MATCHED BY SOURCE"))
+      } else if (isNot) {
         insert += InsertClause(clauseCond, body match {
           case insertStarRe() =>
             // Delta-style INSERT *: every SOURCE column maps by name
@@ -631,19 +660,11 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
             s"MERGE INTO $name: WHEN NOT MATCHED THEN expects INSERT: ${other.trim.take(40)}")
         })
       } else {
-        matched += MergeClause(clauseCond, body match {
-          case b if b.trim.equalsIgnoreCase("DELETE") => MergeAction.Delete
-          case updateSetRe(setBody) =>
-            MergeAction.Update(splitTopLevel(setBody, ',').map { a =>
-              val Array(key, v) = a.split("=", 2)
-              key.trim -> referenceExpr(v.trim)
-            }.toMap)
-          case other => throw new IllegalArgumentException(
-            s"MERGE INTO $name: WHEN MATCHED THEN expects UPDATE SET or DELETE: ${other.trim.take(40)}")
-        })
+        matched += MergeClause(clauseCond, matchedAction("WHEN MATCHED"))
       }
     }
-    (source, tAlias, sAlias, cond, matched.result(), insert.result())
+    (source, tAlias, sAlias, cond, matched.result(), insert.result(),
+      bySource.result())
   }
 
   /** A SELECT/WITH under the session's snapshot view bindings.

@@ -1452,23 +1452,25 @@ class TableCatalog(spark: SparkSession, val root: String) {
   def mergeUsing(name: String, source: DataFrame, tAlias: String,
       sAlias: String, cond: Column,
       matched: Seq[TableCatalog.MergeClause],
-      insert: Seq[TableCatalog.InsertClause]): Int =
+      insert: Seq[TableCatalog.InsertClause],
+      bySource: Seq[TableCatalog.MergeClause] = Nil): Int =
     publishWithRetry(s"MERGE INTO $name") { () =>
       val m = meta(name)
       val fp = fkFingerprint(name, m)
       mergeUsingRestrict(m, name, scan(name), source, tAlias, sAlias,
-        cond, matched, referencingTables(name), scan)
+        cond, matched, bySource, referencingTables(name), scan)
       rewriteAttempt(name, m, fp, mergeUsingFrame(m, name, scan(name),
-        source, tAlias, sAlias, cond, matched, insert))
+        source, tAlias, sAlias, cond, matched, insert, bySource))
     }
 
   def explainMergeUsing(name: String, source: DataFrame, tAlias: String,
       sAlias: String, cond: Column,
       matched: Seq[TableCatalog.MergeClause],
-      insert: Seq[TableCatalog.InsertClause]): DataFrame = {
+      insert: Seq[TableCatalog.InsertClause],
+      bySource: Seq[TableCatalog.MergeClause] = Nil): DataFrame = {
     val m = meta(name)
     mergeUsingFrame(m, name, scan(name), source, tAlias, sAlias, cond,
-      matched, insert, validate = false)
+      matched, insert, bySource, validate = false)
   }
 
   /** First-match-wins gate for clause k: its own condition holds
@@ -1481,31 +1483,38 @@ class TableCatalog(spark: SparkSession, val root: String) {
   }
 
   /** FK RESTRICT for the clause form, shared by the unstaged and txn
-    * paths: any reachable matched DELETE (or matched UPDATE that
-    * changes the primary key) removes keys other tables may reference —
-    * each clause's removed-key set is computed under its own
-    * first-match-wins gate. */
+    * paths: any reachable DELETE (or UPDATE that changes the primary
+    * key) — matched OR not-matched-by-source — removes keys other
+    * tables may reference; each clause's removed-key set is computed
+    * under its own first-match-wins gate. */
   private def mergeUsingRestrict(m: TableMeta, name: String,
       current: DataFrame, source: DataFrame, tAlias: String, sAlias: String,
       cond: Column, matched: Seq[TableCatalog.MergeClause],
+      bySource: Seq[TableCatalog.MergeClause],
       refs: Seq[(String, String)], resolve: String => DataFrame): Unit =
-    for (pk <- m.primaryKey if matched.nonEmpty) {
+    for (pk <- m.primaryKey if matched.nonEmpty || bySource.nonEmpty) {
       val tgt = current.alias(tAlias)
       val src = source.alias(sAlias)
-      val joined = tgt.join(src, cond, "inner")
-      val conds = matched.map(_.cond)
-      val removed: Seq[DataFrame] = matched.zipWithIndex.flatMap {
-        case (TableCatalog.MergeClause(_, TableCatalog.MergeAction.Delete), k) =>
-          Some(joined.filter(clauseGate(conds, k))
-            .select(col(s"$tAlias.$pk").as(pk)).distinct())
-        case (TableCatalog.MergeClause(_, TableCatalog.MergeAction.Update(set0)), k) =>
-          val set = resolveSetKeys(m, name, set0, "MERGE INTO")
-          set.get(pk).map { v =>
-            joined.filter(clauseGate(conds, k)
-                && !(v.cast(m.schema(pk).dataType) <=> col(s"$tAlias.$pk")))
-              .select(col(s"$tAlias.$pk").as(pk)).distinct()
-          }
+      def removedOf(rows: DataFrame, clauses: Seq[TableCatalog.MergeClause]) = {
+        val conds = clauses.map(_.cond)
+        clauses.zipWithIndex.flatMap {
+          case (TableCatalog.MergeClause(_, TableCatalog.MergeAction.Delete), k) =>
+            Some(rows.filter(clauseGate(conds, k))
+              .select(col(s"$tAlias.$pk").as(pk)).distinct())
+          case (TableCatalog.MergeClause(_, TableCatalog.MergeAction.Update(set0)), k) =>
+            val set = resolveSetKeys(m, name, set0, "MERGE INTO")
+            set.get(pk).map { v =>
+              rows.filter(clauseGate(conds, k)
+                  && !(v.cast(m.schema(pk).dataType) <=> col(s"$tAlias.$pk")))
+                .select(col(s"$tAlias.$pk").as(pk)).distinct()
+            }
+        }
       }
+      val removed =
+        (if (matched.isEmpty) Nil
+         else removedOf(tgt.join(src, cond, "inner"), matched)) ++
+        (if (bySource.isEmpty) Nil
+         else removedOf(tgt.join(src, cond, "left_anti"), bySource))
       removed.reduceOption(_ unionByName _)
         .foreach(k => restrictReferenced(name, k, refs, resolve, "MERGE"))
     }
@@ -1530,8 +1539,9 @@ class TableCatalog(spark: SparkSession, val root: String) {
       source: DataFrame, tAlias: String, sAlias: String, cond: Column,
       matched: Seq[TableCatalog.MergeClause],
       insert: Seq[TableCatalog.InsertClause],
+      bySource: Seq[TableCatalog.MergeClause] = Nil,
       validate: Boolean = true): DataFrame = {
-    require(matched.nonEmpty || insert.nonEmpty,
+    require(matched.nonEmpty || insert.nonEmpty || bySource.nonEmpty,
       s"MERGE INTO $name: at least one WHEN clause required")
     val tgt = current.alias(tAlias)
     val src = source.alias(sAlias)
@@ -1544,28 +1554,42 @@ class TableCatalog(spark: SparkSession, val root: String) {
         .filter(col("count") > 1).isEmpty,
         s"MERGE INTO $name: a target row matches multiple source rows")
     }
-    val kept =
-      if (matched.isEmpty) current // no matched clause: target untouched, no join
-      else tgt.join(src, cond, "left_anti")
-        .select(m.schema.fieldNames.map(f => tcol(f).as(f)): _*)
-    val mConds = matched.map(_.cond)
-    val joined = if (matched.isEmpty) null else tgt.join(src, cond, "inner")
-    val matchedParts: Seq[DataFrame] = matched.zipWithIndex.flatMap {
-      case (TableCatalog.MergeClause(_, TableCatalog.MergeAction.Update(set0)), k) =>
-        val set = resolveSetKeys(m, name, set0, "MERGE INTO")
-        Some(joined.filter(clauseGate(mConds, k)).select(m.schema.fields.map { f =>
-          set.get(f.name).map(_.cast(f.dataType).as(f.name))
-            .getOrElse(tcol(f.name).as(f.name))
-        }: _*))
-      case (TableCatalog.MergeClause(_, TableCatalog.MergeAction.Delete), _) =>
-        None // the clause's rows simply leave the snapshot
-    } ++ (if (matched.isEmpty) Nil else {
-      // matched rows hitting NO clause survive unchanged
-      val anyGate = mConds.map(c => c.map(x => coalesce(x, lit(false)))
-        .getOrElse(lit(true))).reduce(_ || _)
-      Seq(joined.filter(!anyGate)
-        .select(m.schema.fieldNames.map(f => tcol(f).as(f)): _*))
-    })
+    // one first-match-wins cascade over a target-row stream — shared by
+    // the matched (inner-join) rows and the not-matched-BY-SOURCE
+    // (anti-join) rows: Update clauses project, Delete clauses drop,
+    // rows hitting no clause survive unchanged
+    def cascade(rows: DataFrame, clauses: Seq[TableCatalog.MergeClause]): Seq[DataFrame] = {
+      val conds = clauses.map(_.cond)
+      clauses.zipWithIndex.flatMap {
+        case (TableCatalog.MergeClause(_, TableCatalog.MergeAction.Update(set0)), k) =>
+          val set = resolveSetKeys(m, name, set0, "MERGE INTO")
+          Some(rows.filter(clauseGate(conds, k)).select(m.schema.fields.map { f =>
+            set.get(f.name).map(_.cast(f.dataType).as(f.name))
+              .getOrElse(tcol(f.name).as(f.name))
+          }: _*))
+        case (TableCatalog.MergeClause(_, TableCatalog.MergeAction.Delete), _) =>
+          None // the clause's rows simply leave the snapshot
+      } ++ {
+        val anyGate = conds.map(c => c.map(x => coalesce(x, lit(false)))
+          .getOrElse(lit(true))).reduce(_ || _)
+        Seq(rows.filter(!anyGate)
+          .select(m.schema.fieldNames.map(f => tcol(f).as(f)): _*))
+      }
+    }
+    // target rows with NO source match: untouched unless WHEN NOT
+    // MATCHED BY SOURCE clauses rewrite them (Delta's third clause
+    // family — the anti-join side goes through the same cascade)
+    val keptParts: Seq[DataFrame] =
+      if (matched.isEmpty && bySource.isEmpty) Seq(current) // no join needed
+      else {
+        val anti = tgt.join(src, cond, "left_anti")
+        if (bySource.isEmpty)
+          Seq(anti.select(m.schema.fieldNames.map(f => tcol(f).as(f)): _*))
+        else cascade(anti, bySource)
+      }
+    val matchedParts: Seq[DataFrame] =
+      if (matched.isEmpty) Nil
+      else cascade(tgt.join(src, cond, "inner"), matched)
     val iConds = insert.map(_.cond)
     val notMatched =
       if (insert.isEmpty) null else src.join(tgt, cond, "left_anti")
@@ -1576,7 +1600,7 @@ class TableCatalog(spark: SparkSession, val root: String) {
           .select(resolved.toSeq.map { case (c, e) => e.as(c) }: _*)
         applyDefaults(name, m, fresh)
     }
-    (Seq(kept) ++ matchedParts ++ insertedParts).reduce(_ unionByName _)
+    (keptParts ++ matchedParts ++ insertedParts).reduce(_ unionByName _)
   }
 
   /** OPTIMIZE / compaction: rewrite the CURRENT snapshot's rows into
@@ -2338,18 +2362,20 @@ class TableCatalog(spark: SparkSession, val root: String) {
     def mergeUsing(name: String, source: DataFrame, tAlias: String,
         sAlias: String, cond: Column,
         matched: Seq[TableCatalog.MergeClause],
-        insert: Seq[TableCatalog.InsertClause]): Unit = {
+        insert: Seq[TableCatalog.InsertClause],
+        bySource: Seq[TableCatalog.MergeClause] = Nil): Unit = {
       open(); visible(name)
       if (createdTables.contains(name)) {
-        stagedCat.mergeUsing(name, source, tAlias, sAlias, cond, matched, insert)
+        stagedCat.mergeUsing(name, source, tAlias, sAlias, cond, matched,
+          insert, bySource)
         return
       }
       val m = pinnedMetaOf(name)
       val base = baseOf(name)
       mergeUsingRestrict(m, name, scan(name), source, tAlias, sAlias,
-        cond, matched, refsOf(name), scan)
+        cond, matched, bySource, refsOf(name), scan)
       val merged = mergeUsingFrame(m, name, scan(name), source, tAlias,
-        sAlias, cond, matched, insert)
+        sAlias, cond, matched, insert, bySource)
       val rel = freshDir(name)
       try {
         validate(m, name, merged.cache(), scan)
@@ -2362,11 +2388,12 @@ class TableCatalog(spark: SparkSession, val root: String) {
     def explainMergeUsing(name: String, source: DataFrame, tAlias: String,
         sAlias: String, cond: Column,
         matched: Seq[TableCatalog.MergeClause],
-        insert: Seq[TableCatalog.InsertClause]): DataFrame = {
+        insert: Seq[TableCatalog.InsertClause],
+        bySource: Seq[TableCatalog.MergeClause] = Nil): DataFrame = {
       open(); visible(name)
       val m = metaOf(name)
       mergeUsingFrame(m, name, scan(name), source, tAlias, sAlias, cond,
-        matched, insert, validate = false)
+        matched, insert, bySource, validate = false)
     }
 
     /** Staged copy-on-write DELETE with FK RESTRICT against the txn

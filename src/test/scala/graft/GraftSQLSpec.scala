@@ -1037,6 +1037,46 @@ class GraftSQLSpec extends AnyFunSuite {
     assert(caseHit == Seq(2L), s"got $caseHit") // qty=4, delta=+4 -> CASE=4
   }
 
+  test("MERGE INTO ... USING WHEN NOT MATCHED BY SOURCE: full-sync form + conditional cascade") {
+    val g = session()
+    g.execute("CREATE TABLE cur (id INTEGER PRIMARY KEY, v STRING, pin BOOLEAN DEFAULT FALSE)")
+    g.execute("INSERT INTO cur VALUES (1, 'a', FALSE), (2, 'b', TRUE), (3, 'c', FALSE)")
+    g.execute("CREATE TABLE feed (id INTEGER PRIMARY KEY, v STRING)")
+    g.execute("INSERT INTO feed VALUES (1, 'A'), (4, 'D')")
+    // the classic table-SYNC statement: update matches, insert new,
+    // delete target rows the feed no longer carries — EXCEPT pinned
+    // ones, which get marked instead (a BY SOURCE cascade)
+    g.execute("""MERGE INTO cur t USING feed s ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET v = s.v
+      WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)
+      WHEN NOT MATCHED BY SOURCE AND t.pin = FALSE THEN DELETE
+      WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = t.v || '?'""")
+    val rows = g.execute("SELECT id, v FROM cur ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows == Seq((1L, "A"),   // matched: updated
+      (2L, "b?"),                   // unmatched-by-source but pinned: marked
+      (4L, "D")),                   // new from feed; id 3 deleted
+      s"got $rows")
+    // BY SOURCE respects FK RESTRICT like any delete
+    g.execute("CREATE TABLE kid (k INTEGER PRIMARY KEY, cid INTEGER REFERENCES cur)")
+    g.execute("INSERT INTO kid VALUES (10, 4)")
+    g.execute("CREATE TABLE empty_feed (id INTEGER PRIMARY KEY)")
+    intercept[Exception] { g.execute(
+      """MERGE INTO cur t USING empty_feed s ON t.id = s.id
+        WHEN NOT MATCHED BY SOURCE THEN DELETE""") }
+    assert(g.execute("SELECT count(*) AS c FROM cur").collect()(0).getLong(0) == 3)
+    // BY TARGET is the explicit synonym for the insert family; BY on a
+    // plain MATCHED clause errors loudly
+    g.execute("INSERT INTO feed VALUES (7, 'G')") // the one unmatched row
+    g.execute("""MERGE INTO cur t USING feed s ON t.id = s.id
+      WHEN NOT MATCHED BY TARGET THEN INSERT (id, v) VALUES (s.id + 100, s.v)""")
+    assert(g.execute("SELECT v FROM cur WHERE id = 107")
+      .collect().map(_.getString(0)).toSeq == Seq("G"))
+    intercept[Exception] { g.execute(
+      """MERGE INTO cur t USING feed s ON t.id = s.id
+        WHEN MATCHED BY SOURCE THEN DELETE""") }
+  }
+
   test("MERGE INTO ... USING inside a txn: staged, EXPLAIN'd, first-committer-wins") {
     val g = session()
     g.execute("CREATE TABLE kv2 (id INTEGER PRIMARY KEY, v STRING)")
