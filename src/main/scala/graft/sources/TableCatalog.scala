@@ -1588,8 +1588,15 @@ class TableCatalog(spark: SparkSession, val root: String) {
         else cascade(anti, bySource)
       }
     val matchedParts: Seq[DataFrame] =
-      if (matched.isEmpty) Nil
-      else cascade(tgt.join(src, cond, "inner"), matched)
+      if (matched.nonEmpty) cascade(tgt.join(src, cond, "inner"), matched)
+      else if (bySource.nonEmpty)
+        // no matched clause, but keptParts above covers only the
+        // ANTI-join rows (the bySource cascade) — the source-MATCHED
+        // target rows must survive unchanged (semi join: no clause
+        // touches them and source duplicates cannot multiply them)
+        Seq(tgt.join(src, cond, "left_semi")
+          .select(m.schema.fieldNames.map(f => tcol(f).as(f)): _*))
+      else Nil
     val iConds = insert.map(_.cond)
     val notMatched =
       if (insert.isEmpty) null else src.join(tgt, cond, "left_anti")

@@ -1065,6 +1065,19 @@ class GraftSQLSpec extends AnyFunSuite {
       """MERGE INTO cur t USING empty_feed s ON t.id = s.id
         WHEN NOT MATCHED BY SOURCE THEN DELETE""") }
     assert(g.execute("SELECT count(*) AS c FROM cur").collect()(0).getLong(0) == 3)
+    // a BY-SOURCE-ONLY statement (no WHEN MATCHED clause) must keep
+    // every source-matched target row unchanged — only the anti side
+    // goes through the cascade
+    g.execute("CREATE TABLE solo (id INTEGER PRIMARY KEY, v STRING)")
+    g.execute("INSERT INTO solo VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    g.execute("CREATE TABLE keep1 (id INTEGER PRIMARY KEY)")
+    g.execute("INSERT INTO keep1 VALUES (1)")
+    g.execute("""MERGE INTO solo t USING keep1 s ON t.id = s.id
+      WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+    assert(g.execute("SELECT id FROM solo ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L),
+      "the matched row must survive a BY-SOURCE-only delete sweep")
+
     // BY TARGET is the explicit synonym for the insert family; BY on a
     // plain MATCHED clause errors loudly
     g.execute("INSERT INTO feed VALUES (7, 'G')") // the one unmatched row
