@@ -354,27 +354,29 @@ object Dedup {
 
   /** d07's verified new-vs-corpus pairs without the presentation sort
     * (d17 consumes these as delta edges). */
-  private def d07Pairs(s: SparkSession, d: String): DataFrame = {
-    val corpusSig = signatureStore(s, d).scan("corpus_signatures")
-    val newSig = newBatchSig(s, d)
-    // the INCREMENTAL join shape: new-batch bands against corpus bands
-    // — never the corpus-wide self-join. Candidate volume is bounded
-    // by the new batch's bucket matches; at 100 TB the corpus band
-    // table is stored BUCKETED by (band, bh) so only the new side
-    // shuffles, and the corpus-side scan prunes to matched buckets.
-    // newSig appears in two subtrees (bands, verify) but column
-    // pruning leaves each KERNEL evaluated once — bands computes only
-    // minhash_sig, verify only shingles64; the doubled work is just
-    // the new-batch parquet scan, small against the kernels.
+  private def d07Pairs(s: SparkSession, d: String): DataFrame =
+    incPairs(signatureStore(s, d).scan("corpus_signatures"), newBatchSig(s, d))
+
+  /** Verified cross pairs between a (stored) corpus signature frame
+    * and a batch signature frame — the incremental join shape shared
+    * by d07 and d17's maintenance loop: batch bands against corpus
+    * bands, never the corpus-wide self-join. Candidate volume is
+    * bounded by the batch's bucket matches; at 100 TB the corpus band
+    * table is stored BUCKETED by (band, bh) so only the batch side
+    * shuffles, and the corpus-side scan prunes to matched buckets.
+    * The batch frame appears in two subtrees (bands, verify) but
+    * column pruning leaves each KERNEL evaluated once — bands reads
+    * only `sig`, verify only `sh`. */
+  private def incPairs(corpusSig: DataFrame, batchSig: DataFrame): DataFrame = {
     val cand = minhashBands(corpusSig.select("doc_id", "sig")).as("a")
-      .join(minhashBands(newSig.select("doc_id", "sig")).as("b"),
+      .join(minhashBands(batchSig.select("doc_id", "sig")).as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
       .select(col("a.doc_id").as("corpus_doc"), col("b.doc_id").as("new_doc"))
       .distinct()
     cand
       .join(corpusSig.select(col("doc_id"), col("sh")).as("sa"),
         col("corpus_doc") === col("sa.doc_id"))
-      .join(newSig.select(col("doc_id"), col("sh")).as("sb"),
+      .join(batchSig.select(col("doc_id"), col("sh")).as("sb"),
         col("new_doc") === col("sb.doc_id"))
       .select(col("corpus_doc"), col("new_doc"),
         jaccard64(col("sa.sh"), col("sb.sh")).as("jaccard"))
@@ -993,7 +995,7 @@ object Dedup {
     * candidate pairs computed alone equal the full corpus's candidate
     * pairs restricted to even-even — the property that makes the
     * incremental merge provably exact. */
-  private def corpusClusterMap(s: SparkSession, d: String): DataFrame = {
+  private[graft] def corpusClusterMap(s: SparkSession, d: String): DataFrame = {
     val cat = signatureStore(s, d)
     storeLocks.computeIfAbsent((s, d), _ => new Object).synchronized {
       if (!cat.exists("corpus_cluster_map")) {
@@ -1037,30 +1039,49 @@ object Dedup {
   /** The two delta-edge frames — (new-vs-corpus folded to stored reps,
     * new-vs-new) — split out so the spec can audit their plans for the
     * stored-asset discipline (corpus side reads stored tables only). */
-  private[graft] def d17DeltaFrames(s: SparkSession, d: String): (DataFrame, DataFrame) = {
-    val stored = corpusClusterMap(s, d) // (doc_id, cluster_rep)
+  private[graft] def d17DeltaFrames(s: SparkSession, d: String): (DataFrame, DataFrame) =
+    deltaFrames(corpusClusterMap(s, d),
+      signatureStore(s, d).scan("corpus_signatures"), newBatchSig(s, d))
+
+  /** The delta-edge frames for one maintenance step over arbitrary
+    * (stored map, corpus signatures, batch signatures) — pure in its
+    * frames so the sequential-maintenance spec can iterate it. */
+  private def deltaFrames(stored: DataFrame, corpusSig: DataFrame,
+      batchSig: DataFrame): (DataFrame, DataFrame) = {
     // delta edges: new-vs-corpus with each corpus doc folded to its
     // stored rep (itself when the map has no row — a corpus singleton)
-    val nc = d07Pairs(s, d)
+    val nc = incPairs(corpusSig, batchSig)
       .join(stored.withColumnRenamed("doc_id", "corpus_doc"), Seq("corpus_doc"), "left")
       .select(col("new_doc"), col("corpus_doc"),
         coalesce(col("cluster_rep"), col("corpus_doc")).as("rep"),
         col("cluster_rep").isNull.as("miss")) // corpus singleton marker
-    val newSig = newBatchSig(s, d)
-    val nn = minhashCandidates(newSig.select("doc_id", "sig"))
-      .join(newSig.select(col("doc_id"), col("sh")).as("na"),
+    val nn = minhashCandidates(batchSig.select("doc_id", "sig"))
+      .join(batchSig.select(col("doc_id"), col("sh")).as("na"),
         col("doc_a") === col("na.doc_id"))
-      .join(newSig.select(col("doc_id"), col("sh")).as("nb"),
+      .join(batchSig.select(col("doc_id"), col("sh")).as("nb"),
         col("doc_b") === col("nb.doc_id"))
       .filter(jaccard64(col("na.sh"), col("nb.sh")) >= 0.8)
       .select("doc_a", "doc_b")
     (nc, nn)
   }
 
-  def d17IncrementalClusters(s: SparkSession, d: String): DataFrame = {
+  def d17IncrementalClusters(s: SparkSession, d: String): DataFrame =
+    mergeDeltaClusters(s, corpusClusterMap(s, d),
+      signatureStore(s, d).scan("corpus_signatures"), newBatchSig(s, d))
+
+  /** ONE maintenance step as a pure function of its frames: merge a
+    * batch's near-dup delta into a stored cluster map. The OUTPUT
+    * satisfies the same invariant as the input (every rep is its
+    * component's minimum over corpus+batch), so steps COMPOSE: feeding
+    * step N's map (plus the batch's signatures appended to the corpus
+    * signature table — the production write-back) into step N+1 is
+    * provably equal to one big recompute (spec-asserted over a
+    * two-batch chain). This is the loop a continuously-ingesting
+    * pipeline actually runs. */
+  private[graft] def mergeDeltaClusters(s: SparkSession, stored: DataFrame,
+      corpusSig: DataFrame, batchSig: DataFrame): DataFrame = {
     import s.implicits._
-    val stored = corpusClusterMap(s, d) // (doc_id, cluster_rep)
-    val (nc, nn) = d17DeltaFrames(s, d)
+    val (nc, nn) = deltaFrames(stored, corpusSig, batchSig)
     // ---- driver union-find over the delta (bounded: O(batch) edges)
     val ncRows = nc.select("new_doc", "corpus_doc", "rep", "miss").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))

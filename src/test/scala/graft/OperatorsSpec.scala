@@ -522,6 +522,39 @@ class OperatorsSpec extends AnyFunSuite {
     assert(outPlan.contains("corpus_cluster_map"), outPlan.take(1500))
   }
 
+  test("d17 sequential maintenance: two chained batch merges equal the full recompute") {
+    import graft.functions.{minhash_sig, shingles64}
+    // the production loop: merge batch 1 into the stored map, append
+    // its signatures to the corpus table (the write-back), then merge
+    // batch 2 against the UPDATED state — the result must equal one
+    // corpus-wide recompute over everything (d06 on the whole table)
+    def sig(df: org.apache.spark.sql.DataFrame) = df.select(col("doc_id"),
+      minhash_sig(col("text"), 5, 32, 42L).as("sig"),
+      shingles64(col("text"), 5).as("sh"))
+    val docs = sources.Tables.documents(spark, sf)
+    val evenSig = sig(docs.filter(col("doc_id") % 2 === 0))
+    val b1Sig = sig(docs.filter(col("doc_id") % 4 === 1))
+    val b2Sig = sig(docs.filter(col("doc_id") % 4 === 3))
+    val map0 = Dedup.corpusClusterMap(spark, sf) // stored map over the even half
+    val map1 = Dedup.mergeDeltaClusters(spark, map0, evenSig, b1Sig)
+    val map2 = Dedup.mergeDeltaClusters(spark, map1,
+      evenSig.unionByName(b1Sig), b2Sig)
+    val got = map2.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = Dedup.queries("d06_dedup_clusters")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == want, {
+      val g = got.toSet; val w = want.toSet
+      s"chained merges diverged from the full recompute: " +
+        s"extra=${(g -- w).take(5)} missing=${(w -- g).take(5)}"
+    })
+    // and the one-step odd-batch merge (the driver query) agrees with
+    // the two-step chain — batch decomposition cannot change the map
+    val oneStep = Dedup.queries("d17_incremental_clusters")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(oneStep == got, "batch decomposition must not change the merged map")
+  }
+
   test("t07 normalize: exchange keyed on the 8-byte hash, counts exact per canonical") {
     val df = TextAnalysis.t07Normalize(spark, sf)
     // the wide exchange routes on the derived xxhash64 column, never
