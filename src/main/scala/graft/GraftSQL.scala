@@ -500,10 +500,23 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
     * declared columns (VALUES come back as col1, col2, ...), or — for
     * INSERT..SELECT — to the source's own aliases. One definition, so
     * INSERT / MERGE / INSERT..SELECT arity checks cannot drift. */
+  /** Loud-error guard for user-written column lists: a duplicated name
+    * (`INSERT (a, a)`, `UPDATE SET a=1, A=2`) would otherwise collapse
+    * silently via `toMap` — last value wins — instead of erroring.
+    * Case-insensitive, mirroring Spark's resolver. */
+  private def requireDistinctCols(cols: Seq[String], what: String): Unit = {
+    val dups = cols.groupBy(_.toLowerCase(java.util.Locale.ROOT))
+      .collect { case (_, vs) if vs.size > 1 => vs.head }
+    require(dups.isEmpty, s"$what: duplicate column(s) ${dups.mkString(", ")}")
+  }
+
   private def alignCols(raw: DataFrame, colList: String, name: String,
       verb: String, defaultToOwnColumns: Boolean = false): DataFrame = {
     val targetCols: Seq[String] = Option(colList) match {
-      case Some(cl) => cl.split(",").map(_.trim).toSeq
+      case Some(cl) =>
+        val cols = cl.split(",").map(_.trim).toSeq
+        requireDistinctCols(cols, s"$verb $name column list")
+        cols
       case None if defaultToOwnColumns => raw.columns.toSeq
       case None =>
         txn.map(_.metaOf(name)).getOrElse(catalog.meta(name)).schema.fieldNames.toSeq
@@ -517,10 +530,12 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
     * parse shared by the executing path and EXPLAIN UPDATE. */
   private def parseUpdateBody(body: String): (Map[String, Column], Column) = {
     val (setBody, whereBody) = GraftSQL.splitAtTopLevelWhere(body)
-    val sets = splitTopLevel(setBody, ',').map { a =>
+    val pairs = splitTopLevel(setBody, ',').map { a =>
       val Array(k, v) = a.split("=", 2)
       k.trim -> referenceExpr(v.trim)
-    }.toMap
+    }
+    requireDistinctCols(pairs.map(_._1), "UPDATE SET")
+    val sets = pairs.toMap
     val where = whereBody.map(w => referenceExpr(w.trim)).getOrElse(lit(true))
     (sets, where)
   }
@@ -532,7 +547,19 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
     * Returns the resolved source frame (the session's snapshot view —
     * a txn sees its staged state, READ ONLY its pinned versions), the
     * two aliases, the ON condition, and the ORDERED matched / insert
-    * clause lists (first-match-wins — the SQL:2003/Delta cascade). */
+    * clause lists (first-match-wins — the SQL:2003/Delta cascade).
+    *
+    * SOURCE PINNING: the USING source is resolved ONCE here, at
+    * statement-parse time. A catalog-level publish race re-runs only
+    * the TARGET-side attempt (publishWithRetry re-scans the target at
+    * its new version); a self-referential source — `USING (SELECT …
+    * FROM <target>)` — therefore merges the statement-start snapshot
+    * of the source against the retried target version. That is the
+    * statement-snapshot semantics standard SQL gives the source
+    * relation (it is read as of statement start, not re-evaluated
+    * mid-statement), and it is deliberate: re-resolving the source per
+    * retry would make a lost race silently change WHICH rows the
+    * statement merges. */
   private def parseMergeUsing(name: String, tAlias0: String, rest: String)
       : (DataFrame, String, String, Column,
          Seq[graft.sources.TableCatalog.MergeClause],
@@ -625,10 +652,12 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
       def matchedAction(family: String): MergeAction = body match {
         case b if b.trim.equalsIgnoreCase("DELETE") => MergeAction.Delete
         case updateSetRe(setBody) =>
-          MergeAction.Update(splitTopLevel(setBody, ',').map { a =>
+          val pairs = splitTopLevel(setBody, ',').map { a =>
             val Array(key, v) = a.split("=", 2)
             key.trim -> referenceExpr(v.trim)
-          }.toMap)
+          }
+          requireDistinctCols(pairs.map(_._1), s"MERGE INTO $name: UPDATE SET")
+          MergeAction.Update(pairs.toMap)
         case other => throw new IllegalArgumentException(
           s"MERGE INTO $name: $family THEN expects UPDATE SET or DELETE: ${other.trim.take(40)}")
       }
@@ -655,6 +684,7 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
             }
             require(cols.length == vals.length,
               s"MERGE INTO $name: INSERT arity ${vals.length} values vs ${cols.length} columns")
+            requireDistinctCols(cols, s"MERGE INTO $name: INSERT column list")
             cols.zip(vals).toMap
           case other => throw new IllegalArgumentException(
             s"MERGE INTO $name: WHEN NOT MATCHED THEN expects INSERT: ${other.trim.take(40)}")

