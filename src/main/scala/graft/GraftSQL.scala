@@ -92,6 +92,29 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
         vs.getOrElse(name, sys.error(s"no such table in snapshot: $name")))))
       .getOrElse(catalog.scan(name))
 
+  /** Bind the session's snapshot views for every table / session view
+    * referenced anywhere in `stmt` — notably inside the IN / EXISTS /
+    * scalar subqueries of a DML WHERE or SET expression — for the
+    * duration of `body`. The predicate Column a DML statement carries
+    * is analyzed lazily INSIDE the catalog call (where it is bound to
+    * the target frame); a subquery in it holds UnresolvedRelations
+    * that resolve against the temp-view namespace at that moment, so
+    * the views must be registered around the catalog call, against the
+    * same snapshot a SELECT would see (txn staging / READ ONLY pins /
+    * session views included). The target table itself is bound by the
+    * catalog directly — a subquery naming the target reads the
+    * pre-statement snapshot, standard SQL's statement-snapshot rule. */
+  private def withStatementBindings[A](stmt: String)(body: => A): A = {
+    val masked = GraftSQL.maskStrings(stmt)
+    def referenced(n: String) =
+      ("(?i)\\b" + java.util.regex.Pattern.quote(n) + "\\b").r
+        .findFirstIn(masked).isDefined
+    val tableBindings = tableNames.filter(referenced).map(n => n -> currentScan(n))
+    val viewBindings = viewDefs.keys.toSeq.filter(referenced)
+      .map(n => n -> runSelect(viewDefs(n), Set(n)))
+    GraftSession.withTempViews(spark, tableBindings ++ viewBindings)(body)
+  }
+
   /** Execute one SQL statement; returns a (possibly empty) DataFrame —
     * DML returns a single-row status frame, like the reference's
     * ResultSet::Create/Insert/... variants. */
@@ -99,6 +122,16 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
     import spark.implicits._
     val s = GraftSQL.rewriteOps(sql.trim.stripSuffix(";").trim)
     val up = s.toUpperCase
+
+    // EXPLAIN ANALYZE <stmt>: execute, then report the plans that ran
+    // WITH their SQLMetrics — the observability surface a user reaches
+    // for when a statement is slow (plain EXPLAIN never executes; this
+    // variant is documented as executing, like PostgreSQL's).
+    val analyzeRe = raw"(?is)EXPLAIN\s+ANALYZE\s+(.*)".r
+    s match {
+      case analyzeRe(inner) => return explainAnalyze(inner)
+      case _ =>
+    }
 
     if (up.startsWith("EXPLAIN")
         && (up.length == 7 || up(7).isWhitespace)) { // EXPLAIN\nSELECT too
@@ -163,10 +196,12 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
               colList, name, "MERGE")))
         case updateRe(name, body) =>
           val (sets, where) = parseUpdateBody(body)
-          Some(exUpdate(name, sets, where))
+          // bindings wrap the CONSTRUCTOR: the would-be-written frame is
+          // analyzed eagerly, so a WHERE subquery resolves here too
+          Some(withStatementBindings(inner)(exUpdate(name, sets, where)))
         case deleteRe(name, whereBody) =>
-          Some(exDelete(name,
-            Option(whereBody).map(w => referenceExpr(w.trim)).getOrElse(lit(true))))
+          Some(withStatementBindings(inner)(exDelete(name,
+            Option(whereBody).map(w => referenceExpr(w.trim)).getOrElse(lit(true)))))
         case _ => None
       }
       return dmlFrame match {
@@ -409,18 +444,22 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
       case updateRe(name, body) =>
         require(!readOnly, "read-only transaction")
         val (sets, where) = parseUpdateBody(body)
-        txn match {
-          case Some(t) => t.update(name, sets, where)
-          case None    => catalog.update(name, sets, where)
+        withStatementBindings(s) {
+          txn match {
+            case Some(t) => t.update(name, sets, where)
+            case None    => catalog.update(name, sets, where)
+          }
         }
         Seq(s"UPDATE $name").toDF("status")
 
       case deleteRe(name, whereBody) =>
         require(!readOnly, "read-only transaction")
         val where = Option(whereBody).map(w => referenceExpr(w.trim)).getOrElse(lit(true))
-        txn match {
-          case Some(t) => t.delete(name, where)
-          case None    => catalog.delete(name, where)
+        withStatementBindings(s) {
+          txn match {
+            case Some(t) => t.delete(name, where)
+            case None    => catalog.delete(name, where)
+          }
         }
         Seq(s"DELETE $name").toDF("status")
 
@@ -695,6 +734,52 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
     }
     (source, tAlias, sAlias, cond, matched.result(), insert.result(),
       bySource.result())
+  }
+
+  /** EXPLAIN ANALYZE <statement>: EXECUTE the statement — a DML
+    * publishes its version (or stages it, inside a txn) exactly as if
+    * run bare — then render every physical plan the statement actually
+    * ran WITH its SQLMetrics (rows output per operator, files/bytes
+    * written, partial-discard counters like TopKPerGroup's). A SELECT
+    * drives its complete plan through the noop sink (every operator
+    * executes, nothing lands on the driver); every execution is
+    * observed through a QueryExecutionListener, so a DML's validation
+    * scans and its version write each appear as one labeled execution,
+    * in order. Session-mode rules are the executing statement's own:
+    * a READ ONLY session accepts EXPLAIN ANALYZE SELECT and rejects
+    * EXPLAIN ANALYZE DML with the DML's error. */
+  private def explainAnalyze(inner: String): DataFrame = {
+    import spark.implicits._
+    val innerUp = inner.trim.toUpperCase
+    require(!innerUp.startsWith("EXPLAIN"),
+      "EXPLAIN ANALYZE EXPLAIN: nothing to execute")
+    val captured = new java.util.concurrent.CopyOnWriteArrayList[
+      (String, org.apache.spark.sql.execution.QueryExecution)]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        captured.add(funcName -> qe)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      if (innerUp.startsWith("SELECT") || innerUp.startsWith("WITH"))
+        runSelect(inner).write.format("noop").mode("overwrite").save()
+      else execute(inner)
+    } finally {
+      // listener callbacks are asynchronous: drain the bus BEFORE
+      // unregistering, or a fast statement races its own report
+      org.apache.spark.sql.GraftListenerBridge.flush(spark)
+      spark.listenerManager.unregister(listener)
+    }
+    import scala.jdk.CollectionConverters._
+    val parts = captured.asScala.toSeq.zipWithIndex.map { case ((fn, qe), i) =>
+      s"== Execution ${i + 1}: $fn ==\n" + GraftSQL.renderMetrics(qe.executedPlan)
+    }
+    Seq(
+      if (parts.isEmpty) "== No Spark execution (metadata-only statement) =="
+      else parts.mkString("\n")).toDF("plan")
   }
 
   /** A SELECT/WITH under the session's snapshot view bindings.
@@ -1052,6 +1137,30 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
 
 /** Dialect shims shared by every [[GraftSQL]] instance. */
 object GraftSQL {
+
+  /** One indented line per executed-plan node with its SQLMetric
+    * VALUES — `nodeName [metric=value, …]` — descending through AQE's
+    * final plan and materialized query stages, so the report shows
+    * what RAN, not the pre-execution sketch. */
+  private[graft] def renderMetrics(
+      plan: org.apache.spark.sql.execution.SparkPlan): String = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val sb = new StringBuilder
+    def walk(p: org.apache.spark.sql.execution.SparkPlan, depth: Int): Unit = {
+      val ms = p.metrics.toSeq.sortBy(_._1)
+        .map { case (k, m) => s"$k=${m.value}" }.mkString(", ")
+      sb.append("  " * depth).append(p.nodeName)
+      if (ms.nonEmpty) sb.append(" [").append(ms).append("]")
+      sb.append('\n')
+      p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan, depth + 1)
+        case q: QueryStageExec        => walk(q.plan, depth + 1)
+        case other                    => other.children.foreach(walk(_, depth + 1))
+      }
+    }
+    walk(plan, 0)
+    sb.result()
+  }
 
   // statement-routing patterns — constants, compiled once (execute()
   // used to recompile all of them per call)

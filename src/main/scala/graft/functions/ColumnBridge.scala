@@ -95,3 +95,16 @@ object GraftColumnBridge {
     }
   }
 }
+
+/** Bridge to the private[spark] listener bus: EXPLAIN ANALYZE captures
+  * executed plans through a QueryExecutionListener, whose callbacks
+  * arrive ASYNCHRONOUSLY on the listener bus — metrics may only be
+  * rendered after the bus has drained, or a fast statement would race
+  * its own report. */
+object GraftListenerBridge {
+  def flush(s: SparkSession): Unit = s match {
+    case c: classic.SparkSession =>
+      c.sparkContext.listenerBus.waitUntilEmpty(30000L)
+    case _ => ()
+  }
+}

@@ -1248,12 +1248,12 @@ class TableCatalog(spark: SparkSession, val root: String) {
       val fp = fkFingerprint(name, m)
       val set = resolveSetKeys(m, name, set0)
       for (pk <- m.primaryKey if set.contains(pk)) {
-        val changedKeys = scan(name).filter(coalesce(where, lit(false)))
+        val changedKeys = dmlView(name).filter(coalesce(where, lit(false)))
           .filter(!(set(pk).cast(m.schema(pk).dataType) <=> col(pk)))
           .select(col(pk)).distinct()
         restrictReferenced(name, changedKeys, referencingTables(name), scan, "UPDATE")
       }
-      rewriteAttempt(name, m, fp, updatedFrame(m, set, where, scan(name)))
+      rewriteAttempt(name, m, fp, updatedFrame(m, set, where, dmlView(name)))
     }
 
   /** The exact snapshot frame an UPDATE would publish — ONE definition
@@ -1273,6 +1273,14 @@ class TableCatalog(spark: SparkSession, val root: String) {
   private def deletedFrame(current: DataFrame, where: Column): DataFrame =
     current.filter(!coalesce(where, lit(false)))
 
+  /** The target frame a DML predicate binds against: the current scan
+    * ALIASED with the table's name, so a predicate may qualify target
+    * columns the way standard SQL allows (`DELETE FROM t WHERE EXISTS
+    * (SELECT 1 FROM u WHERE u.k = t.k)` — the correlated outer
+    * reference `t.k` needs the alias to resolve). Alias-only: schema
+    * and rows are the scan's. */
+  private def dmlView(name: String): DataFrame = scan(name).alias(name)
+
   // ---------------------------------------------------- EXPLAIN support
   // The reference's Explain(Box<Statement>) plans ANY statement and
   // dumps the node tree without executing it (ast.rs:17,
@@ -1282,10 +1290,10 @@ class TableCatalog(spark: SparkSession, val root: String) {
   // validation, no write, no version publish.
   def explainUpdate(name: String, set0: Map[String, Column], where: Column): DataFrame = {
     val m = meta(name)
-    updatedFrame(m, resolveSetKeys(m, name, set0), where, scan(name))
+    updatedFrame(m, resolveSetKeys(m, name, set0), where, dmlView(name))
   }
   def explainDelete(name: String, where: Column): DataFrame =
-    deletedFrame(scan(name), where)
+    deletedFrame(dmlView(name), where)
   def explainMerge(name: String, source: DataFrame): DataFrame = {
     val m = meta(name)
     mergedFrame(m, name, source, scan(name), validate = false)
@@ -1301,11 +1309,11 @@ class TableCatalog(spark: SparkSession, val root: String) {
       val m = meta(name)
       val fp = fkFingerprint(name, m)
       for (pk <- m.primaryKey) {
-        val removedKeys = scan(name).filter(coalesce(where, lit(false)))
+        val removedKeys = dmlView(name).filter(coalesce(where, lit(false)))
           .select(col(pk)).distinct()
         restrictReferenced(name, removedKeys, referencingTables(name), scan, "DELETE")
       }
-      rewriteAttempt(name, m, fp, deletedFrame(scan(name), where))
+      rewriteAttempt(name, m, fp, deletedFrame(dmlView(name), where))
     }
 
   /** One copy-on-write attempt: validate + write the snapshot outside
@@ -2325,16 +2333,12 @@ class TableCatalog(spark: SparkSession, val root: String) {
       val set = resolveSetKeys(m, name, set0)
       val base = baseOf(name)
       for (pk <- m.primaryKey if set.contains(pk)) {
-        val changedKeys = scan(name).filter(coalesce(where, lit(false)))
+        val changedKeys = scan(name).alias(name).filter(coalesce(where, lit(false)))
           .filter(!(set(pk).cast(m.schema(pk).dataType) <=> col(pk)))
           .select(col(pk)).distinct()
         restrictReferenced(name, changedKeys, refsOf(name), scan, "UPDATE")
       }
-      val updated = scan(name).select(m.schema.fields.map { f =>
-        set.get(f.name)
-          .map(v => when(where, v.cast(f.dataType)).otherwise(col(f.name)).as(f.name))
-          .getOrElse(col(f.name))
-      }: _*)
+      val updated = updatedFrame(m, set, where, scan(name).alias(name))
       val rel = freshDir(name)
       try {
         validate(m, name, updated.cache(), scan)
@@ -2411,11 +2415,11 @@ class TableCatalog(spark: SparkSession, val root: String) {
       val m = pinnedMetaOf(name)
       val base = baseOf(name)
       for (pk <- m.primaryKey) {
-        val removedKeys = scan(name).filter(coalesce(where, lit(false)))
+        val removedKeys = scan(name).alias(name).filter(coalesce(where, lit(false)))
           .select(col(pk)).distinct()
         restrictReferenced(name, removedKeys, refsOf(name), scan, "DELETE")
       }
-      val remaining = scan(name).filter(!coalesce(where, lit(false)))
+      val remaining = deletedFrame(scan(name).alias(name), where)
       val rel = freshDir(name)
       writeData(m, remaining, absTableDir(name).resolve(rel).toString)
       dirStats(rel) = collectStats(m, name, rel)
@@ -2437,11 +2441,11 @@ class TableCatalog(spark: SparkSession, val root: String) {
     def explainUpdate(name: String, set0: Map[String, Column], where: Column): DataFrame = {
       open(); visible(name)
       val m = metaOf(name)
-      updatedFrame(m, resolveSetKeys(m, name, set0), where, scan(name))
+      updatedFrame(m, resolveSetKeys(m, name, set0), where, scan(name).alias(name))
     }
     def explainDelete(name: String, where: Column): DataFrame = {
       open(); visible(name)
-      deletedFrame(scan(name), where)
+      deletedFrame(scan(name).alias(name), where)
     }
     def explainMerge(name: String, source: DataFrame): DataFrame = {
       open(); visible(name)

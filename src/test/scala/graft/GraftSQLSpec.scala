@@ -74,6 +74,109 @@ class GraftSQLSpec extends AnyFunSuite {
     assert(rows.length == 1 && rows(0).getLong(0) == 1L && rows(0).getLong(1) == 2L)
   }
 
+  test("subquery predicates in DML: IN / EXISTS / scalar through UPDATE and DELETE, txn and EXPLAIN") {
+    val g = session()
+    g.execute("CREATE TABLE items (id INTEGER PRIMARY KEY, qty INTEGER)")
+    g.execute("INSERT INTO items VALUES (1, 10), (2, 20), (3, 30), (4, 40)")
+    g.execute("CREATE TABLE picks (pid INTEGER)")
+    g.execute("INSERT INTO picks VALUES (7), (8)")
+    def ids() = g.execute("SELECT id FROM items ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq
+    def qtys() = g.execute("SELECT id, qty FROM items ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+    // EXPLAIN first: plans, never executes (reference semantics)
+    val exPlan = g.execute(
+      "EXPLAIN DELETE FROM items WHERE id IN (SELECT pid / 2 FROM picks)")
+      .collect()(0).getString(0)
+    assert(exPlan.contains("not executed") || exPlan.contains("Physical Plan"))
+    assert(ids() == Seq(1L, 2L, 3L, 4L), "EXPLAIN must not execute the DELETE")
+
+    // IN (subquery) with the reference's integer division INSIDE the
+    // subquery body: 7/2=3, 8/2=4 — so ids 3 and 4 go, never 3.5/4.0
+    g.execute("DELETE FROM items WHERE id IN (SELECT pid / 2 FROM picks)")
+    assert(ids() == Seq(1L, 2L), s"RefDiv must reach the subquery body: ${ids()}")
+
+    // correlated EXISTS with a QUALIFIED outer reference (items.id)
+    g.execute("INSERT INTO picks VALUES (2)")
+    g.execute("UPDATE items SET qty = qty + 100 " +
+      "WHERE EXISTS (SELECT 1 FROM picks p WHERE p.pid = items.id)")
+    assert(qtys() == Seq((1L, 10L), (2L, 120L)), s"correlated EXISTS: ${qtys()}")
+
+    // scalar subquery in SET and in WHERE
+    g.execute("UPDATE items SET qty = (SELECT min(pid) FROM picks) " +
+      "WHERE id = (SELECT min(id) FROM items)")
+    assert(qtys() == Seq((1L, 2L), (2L, 120L)), s"scalar subqueries: ${qtys()}")
+
+    // NOT IN through a txn: the subquery sees the txn's STAGED state
+    g.execute("BEGIN")
+    g.execute("INSERT INTO picks VALUES (1)")
+    // staged view: picks = {7, 8, 2, 1}; delete items NOT IN picks → id 2 stays
+    g.execute("DELETE FROM items WHERE id NOT IN (SELECT pid FROM picks)")
+    // read-your-writes inside the txn
+    assert(ids() == Seq(1L, 2L), s"txn staged subquery: ${ids()}")
+    // EXPLAIN UPDATE with a subquery inside the open txn
+    val txPlan = g.execute("EXPLAIN UPDATE items SET qty = 0 " +
+      "WHERE id IN (SELECT pid FROM picks)").collect()(0).getString(0)
+    assert(txPlan.contains("not executed"))
+    g.execute("COMMIT")
+    assert(ids() == Seq(1L, 2L))
+
+    // subquery over a SESSION VIEW in a DML predicate: big_picks = {8},
+    // so only id 2 (2 + 6 = 8) goes and id 1 survives
+    g.execute("CREATE VIEW big_picks AS SELECT pid FROM picks WHERE pid >= 8")
+    g.execute("DELETE FROM items WHERE id + 6 IN (SELECT pid FROM big_picks)")
+    assert(ids() == Seq(1L), s"view-backed subquery: ${ids()}")
+  }
+
+  test("EXPLAIN ANALYZE: executed-plan metrics for SELECT and MERGE USING, incl. inside a txn") {
+    val g = session()
+    g.execute("CREATE TABLE f (k INTEGER PRIMARY KEY, v INTEGER)")
+    g.execute("CREATE TABLE dim (k INTEGER PRIMARY KEY, grp STRING)")
+    g.execute("INSERT INTO f VALUES (1, 10), (2, 20), (3, 30)")
+    g.execute("INSERT INTO dim VALUES (1, 'a'), (2, 'b'), (3, 'a')")
+    // scan + join + agg SELECT: metric-bearing rows per operator
+    val sel = g.execute("EXPLAIN ANALYZE SELECT grp, sum(v) AS s " +
+      "FROM f JOIN dim ON f.k = dim.k GROUP BY grp").collect()(0).getString(0)
+    assert(sel.contains("== Execution"), sel.take(400))
+    assert(sel.matches("(?s).*numOutputRows=\\d.*"), sel.take(800))
+    assert(sel.contains("HashAggregate") || sel.contains("ObjectHashAggregate"),
+      sel.take(800))
+    // MERGE USING: executes for real AND reports metric-bearing plans
+    val m = g.execute("EXPLAIN ANALYZE MERGE INTO f USING " +
+      "(SELECT 2 AS k, 99 AS v) s ON f.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET v = s.v " +
+      "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)")
+      .collect()(0).getString(0)
+    assert(m.contains("== Execution") && m.matches("(?s).*numOutputRows=\\d.*"),
+      m.take(800))
+    assert(g.execute("SELECT v FROM f WHERE k = 2").collect()(0).getLong(0) == 99L,
+      "EXPLAIN ANALYZE MERGE must actually execute the merge")
+    // inside a txn: the staged write's execution is captured; the txn
+    // keeps read-your-writes and rollback discards the staged row
+    g.execute("BEGIN")
+    val tm = g.execute("EXPLAIN ANALYZE MERGE INTO f USING " +
+      "(SELECT 9 AS k, 1 AS v) s ON f.k = s.k " +
+      "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)")
+      .collect()(0).getString(0)
+    assert(tm.contains("== Execution") && tm.matches("(?s).*numOutputRows=\\d.*"),
+      tm.take(800))
+    assert(g.execute("SELECT count(*) AS n FROM f WHERE k = 9")
+      .collect()(0).getLong(0) == 1L)
+    g.execute("ROLLBACK")
+    assert(g.execute("SELECT count(*) AS n FROM f WHERE k = 9")
+      .collect()(0).getLong(0) == 0L)
+    // plain EXPLAIN still never executes
+    g.execute("EXPLAIN DELETE FROM f WHERE k = 1")
+    assert(g.execute("SELECT count(*) AS n FROM f").collect()(0).getLong(0) == 3L)
+    // a READ ONLY session rejects EXPLAIN ANALYZE DML with the DML's error
+    g.execute("BEGIN READ ONLY")
+    intercept[IllegalArgumentException] {
+      g.execute("EXPLAIN ANALYZE DELETE FROM f WHERE k = 1")
+    }
+    g.execute("ROLLBACK")
+  }
+
   test("PK violation through SQL is rejected and not published") {
     val g = session()
     g.execute("CREATE TABLE t (id INTEGER PRIMARY KEY, v STRING)")
