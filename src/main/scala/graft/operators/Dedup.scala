@@ -41,11 +41,16 @@ object Dedup {
     }
 
   /** Minhash-LSH candidate pairs, cached: d02 (estimate), d04 (exact
-    * verify) and d06 (clusters) all block on the same band self-join. */
-  private def candidates(s: SparkSession, d: String): DataFrame =
-    FrameCache.getOrBuild(s, s"dedup/cand|$d") {
+    * verify) and d06 (clusters) all block on the same band self-join.
+    * The cache key carries the hot-bucket cap so a conf change never
+    * serves a stale candidate frame. */
+  private def candidates(s: SparkSession, d: String): DataFrame = {
+    val cap = s.conf.get(HotBucketConf, HotBucketDefault) + "," +
+      s.conf.get(HotFracConf, HotFracDefault)
+    FrameCache.getOrBuild(s, s"dedup/cand|$d|cap=$cap") {
       minhashCandidates(signed(s, d).select("doc_id", "sig"))
     }
+  }
 
   /** LSH banding: one (band, bandhash) row per band per doc; equal
     * bandhash within a band ⇒ candidate pair. */
@@ -61,15 +66,160 @@ object Dedup {
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
   }
 
-  /** Candidate pairs from any shared minhash band (distinct). */
-  private def minhashCandidates(sigDf: DataFrame): DataFrame = {
+  /** The ABSOLUTE arm of the degenerate-band guard: a band bucket
+    * holding MORE than this many docs is non-discriminative regardless
+    * of corpus size (see [[minhashCandidates]]). Measured, not
+    * hypothetical: round 9's 10× scale step produced one 10,628-doc
+    * bucket carrying 56M of 73M raw candidate pairs, 0.005% of which
+    * verify — its array-carrying verify join spilled the disk. */
+  private val HotBucketConf = "spark.graft.lsh.hotBucketLimit"
+  private val HotBucketDefault = "2048"
+
+  /** The RELATIVE arm of the degenerate-band cap: a bucket is also
+    * non-discriminative when it holds more than this FRACTION of the
+    * corpus (default 2%), floored at 256 docs so small fixtures and
+    * planted spec corpora never trip it. Effective cap =
+    * min(hotBucketLimit, max(256, fraction × corpus)) — at 1B docs the
+    * absolute arm binds, at the 50k sf1 step the relative arm does
+    * (1,000), and at every oracle/spec SF (≤ 5k docs) the 256 floor
+    * sits above the hottest real bucket (~110), so the guard is
+    * provably silent where value-exactness is gated. */
+  private val HotFracConf = "spark.graft.lsh.hotBucketFraction"
+  private val HotFracDefault = "0.02"
+
+  /** Candidate pairs from any shared minhash band (distinct) — with
+    * the DEGENERATE-BAND guard, the minhash analog of d09's hot-posting
+    * cap. On a low-entropy corpus (boilerplate-heavy crawl; byte-5-gram
+    * shingles over a small effective alphabet) a band's globally
+    * commonest shingles pin its minhash positions for a corpus-scale
+    * FRACTION of documents: that bucket's pair count is quadratic in
+    * corpus size while its verification yield is ~zero — the one
+    * structure that turns LSH's near-linear candidate volume quadratic
+    * at 100 TB.
+    *
+    * Policy, per bucket of size n vs cap = `spark.graft.lsh
+    * .hotBucketLimit` (default 2048):
+    *  - n ≤ cap: enumerate pairs as usual (the exercised SFs end here:
+    *    the default never fires below sf1).
+    *  - n > cap: the bucket is non-discriminative — its pairs are NOT
+    *    enumerated. Its members are re-blocked by RESCUE bands built
+    *    from INTERLEAVED signature positions ({b, b+8, b+16, b+24}
+    *    instead of 4 consecutive): a degenerate position contaminates
+    *    every rescue band at most once, so rescue buckets stay
+    *    discriminative on exactly the corpora that degenerate
+    *    consecutive bands. A true near-dup pair (J ≥ 0.8) caught ONLY
+    *    by the degenerate band re-surfaces via a rescue band with
+    *    p ≈ 1−(1−J⁴)⁸ ≈ 0.985 on top of the 7 intact original bands
+    *    (combined residual miss ~4·10⁻⁴); the cap spec proves the
+    *    verified pair set and the cluster map are UNCHANGED by the
+    *    guard on the real corpus.
+    *  - a rescue bucket still over the cap is an exact-dup FLOOD (n
+    *    near-identical payloads): it contributes STAR pairs to its
+    *    min-doc member — verification-checked like any candidate —
+    *    which preserves verified CONNECTIVITY (d06/d17 clusters are
+    *    exact: every flood member verifies against the representative)
+    *    while bounding candidates linearly; an exhaustive pair LIST of
+    *    a 10k-duplicate flood is quadratic in the OUTPUT contract
+    *    itself, which no candidate policy can fix. */
+  private[graft] def minhashCandidates(sigDf: DataFrame): DataFrame = {
+    val conf = sigDf.sparkSession.conf
+    val capAbs = conf.get(HotBucketConf, HotBucketDefault).toLong
+    val frac = conf.get(HotFracConf, HotFracDefault).toDouble
+    // one count on the (normally session-cached) signature frame; the
+    // relative arm needs the corpus size and nothing cheaper is sound
+    val cap = math.min(capAbs,
+      math.max(256L, (frac * sigDf.count()).toLong))
     val bands = minhashBands(sigDf)
-    bands.as("a")
-      .join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
-          && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+    val sized = bands.join(
+      bands.groupBy("band", "bh").agg(count(lit(1)).as("n")), Seq("band", "bh"))
+    def pairsOf(df: DataFrame): DataFrame =
+      df.as("a").join(df.as("b"),
+          col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
+            && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val cold = pairsOf(sized.filter(col("n") <= cap).select("doc_id", "band", "bh"))
+    val hotDocs = sized.filter(col("n") > cap).select("doc_id").distinct()
+    // interleaved rescue bands over the hot members only
+    val r = MinhashK / Bands
+    val rescueCols = (0 until Bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64((0 until r).map(i => col("sig").getItem(b + Bands * i)): _*).as("bh"))
+    }
+    val rBands = sigDf.join(hotDocs, "doc_id")
+      .select(col("doc_id"), explode(array(rescueCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+    val rSized = rBands.join(
+      rBands.groupBy("band", "bh").agg(count(lit(1)).as("n")), Seq("band", "bh"))
+    val rescued = pairsOf(rSized.filter(col("n") <= cap).select("doc_id", "band", "bh"))
+    // still-hot rescue bucket = exact-dup flood: star to the min member
+    val star = rSized.filter(col("n") > cap)
+      .withColumn("doc_a", min(col("doc_id"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")))
+      .filter(col("doc_id") =!= col("doc_a"))
+      .select(col("doc_a"), col("doc_id").as("doc_b"))
+    // all three branches emit doc_a < doc_b already (pairsOf by
+    // construction; star's rep is the bucket MIN), so the union needs
+    // no reordering — and must not add one: a least/greatest wrapper
+    // here leaks into constraint-inferred pushdown predicates and
+    // muddies the stored-only plan audits
+    cold.unionByName(rescued).unionByName(star).distinct()
+  }
+
+  /** The CROSS (corpus × batch) candidate join with the same
+    * degenerate-band guard as [[minhashCandidates]] — d07/d17's
+    * incremental band probe hits the identical failure: a degenerate
+    * band's corpus bucket holds a corpus-scale fraction of docs, so
+    * every batch doc landing in it probes the whole bucket (junk
+    * volume = |bucket| × |batch ∩ bucket| per band). Cap basis is the
+    * CORPUS side (the stored table — the side that grows). Policy per
+    * corpus bucket of size n:
+    *  - n ≤ cap: join batch bands directly (the exercised SFs).
+    *  - n > cap: skip the direct join; the bucket's corpus members and
+    *    the WHOLE batch are re-blocked by the interleaved rescue bands
+    *    (a true cross pair re-surfaces with the same ≈0.985 per-pair
+    *    odds as the self-join case, on top of the 7 intact bands).
+    *  - a rescue bucket still over the cap is a flood: each batch
+    *    member in it pairs with the bucket's MIN corpus member only —
+    *    verification keeps d17's connectivity exact (the corpus flood
+    *    is already one stored component; one verified edge joins the
+    *    batch doc to it), and d07's pair list stays bounded instead of
+    *    |batch| × |flood|. */
+  private[graft] def incCandidates(corpusSig: DataFrame, batchSig: DataFrame): DataFrame = {
+    val conf = corpusSig.sparkSession.conf
+    val capAbs = conf.get(HotBucketConf, HotBucketDefault).toLong
+    val frac = conf.get(HotFracConf, HotFracDefault).toDouble
+    val cap = math.min(capAbs,
+      math.max(256L, (frac * corpusSig.count()).toLong))
+    val r = MinhashK / Bands
+    def rescueBands(sigDf: DataFrame): DataFrame = {
+      val cols = (0 until Bands).map { b =>
+        struct(lit(b).as("band"),
+          xxhash64((0 until r).map(i => col("sig").getItem(b + Bands * i)): _*).as("bh"))
+      }
+      sigDf.select(col("doc_id"), explode(array(cols: _*)).as("bk"))
+        .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+    }
+    def cross(ca: DataFrame, cb: DataFrame): DataFrame =
+      ca.as("a").join(cb.as("b"),
+          col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
+        .select(col("a.doc_id").as("corpus_doc"), col("b.doc_id").as("new_doc"))
+    val ca = minhashBands(corpusSig.select("doc_id", "sig"))
+    val sized = ca.join(
+      ca.groupBy("band", "bh").agg(count(lit(1)).as("n")), Seq("band", "bh"))
+    val cold = cross(sized.filter(col("n") <= cap).select("doc_id", "band", "bh"),
+      minhashBands(batchSig.select("doc_id", "sig")))
+    val hotCorpus = sized.filter(col("n") > cap).select("doc_id").distinct()
+    val rca = rescueBands(corpusSig.join(hotCorpus, "doc_id").select("doc_id", "sig"))
+    val rSized = rca.join(
+      rca.groupBy("band", "bh").agg(count(lit(1)).as("n")), Seq("band", "bh"))
+    val rb = rescueBands(batchSig.select("doc_id", "sig"))
+    val rescued = cross(rSized.filter(col("n") <= cap).select("doc_id", "band", "bh"), rb)
+    // flood rescue buckets: batch members pair with the MIN corpus doc
+    val floodRep = rSized.filter(col("n") > cap)
+      .groupBy("band", "bh").agg(min(col("doc_id")).as("corpus_doc"))
+    val star = floodRep.join(rb, Seq("band", "bh"))
+      .select(col("corpus_doc"), col("doc_id").as("new_doc"))
+    cold.unionByName(rescued).unionByName(star).distinct()
   }
 
   // ---------------------------------------------------------------- d01
@@ -140,16 +290,24 @@ object Dedup {
     * d06 consumes this (its edge checkpoint would otherwise
     * materialize a full range-partitioned sort it immediately
     * discards); d04's public result adds the ORDER BY. */
-  private def verifiedPairs(s: SparkSession, d: String): DataFrame = {
-    val cand = candidates(s, d)
-    val sh = signed(s, d).select("doc_id", "sh")
-    cand
-      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sh.as("sb"), col("doc_b") === col("sb.doc_id"))
-      .select(col("doc_a"), col("doc_b"),
-        jaccard64(col("sa.sh"), col("sb.sh")).as("jaccard"))
-      .filter(col("jaccard") >= 0.8)
-  }
+  private def verifiedPairs(s: SparkSession, d: String): DataFrame =
+    FrameCache.getOrBuild(s, s"dedup/verified|$d|cap=" +
+        s.conf.get(HotBucketConf, HotBucketDefault) + "," +
+        s.conf.get(HotFracConf, HotFracDefault)) {
+      // cached ALONGSIDE the candidate frame: the exact-jaccard join
+      // ships two shingle-hash arrays per candidate pair — the single
+      // most expensive dedup stage at scale — and d04, d06, d10, d11
+      // and d12 all consume the same verified edge set (at 100 TB it
+      // is a table materialized at ingest, like the signatures)
+      val cand = candidates(s, d)
+      val sh = signed(s, d).select("doc_id", "sh")
+      cand
+        .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+        .join(sh.as("sb"), col("doc_b") === col("sb.doc_id"))
+        .select(col("doc_a"), col("doc_b"),
+          jaccard64(col("sa.sh"), col("sb.sh")).as("jaccard"))
+        .filter(col("jaccard") >= 0.8)
+    }
 
   /** n-gram Jaccard dedup: minhash-LSH candidates verified with the
     * *exact* shingle-set Jaccard (merge of sorted hash sets). */
@@ -343,11 +501,15 @@ object Dedup {
   /** The NEW batch's signatures (odd doc_ids) — the only side that
     * ever evaluates the kernels in the incremental passes (d07, d17). */
   private def newBatchSig(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .filter(col("doc_id") % 2 =!= 0)
-      .select(col("doc_id"),
-        minhash_sig(col("text"), ShingleN, MinhashK, Seed).as("sig"),
-        shingles64(col("text"), ShingleN).as("sh"))
+    signatureOf(Tables.documents(s, d).filter(col("doc_id") % 2 =!= 0))
+
+  /** The (doc_id, sig, sh) signature frame of a document frame — the
+    * ONE kernel stage every incremental dedup pass shares (d07/d17's
+    * batch side, st20's micro-batches, the stored corpus build). */
+  private[graft] def signatureOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      minhash_sig(col("text"), ShingleN, MinhashK, Seed).as("sig"),
+      shingles64(col("text"), ShingleN).as("sh"))
 
   def d07Incremental(s: SparkSession, d: String): DataFrame =
     d07Pairs(s, d).orderBy("corpus_doc", "new_doc")
@@ -368,11 +530,7 @@ object Dedup {
     * column pruning leaves each KERNEL evaluated once — bands reads
     * only `sig`, verify only `sh`. */
   private def incPairs(corpusSig: DataFrame, batchSig: DataFrame): DataFrame = {
-    val cand = minhashBands(corpusSig.select("doc_id", "sig")).as("a")
-      .join(minhashBands(batchSig.select("doc_id", "sig")).as("b"),
-        col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
-      .select(col("a.doc_id").as("corpus_doc"), col("b.doc_id").as("new_doc"))
-      .distinct()
+    val cand = incCandidates(corpusSig, batchSig)
     cand
       .join(corpusSig.select(col("doc_id"), col("sh")).as("sa"),
         col("corpus_doc") === col("sa.doc_id"))
@@ -999,23 +1157,83 @@ object Dedup {
     val cat = signatureStore(s, d)
     storeLocks.computeIfAbsent((s, d), _ => new Object).synchronized {
       if (!cat.exists("corpus_cluster_map")) {
-        val sigs = cat.scan("corpus_signatures")
-        val cand = minhashCandidates(sigs.select("doc_id", "sig"))
-        val pairs = cand
-          .join(sigs.select(col("doc_id"), col("sh")).as("ca"),
-            col("doc_a") === col("ca.doc_id"))
-          .join(sigs.select(col("doc_id"), col("sh")).as("cb"),
-            col("doc_b") === col("cb.doc_id"))
-          .select(col("doc_a"), col("doc_b"),
-            jaccard64(col("ca.sh"), col("cb.sh")).as("jaccard"))
-          .filter(col("jaccard") >= 0.8)
-          .select("doc_a", "doc_b")
-        val map = propagateMinLabels(pairs)
+        val map = clusterMapOfSigs(cat.scan("corpus_signatures"))
         cat.createTable("corpus_cluster_map", map.schema)
         cat.insert("corpus_cluster_map", map)
       }
     }
     cat.scan("corpus_cluster_map")
+  }
+
+  /** The converged (doc_id, cluster_rep) map of one signature frame —
+    * LSH candidates from the stored `sig` column, verification from
+    * the stored `sh` sets, min-label propagation. Shared by the
+    * session store's build and [[d17InitStore]]'s bootstrap. */
+  private def clusterMapOfSigs(sigs: DataFrame): DataFrame = {
+    val cand = minhashCandidates(sigs.select("doc_id", "sig"))
+    val pairs = cand
+      .join(sigs.select(col("doc_id"), col("sh")).as("ca"),
+        col("doc_a") === col("ca.doc_id"))
+      .join(sigs.select(col("doc_id"), col("sh")).as("cb"),
+        col("doc_b") === col("cb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        jaccard64(col("ca.sh"), col("cb.sh")).as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+      .select("doc_a", "doc_b")
+    propagateMinLabels(pairs)
+  }
+
+  /** Bootstrap a PRODUCTION maintenance store (the at-ingest state
+    * [[d17Maintain]] evolves): corpus signatures, the initial cluster
+    * map built FROM the stored signatures, and the replay marker log —
+    * three versioned catalog tables. */
+  private[graft] def d17InitStore(cat: graft.sources.TableCatalog,
+      corpusSig: DataFrame): Unit = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    cat.createTable("corpus_signatures", corpusSig.schema)
+    cat.insert("corpus_signatures", corpusSig)
+    val map = clusterMapOfSigs(cat.scan("corpus_signatures"))
+    cat.createTable("corpus_cluster_map", map.schema)
+    cat.insert("corpus_cluster_map", map)
+    cat.createTable("maintenance_log", StructType(Seq(
+      StructField("batch_id", LongType, nullable = false))),
+      primaryKey = Some("batch_id"))
+  }
+
+  /** d17 PRODUCTION WRITE-BACK: one maintenance step as ONE catalog
+    * transaction. The merged map is computed from the CURRENT stored
+    * state (the same [[mergeDeltaClusters]] step the query form runs),
+    * then the batch's signatures APPEND to `corpus_signatures`, the
+    * merged map publishes as the new version of `corpus_cluster_map`,
+    * and the batch-id marker lands in `maintenance_log` — all staged
+    * in one first-committer-wins txn (st10's exactly-once discipline).
+    * Crash-safety by construction: a crash before COMMIT publishes
+    * nothing (staged dirs die with the txn), and a REPLAYED batch —
+    * foreachBatch's at-least-once contract — sees its marker and
+    * no-ops, so versions advance exactly once per batch. The reads
+    * inside the txn body evaluate against the pre-txn snapshot (scans
+    * pin physical paths at construction), which is exactly the
+    * maintenance step's semantics: merge THIS batch into the state
+    * the previous batch published. */
+  private[graft] def d17Maintain(s: SparkSession,
+      cat: graft.sources.TableCatalog, batchSig: DataFrame, batchId: Long): Unit = {
+    import s.implicits._
+    val seen = !cat.scan("maintenance_log")
+      .filter(col("batch_id") === batchId).isEmpty
+    if (seen) return // replayed micro-batch: already published
+    val merged = mergeDeltaClusters(s, cat.scan("corpus_cluster_map"),
+      cat.scan("corpus_signatures"), batchSig)
+    val t = cat.begin()
+    try {
+      t.insert("maintenance_log", Seq(batchId).toDF("batch_id"))
+      t.insert("corpus_signatures", batchSig)
+      // new-version publish of the map: the staged delete clears the
+      // table IN THE TXN VIEW only; `merged` evaluates against the
+      // pre-txn version's pinned files, so the rewrite is consistent
+      t.delete("corpus_cluster_map", lit(true))
+      t.insert("corpus_cluster_map", merged)
+      t.commit()
+    } catch { case e: Throwable => t.rollback(); throw e }
   }
 
   /** d17: INCREMENTAL CLUSTER MAINTENANCE — merge a new batch's

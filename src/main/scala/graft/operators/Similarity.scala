@@ -814,19 +814,23 @@ object Similarity {
   // nprobe holds; the knob trades probed fraction for recall.
   private val IvfPqNprobe = 10
 
-  /** vec_id + cell + packed codes + embedding — the IVFPQ serving
-    * table (ONE scan: both kernels are per-row functions). */
-  private[graft] def ivfPqFrame(s: SparkSession, d: String): DataFrame = {
+  /** vec_id + label + cell + packed codes + embedding — the IVFPQ
+    * serving table (ONE scan: both kernels are per-row functions).
+    * `label` rides along as the filterable metadata column a serving
+    * table carries for filtered search (s16) — at 100 TB it is a
+    * stored column the scan's predicate pushdown prunes on. */
+  private[graft] def ivfPqServing(s: SparkSession, d: String): DataFrame = {
     val cents = collectCents(ivfCells(s, d))
     val cbs = pqCodebooks(s, d)
-    FrameCache.getOrBuild(s, s"ann/ivfpq|$d") {
-      Tables.embeddings(s, d).select(col("vec_id"), col("embedding"),
-        nearest_centroid(col("embedding"), Ivf.centroidsLit(cents)).as("cell"),
-        graft.functions.pack_codes(array((0 until PqM).map(j =>
-          nearest_centroid(slice(col("embedding"), j * PqDsub + 1, PqDsub),
-            Ivf.centroidsLit(cbs(j)))): _*)).as("codes"))
-    }
+    Tables.embeddings(s, d).select(col("vec_id"), col("label"), col("embedding"),
+      nearest_centroid(col("embedding"), Ivf.centroidsLit(cents)).as("cell"),
+      graft.functions.pack_codes(array((0 until PqM).map(j =>
+        nearest_centroid(slice(col("embedding"), j * PqDsub + 1, PqDsub),
+          Ivf.centroidsLit(cbs(j)))): _*)).as("codes"))
   }
+
+  private[graft] def ivfPqFrame(s: SparkSession, d: String): DataFrame =
+    FrameCache.getOrBuild(s, s"ann/ivfpq|$d")(ivfPqServing(s, d))
 
   /** The nprobe cell ids for the fixed probe — split out so the spec
     * can assert candidate containment against the same ranking. */
@@ -842,8 +846,12 @@ object Similarity {
   }
 
   /** The ADC-scored coarse frame over the probed cells only — the
-    * piece the plan spec audits for the cell-pruning filter. */
-  private[graft] def s15CoarseFrame(s: SparkSession, d: String): DataFrame = {
+    * piece the plan spec audits for the cell-pruning filter. `serving`
+    * lets s16 pass the label-FILTERED serving table through the same
+    * pipeline (the filter composes below the cell prune, so both reach
+    * the scan). */
+  private[graft] def s15CoarseFrameOf(s: SparkSession, d: String,
+      serving: DataFrame): DataFrame = {
     val cbs = pqCodebooks(s, d)
     val q = Tables.embeddings(s, d).filter(col("vec_id") === 0)
       .select("embedding").head().getSeq[Float](0).toArray
@@ -854,12 +862,15 @@ object Similarity {
     val nrmLut = (0 until PqM).flatMap(j => cbs(j).map(c =>
       c.map(x => x.toDouble * x).sum))
     def adc(lut: Seq[Double]) = graft.functions.pq_adc(col("codes"), lut, PqK)
-    ivfPqFrame(s, d)
+    serving
       .filter(col("cell").isin(ivfPqProbedCells(s, d): _*)) // partition prune
       .filter(col("vec_id") =!= 0)
       .withColumn("coarse",
         adc(dotLut) / (lit(qNorm) * sqrt(greatest(adc(nrmLut), lit(1e-12)))))
   }
+
+  private[graft] def s15CoarseFrame(s: SparkSession, d: String): DataFrame =
+    s15CoarseFrameOf(s, d, ivfPqFrame(s, d))
 
   def s15IvfPq(s: SparkSession, d: String): DataFrame = {
     val q = Tables.embeddings(s, d).filter(col("vec_id") === 0)
@@ -872,6 +883,47 @@ object Similarity {
       .orderBy(col("raw").desc, col("vec_id"))
       .limit(K)
       .select(col("vec_id"), round(col("raw"), 4).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+  }
+
+  // ---------------------------------------------------------------- s16
+  /** s16: FILTERED IVF+PQ — s07's PRE-filtering discipline composed
+    * with s15's compressed serving pipeline: the production "nearest
+    * docs WHERE label ∈ …" shape over the index a billion-vector
+    * deployment actually serves from. The metadata predicate applies
+    * at the SERVING-TABLE SCAN, below the ADC scoring (spec-asserted:
+    * parquet PushedFilters when read from storage, the
+    * InMemoryTableScan pushed-filter list when session-cached — the
+    * scan enforces it either way), the coarse quantizer prunes to
+    * nprobe cells, ADC
+    * scores only the probed cells' SURVIVING rows, and a fixed exact
+    * rerank restores s01's emit contract over the allowed subset.
+    *
+    * PRE-, not post-filtering: post-filtering an unfiltered top-k
+    * returns < k (or low-recall) results when the predicate is
+    * selective; here every scored candidate already satisfies it, and
+    * recall is measured against the filtered brute force on the SAME
+    * predicate (spec floor 0.8). At 100 TB the serving table is
+    * partitioned by cell; the label predicate prunes row groups inside
+    * the nprobe probed partitions (zone maps / dictionary filters on
+    * the stored label column), so the ADC pass reads probed-fraction ×
+    * filter-selectivity of the corpus. Rows-only (trained quantizer +
+    * codebooks, like s15). */
+  private[graft] def s16CoarseFrame(s: SparkSession, d: String): DataFrame =
+    s15CoarseFrameOf(s, d,
+      ivfPqFrame(s, d).filter(col("label").isin(FilterLabels: _*)))
+
+  def s16FilteredIvfPq(s: SparkSession, d: String): DataFrame = {
+    val q = Tables.embeddings(s, d).filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).toArray
+    s16CoarseFrame(s, d)
+      .orderBy(col("coarse").desc, col("vec_id"))
+      .limit(PqCoarse) // fixed exact-rerank budget, corpus-independent
+      .select(col("vec_id"), col("label"),
+        cosine_sim(col("embedding"), typedLit(q.toSeq)).as("raw"))
+      .orderBy(col("raw").desc, col("vec_id"))
+      .limit(K)
+      .select(col("vec_id"), col("label"), round(col("raw"), 4).as("cos"))
       .orderBy(col("cos").desc, col("vec_id"))
   }
 
@@ -1039,7 +1091,8 @@ object Similarity {
     "s10_knn_graph" -> (s10KnnGraph _),
     "s11_ann_pq"    -> (s11AnnPq _),
     "s12_range_search" -> (s12RangeSearch _),
-    "s15_ann_ivfpq" -> (s15IvfPq _))
+    "s15_ann_ivfpq" -> (s15IvfPq _),
+    "s16_ann_filtered_ivfpq" -> (s16FilteredIvfPq _))
 
   val oracleSql: Map[String, String] = Map(
     "s12_range_search" -> s12OracleSql,

@@ -1034,10 +1034,25 @@ object TextAnalysis {
     val key = FrameCache.sessionKey(s) + "|" + d
     val hit = bpeMemo.get(key)
     if (hit != null) return hit
+    val computed = bpeTrainOn(s,
+      Tables.documents(s, d)
+        .select(termCol)
+        .groupBy("term").agg(count(lit(1)).as("freq")),
+      BpeMerges)
+    bpeMemo.putIfAbsent(key, computed)
+    bpeMemo.get(key)
+  }
+
+  /** The training loop over an arbitrary (term, freq) word table and
+    * merge budget — split from [[bpeAssets]] so a production-scale
+    * budget (1,000+ merges over a rich vocabulary) can be trained and
+    * MEASURED against the same code path the suite's 10-merge assets
+    * use ([[graft.BpeScale]]); the batched-greedy acceptance rule is
+    * what keeps Spark rounds ≪ merges at that budget. */
+  private[graft] def bpeTrainOn(s: SparkSession, words0: DataFrame,
+      budget: Int): (Seq[(Int, String, String, Long)], Seq[String]) = {
     import graft.functions.bpe_merge
-    val words = Tables.documents(s, d)
-      .select(termCol)
-      .groupBy("term").agg(count(lit(1)).as("freq"))
+    val words = words0
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // init segmentation: characters + the end-of-word marker. The
     // frame is vocabulary-sized — coalesce keeps the 20 per-round
@@ -1081,7 +1096,7 @@ object TextAnalysis {
     // The batch is applied as ONE chained kernel pass + ONE checkpoint.
     val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
     t19TrainRounds = 0
-    while (merges.size < BpeMerges) {
+    while (merges.size < budget) {
       val topK = 256
       val cand = seg
         .filter(size(col("seg")) >= 2)
@@ -1098,16 +1113,15 @@ object TextAnalysis {
       if (cand.isEmpty) {
         // corpus fully collapsed before reaching the merge budget
         t19TrainRounds += 1
-        bpeMemo.putIfAbsent(key, (merges.toSeq,
-          baseChars ++ Seq("</w>") ++ merges.map(m => m._2 + m._3)))
         words.unpersist()
-        return bpeMemo.get(key)
+        return (merges.toSeq,
+          baseChars ++ Seq("</w>") ++ merges.map(m => m._2 + m._3))
       }
       val tailBound = if (cand.length == topK) cand.last._3 else 0L
       val accepted = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
       val batchSyms = scala.collection.mutable.Set[String]()
       var open = true
-      for ((l, r, n) <- cand if open && merges.size + accepted.size < BpeMerges) {
+      for ((l, r, n) <- cand if open && merges.size + accepted.size < budget) {
         val ok =
           if (accepted.isEmpty) true
           else {
@@ -1144,10 +1158,7 @@ object TextAnalysis {
       t19TrainRounds += 1
     }
     words.unpersist()
-    val vocab = baseChars ++ Seq("</w>") ++ merges.map(m => m._2 + m._3)
-    val computed = (merges.toSeq, vocab)
-    bpeMemo.putIfAbsent(key, computed)
-    computed
+    (merges.toSeq, baseChars ++ Seq("</w>") ++ merges.map(m => m._2 + m._3))
   }
 
   def t19BpeTrain(s: SparkSession, d: String): DataFrame = {

@@ -1083,7 +1083,45 @@ object StreamQueries {
        |       tokens_before % 256 AS pack_offset
        |FROM c ORDER BY doc_id""".stripMargin
 
+  /** st20: STREAMING cluster maintenance — d17's production write-back
+    * loop run BY the streaming engine: the stored corpus state
+    * (signatures + cluster map + replay marker log) lives in a
+    * versioned catalog, and each micro-batch of new documents runs ONE
+    * [[graft.operators.Dedup.d17Maintain]] step — merge the batch's
+    * near-dup delta into the stored map, append its signatures, mark
+    * the batch id, all in one first-committer-wins txn. Exactly-once
+    * under foreachBatch's at-least-once contract via the batch-id
+    * marker (st10's discipline); the published map after the stream
+    * drains is provably equal to one corpus-wide d06 recompute (d17's
+    * batch-decomposition theorem), which is why this query shares
+    * d06's DuckDB oracle verbatim. At 100 TB this is the at-ingest
+    * dedup loop: per batch cost O(batch), the corpus is only ever read
+    * through its stored tables, and a crashed/replayed micro-batch
+    * can neither double-append signatures nor double-merge. */
+  def st20StreamClusterMaintain(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Dedup
+    val schema = s.read.parquet(s"$d/documents.parquet").schema
+    val root = graft.sources.TableCatalog.tempRoot("graft-st20")
+    val cat = new graft.sources.TableCatalog(s, root)
+    Dedup.d17InitStore(cat, Dedup.signatureOf(
+      s.read.parquet(s"$d/documents.parquet").filter(col("doc_id") % 2 === 0)))
+    val stream = s.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(d)
+      .filter(col("doc_id") % 2 =!= 0)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        Dedup.d17Maintain(s, cat, Dedup.signatureOf(batch), bid)
+      }
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    cat.scan("corpus_cluster_map").orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st20_stream_cluster_maintain" -> (st20StreamClusterMaintain _),
     "st16_stream_tokenize" -> (st16StreamTokenize _),
     "st19_stream_pack" -> (st19StreamPack _),
     "st17_stream_classify" -> (st17StreamClassify _),
@@ -1107,6 +1145,10 @@ object StreamQueries {
   /** Same oracle as the batch twin: tumbling 1h windows aligned to the
     * epoch are exactly date_trunc('hour'). */
   val oracleSql: Map[String, String] = Map(
+    // the streamed maintenance loop's published map equals the full
+    // batch recompute (d17's theorem) — d06's oracle, verbatim
+    "st20_stream_cluster_maintain" ->
+      graft.operators.Dedup.oracleSql("d06_dedup_clusters"),
     "st01_stream_window" ->
       """SELECT date_trunc('hour', ts) AS hour_start, event_type,
         |       COUNT(*) AS n_events,

@@ -471,9 +471,18 @@ class OperatorsSpec extends AnyFunSuite {
     assert(reads.count(l =>
       l.contains("sig:array<bigint>") || l.contains("sh:array<bigint>")) >= 2,
       reads.mkString("\n"))
-    // raw document text is scanned ONLY by the two new-batch subtrees
-    // (band build + shingle verify): the corpus-side kernel never runs
-    assert(reads.count(_.contains("text:string")) == 2, reads.mkString("\n"))
+    // raw document text is scanned ONLY by new-batch subtrees (band
+    // build + shingle verify + the guard's rescue-band subtree — empty
+    // at this SF, AQE-propagated away at runtime): the corpus-side
+    // kernel never runs, which the parity-filter balance proves — every
+    // document scan in the plan is odd-filtered
+    assert(reads.count(_.contains("text:string")) >= 2, reads.mkString("\n"))
+    val planStr = df.queryExecution.executedPlan.toString
+    val evenComparisons = "% 2\\) = 0".r.findAllIn(planStr).size
+    val oddFilters = "NOT \\(\\(\\w+#\\d+L % 2\\) = 0".r.findAllIn(planStr).size
+    assert(evenComparisons == oddFilters && oddFilters >= 2,
+      s"every document scan must be odd-filtered " +
+        s"($evenComparisons parity comparisons, $oddFilters odd)")
     // incremental contract: pairs are corpus(even) x new-batch(odd)
     Dedup.d07Incremental(spark, sf).collect().foreach { r =>
       assert(r.getLong(0) % 2 == 0 && r.getLong(1) % 2 == 1)
@@ -505,8 +514,10 @@ class OperatorsSpec extends AnyFunSuite {
       // the odd filter as NOT ((doc_id % 2) = 0), so an even (corpus)
       // filter is a parity comparison NOT preceded by NOT — there must
       // be none (the corpus side is stored-only)
+      // odd filters may ride on RENAMED id columns too (doc_a/doc_b —
+      // constraint inference pushes them through the candidate union)
       val evenComparisons = "% 2\\) = 0".r.findAllIn(plan).size
-      val oddFilters = "NOT \\(\\(doc_id#\\d+L % 2\\) = 0".r.findAllIn(plan).size
+      val oddFilters = "NOT \\(\\(\\w+#\\d+L % 2\\) = 0".r.findAllIn(plan).size
       assert(evenComparisons == oddFilters,
         s"$label: plan must not scan corpus-side documents " +
           s"($evenComparisons parity comparisons, $oddFilters odd):\n${plan.take(1500)}")
@@ -553,6 +564,182 @@ class OperatorsSpec extends AnyFunSuite {
     val oneStep = Dedup.queries("d17_incremental_clusters")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(oneStep == got, "batch decomposition must not change the merged map")
+  }
+
+  test("d17 write-back: sequential maintenance txns through the catalog, crash + replay safe") {
+    import spark.implicits._
+    val docs = sources.Tables.documents(spark, sf)
+    val root = graft.sources.TableCatalog.tempRoot("graft-d17m")
+    val cat = new graft.sources.TableCatalog(spark, root)
+    Dedup.d17InitStore(cat,
+      Dedup.signatureOf(docs.filter(col("doc_id") % 2 === 0)))
+    // two sequential batches through the CATALOG (not frames)
+    Dedup.d17Maintain(spark, cat,
+      Dedup.signatureOf(docs.filter(col("doc_id") % 4 === 1)), batchId = 1L)
+    Dedup.d17Maintain(spark, cat,
+      Dedup.signatureOf(docs.filter(col("doc_id") % 4 === 3)), batchId = 2L)
+    // the PUBLISHED map equals one corpus-wide recompute (d06's map)
+    val got = cat.scan("corpus_cluster_map").orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = Dedup.queries("d06_dedup_clusters")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == want, {
+      val g = got.toSet; val w = want.toSet
+      s"published map diverged: extra=${(g -- w).take(5)} missing=${(w -- g).take(5)}"
+    })
+    // the signature table now carries the whole corpus
+    assert(cat.scan("corpus_signatures").count() == docs.count())
+    // REPLAY (foreachBatch's at-least-once case): same batch id again
+    // is a no-op — no version advances, the map is unchanged
+    val vSig = cat.currentVersion("corpus_signatures")
+    val vMap = cat.currentVersion("corpus_cluster_map")
+    Dedup.d17Maintain(spark, cat,
+      Dedup.signatureOf(docs.filter(col("doc_id") % 4 === 3)), batchId = 2L)
+    assert(cat.currentVersion("corpus_signatures") == vSig, "replay must not re-append")
+    assert(cat.currentVersion("corpus_cluster_map") == vMap, "replay must not re-merge")
+    // CRASH between steps is impossible by construction: both writes
+    // stage inside one txn — simulate a crash (rollback before commit)
+    // and prove nothing published, then the re-delivered batch runs
+    // fully because its marker never landed
+    val b3 = Seq((90001L, "graft spark crash batch one two three four five six"),
+      (90003L, "graft spark crash batch one two three four five six"))
+      .toDF("doc_id", "text")
+    val t = cat.begin()
+    t.insert("maintenance_log", Seq(3L).toDF("batch_id"))
+    t.insert("corpus_signatures", Dedup.signatureOf(b3))
+    t.rollback() // the crash: staged dirs die, nothing published
+    assert(cat.currentVersion("corpus_signatures") == vSig, "crash must publish nothing")
+    assert(cat.scan("maintenance_log").filter(col("batch_id") === 3L).isEmpty)
+    Dedup.d17Maintain(spark, cat, Dedup.signatureOf(b3), batchId = 3L)
+    val after = cat.scan("corpus_cluster_map")
+      .filter(col("doc_id") >= 90000L).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(after == Seq((90001L, 90001L), (90003L, 90001L)),
+      s"re-delivered batch must merge fully after the crash: $after")
+  }
+
+  test("LSH degenerate-band guard: verified pairs and clusters unchanged, flood candidates linear") {
+    import spark.implicits._
+    import graft.functions.jaccard64
+    val conf = "spark.graft.lsh.hotBucketLimit"
+    val prev = spark.conf.getOption(conf)
+    def candsOf(sig: org.apache.spark.sql.DataFrame) =
+      Dedup.minhashCandidates(sig.select("doc_id", "sig"))
+    def verifiedOf(sig: org.apache.spark.sql.DataFrame,
+        cand: org.apache.spark.sql.DataFrame) = cand
+      .join(sig.select(col("doc_id"), col("sh")).as("va"),
+        col("doc_a") === col("va.doc_id"))
+      .join(sig.select(col("doc_id"), col("sh")).as("vb"),
+        col("doc_b") === col("vb.doc_id"))
+      .filter(jaccard64(col("va.sh"), col("vb.sh")) >= 0.8)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sig = Dedup.signatureOf(sources.Tables.documents(spark, sf))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      spark.conf.unset(conf) // default: silent at this SF
+      val baseCand = candsOf(sig).count()
+      val baseVerified = verifiedOf(sig, candsOf(sig))
+      // force the guard ON THE REAL CORPUS (its degenerate band — the
+      // low-entropy byte-shingle bucket — holds ~20% of the docs)
+      spark.conf.set(conf, "32")
+      val capped = candsOf(sig)
+      assert(capped.count() < baseCand,
+        s"guard must cut candidate volume (base=$baseCand)")
+      // EXACTNESS: every brute-true pair survives via intact original
+      // bands or the interleaved rescue bands — the verified pair set
+      // (hence d04's output and d06/d17's cluster map) is UNCHANGED
+      assert(verifiedOf(sig, capped) == baseVerified,
+        "the guard must not change the verified pair set")
+      // exact-dup FLOOD: every band (and every rescue band) is one
+      // giant identical bucket — candidates degrade to STAR pairs:
+      // linear volume, verified connectivity preserved
+      val flood = (0 until 300).map(i => (200000L + i, ("flood " * 40).trim))
+        .toDF("doc_id", "text")
+      val fsig = Dedup.signatureOf(flood)
+      val n = candsOf(fsig).count()
+      assert(n < 3L * 300, s"flood candidates must stay linear, got $n (all-pairs = ${300 * 299 / 2})")
+      // the flood still clusters into ONE component labeled by its min
+      // (star pairs verify: the members are identical)
+      val stored = Seq.empty[(Long, Long)].toDF("doc_id", "cluster_rep")
+      val emptySig = Dedup.signatureOf(
+        Seq.empty[(Long, String)].toDF("doc_id", "text"))
+      val map = Dedup.mergeDeltaClusters(spark, stored, emptySig, fsig)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(map == (0 until 300).map(i => (200000L + i, 200000L)),
+        "flood must cluster to one min-labeled component under the guard")
+    } finally {
+      sig.unpersist()
+      prev match {
+        case Some(v) => spark.conf.set(conf, v)
+        case None    => spark.conf.unset(conf)
+      }
+    }
+  }
+
+  test("degenerate-band guard on the incremental probe: cross verified pairs unchanged, flood bounded") {
+    import spark.implicits._
+    import graft.functions.jaccard64
+    val conf = "spark.graft.lsh.hotBucketLimit"
+    val prev = spark.conf.getOption(conf)
+    val docs = sources.Tables.documents(spark, sf)
+    val corpusSig = Dedup.signatureOf(docs.filter(col("doc_id") % 2 === 0))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val batchSig = Dedup.signatureOf(docs.filter(col("doc_id") % 2 =!= 0))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def verifiedCross(cand: org.apache.spark.sql.DataFrame) = cand
+      .join(corpusSig.select(col("doc_id"), col("sh")).as("sa"),
+        col("corpus_doc") === col("sa.doc_id"))
+      .join(batchSig.select(col("doc_id"), col("sh")).as("sb"),
+        col("new_doc") === col("sb.doc_id"))
+      .filter(jaccard64(col("sa.sh"), col("sb.sh")) >= 0.8)
+      .select("corpus_doc", "new_doc").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    try {
+      spark.conf.unset(conf)
+      val baseCand = Dedup.incCandidates(corpusSig, batchSig).count()
+      val baseVerified = verifiedCross(Dedup.incCandidates(corpusSig, batchSig))
+      spark.conf.set(conf, "32")
+      val capped = Dedup.incCandidates(corpusSig, batchSig)
+      assert(capped.count() < baseCand,
+        s"guard must cut cross candidate volume (base=$baseCand)")
+      assert(verifiedCross(capped) == baseVerified,
+        "the guard must not change the cross verified pair set")
+      // flood: a 300-copy corpus clique probed by 5 identical batch
+      // docs — each batch doc star-pairs with the clique's MIN member
+      // (one verified edge suffices for d17's connectivity), instead
+      // of 5 × 300 junk probes
+      val cf = Dedup.signatureOf((0 until 300)
+        .map(i => (300000L + 2 * i, ("flood " * 40).trim)).toDF("doc_id", "text"))
+      val bf = Dedup.signatureOf((0 until 5)
+        .map(i => (400001L + 2 * i, ("flood " * 40).trim)).toDF("doc_id", "text"))
+      val fc = Dedup.incCandidates(cf, bf)
+      val n = fc.count()
+      assert(n <= 8L * 5, s"flood cross candidates must stay linear in the batch, got $n")
+      val fv = verifiedCross2(cf, bf, fc)
+      assert((0 until 5).forall(i => fv.contains((300000L, 400001L + 2 * i))),
+        s"every batch doc must verify against the flood representative: $fv")
+    } finally {
+      corpusSig.unpersist(); batchSig.unpersist()
+      prev match {
+        case Some(v) => spark.conf.set(conf, v)
+        case None    => spark.conf.unset(conf)
+      }
+    }
+  }
+
+  private def verifiedCross2(corpusSig: org.apache.spark.sql.DataFrame,
+      batchSig: org.apache.spark.sql.DataFrame,
+      cand: org.apache.spark.sql.DataFrame): Set[(Long, Long)] = {
+    import graft.functions.jaccard64
+    cand
+      .join(corpusSig.select(col("doc_id"), col("sh")).as("fa"),
+        col("corpus_doc") === col("fa.doc_id"))
+      .join(batchSig.select(col("doc_id"), col("sh")).as("fb"),
+        col("new_doc") === col("fb.doc_id"))
+      .filter(jaccard64(col("fa.sh"), col("fb.sh")) >= 0.8)
+      .select("corpus_doc", "new_doc").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
   }
 
   test("d17 guard: a template-stuck batch folds O(B) rows to the driver, never B² pairs") {
@@ -1468,6 +1655,61 @@ class OperatorsSpec extends AnyFunSuite {
       .map(merged.getUTF8String(_).toString) == Seq("aa", "a"))
   }
 
+  test("t19 at a deep budget: batched merges equal the sequential reference on a rich vocabulary") {
+    // production-shape vocabulary (word BIGRAMS → hundreds of distinct
+    // "words", vs the fixture's ~31) and a budget deep enough to pay
+    // many batching rounds — the sampled-prefix equality check for the
+    // 1,000-merge production run (same bpeTrainOn code path, same
+    // acceptance rule; graft.BpeScale measures the full-depth wall time)
+    import org.apache.spark.sql.functions.{col, count, explode, length, lit}
+    val budget = 60
+    val words = sources.Tables.documents(spark, sf).filter(col("text").isNotNull)
+      .select(explode(org.apache.spark.sql.functions.expr(
+        """transform(sequence(0, greatest(size(split(text, ' ')) - 2, 0) - 1),
+          |  i -> concat_ws('_', slice(split(text, ' '), i + 1, 2)))""".stripMargin))
+        .as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("term").agg(count(lit(1)).as("freq"))
+    val (got, _) = TextAnalysis.bpeTrainOn(spark, words, budget)
+    assert(got.length == budget, s"rich vocabulary must sustain $budget merges")
+    val rounds = TextAnalysis.t19TrainRounds
+    // driver-side sequential reference (Sennrich et al. 2016) over the
+    // same word-frequency table — recount between EVERY merge
+    val wf = words.collect().map(r => (r.getString(0), r.getLong(1)))
+    var segs: Seq[(Vector[String], Long)] =
+      wf.map { case (w, f) => (w.map(_.toString).toVector :+ "</w>", f) }.toSeq
+    val expect = (1 to budget).map { rank =>
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+        .withDefaultValue(0L)
+      segs.foreach { case (seg, f) =>
+        seg.sliding(2).foreach {
+          case Seq(a, b) => counts((a, b)) += f
+          case _ => ()
+        }
+      }
+      val ((l, r), n) = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+      segs = segs.map { case (seg, f) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < seg.length) {
+          if (i + 1 < seg.length && seg(i) == l && seg(i + 1) == r) {
+            out += (l + r); i += 2
+          } else { out += seg(i); i += 1 }
+        }
+        (out.result(), f)
+      }
+      (rank, l, r, n)
+    }
+    assert(got == expect, {
+      val firstDiff = got.zip(expect).indexWhere { case (a, b) => a != b }
+      s"deep-budget merge sequences diverge at rank ${firstDiff + 1}: " +
+        s"got=${got.lift(firstDiff)} exp=${expect.lift(firstDiff)}"
+    })
+    assert(rounds < budget, s"batching must beat one round per merge (rounds=$rounds)")
+    info(s"t19 deep budget: $rounds Spark rounds for $budget merges " +
+      f"(${budget.toDouble / rounds}%.1f merges/round)")
+  }
+
   test("approx percentile mode: the five exact-percentile queries run config-gated within the sketch's rank-error bound") {
     // exact-mode baselines FIRST (the default must stay oracle-exact)
     val exactP09 = Sampling.queries("p09_quality_quantile")(spark, sf).collect()
@@ -1716,6 +1958,52 @@ class OperatorsSpec extends AnyFunSuite {
     val again = Similarity.queries("s15_ann_ivfpq")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getDouble(1)))
     assert(got.sameElements(again), "IVFPQ result must be run-deterministic")
+  }
+
+  test("s16 filtered IVFPQ: recall vs filtered brute, exact-subset candidates, both filters reach the scan") {
+    val allowed = Set(2, 5, 7)
+    val got = Similarity.queries("s16_ann_filtered_ivfpq")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    assert(got.length == 10 && got.map(_._1).distinct.length == 10)
+    // PRE-filtering: every emitted row satisfies the predicate
+    assert(got.forall(r => allowed(r._2)), "rows outside the label filter")
+    // recall vs the FILTERED exact brute force on the SAME predicate (s07)
+    val exact = Similarity.queries("s07_ann_filtered")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val recall = got.map(_._1).count(exact) / 10.0
+    assert(recall >= 0.8, s"filtered IVFPQ recall $recall below floor")
+    info(s"s16 filtered-IVFPQ recall@10 vs filtered exact: $recall")
+    // candidates confined to the probed cells AND the allowed labels
+    val probed = Similarity.ivfPqProbedCells(spark, sf).toSet
+    val coarse = Similarity.s16CoarseFrame(spark, sf)
+      .select("cell", "label").collect()
+    assert(coarse.nonEmpty)
+    assert(coarse.forall(r => probed(r.getInt(0))), "candidate outside probed cells")
+    assert(coarse.forall(r => allowed(r.getInt(1))), "candidate outside the filter")
+    // s07's exact-subset discipline: the filtered candidate set equals
+    // the unfiltered candidate set restricted to allowed labels — the
+    // predicate changes WHICH rows are scored, never the scoring
+    val unfiltered = Similarity.s15CoarseFrame(spark, sf)
+      .select("vec_id", "label").collect().map(r => (r.getLong(0), r.getInt(1)))
+    val s16Cands = Similarity.s16CoarseFrame(spark, sf)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(unfiltered.filter(r => allowed(r._2)).map(_._1).toSet == s16Cands,
+      "filtered candidates must be exactly the allowed subset of the unfiltered candidates")
+    // BOTH predicates reach the serving-table SCAN (never applied
+    // post-scoring): against storage they show as parquet
+    // PushedFilters; against the session-cached serving frame Spark
+    // substitutes the InMemoryRelation and both land in the
+    // InMemoryTableScan's pushed filter list (same line) — either way
+    // the scan, not a later operator, enforces them
+    val fresh = Similarity.s15CoarseFrameOf(spark, sf,
+      Similarity.ivfPqServing(spark, sf).filter(col("label").isin(2, 5, 7)))
+    val plan = GraftSession.explainPlan(fresh)
+    val cacheScanPushed = plan.linesIterator.exists(l =>
+      l.contains("label#") && l.contains("IN (2,5,7)") && l.contains("cell#"))
+    val parquetPushed = plan.contains("PushedFilters") && plan.contains("In(label") &&
+      plan.contains("cell#") && (plan.contains(" IN ") || plan.contains("IN ("))
+    assert(cacheScanPushed || parquetPushed,
+      s"label + cell predicates must reach the serving scan:\n${plan.take(1500)}")
   }
 
   test("s12 range search: certified bound sound on every row, real pruning, set = brute force") {

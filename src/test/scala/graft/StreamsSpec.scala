@@ -543,4 +543,54 @@ class StreamsSpec extends AnyFunSuite {
       Seq("gamma").toDF("text"), 1L)
     assert(cat.scan("curated_stream").count() == 3)
   }
+
+  test("st20: two micro-batches of cluster maintenance equal the batch recompute; replay no-op") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.operators.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    val sf = TestSpark.sf
+    val docs = sources.Tables.documents(spark, sf)
+    val root = graft.sources.TableCatalog.tempRoot("graft-st20spec")
+    val cat = new graft.sources.TableCatalog(spark, root)
+    Dedup.d17InitStore(cat,
+      Dedup.signatureOf(docs.filter(col("doc_id") % 2 === 0)))
+    // drive the odd half through a MemoryStream in TWO micro-batches
+    val src = MemoryStream[(Long, String)]
+    val q = src.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+        Dedup.d17Maintain(spark, cat, Dedup.signatureOf(batch), bid)
+      }
+      .start()
+    try {
+      val odd = docs.filter(col("doc_id") % 2 =!= 0).select("doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      val (b1, b2) = odd.partition(_._1 % 4 == 1)
+      src.addData(b1.toSeq: _*); q.processAllAvailable()
+      src.addData(b2.toSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    // the published map equals the full corpus-wide recompute (d06) —
+    // the batch-decomposition theorem, now through the STREAM
+    val got = cat.scan("corpus_cluster_map").orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = Dedup.queries("d06_dedup_clusters")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == want, {
+      val g = got.toSet; val w = want.toSet
+      s"streamed map diverged: extra=${(g -- w).take(5)} missing=${(w -- g).take(5)}"
+    })
+    // replayed micro-batch (restart semantics): marker gates it out
+    val vSig = cat.currentVersion("corpus_signatures")
+    val vMap = cat.currentVersion("corpus_cluster_map")
+    Dedup.d17Maintain(spark, cat,
+      Dedup.signatureOf(docs.filter(col("doc_id") % 4 === 3)), batchId = 1L)
+    assert(cat.currentVersion("corpus_signatures") == vSig
+      && cat.currentVersion("corpus_cluster_map") == vMap,
+      "replayed micro-batch must be a no-op")
+    // and the driver-facing query form runs end-to-end on the stream
+    val viaQuery = graft.streaming.StreamQueries
+      .queries("st20_stream_cluster_maintain")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(viaQuery == want, "st20 query must publish the recompute-equal map")
+  }
 }
