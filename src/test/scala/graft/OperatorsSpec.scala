@@ -748,29 +748,41 @@ class OperatorsSpec extends AnyFunSuite {
     def sig(df: org.apache.spark.sql.DataFrame) = df.select(col("doc_id"),
       minhash_sig(col("text"), 5, 32, 42L).as("sig"),
       shingles64(col("text"), 5).as("sh"))
-    // HOSTILE batch: a crawler stuck on one template — B identical docs,
-    // so the batch-internal near-dup pair list is exactly B(B−1)/2
-    val B = 200
     val template = (1 to 40).map(i => s"tpl$i").mkString(" ")
-    val batch = (0 until B).map(i => (100000L + i, template)).toDF("doc_id", "text")
     // a corpus the batch does not match: nc stays empty, isolating nn
     val corpus = Seq((1L, (1 to 40).map(i => s"other$i").mkString(" ")))
       .toDF("doc_id", "text")
     val stored = Seq((1L, 1L)).toDF("doc_id", "cluster_rep")
-    val (_, nn) = Dedup.deltaFrames(stored, sig(corpus), sig(batch))
-    assert(nn.count() == B.toLong * (B - 1) / 2,
+    def merged(batch: org.apache.spark.sql.DataFrame) =
+      Dedup.mergeDeltaClusters(spark, stored, sig(corpus), sig(batch))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // REGIME 1 — quadratic-pair batch UNDER the LSH guard's 256 floor:
+    // the pair list really is B(B−1)/2, and the distributive
+    // pre-collapse is the only thing bounding the driver fold
+    val B1 = 200
+    val b1 = (0 until B1).map(i => (100000L + i, template)).toDF("doc_id", "text")
+    val (_, nn) = Dedup.deltaFrames(stored, sig(corpus), sig(b1))
+    assert(nn.count() == B1.toLong * (B1 - 1) / 2,
       "planted batch should be pair-quadratic")
-    // ... but the driver fold sees ONE row per batch doc, not per pair
-    val (ncRows, nnComps) = Dedup.deltaFoldInputs(stored, sig(corpus), sig(batch))
+    val (ncRows, nnComps) = Dedup.deltaFoldInputs(stored, sig(corpus), sig(b1))
     assert(ncRows.isEmpty, "no new-vs-corpus matches planted")
-    assert(nnComps.length == B,
-      s"driver fold must be O(B)=$B rows, got ${nnComps.length}")
-    // and the merged map is still exact: untouched corpus row passes
-    // through, the batch forms one component labeled by its min id
-    val merged = Dedup.mergeDeltaClusters(spark, stored, sig(corpus), sig(batch))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
-    val want = ((1L, 1L) +: (0 until B).map(i => (100000L + i, 100000L))).sortBy(_._1)
-    assert(merged == want)
+    assert(nnComps.length == B1,
+      s"driver fold must be O(B)=$B1 rows, got ${nnComps.length}")
+    assert(merged(b1) ==
+      ((1L, 1L) +: (0 until B1).map(i => (100000L + i, 100000L))).sortBy(_._1))
+    // REGIME 2 — a B≈1k flood: the degenerate-band guard caps the
+    // candidate stage FIRST (star pairs, linear), the fold stays O(B),
+    // and the merged map is still exact — the two guards compose
+    val B2 = 1000
+    val b2 = (0 until B2).map(i => (200000L + i, template)).toDF("doc_id", "text")
+    val (_, nn2) = Dedup.deltaFrames(stored, sig(corpus), sig(b2))
+    assert(nn2.count() < 2L * B2,
+      s"the band guard must bound a $B2-doc flood's pairs linearly")
+    val (nc2, comps2) = Dedup.deltaFoldInputs(stored, sig(corpus), sig(b2))
+    assert(nc2.isEmpty && comps2.length == B2,
+      s"driver fold must be O(B)=$B2 rows, got ${comps2.length}")
+    assert(merged(b2) ==
+      ((1L, 1L) +: (0 until B2).map(i => (200000L + i, 200000L))).sortBy(_._1))
   }
 
   test("t07 normalize: exchange keyed on the 8-byte hash, counts exact per canonical") {
