@@ -184,12 +184,12 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
         case mergeUsingRe(name, tAlias, rest) =>
           val (src, ta, sa, cond, matched, ins, bySrc) =
             parseMergeUsing(name, tAlias, rest)
-          Some(txn match {
+          Some(withStatementBindings(inner)(txn match {
             case Some(t) =>
               t.explainMergeUsing(name, src, ta, sa, cond, matched, ins, bySrc)
             case None =>
               catalog.explainMergeUsing(name, src, ta, sa, cond, matched, ins, bySrc)
-          })
+          }))
         case mergeRe(name, colList, valuesBody) =>
           Some(exMerge(name,
             alignCols(referenceSql(s"SELECT * FROM VALUES $valuesBody"),
@@ -422,13 +422,18 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
         require(!readOnly, "read-only transaction")
         val (src, ta, sa, cond, matched, ins, bySrc) =
           parseMergeUsing(name, tAlias, rest)
-        txn match {
-          case Some(t) =>
-            t.mergeUsing(name, src, ta, sa, cond, matched, ins, bySrc)
-            Seq(s"MERGE INTO $name (staged)").toDF("status")
-          case None =>
-            val v = catalog.mergeUsing(name, src, ta, sa, cond, matched, ins, bySrc)
-            Seq(s"MERGE INTO $name -> v$v").toDF("status")
+        // ON / WHEN ... AND conditions and SET/INSERT values may carry
+        // subqueries — bound like UPDATE/DELETE predicates (the source
+        // relation itself was already resolved at parse time)
+        withStatementBindings(s) {
+          txn match {
+            case Some(t) =>
+              t.mergeUsing(name, src, ta, sa, cond, matched, ins, bySrc)
+              Seq(s"MERGE INTO $name (staged)").toDF("status")
+            case None =>
+              val v = catalog.mergeUsing(name, src, ta, sa, cond, matched, ins, bySrc)
+              Seq(s"MERGE INTO $name -> v$v").toDF("status")
+          }
         }
 
       case mergeRe(name, colList, valuesBody) =>
@@ -747,7 +752,15 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
     * scans and its version write each appear as one labeled execution,
     * in order. Session-mode rules are the executing statement's own:
     * a READ ONLY session accepts EXPLAIN ANALYZE SELECT and rejects
-    * EXPLAIN ANALYZE DML with the DML's error. */
+    * EXPLAIN ANALYZE DML with the DML's error.
+    *
+    * SCOPE: the listener registers on the shared SparkSession's
+    * listenerManager, so a CONCURRENT GraftSQL session (the TCP
+    * server's other connections) executing during the window would
+    * appear in the report — the same visibility any engine's
+    * instrumented-run view has under concurrency. The report is an
+    * observability surface, not a result: row values never flow
+    * through it. */
   private def explainAnalyze(inner: String): DataFrame = {
     import spark.implicits._
     val innerUp = inner.trim.toUpperCase

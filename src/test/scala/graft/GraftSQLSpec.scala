@@ -127,6 +127,14 @@ class GraftSQLSpec extends AnyFunSuite {
     g.execute("CREATE VIEW big_picks AS SELECT pid FROM picks WHERE pid >= 8")
     g.execute("DELETE FROM items WHERE id + 6 IN (SELECT pid FROM big_picks)")
     assert(ids() == Seq(1L), s"view-backed subquery: ${ids()}")
+
+    // subqueries in MERGE clause conditions bind the same way: the
+    // WHEN MATCHED gate consults another table mid-statement
+    g.execute("MERGE INTO items USING (SELECT 1 AS id, 500 AS qty) m ON items.id = m.id " +
+      "WHEN MATCHED AND items.id IN (SELECT pid / 7 FROM picks) " + // 7/7=1: gate holds
+      "THEN UPDATE SET qty = m.qty " +
+      "WHEN NOT MATCHED THEN INSERT (id, qty) VALUES (m.id, m.qty)")
+    assert(qtys() == Seq((1L, 500L)), s"MERGE clause subquery: ${qtys()}")
   }
 
   test("EXPLAIN ANALYZE: executed-plan metrics for SELECT and MERGE USING, incl. inside a txn") {
