@@ -46,10 +46,14 @@ object BpeScale {
       .filter(length(col("term")) > 0)
       .groupBy("term").agg(count(lit(1)).as("freq")))
 
+    // docs shorter than the gram width are filtered BEFORE the
+    // transform: sequence(1, 0) would be the DESCENDING [1, 0] (Spark
+    // infers step -1), and slice with a non-positive start throws
     run("trigrams", docs
+      .filter(size(split(col("text"), " ")) >= 3)
       .select(explode(expr(
-        """transform(sequence(0, greatest(size(split(text, ' ')) - 3, 0) - 1),
-          |  i -> concat_ws('_', slice(split(text, ' '), i + 1, 3)))""".stripMargin))
+        """transform(sequence(1, size(split(text, ' ')) - 2),
+          |  i -> concat_ws('_', slice(split(text, ' '), i, 3)))""".stripMargin))
         .as("term"))
       .filter(length(col("term")) > 0)
       .groupBy("term").agg(count(lit(1)).as("freq")))

@@ -106,11 +106,9 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
     * pre-statement snapshot, standard SQL's statement-snapshot rule. */
   private def withStatementBindings[A](stmt: String)(body: => A): A = {
     val masked = GraftSQL.maskStrings(stmt)
-    def referenced(n: String) =
-      ("(?i)\\b" + java.util.regex.Pattern.quote(n) + "\\b").r
-        .findFirstIn(masked).isDefined
-    val tableBindings = tableNames.filter(referenced).map(n => n -> currentScan(n))
-    val viewBindings = viewDefs.keys.toSeq.filter(referenced)
+    val tableBindings = tableNames.filter(GraftSQL.referencedIn(masked, _))
+      .map(n => n -> currentScan(n))
+    val viewBindings = viewDefs.keys.toSeq.filter(GraftSQL.referencedIn(masked, _))
       .map(n => n -> runSelect(viewDefs(n), Set(n)))
     GraftSession.withTempViews(spark, tableBindings ++ viewBindings)(body)
   }
@@ -127,9 +125,8 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
     // WITH their SQLMetrics — the observability surface a user reaches
     // for when a statement is slow (plain EXPLAIN never executes; this
     // variant is documented as executing, like PostgreSQL's).
-    val analyzeRe = raw"(?is)EXPLAIN\s+ANALYZE\s+(.*)".r
     s match {
-      case analyzeRe(inner) => return explainAnalyze(inner)
+      case GraftSQL.analyzeRe(inner) => return explainAnalyze(inner)
       case _ =>
     }
 
@@ -782,9 +779,14 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
       else execute(inner)
     } finally {
       // listener callbacks are asynchronous: drain the bus BEFORE
-      // unregistering, or a fast statement races its own report
-      org.apache.spark.sql.GraftListenerBridge.flush(spark)
-      spark.listenerManager.unregister(listener)
+      // unregistering, or a fast statement races its own report — but
+      // the UNREGISTER must survive a drain timeout (a busy shared bus
+      // throwing here would leave the listener appending every later
+      // execution for the session's lifetime), and must not mask the
+      // statement's own exception
+      try org.apache.spark.sql.GraftListenerBridge.flush(spark)
+      catch { case _: java.util.concurrent.TimeoutException => () /* partial report */ }
+      finally spark.listenerManager.unregister(listener)
     }
     import scala.jdk.CollectionConverters._
     val parts = captured.asScala.toSeq.zipWithIndex.map { case ((fn, qe), i) =>
@@ -819,14 +821,11 @@ class GraftSQL(spark: SparkSession, val catalog: TableCatalog) {
     // appearing only inside a string literal ('orders were late') must
     // not register a spurious snapshot view
     val masked = GraftSQL.maskStrings(s)
-    val referencedTables = tableNames
-      .filter(n => ("(?i)\\b" + java.util.regex.Pattern.quote(n) + "\\b")
-        .r.findFirstIn(masked).isDefined)
+    val referencedTables = tableNames.filter(GraftSQL.referencedIn(masked, _))
     // referenced session views expand recursively (a view may stack on
     // another view); the `expanding` set breaks definition cycles loudly
     val viewBindings = viewDefs.keys.toSeq
-      .filter(n => ("(?i)\\b" + java.util.regex.Pattern.quote(n) + "\\b")
-        .r.findFirstIn(masked).isDefined)
+      .filter(GraftSQL.referencedIn(masked, _))
       .map { n =>
         require(!expanding.contains(n), s"circular view definition: $n")
         n -> runSelect(viewDefs(n), expanding + n)
@@ -1178,6 +1177,15 @@ object GraftSQL {
   // statement-routing patterns — constants, compiled once (execute()
   // used to recompile all of them per call)
   // introspection (reference server.rs:126-127: ListTables/GetTable)
+  /** Word-boundary name detection over a string-MASKED statement —
+    * the ONE definition of "this statement references relation n",
+    * shared by runSelect's snapshot-view binding and the DML paths'
+    * withStatementBindings so they can never diverge. */
+  private[graft] def referencedIn(masked: String, n: String): Boolean =
+    ("(?i)\\b" + java.util.regex.Pattern.quote(n) + "\\b").r
+      .findFirstIn(masked).isDefined
+
+  private val analyzeRe = raw"(?is)EXPLAIN\s+ANALYZE\s+(.*)".r
   private val showTablesRe = raw"(?is)SHOW\s+TABLES\s*".r
   private val showCreateRe = raw"(?is)SHOW\s+CREATE\s+TABLE\s+(\w+)\s*".r
   private val showHistoryRe = raw"(?is)SHOW\s+HISTORY\s+(\w+)\s*".r

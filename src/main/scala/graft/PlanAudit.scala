@@ -20,7 +20,7 @@ object PlanAudit {
     * `*_cascade_*` name). Each entry's justification is inline.
     * VALIDATED AT BOTH SCALES the suite runs (r9): a full audit at
     * sf0.01 (the correctness gate's scale) and at sf0.1 (this tool's
-    * default) each report 181/181 queries with zero flags — the
+    * default) each report 183/183 queries with zero flags — the
     * expected counts are scale-stable because every allowed BNLJ is a
     * 1-row/tiny-probe broadcast whose plan shape does not depend on
     * corpus size. A future scale-dependent entry must key its count by

@@ -373,7 +373,7 @@ object Dedup {
   /** Min-label propagation over one verified pair set — the loop
     * shared by the full build and the stored corpus map ([[d17]]'s
     * at-ingest artifact). */
-  private def propagateMinLabels(pairs: DataFrame): DataFrame = {
+  private[graft] def propagateMinLabels(pairs: DataFrame): DataFrame = {
     // symmetric edge list, materialized once: every propagation round
     // joins against it — without the checkpoint each round would
     // re-run the whole upstream LSH pipeline
@@ -387,7 +387,14 @@ object Dedup {
     var changed = true
     var rounds = 0
     while (changed && rounds < 50) {
-      // each round: label <- min(own label, neighbors' labels).
+      // each round: label <- min(own label, neighbors' labels,
+      // LABEL'S label). The third term is POINTER JUMPING (label-
+      // shortcutting): minima hop a full label-chain link per round,
+      // not one graph edge, so convergence is O(log diameter) — round
+      // 50 covers components of diameter ~2^50, and a CHAIN-structured
+      // batch (successive near-identical revisions of one document:
+      // only adjacent pairs verify) converges instead of tripping the
+      // round cap a per-edge walk would hit at diameter > 50.
       // Checkpoint FIRST (eager — the one job that does the round's
       // work), then diff-count against the materialized result: the
       // convergence check reads two checkpointed frames instead of
@@ -395,7 +402,10 @@ object Dedup {
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("doc_id", "doc_b"), "doc_b")
         .select(col("doc_a").as("doc_id"), col("label"))
-      val next = labels.unionByName(viaNeighbors)
+      val viaLabels = labels.as("x")
+        .join(labels.as("y"), col("x.label") === col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_id"), col("y.label").as("label"))
+      val next = labels.unionByName(viaNeighbors).unionByName(viaLabels)
         .groupBy("doc_id").agg(min("label").as("label"))
         .localCheckpoint() // eager: truncates the iterative lineage too
       val diff = next.as("n")
@@ -405,11 +415,11 @@ object Dedup {
       labels = next
       rounds += 1
     }
-    // rounds scale with component diameter (near-dup graphs are unions
-    // of small cliques — 2-3 in practice); a pathological chain must
-    // fail loudly, never return partial labels as if they were final
+    // with pointer jumping the cap is unreachable for any physical
+    // graph; if it ever trips, fail loudly — partial labels must never
+    // pass as final
     if (changed) throw new IllegalStateException(
-      s"d06: min-label propagation did not converge in $rounds rounds")
+      s"propagateMinLabels did not converge in $rounds rounds")
     labels.select(col("doc_id"), col("label").as("cluster_rep"))
   }
 

@@ -56,17 +56,25 @@ object Scale {
     * defaultSize, summed in the same aggregate as the row count — one
     * job either way.
     *
-    * Materialization: persist(MEMORY_AND_DISK) + the sizing aggregate
-    * runs EAGERLY at frame-construction time — the join strategy is
-    * structural, so the decision cannot wait for the first action;
-    * callers' EXPLAIN paths pay one bounded aggregate over the hot
-    * frame, never the full join. persist rather than localCheckpoint:
-    * a lost executor recomputes the partition from lineage instead of
-    * invalidating a non-reliable checkpoint mid-query. */
+    * Materialization: eager localCheckpoint + the sizing aggregate run
+    * at frame-construction time — the join strategy is structural, so
+    * the decision cannot wait for the first action; callers' EXPLAIN
+    * paths pay one bounded aggregate over the hot frame, never the
+    * full join. localCheckpoint rather than persist, DELIBERATELY:
+    * these hot frames are per-query (d14/t25 build a fresh one per
+    * invocation), and a persist() registers a CacheManager entry the
+    * session holds strongly until an unpersist that no caller is
+    * positioned to issue — a long-lived server session would leak one
+    * materialized frame per query. Checkpointed RDDs are released by
+    * the ContextCleaner when the frame is garbage-collected. The
+    * tradeoff is executor-loss sensitivity (a lost executor
+    * invalidates a non-reliable checkpoint mid-query and the QUERY
+    * restarts); at 100 TB a pipeline materializes the hot set as a
+    * stored table instead, where neither concern exists. */
   def hotGuardedJoin(s: SparkSession, probe: DataFrame, hot: DataFrame,
       keys: Seq[String], joinType: String): DataFrame = {
     import org.apache.spark.sql.types.{BinaryType, StringType}
-    val hotM = hot.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hotM = hot.localCheckpoint()
     val rowLimit = s.conf.get("spark.graft.hotBroadcastLimit", "10000000").toLong
     val byteLimit = s.conf.get("spark.graft.hotBroadcastBytes",
       (128L * 1024 * 1024).toString).toLong

@@ -677,6 +677,20 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("min-label propagation converges on a deep CHAIN (pointer jumping), labels exact") {
+    import spark.implicits._
+    // a 150-hop path graph: successive near-identical revisions of one
+    // document, where only ADJACENT pairs verify — per-edge propagation
+    // needs 150 rounds (over the 50 cap); pointer jumping needs ~log₂
+    val n = 150
+    val chain = (0 until n - 1).map(i => (i.toLong, (i + 1).toLong))
+      .toDF("doc_a", "doc_b")
+    val labels = Dedup.propagateMinLabels(chain)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(labels.toSeq == (0 until n).map(i => (i.toLong, 0L)),
+      "every chain member must label to the component minimum")
+  }
+
   test("degenerate-band guard on the incremental probe: cross verified pairs unchanged, flood bounded") {
     import spark.implicits._
     import graft.functions.jaccard64
@@ -1676,9 +1690,10 @@ class OperatorsSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions.{col, count, explode, length, lit}
     val budget = 60
     val words = sources.Tables.documents(spark, sf).filter(col("text").isNotNull)
+      .filter(org.apache.spark.sql.functions.size(split(col("text"), " ")) >= 2)
       .select(explode(org.apache.spark.sql.functions.expr(
-        """transform(sequence(0, greatest(size(split(text, ' ')) - 2, 0) - 1),
-          |  i -> concat_ws('_', slice(split(text, ' '), i + 1, 2)))""".stripMargin))
+        """transform(sequence(1, size(split(text, ' ')) - 1),
+          |  i -> concat_ws('_', slice(split(text, ' '), i, 2)))""".stripMargin))
         .as("term"))
       .filter(length(col("term")) > 0)
       .groupBy("term").agg(count(lit(1)).as("freq"))
