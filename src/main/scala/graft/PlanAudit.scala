@@ -28,7 +28,9 @@ object PlanAudit {
   private[graft] val ExpectedBnlj: Map[String, Int] = Map(
     "d09_containment" -> 2,     // short-doc probe broadcast (K=64 hot fallback)
     "p12_interleave" -> 2,      // 1-row normalizer broadcast
-    "p14_curriculum" -> 4,      // 1-row quartile-threshold broadcasts
+    // p14 lost its entry in r9: the quartile-threshold broadcast moved
+    // inside the checkpointed staging build, so the final plan carries
+    // zero BNLJ — the unlisted default
     "q10_join_cross" -> 2,      // an intended CROSS JOIN
     "q28_scalar_subquery" -> 2, // 1-row scalar-subquery broadcast
     "s01_ann_brute" -> 2,       // 1-row probe vector × corpus (the exact baseline)
@@ -37,7 +39,11 @@ object PlanAudit {
     "st11_stream_sketch" -> 2,  // 1-row sketch probe read
     "t15_heavy_hitters" -> 2,   // 1-row sketch broadcast
     "t18_dsir_importance" -> 4, // 1-row corpus-totals broadcasts
-    "t21_ppl_bucket" -> 6)      // 1-row V + tertile-threshold broadcasts
+    "t21_ppl_bucket" -> 2)      // 1-row tertile-threshold broadcast (the V
+                                // broadcast moved inside the checkpointed
+                                // score build — r9 optimization: the scored
+                                // frame materializes once, so its subtree no
+                                // longer appears twice in the final plan)
 
   // word-start match: a bare substring count would report a phantom
   // HashAggregate for every ObjectHashAggregate (and an Exchange for

@@ -125,19 +125,36 @@ object Dedup {
     val conf = sigDf.sparkSession.conf
     val capAbs = conf.get(HotBucketConf, HotBucketDefault).toLong
     val frac = conf.get(HotFracConf, HotFracDefault).toDouble
-    // one count on the (normally session-cached) signature frame; the
-    // relative arm needs the corpus size and nothing cheaper is sound
+    // bucket sizes via ONE window exchange (count over (band, bh)),
+    // materialized ONCE: the old groupBy+join-back shape planned the
+    // band fan-out twice and shuffled it twice, and the cold/hot
+    // consumers below would each have re-planned it again. The band
+    // table is 8 rows/doc of (id, band, hash) — the same rows the old
+    // shape already shuffled; at 100 TB it is the stored band index.
+    val sized = minhashBands(sigDf)
+      .withColumn("n", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")))
+      .localCheckpoint()
+    // corpus size + hottest bucket in ONE aggregate over the
+    // materialized bands: the fan-out is exactly Bands rows/doc
+    // (explode of a fixed-size array), so rows/Bands IS the corpus
+    // count the relative cap arm needs — no separate signature-frame
+    // count job, and max(n) vs cap decides the hot arm for free
+    val stats = sized.agg(count(lit(1)).as("rows"), max(col("n")).as("maxn")).head()
     val cap = math.min(capAbs,
-      math.max(256L, (frac * sigDf.count()).toLong))
-    val bands = minhashBands(sigDf)
-    val sized = bands.join(
-      bands.groupBy("band", "bh").agg(count(lit(1)).as("n")), Seq("band", "bh"))
+      math.max(256L, (frac * (stats.getLong(0) / Bands)).toLong))
     def pairsOf(df: DataFrame): DataFrame =
       df.as("a").join(df.as("b"),
           col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
             && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
     val cold = pairsOf(sized.filter(col("n") <= cap).select("doc_id", "band", "bh"))
+    // when the guard is silent (every oracle/spec SF), the rescue/star
+    // subtrees are provably EMPTY, so skip planning them: the result
+    // is identical (union with two empty frames) and the query saves
+    // their scans, shuffles and scheduler time
+    val anyHot = !stats.isNullAt(1) && stats.getLong(1) > cap
+    if (!anyHot) return cold.distinct()
     val hotDocs = sized.filter(col("n") > cap).select("doc_id").distinct()
     // interleaved rescue bands over the hot members only
     val r = MinhashK / Bands
@@ -148,8 +165,10 @@ object Dedup {
     val rBands = sigDf.join(hotDocs, "doc_id")
       .select(col("doc_id"), explode(array(rescueCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
-    val rSized = rBands.join(
-      rBands.groupBy("band", "bh").agg(count(lit(1)).as("n")), Seq("band", "bh"))
+    val rSized = rBands
+      .withColumn("n", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")))
+      .localCheckpoint()
     val rescued = pairsOf(rSized.filter(col("n") <= cap).select("doc_id", "band", "bh"))
     // still-hot rescue bucket = exact-dup flood: star to the min member
     val star = rSized.filter(col("n") > cap)
@@ -188,8 +207,6 @@ object Dedup {
     val conf = corpusSig.sparkSession.conf
     val capAbs = conf.get(HotBucketConf, HotBucketDefault).toLong
     val frac = conf.get(HotFracConf, HotFracDefault).toDouble
-    val cap = math.min(capAbs,
-      math.max(256L, (frac * corpusSig.count()).toLong))
     val r = MinhashK / Bands
     def rescueBands(sigDf: DataFrame): DataFrame = {
       val cols = (0 until Bands).map { b =>
@@ -203,15 +220,31 @@ object Dedup {
       ca.as("a").join(cb.as("b"),
           col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
         .select(col("a.doc_id").as("corpus_doc"), col("b.doc_id").as("new_doc"))
-    val ca = minhashBands(corpusSig.select("doc_id", "sig"))
-    val sized = ca.join(
-      ca.groupBy("band", "bh").agg(count(lit(1)).as("n")), Seq("band", "bh"))
+    // corpus bucket sizes via one window exchange, materialized once
+    // (the minhashCandidates shape): the cold join and the hot filter
+    // both read the same frame instead of re-planning the band fan-out
+    val sized = minhashBands(corpusSig.select("doc_id", "sig"))
+      .withColumn("n", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")))
+      .localCheckpoint()
+    // corpus size (rows/Bands — the fan-out is exactly Bands rows/doc)
+    // + hottest bucket in ONE aggregate over the materialized bands
+    val stats = sized.agg(count(lit(1)).as("rows"), max(col("n")).as("maxn")).head()
+    val cap = math.min(capAbs,
+      math.max(256L, (frac * (stats.getLong(0) / Bands)).toLong))
     val cold = cross(sized.filter(col("n") <= cap).select("doc_id", "band", "bh"),
       minhashBands(batchSig.select("doc_id", "sig")))
+    // no hot corpus bucket (every oracle/spec SF) → the rescue/star
+    // subtrees are provably empty; skip planning them — identical
+    // result, none of their scans/shuffles
+    val anyHot = !stats.isNullAt(1) && stats.getLong(1) > cap
+    if (!anyHot) return cold.distinct()
     val hotCorpus = sized.filter(col("n") > cap).select("doc_id").distinct()
     val rca = rescueBands(corpusSig.join(hotCorpus, "doc_id").select("doc_id", "sig"))
-    val rSized = rca.join(
-      rca.groupBy("band", "bh").agg(count(lit(1)).as("n")), Seq("band", "bh"))
+    val rSized = rca
+      .withColumn("n", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")))
+      .localCheckpoint()
     val rb = rescueBands(batchSig.select("doc_id", "sig"))
     val rescued = cross(rSized.filter(col("n") <= cap).select("doc_id", "band", "bh"), rb)
     // flood rescue buckets: batch members pair with the MIN corpus doc
@@ -380,9 +413,15 @@ object Dedup {
     val edges = pairs
       .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .localCheckpoint()
-    var labels = edges.select(col("doc_a").as("doc_id"))
-      .distinct()
-      .withColumn("label", col("doc_id"))
+    // init FOLDS ROUND 1 IN: label = min(own id, min neighbor id) is
+    // exactly what the first self-labeled round would compute (its
+    // viaLabels term is the identity when label == doc_id), for one
+    // aggregate instead of a round's join+union+agg+diff — near-dup
+    // graphs are unions of small cliques, where this init is already
+    // the fixpoint and the loop below runs once only to CONFIRM it.
+    var labels = edges.groupBy("doc_a")
+      .agg(least(col("doc_a"), min(col("doc_b"))).as("label"))
+      .withColumnRenamed("doc_a", "doc_id")
       .localCheckpoint()
     var changed = true
     var rounds = 0
@@ -395,24 +434,25 @@ object Dedup {
       // batch (successive near-identical revisions of one document:
       // only adjacent pairs verify) converges instead of tripping the
       // round cap a per-edge walk would hit at diameter > 50.
-      // Checkpoint FIRST (eager — the one job that does the round's
-      // work), then diff-count against the materialized result: the
-      // convergence check reads two checkpointed frames instead of
-      // re-executing the round's join+agg a second time.
+      // The OWN row rides a marker column through the round's single
+      // aggregate exchange, so convergence falls out of the same job
+      // (min(label) vs the own row's label) — the old formulation paid
+      // a second shuffle join per round just to diff old vs new.
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("doc_id", "doc_b"), "doc_b")
         .select(col("doc_a").as("doc_id"), col("label"))
       val viaLabels = labels.as("x")
         .join(labels.as("y"), col("x.label") === col("y.doc_id"))
         .select(col("x.doc_id").as("doc_id"), col("y.label").as("label"))
-      val next = labels.unionByName(viaNeighbors).unionByName(viaLabels)
-        .groupBy("doc_id").agg(min("label").as("label"))
+      val next = labels.withColumn("own", lit(true))
+        .unionByName(viaNeighbors.withColumn("own", lit(false)))
+        .unionByName(viaLabels.withColumn("own", lit(false)))
+        .groupBy("doc_id").agg(min("label").as("label"),
+          min(when(col("own"), col("label"))).as("old_label"))
         .localCheckpoint() // eager: truncates the iterative lineage too
-      val diff = next.as("n")
-        .join(labels.as("o"), col("n.doc_id") === col("o.doc_id"))
-        .filter(col("n.label") =!= col("o.label")).limit(1).count()
+      val diff = next.filter(col("label") =!= col("old_label")).limit(1).count()
       changed = diff > 0
-      labels = next
+      labels = next.select("doc_id", "label")
       rounds += 1
     }
     // with pointer jumping the cap is unreachable for any physical
@@ -527,7 +567,14 @@ object Dedup {
   /** d07's verified new-vs-corpus pairs without the presentation sort
     * (d17 consumes these as delta edges). */
   private def d07Pairs(s: SparkSession, d: String): DataFrame =
-    incPairs(signatureStore(s, d).scan("corpus_signatures"), newBatchSig(s, d))
+    // the batch signature kernel runs ONCE (localCheckpoint): without
+    // it the band subtree, the shingle-verify subtree and the guard's
+    // candidate count each re-evaluate minhash_sig + shingles64 over
+    // the batch — measured 38 parquet scans / 60 exchanges in d07's
+    // plan before this change. Batch-sized, so the materialization is
+    // bounded by the ingest batch at any corpus scale.
+    incPairs(signatureStore(s, d).scan("corpus_signatures"),
+      newBatchSig(s, d).localCheckpoint())
 
   /** Verified cross pairs between a (stored) corpus signature frame
     * and a batch signature frame — the incremental join shape shared
@@ -667,10 +714,20 @@ object Dedup {
     * above [[FpGuard]]; expects a (doc_id, text, len) frame. */
   private[graft] def containmentCandidates(docs: DataFrame, hotK: Int): DataFrame = {
     // fingerprint64 emits each doc's SORTED DISTINCT picks, so posting
-    // size == number of docs carrying the fingerprint
-    val fps = docs
+    // size == number of docs carrying the fingerprint. The winnowing
+    // kernel is the dominant scan cost and the index feeds FOUR
+    // consumers (primary a-side, primary b-side, rarest, fallback
+    // b-side) — the old plan evaluated the kernel fan-out five times
+    // (plan audit: 20 parquet scans). ONE window exchange sizes the
+    // postings and ONE localCheckpoint materializes the index; every
+    // consumer reads the materialized rows. At 100 TB this is the
+    // stored fingerprint index a containment service maintains.
+    val sized = docs
       .select(col("doc_id"), col("len"), explode(fingerprint64(col("text"), FpN, FpW)).as("fp"))
-    val sized = fps.join(fps.groupBy("fp").agg(count(lit(1)).as("psz")), "fp")
+      .withColumn("psz", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("fp")))
+      .localCheckpoint()
+    val fps = sized.select("doc_id", "fp")
     // primary: cold fingerprints only — candidate volume <= K per
     // occurrence. The container side joins the FULL index: a cold
     // fingerprint's posting is cold on both sides by definition.
@@ -1277,7 +1334,12 @@ object Dedup {
     * (stored map, corpus signatures, batch signatures) — pure in its
     * frames so the sequential-maintenance spec can iterate it. */
   private[graft] def deltaFrames(stored: DataFrame, corpusSig: DataFrame,
-      batchSig: DataFrame): (DataFrame, DataFrame) = {
+      batchSig0: DataFrame): (DataFrame, DataFrame) = {
+    // ONE batch-kernel evaluation for the whole maintenance step: nc's
+    // bands + verify and nn's candidates + verify are five separate
+    // subtrees over the same batch signatures — localCheckpoint (batch-
+    // sized) materializes them once (d07Pairs' discipline)
+    val batchSig = batchSig0.localCheckpoint()
     // delta edges: new-vs-corpus with each corpus doc folded to its
     // stored rep (itself when the map has no row — a corpus singleton)
     val nc = incPairs(corpusSig, batchSig)
@@ -1327,8 +1389,37 @@ object Dedup {
     val (nc, nn) = deltaFrames(stored, corpusSig, batchSig)
     val ncRows = nc.select("new_doc", "corpus_doc", "rep", "miss").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
-    val nnComps = propagateMinLabels(nn).collect()
-      .map(r => (r.getLong(0), r.getLong(1)))
+    // materialize the nn edges once, then pick the fold route off the
+    // measured size: a NORMAL batch's near-dup pair list is far under
+    // `spark.graft.d17.foldPairLimit` (default 10k ≈ 160 KB collected)
+    // and folds directly in the driver — a min-root union-find over
+    // the pairs yields exactly propagateMinLabels' (node, component
+    // min) map, without the iterative loop's per-round Spark jobs. A
+    // duplicate-heavy batch over the limit keeps the distributive
+    // pre-collapse, so the driver still never sees B² pairs.
+    val nnM = nn.localCheckpoint()
+    val limit = stored.sparkSession.conf
+      .get("spark.graft.d17.foldPairLimit", "10000").toLong
+    val nnComps =
+      if (nnM.count() <= limit) {
+        val pairs = nnM.select("doc_a", "doc_b").collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          var root = x
+          while (parent.getOrElse(root, root) != root) root = parent(root)
+          var c = x
+          while (c != root) { val nxt = parent(c); parent(c) = root; c = nxt }
+          root
+        }
+        pairs.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+        }
+        pairs.flatMap { case (a, b) => Seq(a, b) }.distinct
+          .map(x => (x, find(x)))
+      } else propagateMinLabels(nnM).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
     (ncRows, nnComps)
   }
 

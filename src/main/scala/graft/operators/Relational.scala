@@ -685,9 +685,34 @@ object Relational {
       |SELECT child AS doc_id, MIN(anc) AS far_ancestor, CAST(MAX(depth) AS INT) AS n_hops
       |FROM walk GROUP BY child ORDER BY doc_id""".stripMargin
 
-  def q43RecursiveCte(s: SparkSession, d: String): DataFrame =
-    GraftSession.withTempViews(s, Seq("documents" -> Tables.documents(s, d)))(
-      s.sql(q43Sql))
+  /** The Spark-side execution MATERIALIZES the edge list first: Spark
+    * does not materialize non-recursive CTEs, so `edges` — a documents
+    * self-join — would otherwise re-plan and re-execute inside EVERY
+    * iteration of the recursion's loop (measured: one documents scan +
+    * self-join per level, 12 levels). The recursive CTE itself is
+    * unchanged (same construct, same SQL shape, same result — the
+    * DuckDB oracle still runs [[q43Sql]] verbatim); each iteration now
+    * joins the frontier against the checkpointed edge rows only. */
+  private val q43WalkSql: String =
+    """WITH RECURSIVE walk(child, anc, depth) AS (
+      |  SELECT child, parent, 1 FROM edges
+      |  UNION ALL
+      |  SELECT w.child, e.parent, w.depth + 1
+      |  FROM walk w JOIN edges e ON w.anc = e.child
+      |  WHERE w.depth < 12
+      |)
+      |SELECT child AS doc_id, MIN(anc) AS far_ancestor, CAST(MAX(depth) AS INT) AS n_hops
+      |FROM walk GROUP BY child ORDER BY doc_id""".stripMargin
+
+  def q43RecursiveCte(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val edges = docs.as("a")
+      .join(docs.as("b"),
+        col("b.doc_id") === col("a.doc_id") - 20 && col("b.source") === col("a.source"))
+      .select(col("a.doc_id").as("child"), col("b.doc_id").as("parent"))
+      .localCheckpoint()
+    GraftSession.withTempViews(s, Seq("edges" -> edges))(s.sql(q43WalkSql))
+  }
 
   // ---------------------------------------------------------------- q44
   /** Multiset set operations (EXCEPT ALL / INTERSECT ALL): duplicates

@@ -553,6 +553,11 @@ object Sampling {
       Scale.pctl(s, col("q"), 0.25).as("p25"),
       Scale.pctl(s, col("q"), 0.50).as("p50"),
       Scale.pctl(s, col("q"), 0.75).as("p75"))
+    // staged feeds TWO consumers (the 4-row offset aggregate and the
+    // final rank+join), each of which would re-run the scan + the
+    // 1-row percentile aggregate + the threshold broadcast — the old
+    // plan showed 8 document scans and two exact-percentile passes.
+    // localCheckpoint pins the doc-count-sized rows once.
     val staged = scored.crossJoin(broadcast(th))
       .select(col("doc_id"), col("q"),
         when(col("q") >= col("p75"), 0)
@@ -562,6 +567,7 @@ object Sampling {
       .withColumn("prf",
         (pmod(col("doc_id"), lit(2147483648L)) * lit(1103515245L)
           + lit(12345L)) % lit(2147483648L))
+      .localCheckpoint()
     // stage offsets: exclusive running sum over the 4 stage counts
     val offsets = staged.groupBy("stage").agg(count(lit(1)).as("cnt"))
       .withColumn("offset",

@@ -322,10 +322,13 @@ object TextAnalysis {
   private def tfidfFrame(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val nDocs = docs.count().toDouble
+    // tf feeds TWO consumers (the df rollup and the scoring join), so
+    // without the checkpoint the corpus explode+aggregate runs twice
     val tf = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .groupBy("doc_id", "term")
       .agg(count(lit(1)).cast("int").as("tf"))
+      .localCheckpoint()
     // tf is already distinct per (doc, term): df = row count per term
     val df = tf.groupBy("term").agg(count(lit(1)).cast("int").as("df"))
     tf.join(broadcast(df), "term")
@@ -674,13 +677,15 @@ object TextAnalysis {
            |  i -> struct(element_at(l, i) AS w1, element_at(l, i + 1) AS w2))"""
           .stripMargin)).as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-    // c1 is a pure ROLLUP of the bigram table (n1(w1) = Σ_w2 n2), so
-    // the corpus explode runs twice (c2 + the scoring join), not three
-    // times — the t21 recipe; localCheckpoint pins the vocab-sized c2
-    val c2 = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("n2"))
+    // c1 is a pure ROLLUP of the bigram table (n1(w1) = Σ_w2 n2), and
+    // the bigram fan-out itself is materialized ONCE (r9): the count
+    // build and the scoring join otherwise each re-run the corpus
+    // explode — the plan showed two scans + two fan-outs
+    val pairsM = pairs.localCheckpoint()
+    val c2 = pairsM.groupBy("w1", "w2").agg(count(lit(1)).as("n2"))
       .localCheckpoint()
     val c1 = c2.groupBy("w1").agg(sum("n2").as("n1"))
-    pairs
+    pairsM
       .join(c2, Seq("w1", "w2"))
       .join(c1, Seq("w1"))
       .groupBy("doc_id")
@@ -1306,6 +1311,13 @@ object TextAnalysis {
       .localCheckpoint()
     val c1 = c2.groupBy("w1").agg(sum("n2").as("n1"))
     val v = c2.agg(countDistinct(col("w2")).as("v"))
+    // the scored frame feeds TWO consumers — the 1-row tertile
+    // aggregate and the final bucket select — whose plans would each
+    // re-run the whole corpus explode-join-agg pass (the plan showed
+    // the complete subtree TWICE, two corpus scans and two bigram
+    // exchanges). localCheckpoint pins the doc-count-sized scores once
+    // (the t19/s10 recipe); at 100 TB this is the stored per-doc score
+    // column the cascade reads anyway.
     val scored = pairsOf(docs)
       .join(c2, Seq("w1", "w2"), "left")
       .join(c1, Seq("w1"), "left")
@@ -1316,6 +1328,7 @@ object TextAnalysis {
           (coalesce(col("n2"), lit(0L)) + lit(1)).cast("double") /
             (coalesce(col("n1"), lit(0L)) + col("v")).cast("double")))), 4)
           + lit(0.0)).as("ppl"))
+      .localCheckpoint()
     val th = broadcast(scored.agg(
       Scale.pctl(s, col("ppl"), 1.0 / 3).as("t1"),
       Scale.pctl(s, col("ppl"), 2.0 / 3).as("t2")))

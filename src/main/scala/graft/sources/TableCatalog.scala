@@ -933,16 +933,25 @@ class TableCatalog(spark: SparkSession, val root: String) {
   private def validate(m: TableMeta, name: String, df: DataFrame,
       resolve: String => DataFrame = scan): Unit = {
     val keys = m.primaryKey.toSeq ++ m.unique
-    for (k <- m.primaryKey.toSeq ++ m.notNull)
-      require(df.filter(col(k).isNull).isEmpty, s"$name.$k: NOT NULL violated")
-    for (k <- keys) {
-      // NULLs dropped BEFORE the duplicate count — SQL UNIQUE permits
-      // any number of NULLs (and validateInsert admits them), so a
-      // groupBy that lumped NULLs together would flag legal rows and
-      // brick every later UPDATE/DELETE on the table
-      val dups = df.select(col(k)).na.drop()
-        .groupBy(col(k)).count().filter(col("count") > 1)
-      require(dups.isEmpty, s"$name.$k: UNIQUE/PRIMARY KEY violated")
+    val nullKeys = m.primaryKey.toSeq ++ m.notNull
+    // ONE aggregation action for every per-column check (null counts,
+    // duplicate detection) instead of one Spark job per key: the job
+    // count of a DML validation is fixed overhead per published
+    // version, and each extra action re-evaluates (or at best re-reads)
+    // the snapshot frame. NULLs are excluded from the duplicate count
+    // exactly as before — count/count_distinct both skip NULLs, so
+    // `count != distinct` ⇔ the old na.drop + groupBy + count>1 check.
+    if (nullKeys.nonEmpty || keys.nonEmpty) {
+      val aggs =
+        nullKeys.map(k => count(when(col(k).isNull, lit(1))).as(s"__null_$k")) ++
+          keys.flatMap(k => Seq(count(col(k)).as(s"__cnt_$k"),
+            countDistinct(col(k)).as(s"__dst_$k")))
+      val row = df.agg(aggs.head, aggs.tail: _*).head()
+      for (k <- nullKeys)
+        require(row.getAs[Long](s"__null_$k") == 0L, s"$name.$k: NOT NULL violated")
+      for (k <- keys)
+        require(row.getAs[Long](s"__cnt_$k") == row.getAs[Long](s"__dst_$k"),
+          s"$name.$k: UNIQUE/PRIMARY KEY violated")
     }
     // referential integrity: every non-null FK value must exist in the
     // referenced table's PK — one distinct + anti-join per FK, the
@@ -974,21 +983,39 @@ class TableCatalog(spark: SparkSession, val root: String) {
       existing: () => DataFrame,
       pruned: Option[Column => DataFrame],
       fkResolve: String => DataFrame): Unit = {
-    for (k <- m.primaryKey.toSeq ++ m.notNull)
-      require(batch.filter(col(k).isNull).isEmpty, s"$name.$k: NOT NULL violated")
-    for (k <- m.primaryKey.toSeq ++ m.unique) {
-      val newKeys = batch.select(col(k)).na.drop()
-      require(newKeys.groupBy(col(k)).count().filter(col("count") > 1).isEmpty,
-        s"$name.$k: UNIQUE/PRIMARY KEY violated")
-      val bounds = newKeys.agg(min(col(k)).as("lo"), max(col(k)).as("hi")).head()
-      if (!bounds.isNullAt(0)) {
-        val existingSide =
-          if (m.indexes.contains(k) && pruned.isDefined)
-            pruned.get(col(k) >= lit(bounds.get(0)) && col(k) <= lit(bounds.get(1)))
-          else existing()
-        val clashes = existingSide.select(col(k))
-          .join(newKeys, Seq(k), "left_semi")
-        require(clashes.isEmpty, s"$name.$k: UNIQUE/PRIMARY KEY violated")
+    val nullKeys = m.primaryKey.toSeq ++ m.notNull
+    val keys = m.primaryKey.toSeq ++ m.unique
+    // ONE aggregation action over the batch for every per-column check
+    // (null counts, within-batch duplicates, key bounds) — the batch
+    // frame is often an expensive upstream plan (a curation cascade, a
+    // signature kernel pass), and the old one-job-per-check shape
+    // re-evaluated it up to 3× per key before the write even started.
+    // Semantics unchanged: count/count_distinct/min/max all skip NULLs,
+    // matching the old na.drop'd newKeys, and the requires fire in the
+    // same order with the same messages.
+    if (nullKeys.nonEmpty || keys.nonEmpty) {
+      val aggs =
+        nullKeys.map(k => count(when(col(k).isNull, lit(1))).as(s"__null_$k")) ++
+          keys.flatMap(k => Seq(count(col(k)).as(s"__cnt_$k"),
+            countDistinct(col(k)).as(s"__dst_$k"),
+            min(col(k)).as(s"__lo_$k"), max(col(k)).as(s"__hi_$k")))
+      val row = batch.agg(aggs.head, aggs.tail: _*).head()
+      for (k <- nullKeys)
+        require(row.getAs[Long](s"__null_$k") == 0L, s"$name.$k: NOT NULL violated")
+      for (k <- keys) {
+        require(row.getAs[Long](s"__cnt_$k") == row.getAs[Long](s"__dst_$k"),
+          s"$name.$k: UNIQUE/PRIMARY KEY violated")
+        if (!row.isNullAt(row.fieldIndex(s"__lo_$k"))) {
+          val (lo, hi) = (row.get(row.fieldIndex(s"__lo_$k")),
+            row.get(row.fieldIndex(s"__hi_$k")))
+          val existingSide =
+            if (m.indexes.contains(k) && pruned.isDefined)
+              pruned.get(col(k) >= lit(lo) && col(k) <= lit(hi))
+            else existing()
+          val clashes = existingSide.select(col(k))
+            .join(batch.select(col(k)).na.drop(), Seq(k), "left_semi")
+          require(clashes.isEmpty, s"$name.$k: UNIQUE/PRIMARY KEY violated")
+        }
       }
     }
     for ((c, parent) <- m.references) {
@@ -1188,17 +1215,23 @@ class TableCatalog(spark: SparkSession, val root: String) {
     publishWithRetry(s"INSERT INTO $name") { () =>
       val m = meta(name)
       val fp = fkFingerprint(name, m)
-      val aligned = applyDefaults(name, m, df)
+      // cache across validation + write (the Txn.update/merge pattern):
+      // the batch is often an expensive upstream plan, and without the
+      // cache the validation aggregate, the clash/FK joins and the
+      // parquet write would each re-run it from the source
+      val aligned = applyDefaults(name, m, df).cache()
       val next = m.version + 1
-      validateInsert(m, name, aligned,
-        existing = () => scan(name),
-        pruned = Some(f => scan(name, f)),
-        fkResolve = scan)
       // dir name unique per writer: two writers appending version n+1
       // concurrently must never target the same path — the fingerprint
       // check picks the winner, and the loser's dir is deleted below
       val rel = s"data/delta-$next-${TableCatalog.freshSuffix()}"
-      writeData(m, aligned, absTableDir(name).resolve(rel).toString)
+      try {
+        validateInsert(m, name, aligned,
+          existing = () => scan(name),
+          pruned = Some(f => scan(name, f)),
+          fkResolve = scan)
+        writeData(m, aligned, absTableDir(name).resolve(rel).toString)
+      } finally aligned.unpersist() // failed validation must not leak cache
       val fresh = collectStats(m, name, rel)
       val ok =
         try rootLock.synchronized {
@@ -1434,12 +1467,25 @@ class TableCatalog(spark: SparkSession, val root: String) {
       current: DataFrame, validate: Boolean = true): DataFrame = {
     val pk = m.primaryKey.getOrElse(
       throw new IllegalArgumentException(s"MERGE INTO $name: table has no primary key"))
-    val aligned = applyDefaults(name, m, source)
-    if (validate) { // EXPLAIN plans the frame without running source jobs
-      require(aligned.filter(col(pk).isNull).isEmpty, s"$name.$pk: NOT NULL violated")
-      require(aligned.groupBy(col(pk)).count().filter(col("count") > 1).isEmpty,
-        s"MERGE INTO $name: duplicate keys in source")
-    }
+    val aligned0 = applyDefaults(name, m, source)
+    val aligned =
+      if (!validate) aligned0 // EXPLAIN plans the frame without running source jobs
+      else {
+        // materialize the source ONCE (released by the ContextCleaner
+        // when the frame is GC'd): the validation aggregate, the
+        // anti-join build side and the union would otherwise each
+        // re-run the source plan. ONE aggregation action carries both
+        // checks; NULL keys fail the first require before the
+        // duplicate compare, so count/count_distinct skipping NULLs
+        // matches the old groupBy exactly on every reachable input.
+        val m0 = aligned0.localCheckpoint()
+        val row = m0.agg(count(when(col(pk).isNull, lit(1))).as("nulls"),
+          count(col(pk)).as("cnt"), countDistinct(col(pk)).as("dst")).head()
+        require(row.getAs[Long]("nulls") == 0L, s"$name.$pk: NOT NULL violated")
+        require(row.getAs[Long]("cnt") == row.getAs[Long]("dst"),
+          s"MERGE INTO $name: duplicate keys in source")
+        m0
+      }
     current
       .join(aligned.select(col(pk)), Seq(pk), "left_anti")
       .unionByName(aligned)
@@ -2312,12 +2358,15 @@ class TableCatalog(spark: SparkSession, val root: String) {
       val m = pinnedMetaOf(name)
       val base = baseOf(name)
       val dirs = viewDirs(name)
-      val aligned = applyDefaults(name, m, df)
-      // txn view has no manifest yet → no range pruning, full-view check
-      validateInsert(m, name, aligned,
-        existing = () => scan(name), pruned = None, fkResolve = scan)
+      // cache across validation + write (the Txn.update/merge pattern)
+      val aligned = applyDefaults(name, m, df).cache()
       val rel = freshDir(name)
-      writeData(m, aligned, absTableDir(name).resolve(rel).toString)
+      try {
+        // txn view has no manifest yet → no range pruning, full-view check
+        validateInsert(m, name, aligned,
+          existing = () => scan(name), pruned = None, fkResolve = scan)
+        writeData(m, aligned, absTableDir(name).resolve(rel).toString)
+      } finally aligned.unpersist() // failed validation must not leak cache
       dirStats(rel) = collectStats(m, name, rel)
       staged(name) = (base, dirs :+ rel)
     }

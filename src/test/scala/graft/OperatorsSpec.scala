@@ -464,24 +464,24 @@ class OperatorsSpec extends AnyFunSuite {
 
   test("d07 reads STORED corpus signatures: only the new batch evaluates the kernel") {
     val df = Dedup.d07Incremental(spark, sf)
-    val reads = GraftSession.explainPlan(df).linesIterator
-      .filter(_.contains("ReadSchema")).toSeq
-    // corpus side: parquet scans of the stored signature table — the
-    // sig/sh columns come from the scan schema, not a kernel expression
-    assert(reads.count(l =>
-      l.contains("sig:array<bigint>") || l.contains("sh:array<bigint>")) >= 2,
-      reads.mkString("\n"))
-    // raw document text is scanned ONLY by new-batch subtrees (band
-    // build + shingle verify + the guard's rescue-band subtree — empty
-    // at this SF, AQE-propagated away at runtime): the corpus-side
-    // kernel never runs, which the parity-filter balance proves — every
-    // document scan in the plan is odd-filtered
-    assert(reads.count(_.contains("text:string")) >= 2, reads.mkString("\n"))
     val planStr = df.queryExecution.executedPlan.toString
+    // corpus side: the verify join reads the STORED signature table's
+    // sh column off its parquet scan — never a kernel re-evaluation
+    assert(planStr.contains("corpus_signatures"),
+      "d07 must read the stored corpus signature table:\n" + planStr.take(1500))
+    // the batch signature kernel runs EXACTLY ONCE, at construction,
+    // into a batch-sized localCheckpoint (r9 optimization): the final
+    // plan therefore contains NO signature kernel at all — the bands,
+    // the candidate count and the shingle verify all read the
+    // materialized batch frame
+    assert(!planStr.contains("minhash_sig") && !planStr.contains("shingles64"),
+      "no signature kernel may survive into the executed plan:\n" + planStr.take(1500))
+    // and no corpus-side (even-parity) document scan sneaks in: every
+    // parity comparison in the plan is an odd (new-batch) filter
     val evenComparisons = "% 2\\) = 0".r.findAllIn(planStr).size
     val oddFilters = "NOT \\(\\(\\w+#\\d+L % 2\\) = 0".r.findAllIn(planStr).size
-    assert(evenComparisons == oddFilters && oddFilters >= 2,
-      s"every document scan must be odd-filtered " +
+    assert(evenComparisons == oddFilters,
+      s"plan must not scan corpus-side documents " +
         s"($evenComparisons parity comparisons, $oddFilters odd)")
     // incremental contract: pairs are corpus(even) x new-batch(odd)
     Dedup.d07Incremental(spark, sf).collect().foreach { r =>
