@@ -872,6 +872,8 @@ object Dedup {
     * exact. */
   def d12SpanDedup(s: SparkSession, d: String): DataFrame = {
     val segW = 8
+    // segment fan-out materialized once: it feeds the hot-set count
+    // AND the probe join (the d09/d14/t25 discipline)
     val segs = Tables.documents(s, d).select(
       col("doc_id"),
       posexplode(expr(
@@ -879,6 +881,7 @@ object Dedup {
            |  as int) - 1),
            |  i -> array_join(slice(split(text, ' '), i * $segW + 1, $segW), ' '))"""
           .stripMargin)).as(Seq("pos", "seg")))
+      .localCheckpoint()
     val hot = segs.groupBy("seg").agg(count(lit(1)).as("n"))
       .filter(col("n") >= 2)
       .select(col("seg"), lit(true).as("is_hot"))
@@ -1024,6 +1027,9 @@ object Dedup {
     * corpus guard spec can run on a planted boilerplate corpus. */
   private[graft] def d14Pipeline(s: SparkSession, docs: DataFrame): DataFrame = {
     val w = docs.select(col("doc_id"), split(col("text"), " ").as("words"))
+    // the stride-1 shingle fan-out (8× the corpus) feeds the hot-set
+    // aggregate AND the probe side of the guarded join — materialized
+    // once instead of exploding the corpus twice (the d09 discipline)
     val sh = w.select(col("doc_id"),
         posexplode(expr(
           s"""CASE WHEN size(words) >= $SubK THEN
@@ -1032,6 +1038,7 @@ object Dedup {
              |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin))
           .as(Seq("i", "seg")))
       .select(col("doc_id"), (col("i") + 1).as("p"), col("seg"))
+      .localCheckpoint()
     // the hot probe goes through the SHARED hostile-corpus guard
     // ([[Scale.hotGuardedJoin]]): broadcast under
     // spark.graft.hotBroadcastLimit rows, shuffle-hash join above it

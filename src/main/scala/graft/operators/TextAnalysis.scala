@@ -802,8 +802,12 @@ object TextAnalysis {
     * because a boilerplate-heavy crawl makes the duplicated-line set
     * exactly the thing that outgrows a broadcast. */
   private[graft] def t25Pipeline(s: SparkSession, docLines: DataFrame): DataFrame = {
+    // the line fan-out feeds the hot-set aggregate AND the probe side
+    // of the guarded join — materialized once instead of exploding the
+    // corpus twice (the d09 fingerprint-index discipline)
     val lines = docLines.select(col("doc_id"),
       posexplode(col("lines")).as(Seq("pos", "line")))
+      .localCheckpoint()
     val hot = lines.groupBy("line").agg(count(lit(1)).as("n"))
       .filter(col("n") >= 2)
       .select(col("line"), lit(true).as("is_hot"))
