@@ -566,7 +566,7 @@ object Dedup {
 
   /** d07's verified new-vs-corpus pairs without the presentation sort
     * (d17 consumes these as delta edges). */
-  private def d07Pairs(s: SparkSession, d: String): DataFrame =
+  private[operators] def d07Pairs(s: SparkSession, d: String): DataFrame =
     // the batch signature kernel runs ONCE (localCheckpoint): without
     // it the band subtree, the shingle-verify subtree and the guard's
     // candidate count each re-evaluate minhash_sig + shingles64 over
@@ -1029,7 +1029,13 @@ object Dedup {
     val w = docs.select(col("doc_id"), split(col("text"), " ").as("words"))
     // the stride-1 shingle fan-out (8× the corpus) feeds the hot-set
     // aggregate AND the probe side of the guarded join — materialized
-    // once instead of exploding the corpus twice (the d09 discipline)
+    // once instead of exploding the corpus twice (the d09 discipline).
+    // The span TEXT is never needed downstream (the rewrite works off
+    // covered POSITIONS over `words`), so the materialized rows and
+    // every exchange after the kernel carry xxhash64(seg) — 8 bytes
+    // instead of the ~50-byte span string (d01/d08's hash-key shuffle
+    // discipline, 2^-64 collision tolerance; the oracle still groups
+    // the strings and must agree row-for-row)
     val sh = w.select(col("doc_id"),
         posexplode(expr(
           s"""CASE WHEN size(words) >= $SubK THEN
@@ -1037,14 +1043,14 @@ object Dedup {
              |    p -> array_join(slice(words, p, $SubK), ' '))
              |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin))
           .as(Seq("i", "seg")))
-      .select(col("doc_id"), (col("i") + 1).as("p"), col("seg"))
+      .select(col("doc_id"), (col("i") + 1).as("p"), xxhash64(col("seg")).as("h"))
       .localCheckpoint()
     // the hot probe goes through the SHARED hostile-corpus guard
     // ([[Scale.hotGuardedJoin]]): broadcast under
     // spark.graft.hotBroadcastLimit rows, shuffle-hash join above it
-    val hot = sh.groupBy("seg").agg(count(lit(1)).as("n"))
-      .filter(col("n") >= 2).select("seg")
-    val hits = Scale.hotGuardedJoin(s, sh, hot, Seq("seg"), "inner")
+    val hot = sh.groupBy("h").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2).select("h")
+    val hits = Scale.hotGuardedJoin(s, sh, hot, Seq("h"), "inner")
       .groupBy("doc_id")
       .agg(sort_array(collect_list(col("p"))).as("ps"))
     w.join(hits, Seq("doc_id"), "left")

@@ -102,7 +102,10 @@ object Pipeline {
     val deduped = gated
       .withColumn("keeper", min("doc_id").over(Window.partitionBy("h")))
       .filter(col("doc_id") === col("keeper"))
-    val corpusMatched = Dedup.d07Incremental(s, d)
+    // d07's UNSORTED pair frame: the public d07 adds a presentation
+    // ORDER BY that this anti-join would immediately discard — a full
+    // range-partitioned sort for nothing (guide §2.4's accidental sort)
+    val corpusMatched = Dedup.d07Pairs(s, d)
       .select(col("new_doc").as("doc_id")).distinct()
     deduped.join(corpusMatched, Seq("doc_id"), "left_anti")
       .select("doc_id", "lang", "source", "n_tokens", "quality_score")
