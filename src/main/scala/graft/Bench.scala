@@ -74,12 +74,18 @@ object Bench {
       // the median only aggregates successful runs
       name -> (if (times.size == runs) median(times) else -1.0)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // 3-decimal per-query seconds: ms resolution is already below this
+    // box's run-to-run noise, and the full JSON line for 183 queries
+    // must stay as small as possible for tail-capture parsers. -1
+    // (failed query) prints as -1.0, never a deceptively fast success.
+    def fmt(v: Double): String =
+      if (v < 0) "-1.0" else f"$v%.3f"
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/bench_out.json")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"loadavg_before":"$loadBefore","loadavg_after":"${loadavg()}","out_file":"$outFile"}"""
-    // the COMPLETE artifact goes to a file: a 152-query JSON line can
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"loadavg_before":"$loadBefore","loadavg_after":"${loadavg()}","out_file":"$outFile"}"""
+    // the COMPLETE artifact goes to a file: a 183-query JSON line can
     // outgrow a captured-stdout ring buffer, and a truncated artifact
     // can't support round-over-round comparisons
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
@@ -87,8 +93,15 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outFile: $e")
     }
-    println(json)
     operators.FrameCache.clear() // release shared signature frames
+    // stop Spark BEFORE printing the artifact lines: nothing (shutdown
+    // logging included) may follow them on stdout from this program
     spark.stop()
+    println(json)
+    // compact duplicate that fits ANY tail-capture window (a capped
+    // stdout tail cuts the full line above mid-JSON, which has left
+    // the driver's PERF comparison empty two rounds running); value
+    // and unit mirror the full artifact, which lives in out_file
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"sf":"$sfDir","runs":$runs,"out_file":"$outFile"}""")
   }
 }
