@@ -21,9 +21,14 @@ object JobProfile {
     val starts = mutable.Map.empty[Int, (Long, String)]
     val lines = mutable.ArrayBuffer.empty[String]
     val listener = new SparkListener {
-      override def onJobStart(j: SparkListenerJobStart): Unit =
-        starts(j.jobId) = (System.nanoTime(),
-          Option(j.properties.getProperty("spark.job.description")).getOrElse(""))
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
+        // the final stage's name carries the action's call site — the
+        // only per-job attribution available without descriptions
+        val site = j.stageInfos.lastOption.map(_.name).getOrElse("")
+        val desc = Option(j.properties.getProperty("spark.job.description"))
+          .filter(_.nonEmpty).getOrElse(site)
+        starts(j.jobId) = (System.nanoTime(), desc)
+      }
       override def onJobEnd(j: SparkListenerJobEnd): Unit =
         starts.remove(j.jobId).foreach { case (t0, desc) =>
           lines += f"  job ${j.jobId}%4d ${(System.nanoTime() - t0) / 1e9}%7.3f s  $desc"

@@ -141,6 +141,12 @@ object Dedup {
     // count the relative cap arm needs — no separate signature-frame
     // count job, and max(n) vs cap decides the hot arm for free
     val stats = sized.agg(count(lit(1)).as("rows"), max(col("n")).as("maxn")).head()
+    // the relative cap infers corpus size as rows/Bands, which is exact
+    // ONLY while the explode fan-out is exactly Bands rows/doc — assert
+    // it, so a future kernel change that drops rows (null/empty sigs)
+    // cannot silently skew the hot-bucket cap
+    require(stats.getLong(0) % Bands == 0,
+      s"band fan-out must be exactly $Bands rows/doc, got ${stats.getLong(0)} rows")
     val cap = math.min(capAbs,
       math.max(256L, (frac * (stats.getLong(0) / Bands)).toLong))
     def pairsOf(df: DataFrame): DataFrame =
@@ -230,6 +236,10 @@ object Dedup {
     // corpus size (rows/Bands — the fan-out is exactly Bands rows/doc)
     // + hottest bucket in ONE aggregate over the materialized bands
     val stats = sized.agg(count(lit(1)).as("rows"), max(col("n")).as("maxn")).head()
+    // rows/Bands is exact only at exactly Bands rows/doc (see the
+    // self-join guard's assert)
+    require(stats.getLong(0) % Bands == 0,
+      s"band fan-out must be exactly $Bands rows/doc, got ${stats.getLong(0)} rows")
     val cap = math.min(capAbs,
       math.max(256L, (frac * (stats.getLong(0) / Bands)).toLong))
     val cold = cross(sized.filter(col("n") <= cap).select("doc_id", "band", "bh"),
@@ -425,6 +435,12 @@ object Dedup {
       .localCheckpoint()
     var changed = true
     var rounds = 0
+    // the CHANGED-LAST-ROUND frontier (delta rounds only): a node's
+    // contribution needs re-delivery only while its label still moves.
+    // None until round 1 has run — round 1 must be FULL (the init fold
+    // just rewrote every label, so its frontier would be ~everything
+    // and the delta form would only add joins).
+    var frontier: Option[DataFrame] = None
     while (changed && rounds < 50) {
       // each round: label <- min(own label, neighbors' labels,
       // LABEL'S label). The third term is POINTER JUMPING (label-
@@ -438,20 +454,50 @@ object Dedup {
       // aggregate exchange, so convergence falls out of the same job
       // (min(label) vs the own row's label) — the old formulation paid
       // a second shuffle join per round just to diff old vs new.
-      val viaNeighbors = edges
-        .join(labels.withColumnRenamed("doc_id", "doc_b"), "doc_b")
-        .select(col("doc_a").as("doc_id"), col("label"))
-      val viaLabels = labels.as("x")
-        .join(labels.as("y"), col("x.label") === col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_id"), col("y.label").as("label"))
+      //
+      // ROUNDS >= 2 are DELTA rounds: labels are non-increasing, and
+      // after one full round every node has absorbed each neighbor's
+      // (and its pointer target's) then-label — so re-delivering a
+      // contribution whose source did NOT change last round is
+      // provably a no-op (next(v) <= label(v) <= the source's
+      // unchanged label). Only frontier-sourced rows flow into the
+      // aggregate; the pointer term re-reads the target when the
+      // pointer MOVED (x in frontier) or the target's VALUE moved
+      // (y in frontier). On a clique-shaped near-dup graph the loop
+      // converges in the one full round and no delta round ever runs —
+      // the 100 TB payoff is deep components, where late rounds ship a
+      // vanishing frontier instead of the full label set.
+      val contributions = frontier match {
+        case None =>
+          val viaNeighbors = edges
+            .join(labels.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+            .select(col("doc_a").as("doc_id"), col("label"))
+          val viaLabels = labels.as("x")
+            .join(labels.as("y"), col("x.label") === col("y.doc_id"))
+            .select(col("x.doc_id").as("doc_id"), col("y.label").as("label"))
+          viaNeighbors.unionByName(viaLabels)
+        case Some(f) =>
+          val viaNeighbors = edges
+            .join(f.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+            .select(col("doc_a").as("doc_id"), col("label"))
+          val viaPtrMoved = f.as("x")
+            .join(labels.as("y"), col("x.label") === col("y.doc_id"))
+            .select(col("x.doc_id").as("doc_id"), col("y.label").as("label"))
+          val viaPtrValue = labels.as("x")
+            .join(f.select(col("doc_id").as("fid"), col("label").as("flabel")),
+              col("x.label") === col("fid"))
+            .select(col("x.doc_id").as("doc_id"), col("flabel").as("label"))
+          viaNeighbors.unionByName(viaPtrMoved).unionByName(viaPtrValue)
+      }
       val next = labels.withColumn("own", lit(true))
-        .unionByName(viaNeighbors.withColumn("own", lit(false)))
-        .unionByName(viaLabels.withColumn("own", lit(false)))
+        .unionByName(contributions.withColumn("own", lit(false)))
         .groupBy("doc_id").agg(min("label").as("label"),
           min(when(col("own"), col("label"))).as("old_label"))
         .localCheckpoint() // eager: truncates the iterative lineage too
       val diff = next.filter(col("label") =!= col("old_label")).limit(1).count()
       changed = diff > 0
+      frontier = Some(next.filter(col("label") =!= col("old_label"))
+        .select("doc_id", "label"))
       labels = next.select("doc_id", "label")
       rounds += 1
     }
@@ -1301,12 +1347,17 @@ object Dedup {
     val seen = !cat.scan("maintenance_log")
       .filter(col("batch_id") === batchId).isEmpty
     if (seen) return // replayed micro-batch: already published
+    // ONE batch-kernel evaluation for the whole maintenance step: the
+    // merge's five subtrees AND the signature insert below read the
+    // same materialized frame — the raw plan re-ran minhash_sig +
+    // shingles64 once more for the txn write (batch-sized, bounded)
+    val sig = batchSig.localCheckpoint()
     val merged = mergeDeltaClusters(s, cat.scan("corpus_cluster_map"),
-      cat.scan("corpus_signatures"), batchSig)
+      cat.scan("corpus_signatures"), sig)
     val t = cat.begin()
     try {
       t.insert("maintenance_log", Seq(batchId).toDF("batch_id"))
-      t.insert("corpus_signatures", batchSig)
+      t.insert("corpus_signatures", sig)
       // new-version publish of the map: the staged delete clears the
       // table IN THE TXN VIEW only; `merged` evaluates against the
       // pre-txn version's pinned files, so the rewrite is consistent
@@ -1341,18 +1392,21 @@ object Dedup {
     * stored-asset discipline (corpus side reads stored tables only). */
   private[graft] def d17DeltaFrames(s: SparkSession, d: String): (DataFrame, DataFrame) =
     deltaFrames(corpusClusterMap(s, d),
-      signatureStore(s, d).scan("corpus_signatures"), newBatchSig(s, d))
+      signatureStore(s, d).scan("corpus_signatures"),
+      newBatchSig(s, d).localCheckpoint())
 
   /** The delta-edge frames for one maintenance step over arbitrary
     * (stored map, corpus signatures, batch signatures) — pure in its
-    * frames so the sequential-maintenance spec can iterate it. */
+    * frames so the sequential-maintenance spec can iterate it. The
+    * batch frame feeds FIVE subtrees (nc's bands + verify, nn's
+    * candidates + two verify sides): production entry points pass it
+    * localCheckpointed so the signature kernels run ONCE per
+    * maintenance step (d07Pairs' discipline) — lifted to the callers
+    * so [[d17Maintain]]'s txn inserts share the same materialization
+    * instead of re-running the kernels per insert. A raw frame stays
+    * correct, just re-evaluated (the spec path). */
   private[graft] def deltaFrames(stored: DataFrame, corpusSig: DataFrame,
-      batchSig0: DataFrame): (DataFrame, DataFrame) = {
-    // ONE batch-kernel evaluation for the whole maintenance step: nc's
-    // bands + verify and nn's candidates + verify are five separate
-    // subtrees over the same batch signatures — localCheckpoint (batch-
-    // sized) materializes them once (d07Pairs' discipline)
-    val batchSig = batchSig0.localCheckpoint()
+      batchSig: DataFrame): (DataFrame, DataFrame) = {
     // delta edges: new-vs-corpus with each corpus doc folded to its
     // stored rep (itself when the map has no row — a corpus singleton)
     val nc = incPairs(corpusSig, batchSig)
@@ -1372,7 +1426,8 @@ object Dedup {
 
   def d17IncrementalClusters(s: SparkSession, d: String): DataFrame =
     mergeDeltaClusters(s, corpusClusterMap(s, d),
-      signatureStore(s, d).scan("corpus_signatures"), newBatchSig(s, d))
+      signatureStore(s, d).scan("corpus_signatures"),
+      newBatchSig(s, d).localCheckpoint())
 
   /** ONE maintenance step as a pure function of its frames: merge a
     * batch's near-dup delta into a stored cluster map. The OUTPUT
@@ -1393,55 +1448,122 @@ object Dedup {
     * doc, so the driver fold is O(batch) rows no matter how duplicated
     * the batch is. union(doc, batch-rep) reproduces the pair set's
     * connectivity exactly (both endpoints of every nn edge share one
-    * batch component rep), which keeps the exactness proof intact. The
-    * nc side needs no such collapse: it is bounded by new-vs-corpus
-    * matches folded to stored reps. Split out so the spec can plant a
-    * hostile batch and assert the collected row counts directly. */
+    * batch component rep), which keeps the exactness proof intact.
+    *
+    * The nc side is guarded too (round-10): the driver consumes only
+    * the DISTINCT (new_doc, rep, miss) edge set — the raw pair list
+    * repeats an edge once per matched corpus doc in the same cluster,
+    * so a batch matching a large stored cluster is quadratic in
+    * matches while its distinct edge set is O(batch × touched
+    * clusters). The distinct set is probed with collect(limit+1) — the
+    * driver materializes AT MOST limit+1 rows deciding the route — and
+    * above the limit the edges pre-collapse distributively
+    * ([[propagateMinLabels]]) to one (node, component-min) row per
+    * involved node, with the rep/miss and new-doc universes collected
+    * as bounded distinct sets. union(node, component-min) reproduces
+    * the edge set's connectivity exactly, the same argument as nn.
+    * Split out so the spec can plant hostile batches on BOTH sides and
+    * assert the collected row counts directly. */
+  private[graft] final case class DeltaFold(
+      unions: Array[(Long, Long)],    // connectivity edges to union
+      repMiss: Array[(Long, Boolean)], // distinct (rep, was-unmapped)
+      newDocs: Array[Long],            // distinct nc-side new docs
+      nnComps: Array[(Long, Long)])    // nn (doc, batch-component rep)
+
+  /** Driver-side min-root union-find fold of a raw pair list into the
+    * (node, component-min) map — exactly propagateMinLabels' result
+    * without its per-round Spark jobs (valid under the fold limit). */
+  private def foldPairs(pairs: Array[(Long, Long)]): Array[(Long, Long)] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var root = x
+      while (parent.getOrElse(root, root) != root) root = parent(root)
+      var c = x
+      while (c != root) { val nxt = parent(c); parent(c) = root; c = nxt }
+      root
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    pairs.flatMap { case (a, b) => Seq(a, b) }.distinct.map(x => (x, find(x)))
+  }
+
   private[graft] def deltaFoldInputs(stored: DataFrame, corpusSig: DataFrame,
-      batchSig: DataFrame): (Array[(Long, Long, Long, Boolean)], Array[(Long, Long)]) = {
+      batchSig: DataFrame): DeltaFold = {
     val (nc, nn) = deltaFrames(stored, corpusSig, batchSig)
-    val ncRows = nc.select("new_doc", "corpus_doc", "rep", "miss").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
-    // materialize the nn edges once, then pick the fold route off the
-    // measured size: a NORMAL batch's near-dup pair list is far under
-    // `spark.graft.d17.foldPairLimit` (default 10k ≈ 160 KB collected)
-    // and folds directly in the driver — a min-root union-find over
-    // the pairs yields exactly propagateMinLabels' (node, component
-    // min) map, without the iterative loop's per-round Spark jobs. A
-    // duplicate-heavy batch over the limit keeps the distributive
-    // pre-collapse, so the driver still never sees B² pairs.
-    val nnM = nn.localCheckpoint()
     val limit = stored.sparkSession.conf
       .get("spark.graft.d17.foldPairLimit", "10000").toLong
+    require(limit > 0 && limit < Int.MaxValue,
+      s"spark.graft.d17.foldPairLimit out of range: $limit")
+    // nc probe, BOUNDED (round-10, closing the unbounded-collect hole):
+    // LocalLimit(limit+1) caps what each task ships, the scoped
+    // initialNumPartitions makes the probe ONE round instead of
+    // CollectLimit's incremental 1→4→16… scale-up, and a result of
+    // <= limit rows IS the complete row set (the limit returned
+    // everything there was) — so the common path's plan and job count
+    // are the unguarded collect's, and the driver never materializes
+    // more than partitions × (limit+1) narrow rows deciding the route.
+    val sess = stored.sparkSession
+    val limKey = "spark.sql.limit.initialNumPartitions"
+    val prevLim = sess.conf.getOption(limKey)
+    sess.conf.set(limKey, Int.MaxValue.toString)
+    val probe =
+      try nc.select("new_doc", "rep", "miss").limit(limit.toInt + 1).collect()
+      finally prevLim match {
+        case Some(v) => sess.conf.set(limKey, v)
+        case None    => sess.conf.unset(limKey)
+      }
+    val (unions, repMiss, newDocs) =
+      if (probe.length <= limit) {
+        val rows = probe.map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+        (rows.map(e => (e._1, e._2)).distinct,
+          rows.map(e => (e._2, e._3)).distinct,
+          rows.map(_._1).distinct)
+      } else {
+        // over the cap (a batch matching a huge corpus slice): ship
+        // the DISTINCT (new_doc, rep) edge set — the raw rows repeat
+        // an edge once per matched corpus doc in the same cluster —
+        // and above the cap even in distinct edges, collapse
+        // connectivity DISTRIBUTIVELY to one row per NODE.
+        // union(node, component-min) reproduces the edge set's
+        // connectivity exactly, so the merge result is unchanged —
+        // spec-asserted against the under-limit route.
+        val ncM = nc.select("new_doc", "rep", "miss").distinct().localCheckpoint()
+        val edges =
+          if (ncM.count() <= limit)
+            ncM.select("new_doc", "rep").collect()
+              .map(r => (r.getLong(0), r.getLong(1)))
+          else propagateMinLabels(ncM
+              .select(col("new_doc").as("doc_a"), col("rep").as("doc_b")))
+            .collect().map(r => (r.getLong(0), r.getLong(1)))
+        (edges,
+          ncM.select("rep", "miss").distinct().collect()
+            .map(r => (r.getLong(0), r.getBoolean(1))),
+          ncM.select("new_doc").distinct().collect().map(_.getLong(0)))
+      }
+    // materialize the nn edges once, then pick the fold route off the
+    // measured size: a NORMAL batch's near-dup pair list is far under
+    // the limit (10k ≈ 160 KB collected) and folds directly in the
+    // driver; a duplicate-heavy batch over the limit keeps the
+    // distributive pre-collapse, so the driver still never sees B²
+    // pairs.
+    val nnM = nn.localCheckpoint()
     val nnComps =
-      if (nnM.count() <= limit) {
-        val pairs = nnM.select("doc_a", "doc_b").collect()
-          .map(r => (r.getLong(0), r.getLong(1)))
-        val parent = scala.collection.mutable.Map.empty[Long, Long]
-        def find(x: Long): Long = {
-          var root = x
-          while (parent.getOrElse(root, root) != root) root = parent(root)
-          var c = x
-          while (c != root) { val nxt = parent(c); parent(c) = root; c = nxt }
-          root
-        }
-        pairs.foreach { case (a, b) =>
-          val (ra, rb) = (find(a), find(b))
-          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
-        }
-        pairs.flatMap { case (a, b) => Seq(a, b) }.distinct
-          .map(x => (x, find(x)))
-      } else propagateMinLabels(nnM).collect()
+      if (nnM.count() <= limit)
+        foldPairs(nnM.select("doc_a", "doc_b").collect()
+          .map(r => (r.getLong(0), r.getLong(1))))
+      else propagateMinLabels(nnM).collect()
         .map(r => (r.getLong(0), r.getLong(1)))
-    (ncRows, nnComps)
+    DeltaFold(unions, repMiss, newDocs, nnComps)
   }
 
   private[graft] def mergeDeltaClusters(s: SparkSession, stored: DataFrame,
       corpusSig: DataFrame, batchSig: DataFrame): DataFrame = {
     import s.implicits._
-    // ---- driver union-find over the delta (bounded: O(batch) ROWS —
-    // the nn side arrives component-collapsed, see deltaFoldInputs)
-    val (ncRows, nnComps) = deltaFoldInputs(stored, corpusSig, batchSig)
+    // ---- driver union-find over the delta (bounded: both sides
+    // arrive distinct/component-collapsed, see deltaFoldInputs)
+    val fold = deltaFoldInputs(stored, corpusSig, batchSig)
     val parent = scala.collection.mutable.Map.empty[Long, Long]
     def find(x: Long): Long = {
       // two-pass iterative path compression: walk to the root, then
@@ -1460,18 +1582,19 @@ object Dedup {
         if (ra < rb) parent(rb) = ra else parent(ra) = rb
       }
     }
-    ncRows.foreach { case (n, _, r, _) => union(n, r) }
-    nnComps.foreach { case (doc, rep) => union(doc, rep) }
+    fold.unions.foreach { case (a, b) => union(a, b) }
+    fold.nnComps.foreach { case (doc, rep) => union(doc, rep) }
     // touched stored reps whose component min changed → remap rows
-    val touchedReps = ncRows.filter(!_._4).map(_._3).distinct
+    val touchedReps = fold.repMiss.filter(!_._2).map(_._1)
     val remap = touchedReps.map(r => (r, find(r))).filter { case (r, nr) => nr != r }
     // corpus docs absent from the stored map (the left-join miss flag —
-    // no corpus-map scan needed) and the batch docs get fresh rows
-    val singletonCorpus = ncRows.filter(_._4).map(_._2).distinct
+    // no corpus-map scan needed; an unmapped doc's folded rep is
+    // itself) and the batch docs get fresh rows
+    val singletonCorpus = fold.repMiss.filter(_._2).map(_._1)
       .map(c => (c, find(c)))
     // nnComps carries one row per nn-involved doc (component reps label
     // themselves), so its doc_ids are exactly the old pair-endpoint set
-    val newDocsSrc = ncRows.map(_._1) ++ nnComps.map(_._1)
+    val newDocsSrc = fold.newDocs ++ fold.nnComps.map(_._1)
     val newDocs = newDocsSrc.distinct.map(n => (n, find(n)))
     val extras = (singletonCorpus ++ newDocs).toSeq.toDF("doc_id", "cluster_rep")
     val remapped =

@@ -778,10 +778,10 @@ class OperatorsSpec extends AnyFunSuite {
     val (_, nn) = Dedup.deltaFrames(stored, sig(corpus), sig(b1))
     assert(nn.count() == B1.toLong * (B1 - 1) / 2,
       "planted batch should be pair-quadratic")
-    val (ncRows, nnComps) = Dedup.deltaFoldInputs(stored, sig(corpus), sig(b1))
-    assert(ncRows.isEmpty, "no new-vs-corpus matches planted")
-    assert(nnComps.length == B1,
-      s"driver fold must be O(B)=$B1 rows, got ${nnComps.length}")
+    val fold1 = Dedup.deltaFoldInputs(stored, sig(corpus), sig(b1))
+    assert(fold1.unions.isEmpty, "no new-vs-corpus matches planted")
+    assert(fold1.nnComps.length == B1,
+      s"driver fold must be O(B)=$B1 rows, got ${fold1.nnComps.length}")
     assert(merged(b1) ==
       ((1L, 1L) +: (0 until B1).map(i => (100000L + i, 100000L))).sortBy(_._1))
     // REGIME 2 — a B≈1k flood: the degenerate-band guard caps the
@@ -792,11 +792,54 @@ class OperatorsSpec extends AnyFunSuite {
     val (_, nn2) = Dedup.deltaFrames(stored, sig(corpus), sig(b2))
     assert(nn2.count() < 2L * B2,
       s"the band guard must bound a $B2-doc flood's pairs linearly")
-    val (nc2, comps2) = Dedup.deltaFoldInputs(stored, sig(corpus), sig(b2))
-    assert(nc2.isEmpty && comps2.length == B2,
-      s"driver fold must be O(B)=$B2 rows, got ${comps2.length}")
+    val fold2 = Dedup.deltaFoldInputs(stored, sig(corpus), sig(b2))
+    assert(fold2.unions.isEmpty && fold2.nnComps.length == B2,
+      s"driver fold must be O(B)=$B2 rows, got ${fold2.nnComps.length}")
     assert(merged(b2) ==
       ((1L, 1L) +: (0 until B2).map(i => (200000L + i, 200000L))).sortBy(_._1))
+  }
+
+  test("d17 guard: an nc flood over foldPairLimit pre-collapses distributively, fold stays O(nodes)") {
+    import spark.implicits._
+    import graft.functions.{minhash_sig, shingles64}
+    def sig(df: org.apache.spark.sql.DataFrame) = df.select(col("doc_id"),
+      minhash_sig(col("text"), 5, 32, 42L).as("sig"),
+      shingles64(col("text"), 5).as("sh"))
+    val template = (1 to 40).map(i => s"tpl$i").mkString(" ")
+    // a 200-doc stored corpus the whole batch matches, mapped with
+    // IDENTITY reps (legal input: the fold is pure in its frames) so
+    // the distinct (new_doc, rep) edge set is B×C — over any small cap
+    val C = 200
+    val corpus = (0 until C).map(i => (2L * i, template)).toDF("doc_id", "text")
+    val stored = (0 until C).map(i => (2L * i, 2L * i)).toDF("doc_id", "cluster_rep")
+    val B = 40
+    val batch = (0 until B).map(i => (100001L + 2 * i, template)).toDF("doc_id", "text")
+    val prev = spark.conf.getOption("spark.graft.d17.foldPairLimit")
+    try {
+      spark.conf.set("spark.graft.d17.foldPairLimit", "500")
+      val fold = Dedup.deltaFoldInputs(stored, sig(corpus), sig(batch))
+      // over the cap: the driver sees one union row per NODE (B new
+      // docs + C reps), never the B×C distinct edges (nor the raw
+      // match pairs) — plus the bounded rep/new-doc universes
+      assert(fold.unions.length == B + C,
+        s"nc fold must be O(nodes)=${B + C}, got ${fold.unions.length}")
+      assert(fold.repMiss.length == C && fold.newDocs.length == B)
+      // EXACTNESS through the collapsed path: everything is one
+      // component labeled by the corpus minimum (doc 0)
+      val got = Dedup.mergeDeltaClusters(spark, stored, sig(corpus), sig(batch))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val want = ((0 until C).map(i => (2L * i, 0L)) ++
+        (0 until B).map(i => (100001L + 2 * i, 0L))).sortBy(_._1)
+      assert(got == want, s"collapsed nc fold must stay exact: ${got.take(5)}")
+      // and the under-limit route produces the identical map
+      spark.conf.set("spark.graft.d17.foldPairLimit", "100000")
+      val got2 = Dedup.mergeDeltaClusters(spark, stored, sig(corpus), sig(batch))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got2 == want, "the two fold routes must agree")
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.graft.d17.foldPairLimit", v)
+      case None    => spark.conf.unset("spark.graft.d17.foldPairLimit")
+    }
   }
 
   test("t07 normalize: exchange keyed on the 8-byte hash, counts exact per canonical") {
@@ -3562,6 +3605,51 @@ class OperatorsSpec extends AnyFunSuite {
         case Some(v) => spark.conf.set(conf, v)
         case None => spark.conf.unset(conf)
       }
+    }
+  }
+
+  test("long-cents money sums are bit-identical to the decimal plan on every consumer") {
+    // PREMISE: every money double is the nearest representation of an
+    // exactly-2-decimal value, so round(c·100) recovers exact cents
+    // with error far below 0.5 (the proof's only data assumption)
+    val money = Seq(
+      sources.Tables.lineitem(spark, sf).select(col("l_extendedprice").as("c")),
+      sources.Tables.lineitem(spark, sf).select(col("l_discount").as("c")),
+      sources.Tables.lineitem(spark, sf).select(col("l_quantity").as("c")),
+      sources.Tables.orders(spark, sf).select(col("o_totalprice").as("c")),
+      sources.Tables.part(spark, sf).select(col("p_retailprice").as("c")))
+    money.foreach { df =>
+      val dev = df.agg(org.apache.spark.sql.functions.max(
+          org.apache.spark.sql.functions.abs(col("c") * 100 -
+            org.apache.spark.sql.functions.round(col("c") * 100))))
+        .head().getDouble(0)
+      assert(dev < 1e-6, s"money column deviates from 2 decimals by $dev")
+    }
+    // PATH EQUIVALENCE: every query on the cents fast path must
+    // produce the decimal plan's rows BIT FOR BIT (the DuckDB oracle
+    // pins the decimal semantics; == on boxed doubles is bitwise
+    // modulo NaN, and these columns are never NaN)
+    val affected = Seq("q04_agg_group", "q05_having", "q07_join_inner",
+      "q08_join_left", "q11_join_multiway", "q17_agg_global",
+      "q18_window_funcs", "q24_rollup", "q28_scalar_subquery",
+      "q34_moving_avg", "q35_cube", "q46_histogram", "q49_unpivot",
+      "q51_filtered_agg", "q54_session_window", "q62_ratio_to_report",
+      "q69_skew_join")
+    val key = "spark.graft.moneySum.decimal"
+    val prev = spark.conf.getOption(key)
+    try {
+      affected.foreach { name =>
+        spark.conf.unset(key) // default: the cents fast path
+        val fast = Relational.queries(name)(spark, sf).collect().toSeq
+        spark.conf.set(key, "true")
+        val slow = Relational.queries(name)(spark, sf).collect().toSeq
+        assert(fast == slow,
+          s"$name: cents path diverged from the decimal plan: " +
+            s"${fast.zip(slow).find { case (a, b) => a != b }}")
+      }
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
     }
   }
 }
