@@ -30,9 +30,52 @@ object Relational {
   private def dec(c: Column): Column = c.cast("decimal(18,2)")
   private val oneDec: Column = lit(1).cast("decimal(18,2)")
 
+  /** Deployments whose money sums exceed the LONG-CENTS exactness
+    * bound (|Σ| ≤ 2^53 cents ≈ $90·10^12, or 2^53 ten-thousandths for
+    * the product sums) opt back into the DECIMAL plan here — same
+    * query shape, the documented at-scale swap (like
+    * spark.graft.percentile.approx). */
+  private def decimalMoney: Boolean =
+    org.apache.spark.sql.SparkSession.active.conf
+      .get("spark.graft.moneySum.decimal", "false").toBoolean
+
+  /** The exact integer CENTS of a 2-decimal money double. The stored
+    * double is the nearest representation of a value with exactly two
+    * decimals (spec-checked against the generator, max observed
+    * |c·100 − round(c·100)| ≤ 1e-9 across every money column), so one
+    * correctly-rounded multiply keeps the error far below 0.5 and
+    * round() recovers the exact cents. NULL propagates like the
+    * decimal cast. */
+  private def cents(c: Column): Column = round(c * 100).cast("long")
+
   /** DECIMAL-exact sum surfaced as DOUBLE (bit-identical to DuckDB's
-    * CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE)). */
-  private def dsum(c: Column): Column = sum(dec(c)).cast("double")
+    * CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE)) — computed on the
+    * LONG-CENTS fast path by default: the long sum is the exact
+    * Σcents (order-independent), its long→double conversion is exact
+    * while |Σ| ≤ 2^53, and the /100.0 is ONE correctly-rounded IEEE
+    * division — the same single rounding the decimal path's
+    * Decimal.toDouble performs on the same exact rational, hence the
+    * same double bit for bit (spec-asserted path-vs-path on the real
+    * tables). A decimal(18,2) sum buffers at precision 28 — past the
+    * compact-long Decimal representation, so every row pays BigDecimal
+    * arithmetic; the cents path is one codegen long add per row. */
+  private def dsum(c: Column): Column =
+    if (decimalMoney) sum(dec(c)).cast("double")
+    else sum(cents(c)).cast("double") / 100.0
+
+  /** Σ p·(1−d) (the TPC-H discounted-price aggregate), exact:
+    * cents(p)·(100−cents(d)) is the exact product in 10^-4 units — the
+    * same value decimal(18,2)×decimal(18,2) carries at scale 4 — and
+    * the bound/rounding argument is dsum's with 2^53 ten-thousandths
+    * as the exactness ceiling. */
+  private def dsumDisc(p: Column, d: Column): Column =
+    if (decimalMoney) sum(dec(p) * (oneDec - dec(d))).cast("double")
+    else sum(cents(p) * (lit(100L) - cents(d))).cast("double") / 10000.0
+
+  /** Σ p·d — dsumDisc's sibling for the plain product aggregate. */
+  private def dsumProd(p: Column, d: Column): Column =
+    if (decimalMoney) sum(dec(p) * dec(d)).cast("double")
+    else sum(cents(p) * cents(d)).cast("double") / 10000.0
 
   // ---------------------------------------------------------------- q01
   def q01ScanProject(s: SparkSession, d: String): DataFrame =
@@ -75,9 +118,8 @@ object Relational {
       .agg(
         dsum(col("l_quantity")).as("sum_qty"),
         dsum(col("l_extendedprice")).as("sum_base_price"),
-        sum(dec(col("l_extendedprice")) * (oneDec - dec(col("l_discount"))))
-          .cast("double").as("sum_disc_price"),
-        (sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+        dsumDisc(col("l_extendedprice"), col("l_discount")).as("sum_disc_price"),
+        (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
         min(col("l_quantity")).as("min_qty"),
         max(col("l_quantity")).as("max_qty"),
         count(lit(1)).as("count_order"))
@@ -109,8 +151,7 @@ object Relational {
       .groupBy("o_orderpriority")
       .agg(
         count(lit(1)).as("n_lines"),
-        sum(dec(col("l_extendedprice")) * (oneDec - dec(col("l_discount"))))
-          .cast("double").as("revenue"))
+        dsumDisc(col("l_extendedprice"), col("l_discount")).as("revenue"))
       .orderBy("o_orderpriority")
   }
 
@@ -162,8 +203,7 @@ object Relational {
       .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .groupBy("n_name")
-      .agg(sum(dec(col("l_extendedprice")) * (oneDec - dec(col("l_discount"))))
-        .cast("double").as("revenue"))
+      .agg(dsumDisc(col("l_extendedprice"), col("l_discount")).as("revenue"))
       .orderBy("n_name")
   }
 
@@ -260,9 +300,18 @@ object Relational {
         col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
         row_number().over(w).as("rn"),
         rank().over(w).as("rnk"),
-        sum(dec(col("o_totalprice")))
-          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-          .cast("double").as("running_spent"))
+        (if (decimalMoney)
+            sum(dec(col("o_totalprice")))
+              .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+              .cast("double")
+          else
+            // exact long cents through the running frame: every frame
+            // sum is the exact Σcents, so each row's double is the
+            // decimal path's bit for bit — and the per-row window add
+            // is a codegen long, not a precision-28 BigDecimal
+            sum(cents(col("o_totalprice")))
+              .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+              .cast("double") / 100.0).as("running_spent"))
       .filter(col("rn") <= 3)
       .orderBy("o_custkey", "rn")
   }
@@ -417,7 +466,7 @@ object Relational {
   def q28ScalarSubquery(s: SparkSession, d: String): DataFrame = {
     val p = Tables.part(s, d)
     val avgPrice = p.agg(
-      (sum(dec(col("p_retailprice"))).cast("double") / count(lit(1))).as("a"))
+      (dsum(col("p_retailprice")) / count(lit(1))).as("a"))
     p.crossJoin(broadcast(avgPrice))
       .filter(col("p_retailprice") > col("a"))
       .select("p_partkey", "p_name", "p_retailprice")
@@ -860,9 +909,8 @@ object Relational {
       .groupBy("l_returnflag")
       .agg(dsum(col("l_quantity")).as("sum_qty"),
         dsum(col("l_extendedprice")).as("sum_price"),
-        // exact DECIMAL product per row (no double rounding), then sum
-        sum(dec(col("l_extendedprice")) * dec(col("l_discount")))
-          .cast("double").as("sum_disc"))
+        // exact product per row (no double rounding), then sum
+        dsumProd(col("l_extendedprice"), col("l_discount")).as("sum_disc"))
     agg.unpivot(
         Array(col("l_returnflag")),
         Array(col("sum_qty"), col("sum_price"), col("sum_disc")),
@@ -1041,7 +1089,7 @@ object Relational {
     Tables.events(s, d)
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
       .agg(count(lit(1)).cast("int").as("n_events"),
-        round(sum(dec(col("value"))).cast("double"), 2).as("total_value"))
+        round(dsum(col("value")), 2).as("total_value"))
       .select(col("user_id"), col("sw.start").as("start_ts"),
         col("n_events"), col("total_value"))
       .orderBy("user_id", "start_ts")
@@ -1323,15 +1371,22 @@ object Relational {
       .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
       .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
       .groupBy("n_name")
-      .agg(sum(dec(col("l_extendedprice")) * (oneDec - dec(col("l_discount"))))
+      .agg((if (decimalMoney)
+          sum(dec(col("l_extendedprice")) * (oneDec - dec(col("l_discount"))))
+        else
+          sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))))
         .as("rev"))
-    // the DIVISION runs on doubles derived from the exact decimal sums
+    // the DIVISION runs on doubles derived from the exact sums — on
+    // the fast path `rev` rides the window as exact LONG
+    // ten-thousandths and converts to the identical double at the end
     // (decimal÷decimal result scale differs between engines; identical
     // doubles divide bit-identically)
+    def toMoney(c: Column): Column =
+      if (decimalMoney) c.cast("double") else c.cast("double") / 10000.0
     rev
-      .select(col("n_name"), col("rev").cast("double").as("revenue"),
-        round(col("rev").cast("double") /
-          sum(col("rev")).over(Window.partitionBy()).cast("double"), 6)
+      .select(col("n_name"), toMoney(col("rev")).as("revenue"),
+        round(toMoney(col("rev")) /
+          toMoney(sum(col("rev")).over(Window.partitionBy())), 6)
           .as("share"))
       .orderBy("n_name")
   }
@@ -1534,8 +1589,7 @@ object Relational {
     Scale.saltedJoin(li, o, "l_orderkey", salt = 4)
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n_lines"),
-        sum(dec(col("l_extendedprice")) * (oneDec - dec(col("l_discount"))))
-          .cast("double").as("revenue"))
+        dsumDisc(col("l_extendedprice"), col("l_discount")).as("revenue"))
       .orderBy("o_orderpriority")
   }
 
