@@ -39,11 +39,13 @@ object PlanAudit {
     "st11_stream_sketch" -> 2,  // 1-row sketch probe read
     "t15_heavy_hitters" -> 2,   // 1-row sketch broadcast
     "t18_dsir_importance" -> 4, // 1-row corpus-totals broadcasts
-    "t21_ppl_bucket" -> 2)      // 1-row tertile-threshold broadcast (the V
-                                // broadcast moved inside the checkpointed
-                                // score build — r9 optimization: the scored
-                                // frame materializes once, so its subtree no
-                                // longer appears twice in the final plan)
+    "t21_ppl_bucket" -> 6)      // 1-row V + tertile-threshold broadcasts; the
+                                // static plan lists the scored subtree twice
+                                // (tertile agg + bucket select) but its final
+                                // doc_id aggregate exchange is ReuseExchange'd
+                                // at runtime — r10 measured the r9 checkpoint
+                                // that collapsed this to 2 as a net LOSS
+                                // (t21 1.06→0.96 s, e06 3.27→2.73 s without)
 
   // word-start match: a bare substring count would report a phantom
   // HashAggregate for every ObjectHashAggregate (and an Exchange for

@@ -1445,17 +1445,51 @@ object Relational {
     * 100 TB both `percentile` calls swap for `approx_percentile`
     * (q47's sketch note) on an unchanged shape. */
   def q65Mad(s: SparkSession, d: String): DataFrame = {
-    val med = Tables.lineitem(s, d)
-      .groupBy("l_returnflag")
-      .agg(Scale.pctl(s, col("l_extendedprice"), 0.5).as("med"))
-    Tables.lineitem(s, d)
-      .join(broadcast(med), "l_returnflag")
-      .groupBy("l_returnflag")
-      .agg(
-        round(first(col("med")), 4).as("median_price"),
-        round(Scale.pctl(s, abs(col("l_extendedprice") - col("med")), 0.5), 4)
-          .as("mad"))
-      .orderBy("l_returnflag")
+    if (s.conf.get("spark.graft.percentile.approx", "false").toBoolean) {
+      // the documented 100 TB mode: mergeable sketches on the original
+      // two-aggregate shape (unchanged from the build rounds)
+      val med = Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(Scale.pctl(s, col("l_extendedprice"), 0.5).as("med"))
+      Tables.lineitem(s, d)
+        .join(broadcast(med), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+          round(first(col("med")), 4).as("median_price"),
+          round(Scale.pctl(s, abs(col("l_extendedprice") - col("med")), 0.5), 4)
+            .as("mad"))
+        .orderBy("l_returnflag")
+    } else {
+      // EXACT medians by SKETCH-BRACKETED SELECTION (round-10): the
+      // built-in exact `percentile` buffers each group's full value
+      // multiset in an OpenHashMap per partition and merges the maps —
+      // the dominant cost of this query. Instead, [[Scale.exactPctl]]
+      // brackets each group's k-th/(k+1)-th order statistics with one
+      // mergeable bounded-memory sketch pass, reads the exact order
+      // statistics out of the ~8n/accuracy bracket rows with one more
+      // pass, and interpolates with Spark's own percentile formula —
+      // bit-identical to the aggregate (spec-asserted on this very
+      // table), in 4 narrow passes with no value-multiset buffers.
+      val li = Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_extendedprice"))
+      val medians = Scale.exactPctl(s, li, "l_returnflag",
+        col("l_extendedprice"), 0.5)
+      val flags = medians.keys.toSeq.sorted
+      val medCol = flags.foldLeft(lit(null).cast("double")) {
+        case (acc, flag) =>
+          when(col("l_returnflag") === flag, lit(medians(flag))).otherwise(acc)
+      }
+      val mads = Scale.exactPctl(s, li.select(col("l_returnflag"),
+          abs(col("l_extendedprice") - medCol).as("dev")),
+        "l_returnflag", col("dev"), 0.5)
+      // round(_, 4) exactly as the Round expression does for doubles
+      def r4(v: Double): Double =
+        BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      import s.implicits._
+      flags.map(f => (f, r4(medians(f)), r4(mads(f))))
+        .toDF("l_returnflag", "median_price", "mad")
+        .orderBy("l_returnflag")
+    }
   }
 
   val q65OracleSql: String =

@@ -37,6 +37,78 @@ object Scale {
         .cast("double")
     else percentile(c, lit(p))
 
+  /** EXACT per-group percentile by SKETCH-BRACKETED SELECTION — the
+    * distributed form of the exact `percentile` aggregate, for the
+    * case where buffering each group's full value multiset (the
+    * aggregate's OpenHashMap per partition, merged across partitions)
+    * is the dominant cost.
+    *
+    * Pass 1 (mergeable, bounded memory): per group, the row count n
+    * and an approx_percentile sketch queried at p±4ε (ε = 1/accuracy).
+    * The sketch's rank error is ≤ εn, so the returned value bracket
+    * [a, b] provably contains the target order statistics at ranks
+    * k = ⌊p(n−1)⌋ and k+1: rank(a) ≤ (p−3ε)n < k and
+    * rank(b) ≥ (p+3ε)n > k+1, with 3εn slack each side.
+    * Pass 2 (codegen filters): per group, |{v < a}| and the sorted
+    * ≈8εn in-bracket values. The exact k-th/(k+1)-th values are read
+    * off by index and interpolated with the percentile aggregate's own
+    * formula ((hi−pos)·lo + (pos−lo)·hi, pos = p·(n−1)) — the same
+    * double arithmetic, hence the same result bit for bit
+    * (spec-asserted against the aggregate on the real tables).
+    *
+    * Driver memory is groups × 8n/accuracy rows (tune
+    * spark.graft.percentile.accuracy upward for enormous groups). If a
+    * degenerate sketch ever leaves a target index outside the
+    * collected bracket (mathematically excluded by the rank bound, but
+    * guarded anyway), that group FALLS BACK to the exact aggregate —
+    * correctness never rests on the sketch. */
+  def exactPctl(s: SparkSession, df: DataFrame, groupCol: String,
+      value: Column, p: Double): Map[String, Double] = {
+    val acc = s.conf.get("spark.graft.percentile.accuracy", "10000").toInt
+    val eps = 1.0 / acc
+    val pLo = math.max(0.0, p - 4 * eps)
+    val pHi = math.min(1.0, p + 4 * eps)
+    val sketch = df.groupBy(groupCol)
+      .agg(count(value).as("n"),
+        approx_percentile(value, array(lit(pLo), lit(pHi)), lit(acc)).as("br"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getSeq[Double](2)))
+      .filter(_._2 > 0L)
+    if (sketch.isEmpty) return Map.empty
+    // per-group bracket filters ride ONE pass as when-chains keyed on
+    // the group column — no join, no per-group jobs
+    val aOf = sketch.foldLeft(lit(null).cast("double")) { case (c, (g, _, br)) =>
+      when(col(groupCol) === g, lit(br.head)).otherwise(c) }
+    val bOf = sketch.foldLeft(lit(null).cast("double")) { case (c, (g, _, br)) =>
+      when(col(groupCol) === g, lit(br.last)).otherwise(c) }
+    val resolved = df.groupBy(groupCol)
+      .agg(count(when(value < aOf, 1)).as("below"),
+        sort_array(collect_list(when(value >= aOf && value <= bOf, value)))
+          .as("bracket"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getSeq[Double](2)))
+      .toMap
+    sketch.map { case (g, n, _) =>
+      val pos = p * (n - 1)
+      val lower = math.floor(pos).toLong
+      val higher = math.ceil(pos).toLong
+      val (below, bracket) = resolved(g)
+      def at(rank: Long): Option[Double] = {
+        val i = rank - below
+        if (i >= 0 && i < bracket.length) Some(bracket(i.toInt)) else None
+      }
+      val exact = (at(lower), at(higher)) match {
+        case (Some(lo), Some(hi)) =>
+          if (higher == lower) lo else (higher - pos) * lo + (pos - lower) * hi
+        case _ =>
+          // guarded fallback: the exact aggregate for this group only
+          df.filter(col(groupCol) === g)
+            .agg(percentile(value, lit(p))).head().getDouble(0)
+      }
+      g -> exact
+    }.toMap
+  }
+
   /** Hot-set probe join with the HOSTILE-CORPUS guard shared by
     * d14/t25 (and any future duplicated-content probe): the hot frame
     * is bounded by how much DUPLICATED content exists, not corpus

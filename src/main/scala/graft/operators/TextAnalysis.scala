@@ -1316,12 +1316,14 @@ object TextAnalysis {
     val c1 = c2.groupBy("w1").agg(sum("n2").as("n1"))
     val v = c2.agg(countDistinct(col("w2")).as("v"))
     // the scored frame feeds TWO consumers — the 1-row tertile
-    // aggregate and the final bucket select — whose plans would each
-    // re-run the whole corpus explode-join-agg pass (the plan showed
-    // the complete subtree TWICE, two corpus scans and two bigram
-    // exchanges). localCheckpoint pins the doc-count-sized scores once
-    // (the t19/s10 recipe); at 100 TB this is the stored per-doc score
-    // column the cascade reads anyway.
+    // aggregate and the final bucket select — but with c2 materialized
+    // above, both consumers end in the SAME doc_id aggregate exchange
+    // and Spark's exchange reuse evaluates it once (ReusedExchange in
+    // the plan). Round 9 additionally localCheckpointed this frame;
+    // a round-10 isolated A/B (runs=5) measured the checkpoint as a
+    // net LOSS for both consumers (t21 1.06→0.96 s, e06 3.27→2.73 s
+    // without it): the eager materialization job buys nothing the
+    // exchange reuse doesn't already provide. Removed.
     val scored = pairsOf(docs)
       .join(c2, Seq("w1", "w2"), "left")
       .join(c1, Seq("w1"), "left")
@@ -1332,7 +1334,6 @@ object TextAnalysis {
           (coalesce(col("n2"), lit(0L)) + lit(1)).cast("double") /
             (coalesce(col("n1"), lit(0L)) + col("v")).cast("double")))), 4)
           + lit(0.0)).as("ppl"))
-      .localCheckpoint()
     val th = broadcast(scored.agg(
       Scale.pctl(s, col("ppl"), 1.0 / 3).as("t1"),
       Scale.pctl(s, col("ppl"), 2.0 / 3).as("t2")))

@@ -1452,6 +1452,38 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("q65 sketch-bracketed selection is bit-identical to the percentile aggregate") {
+    import org.apache.spark.sql.functions.{abs, broadcast, first, lit, percentile, round}
+    // the round-10 rewrite must reproduce the original two-aggregate
+    // percentile formulation EXACTLY (the DuckDB oracle pins it):
+    // same rows, bitwise-equal doubles, on the real table
+    val got = Relational.q65Mad(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSeq
+    val med = sources.Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag")
+      .agg(percentile(col("l_extendedprice"), lit(0.5)).as("med"))
+    val want = sources.Tables.lineitem(spark, sf)
+      .join(broadcast(med), "l_returnflag")
+      .groupBy("l_returnflag")
+      .agg(round(first(col("med")), 4).as("median_price"),
+        round(percentile(abs(col("l_extendedprice") - col("med")), lit(0.5)), 4)
+          .as("mad"))
+      .orderBy("l_returnflag").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSeq
+    assert(got == want, s"selection diverged from the aggregate:\n$got\n$want")
+    // and Scale.exactPctl agrees with the aggregate at several
+    // percentiles, including group sizes where pos is integral
+    Seq(0.25, 0.5, 0.75, 0.9).foreach { p =>
+      val byAgg = sources.Tables.lineitem(spark, sf).groupBy("l_returnflag")
+        .agg(percentile(col("l_quantity"), lit(p))).collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val bySel = Scale.exactPctl(spark,
+        sources.Tables.lineitem(spark, sf).select(col("l_returnflag"), col("l_quantity")),
+        "l_returnflag", col("l_quantity"), p)
+      assert(bySel == byAgg, s"p=$p: $bySel vs $byAgg")
+    }
+  }
+
   test("q66 funnel: conversion per user matches a direct event walk") {
     val rows = Relational.q66Funnel(spark, sf).collect()
       .map(r => r.getLong(0) -> (r.getTimestamp(1), Option(r.getTimestamp(2)),
