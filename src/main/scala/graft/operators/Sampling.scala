@@ -208,7 +208,7 @@ object Sampling {
     val span = math.max(1L, hi - lo + 1)
     val bsz = math.max(1L, (span + 31) / 32)
     val nTokens =
-      (length(col("text")) - length(regexp_replace(col("text"), " ", "")) + 1)
+      (length(col("text")) - length(replace(col("text"), lit(" "), lit(""))) + 1)
         .cast("long")
     val base = docs.select(col("doc_id"), nTokens.as("n_tokens"),
       ((col("doc_id") - lo) / bsz).cast("long").as("pid"))

@@ -561,18 +561,21 @@ object Similarity {
       // knows its provenance: held = survived from the previous graph,
       // !held = a fresh neighbor-of-neighbor discovery. The top-k node
       // carries the marker through re-selection for free.
+      // convergence probe RIDES THE CHECKPOINT JOB (r10): the
+      // fresh-edge counts are CollectMetrics observations on the same
+      // action that materializes the round — one job per round instead
+      // of checkpoint + a separate aggregate job over the cached rows.
+      val obs = new org.apache.spark.sql.Observation(s"s10_refine_$rounds")
       val refined = Scale.topKPerGroup(
         graph.select(col("src"), col("dst"), col("cos"))
           .withColumn("held", lit(true))
           .unionByName(newEdges.withColumn("held", lit(false))),
         Seq("src"), Seq(("cos", false), ("dst", true)), KnnInternalK)
+        .observe(obs, count(lit(1)).as("total"),
+          count(when(!col("held"), 1)).as("fresh"))
         .localCheckpoint()
-      // convergence probe: fresh-edge fraction straight off the
-      // checkpointed frame's provenance marker — one tiny aggregate
-      // over n·k' cached rows, no join.
-      val probe = refined.agg(count(lit(1)).as("total"),
-        count(when(!col("held"), 1)).as("fresh")).head()
-      val (total, fresh) = (probe.getLong(0), probe.getLong(1))
+      val m = obs.get
+      val (total, fresh) = (m("total").asInstanceOf[Long], m("fresh").asInstanceOf[Long])
       converged = total == 0 || fresh.toDouble / total < KnnConvergeEps
       graph = refined.drop("held")
       rounds += 1

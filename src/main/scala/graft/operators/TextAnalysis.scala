@@ -67,7 +67,7 @@ object TextAnalysis {
     .map(p => s"'${p.replace("'", "''")}'").mkString("[", ", ", "]")
 
   private[graft] def nTokensCol: Column =
-    length(col("text")) - length(regexp_replace(col("text"), " ", "")) + 1
+    length(col("text")) - length(replace(col("text"), lit(" "), lit(""))) + 1
 
   /** The quality score: length/punct/digit/word-length structural
     * heuristic. Ratio denominators floored at 1: an empty document
@@ -76,10 +76,10 @@ object TextAnalysis {
   private[graft] def qualityScoreCol: Column = {
     val nChars  = length(col("text"))
     val charDen = greatest(nChars, lit(1))
-    val nSpaces = nChars - length(regexp_replace(col("text"), " ", ""))
+    val nSpaces = nChars - length(replace(col("text"), lit(" "), lit("")))
     val nTokens = nSpaces + 1
-    val nPunct  = nChars - length(regexp_replace(col("text"), "[.,!?;:]", ""))
-    val nDigit  = nChars - length(regexp_replace(col("text"), "[0-9]", ""))
+    val nPunct  = nChars - length(translate(col("text"), ".,!?;:", ""))
+    val nDigit  = nChars - length(translate(col("text"), "0123456789", ""))
     least(lit(1.0), nTokens.cast("double") / 50.0) *
       (lit(1.0) - least(lit(0.5),
         nPunct.cast("double") / charDen + nDigit.cast("double") / charDen)) *
@@ -117,10 +117,10 @@ object TextAnalysis {
     val docs = Tables.documents(s, d)
     val nChars  = length(col("text"))
     val charDen = greatest(nChars, lit(1))
-    val nSpaces = nChars - length(regexp_replace(col("text"), " ", ""))
+    val nSpaces = nChars - length(replace(col("text"), lit(" "), lit("")))
     val nTokens = nSpaces + 1
-    val nPunct  = nChars - length(regexp_replace(col("text"), "[.,!?;:]", ""))
-    val nDigit  = nChars - length(regexp_replace(col("text"), "[0-9]", ""))
+    val nPunct  = nChars - length(translate(col("text"), ".,!?;:", ""))
+    val nDigit  = nChars - length(translate(col("text"), "0123456789", ""))
     val nAlpha  = nChars - length(regexp_replace(col("text"), "[A-Za-z]", ""))
     docs.select(
         col("doc_id"),
@@ -449,7 +449,7 @@ object TextAnalysis {
     * swap in approx_percentile (q23's sketch pattern). */
   def t09CorpusStats(s: SparkSession, d: String): DataFrame = {
     val nChars  = length(col("text"))
-    val nTokens = nChars - length(regexp_replace(col("text"), " ", "")) + 1
+    val nTokens = nChars - length(replace(col("text"), lit(" "), lit(""))) + 1
     Tables.documents(s, d)
       .groupBy("lang")
       .agg(
@@ -1404,10 +1404,14 @@ object TextAnalysis {
     val den = greatest(n, lit(1)).cast("double")
     val wlSum = aggregate(l, lit(0), (a, x) => a + length(x))
     val meanWl = round(wlSum.cast("double") / den, 4) + lit(0.0)
+    // literal patterns: StringReplace (a UTF8String scan), not a java
+    // regex Matcher per row — same non-overlapping leftmost-first
+    // semantics, the oracle's own replace() (guide §4.1: prefer the
+    // cheapest built-in that computes the same thing)
     val nHash = length(col("text")) -
-      length(regexp_replace(col("text"), "#", ""))
+      length(replace(col("text"), lit("#"), lit("")))
     val nEllipsis = (length(col("text")) -
-      length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / lit(3)
+      length(replace(col("text"), lit("..."), lit("")))) / lit(3)
     val symRatio = round((nHash + nEllipsis).cast("double") / den, 4) + lit(0.0)
     val nAlpha = size(filter(l, x => regexp_count(x, lit("[a-z]")) > 0))
     val alphaFrac = round(nAlpha.cast("double") / den, 4) + lit(0.0)
