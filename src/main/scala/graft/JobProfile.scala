@@ -41,7 +41,13 @@ object JobProfile {
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       val total = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(300) // let the listener bus drain
+      // drain the listener deterministically (listenerBus.waitUntilEmpty
+      // is private[spark]): the bus delivers in order, so once every
+      // started job has ended in OUR listener, its lines are complete —
+      // a fixed sleep silently dropped lines whenever the bus ran behind
+      Thread.sleep(50) // let queued start events land first
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (starts.nonEmpty && System.nanoTime() < deadline) Thread.sleep(20)
       spark.sparkContext.removeSparkListener(listener)
       println(f"== $name run $r: $total%.3f s, ${lines.size} jobs")
       lines.foreach(println)

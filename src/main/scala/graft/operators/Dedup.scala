@@ -131,6 +131,14 @@ object Dedup {
     // consumers below would each have re-planned it again. The band
     // table is 8 rows/doc of (id, band, hash) — the same rows the old
     // shape already shuffled; at 100 TB it is the stored band index.
+    // KNOWN LIMITATION: a degenerate hot bucket lands its whole
+    // fan-out in ONE window partition, which AQE skew-join splitting
+    // cannot divide — the sizing pass itself can straggle on exactly
+    // the hostile corpus the guard targets. The r10 alternative
+    // (partial-agged groupBy sizes + join-back splits) was built and
+    // MEASURED SLOWER across the family (see OPTIMIZATION_r10.md:
+    // more exchanges and joins per call than the one window) — revisit
+    // only with a cluster-scale straggler measurement in hand.
     val sized = minhashBands(sigDf)
       .withColumn("n", count(lit(1))
         .over(org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")))
